@@ -1,0 +1,33 @@
+"""scespet_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of dan-van/scespet, re-expressed Spark-first.
+
+The reference is a single-threaded push-graph CEP library; this package
+declares the same semantics as lazy DataFrame plans and lets Catalyst +
+Tungsten execute them (batch over time-ordered tables = the reference's
+deterministic replay; Structured Streaming for live mode)."""
+
+from .core.stream import (  # noqa: F401
+    AFTER,
+    BEFORE,
+    Count,
+    Every,
+    GroupedStream,
+    Stream,
+    Termination,
+    Trigger,
+    WindowedStream,
+)
+from .engine import get_spark  # noqa: F401
+
+__all__ = [
+    "AFTER",
+    "BEFORE",
+    "Count",
+    "Every",
+    "GroupedStream",
+    "Stream",
+    "Termination",
+    "Trigger",
+    "WindowedStream",
+    "get_spark",
+]

@@ -1,0 +1,578 @@
+"""Fluent event-stream API compiling to Spark DataFrame plans.
+
+This is the PySpark-native re-expression of the reference's ``Term`` /
+``MacroTerm`` (single stream) and ``VectTerm`` (keyed multi-stream)
+query surface (reference: src/scespet/core/types.scala:230-369,
+src/scespet/core/MacroTerm.scala, src/scespet/core/VectTerm.scala).
+
+Design notes
+------------
+* A stream is a DataFrame with an event-time column ``t`` and a
+  tie-breaking sequence column ``seq`` (see ordering.py).  A *keyed*
+  stream ("vector" in the reference) is the same DataFrame with one or
+  more key columns — the dynamic, runtime-discovered keyset of the
+  reference's ``VectorStream`` (VectorStream.java:12-44) is native to
+  ``groupBy`` / ``Window.partitionBy``.
+* Plan construction is lazy: every verb returns a new ``Stream`` wrapping
+  a transformed DataFrame; Catalyst is the IR (the reference instead
+  eagerly wires a push-graph, SlowGraphWalk.java:25).
+* Scale: per-key operators partition by key (shuffle once, reuse the
+  partitioning); *global* ordered scans are executed with a two-phase
+  bucketed prefix aggregation (see ``scan``'s ``buckets`` argument)
+  instead of a single-partition window, so they survive 100TB inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+from . import ordering
+
+BEFORE = "BEFORE"
+AFTER = "AFTER"
+
+# ---------------------------------------------------------------------------
+# slice specs (reference: src/scespet/core/SliceTriggerSpec.scala:27-74)
+# ---------------------------------------------------------------------------
+
+
+class Count:
+    """Count-based buckets: a bucket closes after ``n`` events.
+
+    Reference: ``n.events`` (SliceTriggerSpec.scala:53-56, NthEvent in
+    BucketBuilderImpl.scala:7-21).
+    """
+
+    def __init__(self, n: int):
+        if n <= 0:
+            raise ValueError("Count slice needs n >= 1")
+        self.n = n
+
+
+class Every:
+    """Fixed-duration tumbling buckets.
+
+    Reference: Duration slice spec (SliceTriggerSpec.scala:48-52).
+    ``duration`` is a Spark interval string like ``"10 minutes"``.
+    """
+
+    def __init__(self, duration: str):
+        self.duration = duration
+
+
+class Trigger:
+    """Data-driven bucket boundaries with BEFORE/AFTER alignment.
+
+    ``cond`` is a boolean Column evaluated per event of *this* stream
+    (the common reference pattern derives the trigger from the stream
+    itself, e.g. "slice when price == 10",
+    test/programs/TestSingleTerms.scala:163-181).
+
+    Alignment (reference: SliceAlign, src/scespet/util/package.scala:27-42):
+    * AFTER  — the boundary event belongs to the *closing* bucket.
+    * BEFORE — the boundary event starts the *new* bucket.
+    """
+
+    def __init__(self, cond: Column, align: str = AFTER):
+        if align not in (BEFORE, AFTER):
+            raise ValueError(f"align must be BEFORE or AFTER, got {align}")
+        self.cond = cond
+        self.align = align
+
+
+class Termination:
+    """Never slice; one bucket per key flushed at end of data.
+
+    Reference: SliceTriggerSpec.TERMINATION (SliceTriggerSpec.scala:28-32).
+    """
+
+
+SliceSpec = Count | Every | Trigger | Termination
+
+_BUCKET = "__bucket"
+_GATE = "__gate"
+_WIN = "__win"
+
+
+def _cols(names_or_cols: Iterable[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in names_or_cols]
+
+
+class Stream:
+    """A (possibly keyed) event stream over a time-ordered DataFrame."""
+
+    def __init__(self, df: DataFrame, t: str = ordering.T, seq: str = ordering.SEQ,
+                 keys: Sequence[str] = ()):
+        self.df = df
+        self.t = t
+        self.seq = seq
+        self.keys = tuple(keys)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_parquet(cls, spark, path: str, t: str = ordering.T,
+                     seq: str | None = None, keys: Sequence[str] = ()) -> "Stream":
+        """Register a replayable source (reference: EnvTermBuilder.asStream,
+        src/scespet/EnvTermBuilder.scala:47-57; IteratorEvents,
+        SimpleEvaluator.scala:33-62).  No sort is materialized — ordering
+        is a *convention* consumed lazily by window specs."""
+        df = spark.read.parquet(path)
+        if seq is None:
+            seq = "seq"
+            df = df.withColumn(seq, F.monotonically_increasing_id())
+        return cls(df, t=t, seq=seq, keys=keys)
+
+    def _derive(self, df: DataFrame, keys: Sequence[str] | None = None) -> "Stream":
+        return Stream(df, self.t, self.seq, self.keys if keys is None else tuple(keys))
+
+    # -- ordering / window specs -------------------------------------------
+
+    def _order(self) -> list[Column]:
+        return ordering.order_cols(self.t, self.seq)
+
+    def _running(self, extra_partition: Sequence[str] = ()) -> WindowSpec:
+        parts = list(self.keys) + list(extra_partition)
+        w = Window.partitionBy(*parts) if parts else Window.partitionBy()
+        return w.orderBy(*self._order()).rowsBetween(Window.unboundedPreceding,
+                                                     Window.currentRow)
+
+    # -- projection / filtering (reference: MacroTerm.scala:86-124,
+    #    VectTerm.scala:178-277) -------------------------------------------
+
+    def map(self, *cols: Column | str, expose_null: bool = True, **named: Column) -> "Stream":
+        """Per-event projection.  ``named`` entries become/replace columns;
+        positional entries replace the whole value projection (t/seq/keys
+        are always retained).  ``expose_null=False`` drops rows where any
+        newly computed column is null (reference: exposeNull flag,
+        MacroTerm.scala:86-103)."""
+        df = self.df
+        new_names: list[str] = []
+        if cols:
+            keep = [self.t, self.seq, *self.keys]
+            projected = _cols(cols)
+            df = df.select(*keep, *projected)
+            new_names = [c for c in df.columns if c not in keep]
+        for name, col in named.items():
+            df = df.withColumn(name, col)
+            new_names.append(name)
+        if not expose_null and new_names:
+            cond = None
+            for n in new_names:
+                c = F.col(n).isNotNull()
+                cond = c if cond is None else (cond & c)
+            df = df.filter(cond)
+        return self._derive(df)
+
+    def filter(self, cond: Column) -> "Stream":
+        return self._derive(self.df.filter(cond))
+
+    def filter_type(self, discriminator: str, value: str,
+                    fields: Sequence[str] | None = None) -> "Stream":
+        """Keep events of one runtime subtype and project its fields.
+
+        Reference: ``filterType[T:ClassTag]`` (types.scala:270-272,
+        VectTerm.scala:224-244) — sealed event hierarchies map to a
+        discriminator column + per-subtype nullable fields (SURVEY §1.4).
+        """
+        df = self.df.filter(F.col(discriminator) == F.lit(value))
+        if fields is not None:
+            df = df.select(self.t, self.seq, *self.keys, *fields)
+        return self._derive(df)
+
+    # -- key algebra (reference: MacroTerm.scala:134-138, GroupFunc.scala,
+    #    VectTerm.scala / ReKeyedVector.scala / NestedVector.scala) ---------
+
+    def by(self, key: Column | str, name: str = "key") -> "Stream":
+        """Demultiplex into a keyed stream (reference: ``by``,
+        MacroTerm.scala:134-138).  Dynamic key discovery is native."""
+        col = F.col(key) if isinstance(key, str) else key
+        df = self.df.withColumn(name, col)
+        return self._derive(df, keys=(*self.keys, name))
+
+    def at(self, *key_values) -> "Stream":
+        """Select one key's stream (reference: VectTerm.apply,
+        VectTerm.scala:63-111)."""
+        df = self.df
+        for k, v in zip(self.keys, key_values):
+            df = df.filter(F.col(k) == F.lit(v))
+        return self._derive(df)
+
+    def subset(self, pred: Column) -> "Stream":
+        """Keep keys satisfying a predicate (reference: VectTerm.scala:37)."""
+        return self._derive(self.df.filter(pred))
+
+    def map_keys(self, new_key: Column, name: str = "key",
+                 check_collisions: bool = False) -> "Stream":
+        """Re-key K -> Option[K2]; null drops the key; a many-to-one mapping
+        is an error in the reference (ReKeyedVector.scala:9-59,
+        multi-map error VectorJoin.scala:38-40).  ``check_collisions``
+        materializes that assertion (an extra agg — off by default)."""
+        df = self.df.withColumn(name, new_key).filter(F.col(name).isNotNull())
+        if check_collisions and self.keys:
+            old = list(self.keys)
+            bad = (df.groupBy(name).agg(F.count_distinct(*_cols(old)).alias("n"))
+                   .filter(F.col("n") > 1).limit(1).count())
+            if bad:
+                raise ValueError(f"map_keys: mapping to '{name}' is not 1:1")
+        return self._derive(df, keys=(name,))
+
+    def group_by_second_key(self, key2: Column, name: str = "key2") -> "Stream":
+        """Nested grouping (reference: VectTerm.groupby / NestedVector.scala:14-52)
+        — flat multi-column grouping replaces nesting."""
+        df = self.df.withColumn(name, key2)
+        return self._derive(df, keys=(name, *self.keys))
+
+    def value_set(self, expand: Column | None = None, name: str = "value") -> "Stream":
+        """Accumulate distinct values, optionally flat-mapping first
+        (reference: valueSet/toValueSet, MacroTerm.scala:160-185,
+        VectTerm.scala:365-421).  Batch translation keeps the *first*
+        occurrence event of each distinct value (set growth events)."""
+        df = self.df
+        if expand is not None:
+            df = df.withColumn(name, F.explode(expand))
+        w = (Window.partitionBy(*self.keys, name)
+             .orderBy(*self._order()))
+        df = (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+        return self._derive(df)
+
+    def key_set(self) -> DataFrame:
+        """Distinct keys (reference: toKeySet, VectTerm.scala:355-363)."""
+        return self.df.select(*self.keys).dropDuplicates()
+
+    def key_list(self, name: str = "keys") -> "Stream":
+        """Stream of the growing key list (reference: keyList,
+        VectTerm.scala:43-52): at each event, the sorted set of keys seen
+        so far."""
+        first_w = Window.partitionBy(*self.keys).orderBy(*self._order())
+        df = self.df.withColumn("__first", F.row_number().over(first_w) == 1)
+        run = (Window.partitionBy().orderBy(*self._order())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        key_col = F.col(self.keys[0]) if len(self.keys) == 1 else F.struct(*self.keys)
+        df = df.withColumn(
+            name,
+            F.array_sort(F.collect_set(F.when(F.col("__first"), key_col)).over(run)),
+        ).drop("__first")
+        return self._derive(df)
+
+    def to_stream(self) -> "Stream":
+        """Multiplex a keyed stream back to a single stream of (K, X)
+        (reference: VectTerm.toStream / VectorToStream.scala:8-76).
+        Keyed rows already *are* (K, X) tuples — drop the key marking."""
+        return self._derive(self.df, keys=())
+
+    # -- aggregation: scan / reduce (reference: MacroTerm.scala:42-84,
+    #    237-240; ReduceType CUMULATIVE vs LAST, types.scala:144-148) -------
+
+    def scan(self, buckets: Column | None = None, **aggs: Column) -> "Stream":
+        """Running (CUMULATIVE) aggregate emitted on every event
+        (reference: ``scan``/``fold_all``).  Pass *unaliased* aggregate
+        Columns by output name: ``scan(total=F.sum("value"))``.
+
+        Keyed streams partition by key — fully parallel.  For *global*
+        scans pass ``buckets`` (a coarse time-bucket column, e.g.
+        ``F.date_trunc('day', F.col('ts'))``): the scan is computed as
+        within-bucket running window + an exclusive prefix over per-bucket
+        partials (broadcast back) — two shuffles over B buckets instead of
+        a single-partition sort, which is the only plan that survives at
+        100TB.  Decomposable aggs only (sum/count/min/max) on that path.
+        """
+        if not aggs:
+            raise ValueError("scan needs at least one named aggregate Column")
+        if buckets is not None and not self.keys:
+            return self._scalable_global_scan(aggs, buckets)
+        w = self._running()
+        df = self.df
+        for name, a in aggs.items():
+            df = df.withColumn(name, a.over(w))
+        return self._derive(df)
+
+    def _scalable_global_scan(self, aggs: dict[str, Column], buckets: Column) -> "Stream":
+        # Two-phase global prefix aggregation. Phase 1: per-bucket running
+        # values (parallel across buckets). Phase 2: exclusive prefix of
+        # per-bucket totals (B rows, computed in one tiny window) joined
+        # back broadcast. Only sum/count-like (merge = +) aggregates.
+        df = self.df.withColumn(_BUCKET, buckets)
+        names = list(aggs)
+        w_in = (Window.partitionBy(_BUCKET).orderBy(*self._order())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        for name, a in aggs.items():
+            df = df.withColumn(name, a.over(w_in))
+        partials = df.groupBy(_BUCKET).agg(
+            *[F.max(n).alias(f"__tot_{n}") for n in names])
+        w_pref = (Window.orderBy(_BUCKET)
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        offsets = partials.select(
+            _BUCKET,
+            *[F.coalesce(F.sum(f"__tot_{n}").over(w_pref), F.lit(0)).alias(f"__off_{n}")
+              for n in names])
+        out = df.join(F.broadcast(offsets), _BUCKET)
+        for n in names:
+            out = out.withColumn(n, F.col(n) + F.col(f"__off_{n}"))
+        out = out.drop(_BUCKET, *[f"__off_{n}" for n in names])
+        return self._derive(out)
+
+    def reduce(self, *aggs: Column) -> DataFrame:
+        """Final (LAST) aggregate per key, flushed at termination
+        (reference: ``reduce``/``reduce_all``, MacroTerm.scala:63-84).
+        Batch end *is* the termination event (SimpleEnv.scala:93)."""
+        if self.keys:
+            return self.df.groupBy(*self.keys).agg(*aggs)
+        return self.df.agg(*aggs)
+
+    # -- slicing (reference: group(), MacroTerm.scala:262-265;
+    #    engines SliceAfterBucket.scala / SliceBeforeBucket.scala) ----------
+
+    def group(self, spec: SliceSpec) -> "GroupedStream":
+        return GroupedStream(self, spec)
+
+    # -- boolean-gated windows (reference: window(), MacroTerm.scala:242-259;
+    #    WindowedBucket_*.scala) --------------------------------------------
+
+    def window(self, gate: Column) -> "WindowedStream":
+        """Gated windows: aggregate only while ``gate`` is true; a window
+        closes on the falling edge.  ``gate`` is evaluated per event of
+        this stream; a gate update at the same event-time as a data row
+        governs that row — this reproduces both "open includes same-cycle
+        data" and "close beats same-cycle data"
+        (WindowedBucket_LastValue.scala:10-11, BucketStreamTest.scala:187-204).
+        """
+        return WindowedStream(self, gate)
+
+    def window_from(self, gate_stream: "Stream", gate_col: str) -> "WindowedStream":
+        """Gate driven by a *separate* boolean stream: as-of join the gate
+        onto this stream (gate-first on timestamp ties = close beats data),
+        then gate as in ``window``."""
+        joined = _asof_gate(self, gate_stream, gate_col)
+        return WindowedStream(joined, F.col(_GATE), gate_is_column=True)
+
+    # -- temporal joins (reference: MacroTerm.scala:190-230,
+    #    VectorJoin.scala:16-133) -------------------------------------------
+
+    def zip_join(self, other: "Stream", left_cols: Sequence[str],
+                 right_cols: Sequence[str]) -> "Stream":
+        """Emit (x.latest, y.latest) whenever *either* side fires
+        (reference: ``join``, MacroTerm.scala:190-204).  Keyed streams
+        join per key (reference: VectTerm.join / VectorJoin.scala).
+        Before a side's first event its columns are null
+        (VectorJoin.scala:55-66)."""
+        return _temporal_join(self, other, left_cols, right_cols, emit="both")
+
+    def take(self, other: "Stream", left_cols: Sequence[str],
+             right_cols: Sequence[str]) -> "Stream":
+        """Emit (x.latest, y) only when *y* fires — an as-of join
+        (reference: ``take``, MacroTerm.scala:209-221)."""
+        return _temporal_join(self, other, left_cols, right_cols, emit="right")
+
+    def sample(self, trigger: "Stream", value_cols: Sequence[str]) -> "Stream":
+        """Snapshot this stream's latest value whenever ``trigger`` fires
+        (reference: ``sample``, MacroTerm.scala:226-230)."""
+        return _temporal_join(self, trigger, value_cols, [], emit="right")
+
+    # -- cross-key snapshot aggregation (reference: mapVector,
+    #    VectTerm.scala:145-176) --------------------------------------------
+
+    def map_vector(self, **aggs: Column) -> "Stream":
+        """Function of the whole current vector at each event: a running
+        aggregate *across keys* in event order.  NOTE: inherently a global
+        ordered scan; at scale use the bucketed form via
+        ``to_stream().scan(..., buckets=...)`` when the agg is decomposable.
+        """
+        w = (Window.partitionBy().orderBy(*self._order())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        df = self.df
+        for name, a in aggs.items():
+            df = df.withColumn(name, a.over(w))
+        return self._derive(df)
+
+
+# ---------------------------------------------------------------------------
+# grouped (sliced) streams
+# ---------------------------------------------------------------------------
+
+
+class GroupedStream:
+    """A stream partitioned into consecutive buckets by a slice spec.
+
+    ``scan`` = CUMULATIVE emission (every event), ``reduce`` = LAST
+    emission at bucket close; the final partial bucket flushes at
+    termination (reference: SliceAfterBucket.scala:163-166).
+    """
+
+    def __init__(self, stream: Stream, spec: SliceSpec):
+        self.stream = stream
+        self.spec = spec
+
+    def _with_bucket(self) -> Stream:
+        s = self.stream
+        spec = self.spec
+        if isinstance(spec, Count):
+            w = Window.partitionBy(*s.keys).orderBy(*s._order())
+            b = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(spec.n))
+        elif isinstance(spec, Every):
+            b = F.window(F.col(s.t), spec.duration).getField("start")
+        elif isinstance(spec, Trigger):
+            flag = F.when(spec.cond, F.lit(1)).otherwise(F.lit(0))
+            w_inc = (Window.partitionBy(*s.keys).orderBy(*s._order())
+                     .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            inc = F.sum(flag).over(w_inc)
+            # BEFORE: boundary row starts the new bucket (inclusive count);
+            # AFTER: boundary row closes the old bucket (exclusive count).
+            b = inc if spec.align == BEFORE else (inc - flag)
+        elif isinstance(spec, Termination):
+            b = F.lit(0)
+        else:  # pragma: no cover
+            raise TypeError(f"unknown slice spec {spec!r}")
+        return s._derive(s.df.withColumn(_BUCKET, b))
+
+    def scan(self, **aggs: Column) -> Stream:
+        s = self._with_bucket()
+        w = s._running(extra_partition=[_BUCKET])
+        df = s.df
+        for name, a in aggs.items():
+            df = df.withColumn(name, a.over(w))
+        return s._derive(df.drop(_BUCKET))
+
+    def reduce(self, **aggs: Column) -> Stream:
+        """One row per bucket, emitted at the bucket's last event time."""
+        s = self._with_bucket()
+        out = (s.df.groupBy(*s.keys, _BUCKET)
+               .agg(F.max(s.t).alias(s.t), F.max(s.seq).alias(s.seq),
+                    *[a.alias(n) for n, a in aggs.items()]))
+        return s._derive(out.drop(_BUCKET))
+
+
+# ---------------------------------------------------------------------------
+# boolean-gated windows
+# ---------------------------------------------------------------------------
+
+
+class WindowedStream:
+    """Sessionization by a boolean gate (reference: window(),
+    WindowedBucket_Continuous.scala / WindowedBucket_LastValue.scala).
+
+    Window id = running count of rising edges; events are in-window iff
+    the gate is true *at* that event.  ``reduce`` emits only *closed*
+    windows (a window still open at termination does not emit —
+    semantics fixed by TestSingleTerms.scala:193-212 "reduce while",
+    where the trailing Open..512 never emits)."""
+
+    def __init__(self, stream: Stream, gate: Column, gate_is_column: bool = True):
+        self.stream = stream
+        self.gate = gate
+
+    def _with_window_id(self) -> Stream:
+        s = self.stream
+        df = s.df.withColumn(_GATE, self.gate)
+        w_lag = Window.partitionBy(*s.keys).orderBy(*s._order())
+        rising = F.col(_GATE) & ~F.coalesce(F.lag(_GATE).over(w_lag), F.lit(False))
+        w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df = df.withColumn(_WIN, F.sum(rising.cast("long")).over(w_run))
+        return s._derive(df)
+
+    def scan(self, **aggs: Column) -> Stream:
+        s = self._with_window_id()
+        w = s._running(extra_partition=[_WIN])
+        df = s.df
+        for name, a in aggs.items():
+            df = df.withColumn(name, a.over(w))
+        df = df.filter(F.col(_GATE)).drop(_GATE, _WIN)
+        return s._derive(df)
+
+    def reduce(self, **aggs: Column) -> Stream:
+        s = self._with_window_id()
+        # a window is closed iff some row after it (same key) has gate=false,
+        # i.e. it is not the final window, or the final gate value is false.
+        w_key = Window.partitionBy(*s.keys)
+        df = (s.df
+              .withColumn("__max_win", F.max(_WIN).over(w_key))
+              .withColumn("__last_gate",
+                          F.last(_GATE).over(
+                              Window.partitionBy(*s.keys).orderBy(*s._order())
+                              .rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing))))
+        closed = (F.col(_WIN) < F.col("__max_win")) | ~F.col("__last_gate")
+        df = df.filter(F.col(_GATE) & closed)
+        out = (df.groupBy(*s.keys, _WIN)
+               .agg(F.max(s.t).alias(s.t), F.max(s.seq).alias(s.seq),
+                    *[a.alias(n) for n, a in aggs.items()])
+               .drop(_WIN))
+        return s._derive(out)
+
+
+# ---------------------------------------------------------------------------
+# temporal-join internals
+# ---------------------------------------------------------------------------
+
+
+def _temporal_join(left: Stream, right: Stream, left_cols: Sequence[str],
+                   right_cols: Sequence[str], emit: str) -> Stream:
+    """Union-by-time + forward-fill implementation of zip/take/sample
+    (SURVEY §4 item 1).  Scales: the only shuffle is the window partition
+    by key; for unkeyed joins at very large scale, pre-bucket by coarse
+    time range first (the fill is per-key in every realistic workload).
+    """
+    if left.keys != right.keys:
+        raise ValueError("temporal join requires identical key columns "
+                         f"({left.keys} vs {right.keys})")
+    keys = list(left.keys)
+    lc = [c for c in left_cols if c not in keys]
+    rc = [c for c in right_cols if c not in keys]
+
+    lt = left.df.select(
+        F.col(left.t).alias("ts_"), F.col(left.seq).alias("seq_"),
+        *keys,
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in lc],
+        *[F.lit(None).cast(right.df.schema[c].dataType).alias(f"__r_{c}") for c in rc],
+    )
+    rt = right.df.select(
+        F.col(right.t).alias("ts_"), F.col(right.seq).alias("seq_"),
+        *keys,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(left.df.schema[c].dataType).alias(f"__l_{c}") for c in lc],
+        *[F.col(c).alias(f"__r_{c}") for c in rc],
+    )
+    u = lt.unionByName(rt)
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("ts_").asc(), F.col("seq_").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in lc:
+        u = u.withColumn(f"__l_{c}", F.last(f"__l_{c}", ignorenulls=True).over(w))
+    if emit == "both":
+        for c in rc:
+            u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    else:
+        u = u.filter(F.col("__side") == 1)
+    sel = [F.col("ts_").alias(left.t), F.col("seq_").alias(left.seq), *keys]
+    sel += [F.col(f"__l_{c}").alias(c) for c in lc]
+    sel += [F.col(f"__r_{c}").alias(c) for c in rc]
+    out = u.select(*sel)
+    return Stream(out, left.t, left.seq, tuple(keys))
+
+
+def _asof_gate(data: Stream, gate_stream: Stream, gate_col: str) -> Stream:
+    """Forward-fill a boolean gate stream onto a data stream.  On equal
+    timestamps the gate sorts *first* so a same-time close excludes the
+    data row (close-beats-data, WindowedBucket_LastValue.scala:10-11) and
+    a same-time open includes it."""
+    keys = list(data.keys)
+    d = data.df.withColumn("__side", F.lit(1)).withColumn(_GATE, F.lit(None).cast("boolean"))
+    g = gate_stream.df.select(
+        F.col(gate_stream.t).alias(data.t), F.col(gate_stream.seq).alias(data.seq),
+        *keys,
+        F.lit(0).alias("__side"),
+        F.col(gate_col).alias(_GATE),
+        *[F.lit(None).cast(d.schema[c].dataType).alias(c)
+          for c in d.columns if c not in {data.t, data.seq, "__side", _GATE, *keys}],
+    )
+    u = d.unionByName(g, allowMissingColumns=False)
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(data.t).asc(), F.col("__side").asc(), F.col(data.seq).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn(_GATE, F.coalesce(F.last(_GATE, ignorenulls=True).over(w), F.lit(False)))
+    u = u.filter(F.col("__side") == 1).drop("__side")
+    return data._derive(u)

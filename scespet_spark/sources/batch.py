@@ -1,0 +1,60 @@
+"""Batch sources over the driver's parquet tables.
+
+The reference's sources are replayable time-cursored iterators
+(EventSource.java:16-60, IteratorEvents SimpleEvaluator.scala:33-62);
+the batch translation is a parquet scan consumed in ``(t, seq)`` order.
+
+``load_table`` also normalizes TIMESTAMP(NANOS) parquet columns: Spark
+has no nanosecond timestamp type, so with
+``spark.sql.legacy.parquet.nanosAsLong`` those columns arrive as long
+epoch-nanos; we truncate to microseconds with *integer* division
+(values > 2**53 forbid float division), matching DuckDB's ns->us
+truncation so DataFrame results hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+from ..core.stream import Stream
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+#: columns that are TIMESTAMP(NANOS) in the driver's parquet files
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> Stream:
+    """The `events` table as an event stream: ``ts`` is event-time and
+    ``event_id`` the replay-order tie-breaker (it is assigned in
+    generation order, mirroring the reference's cycle counter)."""
+    return Stream(load_table(spark, sf_dir, "events"), t="ts", seq="event_id")
+
+
+def timer_spine(spark: SparkSession, start, end, step: str,
+                t: str = "ts") -> Stream:
+    """Periodic event source (reference: util/Timer.scala:10-30) as a
+    generated timestamp spine: sequence() + explode, no driver loop."""
+    df = (spark.range(1)
+          .select(F.explode(F.sequence(
+              F.lit(start).cast("timestamp"),
+              F.lit(end).cast("timestamp"),
+              F.expr(f"INTERVAL {step}"))).alias(t))
+          .withColumn("seq", F.monotonically_increasing_id()))
+    return Stream(df, t=t, seq="seq")

@@ -1,0 +1,211 @@
+"""Golden-sequence tests ported (as behavior, not code) from the reference
+test suite — the semantics oracle for scan/reduce emission
+(reference: test/programs/TestSingleTerms.scala, BucketStreamTest.scala;
+harness style: test/scespet/util/ScespetTestBase.scala:26-43)."""
+
+from pyspark.sql import functions as F
+
+from scespet_spark import AFTER, BEFORE, Count, Stream, Termination, Trigger
+
+
+def _stream(spark, values, schema="ts long, seq long, val long"):
+    rows = [(i, i, v) for i, v in enumerate(values)]
+    return Stream(spark.createDataFrame(rows, schema), t="ts", seq="seq")
+
+
+def _col(df, name, order=("ts", "seq")):
+    return [row[name] for row in df.orderBy(*order).collect()]
+
+
+def test_map_mult(spark):
+    # TestSingleTerms "stream increment"
+    s = _stream(spark, list(range(21))).map(out=F.col("val") * 1000)
+    assert _col(s.df, "out") == [v * 1000 for v in range(21)]
+
+
+def test_filter(spark):
+    s = _stream(spark, [1, 2, 3, 4, 5, 6]).filter(F.col("val") % 2 == 0)
+    assert _col(s.df, "val") == [2, 4, 6]
+
+
+def test_grouped_reduce_count_slice(spark):
+    # TestSingleTerms "reduce each": 1..11 grouped by 3 events -> 6,15,24,21
+    # (final partial bucket flushes at termination)
+    s = _stream(spark, list(range(1, 12)))
+    out = s.group(Count(3)).reduce(s=F.sum("val"))
+    assert _col(out.df, "s") == [6, 15, 24, 21]
+
+
+def test_grouped_scan_count_slice(spark):
+    # TestSingleTerms "fold each": eleven 2s grouped by 3 -> 2,4,6 | ... | 2,4
+    s = _stream(spark, [2] * 11)
+    out = s.group(Count(3)).scan(s=F.sum("val"))
+    assert _col(out.df, "s") == [2, 4, 6, 2, 4, 6, 2, 4, 6, 2, 4]
+
+
+def test_reduce_all(spark):
+    # TestSingleTerms "reduce_all": one value at termination
+    s = _stream(spark, [1, 1, 1, 1, 1, 1])
+    assert s.reduce(F.count("*").alias("n")).collect()[0].n == 6
+
+
+def test_scan_append(spark):
+    # BucketStreamTest "scan": running collect over "abcdefghijk"
+    data = "abcdefghijk"
+    s = _stream(spark, list(data), "ts long, seq long, val string")
+    out = s.scan(cs=F.collect_list("val"))
+    assert ["".join(v) for v in _col(out.df, "cs")] == [data[: i + 1] for i in range(len(data))]
+
+
+def test_slice_before(spark):
+    # TestSingleTerms "slice before": boundary event starts the new bucket
+    s = _stream(spark, [1, 1, 1, 10, 1, 1, 1])
+    trig = Trigger(F.col("val") == 10, BEFORE)
+    assert _col(s.group(trig).scan(s=F.sum("val")).df, "s") == [1, 2, 3, 10, 11, 12, 13]
+    assert _col(s.group(trig).reduce(s=F.sum("val")).df, "s") == [3, 13]
+
+
+def test_slice_after(spark):
+    # TestSingleTerms "slice after": boundary event closes the old bucket
+    s = _stream(spark, [1, 1, 1, 10, 1, 1, 1])
+    trig = Trigger(F.col("val") == 10, AFTER)
+    assert _col(s.group(trig).scan(s=F.sum("val")).df, "s") == [1, 2, 3, 13, 1, 2, 3]
+    assert _col(s.group(trig).reduce(s=F.sum("val")).df, "s") == [13, 3]
+
+
+def test_termination_slice(spark):
+    s = _stream(spark, [1, 2, 3])
+    out = s.group(Termination()).reduce(s=F.sum("val"))
+    assert _col(out.df, "s") == [6]
+
+
+def test_window_scan_and_reduce(spark):
+    # BucketStreamTest "window scan"/"windowed reduce":
+    # data "abcdefghijk", in-window indices 0-2 and 5-8
+    data = "abcdefghijk"
+    inwin = set(range(0, 3)) | set(range(5, 9))
+    rows = [(i, i, c, i in inwin) for i, c in enumerate(data)]
+    s = Stream(spark.createDataFrame(rows, "ts long, seq long, c string, g boolean"),
+               t="ts", seq="seq")
+    scan = s.window(F.col("g")).scan(cs=F.collect_list("c"))
+    assert ["".join(v) for v in _col(scan.df, "cs")] == [
+        "a", "ab", "abc", "f", "fg", "fgh", "fghi"]
+    red = s.window(F.col("g")).reduce(cs=F.collect_list("c"))
+    assert ["".join(v) for v in _col(red.df, "cs", order=("ts",))] == ["abc", "fghi"]
+
+
+def test_window_open_at_termination_does_not_emit(spark):
+    # TestSingleTerms "reduce while": trailing Open..data never emits
+    data = "abcdefghijk"
+    gate = lambda i: i in range(0, 3) or i >= 9  # second window never closes
+    rows = [(i, i, c, gate(i)) for i, c in enumerate(data)]
+    s = Stream(spark.createDataFrame(rows, "ts long, seq long, c string, g boolean"),
+               t="ts", seq="seq")
+    red = s.window(F.col("g")).reduce(cs=F.collect_list("c"))
+    assert ["".join(v) for v in _col(red.df, "cs", order=("ts",))] == ["abc"]
+
+
+def test_window_from_separate_gate_stream_close_beats_data(spark):
+    # gate stream: open at t=1, close at t=5; data at t=5 must be EXCLUDED
+    # (close-beats-data, WindowedBucket_LastValue.scala:10-11), data at the
+    # open timestamp t=1 included.
+    data = Stream(spark.createDataFrame(
+        [(t, 100 + t, t) for t in range(8)], "ts long, seq long, v long"),
+        t="ts", seq="seq")
+    gate = Stream(spark.createDataFrame(
+        [(1, 0, True), (5, 1, False)], "ts long, seq long, g boolean"),
+        t="ts", seq="seq")
+    red = data.window_from(gate, "g").reduce(vs=F.collect_list("v"))
+    assert _col(red.df, "vs", order=("ts",)) == [[1, 2, 3, 4]]
+
+
+def test_filter_type(spark):
+    # TestSingleTerms "filterType" via a discriminator column
+    rows = [(i, i, t, v) for i, (t, v) in enumerate(
+        [("int", 1), ("str", None), ("int", 2), ("str", None), ("int", 3)])]
+    s = Stream(spark.createDataFrame(rows, "ts long, seq long, type string, v long"),
+               t="ts", seq="seq")
+    out = s.filter_type("type", "int", fields=["v"])
+    assert _col(out.df, "v") == [1, 2, 3]
+
+
+def test_by_keyed_scan(spark):
+    # demux then per-key running sum (TestMultiTerms-style)
+    s = _stream(spark, [1, 2, 3, 4, 5, 6]).by(
+        F.when(F.col("val") % 2 == 0, "even").otherwise("odd"))
+    out = s.scan(cum=F.sum("val"))
+    got = [(r.key, r.cum) for r in out.df.orderBy("ts").collect()]
+    assert got == [("odd", 1), ("even", 2), ("odd", 4), ("even", 6), ("odd", 9), ("even", 12)]
+
+
+def test_keyed_count_slice_is_per_key(spark):
+    # BucketVectStreamTest-style: count windows tick per key
+    s = _stream(spark, [1, 2, 3, 4, 5, 6, 7, 8]).by(F.col("val") % 2)
+    out = s.group(Count(2)).reduce(s=F.sum("val"))
+    got = sorted((r.key, r.s) for r in out.df.collect())
+    assert got == [(0, 6), (0, 14), (1, 4), (1, 12)]
+
+
+def test_value_set(spark):
+    # BucketStreamTest "scan non agg": distinct-set growth events only
+    s = _stream(spark, list("abab"), "ts long, seq long, val string")
+    out = s.value_set(F.array("val"), name="v")
+    assert _col(out.df, "v") == ["a", "b"]
+
+
+def test_map_keys_and_subset(spark):
+    s = _stream(spark, [1, 2, 3, 4]).by(F.col("val"))
+    rekeyed = s.map_keys(F.when(F.col("key") <= 2, F.col("key") + 100))
+    assert _col(rekeyed.df, "key") == [101, 102]
+    sub = s.subset(F.col("key") > 2)
+    assert _col(sub.df, "key") == [3, 4]
+
+
+def test_zip_take_sample(spark):
+    xs = Stream(spark.createDataFrame([(0, 0, 1.0), (2, 2, 2.0), (4, 4, 3.0)],
+                                      "ts long, seq long, x double"), t="ts", seq="seq")
+    ys = Stream(spark.createDataFrame([(1, 1, 10.0), (3, 3, 20.0)],
+                                      "ts long, seq long, y double"), t="ts", seq="seq")
+    zipped = [(r.ts, r.x, r.y) for r in xs.zip_join(ys, ["x"], ["y"]).df.orderBy("ts").collect()]
+    # before y's first event its value is null (VectorJoin.scala:55-66)
+    assert zipped == [(0, 1.0, None), (1, 1.0, 10.0), (2, 2.0, 10.0),
+                      (3, 2.0, 20.0), (4, 3.0, 20.0)]
+    taken = [(r.ts, r.x, r.y) for r in xs.take(ys, ["x"], ["y"]).df.orderBy("ts").collect()]
+    assert taken == [(1, 1.0, 10.0), (3, 2.0, 20.0)]
+    sampled = [(r.ts, r.x) for r in xs.sample(ys, ["x"]).df.orderBy("ts").collect()]
+    assert sampled == [(1, 1.0), (3, 2.0)]
+
+
+def test_keyed_zip_join(spark):
+    xs = Stream(spark.createDataFrame(
+        [(0, 0, "a", 1.0), (1, 1, "b", 2.0), (4, 4, "a", 3.0)],
+        "ts long, seq long, key string, x double"), t="ts", seq="seq", keys=("key",))
+    ys = Stream(spark.createDataFrame(
+        [(2, 2, "a", 10.0), (3, 3, "b", 20.0)],
+        "ts long, seq long, key string, y double"), t="ts", seq="seq", keys=("key",))
+    got = [(r.ts, r.key, r.x, r.y)
+           for r in xs.zip_join(ys, ["x"], ["y"]).df.orderBy("ts").collect()]
+    assert got == [(0, "a", 1.0, None), (1, "b", 2.0, None),
+                   (2, "a", 1.0, 10.0), (3, "b", 2.0, 20.0), (4, "a", 3.0, 10.0)]
+
+
+def test_scalable_global_scan_matches_plain(spark):
+    rows = [(i, i, (i * 7) % 13) for i in range(200)]
+    s = Stream(spark.createDataFrame(rows, "ts long, seq long, val long"), t="ts", seq="seq")
+    plain = _col(s.scan(cum=F.sum("val")).df, "cum")
+    bucketed = _col(
+        s.scan(buckets=(F.col("ts") / F.lit(16)).cast("long"), cum=F.sum("val")).df, "cum")
+    assert plain == bucketed
+
+
+def test_map_vector_cross_key_count(spark):
+    # mapVector: function of the whole vector at each event (VectTerm.scala:145-176)
+    s = _stream(spark, [5, 6, 7]).by(F.col("val"))
+    out = s.map_vector(n=F.count("*"))
+    assert _col(out.df, "n") == [1, 2, 3]
+
+
+def test_key_list_growth(spark):
+    s = _stream(spark, [2, 1, 2, 3]).by(F.col("val"))
+    out = s.key_list()
+    assert _col(out.df, "keys") == [[2], [1, 2], [1, 2], [1, 2, 3]]
