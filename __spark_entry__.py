@@ -1,38 +1,572 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 is exposed as a named query with
+a DuckDB oracle.  Spark implementations go through the ``scespet_spark``
+package (the engine under test); oracles are plain ANSI SQL over the
+same parquet views.
+
+Float-parity convention: any aggregated money/value column is summed as
+DECIMAL (exact, order-independent) and cast back to DOUBLE in *both*
+engines, so value-hashes match bit-for-bit regardless of partial-agg
+order.  Ratios divide those exact doubles (IEEE division is correctly
+rounded, hence deterministic).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from scespet_spark import AFTER, BEFORE, Count, Every, Stream, Trigger
+from scespet_spark.sources.batch import events_stream, load_table
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _dsum(col, scale: str = "18,2"):
+    """Order-independent exact sum, emitted as double (see module doc)."""
+    return F.sum(F.col(col).cast(f"decimal({scale})")).cast("double")
+
+
+# ===========================================================================
+# Relational surface (SURVEY §2.6 — free from Spark; checkable wrappers)
+# ===========================================================================
+
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sum_qty = _dsum("l_quantity")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+              * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+         .cast("double").alias("sum_disc_price"),
+        (sum_qty / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query("q3_order_revenue", """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("o_orderkey", "o_orderdate")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+              .limit(10))
+
+
+@query("region_revenue", """
+SELECT r_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def region_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name")
+             .agg(_dsum("o_totalprice").alias("revenue"),
+                  F.count("*").alias("n_orders")))
+
+
+@query("topk_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""")
+def topk_orders(spark, sf_dir):
+    return (load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(25))
+
+
+@query("rollup_order_status", """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_order_status(spark, sf_dir):
+    return (load_table(spark, sf_dir, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("total")))
+
+
+@query("set_ops_customers", """
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_ops_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    failed = (o.filter(F.col("o_orderstatus") == "F")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return pos.intersect(with_orders).exceptAll(failed).distinct()
+
+
+@query("window_rank_orders", """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+""")
+def window_rank_orders(spark, sf_dir):
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (load_table(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+# ===========================================================================
+# CEP core over the `events` stream (SURVEY §2.2-2.5)
+# ===========================================================================
+
+
+@query("map_stream", """
+SELECT event_id, ts, user_id, value * 2 AS doubled, UPPER(event_type) AS typ
+FROM events
+""")
+def map_stream(spark, sf_dir):
+    s = events_stream(spark, sf_dir)
+    return s.map(doubled=F.col("value") * 2, typ=F.upper("event_type")).df.select(
+        "event_id", "ts", "user_id", "doubled", "typ")
+
+
+@query("filter_stream", """
+SELECT event_id, ts, user_id, event_type, value FROM events WHERE value > 100
+""")
+def filter_stream(spark, sf_dir):
+    s = events_stream(spark, sf_dir).filter(F.col("value") > 100)
+    return s.df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query("filter_type_purchase", """
+SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+""")
+def filter_type_purchase(spark, sf_dir):
+    s = events_stream(spark, sf_dir).filter_type(
+        "event_type", "purchase", fields=["user_id", "value"])
+    return s.df.select("event_id", "ts", "user_id", "value")
+
+
+@query("by_reduce_total", """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def by_reduce_total(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("event_type", name="event_type")
+    return s.reduce(_dsum("value").alias("total"), F.count("*").alias("n"))
+
+
+@query("scan_running_sum", """
+SELECT event_id, ts, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM events
+""")
+def scan_running_sum(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.scan(running_total=F.sum(F.col("value").cast("decimal(18,2)")))
+    return out.df.select("event_id", "ts", "user_id",
+                         F.col("running_total").cast("double").alias("running_total"))
+
+
+@query("group_count_reduce", """
+SELECT user_id, bucket,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM (
+  SELECT user_id, value,
+         (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 50
+           AS bucket
+  FROM events)
+GROUP BY user_id, bucket
+""")
+def group_count_reduce(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Count(50)).reduce(total=_dsum("value"), n=F.count("*"),
+                                    bucket_seq=F.min("event_id"))
+    # re-derive the 0-based bucket ordinal for a stable, engine-neutral key
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("bucket_seq")
+    return out.df.select("user_id", "total", "n", "bucket_seq").withColumn(
+        "bucket", F.row_number().over(w) - 1).drop("bucket_seq")
+
+
+@query("group_time_reduce", """
+SELECT event_type, DATE_TRUNC('day', ts) AS day,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+""")
+def group_time_reduce(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("event_type", name="event_type")
+    out = s.group(Every("1 day")).reduce(total=_dsum("value"), n=F.count("*"),
+                                         day=F.min(F.date_trunc("day", F.col("ts"))))
+    return out.df.select("event_type", "day", "total", "n")
+
+
+# ---------------------------------------------------------------------------
+# data-driven slicing (Trigger BEFORE/AFTER) over events
+# ---------------------------------------------------------------------------
+
+_SLICE_ORACLE = """
+SELECT user_id, bucket_seq,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM (
+  SELECT user_id, value, event_id,
+         MIN(event_id) OVER (PARTITION BY user_id, bkt) AS bucket_seq
+  FROM (
+    SELECT *,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           {align} AS bkt
+    FROM events))
+GROUP BY user_id, bucket_seq
+"""
+
+
+@query("slice_before_signup", _SLICE_ORACLE.format(align=""))
+def slice_before_signup(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Trigger(F.col("event_type") == "signup", BEFORE)).reduce(
+        total=_dsum("value"), n=F.count("*"), bucket_seq=F.min("event_id"))
+    return out.df.select("user_id", "bucket_seq", "total", "n")
+
+
+@query("slice_after_signup", _SLICE_ORACLE.format(
+    align="- (CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"))
+def slice_after_signup(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Trigger(F.col("event_type") == "signup", AFTER)).reduce(
+        total=_dsum("value"), n=F.count("*"), bucket_seq=F.min("event_id"))
+    return out.df.select("user_id", "bucket_seq", "total", "n")
+
+
+# ---------------------------------------------------------------------------
+# boolean-gated windows (reference window(); closed windows only)
+# ---------------------------------------------------------------------------
+
+
+@query("window_gated_reduce", """
+WITH g AS (
+  SELECT user_id, ts, event_id, value, (value >= 100) AS gate FROM events),
+r AS (
+  SELECT *,
+         CASE WHEN gate AND NOT COALESCE(
+             LAG(gate) OVER (PARTITION BY user_id ORDER BY ts, event_id), FALSE)
+           THEN 1 ELSE 0 END AS rising
+  FROM g),
+w AS (
+  SELECT *,
+         SUM(rising) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS win
+  FROM r),
+m AS (
+  SELECT *,
+         MAX(win) OVER (PARTITION BY user_id) AS max_win,
+         LAST_VALUE(gate) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_gate
+  FROM w)
+SELECT user_id, MIN(event_id) AS win_seq,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM m
+WHERE gate AND (win < max_win OR NOT last_gate)
+GROUP BY user_id, win
+""")
+def window_gated_reduce(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.window(F.col("value") >= 100).reduce(
+        total=_dsum("value"), n=F.count("*"), win_seq=F.min("event_id"))
+    return out.df.select("user_id", "win_seq", "total", "n")
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (zip / take / sample)
+# ---------------------------------------------------------------------------
+
+_ZIP_ORACLE_BODY = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS side, value AS cv, NULL::DOUBLE AS pv
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS cv, value AS pv
+  FROM events WHERE event_type = 'purchase'),
+f AS (
+  SELECT user_id, ts, event_id, side,
+         LAST_VALUE(cv IGNORE NULLS) OVER w AS cv,
+         LAST_VALUE(pv IGNORE NULLS) OVER w AS pv
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+"""
+
+
+@query("zip_click_purchase", _ZIP_ORACLE_BODY +
+       "SELECT user_id, ts, event_id, cv, pv FROM f")
+def zip_click_purchase(spark, sf_dir):
+    ev = events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id").map(cv=F.col("value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(pv=F.col("value")))
+    out = clicks.zip_join(purchases, ["cv"], ["pv"])
+    return out.df.select("user_id", "ts", "event_id", "cv", "pv")
+
+
+@query("asof_purchase_last_click", """
+WITH c AS (SELECT user_id, ts, event_id, value AS cv FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id, value AS pv FROM events
+      WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, ts, event_id, 0 AS side, cv, NULL::DOUBLE AS pv FROM c
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS cv, pv FROM p),
+f AS (
+  SELECT user_id, ts, event_id, side, pv,
+         LAST_VALUE(cv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id, side
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+  FROM u)
+SELECT user_id, ts, event_id, cv, pv FROM f WHERE side = 1
+""")
+def asof_purchase_last_click(spark, sf_dir):
+    ev = events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id").map(cv=F.col("value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(pv=F.col("value")))
+    out = clicks.take(purchases, ["cv"], ["pv"])
+    return out.df.select("user_id", "ts", "event_id", "cv", "pv")
+
+
+@query("sample_daily_value", """
+WITH days AS (
+  SELECT UNNEST(generate_series(
+    (SELECT DATE_TRUNC('day', MIN(ts)) FROM events) + INTERVAL 1 DAY,
+    (SELECT DATE_TRUNC('day', MAX(ts)) FROM events) + INTERVAL 1 DAY,
+    INTERVAL 1 DAY)) AS ts),
+spine AS (
+  SELECT u.user_id, d.ts FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN days d),
+u AS (
+  SELECT user_id, ts, event_id, 0 AS side, value FROM events
+  UNION ALL
+  SELECT user_id, ts, 4611686018427387904 AS event_id, 1 AS side,
+         NULL::DOUBLE AS value FROM spine),
+f AS (
+  SELECT user_id, ts, side,
+         LAST_VALUE(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id, side
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM u)
+SELECT user_id, ts, value FROM f WHERE side = 1
+""")
+def sample_daily_value(spark, sf_dir):
+    from scespet_spark.sources.batch import timer_spine
+    ev = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    bounds = ev.df.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi")).collect()[0]
+    days = timer_spine(spark, bounds.lo, bounds.hi, "1 DAY").map(
+        ts2=F.col("ts") + F.expr("INTERVAL 1 DAY")).df.select(
+        F.col("ts2").alias("ts"), F.lit(2**62).cast("long").alias("event_id"))
+    users = ev.key_set()
+    spine = Stream(users.crossJoin(days), t="ts", seq="event_id", keys=("user_id",))
+    out = ev.sample(spine, ["value"])
+    return out.df.select("user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# value sets / key algebra / cross-key vector functions
+# ---------------------------------------------------------------------------
+
+
+@query("value_set_types", """
+SELECT user_id, ts, event_id, event_type FROM (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+""")
+def value_set_types(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.value_set(F.array("event_type"), name="etype")
+    return out.df.select("user_id", "ts", "event_id",
+                         F.col("etype").alias("event_type"))
+
+
+@query("map_keys_user_bucket", """
+SELECT user_id % 4 AS key,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM events GROUP BY user_id % 4
+""")
+def map_keys_user_bucket(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    rekeyed = s.map_keys(F.col("user_id") % 4, name="key")
+    return rekeyed.reduce(_dsum("value").alias("total"), F.count("*").alias("n"))
+
+
+@query("subset_active_users", """
+SELECT user_id, COUNT(*) AS n FROM events WHERE user_id < 8 GROUP BY user_id
+""")
+def subset_active_users(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    return s.subset(F.col("user_id") < 8).reduce(F.count("*").alias("n"))
+
+
+@query("distinct_users_running", """
+SELECT ts, event_id,
+       SUM(first_flag) OVER (ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_users_seen
+FROM (
+  SELECT ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_flag
+  FROM events)
+""")
+def distinct_users_running(spark, sf_dir):
+    from pyspark.sql import Window
+    s = events_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = s.map(first_flag=(F.row_number().over(w) == 1).cast("long"))
+    # scalable global scan: per-day buckets + prefix of bucket totals
+    out = flagged.scan(buckets=F.date_trunc("day", F.col("ts")),
+                       n_users_seen=F.sum("first_flag"))
+    return out.df.select("ts", "event_id", "n_users_seen")
+
+
+# ---------------------------------------------------------------------------
+# custom reducers: EWMA (stateful pandas fold), VWAP, mode, collect
+# ---------------------------------------------------------------------------
+
+
+@query("ewma_final_per_user", """
+SELECT user_id,
+       LIST_REDUCE(LIST(value::DOUBLE ORDER BY ts, event_id),
+                   (acc, v) -> 0.125 * v + 0.875 * acc) AS ewma
+FROM events GROUP BY user_id
+""")
+def ewma_final_per_user(spark, sf_dir):
+    from scespet_spark.functions.reducers import ewma as ewma_op
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    per_event = ewma_op(s, "value", alpha=0.125, out="ewma")
+    return per_event.reduce(F.max_by("ewma", F.struct("ts", "event_id")).alias("ewma"))
+
+
+@query("vwap_per_supplier", """
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS vwap
+FROM lineitem GROUP BY l_suppkey
+""")
+def vwap_per_supplier(spark, sf_dir):
+    from scespet_spark.functions.reducers import vwap
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        vwap("l_extendedprice", "l_quantity").alias("vwap"))
+
+
+@query("mode_event_type", """
+SELECT user_id, event_type AS mode FROM (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS r
+  FROM events GROUP BY user_id, event_type) WHERE r = 1
+""")
+def mode_event_type(spark, sf_dir):
+    from scespet_spark.functions.reducers import deterministic_mode
+    ev = load_table(spark, sf_dir, "events")
+    return deterministic_mode(ev, ["user_id"], "event_type")
+
+
+@query("collect_types_sorted", """
+SELECT user_id, LIST_SORT(LIST(DISTINCT event_type)) AS types
+FROM events GROUP BY user_id
+""")
+def collect_types_sorted(spark, sf_dir):
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    return s.reduce(F.array_sort(F.collect_set("event_type")).alias("types"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-user daily tumbling aggregation as-of joined with the
+    running all-stream total — exercises by/group/reduce/scan/zip in one
+    plan, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    daily = s.group(Every("1 day")).reduce(total=_dsum("value"), n=F.count("*"))
+    return daily.df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,103 @@
+"""Built-in reducers (reference: src/scespet/util/ReduceFuncs.scala) and
+the custom-aggregation escape hatch.
+
+Native mappings (Sum :12-18 -> F.sum, Avg :20-30 -> F.avg, Counter
+:58-63 -> F.count, Collect :49-52 -> F.collect_list/collect_set) need no
+code; this module provides the genuinely custom ones:
+
+* ``ewma`` (ReduceFuncs.scala:33-38) — order-dependent recursive fold;
+  no closed-form Spark expression is numerically safe at scale, so it
+  runs as an Arrow-batched ``applyInPandas`` per key: the inherently
+  sequential recurrence is confined to each key's partition while keys
+  execute in parallel (same distribution story as the reference's
+  per-key cells, at executor scale).
+* ``fold_events`` — generic per-key ordered fold for arbitrary custom
+  state (the reference's mutable ``Agg``/``Bucket`` classes,
+  types.scala:158-202), batch equivalent of transformWithStateInPandas.
+* ``vwap``/``deterministic_mode`` — composite reducers used by the
+  reference tests (TradeAnalysis.scala:49-56, RealTradeTests.scala:263-284).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..core.stream import Stream
+
+
+def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma") -> Stream:
+    """Per-key exponentially weighted moving average, one output per event.
+
+    y_0 = x_0; y_i = alpha*x_i + (1-alpha)*y_{i-1} (reference seeds from
+    the first value, ReduceFuncs.scala:33-38).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    t, seq, keys = stream.t, stream.seq, list(stream.keys)
+    df = stream.df
+    # copy, don't .add(): DataFrame.schema is cached and .add mutates it
+    schema = StructType(list(df.schema.fields) + [StructField(out, DoubleType())])
+    order = [t, seq]
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        y = None
+        vals = []
+        for v in pdf[value_col].astype("float64"):
+            y = v if y is None else alpha * v + (1.0 - alpha) * y
+            vals.append(y)
+        pdf[out] = vals
+        return pdf
+
+    if keys:
+        folded = df.groupBy(*keys).applyInPandas(_fold, schema=schema)
+    else:
+        folded = df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda p: _fold(p).drop(columns="__g"), schema=schema)
+    return stream._derive(folded)
+
+
+def fold_events(stream: Stream, fold: Callable[[pd.DataFrame], pd.DataFrame],
+                output_schema) -> Stream:
+    """Arbitrary stateful per-key fold in replay order — the batch
+    equivalent of the reference's bindTo/collapseWith mutable buckets
+    (MacroTerm.scala:273-281, VectTerm.scala:632-661).  ``fold`` receives
+    one key's events sorted by (t, seq) and returns output rows."""
+    t, seq, keys = stream.t, stream.seq, list(stream.keys)
+    order = [t, seq]
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fold(pdf.sort_values(order, kind="mergesort"))
+
+    if not keys:
+        df = stream.df.withColumn("__g", F.lit(0))
+        out = df.groupBy("__g").applyInPandas(
+            lambda p: _run(p.drop(columns="__g")), schema=output_schema)
+    else:
+        out = stream.df.groupBy(*keys).applyInPandas(_run, schema=output_schema)
+    return stream._derive(out)
+
+
+def vwap(price_col: str, qty_col: str, scale: str = "18,4") -> Column:
+    """Volume-weighted average price (reference test:
+    TradeAnalysis.scala:49-56).  Decimal sums keep the value exact and
+    order-independent; the final divide is IEEE-deterministic."""
+    num = F.sum((F.col(price_col).cast(f"decimal({scale})")
+                 * F.col(qty_col).cast(f"decimal({scale})"))).cast("double")
+    den = F.sum(F.col(qty_col).cast(f"decimal({scale})")).cast("double")
+    return num / den
+
+
+def deterministic_mode(df: DataFrame, keys: list[str], value_col: str,
+                       out: str = "mode") -> DataFrame:
+    """Most frequent value with a total tie-break (count desc, value asc)
+    — the reference's mode-of-spread (RealTradeTests.scala:263-284) made
+    engine-portable (native mode() tie-breaks are nondeterministic)."""
+    counts = df.groupBy(*keys, value_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__n").desc(), F.col(value_col).asc())
+    return (counts.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(*keys, F.col(value_col).alias(out)))
