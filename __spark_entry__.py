@@ -554,6 +554,278 @@ def collect_types_sorted(spark, sf_dir):
     return s.reduce(F.array_sort(F.collect_set("event_type")).alias("types"))
 
 
+# ===========================================================================
+# Training-data pipeline operators over documents / embeddings
+# (dedup, similarity search, text analysis, multimodal plumbing)
+# ===========================================================================
+
+from scespet_spark.operators.hashing import h64_sql  # noqa: E402
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SHINGLES = ("list_distinct(list_transform("
+             "generate_series(1, greatest(len(t) - 2, 1)), "
+             "i -> array_to_string(t[i:i+2], ' ')))")
+
+
+@query("dedup_exact", f"""
+SELECT {h64_sql('text')} AS content_hash,
+       MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark, sf_dir):
+    from scespet_spark.operators.dedup import exact_groups
+    return exact_groups(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes=16, bands=4):
+    from scespet_spark.operators.dedup import MH_PRIME, mh_coeffs
+    rows = num_hashes // bands
+    mh = ",\n       ".join(
+        "list_min(list_transform(bh, x -> ({a} * x + {b}) % {p})) AS mh_{i}"
+        .format(a=mh_coeffs(i)[0], b=mh_coeffs(i)[1], p=MH_PRIME, i=i)
+        for i in range(num_hashes))
+    band_sel = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {h} AS band_hash FROM mh".format(
+            b=b, h=h64_sql(" || '_' || ".join(
+                f"mh_{b * rows + r}::VARCHAR" for r in range(rows))))
+        for b in range(bands))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+bh AS (SELECT doc_id,
+              list_transform(s, x -> {h64_sql('x')} % {MH_PRIME}) AS bh
+       FROM sh),
+mh AS (SELECT doc_id, {mh} FROM bh),
+banded AS ({band_sel})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b USING (band, band_hash)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    from scespet_spark.operators.dedup import lsh_candidate_pairs
+    return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle(bits=32):
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    sig = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+                     for j in range(bits))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+th AS (SELECT doc_id, {h64_sql('tk')} AS h FROM tok),
+b AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM b
+"""
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    from scespet_spark.operators.dedup import simhash
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+@query("dedup_ngram_jaccard", f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES} AS s
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents))
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+           AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    from scespet_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                               block_cols=["lang"], threshold=0.5)
+
+
+_DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+def _cosine_sql(a, b):
+    return (f"({_DOT.format(a=a, b=b)}"
+            f" / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
+
+
+@query("dedup_embedding_cosine", f"""
+WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cosine_sql('a.v', 'b.v')}, 6) AS cosine
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.35
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    from scespet_spark.operators.dedup import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"),
+                                    threshold=0.35)
+
+
+@query("ann_brute_force_topk", f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, round({_cosine_sql('v', 'qv')}, 6) AS score
+FROM n, q ORDER BY score DESC, vec_id LIMIT 20
+""")
+def ann_brute_force_topk(spark, sf_dir):
+    from scespet_spark.operators.similarity import brute_force_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, qvec, k=20)
+
+
+@query("ann_ivf_topk", f"""
+WITH cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i) GROUP BY label),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT label FROM cent, q
+          ORDER BY round({_cosine_sql('centroid', 'qv')}, 6) DESC, label
+          LIMIT 2),
+n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, round({_cosine_sql('v', 'qv')}, 6) AS score
+FROM n JOIN probe USING (label), q
+ORDER BY score DESC, vec_id LIMIT 20
+""")
+def ann_ivf_topk(spark, sf_dir):
+    from scespet_spark.operators.similarity import ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb, qvec, k=20, nprobe=2)
+
+
+@query("text_token_stats", f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+         AS n_bpe_tokens,
+       round(list_sum(list_transform(toks, x -> strlen(x)))::DOUBLE
+             / len(toks), 6) AS mean_token_len
+FROM t
+""")
+def text_token_stats(spark, sf_dir):
+    from scespet_spark.operators.text import token_stats
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens",
+                                    "mean_token_len")
+
+
+def _lang_id_oracle():
+    from scespet_spark.operators.text import LANG_MARKERS
+
+    def mc(m):
+        needle = f" {m} "
+        return ("CAST((strlen(' ' || text || ' ') - "
+                f"strlen(replace(' ' || text || ' ', '{needle}', '')))"
+                f" / {len(needle)} AS BIGINT)")
+
+    scores = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        + " + ".join(mc(m) for m in markers) + " AS score FROM documents"
+        for lang, markers in sorted(LANG_MARKERS.items()))
+    return f"""
+WITH scores AS (
+  {scores})
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scores) WHERE rn = 1
+"""
+
+
+@query("text_lang_id", _lang_id_oracle())
+def text_lang_id(spark, sf_dir):
+    from scespet_spark.operators.text import lang_id
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "pred_lang")
+
+
+def _stop_list_sql():
+    from scespet_spark.operators.text import LANG_MARKERS
+    flat = [m for ms in LANG_MARKERS.values() for m in ms]
+    return "[" + ", ".join(f"'{m}'" for m in flat) + "]"
+
+
+@query("text_quality", f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, strlen(text) AS n_chars_m,
+        len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+        len(toks) AS n_tok,
+        len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x)))
+          AS n_stop
+      FROM t)
+SELECT doc_id, n_chars_m,
+       round(n_punct::DOUBLE / n_chars_m, 6) AS punct_ratio,
+       round(n_stop::DOUBLE / n_tok, 6) AS stopword_ratio,
+       round(least(1.0, n_tok::DOUBLE / 100.0) * 0.5
+             + (1.0 - least(1.0, n_punct::DOUBLE / n_chars_m)) * 0.3
+             + least(1.0, n_stop::DOUBLE / n_tok * 5.0) * 0.2, 6) AS quality
+FROM c
+""")
+def text_quality(spark, sf_dir):
+    from scespet_spark.operators.text import quality_score
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "n_chars_m", "punct_ratio",
+                                      "stopword_ratio", "quality")
+
+
+@query("text_fingerprint", f"""
+SELECT doc_id,
+       {h64_sql("array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' ')")}
+         AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    from scespet_spark.operators.text import fingerprint
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query("multimodal_decode", """
+SELECT doc_id,
+       CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS INT) AS width,
+       CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS INT) AS height,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS sig
+FROM documents
+""")
+def multimodal_decode(spark, sf_dir):
+    from scespet_spark.operators.multimodal import attach_payload, decode_images
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_payload(docs))
+
+
+@query("multimodal_frame_sample", """
+WITH b AS (SELECT doc_id, text,
+                  octet_length(encode(text)) % 90 + 10 AS n_frames
+           FROM documents)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT)
+         AS frame_idx,
+       md5(text || '#') AS stream_sig
+FROM b
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    from scespet_spark.operators.multimodal import attach_payload, frame_sample
+    docs = load_table(spark, sf_dir, "documents")
+    out = frame_sample(attach_payload(docs))
+    return out.withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user daily tumbling aggregation as-of joined with the
     running all-stream total — exercises by/group/reduce/scan/zip in one

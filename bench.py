@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced to full execution with a noop write (distributed
+materialization — no driver collect, so timings measure the plan, not
+result transfer).  A warm-up query first amortizes JVM/session startup
+out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from scespet_spark import get_spark  # noqa: E402
+
+#: headline set: one per operator family (relational, CEP core, slicing,
+#: temporal join, custom reducer, dedup, ANN, text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "region_revenue",
+    "window_rank_orders",
+    "by_reduce_total",
+    "scan_running_sum",
+    "group_time_reduce",
+    "slice_before_signup",
+    "window_gated_reduce",
+    "zip_click_purchase",
+    "asof_purchase_last_click",
+    "ewma_final_per_user",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_decode",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark(app_name="scespet-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    # warm-up: JVM, codegen, parquet footer caches
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these):
+
+* Exact dedup is a hash ``groupBy`` — one shuffle on a 60-bit digest,
+  never on the raw text (100TB of text never moves; only (hash, id)).
+* MinHash/LSH turns all-pairs O(n^2) similarity into a band-bucket
+  equi-join: candidates are pairs sharing >=1 of ``bands`` banded
+  signatures.  The shuffle key is the (band, band_hash) pair — small,
+  uniformly distributed; skew only appears for degenerate corpora and is
+  handled by AQE skew-join.
+* SimHash is a single groupBy over exploded tokens (map-side combinable).
+* n-gram Jaccard / embedding cosine verify *candidate pairs only* —
+  always join on a blocking/candidate key first, never cross-join.
+
+Everything is built-in columnar expressions (no Python UDFs), with
+md5-based hashing so the DuckDB oracle reproduces results exactly
+(see hashing.py; swap h64 for xxhash64 in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import h64
+from .text import tokens
+
+
+def exact_groups(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct content hash with the
+    representative (min id) and the duplicate count."""
+    return (df.groupBy(h64(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of a text column."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+#: universal-hash family for minhash: h_i(x) = (a_i * x + b_i) mod p over
+#: a single base digest per shingle.  One md5 per shingle total (not one
+#: per hash function); the affine family is pure 64-bit arithmetic, exact
+#: and identical in DuckDB (operands < 2^31, products < 2^62 — no
+#: overflow in signed 64-bit on either engine).
+MH_PRIME = (1 << 31) - 1
+
+
+def mh_coeffs(i: int) -> tuple[int, int]:
+    a = (2654435761 * (i + 1)) % MH_PRIME
+    b = (40503 * (i + 1) + 1) % MH_PRIME
+    return (a or 1), b
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Adds ``mh_0..mh_{k-1}`` minhash columns: min over shingles of the
+    universal hash family applied to the shingle's base digest.  k plain
+    columns (not a k-array) keeps every expression inside whole-stage
+    codegen."""
+    sh = shingles(F.col(text_col), shingle_n)
+    out = df.withColumn(
+        "__bh", F.transform(sh, lambda s: h64(s) % MH_PRIME))
+    def affine(a, b):
+        return lambda x: (a * x + b) % MH_PRIME
+
+    for i in range(num_hashes):
+        a, b = mh_coeffs(i)
+        out = out.withColumn(
+            f"mh_{i}", F.array_min(F.transform(F.col("__bh"), affine(a, b))))
+    return out.drop("__bh")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH near-duplicate *candidate* pairs: shingle -> minhash ->
+    band -> bucket equi-join.  Output: (id_a, id_b) with id_a < id_b,
+    distinct.  Rows per doc = ``bands``; join key = (band, band_hash)."""
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                h64(F.concat_ws("_", *[F.col(f"mh_{b * rows + r}").cast("string")
+                                       for r in range(rows)])).alias("band_hash"))
+            for b in range(bands)])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, [F.col(f"a.band") == F.col("b.band"),
+                       F.col("a.band_hash") == F.col("b.band_hash"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
+            out: str = "simhash") -> DataFrame:
+    """SimHash document signature: per-bit majority vote over the token
+    multiset's hashes.  One explode + one groupBy (map-side combinable);
+    re-joined to the input broadcast-free via the id-preserving groupBy."""
+    tok = df.select("*", F.explode(tokens(F.col(text_col))).alias("__tok"))
+    th = tok.withColumn("__h", h64(F.col("__tok")))
+    bit_sums = [
+        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
+         .alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    keys = [c for c in df.columns]
+    agged = th.groupBy(*keys).agg(*bit_sums)
+    sig = sum((F.when(F.col(f"__b{j}") > 0, F.lit(1 << j)).otherwise(0)
+               for j in range(bits)), F.lit(0).cast("long"))
+    return agged.withColumn(out, sig).drop(*[f"__b{j}" for j in range(bits)])
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", block_cols: list[str] | None = None,
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """n-gram Jaccard similarity over *blocked* pairs (never all-pairs):
+    docs sharing ``block_cols`` are compared on distinct shingle sets.
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
+    block_cols = block_cols or ["lang"]
+    sh = df.select(id_col, *block_cols,
+                   shingles(F.col(text_col), shingle_n).alias("__sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             block_col: str = "label",
+                             threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key (e.g.
+    a coarse cluster/label): cosine >= threshold.  The block join bounds
+    the pair count; at 100TB block by an LSH/IVF coarse code instead."""
+    from .similarity import cosine
+    n = df.select(id_col, block_col,
+                  F.col(vec_col).cast("array<double>").alias("__v"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    return (a.join(b, [F.col("a." + block_col) == F.col("b." + block_col),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

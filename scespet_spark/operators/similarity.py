@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: one scan, no shuffle except
+  the final top-k (a ``TakeOrdered`` of k rows per partition merged on
+  the driver — the right plan at any scale when k is small).
+* ``ivf_topk`` — the scale path: coarse partitions (here the ``label``
+  column; in production a k-means/LSH code computed offline), rank
+  partitions by centroid similarity, probe only ``nprobe`` of them.
+  Reading 2/N of the corpus instead of N/N is what makes 100TB ANN
+  feasible; the probe itself is partition-pruned if the table is
+  partitioned/bucketed by the coarse code.
+
+Dot products use ``F.zip_with`` + a left-fold ``F.aggregate`` — strictly
+sequential element order, so DuckDB's list fold reproduces values
+bit-for-bit (scores are additionally rounded before ranking).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double_array(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def brute_force_topk(df: DataFrame, query: Sequence[float], k: int = 20,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against a literal query vector.  Deterministic:
+    scores rounded to 6dp, ties broken by id."""
+    q = _as_double_array(query)
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.select(F.col(id_col),
+                       F.round(cosine(v, q), 6).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean vector per coarse partition, via posexplode +
+    groupBy (fully parallel; no collect)."""
+    exploded = df.select(label_col,
+                         F.posexplode(F.col(vec_col).cast("array<double>"))
+                          .alias("pos", "x"))
+    per_dim = (exploded.groupBy(label_col, "pos")
+               .agg(F.avg("x").alias("m")))
+    return (per_dim.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("__pm"))
+            .select(label_col,
+                    F.transform("__pm", lambda s: s.getField("m")).alias("centroid")))
+
+
+def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 20,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """IVF-style ANN: rank coarse partitions by centroid cosine, probe the
+    best ``nprobe``, brute-force inside them."""
+    q = _as_double_array(query)
+    cents = label_centroids(df, label_col, vec_col)
+    probe = (cents
+             .select(label_col, F.round(cosine(F.col("centroid"), q), 6).alias("cs"))
+             .orderBy(F.col("cs").desc(), F.col(label_col))
+             .limit(nprobe)
+             .select(label_col))
+    v = F.col(vec_col).cast("array<double>")
+    return (df.join(F.broadcast(probe), label_col)
+            .select(F.col(id_col), F.round(cosine(v, q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

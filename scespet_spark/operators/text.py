@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs in the hot path, so these run at
+scan speed over 100TB of documents.  Each has an exact DuckDB-SQL
+counterpart used by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import h64
+
+#: marker-token heuristic for language ID: tiny, branch-free, columnar.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "que", "los"],
+    "zh": ["de", "shi", "le"],
+}
+
+#: BPE-ish token regex: words / numbers / single punctuation marks.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties removed (split-on-space semantics
+    match DuckDB string_split for the space-joined synthetic corpus)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + mean
+    token length (rounded for float parity)."""
+    toks = tokens(F.col(text_col))
+    return df.withColumns({
+        "n_ws_tokens": F.size(toks),
+        "n_bpe_tokens": F.size(F.regexp_extract_all(F.col(text_col),
+                                                    F.lit(TOKEN_REGEX), 0)),
+        "mean_token_len": F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            .cast("double") / F.size(toks), 6),
+    })
+
+
+def marker_count(col: Column, marker: str) -> Column:
+    """Occurrences of a word marker (space-delimited match)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {marker} "
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("long")
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out: str = "pred_lang") -> DataFrame:
+    """n-gram/marker-token language ID: score = marker hits per language,
+    prediction = argmax with lexicographic tie-break (deterministic)."""
+    scores = [
+        F.struct(
+            sum((marker_count(F.col(text_col), m) for m in markers),
+                F.lit(0).cast("long")).alias("score"),
+            F.lit(lang).alias("lang"))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # argmax: sort structs by (score asc, lang desc) and take the last —
+    # highest score, ties broken toward the lexicographically *smaller* lang
+    best = F.array_max(F.array(*[
+        F.struct(s.getField("score").alias("score"),
+                 # invert lang ordering so max picks the smaller name on ties
+                 F.lit(-i).alias("ord"),
+                 s.getField("lang").alias("lang"))
+        for i, s in enumerate(scores)]))
+    return df.withColumn(out, best.getField("lang"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length — combined into one bounded score.  Pure columnar
+    math; ratios rounded to 6dp for cross-engine float parity."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop = F.array([F.lit(m) for ms in LANG_MARKERS.values() for m in ms])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[^A-Za-z0-9 ]"), 0))
+    return df.withColumns({
+        "n_chars_m": F.length(text_col),
+        "punct_ratio": F.round(n_punct.cast("double") / F.length(text_col), 6),
+        "stopword_ratio": F.round(n_stop.cast("double") / n_tok, 6),
+        "quality": F.round(
+            F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0)) * 0.5
+            + (F.lit(1.0) - F.least(F.lit(1.0),
+                                    n_punct.cast("double") / F.length(text_col))) * 0.3
+            + F.least(F.lit(1.0), n_stop.cast("double") / n_tok * 5.0) * 0.2, 6),
+    })
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out: str = "fingerprint") -> DataFrame:
+    """Order-insensitive document fingerprint: hash of the sorted distinct
+    token set (collision-resistant content signature for shuffling-free
+    re-identification across pipelines)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
+    return df.withColumn(out, h64(F.array_join(toks, " ")))

@@ -1,0 +1,155 @@
+"""Unit tests for the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal plumbing) on tiny in-memory data.
+The oracle harness (tools/check_oracle.py) covers value parity on the
+synthetic corpus; these pin the operator-level semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scespet_spark.operators.dedup import (
+    embedding_near_dup_pairs, exact_groups, lsh_candidate_pairs,
+    ngram_jaccard_pairs, shingles, simhash,
+)
+from scespet_spark.operators.multimodal import (
+    attach_payload, decode_images, frame_sample,
+)
+from scespet_spark.operators.similarity import brute_force_topk, ivf_topk
+from scespet_spark.operators.text import (
+    fingerprint, lang_id, quality_score, token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox leaps over the lazy dog", "en"),  # near dup
+        (3, "der schnelle braune fuchs und die katze und der hund", "de"),
+        (4, "completely different words entirely here now", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_groups(docs):
+    out = exact_groups(docs).orderBy("rep_id").collect()
+    assert [(r.rep_id, r.n_dups) for r in out] == [(0, 2), (2, 1), (3, 1), (4, 1)]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    [row] = df.select(shingles(F.col("text"), 3).alias("s")).collect()
+    assert sorted(row.s) == ["a b c", "b c d"]
+    # shorter than n -> single whole-text shingle
+    df2 = spark.createDataFrame([("a b",)], "text string")
+    [row2] = df2.select(shingles(F.col("text"), 3).alias("s")).collect()
+    assert row2.s == ["a b"]
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identical_texts_equal(docs):
+    out = {r.doc_id: r.simhash
+           for r in simhash(docs.select("doc_id", "text")).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[4]
+
+
+def test_ngram_jaccard(docs):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.4 <= out[(0, 2)] < 1.0
+    assert (0, 4) not in out
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),
+        (4, [-1.0, 0.0, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(vecs):
+    out = brute_force_topk(vecs, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]
+    assert out[0].score == 1.0
+    assert out[-1].score == 0.0
+
+
+def test_embedding_near_dup(vecs):
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(vecs, block_col="label",
+                                      threshold=0.9).collect()}
+    assert pairs == {(0, 1), (2, 3)}
+
+
+def test_ivf_probes_best_partition(vecs):
+    out = ivf_topk(vecs, [1.0, 0.0, 0.0], k=2, nprobe=1).collect()
+    # nprobe=1 -> only label 0 scanned; best two in that partition
+    assert [r.vec_id for r in out] == [0, 1]
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(0, "ab cd, ef!")], "doc_id long, text string")
+    [r] = token_stats(df).collect()
+    assert r.n_ws_tokens == 3
+    # regex tokens: ab, cd, ',', ef, '!'
+    assert r.n_bpe_tokens == 5
+    assert r.mean_token_len == pytest.approx((2 + 3 + 3) / 3, abs=1e-6)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame([
+        (0, "the cat and the dog of the house"),
+        (1, "der hund und die katze und der vogel"),
+        (2, "le chat et les chiens et le loup"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_quality_score_bounds(docs):
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "b a c"), (1, "c b a"), (2, "a b d")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_multimodal_decode_deterministic(docs):
+    import hashlib
+    out = {r.doc_id: r for r in decode_images(attach_payload(docs)).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    text0 = "the quick brown fox jumps over the lazy dog"
+    d = hashlib.md5(text0.encode()).digest()
+    assert out[0].width == 64 + d[0] % 192
+    assert out[0].height == 64 + d[1] % 192
+    assert out[0].n_bytes == len(text0)
+    assert out[0].sig == hashlib.md5(text0.encode()).hexdigest()
+    # identical payloads decode identically
+    assert (out[0].width, out[0].height) == (out[1].width, out[1].height)
+
+
+def test_frame_sample_stride(docs):
+    out = frame_sample(attach_payload(docs), every_n=10)
+    rows = out.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    n_bytes = len("the quick brown fox jumps over the lazy dog")
+    n_frames = n_bytes % 90 + 10
+    assert [r.frame_idx for r in rows] == list(range(0, n_frames, 10))
