@@ -554,6 +554,88 @@ def collect_types_sorted(spark, sf_dir):
     return s.reduce(F.array_sort(F.collect_set("event_type")).alias("types"))
 
 
+# ---------------------------------------------------------------------------
+# multi-input buckets: bind (tagged union + rendezvous), collapse (lifecycle)
+# ---------------------------------------------------------------------------
+
+
+@query("bind_hourly_rendezvous", """
+WITH u AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS cyc, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')),
+c AS (
+  SELECT user_id, cyc,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+  FROM u GROUP BY user_id, cyc)
+SELECT user_id, DATE_TRUNC('day', cyc) AS day,
+       SUM(has_c) AS n_click_cycles,
+       SUM(has_p) AS n_purchase_cycles,
+       SUM(has_c * has_p) AS n_both_cycles
+FROM c GROUP BY user_id, DATE_TRUNC('day', cyc)
+""")
+def bind_hourly_rendezvous(spark, sf_dir):
+    """N-input bucket rendezvous, pure-columnar translation: bind click
+    and purchase streams, one atomic row per (user, hour) cycle, then a
+    daily bucket counting cycles where each / both sides fired
+    (reference: XYCollector.countBoth, TestMultiBucketing.scala:92-98)."""
+    from scespet_spark.operators.buckets import bind
+    ev = events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id").map(cv=F.col("value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(pv=F.col("value")))
+    u = bind({"click": (clicks, ["cv"]), "purchase": (purchases, ["pv"])})
+    cycles = (u.df.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("cyc"))
+              .agg(F.max((F.col("side") == "click").cast("long")).alias("has_c"),
+                   F.max((F.col("side") == "purchase").cast("long")).alias("has_p")))
+    return (cycles.groupBy("user_id", F.date_trunc("day", "cyc").alias("day"))
+            .agg(F.sum("has_c").alias("n_click_cycles"),
+                 F.sum("has_p").alias("n_purchase_cycles"),
+                 F.sum(F.col("has_c") * F.col("has_p")).alias("n_both_cycles")))
+
+
+@query("bucket_collapse_stats", """
+SELECT user_id,
+       MAX(ts) AS ts, MAX(event_id) AS event_id,
+       COUNT(DISTINCT ts) AS n_cycles, COUNT(*) AS n_events,
+       LIST_REDUCE(LIST(value ORDER BY ts, event_id),
+                   (a, b) -> a + b) AS total
+FROM (SELECT user_id, ts, event_id, value,
+             DATE_TRUNC('day', ts) AS day FROM events)
+GROUP BY user_id, day
+""")
+def bucket_collapse_stats(spark, sf_dir):
+    """Custom lifecycle bucket (open/add-per-cycle/complete) over daily
+    slices via applyInPandas — the reference's mutable-Bucket path
+    (SliceCellLifecycle.scala:13-30).  Sequential in-order float sum =
+    DuckDB's ordered LIST_REDUCE, bit-for-bit."""
+    from scespet_spark.operators.buckets import CycleBucket, collapse
+    from scespet_spark import Every
+
+    class Stats(CycleBucket):
+        def open(self):
+            self.n_cycles = 0
+            self.n_events = 0
+            self.total = 0.0
+
+        def add_cycle(self, cycle):
+            self.n_cycles += 1
+            self.n_events += len(cycle)
+            for v in cycle["value"]:
+                self.total += float(v)
+
+        def value(self):
+            return {"n_cycles": self.n_cycles, "n_events": self.n_events,
+                    "total": self.total}
+
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    return collapse(
+        s.group(Every("1 day")), Stats,
+        "user_id long, ts timestamp, event_id long, "
+        "n_cycles long, n_events long, total double")
+
+
 # ===========================================================================
 # Training-data pipeline operators over documents / embeddings
 # (dedup, similarity search, text analysis, multimodal plumbing)

@@ -1,0 +1,86 @@
+"""Multi-input bucket semantics: tagged-union bind, atomic same-cycle
+rendezvous, and open/add/complete lifecycle with both emission modes
+(reference behavior: SlicedBucket.scala rendezvous, TestMultiBucketing
+XYCollector; re-expressed, not ported)."""
+
+from pyspark.sql import functions as F
+
+from scespet_spark import Count, Stream, Termination
+from scespet_spark.operators.buckets import CycleBucket, bind, collapse
+
+
+def _keyed(spark, rows, schema="k string, ts long, seq long, val long"):
+    return Stream(spark.createDataFrame(rows, schema), t="ts", seq="seq",
+                  keys=("k",))
+
+
+def make_probe():
+    # defined inside a function so cloudpickle ships the class by value
+    # to executors (a test module isn't importable on workers)
+    class Probe(CycleBucket):
+        """Records cycle sizes; value = (#cycles, #events, running sum)."""
+
+        def open(self):
+            self.cycles = []
+            self.total = 0
+
+        def add_cycle(self, cycle):
+            self.cycles.append(len(cycle))
+            self.total += int(cycle["val"].sum())
+
+        def value(self):
+            return {"n_cycles": len(self.cycles),
+                    "n_events": sum(self.cycles), "total": self.total}
+
+    return Probe
+
+
+SCHEMA = "k string, ts long, seq long, n_cycles long, n_events long, total long"
+
+
+def test_bind_tagged_union(spark):
+    a = _keyed(spark, [("x", 1, 0, 10)]).map(av=F.col("val")).map(val=F.lit(None))
+    b = _keyed(spark, [("x", 2, 1, 20)]).map(bv=F.col("val")).map(val=F.lit(None))
+    u = bind({"a": (a, ["av"]), "b": (b, ["bv"])})
+    rows = u.df.orderBy("ts").collect()
+    assert [r.side for r in rows] == ["a", "b"]
+    assert rows[0].av == 10 and rows[0].bv is None
+    assert rows[1].bv == 20 and rows[1].av is None
+
+
+def test_collapse_rendezvous_atomic_cycles(spark):
+    # ts=5 carries two simultaneous events -> ONE add_cycle call with both
+    s = _keyed(spark, [("x", 1, 0, 1), ("x", 5, 1, 2), ("x", 5, 2, 3),
+                       ("x", 9, 3, 4)])
+    out = collapse(s.group(Termination()), make_probe(), SCHEMA, emit="last").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_cycles, r.n_events, r.total) == (3, 4, 10)
+    assert (r.ts, r.seq) == (9, 3)
+
+
+def test_collapse_emit_all_per_cycle(spark):
+    s = _keyed(spark, [("x", 1, 0, 1), ("x", 5, 1, 2), ("x", 5, 2, 3),
+                       ("x", 9, 3, 4)])
+    rows = (collapse(s.group(Termination()), make_probe(), SCHEMA, emit="all")
+            .orderBy("ts", "seq").collect())
+    # one emission per cycle (not per event), cumulative within the slice
+    assert [(r.ts, r.n_events, r.total) for r in rows] == [
+        (1, 1, 1), (5, 3, 6), (9, 4, 10)]
+
+
+def test_collapse_reopens_per_slice(spark):
+    # Count(2) -> two slices; open() must reset state between them
+    s = _keyed(spark, [("x", 1, 0, 1), ("x", 2, 1, 2), ("x", 3, 2, 3),
+                       ("x", 4, 3, 4)])
+    rows = (collapse(s.group(Count(2)), make_probe(), SCHEMA, emit="last")
+            .orderBy("ts").collect())
+    assert [(r.n_events, r.total) for r in rows] == [(2, 3), (2, 7)]
+
+
+def test_collapse_per_key_isolation(spark):
+    s = _keyed(spark, [("x", 1, 0, 1), ("y", 1, 1, 10), ("y", 2, 2, 20)])
+    rows = (collapse(s.group(Termination()), make_probe(), SCHEMA, emit="last")
+            .orderBy("k").collect())
+    assert [(r.k, r.n_events, r.total) for r in rows] == [
+        ("x", 1, 1), ("y", 2, 30)]
