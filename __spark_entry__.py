@@ -500,6 +500,86 @@ def distinct_users_running(spark, sf_dir):
     return out.df.select("ts", "event_id", "n_users_seen")
 
 
+@query("map_vector_running", """
+SELECT event_id, ts,
+       COUNT(*) OVER w AS n_events,
+       MAX(value) OVER w AS vmax
+FROM events
+WINDOW w AS (ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def map_vector_running(spark, sf_dir):
+    """Cross-key whole-vector function at each event (reference:
+    mapVector, VectTerm.scala:145-176)."""
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.map_vector(n_events=F.count("*"), vmax=F.max("value"))
+    return out.df.select("event_id", "ts", "n_events", "vmax")
+
+
+@query("at_single_key", """
+SELECT event_id, ts, value,
+       COUNT(*) OVER (ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+FROM events WHERE user_id = 5
+""")
+def at_single_key(spark, sf_dir):
+    """One key's stream from a vector (reference: VectTerm.apply,
+    VectTerm.scala:63-111)."""
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id").at(5)
+    return s.scan(n=F.count("*")).df.select("event_id", "ts", "value", "n")
+
+
+@query("key_list_running", """
+SELECT ts, event_id,
+       list_sort(list_distinct(LIST(user_id) OVER (
+         ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS keys
+FROM events
+""")
+def key_list_running(spark, sf_dir):
+    """Growing key-list stream (reference: keyList, VectTerm.scala:43-52)."""
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    return s.key_list().df.select("ts", "event_id", "keys")
+
+
+@query("nested_group_reduce", """
+SELECT event_type, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM events GROUP BY event_type, user_id
+""")
+def nested_group_reduce(spark, sf_dir):
+    """Second-level grouping (reference: VectTerm.groupby /
+    NestedVector.scala:14-52) — flat multi-column grouping."""
+    s = (events_stream(spark, sf_dir).by("user_id", name="user_id")
+         .group_by_second_key(F.col("event_type"), name="event_type"))
+    return s.reduce(_dsum("value").alias("total"), F.count("*").alias("n"))
+
+
+@query("key_to_stream_daily", """
+WITH keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+fac AS (
+  SELECT user_id, DATE_TRUNC('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY user_id, DATE_TRUNC('day', ts))
+SELECT k.user_id, f.day, f.total
+FROM keys k LEFT JOIN fac f ON k.user_id = f.user_id
+""")
+def key_to_stream_daily(spark, sf_dir):
+    """Keyset -> per-key stream via factory (reference: keyToStream,
+    VectTerm.scala:435-440)."""
+    ev = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    keyset = ev.subset(F.col("user_id") < 20)
+    daily = ev.group(Every("1 day")).reduce(
+        total=_dsum("value"), day=F.min(F.date_trunc("day", F.col("ts"))))
+    factory = Stream(daily.df.select("user_id", "day", "total",
+                                     F.col("day").alias("__t"),
+                                     F.lit(0).cast("long").alias("__s")),
+                     t="__t", seq="__s", keys=("user_id",))
+    out = keyset.key_to_stream(factory)
+    return out.df.select("user_id", "day", "total")
+
+
 # ---------------------------------------------------------------------------
 # custom reducers: EWMA (stateful pandas fold), VWAP, mode, collect
 # ---------------------------------------------------------------------------
@@ -513,7 +593,11 @@ FROM events GROUP BY user_id
 """)
 def ewma_final_per_user(spark, sf_dir):
     from scespet_spark.functions.reducers import ewma as ewma_op
-    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    ev = events_stream(spark, sf_dir)
+    # project before the Arrow transfer: the fold only needs (key, t,
+    # seq, value) — don't ship the other columns through Python
+    s = Stream(ev.df.select("ts", "event_id", "user_id", "value"),
+               t="ts", seq="event_id", keys=("user_id",))
     per_event = ewma_op(s, "value", alpha=0.125, out="ewma")
     return per_event.reduce(F.max_by("ewma", F.struct("ts", "event_id")).alias("ewma"))
 

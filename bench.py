@@ -54,8 +54,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footer caches, and the Python UDF
+    # worker pool (so pandas-UDF queries measure steady-state plan cost,
+    # not one-time worker spawn + pandas import)
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
+    import pandas as pd  # noqa: F401
+    warm = spark.range(10_000, numPartitions=64)
+    warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite").save()
 
     timings: dict[str, float] = {}

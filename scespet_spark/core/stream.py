@@ -258,6 +258,16 @@ class Stream:
         ).drop("__first")
         return self._derive(df)
 
+    def key_to_stream(self, factory: "Stream") -> "Stream":
+        """Derive a per-key stream from this vector's keyset via a
+        factory stream (reference: keyToStream, VectTerm.scala:435-440):
+        left-join keys -> streams; keys with no factory events keep a
+        null row (the unbound-cell state).  Broadcast the keyset when
+        small; Catalyst/AQE picks the strategy otherwise."""
+        keys = list(self.keys)
+        df = self.key_set().join(factory.df, on=keys, how="left")
+        return Stream(df, t=factory.t, seq=factory.seq, keys=tuple(keys))
+
     def to_stream(self) -> "Stream":
         """Multiplex a keyed stream back to a single stream of (K, X)
         (reference: VectTerm.toStream / VectorToStream.scala:8-76).

@@ -42,21 +42,40 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma") -> Str
     schema = StructType(list(df.schema.fields) + [StructField(out, DoubleType())])
     order = [t, seq]
 
-    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        y = None
-        vals = []
-        for v in pdf[value_col].astype("float64"):
-            y = v if y is None else alpha * v + (1.0 - alpha) * y
-            vals.append(y)
-        pdf[out] = vals
-        return pdf
-
+    # pandas ewm(adjust=False) evaluates the identical recurrence
+    # ((1-a)*prev + a*x, seeded from x_0) in vectorized cython — same
+    # IEEE ops as the reference fold, no per-row Python loop
     if keys:
-        folded = df.groupBy(*keys).applyInPandas(_fold, schema=schema)
+        # secondary-sort pattern: repartition by key to full parallelism
+        # (groupBy.applyInPandas would pay a per-group Python dispatch and
+        # AQE coalesces its small shuffle to a few tasks), sort JVM-side,
+        # then one vectorized grouped-ewm per partition.  A partition must
+        # fit in memory — the same contract as any pandas exchange.
+        n = df.sparkSession.sparkContext.defaultParallelism
+        part = df.repartition(n, *keys).sortWithinPartitions(*keys, *order)
+
+        def fold(batches):
+            batches = list(batches)
+            if not batches:  # repartition leaves empty partitions when
+                return       # distinct keys < partition count
+            pdf = pd.concat(batches, ignore_index=True)
+            if len(pdf):
+                grouped = pdf.groupby(keys, sort=False)[value_col]
+                r = grouped.ewm(alpha=alpha, adjust=False).mean()
+                pdf[out] = r.reset_index(
+                    level=list(range(len(keys))), drop=True)
+            yield pdf
+
+        folded = part.mapInPandas(fold, schema)
     else:
+        def fold_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order, kind="mergesort")
+            pdf[out] = (pdf[value_col].astype("float64")
+                        .ewm(alpha=alpha, adjust=False).mean())
+            return pdf
+
         folded = df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
-            lambda p: _fold(p).drop(columns="__g"), schema=schema)
+            lambda p: fold_all(p).drop(columns="__g"), schema=schema)
     return stream._derive(folded)
 
 

@@ -94,6 +94,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                                        for r in range(rows)])).alias("band_hash"))
             for b in range(bands)])).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
+    # materialize the (tiny: bands rows/doc of 3 ints) signature table so
+    # the self-join doesn't recompute the whole shingle->minhash pipeline
+    # for each side; at 100TB this would be a checkpoint to storage
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col(f"a.band") == F.col("b.band"),

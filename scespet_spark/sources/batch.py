@@ -47,6 +47,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> Stream:
     return Stream(load_table(spark, sf_dir, "events"), t="ts", seq="event_id")
 
 
+def load_csv(spark: SparkSession, path: str, schema: str, sep: str = "\t",
+             t: str = "ts", seq: str | None = None,
+             header: bool = False) -> Stream:
+    """Delimited-file event source (reference: the tab-separated
+    trade/quote dumps, RealTradeTests.scala:53-94) — a schema'd CSV scan
+    consumed in event-time order.  ``seq=None`` synthesizes a
+    per-partition monotonic id as the replay tie-breaker."""
+    df = (spark.read.option("sep", sep).option("header", str(header).lower())
+          .schema(schema).csv(path))
+    if seq is None:
+        seq = "seq"
+        df = df.withColumn(seq, F.monotonically_increasing_id())
+    return Stream(df, t=t, seq=seq)
+
+
 def timer_spine(spark: SparkSession, start, end, step: str,
                 t: str = "ts") -> Stream:
     """Periodic event source (reference: util/Timer.scala:10-30) as a

@@ -153,3 +153,31 @@ def test_frame_sample_stride(docs):
     n_bytes = len("the quick brown fox jumps over the lazy dog")
     n_frames = n_bytes % 90 + 10
     assert [r.frame_idx for r in rows] == list(range(0, n_frames, 10))
+
+
+def test_load_csv_source(spark, tmp_path):
+    # reference reads tab-separated trade dumps (RealTradeTests.scala:53-94)
+    p = tmp_path / "trades.tsv"
+    p.write_text("1\tACME\t10.5\n2\tACME\t11.0\n3\tBETA\t7.25\n")
+    from scespet_spark.sources.batch import load_csv
+    s = load_csv(spark, str(p), "ts long, name string, price double")
+    rows = s.df.orderBy("ts").collect()
+    assert [(r.ts, r.name, r.price) for r in rows] == [
+        (1, "ACME", 10.5), (2, "ACME", 11.0), (3, "BETA", 7.25)]
+    assert s.t == "ts" and s.seq == "seq"
+
+
+def test_key_to_stream_left_join(spark):
+    from scespet_spark import Stream
+    from pyspark.sql import functions as F
+    keys = Stream(spark.createDataFrame(
+        [("a", 0, 0), ("b", 0, 0), ("c", 0, 0)], "k string, ts long, seq long"),
+        t="ts", seq="seq", keys=("k",))
+    fac = Stream(spark.createDataFrame(
+        [("a", 1, 0, 10.0), ("a", 2, 1, 11.0), ("b", 1, 2, 5.0)],
+        "k string, ts long, seq long, v double"), t="ts", seq="seq", keys=("k",))
+    out = keys.key_to_stream(fac).df.orderBy("k", "ts").collect()
+    got = [(r.k, r.ts, r.v) for r in out]
+    # 'c' has no factory events -> unbound-cell null row survives
+    assert got == [("a", 1, 10.0), ("a", 2, 11.0), ("b", 1, 5.0),
+                   ("c", None, None)]

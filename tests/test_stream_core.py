@@ -3,6 +3,7 @@ test suite — the semantics oracle for scan/reduce emission
 (reference: test/programs/TestSingleTerms.scala, BucketStreamTest.scala;
 harness style: test/scespet/util/ScespetTestBase.scala:26-43)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from scespet_spark import AFTER, BEFORE, Count, Stream, Termination, Trigger
@@ -209,3 +210,22 @@ def test_key_list_growth(spark):
     s = _stream(spark, [2, 1, 2, 3]).by(F.col("val"))
     out = s.key_list()
     assert _col(out.df, "keys") == [[2], [1, 2], [1, 2], [1, 2, 3]]
+
+
+def test_ewma_keyed_fewer_keys_than_partitions(spark):
+    # the mapInPandas fold must tolerate empty partitions
+    # (repartition(n, key) with 2 keys and 8-way parallelism)
+    from scespet_spark.functions.reducers import ewma
+    rows = [(i, i, "a" if i % 2 else "b", float(i)) for i in range(10)]
+    s = Stream(spark.createDataFrame(
+        rows, "ts long, seq long, key string, v double"),
+        t="ts", seq="seq", keys=("key",))
+    out = {(r.key, r.ts): r.ewma
+           for r in ewma(s, "v", alpha=0.5).df.collect()}
+    # per-key recurrence seeded from first value: b: 0,2,4,... a: 1,3,5,...
+    expect, y = {}, {}
+    for i in range(10):
+        k = "a" if i % 2 else "b"
+        y[k] = float(i) if k not in y else 0.5 * i + 0.5 * y[k]
+        expect[(k, i)] = y[k]
+    assert out == pytest.approx(expect)
