@@ -580,6 +580,74 @@ def key_to_stream_daily(spark, sf_dir):
     return out.df.select("user_id", "day", "total")
 
 
+@query("slice_by_purchase_trigger", """
+WITH c AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, ts, event_id, 0 AS trig, value FROM c
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS trig, NULL::DOUBLE AS value FROM p),
+f AS (
+  SELECT *, SUM(trig) OVER (PARTITION BY user_id ORDER BY ts, trig, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - trig AS b
+  FROM u)
+SELECT user_id, MAX(ts) AS ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM f WHERE trig = 0 GROUP BY user_id, b
+""")
+def slice_by_purchase_trigger(spark, sf_dir):
+    """Slice each user's click stream by that user's purchase events —
+    external-stream slice trigger, per key (reference: MacroTerm slice
+    spec SliceTriggerSpec.scala:57-73; per-key VectSliceTriggerSpec
+    SliceTriggerSpec.scala:76-118)."""
+    from scespet_spark import TriggerStream
+    ev = events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id"))
+    out = clicks.group(TriggerStream(purchases, AFTER)).reduce(
+        total=_dsum("value"), n=F.count("*"))
+    return out.df.select("user_id", "ts", "total", "n")
+
+
+@query("to_stream_mux", """
+SELECT user_id, ts, event_id, value FROM events
+""")
+def to_stream_mux(spark, sf_dir):
+    """Demux then remux: vector back to a single (K, X) stream
+    (reference: toStream / VectorToStream.scala:8-76 — keyed rows
+    already are the multiplexed form, so this is a zero-cost plan)."""
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id").to_stream()
+    return s.df.select("user_id", "ts", "event_id", "value")
+
+
+@query("to_key_set", """
+SELECT DISTINCT user_id FROM events
+""")
+def to_key_set(spark, sf_dir):
+    """Vector of keys as values (reference: toKeySet, VectTerm.scala:355-363)."""
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    return s.key_set()
+
+
+@query("reduce_all_global", """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MAX(value) AS vmax, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events
+""")
+def reduce_all_global(spark, sf_dir):
+    """Whole-stream final aggregate flushed at termination (reference:
+    reduce_all, MacroTerm.scala:63-84; termination SimpleEnv.scala:93)."""
+    ev = events_stream(spark, sf_dir)
+    return ev.reduce(F.count("*").alias("n"), _dsum("value").alias("total"),
+                     F.max("value").alias("vmax"),
+                     F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+
+
 # ---------------------------------------------------------------------------
 # custom reducers: EWMA (stateful pandas fold), VWAP, mode, collect
 # ---------------------------------------------------------------------------

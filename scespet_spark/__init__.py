@@ -15,6 +15,7 @@ from .core.stream import (  # noqa: F401
     Stream,
     Termination,
     Trigger,
+    TriggerStream,
     WindowedStream,
 )
 from .engine import get_spark  # noqa: F401
@@ -28,6 +29,7 @@ __all__ = [
     "Stream",
     "Termination",
     "Trigger",
+    "TriggerStream",
     "WindowedStream",
     "get_spark",
 ]

@@ -89,7 +89,28 @@ class Termination:
     """
 
 
-SliceSpec = Count | Every | Trigger | Termination
+class TriggerStream:
+    """Bucket boundaries driven by a *separate* stream's events.
+
+    Reference: any EventGraphObject / MacroTerm as a slice spec
+    (SliceTriggerSpec.scala:57-73).  If both streams are keyed on the
+    same columns, each key is sliced by its own trigger events —
+    the per-key vector trigger (VectSliceTriggerSpec,
+    SliceTriggerSpec.scala:76-118, BucketVectStreamTest.scala:138-158).
+
+    Alignment on timestamp ties (SliceAlign, util/package.scala:27-42):
+    AFTER — a data event simultaneous with a trigger joins the *closing*
+    bucket; BEFORE — it starts the *new* one.
+    """
+
+    def __init__(self, stream: "Stream", align: str = AFTER):
+        if align not in (BEFORE, AFTER):
+            raise ValueError(f"align must be BEFORE or AFTER, got {align}")
+        self.stream = stream
+        self.align = align
+
+
+SliceSpec = Count | Every | Trigger | Termination | TriggerStream
 
 _BUCKET = "__bucket"
 _GATE = "__gate"
@@ -434,9 +455,43 @@ class GroupedStream:
             b = inc if spec.align == BEFORE else (inc - flag)
         elif isinstance(spec, Termination):
             b = F.lit(0)
+        elif isinstance(spec, TriggerStream):
+            return self._with_trigger_stream_bucket(spec)
         else:  # pragma: no cover
             raise TypeError(f"unknown slice spec {spec!r}")
         return s._derive(s.df.withColumn(_BUCKET, b))
+
+    def _with_trigger_stream_bucket(self, spec: TriggerStream) -> Stream:
+        """Union-by-time boundary counting: tag trigger rows, order so the
+        alignment decides who wins a timestamp tie, running-sum the
+        trigger flags, drop the trigger rows.  One shuffle (the per-key
+        window sort) — same cost shape as the temporal joins."""
+        s = self.stream
+        trig = spec.stream
+        if trig.keys != s.keys:
+            raise ValueError("trigger-stream slicing requires identical key "
+                             f"columns ({s.keys} vs {trig.keys})")
+        keys = list(s.keys)
+        data_cols = [c for c in s.df.columns if c not in {s.t, s.seq, *keys}]
+        d = s.df.select(
+            F.col(s.t), F.col(s.seq), *keys, *data_cols,
+            F.lit(0).alias("__trig"))
+        g = trig.df.select(
+            F.col(trig.t).alias(s.t), F.col(trig.seq).alias(s.seq), *keys,
+            *[F.lit(None).cast(s.df.schema[c].dataType).alias(c)
+              for c in data_cols],
+            F.lit(1).alias("__trig"))
+        u = d.unionByName(g)
+        # AFTER: trigger sorts after data at equal t (data joins the
+        # closing bucket); BEFORE: trigger first (data starts the new one)
+        side = (F.col("__trig").asc() if spec.align == AFTER
+                else F.col("__trig").desc())
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col(s.t).asc(), side, F.col(s.seq).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        u = u.withColumn(_BUCKET, F.sum("__trig").over(w) - F.col("__trig"))
+        u = u.filter(F.col("__trig") == 0).drop("__trig")
+        return s._derive(u)
 
     def scan(self, **aggs: Column) -> Stream:
         s = self._with_bucket()

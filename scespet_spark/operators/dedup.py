@@ -27,6 +27,20 @@ from .hashing import h64
 from .text import tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure hash-compute stages inherit full cluster parallelism: a
+    small file count must not serialize a CPU-bound stage (one tiny
+    parquet file -> one partition -> one core doing every md5).  A
+    round-robin repartition with an *explicit* count (AQE never
+    re-coalesces user-specified repartition(n)) costs one small shuffle
+    of (id, text) and buys back the whole stage's parallelism; skipped
+    when the scan is already parallel (the 100TB case)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def exact_groups(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: one row per distinct content hash with the
@@ -84,7 +98,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     band -> bucket equi-join.  Output: (id_a, id_b) with id_a < id_b,
     distinct.  Rows per doc = ``bands``; join key = (band, band_hash)."""
     rows = num_hashes // bands
-    sig = minhash_signature(df, text_col, num_hashes, shingle_n)
+    sig = minhash_signature(_spread(df), text_col, num_hashes, shingle_n)
     banded = sig.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -113,7 +127,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
     """SimHash document signature: per-bit majority vote over the token
     multiset's hashes.  One explode + one groupBy (map-side combinable);
     re-joined to the input broadcast-free via the id-preserving groupBy."""
-    tok = df.select("*", F.explode(tokens(F.col(text_col))).alias("__tok"))
+    tok = _spread(df).select("*", F.explode(tokens(F.col(text_col))).alias("__tok"))
     th = tok.withColumn("__h", h64(F.col("__tok")))
     bit_sums = [
         F.sum(F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
@@ -134,8 +148,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     docs sharing ``block_cols`` are compared on distinct shingle sets.
     Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
     block_cols = block_cols or ["lang"]
-    sh = df.select(id_col, *block_cols,
-                   shingles(F.col(text_col), shingle_n).alias("__sh"))
+    sh = _spread(df).select(id_col, *block_cols,
+                            shingles(F.col(text_col), shingle_n).alias("__sh"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -73,3 +73,36 @@ def timer_spine(spark: SparkSession, start, end, step: str,
               F.expr(f"INTERVAL {step}"))).alias(t))
           .withColumn("seq", F.monotonically_increasing_id()))
     return Stream(df, t=t, seq="seq")
+
+
+def as_vector(spark: SparkSession, keys, key_col: str = "key",
+              t: str = "ts", seq: str = "seq") -> Stream:
+    """Literal keyset -> keyed stream whose values are the keys
+    (reference: asVector, EnvTermBuilder.scala:59-62).  All cells
+    initialise at t=0."""
+    rows = [(k, 0, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, f"{key_col} string, __t long, {seq} long") \
+        if all(isinstance(k, str) for k in keys) else \
+        spark.createDataFrame(rows, f"{key_col} long, __t long, {seq} long")
+    df = df.select(F.col("__t").cast("timestamp").alias(t), seq, key_col)
+    return Stream(df, t=t, seq=seq, keys=(key_col,))
+
+
+def random_events(spark: SparkSession, n: int, seed: int = 42,
+                  t: str = "ts", value: str = "value") -> Stream:
+    """Programmatic/random event source (reference: EventGenerator /
+    newRandom, test/programs/package.scala:16-52): ``spark.range`` +
+    column exprs — generated distributed, never a driver loop."""
+    df = (spark.range(n)
+          .select(F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias(t),
+                  F.col("id").alias("seq"),
+                  F.round(F.rand(seed) * 100, 6).alias(value)))
+    return Stream(df, t=t, seq="seq")
+
+
+def show(stream: Stream, n: int = 20, prefix: str = "") -> None:
+    """Console sink (reference: out(prefix) / util.TermPrint,
+    src/scespet/util/package.scala:44-56): print events in replay order."""
+    if prefix:
+        print(prefix)
+    stream.df.orderBy(*stream._order()).show(n, truncate=False)

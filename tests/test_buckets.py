@@ -84,3 +84,37 @@ def test_collapse_per_key_isolation(spark):
             .orderBy("k").collect())
     assert [(r.k, r.n_events, r.total) for r in rows] == [
         ("x", 1, 1), ("y", 2, 30)]
+
+
+def test_trigger_stream_slice_alignment(spark):
+    # slice [1,2,3,4]@t0..3 by an external trigger firing at t=2
+    # (reference: MacroTerm as slice spec, SliceTriggerSpec.scala:57-73;
+    # alignment semantics: TestSingleTerms.scala:157-181)
+    from scespet_spark import AFTER, BEFORE, Stream, TriggerStream
+    data = Stream(spark.createDataFrame(
+        [(i, i, i + 1) for i in range(4)], "ts long, seq long, v long"),
+        t="ts", seq="seq")
+    trig = Stream(spark.createDataFrame(
+        [(2, 100)], "ts long, seq long"), t="ts", seq="seq")
+    after = data.group(TriggerStream(trig, AFTER)).reduce(s=F.sum("v"))
+    got_after = sorted((r.ts, r.s) for r in after.df.collect())
+    assert got_after == [(2, 6), (3, 4)]  # {1,2,3} closes at t2, {4} after
+    before = data.group(TriggerStream(trig, BEFORE)).reduce(s=F.sum("v"))
+    got_before = sorted((r.ts, r.s) for r in before.df.collect())
+    assert got_before == [(1, 3), (3, 7)]  # {1,2} then {3,4}
+
+
+def test_trigger_stream_slice_per_key(spark):
+    # per-key vector trigger (VectSliceTriggerSpec, SliceTriggerSpec.scala:76-118):
+    # key 'a' sliced at t=1, key 'b' never -> one bucket
+    from scespet_spark import AFTER, Stream, TriggerStream
+    data = Stream(spark.createDataFrame(
+        [(0, 0, "a", 1), (1, 1, "a", 2), (2, 2, "a", 3),
+         (0, 3, "b", 10), (2, 4, "b", 20)],
+        "ts long, seq long, k string, v long"), t="ts", seq="seq", keys=("k",))
+    trig = Stream(spark.createDataFrame(
+        [(1, 100, "a")], "ts long, seq long, k string"),
+        t="ts", seq="seq", keys=("k",))
+    out = data.group(TriggerStream(trig, AFTER)).reduce(s=F.sum("v"))
+    got = sorted((r.k, r.ts, r.s) for r in out.df.collect())
+    assert got == [("a", 1, 3), ("a", 2, 3), ("b", 2, 30)]
