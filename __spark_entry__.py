@@ -87,10 +87,16 @@ def q3(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # semi-join reduction first (filtered customer prunes ~4/5 of orders
+    # before the big lineitem join); join strategy is left to AQE —
+    # customer scales with SF, so a hard-coded broadcast would OOM at
+    # 100TB while AQE still broadcasts it when runtime stats are small
+    o_building = (o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey)
+                  .select("o_orderkey", "o_orderdate"))
+    return (li.select("l_orderkey", rev.alias("__rev"))
+              .join(o_building, li.l_orderkey == F.col("o_orderkey"))
               .groupBy("o_orderkey", "o_orderdate")
-              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .agg(F.sum("__rev").cast("double").alias("revenue"))
               .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
               .limit(10))
 
@@ -109,12 +115,22 @@ def region_revenue(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-             .groupBy("r_name")
-             .agg(_dsum("o_totalprice").alias("revenue"),
-                  F.count("*").alias("n_orders")))
+    # partial-aggregate orders per custkey first: the shuffle ships one
+    # row per customer instead of one per order (map-side combine does
+    # the same inside groupBy, but pre-agg also shrinks the join build).
+    # customer scales with SF -> AQE picks its join; nation/region are
+    # fixed 25/5-row dims -> always broadcast.
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .alias("__rev"), F.count("*").alias("__n")))
+    return (per_cust.join(c.select("c_custkey", "c_nationkey"),
+                          per_cust.o_custkey == c.c_custkey)
+            .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+                  c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum("__rev").cast("double").alias("revenue"),
+                 F.sum("__n").alias("n_orders")))
 
 
 @query("topk_orders", """
