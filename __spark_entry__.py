@@ -1045,6 +1045,45 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "fingerprint")
 
 
+@query("doc_chunking", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+n AS (SELECT doc_id, tk,
+             greatest(CAST(ceil((len(tk) - 16) / 12.0) AS INT) + 1, 1) AS nc
+      FROM t),
+e AS (SELECT doc_id, tk, unnest(generate_series(0, nc - 1)) AS chunk_idx
+      FROM n)
+SELECT doc_id, chunk_idx,
+       array_to_string(list_slice(tk, chunk_idx * 12 + 1,
+                                  chunk_idx * 12 + 16), ' ') AS chunk_text,
+       least(16, len(tk) - chunk_idx * 12) AS n_tokens
+FROM e
+""")
+def doc_chunking(spark, sf_dir):
+    """Token-window chunking with overlap — the one-to-many (UDTF-shaped)
+    training-prep step, pure sequence+explode (map-only at any scale)."""
+    from scespet_spark.operators.text import chunk_documents
+    out = chunk_documents(load_table(spark, sf_dir, "documents"),
+                          size=16, overlap=4)
+    return out.select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                      "chunk_text", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+@query("stratified_sample_docs", f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({h64_sql('CAST(doc_id AS VARCHAR)')}) % 10000
+      < (CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END)
+""")
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: downsample dominant
+    'en' to 20%, keep 50% elsewhere — reproducible across runs/engines/
+    partitionings (auditable pipelines can't use rand())."""
+    from scespet_spark.operators.text import stratified_sample
+    out = stratified_sample(load_table(spark, sf_dir, "documents"),
+                            "lang", {"en": 0.2}, default_rate=0.5)
+    return out.select("doc_id", "lang")
+
+
 @query("multimodal_decode", """
 SELECT doc_id,
        CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS INT) AS width,
@@ -1077,13 +1116,15 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-user daily tumbling aggregation as-of joined with the
-    running all-stream total — exercises by/group/reduce/scan/zip in one
-    plan, on sf0.001."""
+    """Flagship: per-user daily tumbling aggregation, augmented with the
+    running cross-vector grand total at each bucket close — exercises
+    by/group(Every)/reduce/mapVector in one plan, on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
     s = events_stream(spark, sf_dir).by("user_id", name="user_id")
     daily = s.group(Every("1 day")).reduce(total=_dsum("value"), n=F.count("*"))
-    return daily.df
+    out = daily.map_vector(grand_total=F.sum("total"), buckets_seen=F.count("*"))
+    return out.df.select("user_id", "ts", "total", "n",
+                         "grand_total", "buckets_seen")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

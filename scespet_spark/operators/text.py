@@ -103,3 +103,51 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     re-identification across pipelines)."""
     toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
     return df.withColumn(out, h64(F.array_join(toks, " ")))
+
+
+def chunk_documents(df: DataFrame, size: int = 64, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-window document chunking (one-to-many): fixed ``size``-token
+    chunks advancing by ``size - overlap`` tokens, the standard prep for
+    embedding / context-window-bounded training corpora.
+
+    Pure columnar sequence+explode — no UDF, no shuffle; chunking 100TB
+    is a map-only stage whose output stays partition-local.  A short
+    document yields exactly one chunk.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + 1, F.lit(1))
+    return (df.select(
+        id_col,
+        toks.alias("__t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+        .select(
+            id_col, "chunk_idx",
+            F.array_join(F.slice(F.col("__t"),
+                                 F.col("chunk_idx") * stride + 1, size),
+                         " ").alias("chunk_text"),
+            F.least(F.lit(size),
+                    F.size("__t") - F.col("chunk_idx") * stride)
+             .alias("n_tokens")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
+                      default_rate: float = 0.0,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``hash(id) mod 10000 < rate*10000`` with the rate chosen by stratum.
+    Hash-based (not ``rand()``) so the sample is reproducible across
+    runs, engines, and re-partitioning — a requirement for auditable
+    training-data pipelines.  Pure filter: no shuffle at any scale.
+    """
+    from .hashing import h64
+    bucket = F.pmod(h64(F.col(id_col).cast("string")), F.lit(10000))
+    rate = F.lit(int(default_rate * 10000))
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == k, int(v * 10000)).otherwise(rate)
+    return df.filter(bucket < rate)

@@ -181,3 +181,37 @@ def test_key_to_stream_left_join(spark):
     # 'c' has no factory events -> unbound-cell null row survives
     assert got == [("a", 1, 10.0), ("a", 2, 11.0), ("b", 1, 5.0),
                    ("c", None, None)]
+
+
+def test_chunk_documents_windows(spark):
+    from scespet_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, "a b")],
+        "doc_id long, text string")
+    rows = chunk_documents(df, size=4, overlap=1).orderBy(
+        "doc_id", "chunk_idx").collect()
+    got = [(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in rows]
+    assert got == [
+        (0, 0, "w0 w1 w2 w3", 4), (0, 1, "w3 w4 w5 w6", 4),
+        (0, 2, "w6 w7 w8 w9", 4),  # stride 3, last window full
+        (1, 0, "a b", 2),          # short doc -> exactly one chunk
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from scespet_spark.operators.text import chunk_documents
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, overlap=4)
+
+
+def test_stratified_sample_deterministic(docs):
+    from scespet_spark.operators.text import stratified_sample
+    a = sorted(r.doc_id for r in stratified_sample(
+        docs, "lang", {"en": 0.5}, default_rate=1.0).collect())
+    b = sorted(r.doc_id for r in stratified_sample(
+        docs.repartition(7), "lang", {"en": 0.5}, default_rate=1.0).collect())
+    assert a == b  # reproducible under re-partitioning
+    # default_rate=1.0 keeps every non-en row
+    non_en = {r.doc_id for r in docs.filter("lang <> 'en'").collect()}
+    assert non_en <= set(a)
