@@ -82,7 +82,8 @@ def dedupe(df: DataFrame, cols: Iterable[str], t: str = "ts",
 
 
 def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float],
-                  step: Callable, out_schema: str, t: str = "ts") -> DataFrame:
+                  step: Callable, out_schema: str, t: str = "ts",
+                  order_cols: list[str] | None = None) -> DataFrame:
     """Arbitrary per-key incremental state — the live equivalent of the
     reference's mutable Agg cells fed one event at a time.
 
@@ -103,16 +104,87 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
             st = dict(zip(state_names, state.get))
         else:
             st = dict(state_fields)
+        # concat the group's Arrow chunks before the one sort: chunk
+        # boundaries are arbitrary, so per-chunk sorting would fold
+        # out of event order whenever a key spans chunks
+        chunks = [p for p in pdfs if len(p)]
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(t, kind="mergesort")
-            rows.extend(step(st, pdf))
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                order_cols or [t], kind="mergesort")
+            rows = step(st, pdf)
         state.update(tuple(st[n] for n in state_names))
         key_vals = dict(zip(keys, key))
         yield pd.DataFrame([{**key_vals, **r} for r in rows])
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+
+
+def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
+                 t: str = "ts", seq: str = "event_id") -> DataFrame:
+    """Live count-based buckets (``group(Count(n)).reduce``) — no native
+    Structured Streaming support (SURVEY §7), so the bucket counter is
+    per-key state in the state store.  Emits ``(key, bucket, total, n)``
+    the moment a bucket fills; the trailing partial bucket stays open
+    (a live stream has no termination event — batch mode is where the
+    termination flush exists, SimpleEnv.scala:93)."""
+    def step(st, pdf):
+        rows = []
+        for ts, v in zip(pdf[t], pdf[value_col]):
+            st["cnt"] += 1
+            st["acc"] += float(v)
+            if st["cnt"] >= n:
+                rows.append({"bucket": int(st["bucket"]),
+                             "total": st["acc"], "n": int(st["cnt"])})
+                st["bucket"] += 1
+                st["cnt"] = 0.0
+                st["acc"] = 0.0
+        return rows
+
+    key_ddl = ", ".join(f"{k} long" for k in keys)
+    return stateful_scan(df, keys,
+                         {"cnt": 0.0, "acc": 0.0, "bucket": 0.0}, step,
+                         f"{key_ddl}, bucket long, total double, n long",
+                         t=t, order_cols=[t, seq])
+
+
+def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
+               left_col: str, right_col: str,
+               t: str = "ts", seq: str = "event_id") -> DataFrame:
+    """Live zip join (``join``/``zip_join``: emit both latest values when
+    either side fires) — per-key last-value state over a tagged union of
+    the two streams.  Before a side's first event its column is null
+    (VectorJoin.scala:55-66).  In-order delivery within the micro-batch
+    is established by the (t, seq) sort; cross-batch order relies on the
+    source's arrival order (use watermarked asof for out-of-order feeds).
+    """
+    lt = left.select(*keys, F.col(t), F.col(seq),
+                     F.lit(0).alias("__side"),
+                     F.col(left_col).cast("double").alias("__v"))
+    rt = right.select(*keys, F.col(t), F.col(seq),
+                      F.lit(1).alias("__side"),
+                      F.col(right_col).cast("double").alias("__v"))
+    u = lt.unionByName(rt)
+
+    def step(st, pdf):
+        rows = []
+        for ts, sq, side, v in zip(pdf[t], pdf[seq], pdf["__side"], pdf["__v"]):
+            if side == 0:
+                st["lx"], st["lseen"] = float(v), 1.0
+            else:
+                st["rx"], st["rseen"] = float(v), 1.0
+            rows.append({t: ts, seq: int(sq),
+                         left_col: st["lx"] if st["lseen"] else None,
+                         right_col: st["rx"] if st["rseen"] else None})
+        return rows
+
+    key_ddl = ", ".join(f"{k} long" for k in keys)
+    return stateful_scan(
+        u, keys, {"lx": 0.0, "rx": 0.0, "lseen": 0.0, "rseen": 0.0}, step,
+        f"{key_ddl}, {t} timestamp, {seq} long, "
+        f"{left_col} double, {right_col} double",
+        t=t, order_cols=[t, seq, "__side"])
 
 
 def run_available_now(df: DataFrame, output_mode: str = "complete",

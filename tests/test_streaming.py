@@ -62,3 +62,49 @@ def test_stateful_scan_running_total(spark, batch_events):
     g = {r.user_id: round(r.total, 6) for r in final.collect()}
     w = {r.user_id: round(r.total, 6) for r in want.collect()}
     assert g == w
+
+
+def test_streaming_count_buckets_equals_batch(spark, batch_events):
+    # live group(Count(5)).reduce — only *closed* buckets emit in live
+    # mode (no termination event), so compare against batch full buckets
+    from scespet_spark import Count, Stream
+    from scespet_spark.streaming.live import count_reduce
+
+    live = count_reduce(read_events_stream(spark, SF), ["user_id"], 5, "value")
+    got = _sorted_rows(run_available_now(live, "append"),
+                       ["user_id", "bucket", "n"])
+
+    s = Stream(batch_events, t="ts", seq="event_id").by("user_id", name="user_id")
+    full = (s.group(Count(5)).reduce(n=F.count("*"))
+            .df.filter("n = 5"))
+    w = full.groupBy("user_id").count().collect()
+    want_counts = {r.user_id: r["count"] for r in w}
+    got_counts = {}
+    for uid, bucket, n in got:
+        assert n == 5
+        got_counts[uid] = got_counts.get(uid, 0) + 1
+    assert got_counts == want_counts
+
+
+def test_streaming_zip_latest_equals_batch(spark, batch_events):
+    from scespet_spark import Stream
+    from scespet_spark.streaming.live import zip_latest
+
+    src = read_events_stream(spark, SF)
+    lt = src.filter(F.col("event_type") == "click")
+    rt = src.filter(F.col("event_type") == "purchase")
+    live = zip_latest(lt.withColumn("cv", F.col("value")),
+                      rt.withColumn("pv", F.col("value")),
+                      ["user_id"], "cv", "pv")
+    got = _sorted_rows(run_available_now(live, "append"),
+                       ["user_id", "event_id", "cv", "pv"])
+
+    ev = Stream(batch_events, t="ts", seq="event_id")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .by("user_id", name="user_id").map(cv=F.col("value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .by("user_id", name="user_id").map(pv=F.col("value")))
+    want = _sorted_rows(
+        clicks.zip_join(purchases, ["cv"], ["pv"]).df,
+        ["user_id", "event_id", "cv", "pv"])
+    assert got == want
