@@ -1,0 +1,114 @@
+"""Property-based semantics checks (hypothesis): the engine's DataFrame
+translation must equal a direct Python model of the reference's
+push-graph semantics (one event at a time, (t, seq) replay order) on
+randomized inputs — including duplicate timestamps, empty streams, and
+one-sided streams, the edge cases golden tests under-sample.
+
+Spark jobs per example are ~0.5s, so example counts are kept small;
+the point is shrunk counterexamples, not volume.
+"""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from scespet_spark import AFTER, BEFORE, Count, Stream, Trigger
+
+# events: non-decreasing ts with ties, global seq = draw order
+_values = st.lists(st.integers(-5, 5), min_size=0, max_size=10)
+
+
+def _mk_stream(spark, pairs, col="v"):
+    # pairs: list of (ts, seq, value)
+    if not pairs:
+        df = spark.createDataFrame([], f"ts long, seq long, {col} long")
+    else:
+        df = spark.createDataFrame(pairs, f"ts long, seq long, {col} long")
+    return Stream(df, t="ts", seq="seq")
+
+
+SETTINGS = settings(max_examples=12, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(lv=_values, rv=_values, lts=st.lists(st.integers(0, 4), min_size=10,
+                                            max_size=10),
+       rts=st.lists(st.integers(0, 4), min_size=10, max_size=10))
+@SETTINGS
+def test_zip_and_take_match_model(spark, lv, rv, lts, rts):
+    left = [(t, 2 * i, v) for i, (t, v) in enumerate(zip(sorted(lts[:len(lv)]), lv))]
+    right = [(t, 2 * i + 1, v) for i, (t, v) in enumerate(zip(sorted(rts[:len(rv)]), rv))]
+
+    # model: replay merged events in (ts, seq) order, keep latest per side
+    merged = sorted([(t, s, "L", v) for t, s, v in left]
+                    + [(t, s, "R", v) for t, s, v in right])
+    last = {"L": None, "R": None}
+    zip_expect, take_expect = [], []
+    for t, s, side, v in merged:
+        last[side] = v
+        zip_expect.append((t, s, last["L"], last["R"]))
+        if side == "R":
+            take_expect.append((t, s, last["L"], last["R"]))
+
+    ls = _mk_stream(spark, left, "lx")
+    rs = _mk_stream(spark, right, "rx")
+    got_zip = sorted((r.ts, r.seq, r.lx, r.rx) for r in
+                     ls.zip_join(rs, ["lx"], ["rx"]).df.collect())
+    assert got_zip == zip_expect
+    got_take = sorted((r.ts, r.seq, r.lx, r.rx) for r in
+                      ls.take(rs, ["lx"], ["rx"]).df.collect())
+    assert got_take == take_expect
+
+
+@given(vals=_values, n=st.integers(1, 4))
+@SETTINGS
+def test_count_slice_matches_model(spark, vals, n):
+    rows = [(i, i, v) for i, v in enumerate(vals)]
+    s = _mk_stream(spark, rows)
+    got = sorted((r.ts, r.s) for r in
+                 s.group(Count(n)).reduce(s=F.sum("v")).df.collect())
+    expect = []
+    for b in range(0, len(vals), n):
+        chunk = vals[b:b + n]
+        close_ts = b + len(chunk) - 1  # bucket emits at its last event
+        expect.append((close_ts, sum(chunk)))
+    assert got == sorted(expect)
+
+
+@given(vals=_values, boundary=st.integers(-5, 5))
+@SETTINGS
+def test_trigger_slice_alignment_matches_model(spark, vals, boundary):
+    rows = [(i, i, v) for i, v in enumerate(vals)]
+    s = _mk_stream(spark, rows)
+    for align in (BEFORE, AFTER):
+        got = sorted((r.ts, r.s) for r in
+                     s.group(Trigger(F.col("v") == boundary, align))
+                     .reduce(s=F.sum("v")).df.collect())
+        # model: walk events, bucket id advances on boundary events —
+        # BEFORE: the boundary event starts the new bucket; AFTER: it
+        # closes the old one (TestSingleTerms.scala:157-181)
+        buckets = {}
+        b = 0
+        for i, v in enumerate(vals):
+            hit = v == boundary
+            if hit and align == BEFORE:
+                b += 1
+            buckets.setdefault(b, []).append((i, v))
+            if hit and align == AFTER:
+                b += 1
+        expect = sorted(
+            (max(i for i, _ in rs), sum(v for _, v in rs))
+            for rs in buckets.values())
+        assert got == expect
+
+
+@given(vals=_values)
+@SETTINGS
+def test_scan_is_prefix_sums(spark, vals):
+    rows = [(i, i, v) for i, v in enumerate(vals)]
+    s = _mk_stream(spark, rows)
+    got = [r.c for r in s.scan(c=F.sum("v")).df.orderBy("seq").collect()]
+    expect, acc = [], 0
+    for v in vals:
+        acc += v
+        expect.append(acc)
+    assert got == expect
