@@ -303,44 +303,51 @@ class Stream:
         (reference: ``scan``/``fold_all``).  Pass *unaliased* aggregate
         Columns by output name: ``scan(total=F.sum("value"))``.
 
-        Keyed streams partition by key — fully parallel.  For *global*
-        scans pass ``buckets`` (a coarse time-bucket column, e.g.
-        ``F.date_trunc('day', F.col('ts'))``): the scan is computed as
-        within-bucket running window + an exclusive prefix over per-bucket
-        partials (broadcast back) — two shuffles over B buckets instead of
-        a single-partition sort, which is the only plan that survives at
-        100TB.  Decomposable aggs only (sum/count/min/max) on that path.
+        Keyed streams partition by key — fully parallel across keys.
+        Pass ``buckets`` (a coarse time-bucket column, e.g.
+        ``F.date_trunc('day', F.col('ts'))``) when a single partition's
+        sort would not survive the data size: the *global* scan (no keys
+        at all) and the *skewed-key* scan (one key holding a huge share
+        of the stream) are both computed as within-(key,)bucket running
+        window + an exclusive prefix over per-bucket partials joined
+        back — shuffles over (K×)B buckets instead of a monolithic
+        per-(key)partition sort.  Decomposable aggs only (sum/count-like,
+        merge = +) on that path.
         """
         if not aggs:
             raise ValueError("scan needs at least one named aggregate Column")
-        if buckets is not None and not self.keys:
-            return self._scalable_global_scan(aggs, buckets)
+        if buckets is not None:
+            return self._scalable_scan(aggs, buckets)
         w = self._running()
         df = self.df
         for name, a in aggs.items():
             df = df.withColumn(name, a.over(w))
         return self._derive(df)
 
-    def _scalable_global_scan(self, aggs: dict[str, Column], buckets: Column) -> "Stream":
-        # Two-phase global prefix aggregation. Phase 1: per-bucket running
-        # values (parallel across buckets). Phase 2: exclusive prefix of
-        # per-bucket totals (B rows, computed in one tiny window) joined
-        # back broadcast. Only sum/count-like (merge = +) aggregates.
+    def _scalable_scan(self, aggs: dict[str, Column], buckets: Column) -> "Stream":
+        # Two-phase prefix aggregation. Phase 1: per-(key, bucket) running
+        # values (parallel across buckets, so a skewed key's rows spread
+        # over its B buckets). Phase 2: exclusive prefix of per-bucket
+        # totals (K x B rows, one small window per key) joined back —
+        # broadcast when keyless (B rows); AQE decides for keyed offsets.
+        keys = list(self.keys)
         df = self.df.withColumn(_BUCKET, buckets)
         names = list(aggs)
-        w_in = (Window.partitionBy(_BUCKET).orderBy(*self._order())
+        w_in = (Window.partitionBy(*keys, _BUCKET).orderBy(*self._order())
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         for name, a in aggs.items():
             df = df.withColumn(name, a.over(w_in))
-        partials = df.groupBy(_BUCKET).agg(
+        partials = df.groupBy(*keys, _BUCKET).agg(
             *[F.max(n).alias(f"__tot_{n}") for n in names])
-        w_pref = (Window.orderBy(_BUCKET)
+        w_pref = (Window.partitionBy(*keys).orderBy(_BUCKET)
                   .rowsBetween(Window.unboundedPreceding, -1))
         offsets = partials.select(
-            _BUCKET,
+            *keys, _BUCKET,
             *[F.coalesce(F.sum(f"__tot_{n}").over(w_pref), F.lit(0)).alias(f"__off_{n}")
               for n in names])
-        out = df.join(F.broadcast(offsets), _BUCKET)
+        if not keys:
+            offsets = F.broadcast(offsets)
+        out = df.join(offsets, [*keys, _BUCKET])
         for n in names:
             out = out.withColumn(n, F.col(n) + F.col(f"__off_{n}"))
         out = out.drop(_BUCKET, *[f"__off_{n}" for n in names])

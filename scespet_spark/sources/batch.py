@@ -106,3 +106,25 @@ def show(stream: Stream, n: int = 20, prefix: str = "") -> None:
     if prefix:
         print(prefix)
     stream.df.orderBy(*stream._order()).show(n, truncate=False)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols=(),
+                      sort_within=(), max_records_per_file: int = 2_000_000,
+                      mode: str = "overwrite") -> None:
+    """Parquet sink for pipeline outputs at scale: hive-partition by the
+    given columns, cluster writes so each task writes few files per
+    partition value (repartition on the partition key avoids the
+    every-task-writes-every-partition small-file explosion), sort within
+    files for row-group pruning on later scans, and cap records per
+    file so downstream readers get balanced splits."""
+    w = df
+    if partition_cols:
+        w = w.repartition(*[F.col(c) for c in partition_cols])
+    if sort_within:
+        w = w.sortWithinPartitions(*[F.col(c) for c in
+                                     (*partition_cols, *sort_within)])
+    writer = (w.write.mode(mode)
+              .option("maxRecordsPerFile", str(max_records_per_file)))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

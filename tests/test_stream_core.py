@@ -229,3 +229,31 @@ def test_ewma_keyed_fewer_keys_than_partitions(spark):
         y[k] = float(i) if k not in y else 0.5 * i + 0.5 * y[k]
         expect[(k, i)] = y[k]
     assert out == pytest.approx(expect)
+
+
+def test_scalable_keyed_scan_matches_plain(spark):
+    # two-phase bucketed scan must equal the plain per-key running scan
+    # (the skewed-key scale path)
+    rows = [(i, i, i % 3, (i * 5) % 11) for i in range(120)]
+    s = Stream(spark.createDataFrame(
+        rows, "ts long, seq long, k long, v long"),
+        t="ts", seq="seq", keys=("k",))
+    plain = sorted((r.k, r.seq, r.c) for r in s.scan(c=F.sum("v")).df.collect())
+    bucketed = sorted((r.k, r.seq, r.c) for r in s.scan(
+        buckets=(F.col("ts") / F.lit(16)).cast("long"),
+        c=F.sum("v")).df.collect())
+    assert plain == bucketed
+
+
+def test_write_partitioned_roundtrip(spark, tmp_path):
+    from scespet_spark.sources.batch import write_partitioned
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p long, v double")
+    out = str(tmp_path / "out")
+    write_partitioned(df, out, partition_cols=("p",), sort_within=("id",))
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    assert sorted(r.p for r in back.select("p").distinct().collect()) == [0, 1, 2]
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("p=")) == [
+        "p=0", "p=1", "p=2"]
