@@ -73,22 +73,25 @@ def mh_coeffs(i: int) -> tuple[int, int]:
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
-                      num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """Adds ``mh_0..mh_{k-1}`` minhash columns: min over shingles of the
-    universal hash family applied to the shingle's base digest.  k plain
-    columns (not a k-array) keeps every expression inside whole-stage
-    codegen."""
-    sh = shingles(F.col(text_col), shingle_n)
-    out = df.withColumn(
-        "__bh", F.transform(sh, lambda s: h64(s) % MH_PRIME))
-    def affine(a, b):
-        return lambda x: (a * x + b) % MH_PRIME
+                      num_hashes: int = 16, shingle_n: int = 3,
+                      id_col: str = "doc_id") -> DataFrame:
+    """One row per ``id_col`` with ``mh_0..mh_{k-1}`` minhash columns:
+    min over shingles of the universal hash family applied to the
+    shingle's base digest.
 
+    Shape chosen for scale: explode shingles to rows, hash in plain
+    column expressions (whole-stage codegen — no interpreted
+    higher-order lambdas), then ONE groupBy with k ``min`` aggregates.
+    ``min`` is map-side combinable, so the shuffle carries one partial
+    signature row per (doc, partition), never the shingle set."""
+    ex = df.select(F.col(id_col),
+                   F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"))
+    bh = ex.select(id_col, (h64(F.col("__s")) % MH_PRIME).alias("__h"))
+    aggs = []
     for i in range(num_hashes):
         a, b = mh_coeffs(i)
-        out = out.withColumn(
-            f"mh_{i}", F.array_min(F.transform(F.col("__bh"), affine(a, b))))
-    return out.drop("__bh")
+        aggs.append(F.min((F.col("__h") * a + b) % MH_PRIME).alias(f"mh_{i}"))
+    return bh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
