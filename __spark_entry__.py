@@ -629,6 +629,50 @@ def slice_by_purchase_trigger(spark, sf_dir):
     return out.df.select("user_id", "ts", "total", "n")
 
 
+@query("session_windows_user", """
+WITH l AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l)
+SELECT user_id, MAX(ts) AS ts, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM s GROUP BY user_id, sid
+""")
+def session_windows_user(spark, sf_dir):
+    """Gap-based session windows per user (new capability beyond the
+    reference, native Spark semantics)."""
+    from scespet_spark import Session
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Session("1 day")).reduce(n=F.count("*"), total=_dsum("value"))
+    return out.df.select("user_id", "ts", "n", "total")
+
+
+@query("sliding_window_user", """
+WITH w AS (
+  SELECT user_id, value,
+         UNNEST([DATE_TRUNC('day', ts),
+                 DATE_TRUNC('day', ts) - INTERVAL 1 DAY]) AS win_start
+  FROM events)
+SELECT user_id, win_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM w GROUP BY user_id, win_start
+""")
+def sliding_window_user(spark, sf_dir):
+    """2-day windows sliding daily per user (new capability beyond the
+    reference; each event lands in duration/slide windows)."""
+    from scespet_spark import Sliding
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Sliding("2 days", "1 day")).reduce(
+        n=F.count("*"), total=_dsum("value"))
+    return out.df.select("user_id", "win_start", "n", "total")
+
+
 @query("to_stream_mux", """
 SELECT user_id, ts, event_id, value FROM events
 """)

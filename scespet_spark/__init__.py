@@ -12,6 +12,8 @@ from .core.stream import (  # noqa: F401
     Count,
     Every,
     GroupedStream,
+    Session,
+    Sliding,
     Stream,
     Termination,
     Trigger,
@@ -26,6 +28,8 @@ __all__ = [
     "Count",
     "Every",
     "GroupedStream",
+    "Session",
+    "Sliding",
     "Stream",
     "Termination",
     "Trigger",

@@ -89,6 +89,30 @@ class Termination:
     """
 
 
+class Session:
+    """Gap-based session buckets: a bucket closes when the next event (of
+    the same key) arrives more than ``gap`` after the previous one.
+
+    New capability — absent from the reference (its only time spec is a
+    fixed Duration); native to Spark semantics (session_window) and
+    expressed here as a lag/running-sum bucket id so both ``scan`` and
+    ``reduce`` work.  ``gap`` is a Spark interval string."""
+
+    def __init__(self, gap: str):
+        self.gap = gap
+
+
+class Sliding:
+    """Overlapping fixed windows (``duration`` long, advancing every
+    ``slide``).  New capability — absent from the reference.  Each event
+    belongs to multiple windows, so only ``reduce`` is defined (a
+    cumulative per-event scan has no single bucket identity)."""
+
+    def __init__(self, duration: str, slide: str):
+        self.duration = duration
+        self.slide = slide
+
+
 class TriggerStream:
     """Bucket boundaries driven by a *separate* stream's events.
 
@@ -110,7 +134,7 @@ class TriggerStream:
         self.align = align
 
 
-SliceSpec = Count | Every | Trigger | Termination | TriggerStream
+SliceSpec = Count | Every | Trigger | Termination | TriggerStream | Session | Sliding
 
 _BUCKET = "__bucket"
 _GATE = "__gate"
@@ -462,8 +486,19 @@ class GroupedStream:
             b = inc if spec.align == BEFORE else (inc - flag)
         elif isinstance(spec, Termination):
             b = F.lit(0)
+        elif isinstance(spec, Session):
+            w_lag = Window.partitionBy(*s.keys).orderBy(*s._order())
+            prev = F.lag(F.col(s.t)).over(w_lag)
+            gap_us = F.lit(0).cast("timestamp") + F.expr(f"INTERVAL {spec.gap}")
+            new_sess = (prev.isNull() |
+                        (F.unix_micros(F.col(s.t)) - F.unix_micros(prev)
+                         > F.unix_micros(gap_us)))
+            w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            b = F.sum(new_sess.cast("long")).over(w_run)
         elif isinstance(spec, TriggerStream):
             return self._with_trigger_stream_bucket(spec)
+        elif isinstance(spec, Sliding):
+            raise TypeError("Sliding windows support reduce() only")
         else:  # pragma: no cover
             raise TypeError(f"unknown slice spec {spec!r}")
         return s._derive(s.df.withColumn(_BUCKET, b))
@@ -510,6 +545,16 @@ class GroupedStream:
 
     def reduce(self, **aggs: Column) -> Stream:
         """One row per bucket, emitted at the bucket's last event time."""
+        if isinstance(self.spec, Sliding):
+            s = self.stream
+            out = (s.df.groupBy(
+                *s.keys,
+                F.window(F.col(s.t), self.spec.duration,
+                         self.spec.slide).alias(_BUCKET))
+                .agg(F.max(s.t).alias(s.t), F.max(s.seq).alias(s.seq),
+                     *[a.alias(n) for n, a in aggs.items()])
+                .withColumn("win_start", F.col(_BUCKET).getField("start")))
+            return s._derive(out.drop(_BUCKET))
         s = self._with_bucket()
         out = (s.df.groupBy(*s.keys, _BUCKET)
                .agg(F.max(s.t).alias(s.t), F.max(s.seq).alias(s.seq),

@@ -118,3 +118,31 @@ def test_trigger_stream_slice_per_key(spark):
     out = data.group(TriggerStream(trig, AFTER)).reduce(s=F.sum("v"))
     got = sorted((r.k, r.ts, r.s) for r in out.df.collect())
     assert got == [("a", 1, 3), ("a", 2, 3), ("b", 2, 30)]
+
+
+def test_session_window_gap(spark):
+    # 10s-gap sessions over ts 0,5,12,14 | 40,41,42; scan + reduce
+    from scespet_spark import Session, Stream
+    rows = [(t * 1_000_000, i, 1) for i, t in enumerate([0, 5, 12, 14, 40, 41, 42])]
+    df = spark.createDataFrame(rows, "us long, seq long, v long").select(
+        F.timestamp_micros("us").alias("ts"), "seq", "v")
+    s = Stream(df, t="ts", seq="seq")
+    red = s.group(Session("10 seconds")).reduce(n=F.count("*"))
+    assert sorted(r.n for r in red.df.collect()) == [3, 4]
+    scan = s.group(Session("10 seconds")).scan(n=F.count("*"))
+    assert [r.n for r in scan.df.orderBy("seq").collect()] == [1, 2, 3, 4, 1, 2, 3]
+
+
+def test_sliding_window_membership(spark):
+    # 20s windows sliding 10s: each event in exactly 2 windows
+    from scespet_spark import Sliding, Stream
+    rows = [(t * 1_000_000, i, 1) for i, t in enumerate([0, 5, 12])]
+    df = spark.createDataFrame(rows, "us long, seq long, v long").select(
+        F.timestamp_micros("us").alias("ts"), "seq", "v")
+    s = Stream(df, t="ts", seq="seq")
+    out = s.group(Sliding("20 seconds", "10 seconds")).reduce(n=F.count("*"))
+    got = sorted((str(r.win_start)[11:19], r.n) for r in out.df.collect())
+    assert got == [("00:00:00", 3), ("00:00:10", 1), ("23:59:50", 2)]
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        s.group(Sliding("20 seconds", "10 seconds")).scan(n=F.count("*"))
