@@ -391,6 +391,23 @@ def zip_click_purchase(spark, sf_dir):
     return out.df.select("user_id", "ts", "event_id", "cv", "pv")
 
 
+@query("live_zip_click_purchase", _ZIP_ORACLE_BODY +
+       "SELECT user_id, ts, event_id, cv, pv FROM f")
+def live_zip_click_purchase(spark, sf_dir):
+    """The zip join executed as a Structured Streaming plan
+    (applyInPandasWithState over a tagged union) — same oracle as the
+    batch zip: live mode must be value-identical, not just plausible."""
+    from scespet_spark.streaming.live import (read_events_stream, run_available_now,
+                                              zip_latest)
+    src = read_events_stream(spark, sf_dir)
+    live = zip_latest(
+        src.filter(F.col("event_type") == "click").withColumn("cv", F.col("value")),
+        src.filter(F.col("event_type") == "purchase").withColumn("pv", F.col("value")),
+        ["user_id"], "cv", "pv")
+    return run_available_now(live, "append").select(
+        "user_id", "ts", "event_id", "cv", "pv")
+
+
 @query("asof_purchase_last_click", """
 WITH c AS (SELECT user_id, ts, event_id, value AS cv FROM events
            WHERE event_type = 'click'),
