@@ -1129,6 +1129,41 @@ def doc_chunking(spark, sf_dir):
                       "chunk_text", F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+@query("redact_pii", f"""
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+           AS t
+  FROM documents),
+t1 AS (SELECT doc_id, t,
+              regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS r1,
+              len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n1 FROM t0),
+t2 AS (SELECT doc_id, r1,
+              regexp_replace(r1, '{_PHONE_RE}', '<PHONE>', 'g') AS r2,
+              n1 + len(regexp_extract_all(r1, '{_PHONE_RE}')) AS n2 FROM t1),
+t3 AS (SELECT doc_id,
+              regexp_replace(r2, '{_IP_RE}', '<IP>', 'g') AS clean_text,
+              n2 + len(regexp_extract_all(r2, '{_IP_RE}')) AS n_redactions
+       FROM t2)
+SELECT doc_id, clean_text, CAST(n_redactions AS INT) AS n_redactions FROM t3
+""")
+def redact_pii(spark, sf_dir):
+    """PII-style redaction (email/phone/IP) as chained codegen
+    regexp_replace — map-only at any scale.  A synthetic per-doc email
+    is appended so the rule actually fires on the clean corpus."""
+    from scespet_spark.operators.text import redact
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" contact_"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")))
+    return redact(docs).select("doc_id", "clean_text", "n_redactions")
+
+
 @query("stratified_sample_docs", f"""
 SELECT doc_id, lang
 FROM documents

@@ -151,3 +151,27 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     for k, v in rates.items():
         rate = F.when(F.col(strata_col) == k, int(v * 10000)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+#: (name, pattern, replacement) — order matters (emails before bare
+#: domains, etc.).  Patterns are RE2-safe (no backrefs) so they run in
+#: Spark's codegen'd regexp_replace and in DuckDB identically.
+DEFAULT_REDACTIONS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact(df: DataFrame, text_col: str = "text",
+           rules=DEFAULT_REDACTIONS, out: str = "clean_text") -> DataFrame:
+    """PII-style redaction for training corpora: a chain of columnar
+    ``regexp_replace`` calls (whole-stage codegen, no UDF — a map-only
+    stage at any scale).  Returns the input plus ``out`` and a
+    ``n_redactions`` count (difference of match counts per rule)."""
+    col = F.col(text_col)
+    n = F.lit(0)
+    for _, pat, rep in rules:
+        n = n + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        col = F.regexp_replace(col, pat, rep)
+    return df.withColumn(out, col).withColumn("n_redactions", n)

@@ -215,3 +215,14 @@ def test_stratified_sample_deterministic(docs):
     # default_rate=1.0 keeps every non-en row
     non_en = {r.doc_id for r in docs.filter("lang <> 'en'").collect()}
     assert non_en <= set(a)
+
+
+def test_redact_pii(spark):
+    from scespet_spark.operators.text import redact
+    df = spark.createDataFrame(
+        [(0, "mail bob@x.com or +1 555-123-4567 from 10.0.0.1"),
+         (1, "nothing to hide")], "doc_id long, text string")
+    rows = {r.doc_id: (r.clean_text, r.n_redactions)
+            for r in redact(df).collect()}
+    assert rows[0] == ("mail <EMAIL> or <PHONE> from <IP>", 3)
+    assert rows[1] == ("nothing to hide", 0)
