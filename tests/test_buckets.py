@@ -146,3 +146,20 @@ def test_sliding_window_membership(spark):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         s.group(Sliding("20 seconds", "10 seconds")).scan(n=F.count("*"))
+
+
+def test_window_from_keyed_gate_streams(spark):
+    # per-key boolean window streams (reference: VectTerm.scala:530-543):
+    # key a gated [1,5) (close beats data at t=5), key b gated [2,..) and
+    # never closed -> reduce emits nothing for b
+    from scespet_spark import Stream
+    data = Stream(spark.createDataFrame(
+        [(t, 100 + t, k, t) for t in range(8) for k in ("a", "b")],
+        "ts long, seq long, k string, v long"), t="ts", seq="seq", keys=("k",))
+    gate = Stream(spark.createDataFrame(
+        [(1, 0, "a", True), (5, 1, "a", False), (2, 2, "b", True)],
+        "ts long, seq long, k string, g boolean"),
+        t="ts", seq="seq", keys=("k",))
+    red = data.window_from(gate, "g").reduce(vs=F.collect_list("v"))
+    got = {r.k: sorted(r.vs) for r in red.df.collect()}
+    assert got == {"a": [1, 2, 3, 4]}
