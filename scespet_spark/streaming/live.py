@@ -198,3 +198,102 @@ def run_available_now(df: DataFrame, output_mode: str = "complete",
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+class LiveStream:
+    """The fluent Stream surface over a *streaming* DataFrame — the
+    reference's central contract is that one expression works on both
+    historic and realtime sources (EventSource.java:3-6); here the same
+    verbs compile to Structured Streaming plans instead of batch ones.
+
+    Supported live verbs: map / filter / filter_type / by (keying),
+    group(Every).reduce (watermarked tumbling), group(Count).reduce
+    (stateful count buckets), value_set (watermarked dropDuplicates),
+    zip_join (stateful last-value zip), stateful_scan (arbitrary
+    per-key fold).  ``run()`` executes AvailableNow into a memory sink
+    — the bridge that lets batch golden tests assert on live output.
+    Data-driven slicing (Trigger/TriggerStream) stays batch-first.
+    """
+
+    def __init__(self, df: DataFrame, t: str = "ts", seq: str = "event_id",
+                 keys: tuple = (), watermark: str = "1 day"):
+        self.df = df
+        self.t = t
+        self.seq = seq
+        self.keys = tuple(keys)
+        self.watermark = watermark
+
+    @classmethod
+    def from_events(cls, spark: SparkSession, sf_dir: str,
+                    watermark: str = "1 day") -> "LiveStream":
+        return cls(read_events_stream(spark, sf_dir), watermark=watermark)
+
+    def _derive(self, df: DataFrame, keys=None) -> "LiveStream":
+        return LiveStream(df, self.t, self.seq,
+                          self.keys if keys is None else tuple(keys),
+                          self.watermark)
+
+    def map(self, **named: Column) -> "LiveStream":
+        df = self.df
+        for name, col in named.items():
+            df = df.withColumn(name, col)
+        return self._derive(df)
+
+    def filter(self, cond: Column) -> "LiveStream":
+        return self._derive(self.df.filter(cond))
+
+    def filter_type(self, discriminator: str, value: str) -> "LiveStream":
+        return self.filter(F.col(discriminator) == value)
+
+    def by(self, key: str) -> "LiveStream":
+        return self._derive(self.df, keys=(*self.keys, key))
+
+    def value_set(self, cols) -> "LiveStream":
+        return self._derive(dedupe(self.df, list(cols), self.t, self.watermark))
+
+    def zip_join(self, other: "LiveStream", left_col: str,
+                 right_col: str) -> "LiveStream":
+        if self.keys != other.keys:
+            raise ValueError("zip_join requires identical keys")
+        out = zip_latest(self.df, other.df, list(self.keys),
+                         left_col, right_col, self.t, self.seq)
+        return self._derive(out)
+
+    def group(self, spec) -> "LiveGrouped":
+        return LiveGrouped(self, spec)
+
+    def count_reduce(self, n: int, value_col: str) -> "LiveStream":
+        out = count_reduce(self.df, list(self.keys), n, value_col,
+                           self.t, self.seq)
+        return self._derive(out)
+
+    def scan_state(self, state_fields: dict, step: Callable,
+                   out_schema: str) -> "LiveStream":
+        out = stateful_scan(self.df, list(self.keys), state_fields, step,
+                            out_schema, t=self.t,
+                            order_cols=[self.t, self.seq])
+        return self._derive(out)
+
+    def run(self, output_mode: str = "append") -> DataFrame:
+        return run_available_now(self.df, output_mode)
+
+
+class LiveGrouped:
+    def __init__(self, stream: LiveStream, spec):
+        self.stream = stream
+        self.spec = spec
+
+    def reduce(self, **aggs: Column) -> LiveStream:
+        from ..core.stream import Count, Every
+        s = self.stream
+        if isinstance(self.spec, Every):
+            out = tumbling(s.df, self.spec.duration, keys=list(s.keys),
+                           t=s.t, watermark=s.watermark, **aggs)
+            return s._derive(out)
+        if isinstance(self.spec, Count):
+            # stateful count buckets support sum/count shapes via the
+            # dedicated operator; arbitrary aggs need scan_state
+            raise TypeError("use LiveStream.count_reduce for live "
+                            "count-based buckets")
+        raise TypeError(f"live mode does not support slice spec "
+                        f"{type(self.spec).__name__}; run it batch-first")

@@ -108,3 +108,42 @@ def test_streaming_zip_latest_equals_batch(spark, batch_events):
         clicks.zip_join(purchases, ["cv"], ["pv"]).df,
         ["user_id", "event_id", "cv", "pv"])
     assert got == want
+
+
+def test_livestream_fluent_pipeline_equals_batch(spark, batch_events):
+    # the SAME expression shape on the batch Stream and the LiveStream
+    # must produce identical aggregates (the reference's one-API-two-
+    # modes contract, EventSource.java:3-6)
+    from scespet_spark import Every, Stream
+    from scespet_spark.streaming.live import LiveStream
+
+    live = (LiveStream.from_events(spark, SF)
+            .filter(F.col("event_type") == "purchase")
+            .map(v2=F.col("value") * 2)
+            .by("user_id")
+            .group(Every("1 day"))
+            .reduce(total=F.sum("v2"), n=F.count("*"))
+            .run("complete"))
+    got = _sorted_rows(live, ["user_id", "win_start", "n"])
+
+    batch = (Stream(batch_events, t="ts", seq="event_id")
+             .filter(F.col("event_type") == "purchase")
+             .map(v2=F.col("value") * 2)
+             .by("user_id", name="user_id")
+             .group(Every("1 day"))
+             .reduce(total=F.sum("v2"), n=F.count("*")))
+    want_df = batch.df.withColumn(
+        "win_start", F.date_trunc("day", F.col("ts")))
+    want = _sorted_rows(
+        want_df.groupBy("user_id", "win_start").agg(
+            F.sum("n").alias("n")), ["user_id", "win_start", "n"])
+    assert got == want
+
+
+def test_livestream_count_reduce(spark):
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, SF)
+            .by("user_id").count_reduce(4, "value").run("append"))
+    assert live.count() > 0
+    assert set(live.columns) == {"user_id", "bucket", "total", "n"}
+    assert live.filter("n <> 4").count() == 0
