@@ -37,8 +37,12 @@ HEADLINE = [
     "zip_click_purchase",
     "asof_purchase_last_click",
     "ewma_final_per_user",
+    "session_windows_user",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "doc_chunking",
+    "stratified_sample_docs",
+    "redact_pii",
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "text_quality",
