@@ -646,6 +646,32 @@ def slice_by_purchase_trigger(spark, sf_dir):
     return out.df.select("user_id", "ts", "total", "n")
 
 
+@query("funnel_view_to_purchase", """
+SELECT user_id,
+       MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+       epoch_us(MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+         - epoch_us(MIN(CASE WHEN event_type = 'view' THEN ts END))
+         AS micros_to_convert
+FROM events
+GROUP BY user_id
+HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+""")
+def funnel_view_to_purchase(spark, sf_dir):
+    """Per-key event-lifecycle analytics (reference pattern:
+    OrderReportsExample.scala:19-36 — subtype streams recombined per
+    key): first view -> first purchase conversion lag."""
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.reduce(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    ).filter(F.col("first_view").isNotNull() & F.col("first_purchase").isNotNull())
+    return out.withColumn(
+        "micros_to_convert",
+        F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+
+
 @query("session_windows_user", """
 WITH l AS (
   SELECT user_id, ts, event_id, value,

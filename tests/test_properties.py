@@ -112,3 +112,29 @@ def test_scan_is_prefix_sums(spark, vals):
         acc += v
         expect.append(acc)
     assert got == expect
+
+
+@given(gaps=st.lists(st.integers(1, 30), min_size=1, max_size=10))
+@SETTINGS
+def test_session_windows_match_gap_model(spark, gaps):
+    # cumulative gap walk: new session whenever inter-arrival > 10
+    from scespet_spark import Session
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(acc)
+    rows = [(t * 1_000_000, i, 1) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "us long, seq long, v long").select(
+        F.timestamp_micros("us").alias("ts"), "seq", "v")
+    s = Stream(df, t="ts", seq="seq")
+    got = sorted(r.n for r in
+                 s.group(Session("10 seconds")).reduce(n=F.count("*")).df.collect())
+    sizes, cur = [], 1
+    for g in gaps[1:]:
+        if g > 10:
+            sizes.append(cur)
+            cur = 1
+        else:
+            cur += 1
+    sizes.append(cur)
+    assert got == sorted(sizes)
