@@ -914,7 +914,7 @@ def dedup_exact(spark, sf_dir):
     return exact_groups(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_hashes=16, bands=4):
+def _minhash_ctes(num_hashes=16, bands=4):
     from scespet_spark.operators.dedup import MH_PRIME, mh_coeffs
     rows = num_hashes // bands
     mh = ",\n       ".join(
@@ -926,24 +926,51 @@ def _minhash_oracle(num_hashes=16, bands=4):
             b=b, h=h64_sql(" || '_' || ".join(
                 f"mh_{b * rows + r}::VARCHAR" for r in range(rows))))
         for b in range(bands))
-    return f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ctes = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
 bh AS (SELECT doc_id,
               list_transform(s, x -> {h64_sql('x')} % {MH_PRIME}) AS bh
        FROM sh),
 mh AS (SELECT doc_id, {mh} FROM bh),
-banded AS ({band_sel})
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b USING (band, band_hash)
-WHERE a.doc_id < b.doc_id
-"""
+banded AS ({band_sel}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id)"""
+    return ctes
+
+
+def _minhash_oracle(num_hashes=16, bands=4):
+    return (f"WITH {_minhash_ctes(num_hashes, bands)}\n"
+            "SELECT id_a, id_b FROM pairs")
 
 
 @query("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     from scespet_spark.operators.dedup import lsh_candidate_pairs
     return lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_clusters", f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+cc(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, c.label
+  FROM edges e JOIN cc c ON e.dst = c.id
+  WHERE c.label < e.src)
+SELECT id, MIN(label) AS cluster FROM cc GROUP BY id
+""")
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clusters (connected components by min-label propagation
+    over the LSH candidate pairs) — join+groupBy-min per iteration with
+    lineage checkpointing; oracle is DuckDB's recursive CTE closure."""
+    from scespet_spark.operators.dedup import (connected_components,
+                                               lsh_candidate_pairs)
+    pairs = lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs).select("id", "cluster")
 
 
 def _simhash_oracle(bits=32):

@@ -184,3 +184,41 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                     F.col(f"b.{id_col}").alias("id_b"),
                     cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Duplicate clusters from candidate pairs: connected components via
+    min-label propagation.  Returns (id, cluster) where cluster is the
+    smallest id reachable from id.
+
+    Each iteration is one join + one groupBy-min (all combinable);
+    iterations = graph diameter (near-dup clusters are shallow — a
+    handful).  ``localCheckpoint`` truncates lineage so plans don't grow
+    across iterations.  At extreme scale swap for the large-star/
+    small-star formulation; the loop/convergence skeleton is identical.
+    """
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .unionByName(pairs.select(F.col(b).alias("src"),
+                                       F.col(a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster", F.col("id")))
+    for _ in range(max_iters):
+        # candidate label for each node: min over neighbors' labels
+        prop = (edges.join(labels, edges.dst == labels.id)
+                .groupBy("src").agg(F.min("cluster").alias("nbr")))
+        new = (labels.join(prop, labels.id == prop.src, "left")
+               .select(labels.id,
+                       F.least(labels.cluster,
+                               F.coalesce(F.col("nbr"), labels.cluster))
+                        .alias("cluster")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.cluster") != F.col("o.cluster")).limit(1)
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -226,3 +226,14 @@ def test_redact_pii(spark):
             for r in redact(df).collect()}
     assert rows[0] == ("mail <EMAIL> or <PHONE> from <IP>", 3)
     assert rows[1] == ("nothing to hide", 0)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from scespet_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11), (11, 9)],
+        "id_a long, id_b long")
+    got = sorted((r.id, r.cluster)
+                 for r in connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7),
+                   (9, 9), (10, 9), (11, 9)]
