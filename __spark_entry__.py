@@ -1071,6 +1071,41 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qvec, k=20, nprobe=2)
 
 
+@query("ann_batch_topk", f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM n ORDER BY vec_id LIMIT 3),
+scored AS (
+  SELECT q.q_id, n.vec_id,
+         round({_cosine_sql('n.v', 'q.q_vec')}, 6) AS score
+  FROM n CROSS JOIN q)
+SELECT q_id, vec_id, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id) AS rnk
+  FROM scored) WHERE rnk <= 5
+""")
+def ann_batch_topk(spark, sf_dir):
+    """Top-k for a query *table* — broadcast Q queries against the
+    corpus: one corpus scan total, only Q x k rows shuffle."""
+    from scespet_spark.operators.similarity import batch_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.orderBy("vec_id").limit(3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").cast("array<double>").alias("q_vec")))
+    out = batch_topk(emb, q, k=5)
+    return out.select("q_id", "vec_id", "score",
+                      F.col("rnk").cast("long").alias("rnk"))
+
+
+@query("ann_ivf_kmeans_codes")  # iterative (Lloyd's) — rows-only check
+def ann_ivf_kmeans_codes(spark, sf_dir):
+    """IVF coarse-code build: deterministic-seeded k-means expressed as
+    broadcast-join assign + element-wise-mean update per iteration.
+    No oracle_sql: genuinely iterative (driver records rows-only)."""
+    from scespet_spark.operators.similarity import kmeans_codes
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_codes(emb, k=8, iters=3)
+
+
 @query("text_token_stats", f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, len(toks) AS n_ws_tokens,

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -84,3 +84,56 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 20,
             .select(F.col(id_col), F.round(cosine(v, q), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+def batch_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """Top-k neighbors for a *table* of query vectors: broadcast the
+    queries (Q rows) against the corpus — ONE scan of the corpus total,
+    regardless of Q, then a per-query rank.  This is the scale shape:
+    the 100TB side never moves; only Q×k result rows shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = (df.join(F.broadcast(queries))
+              .select(q_id, F.col(id_col),
+                      F.round(cosine(v, F.col(q_vec).cast("array<double>")), 6)
+                       .alias("score")))
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse-code build: Lloyd's k-means with deterministic seeding
+    (the k lowest-id vectors), expressed as DataFrame ops — assign =
+    argmin over broadcast centroids, update = element-wise mean per
+    cluster.  Each iteration: one broadcast join + two groupBys; the
+    corpus never shuffles whole vectors except the posexplode mean.
+    Returns (id, code) for partition-pruned probing at query time."""
+    v = F.col(vec_col).cast("array<double>")
+    pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
+    cents = (pts.orderBy("id").limit(k)
+             .select(F.monotonically_increasing_id().alias("code"), 
+                     F.col("p").alias("c")))
+    dist = F.aggregate(F.zip_with(F.col("p"), F.col("c"),
+                                  lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda a, x: a + x)
+    for _ in range(iters):
+        assigned = (pts.join(F.broadcast(cents))
+                    .select("id", "p", "code", dist.alias("d"))
+                    .withColumn("rn", F.row_number().over(
+                        Window.partitionBy("id").orderBy("d", "code")))
+                    .filter(F.col("rn") == 1).select("id", "p", "code"))
+        per_dim = (assigned.select("code", F.posexplode("p").alias("pos", "x"))
+                   .groupBy("code", "pos").agg(F.avg("x").alias("m")))
+        cents = (per_dim.groupBy("code")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("code", F.transform("pm", lambda s: s.getField("m")).alias("c")))
+        cents = cents.localCheckpoint(eager=True)
+    assigned = (pts.join(F.broadcast(cents))
+                .select("id", "code", dist.alias("d"))
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy("id").orderBy("d", "code")))
+                .filter(F.col("rn") == 1))
+    return assigned.select(F.col("id").alias(id_col), "code")

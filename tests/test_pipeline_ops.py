@@ -237,3 +237,29 @@ def test_connected_components_chain_and_islands(spark):
                  for r in connected_components(pairs).collect())
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7),
                    (9, 9), (10, 9), (11, 9)]
+
+
+def test_batch_topk_self_is_top1(spark):
+    from scespet_spark.operators.similarity import batch_topk
+    from pyspark.sql import functions as F
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.limit(2).select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").cast("array<double>").alias("q_vec"))
+    out = batch_topk(df, q, k=2).collect()
+    top1 = {r.q_id: r.vec_id for r in out if r.rnk == 1}
+    assert top1 == {0: 0, 1: 1}  # each query's nearest neighbor is itself
+
+
+def test_kmeans_codes_partitions_all_points(spark):
+    from scespet_spark.operators.similarity import kmeans_codes
+    rows = [(i, [float(i % 2) * 10 + j * 0.01, float(i % 2)])
+            for i, j in ((i, i) for i in range(20))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_codes(df, k=2, iters=4).collect()
+    assert len(out) == 20 and len({r.vec_id for r in out}) == 20
+    # two well-separated blobs -> codes split them exactly by parity
+    by_code = {}
+    for r in out:
+        by_code.setdefault(r.code, set()).add(r.vec_id % 2)
+    assert all(len(v) == 1 for v in by_code.values())
