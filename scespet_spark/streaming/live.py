@@ -149,6 +149,96 @@ def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
                          t=t, order_cols=[t, seq])
 
 
+def trigger_reduce(df: DataFrame, keys: list[str], boundary: Column,
+                   value_col: str, align: str = "AFTER",
+                   t: str = "ts", seq: str = "event_id") -> DataFrame:
+    """Live data-driven slicing (``group(Trigger(cond)).reduce``) — the
+    reference's EventGraphObject slice spec (SliceTriggerSpec.scala:57-73)
+    in streaming form.  No native Structured Streaming support, so the
+    bucket counter is per-key state; a bucket emits ``(key, bucket,
+    total, n)`` the moment its boundary event arrives.
+
+    Alignment matches the batch engine's bucket ids exactly
+    (core/stream.py Trigger branch): AFTER — the boundary event joins the
+    *closing* bucket (ids = exclusive running flag count); BEFORE — it
+    starts the *new* one (inclusive count).  The trailing open bucket
+    never emits (a live stream has no termination event; batch mode owns
+    the termination flush, SimpleEnv.scala:93)."""
+    from ..core.stream import AFTER, BEFORE
+    if align not in (BEFORE, AFTER):
+        raise ValueError(f"align must be '{BEFORE}' or '{AFTER}'")
+    tagged = df.withColumn("__b", F.when(boundary, F.lit(1)).otherwise(F.lit(0)))
+
+    def step(st, pdf):
+        rows = []
+        for v, b in zip(pdf[value_col], pdf["__b"]):
+            if align == BEFORE and b:
+                if st["cnt"] > 0:
+                    rows.append({"bucket": int(st["bucket"]),
+                                 "total": st["acc"], "n": int(st["cnt"])})
+                st["bucket"] += 1
+                st["cnt"] = st["acc"] = 0.0
+            st["cnt"] += 1
+            st["acc"] += float(v)
+            if align == AFTER and b:
+                rows.append({"bucket": int(st["bucket"]),
+                             "total": st["acc"], "n": int(st["cnt"])})
+                st["bucket"] += 1
+                st["cnt"] = st["acc"] = 0.0
+        return rows
+
+    key_ddl = ", ".join(f"{k} long" for k in keys)
+    return stateful_scan(tagged, keys,
+                         {"cnt": 0.0, "acc": 0.0, "bucket": 0.0}, step,
+                         f"{key_ddl}, bucket long, total double, n long",
+                         t=t, order_cols=[t, seq])
+
+
+def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
+                          value_col: str, align: str = "AFTER",
+                          t: str = "ts", seq: str = "event_id") -> DataFrame:
+    """Live slicing by a *separate* trigger stream's events — the per-key
+    vector trigger (VectSliceTriggerSpec, SliceTriggerSpec.scala:76-118)
+    in streaming form.  Data and trigger rows are unioned into one keyed
+    stream; each trigger event closes the current bucket.  Bucket ids
+    match the batch engine (_with_trigger_stream_bucket): a data row's id
+    = number of trigger events before it, where a timestamp tie is
+    resolved by alignment (AFTER — data first, joins the closing bucket;
+    BEFORE — trigger first, data starts the new one)."""
+    from ..core.stream import AFTER, BEFORE
+    if align not in (BEFORE, AFTER):
+        raise ValueError(f"align must be '{BEFORE}' or '{AFTER}'")
+    d = data.select(*keys, F.col(t), F.col(seq),
+                    F.col(value_col).cast("double").alias("__v"),
+                    F.lit(1).alias("__trig"))
+    g = trig.select(*keys, F.col(t), F.col(seq),
+                    F.lit(None).cast("double").alias("__v"),
+                    F.lit(0 if align == BEFORE else 2).alias("__trig"))
+    # __trig doubles as the tie-break sort key: BEFORE → trigger (0)
+    # before data (1); AFTER → data (1) before trigger (2)
+    u = d.unionByName(g)
+
+    def step(st, pdf):
+        rows = []
+        for v, tr in zip(pdf["__v"], pdf["__trig"]):
+            if tr == 1:
+                st["cnt"] += 1
+                st["acc"] += float(v)
+            else:
+                if st["cnt"] > 0:
+                    rows.append({"bucket": int(st["bucket"]),
+                                 "total": st["acc"], "n": int(st["cnt"])})
+                st["bucket"] += 1
+                st["cnt"] = st["acc"] = 0.0
+        return rows
+
+    key_ddl = ", ".join(f"{k} long" for k in keys)
+    return stateful_scan(u, keys,
+                         {"cnt": 0.0, "acc": 0.0, "bucket": 0.0}, step,
+                         f"{key_ddl}, bucket long, total double, n long",
+                         t=t, order_cols=[t, "__trig", seq])
+
+
 def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
                left_col: str, right_col: str,
                t: str = "ts", seq: str = "event_id") -> DataFrame:
@@ -210,9 +300,10 @@ class LiveStream:
     group(Every).reduce (watermarked tumbling), group(Count).reduce
     (stateful count buckets), value_set (watermarked dropDuplicates),
     zip_join (stateful last-value zip), stateful_scan (arbitrary
-    per-key fold).  ``run()`` executes AvailableNow into a memory sink
-    — the bridge that lets batch golden tests assert on live output.
-    Data-driven slicing (Trigger/TriggerStream) stays batch-first.
+    per-key fold), trigger_reduce / trigger_stream_reduce (data-driven
+    slicing by a condition or a separate trigger stream).  ``run()``
+    executes AvailableNow into a memory sink — the bridge that lets
+    batch golden tests assert on live output.
     """
 
     def __init__(self, df: DataFrame, t: str = "ts", seq: str = "event_id",
@@ -267,6 +358,20 @@ class LiveStream:
                            self.t, self.seq)
         return self._derive(out)
 
+    def trigger_reduce(self, boundary: Column, value_col: str,
+                       align: str = "AFTER") -> "LiveStream":
+        out = trigger_reduce(self.df, list(self.keys), boundary, value_col,
+                             align, self.t, self.seq)
+        return self._derive(out)
+
+    def trigger_stream_reduce(self, trig: "LiveStream", value_col: str,
+                              align: str = "AFTER") -> "LiveStream":
+        if self.keys != trig.keys:
+            raise ValueError("trigger-stream slicing requires identical keys")
+        out = trigger_stream_reduce(self.df, trig.df, list(self.keys),
+                                    value_col, align, self.t, self.seq)
+        return self._derive(out)
+
     def scan_state(self, state_fields: dict, step: Callable,
                    out_schema: str) -> "LiveStream":
         out = stateful_scan(self.df, list(self.keys), state_fields, step,
@@ -284,7 +389,7 @@ class LiveGrouped:
         self.spec = spec
 
     def reduce(self, **aggs: Column) -> LiveStream:
-        from ..core.stream import Count, Every
+        from ..core.stream import Count, Every, Trigger, TriggerStream
         s = self.stream
         if isinstance(self.spec, Every):
             out = tumbling(s.df, self.spec.duration, keys=list(s.keys),
@@ -295,5 +400,11 @@ class LiveGrouped:
             # dedicated operator; arbitrary aggs need scan_state
             raise TypeError("use LiveStream.count_reduce for live "
                             "count-based buckets")
+        if isinstance(self.spec, Trigger):
+            raise TypeError("use LiveStream.trigger_reduce for live "
+                            "data-driven slicing")
+        if isinstance(self.spec, TriggerStream):
+            raise TypeError("use LiveStream.trigger_stream_reduce for live "
+                            "trigger-stream slicing")
         raise TypeError(f"live mode does not support slice spec "
                         f"{type(self.spec).__name__}; run it batch-first")

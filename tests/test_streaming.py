@@ -147,3 +147,82 @@ def test_livestream_count_reduce(spark):
     assert live.count() > 0
     assert set(live.columns) == {"user_id", "bucket", "total", "n"}
     assert live.filter("n <> 4").count() == 0
+
+
+def _closed_trigger_buckets_batch(spark, batch_events, spec):
+    """Batch per-bucket aggregates restricted to *closed* buckets.
+
+    The open bucket's id per key equals that key's boundary count for
+    both alignments (BEFORE: inclusive running sum ends at B; AFTER:
+    exclusive sum gives post-last-boundary events id B), so closed
+    buckets are exactly ``bucket < B``.
+    """
+    from scespet_spark import Stream
+    from scespet_spark.core.stream import GroupedStream
+
+    s = Stream(batch_events, t="ts", seq="event_id").by("user_id",
+                                                        name="user_id")
+    b = GroupedStream(s, spec)._with_bucket().df
+    per_bucket = b.groupBy("user_id", "__bucket").agg(
+        F.sum("value").alias("total"), F.count("*").alias("n"))
+    nb = (batch_events.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.count("*").alias("__nb")))
+    return (per_bucket.join(nb, "user_id")
+            .filter(F.col("__bucket") < F.col("__nb"))
+            .select("user_id", F.col("__bucket").alias("bucket"),
+                    "total", "n"))
+
+
+def _rounded(df):
+    return sorted((r.user_id, r.bucket, round(r.total, 6), r.n)
+                  for r in df.collect())
+
+
+@pytest.mark.parametrize("align", ["AFTER", "BEFORE"])
+def test_streaming_trigger_buckets_equals_batch(spark, batch_events, align):
+    # live group(Trigger(cond)).reduce — data-driven slicing as per-key
+    # stateful streaming; bucket ids and membership must match the batch
+    # engine for both alignments (SliceAlign, util/package.scala:27-42)
+    from scespet_spark.core.stream import Trigger
+    from scespet_spark.streaming.live import trigger_reduce
+
+    live = trigger_reduce(read_events_stream(spark, SF), ["user_id"],
+                          F.col("event_type") == "signup", "value", align)
+    got = _rounded(run_available_now(live, "append"))
+    want = _rounded(_closed_trigger_buckets_batch(
+        spark, batch_events, Trigger(F.col("event_type") == "signup", align)))
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("align", ["AFTER", "BEFORE"])
+def test_streaming_trigger_stream_slicing_equals_batch(spark, batch_events,
+                                                       align):
+    # live slicing of one stream by ANOTHER stream's events (per-key
+    # vector trigger, VectSliceTriggerSpec) — clicks sliced by signups
+    from scespet_spark import Stream
+    from scespet_spark.core.stream import GroupedStream, TriggerStream
+    from scespet_spark.streaming.live import trigger_stream_reduce
+
+    src = read_events_stream(spark, SF)
+    live = trigger_stream_reduce(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "signup"),
+        ["user_id"], "value", align)
+    got = _rounded(run_available_now(live, "append"))
+
+    ev = Stream(batch_events, t="ts", seq="event_id")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .by("user_id", name="user_id"))
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .by("user_id", name="user_id"))
+    b = GroupedStream(clicks,
+                      TriggerStream(signups, align))._with_bucket().df
+    per_bucket = b.groupBy("user_id", "__bucket").agg(
+        F.sum("value").alias("total"), F.count("*").alias("n"))
+    nb = (batch_events.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.count("*").alias("__nb")))
+    want = _rounded(
+        per_bucket.join(nb, "user_id")
+        .filter(F.col("__bucket") < F.col("__nb"))
+        .select("user_id", F.col("__bucket").alias("bucket"), "total", "n"))
+    assert got == want and len(got) > 0
