@@ -1,0 +1,72 @@
+"""Physical-plan invariants — the scale contract, asserted.
+
+Correctness tests prove the operators compute the right answer at small
+scale; these tests prove the *plans* are the ones that survive a 100x
+scale-up: no cartesian products anywhere, Python only via Arrow-batched
+operators (never row-at-a-time BatchEvalPython), filters pushed into the
+parquet scan, unneeded columns pruned, and small dimension tables
+broadcast instead of shuffled.
+"""
+
+import contextlib
+import importlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    return importlib.import_module("__spark_entry__")
+
+
+def test_no_cartesian_no_row_python_anywhere(spark, entry):
+    """Every declared query plans without CartesianProduct (quadratic
+    shuffle — fatal at scale) and without BatchEvalPython (row-at-a-time
+    Python UDF — the 10-100x-slower non-Arrow path)."""
+    violations = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        hits = [op for op in ("CartesianProduct", "BatchEvalPython")
+                if op in plan]
+        if hits:
+            violations[name] = hits
+    assert not violations, violations
+
+
+def test_q1_scan_prunes_and_pushes(spark, entry):
+    """q1 touches 7 of lineitem's 16 columns; the parquet scan must read
+    only those (ReadSchema pruning).  A scan reading all columns for a
+    narrow aggregate is wrong at any scale (SURVEY: 100TB goal)."""
+    plan = _plan(entry.queries()["q1_pricing_summary"](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    line_schema = next(l for l in read if "l_quantity" in l)
+    n_cols = line_schema.count(":")
+    assert n_cols <= 7, line_schema
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark, entry):
+    """The multi-join queries must broadcast the small sides (no
+    SortMergeJoin of a dim against the fact at this size) and push the
+    dim filters into the scans."""
+    plan = _plan(entry.queries()["region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_events_scan_pushes_type_filter(spark, entry):
+    """A filtered event query pushes the event_type predicate into the
+    parquet scan (partition/rowgroup pruning at scale)."""
+    plan = _plan(entry.queries()["filter_type_purchase"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("event_type" in l for l in pushed), pushed
