@@ -408,6 +408,82 @@ def live_zip_click_purchase(spark, sf_dir):
         "user_id", "ts", "event_id", "cv", "pv")
 
 
+@query("live_trigger_slice", """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS b
+  FROM events),
+f AS (
+  SELECT user_id, value, b,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+           AS bucket,
+         SUM(b) OVER (PARTITION BY user_id) AS nb
+  FROM e)
+SELECT user_id, bucket,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM f WHERE bucket < nb
+GROUP BY user_id, bucket
+""")
+def live_trigger_slice(spark, sf_dir):
+    """Data-driven slicing (group(Trigger(cond)).reduce, AFTER align)
+    executed as a Structured Streaming plan: per-key bucket state in the
+    state store, a bucket emitted the moment its boundary event arrives
+    (reference: SliceTriggerSpec.scala:57-73 + SliceAfterBucket.scala).
+    Oracle = closed buckets only (bucket < per-key boundary count): the
+    trailing open bucket awaits its boundary, batch termination owns the
+    final flush (SimpleEnv.scala:93).  quantize=100 keeps the running
+    total decimal-exact (the _dsum convention, sequential-order-proof)."""
+    from scespet_spark.streaming.live import (read_events_stream,
+                                              run_available_now,
+                                              trigger_reduce)
+    live = trigger_reduce(read_events_stream(spark, sf_dir), ["user_id"],
+                          F.col("event_type") == "signup", "value",
+                          "AFTER", quantize=100)
+    return run_available_now(live, "append").select(
+        "user_id", "bucket", "total", "n")
+
+
+@query("live_trigger_stream_slice", """
+WITH c AS (SELECT user_id, ts, event_id, value, 1 AS is_data, 1 AS ord
+           FROM events WHERE event_type = 'click'),
+s AS (SELECT user_id, ts, event_id, NULL::DOUBLE AS value, 0 AS is_data,
+             2 AS ord
+      FROM events WHERE event_type = 'signup'),
+u AS (SELECT * FROM c UNION ALL SELECT * FROM s),
+f AS (
+  SELECT user_id, value, is_data,
+         SUM(1 - is_data) OVER (
+             PARTITION BY user_id ORDER BY ts, ord, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (1 - is_data) AS bucket,
+         SUM(1 - is_data) OVER (PARTITION BY user_id) AS nb
+  FROM u)
+SELECT user_id, bucket,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM f WHERE is_data = 1 AND bucket < nb
+GROUP BY user_id, bucket
+""")
+def live_trigger_stream_slice(spark, sf_dir):
+    """Per-key vector-trigger slicing (VectSliceTriggerSpec,
+    SliceTriggerSpec.scala:76-118) live: clicks sliced by each user's
+    own signup events, AFTER alignment (a click simultaneous with a
+    signup joins the closing bucket — ord column in the oracle mirrors
+    the tagged-union tie-break)."""
+    from scespet_spark.streaming.live import (read_events_stream,
+                                              run_available_now,
+                                              trigger_stream_reduce)
+    src = read_events_stream(spark, sf_dir)
+    live = trigger_stream_reduce(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "signup"),
+        ["user_id"], "value", "AFTER", quantize=100)
+    return run_available_now(live, "append").select(
+        "user_id", "bucket", "total", "n")
+
+
 @query("asof_purchase_last_click", """
 WITH c AS (SELECT user_id, ts, event_id, value AS cv FROM events
            WHERE event_type = 'click'),

@@ -151,7 +151,8 @@ def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
 
 def trigger_reduce(df: DataFrame, keys: list[str], boundary: Column,
                    value_col: str, align: str = "AFTER",
-                   t: str = "ts", seq: str = "event_id") -> DataFrame:
+                   t: str = "ts", seq: str = "event_id",
+                   quantize: int | None = None) -> DataFrame:
     """Live data-driven slicing (``group(Trigger(cond)).reduce``) — the
     reference's EventGraphObject slice spec (SliceTriggerSpec.scala:57-73)
     in streaming form.  No native Structured Streaming support, so the
@@ -163,26 +164,36 @@ def trigger_reduce(df: DataFrame, keys: list[str], boundary: Column,
     *closing* bucket (ids = exclusive running flag count); BEFORE — it
     starts the *new* one (inclusive count).  The trailing open bucket
     never emits (a live stream has no termination event; batch mode owns
-    the termination flush, SimpleEnv.scala:93)."""
+    the termination flush, SimpleEnv.scala:93).
+
+    ``quantize`` (e.g. 100 for 2-decimal money columns) accumulates in
+    exact integer units of 1/quantize — sequential float addition is
+    order-dependent, so this is what makes the live total bit-identical
+    to a decimal-sum oracle (the batch engine's _dsum convention)."""
     from ..core.stream import AFTER, BEFORE
     if align not in (BEFORE, AFTER):
         raise ValueError(f"align must be '{BEFORE}' or '{AFTER}'")
     tagged = df.withColumn("__b", F.when(boundary, F.lit(1)).otherwise(F.lit(0)))
+    q = quantize
 
     def step(st, pdf):
         rows = []
+
+        def emit():
+            rows.append({"bucket": int(st["bucket"]),
+                         "total": st["acc"] / q if q else st["acc"],
+                         "n": int(st["cnt"])})
+
         for v, b in zip(pdf[value_col], pdf["__b"]):
             if align == BEFORE and b:
                 if st["cnt"] > 0:
-                    rows.append({"bucket": int(st["bucket"]),
-                                 "total": st["acc"], "n": int(st["cnt"])})
+                    emit()
                 st["bucket"] += 1
                 st["cnt"] = st["acc"] = 0.0
             st["cnt"] += 1
-            st["acc"] += float(v)
+            st["acc"] += round(float(v) * q) if q else float(v)
             if align == AFTER and b:
-                rows.append({"bucket": int(st["bucket"]),
-                             "total": st["acc"], "n": int(st["cnt"])})
+                emit()
                 st["bucket"] += 1
                 st["cnt"] = st["acc"] = 0.0
         return rows
@@ -196,7 +207,8 @@ def trigger_reduce(df: DataFrame, keys: list[str], boundary: Column,
 
 def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
                           value_col: str, align: str = "AFTER",
-                          t: str = "ts", seq: str = "event_id") -> DataFrame:
+                          t: str = "ts", seq: str = "event_id",
+                          quantize: int | None = None) -> DataFrame:
     """Live slicing by a *separate* trigger stream's events — the per-key
     vector trigger (VectSliceTriggerSpec, SliceTriggerSpec.scala:76-118)
     in streaming form.  Data and trigger rows are unioned into one keyed
@@ -204,7 +216,8 @@ def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
     match the batch engine (_with_trigger_stream_bucket): a data row's id
     = number of trigger events before it, where a timestamp tie is
     resolved by alignment (AFTER — data first, joins the closing bucket;
-    BEFORE — trigger first, data starts the new one)."""
+    BEFORE — trigger first, data starts the new one).  ``quantize`` as
+    in trigger_reduce: exact integer accumulation for decimal columns."""
     from ..core.stream import AFTER, BEFORE
     if align not in (BEFORE, AFTER):
         raise ValueError(f"align must be '{BEFORE}' or '{AFTER}'")
@@ -217,17 +230,19 @@ def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
     # __trig doubles as the tie-break sort key: BEFORE → trigger (0)
     # before data (1); AFTER → data (1) before trigger (2)
     u = d.unionByName(g)
+    q = quantize
 
     def step(st, pdf):
         rows = []
         for v, tr in zip(pdf["__v"], pdf["__trig"]):
             if tr == 1:
                 st["cnt"] += 1
-                st["acc"] += float(v)
+                st["acc"] += round(float(v) * q) if q else float(v)
             else:
                 if st["cnt"] > 0:
                     rows.append({"bucket": int(st["bucket"]),
-                                 "total": st["acc"], "n": int(st["cnt"])})
+                                 "total": st["acc"] / q if q else st["acc"],
+                                 "n": int(st["cnt"])})
                 st["bucket"] += 1
                 st["cnt"] = st["acc"] = 0.0
         return rows
