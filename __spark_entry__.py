@@ -863,6 +863,55 @@ def vwap_per_supplier(spark, sf_dir):
         vwap("l_extendedprice", "l_quantity").alias("vwap"))
 
 
+@query("json_props_stats", """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""")
+def json_props_stats(spark, sf_dir):
+    """Semi-structured column extraction: parse the JSON ``props``
+    payload JVM-side (``get_json_object`` — whole-stage codegen, no
+    Python) and aggregate the extracted field.  The reference carries
+    arbitrary host objects per event (types.scala:63-75); in a columnar
+    engine ad-hoc payloads arrive as JSON strings and this is the
+    map-only scan that turns them into typed columns at 100 TB (at rest,
+    promote hot fields to real columns / a VariantType).  Integer sums
+    — exact, no float-order concerns."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(k).alias("sum_k"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k")))
+
+
+@query("corpus_source_profile", """
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
+FROM documents
+GROUP BY source, lang
+""")
+def corpus_source_profile(spark, sf_dir):
+    """Corpus composition report (source x language doc counts and
+    sizes) — the bookkeeping every training-data pipeline needs to set
+    source mixing weights.  One map-side-combinable groupBy over
+    metadata columns only: the text column is pruned from the scan, so
+    at 100 TB this reads a few GB of metadata, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+                 F.round(F.avg(F.col("n_chars").cast("double")), 6)
+                  .alias("mean_chars")))
+
+
 @query("mode_event_type", """
 SELECT user_id, event_type AS mode FROM (
   SELECT user_id, event_type,
