@@ -72,12 +72,19 @@ def main():
         load_table(spark, sf_dir, tbl).write.format("noop").mode(
             "overwrite").save()
 
+    # min of 2 runs per query: the box shares CPUs with the driver
+    # harness, and a single sample can be inflated several-fold by
+    # concurrent load; the min reflects the plan's steady-state cost
+    # (the quantity that actually scales with data volume)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
