@@ -404,11 +404,32 @@ class LiveGrouped:
         self.spec = spec
 
     def reduce(self, **aggs: Column) -> LiveStream:
-        from ..core.stream import Count, Every, Trigger, TriggerStream
+        from ..core.stream import (Count, Every, Session, Sliding, Trigger,
+                                   TriggerStream)
         s = self.stream
         if isinstance(self.spec, Every):
             out = tumbling(s.df, self.spec.duration, keys=list(s.keys),
                            t=s.t, watermark=s.watermark, **aggs)
+            return s._derive(out)
+        if isinstance(self.spec, Session):
+            # native stateful session windows: state purged once the
+            # watermark passes a session's close — bounded at any scale
+            wm = s.df.withWatermark(s.t, s.watermark)
+            out = (wm.groupBy(*s.keys,
+                              F.session_window(F.col(s.t), self.spec.gap)
+                               .alias("__win"))
+                   .agg(*[a.alias(n) for n, a in aggs.items()])
+                   .withColumn("win_start", F.col("__win.start"))
+                   .drop("__win"))
+            return s._derive(out)
+        if isinstance(self.spec, Sliding):
+            wm = s.df.withWatermark(s.t, s.watermark)
+            out = (wm.groupBy(*s.keys,
+                              F.window(F.col(s.t), self.spec.duration,
+                                       self.spec.slide).alias("__win"))
+                   .agg(*[a.alias(n) for n, a in aggs.items()])
+                   .withColumn("win_start", F.col("__win.start"))
+                   .drop("__win"))
             return s._derive(out)
         if isinstance(self.spec, Count):
             # stateful count buckets support sum/count shapes via the

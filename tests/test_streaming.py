@@ -226,3 +226,46 @@ def test_streaming_trigger_stream_slicing_equals_batch(spark, batch_events,
         .filter(F.col("__bucket") < F.col("__nb"))
         .select("user_id", F.col("__bucket").alias("bucket"), "total", "n"))
     assert got == want and len(got) > 0
+
+
+def test_streaming_session_windows_equals_batch(spark, batch_events):
+    # live group(Session(gap)).reduce — native session_window state vs
+    # the batch lag/running-sum session ids: identical session
+    # membership and aggregates (complete mode emits open sessions too,
+    # matching the batch termination flush)
+    from scespet_spark import Session, Stream
+    from scespet_spark.streaming.live import LiveStream
+
+    live = (LiveStream.from_events(spark, SF)
+            .by("user_id")
+            .group(Session("2 hours"))
+            .reduce(total=F.sum("value"), n=F.count("*"))
+            .run("complete"))
+    got = sorted((r.user_id, round(r.total, 6), r.n) for r in live.collect())
+
+    batch = (Stream(batch_events, t="ts", seq="event_id")
+             .by("user_id", name="user_id")
+             .group(Session("2 hours"))
+             .reduce(total=F.sum("value"), n=F.count("*")))
+    want = sorted((r.user_id, round(r.total, 6), r.n)
+                  for r in batch.df.collect())
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sliding_windows_equals_batch(spark, batch_events):
+    from scespet_spark import Sliding, Stream
+    from scespet_spark.streaming.live import LiveStream
+
+    live = (LiveStream.from_events(spark, SF)
+            .by("user_id")
+            .group(Sliding("2 days", "1 day"))
+            .reduce(n=F.count("*"))
+            .run("complete"))
+    got = sorted((r.user_id, r.win_start, r.n) for r in live.collect())
+
+    batch = (Stream(batch_events, t="ts", seq="event_id")
+             .by("user_id", name="user_id")
+             .group(Sliding("2 days", "1 day"))
+             .reduce(n=F.count("*")))
+    want = sorted((r.user_id, r.win_start, r.n) for r in batch.df.collect())
+    assert got == want and len(got) > 0
