@@ -772,6 +772,35 @@ def session_windows_user(spark, sf_dir):
     return out.df.select("user_id", "ts", "n", "total")
 
 
+@query("live_session_windows", """
+WITH l AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l)
+SELECT user_id, MAX(ts) AS ts, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM s GROUP BY user_id, sid
+""")
+def live_session_windows(spark, sf_dir):
+    """Session windows executed as a Structured Streaming plan — native
+    ``session_window`` per-key state (state purged past the watermark)
+    — against the SAME sessionization oracle as the batch query: live
+    mode must be value-identical, not just plausible."""
+    from scespet_spark import Session
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir)
+            .by("user_id")
+            .group(Session("1 day"))
+            .reduce(ts=F.max("ts"), n=F.count("*"), total=_dsum("value")))
+    return live.run("complete").select("user_id", "ts", "n", "total")
+
+
 @query("sliding_window_user", """
 WITH w AS (
   SELECT user_id, value,
