@@ -408,6 +408,33 @@ def live_zip_click_purchase(spark, sf_dir):
         "user_id", "ts", "event_id", "cv", "pv")
 
 
+@query("live_count_buckets", """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events)
+SELECT user_id, rn // 5 AS bucket,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM r GROUP BY user_id, rn // 5
+HAVING COUNT(*) = 5
+""")
+def live_count_buckets(spark, sf_dir):
+    """Count-based buckets (group(Count(5)).reduce) as a Structured
+    Streaming plan: per-key bucket state, emitted the moment a bucket
+    fills (reference: n.events, SliceTriggerSpec.scala:53-56).  Oracle
+    = full buckets only (the trailing partial stays open — batch mode
+    owns the termination flush)."""
+    from scespet_spark.streaming.live import (count_reduce,
+                                              read_events_stream,
+                                              run_available_now)
+    live = count_reduce(read_events_stream(spark, sf_dir), ["user_id"],
+                        5, "value", quantize=100)
+    return run_available_now(live, "append").select(
+        "user_id", "bucket", "total", "n")
+
+
 @query("live_trigger_slice", """
 WITH e AS (
   SELECT user_id, ts, event_id, value,

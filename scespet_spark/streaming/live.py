@@ -122,21 +122,26 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
 
 
 def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
-                 t: str = "ts", seq: str = "event_id") -> DataFrame:
+                 t: str = "ts", seq: str = "event_id",
+                 quantize: int | None = None) -> DataFrame:
     """Live count-based buckets (``group(Count(n)).reduce``) — no native
     Structured Streaming support (SURVEY §7), so the bucket counter is
     per-key state in the state store.  Emits ``(key, bucket, total, n)``
     the moment a bucket fills; the trailing partial bucket stays open
     (a live stream has no termination event — batch mode is where the
-    termination flush exists, SimpleEnv.scala:93)."""
+    termination flush exists, SimpleEnv.scala:93).  ``quantize`` as in
+    trigger_reduce: exact integer accumulation for decimal columns."""
+    q = quantize
+
     def step(st, pdf):
         rows = []
         for ts, v in zip(pdf[t], pdf[value_col]):
             st["cnt"] += 1
-            st["acc"] += float(v)
+            st["acc"] += round(float(v) * q) if q else float(v)
             if st["cnt"] >= n:
                 rows.append({"bucket": int(st["bucket"]),
-                             "total": st["acc"], "n": int(st["cnt"])})
+                             "total": st["acc"] / q if q else st["acc"],
+                             "n": int(st["cnt"])})
                 st["bucket"] += 1
                 st["cnt"] = 0.0
                 st["acc"] = 0.0
