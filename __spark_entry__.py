@@ -408,6 +408,40 @@ def live_zip_click_purchase(spark, sf_dir):
         "user_id", "ts", "event_id", "cv", "pv")
 
 
+@query("live_tumbling_daily", """
+SELECT user_id, DATE_TRUNC('day', ts) AS win_start,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id, DATE_TRUNC('day', ts)
+""")
+def live_tumbling_daily(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a streaming plan
+    (group(Every('1 day')).reduce live) — the workhorse windowed agg,
+    value-checked against the same GROUP BY oracle as batch."""
+    from scespet_spark import Every
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir)
+            .by("user_id")
+            .group(Every("1 day"))
+            .reduce(total=_dsum("value"), n=F.count("*")))
+    return live.run("complete").select("user_id", "win_start", "total", "n")
+
+
+@query("live_value_set", """
+SELECT DISTINCT user_id, event_type, ts FROM events
+""")
+def live_value_set(spark, sf_dir):
+    """Streaming valueSet/toValueSet (MacroTerm.scala:160-185):
+    watermarked stateful dropDuplicates — the live analogue of the
+    batch first-occurrence value set (state purged past the
+    watermark)."""
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir)
+            .value_set(["user_id", "event_type"]))
+    return live.run("append").select("user_id", "event_type", "ts")
+
+
 @query("live_count_buckets", """
 WITH r AS (
   SELECT user_id, value,
