@@ -263,3 +263,45 @@ def test_kmeans_codes_partitions_all_points(spark):
     for r in out:
         by_code.setdefault(r.code, set()).add(r.vec_id % 2)
     assert all(len(v) == 1 for v in by_code.values())
+
+
+def test_timer_spine_periodic_source(spark):
+    # reference: util/Timer.scala:10-30 — periodic ticks as a generated
+    # spine (sequence + explode, no driver loop)
+    from scespet_spark.sources.batch import timer_spine
+    s = timer_spine(spark, "2024-01-01", "2024-01-02", "6 hours")
+    ticks = [r.ts.isoformat() for r in s.df.orderBy("ts").collect()]
+    assert len(ticks) == 5  # inclusive endpoints, 6h step
+    assert ticks[0] == "2024-01-01T00:00:00"
+    assert ticks[-1] == "2024-01-02T00:00:00"
+
+
+def test_as_vector_literal_keyset(spark):
+    # reference: asVector, EnvTermBuilder.scala:59-62 — literal keyset
+    # becomes a keyed stream, every cell initialised at t=0
+    from scespet_spark.sources.batch import as_vector
+    s = as_vector(spark, ["a", "b", "c"])
+    rows = s.df.orderBy("seq").collect()
+    assert [r.key for r in rows] == ["a", "b", "c"]
+    assert s.keys == ("key",)
+    assert all(r.ts.timestamp() == 0 for r in rows)
+
+
+def test_random_events_deterministic_and_distributed(spark):
+    # reference: EventGenerator/newRandom, test/programs/package.scala:16-52
+    # — seeded rand() must reproduce; generation is spark.range (no
+    # driver-side loop), so the plan has no LocalTableScan of n rows
+    from scespet_spark.sources.batch import random_events
+    a = random_events(spark, 100, seed=7).df.collect()
+    b = random_events(spark, 100, seed=7).df.collect()
+    assert a == b
+    assert len(a) == 100
+    assert all(0 <= r.value <= 100 for r in a)
+
+
+def test_show_console_sink(spark, capsys):
+    # reference: out(prefix)/TermPrint, util/package.scala:44-56
+    from scespet_spark.sources.batch import random_events, show
+    show(random_events(spark, 3), prefix="evt:")
+    out = capsys.readouterr().out
+    assert "evt:" in out and "value" in out
