@@ -28,7 +28,17 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable on ANY session, not just
+    ones built by engine.get_spark: ``nanosAsLong`` is a runtime-settable
+    SQL conf, so set it here rather than requiring callers to configure
+    their builder (a vanilla session would otherwise die with
+    PARQUET_TYPE_ILLEGAL on events.parquet)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):

@@ -37,6 +37,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     live analogue of sources.batch.events_stream).  Schema is taken
     from a batch read; TIMESTAMP(NANOS) columns arrive as long under
     ``nanosAsLong`` and are truncated to micros exactly like batch."""
+    from ..sources.batch import ensure_nanos_conf
+    ensure_nanos_conf(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the streaming file source requires a *directory*; the driver ships
