@@ -680,9 +680,13 @@ WINDOW w AS (ORDER BY ts, event_id
 """)
 def map_vector_running(spark, sf_dir):
     """Cross-key whole-vector function at each event (reference:
-    mapVector, VectTerm.scala:145-176)."""
+    mapVector, VectTerm.scala:145-176).  Uses the bucketed two-phase
+    prefix path (daily buckets, count merges by sum / max by max) so the
+    plan has no single-partition global window."""
     s = events_stream(spark, sf_dir).by("user_id", name="user_id")
-    out = s.map_vector(n_events=F.count("*"), vmax=F.max("value"))
+    out = s.map_vector(buckets=F.date_trunc("day", F.col("ts")),
+                       merge={"vmax": "max"},
+                       n_events=F.count("*"), vmax=F.max("value"))
     return out.df.select("event_id", "ts", "n_events", "vmax")
 
 
@@ -1521,7 +1525,9 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     s = events_stream(spark, sf_dir).by("user_id", name="user_id")
     daily = s.group(Every("1 day")).reduce(total=_dsum("value"), n=F.count("*"))
-    out = daily.map_vector(grand_total=F.sum("total"), buckets_seen=F.count("*"))
+    out = daily.map_vector(buckets=F.date_trunc("week", F.col("ts")),
+                           grand_total=F.sum("total"),
+                           buckets_seen=F.count("*"))
     return out.df.select("user_id", "ts", "total", "n",
                          "grand_total", "buckets_seen")
 

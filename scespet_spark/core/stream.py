@@ -322,7 +322,8 @@ class Stream:
     # -- aggregation: scan / reduce (reference: MacroTerm.scala:42-84,
     #    237-240; ReduceType CUMULATIVE vs LAST, types.scala:144-148) -------
 
-    def scan(self, buckets: Column | None = None, **aggs: Column) -> "Stream":
+    def scan(self, buckets: Column | None = None,
+             merge: dict[str, str] | None = None, **aggs: Column) -> "Stream":
         """Running (CUMULATIVE) aggregate emitted on every event
         (reference: ``scan``/``fold_all``).  Pass *unaliased* aggregate
         Columns by output name: ``scan(total=F.sum("value"))``.
@@ -341,39 +342,64 @@ class Stream:
         if not aggs:
             raise ValueError("scan needs at least one named aggregate Column")
         if buckets is not None:
-            return self._scalable_scan(aggs, buckets)
+            return self._scalable_scan(aggs, buckets, merge)
         w = self._running()
         df = self.df
         for name, a in aggs.items():
             df = df.withColumn(name, a.over(w))
         return self._derive(df)
 
-    def _scalable_scan(self, aggs: dict[str, Column], buckets: Column) -> "Stream":
+    #: how a per-bucket total folds into the running prefix, per agg kind:
+    #: (prefix aggregate over preceding bucket totals, combine(running, offset))
+    _MERGES = {
+        "sum": (F.sum, lambda run, off: run + F.coalesce(off, F.lit(0))),
+        "max": (F.max, lambda run, off:
+                F.when(off.isNull(), run).otherwise(F.greatest(run, off))),
+        "min": (F.min, lambda run, off:
+                F.when(off.isNull(), run).otherwise(F.least(run, off))),
+    }
+
+    def _scalable_scan(self, aggs: dict[str, Column], buckets: Column,
+                       merge: dict[str, str] | None = None,
+                       cross_key: bool = False) -> "Stream":
         # Two-phase prefix aggregation. Phase 1: per-(key, bucket) running
         # values (parallel across buckets, so a skewed key's rows spread
         # over its B buckets). Phase 2: exclusive prefix of per-bucket
         # totals (K x B rows, one small window per key) joined back —
         # broadcast when keyless (B rows); AQE decides for keyed offsets.
-        keys = list(self.keys)
+        # ``merge`` names each aggregate's combine semantics ("sum" default,
+        # "max"/"min" for extrema); ``cross_key`` computes the running value
+        # across ALL keys (mapVector) instead of per key.
+        merge = merge or {}
+        bad = set(merge.values()) - set(self._MERGES)
+        if bad:
+            raise ValueError(f"unsupported merge kinds: {bad}")
+        keys = [] if cross_key else list(self.keys)
         df = self.df.withColumn(_BUCKET, buckets)
         names = list(aggs)
         w_in = (Window.partitionBy(*keys, _BUCKET).orderBy(*self._order())
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         for name, a in aggs.items():
             df = df.withColumn(name, a.over(w_in))
+        # Bucket total = running value at the bucket's LAST row in replay
+        # order (max_by on the (t, seq) struct) — NOT F.max of the running
+        # column, which diverges whenever the aggregate is non-monotone
+        # (e.g. sums over negative deltas/refunds).
+        last_row = F.struct(F.col(self.t), F.col(self.seq))
         partials = df.groupBy(*keys, _BUCKET).agg(
-            *[F.max(n).alias(f"__tot_{n}") for n in names])
+            *[F.max_by(F.col(n), last_row).alias(f"__tot_{n}") for n in names])
         w_pref = (Window.partitionBy(*keys).orderBy(_BUCKET)
                   .rowsBetween(Window.unboundedPreceding, -1))
         offsets = partials.select(
             *keys, _BUCKET,
-            *[F.coalesce(F.sum(f"__tot_{n}").over(w_pref), F.lit(0)).alias(f"__off_{n}")
-              for n in names])
+            *[self._MERGES[merge.get(n, "sum")][0](f"__tot_{n}").over(w_pref)
+              .alias(f"__off_{n}") for n in names])
         if not keys:
             offsets = F.broadcast(offsets)
         out = df.join(offsets, [*keys, _BUCKET])
         for n in names:
-            out = out.withColumn(n, F.col(n) + F.col(f"__off_{n}"))
+            combine = self._MERGES[merge.get(n, "sum")][1]
+            out = out.withColumn(n, combine(F.col(n), F.col(f"__off_{n}")))
         out = out.drop(_BUCKET, *[f"__off_{n}" for n in names])
         return self._derive(out)
 
@@ -437,12 +463,21 @@ class Stream:
     # -- cross-key snapshot aggregation (reference: mapVector,
     #    VectTerm.scala:145-176) --------------------------------------------
 
-    def map_vector(self, **aggs: Column) -> "Stream":
+    def map_vector(self, buckets: Column | None = None,
+                   merge: dict[str, str] | None = None,
+                   **aggs: Column) -> "Stream":
         """Function of the whole current vector at each event: a running
-        aggregate *across keys* in event order.  NOTE: inherently a global
-        ordered scan; at scale use the bucketed form via
-        ``to_stream().scan(..., buckets=...)`` when the agg is decomposable.
+        aggregate *across keys* in event order.
+
+        The plain form is a global ordered window — one partition does all
+        the work.  For decomposable aggregates pass ``buckets`` (a coarse
+        time-bucket column) and per-agg ``merge`` kinds ("sum" default,
+        "max"/"min"): the running value is then computed with the same
+        two-phase prefix aggregation as ``scan(buckets=...)`` — parallel
+        across buckets, no single-partition sort of the full stream.
         """
+        if buckets is not None:
+            return self._scalable_scan(aggs, buckets, merge, cross_key=True)
         w = (Window.partitionBy().orderBy(*self._order())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         df = self.df

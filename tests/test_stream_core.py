@@ -199,11 +199,37 @@ def test_scalable_global_scan_matches_plain(spark):
     assert plain == bucketed
 
 
+def test_scalable_scan_negative_values(spark):
+    # non-monotone running sum (negative deltas): bucket totals must come
+    # from the bucket's LAST row, not F.max of the running column
+    rows = [(i, i, (-1) ** i * ((i * 7) % 13)) for i in range(200)]
+    s = Stream(spark.createDataFrame(rows, "ts long, seq long, val long"), t="ts", seq="seq")
+    plain = _col(s.scan(cum=F.sum("val")).df, "cum")
+    bucketed = _col(
+        s.scan(buckets=(F.col("ts") / F.lit(16)).cast("long"), cum=F.sum("val")).df, "cum")
+    assert plain == bucketed
+
+
 def test_map_vector_cross_key_count(spark):
     # mapVector: function of the whole vector at each event (VectTerm.scala:145-176)
     s = _stream(spark, [5, 6, 7]).by(F.col("val"))
     out = s.map_vector(n=F.count("*"))
     assert _col(out.df, "n") == [1, 2, 3]
+
+
+def test_map_vector_bucketed_matches_plain(spark):
+    # two-phase cross-key running agg (sum + max merges) == global window
+    rows = [(i, i, i % 4, (-1) ** i * ((i * 5) % 17)) for i in range(160)]
+    s = Stream(spark.createDataFrame(
+        rows, "ts long, seq long, k long, v long"),
+        t="ts", seq="seq", keys=("k",))
+    plain = sorted((r.seq, r.n, r.vmax) for r in s.map_vector(
+        n=F.count("*"), vmax=F.max("v")).df.collect())
+    bucketed = sorted((r.seq, r.n, r.vmax) for r in s.map_vector(
+        buckets=(F.col("ts") / F.lit(16)).cast("long"),
+        merge={"vmax": "max"},
+        n=F.count("*"), vmax=F.max("v")).df.collect())
+    assert plain == bucketed
 
 
 def test_key_list_growth(spark):
