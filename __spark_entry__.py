@@ -1214,21 +1214,26 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query("dedup_ngram_jaccard", f"""
-WITH sh AS (
-  SELECT doc_id, lang, {_SHINGLES} AS s
-  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents))
+WITH {{ctes}}
 SELECT id_a, id_b, jaccard FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT p.id_a, p.id_b,
          round(len(list_intersect(a.s, b.s))::DOUBLE
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
            AS jaccard
-  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b)
 WHERE jaccard >= 0.5
-""")
+""".format(ctes=_minhash_ctes()))
 def dedup_ngram_jaccard(spark, sf_dir):
-    from scespet_spark.operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
-                               block_cols=["lang"], threshold=0.5)
+    """Exact Jaccard verification of the LSH *candidate* pairs — the
+    scale-safe shape: pair count is linear in near-dup density, never the
+    O(n^2/blocks) of a blocked all-pairs self-join."""
+    from scespet_spark.operators.dedup import (lsh_candidate_pairs,
+                                               ngram_jaccard_pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, candidates=lsh_candidate_pairs(docs),
+                               threshold=0.5)
 
 
 _DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
@@ -1241,18 +1246,39 @@ def _cosine_sql(a, b):
             f" / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
 
 
+def _sign_lsh_sql(v: str, dim: int = 64, bits: int = 6) -> str:
+    """DuckDB replica of similarity.sign_lsh_code (same affine hyperplane
+    parity, same sequential left-fold)."""
+    from scespet_spark.operators.dedup import mh_coeffs
+    terms = []
+    for i in range(bits):
+        a, b = mh_coeffs(i)
+        dot = (f"list_reduce(list_transform(generate_series(1, {dim}), "
+               f"d -> {v}[d] * (CASE WHEN ((d*{a}+{b}) % 2147483647) % 2 = 0 "
+               f"THEN -1.0 ELSE 1.0 END)), (x, y) -> x + y)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 @query("dedup_embedding_cosine", f"""
-WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, {_sign_lsh_sql('v')} AS blk FROM n)
 SELECT id_a, id_b, cosine FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round({_cosine_sql('a.v', 'b.v')}, 6) AS cosine
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+  FROM c a JOIN c b ON a.blk = b.blk AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.35
 """)
 def dedup_embedding_cosine(spark, sf_dir):
+    """Cosine near-dup pairs blocked by a sign-random-projection LSH
+    coarse code (cardinality 2^bits, chosen to match corpus size) — the
+    scale-safe replacement for blocking on a fixed-cardinality column."""
     from scespet_spark.operators.dedup import embedding_near_dup_pairs
-    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"),
-                                    threshold=0.35)
+    from scespet_spark.operators.similarity import sign_lsh_code
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, block_code=sign_lsh_code(F.col("embedding"), dim=64, bits=6),
+        threshold=0.35)
 
 
 @query("ann_brute_force_topk", f"""

@@ -113,7 +113,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     ).select(id_col, "bb.band", "bb.band_hash")
     # materialize the (tiny: bands rows/doc of 3 ints) signature table so
     # the self-join doesn't recompute the whole shingle->minhash pipeline
-    # for each side; at 100TB this would be a checkpoint to storage
+    # for each side; at 100TB this would be a checkpoint to storage.
+    # Cached blocks are LRU-evicted / released with the session; callers
+    # holding the session long-term should .unpersist() the result's
+    # lineage once candidate pairs are materialized downstream.
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
@@ -146,17 +149,40 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", block_cols: list[str] | None = None,
+                        candidates: DataFrame | None = None,
                         shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """n-gram Jaccard similarity over *blocked* pairs (never all-pairs):
-    docs sharing ``block_cols`` are compared on distinct shingle sets.
-    Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
+    """n-gram Jaccard verification over bounded pair sets (never
+    all-pairs).  Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Pass ``candidates`` — a (id_a, id_b) DataFrame, typically
+    ``lsh_candidate_pairs`` output — for the scale path: the pair count
+    stays linear in near-duplicate density, and the shingle sets are
+    brought to the pairs by two id-equi-joins (the corpus text itself
+    never self-joins).  ``block_cols`` remains for small corpora where a
+    low-cardinality blocking key bounds the quadratic term acceptably,
+    but a 100TB corpus must use candidates= (a lang-blocked all-pairs
+    join is O(n^2 / |langs|))."""
+    inter_of = lambda x, y: F.size(F.array_intersect(x, y))  # noqa: E731
+    if candidates is not None:
+        sh = _spread(df).select(F.col(id_col),
+                                shingles(F.col(text_col), shingle_n).alias("__sh"))
+        out = (candidates.select("id_a", "id_b")
+               .join(sh.select(F.col(id_col).alias("id_a"),
+                               F.col("__sh").alias("__sa")), "id_a")
+               .join(sh.select(F.col(id_col).alias("id_b"),
+                               F.col("__sh").alias("__sb")), "id_b"))
+        inter = inter_of(F.col("__sa"), F.col("__sb"))
+        union = F.size(F.col("__sa")) + F.size(F.col("__sb")) - inter
+        jac = F.round(inter.cast("double") / union, 6)
+        return (out.select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
     block_cols = block_cols or ["lang"]
     sh = _spread(df).select(id_col, *block_cols,
                             shingles(F.col(text_col), shingle_n).alias("__sh"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    inter = inter_of(F.col("a.__sh"), F.col("b.__sh"))
     union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
     jac = F.round(inter.cast("double") / union, 6)
     return (a.join(b, cond)
@@ -169,16 +195,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              block_col: str = "label",
+                             block_code: Column | None = None,
                              threshold: float = 0.99) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key (e.g.
-    a coarse cluster/label): cosine >= threshold.  The block join bounds
-    the pair count; at 100TB block by an LSH/IVF coarse code instead."""
+    """Embedding-cosine near-duplicate pairs within a blocking key:
+    cosine >= threshold.
+
+    ``block_code`` is the scale path: a computed coarse code — e.g.
+    ``similarity.sign_lsh_code`` (sign-random-projection LSH) or the
+    offline ``kmeans_codes`` IVF assignment — whose cardinality grows
+    with the corpus, keeping within-block pair counts bounded.  Near-dup
+    vectors (cosine ~1) agree on almost every random hyperplane sign, so
+    they land in the same code with high probability.  ``block_col``
+    blocks by an existing column — only safe when that column's
+    cardinality scales with the data."""
     from .similarity import cosine
-    n = df.select(id_col, block_col,
+    blk = block_code if block_code is not None else F.col(block_col)
+    n = df.select(id_col, blk.alias("__blk"),
                   F.col(vec_col).cast("array<double>").alias("__v"))
     a, b = n.alias("a"), n.alias("b")
     cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
-    return (a.join(b, [F.col("a." + block_col) == F.col("b." + block_col),
+    return (a.join(b, [F.col("a.__blk") == F.col("b.__blk"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),

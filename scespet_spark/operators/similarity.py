@@ -39,6 +39,32 @@ def _as_double_array(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def sign_lsh_code(vec: Column, dim: int, bits: int = 6) -> Column:
+    """Sign-random-projection LSH coarse code: bit *i* is the sign of the
+    dot product with a deterministic ±1 hyperplane
+    (``h_i[d] = ±1`` by the parity of the universal hash ``(d*a_i+b_i)
+    mod p``).  Cosine-similar vectors agree on most hyperplane signs, so
+    near-duplicates share a code w.h.p. — a blocking key whose ``2^bits``
+    cardinality is chosen to match corpus size.  Pure sequential
+    left-fold arithmetic over doubles: DuckDB's ``list_reduce``
+    reproduces every bit exactly (same property the cosine oracle relies
+    on)."""
+    from .dedup import mh_coeffs
+    v = vec.cast("array<double>")
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        a, b = mh_coeffs(i)
+        dot_i = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda d: F.element_at(v, d)
+                * F.when(((d.cast("long") * a + b) % 2147483647) % 2 == 0,
+                         F.lit(-1.0)).otherwise(F.lit(1.0))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        code = code + F.when(dot_i > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return code
+
+
 def brute_force_topk(df: DataFrame, query: Sequence[float], k: int = 20,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

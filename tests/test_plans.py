@@ -70,3 +70,22 @@ def test_events_scan_pushes_type_filter(spark, entry):
     plan = _plan(entry.queries()["filter_type_purchase"](spark, SF))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("event_type" in l for l in pushed), pushed
+
+def test_jaccard_verifies_candidates_not_all_pairs(spark, entry):
+    """dedup_ngram_jaccard must verify LSH candidate pairs (id-equi-joins)
+    rather than a blocked all-pairs self-join: no join in the plan may
+    key on the fixed-cardinality lang column (O(n^2/|langs|) at scale)."""
+    plan = _plan(entry.queries()["dedup_ngram_jaccard"](spark, SF))
+    join_lines = [l for l in plan.splitlines()
+                  if "Join" in l or "join" in l.lower()]
+    assert not any("lang" in l for l in join_lines), join_lines
+    assert "id_a" in plan and "id_b" in plan
+
+
+def test_embedding_near_dup_blocks_on_lsh_code(spark, entry):
+    """dedup_embedding_cosine must block on the computed sign-LSH coarse
+    code (cardinality scales by construction), never the fixed label."""
+    plan = _plan(entry.queries()["dedup_embedding_cosine"](spark, SF))
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert not any("label" in l for l in join_lines), join_lines
+    assert "__blk" in plan
