@@ -358,6 +358,19 @@ def window_gated_reduce(spark, sf_dir):
     return out.df.select("user_id", "win_seq", "total", "n")
 
 
+@query("live_window_gated_reduce", _ORACLES["window_gated_reduce"])
+def live_window_gated_reduce(spark, sf_dir):
+    """Boolean-gated windows as a streaming plan: per-key edge-detect
+    state opens on the rising edge, accumulates while the gate holds,
+    emits on the falling edge — only closed windows fire, exactly like
+    batch (same oracle)."""
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir)
+            .by("user_id")
+            .window(F.col("value") >= 100, "value", quantize=100))
+    return live.run("append").select("user_id", "win_seq", "total", "n")
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (zip / take / sample)
 # ---------------------------------------------------------------------------
@@ -545,7 +558,7 @@ def live_trigger_stream_slice(spark, sf_dir):
         "user_id", "bucket", "total", "n")
 
 
-@query("asof_purchase_last_click", """
+_ASOF_ORACLE = """
 WITH c AS (SELECT user_id, ts, event_id, value AS cv FROM events
            WHERE event_type = 'click'),
 p AS (SELECT user_id, ts, event_id, value AS pv FROM events
@@ -561,7 +574,10 @@ f AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
   FROM u)
 SELECT user_id, ts, event_id, cv, pv FROM f WHERE side = 1
-""")
+"""
+
+
+@query("asof_purchase_last_click", _ASOF_ORACLE)
 def asof_purchase_last_click(spark, sf_dir):
     ev = events_stream(spark, sf_dir)
     clicks = (ev.filter(F.col("event_type") == "click")
@@ -570,6 +586,23 @@ def asof_purchase_last_click(spark, sf_dir):
                    .by("user_id", name="user_id").map(pv=F.col("value")))
     out = clicks.take(purchases, ["cv"], ["pv"])
     return out.df.select("user_id", "ts", "event_id", "cv", "pv")
+
+
+@query("live_asof_purchase_last_click", _ASOF_ORACLE)
+def live_asof_purchase_last_click(spark, sf_dir):
+    """The as-of join (take) as a Structured Streaming plan — closes the
+    reference's one-expression-two-modes contract (EventSource.java:3-6)
+    for take/sample: per-key last-left-value state, emit on right rows.
+    Same oracle as the batch asof: live must be value-identical."""
+    from scespet_spark.streaming.live import (asof_latest, read_events_stream,
+                                              run_available_now)
+    src = read_events_stream(spark, sf_dir)
+    live = asof_latest(
+        src.filter(F.col("event_type") == "click").withColumn("cv", F.col("value")),
+        src.filter(F.col("event_type") == "purchase").withColumn("pv", F.col("value")),
+        ["user_id"], ["cv"], ["pv"])
+    return run_available_now(live, "append").select(
+        "user_id", "ts", "event_id", "cv", "pv")
 
 
 @query("sample_daily_value", """

@@ -299,6 +299,100 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
         t=t, order_cols=[t, seq, "__side"])
 
 
+def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
+                left_cols: list[str], right_cols: list[str],
+                t: str = "ts", seq: str = "event_id") -> DataFrame:
+    """Live as-of join — the streaming counterpart of batch ``take`` /
+    ``sample`` (MacroTerm.scala:209-230; one-expression-two-modes
+    contract, EventSource.java:3-6).  The left side's latest values live
+    in per-key state; each RIGHT event emits one row carrying
+    (left.latest, right values) — before the left's first event the left
+    columns are null.  ``sample`` is the ``right_cols=[]`` case: the
+    right stream is a pure trigger snapshotting the left.  Tie-break at
+    equal (t, seq) matches batch ``_temporal_join``: left first."""
+    lsel = ([F.col(c).cast("double").alias(c) for c in left_cols]
+            + [F.lit(None).cast("double").alias(c) for c in right_cols])
+    rsel = ([F.lit(None).cast("double").alias(c) for c in left_cols]
+            + [F.col(c).cast("double").alias(c) for c in right_cols])
+    lt = left.select(*keys, F.col(t), F.col(seq),
+                     F.lit(0).alias("__side"), *lsel)
+    rt = right.select(*keys, F.col(t), F.col(seq),
+                      F.lit(1).alias("__side"), *rsel)
+    u = lt.unionByName(rt)
+
+    state_fields = ({f"v_{c}": 0.0 for c in left_cols}
+                    | {f"s_{c}": 0.0 for c in left_cols})
+
+    def step(st, pdf):
+        rows = []
+        series = ([pdf[t], pdf[seq], pdf["__side"]]
+                  + [pdf[c] for c in left_cols]
+                  + [pdf[c] for c in right_cols])
+        nl = len(left_cols)
+        for vals in zip(*series):
+            ts_, sq, side = vals[0], vals[1], vals[2]
+            if side == 0:
+                for c, v in zip(left_cols, vals[3:3 + nl]):
+                    if v == v:  # not NaN (null left value keeps prior state)
+                        st[f"v_{c}"], st[f"s_{c}"] = float(v), 1.0
+            else:
+                out = {t: ts_, seq: int(sq)}
+                for c in left_cols:
+                    out[c] = st[f"v_{c}"] if st[f"s_{c}"] else None
+                for c, v in zip(right_cols, vals[3 + nl:]):
+                    out[c] = float(v) if v == v else None
+                rows.append(out)
+        return rows
+
+    key_ddl = ", ".join(f"{k} long" for k in keys)
+    val_ddl = ", ".join(f"{c} double" for c in (*left_cols, *right_cols))
+    return stateful_scan(
+        u, keys, state_fields, step,
+        f"{key_ddl}, {t} timestamp, {seq} long, {val_ddl}",
+        t=t, order_cols=[t, seq, "__side"])
+
+
+def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
+                 t: str = "ts", seq: str = "event_id",
+                 quantize: int | None = None) -> DataFrame:
+    """Live boolean-gated windows (``window(boolStream)``,
+    MacroTerm.scala:242-259 / WindowedBucket_LastValue.scala) — per-key
+    edge-detect state: a rising gate edge opens a window, rows with the
+    gate true accumulate, and the falling edge closes and emits
+    ``(key, win_seq, total, n)``.  Matches the batch engine exactly:
+    only CLOSED windows emit (a window still open when the stream ends
+    never fires — batch pins this via TestSingleTerms.scala:193-212
+    "reduce while").  ``quantize`` as in trigger_reduce: exact integer
+    accumulation for decimal columns."""
+    tagged = df.withColumn("__g", F.when(gate, F.lit(1)).otherwise(F.lit(0)))
+    q = quantize
+
+    def step(st, pdf):
+        rows = []
+        for sq, v, g in zip(pdf[seq], pdf[value_col], pdf["__g"]):
+            if g:
+                if not st["in_win"]:
+                    st["in_win"] = 1.0
+                    st["acc"] = st["cnt"] = 0.0
+                    st["win_seq"] = float(sq)
+                st["win_seq"] = min(st["win_seq"], float(sq))
+                st["cnt"] += 1
+                st["acc"] += round(float(v) * q) if q else float(v)
+            elif st["in_win"]:
+                rows.append({"win_seq": int(st["win_seq"]),
+                             "total": st["acc"] / q if q else st["acc"],
+                             "n": int(st["cnt"])})
+                st["in_win"] = 0.0
+        return rows
+
+    key_ddl = ", ".join(f"{k} long" for k in keys)
+    return stateful_scan(
+        tagged, keys,
+        {"in_win": 0.0, "acc": 0.0, "cnt": 0.0, "win_seq": 0.0}, step,
+        f"{key_ddl}, win_seq long, total double, n long",
+        t=t, order_cols=[t, seq])
+
+
 def run_available_now(df: DataFrame, output_mode: str = "complete",
                       name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input
@@ -321,11 +415,13 @@ class LiveStream:
     Supported live verbs: map / filter / filter_type / by (keying),
     group(Every).reduce (watermarked tumbling), group(Count).reduce
     (stateful count buckets), value_set (watermarked dropDuplicates),
-    zip_join (stateful last-value zip), stateful_scan (arbitrary
-    per-key fold), trigger_reduce / trigger_stream_reduce (data-driven
-    slicing by a condition or a separate trigger stream).  ``run()``
-    executes AvailableNow into a memory sink — the bridge that lets
-    batch golden tests assert on live output.
+    zip_join (stateful last-value zip), take / sample (stateful as-of
+    join), window (boolean-gated windows via edge-detect state),
+    stateful_scan (arbitrary per-key fold), trigger_reduce /
+    trigger_stream_reduce (data-driven slicing by a condition or a
+    separate trigger stream).  ``run()`` executes AvailableNow into a
+    memory sink — the bridge that lets batch golden tests assert on
+    live output.
     """
 
     def __init__(self, df: DataFrame, t: str = "ts", seq: str = "event_id",
@@ -370,6 +466,29 @@ class LiveStream:
             raise ValueError("zip_join requires identical keys")
         out = zip_latest(self.df, other.df, list(self.keys),
                          left_col, right_col, self.t, self.seq)
+        return self._derive(out)
+
+    def take(self, other: "LiveStream", left_cols: list[str],
+             right_cols: list[str]) -> "LiveStream":
+        """Live as-of join: emit (self.latest, other) when *other* fires
+        (the streaming form of batch ``take``, MacroTerm.scala:209-221)."""
+        if self.keys != other.keys:
+            raise ValueError("take requires identical keys")
+        out = asof_latest(self.df, other.df, list(self.keys),
+                          left_cols, right_cols, self.t, self.seq)
+        return self._derive(out)
+
+    def sample(self, trigger: "LiveStream", value_cols: list[str]) -> "LiveStream":
+        """Snapshot this stream's latest values whenever ``trigger`` fires
+        (the streaming form of batch ``sample``, MacroTerm.scala:226-230)."""
+        return self.take(trigger, value_cols, [])
+
+    def window(self, gate: Column, value_col: str,
+               quantize: int | None = None) -> "LiveStream":
+        """Live boolean-gated windows: accumulate ``value_col`` while the
+        gate holds, emit (win_seq, total, n) on the falling edge."""
+        out = gated_reduce(self.df, list(self.keys), gate, value_col,
+                           self.t, self.seq, quantize)
         return self._derive(out)
 
     def group(self, spec) -> "LiveGrouped":

@@ -269,3 +269,56 @@ def test_streaming_sliding_windows_equals_batch(spark, batch_events):
              .reduce(n=F.count("*")))
     want = sorted((r.user_id, r.win_start, r.n) for r in batch.df.collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_asof_equals_batch(spark, batch_events):
+    # live take (as-of join) == batch take on the same click/purchase split
+    from scespet_spark.core.stream import Stream
+    from scespet_spark.streaming.live import asof_latest
+    src = read_events_stream(spark, SF)
+    live = asof_latest(
+        src.filter(F.col("event_type") == "click").withColumn("cv", F.col("value")),
+        src.filter(F.col("event_type") == "purchase").withColumn("pv", F.col("value")),
+        ["user_id"], ["cv"], ["pv"])
+    got = run_available_now(live, "append")
+    ev = Stream(batch_events, t="ts", seq="event_id")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id").map(cv=F.col("value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(pv=F.col("value")))
+    want = clicks.take(purchases, ["cv"], ["pv"]).df
+    cols = ["user_id", "event_id", "cv", "pv"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_streaming_sample_snapshots_latest(spark):
+    # sample: trigger rows snapshot the left's last value; null before first
+    from scespet_spark.streaming.live import LiveStream
+    import pandas as pd
+    data = [(0, 0, 1, 10.0, 0), (2, 2, 1, 20.0, 0),
+            (1, 1, 1, None, 1), (3, 3, 1, None, 1)]
+    pdf = pd.DataFrame(data, columns=["ts", "event_id", "k", "v", "is_trig"])
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") * 1000000).cast("long")))
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    left = LiveStream(sdf.filter(F.col("is_trig") == 0), keys=("k",))
+    trig = LiveStream(sdf.filter(F.col("is_trig") == 1), keys=("k",))
+    got = run_available_now(left.sample(trig, ["v"]).df, "append")
+    rows = {r.event_id: r.v for r in got.collect()}
+    assert rows == {1: 10.0, 3: 20.0}
+
+
+def test_streaming_gated_window_equals_batch(spark, batch_events):
+    from scespet_spark.core.stream import Stream
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, SF).by("user_id")
+            .window(F.col("value") >= 100, "value", quantize=100))
+    got = run_available_now(live.df, "append")
+    s = Stream(batch_events, t="ts", seq="event_id").by("user_id", name="user_id")
+    want = s.window(F.col("value") >= 100).reduce(
+        n=F.count("*"), win_seq=F.min("event_id")).df
+    cols = ["user_id", "win_seq", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
