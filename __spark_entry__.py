@@ -588,6 +588,44 @@ def asof_purchase_last_click(spark, sf_dir):
     return out.df.select("user_id", "ts", "event_id", "cv", "pv")
 
 
+@query("zip_keymap_region_value", """
+WITH l AS (SELECT user_id, ts, event_id, value AS xv FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id % 5 AS bucket, ts, event_id, value AS yv FROM events
+      WHERE event_type = 'click'),
+ks AS (SELECT DISTINCT user_id, user_id % 5 AS bucket FROM l),
+rx AS (SELECT ks.user_id, r.ts, r.event_id, r.yv FROM r JOIN ks USING (bucket)),
+u AS (
+  SELECT user_id, ts, event_id, 0 AS side, xv, NULL::DOUBLE AS yv FROM l
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS xv, yv FROM rx),
+f AS (
+  SELECT user_id, ts, event_id, side,
+         LAST_VALUE(xv IGNORE NULLS) OVER w AS xv,
+         LAST_VALUE(yv IGNORE NULLS) OVER w AS yv
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts, event_id, xv, yv FROM f WHERE xv IS NOT NULL
+""")
+def zip_keymap_region_value(spark, sf_dir):
+    """VectTerm.join with a key mapping (VectTerm.scala:454-456,
+    VectorJoin.scala:16-133): purchases keyed by user_id zip-join the
+    per-bucket click stream via keyMap user_id -> user_id % 5.  Every
+    bucket click fires all live user cells in the bucket; every purchase
+    reads the bucket's latest click value."""
+    from scespet_spark.core.stream import Stream
+    ev = events_stream(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(xv=F.col("value")))
+    clicks_df = (ev.df.filter(F.col("event_type") == "click")
+                 .select((F.col("user_id") % 5).alias("bucket"),
+                         "ts", "event_id", F.col("value").alias("yv")))
+    clicks = Stream(clicks_df, t="ts", seq="event_id", keys=("bucket",))
+    out = purchases.zip_join(clicks, ["xv"], ["yv"],
+                             key_map=F.col("user_id") % 5)
+    return out.df.select("user_id", "ts", "event_id", "xv", "yv")
+
+
 @query("live_asof_purchase_last_click", _ASOF_ORACLE)
 def live_asof_purchase_last_click(spark, sf_dir):
     """The as-of join (take) as a Structured Streaming plan — closes the

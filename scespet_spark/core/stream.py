@@ -441,12 +441,23 @@ class Stream:
     #    VectorJoin.scala:16-133) -------------------------------------------
 
     def zip_join(self, other: "Stream", left_cols: Sequence[str],
-                 right_cols: Sequence[str]) -> "Stream":
+                 right_cols: Sequence[str],
+                 key_map: "Column | dict | Sequence | None" = None) -> "Stream":
         """Emit (x.latest, y.latest) whenever *either* side fires
         (reference: ``join``, MacroTerm.scala:190-204).  Keyed streams
         join per key (reference: VectTerm.join / VectorJoin.scala).
         Before a side's first event its columns are null
-        (VectorJoin.scala:55-66)."""
+        (VectorJoin.scala:55-66).
+
+        ``key_map`` joins differently-keyed vectors (reference:
+        ``VectTerm.join[Y,K2](other, keyMap)``, VectTerm.scala:454-456):
+        a Column expression over this stream's key producing the other
+        stream's key, or an explicit K->K2 mapping (dict / pair list).
+        The output stays keyed by THIS stream's key; many left cells may
+        bind one right cell, but a left cell bound to multiple right
+        cells raises, mirroring VectorJoin.scala:38-40."""
+        if key_map is not None:
+            return _keymap_zip_join(self, other, left_cols, right_cols, key_map)
         return _temporal_join(self, other, left_cols, right_cols, emit="both")
 
     def take(self, other: "Stream", left_cols: Sequence[str],
@@ -704,6 +715,67 @@ def _temporal_join(left: Stream, right: Stream, left_cols: Sequence[str],
     sel += [F.col(f"__r_{c}").alias(c) for c in rc]
     out = u.select(*sel)
     return Stream(out, left.t, left.seq, tuple(keys))
+
+
+def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
+                     right_cols: Sequence[str], key_map) -> Stream:
+    """K -> K2 vector join (reference: VectorJoin.scala:16-133): each left
+    cell k binds the right cell ``key_map(k)``; either side firing emits
+    (x.latest, y.latest) under the LEFT key.
+
+    Set-oriented translation: replicate right events to the left keys
+    that bind them (an equi-join of the right stream against the tiny
+    left key-universe — broadcastable), then run the standard per-key
+    temporal join.  A right event with no live left cell yet (the left
+    key's first event is later) emits nothing, but its value IS visible
+    to the cell once created — exactly the reference's bind-time
+    ``calculate()`` reading the current y value (VectorJoin.scala:50-70).
+
+    Errors: a left cell binding multiple right cells raises ValueError
+    (the multi-map guard, VectorJoin.scala:38-40).  Unmapped left keys
+    (null / absent mapping) keep a forever-null right side — the
+    unbound-cell state."""
+    if len(left.keys) != 1 or len(right.keys) != 1:
+        raise ValueError("key_map join requires single-key streams "
+                         f"({left.keys} vs {right.keys})")
+    lk, rk = left.keys[0], right.keys[0]
+    if isinstance(key_map, Column):
+        lmapped = left.df.withColumn("__jk", key_map)
+    else:
+        pairs = (list(key_map.items()) if isinstance(key_map, dict)
+                 else [tuple(p) for p in key_map])
+        from collections import Counter
+        dups = [k for k, n in Counter(k for k, _ in pairs).items() if n > 1]
+        if dups:
+            mapped = sorted({k2 for k, k2 in pairs if k in dups})
+            raise ValueError(
+                f"key_map maps multiple right keys onto left key(s) {dups}: "
+                f"{mapped} (reference multi-map error, VectorJoin.scala:38-40)")
+        spark = left.df.sparkSession
+        lk_type = left.df.schema[lk].dataType.simpleString()
+        rk_type = right.df.schema[rk].dataType.simpleString()
+        mdf = spark.createDataFrame(pairs, f"{lk} {lk_type}, __jk {rk_type}")
+        lmapped = left.df.join(F.broadcast(mdf), lk, "left")
+    if lk != rk and lk in right.df.columns:
+        raise ValueError(f"right stream already has a column named '{lk}'; "
+                         "rename it before a key_map join")
+    # the left key-universe with its bound right key: one row per left key
+    keyset = (lmapped.select(F.col(lk).alias("__lk"), "__jk")
+              .where(F.col("__jk").isNotNull()).distinct())
+    rx = (right.df.join(keyset, right.df[rk] == keyset["__jk"])
+          .drop("__jk").drop(right.df[rk])
+          .withColumnRenamed("__lk", lk))
+    right2 = Stream(rx, t=right.t, seq=right.seq, keys=(lk,))
+    left2 = left._derive(lmapped.drop("__jk"))
+    out = _temporal_join(left2, right2, left_cols, right_cols, emit="both")
+    # right events fire only EXISTING cells: before a left key's first
+    # event there is no cell, so rows where the left side is still null
+    # are bind-time history, not emissions
+    alive = None
+    for c in left_cols:
+        cond = F.col(c).isNotNull()
+        alive = cond if alive is None else (alive | cond)
+    return out._derive(out.df.filter(alive)) if alive is not None else out
 
 
 def _asof_gate(data: Stream, gate_stream: Stream, gate_col: str) -> Stream:

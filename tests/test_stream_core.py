@@ -283,3 +283,34 @@ def test_write_partitioned_roundtrip(spark, tmp_path):
     import os
     assert sorted(d for d in os.listdir(out) if d.startswith("p=")) == [
         "p=0", "p=1", "p=2"]
+
+
+def test_keymap_zip_join_multi_map_raises(spark):
+    # VectorJoin.scala:38-40: a left cell bound to multiple right cells
+    xs = Stream(spark.createDataFrame(
+        [(0, 0, 1, 1.0)], "ts long, seq long, k long, x double"),
+        t="ts", seq="seq", keys=("k",))
+    ys = Stream(spark.createDataFrame(
+        [(0, 0, 7, 2.0)], "ts long, seq long, k2 long, y double"),
+        t="ts", seq="seq", keys=("k2",))
+    with pytest.raises(ValueError, match="multiple right keys"):
+        xs.zip_join(ys, ["x"], ["y"], key_map=[(1, 7), (1, 8)])
+
+
+def test_keymap_zip_join_semantics(spark):
+    # left cells k=1,2 both bind right cell k2=10 (many-to-one allowed);
+    # a right event fires every LIVE left cell; right history before a
+    # cell's first event is visible at bind time but emits nothing
+    xs = Stream(spark.createDataFrame(
+        [(1, 1, 1, 1.0), (4, 4, 2, 4.0), (6, 6, 1, 6.0)],
+        "ts long, seq long, k long, x double"), t="ts", seq="seq", keys=("k",))
+    ys = Stream(spark.createDataFrame(
+        [(0, 0, 10, 100.0), (2, 2, 10, 200.0), (5, 5, 11, 999.0)],
+        "ts long, seq long, k2 long, y double"), t="ts", seq="seq", keys=("k2",))
+    out = xs.zip_join(ys, ["x"], ["y"], key_map={1: 10, 2: 10})
+    got = sorted((r.ts, r.k, r.x, r.y) for r in out.df.collect())
+    # t=0 y fires: no live cell -> nothing. t=1 x(k=1): y latest=100.
+    # t=2 y fires: cell k=1 live -> (1, x=1, y=200). t=4 x(k=2): bind-time
+    # y=200. t=5 y(k2=11): bound to nothing. t=6 x(k=1): y still 200.
+    assert got == [(1, 1, 1.0, 100.0), (2, 1, 1.0, 200.0),
+                   (4, 2, 4.0, 200.0), (6, 1, 6.0, 200.0)]
