@@ -442,17 +442,19 @@ def live_tumbling_daily(spark, sf_dir):
 
 
 @query("live_value_set", """
-SELECT DISTINCT user_id, event_type, ts FROM events
+SELECT DISTINCT user_id, event_type FROM events
 """)
 def live_value_set(spark, sf_dir):
     """Streaming valueSet/toValueSet (MacroTerm.scala:160-185):
-    watermarked stateful dropDuplicates — the live analogue of the
-    batch first-occurrence value set (state purged past the
-    watermark)."""
+    dropDuplicatesWithinWatermark keeps one row per distinct value with
+    state bounded by the watermark.  The oracle is the value SET itself
+    (which surviving row's timestamp is retained is arbitrary, so it is
+    not part of the contract; batch value_set owns first-occurrence
+    timestamps)."""
     from scespet_spark.streaming.live import LiveStream
     live = (LiveStream.from_events(spark, sf_dir)
             .value_set(["user_id", "event_type"]))
-    return live.run("append").select("user_id", "event_type", "ts")
+    return live.run("append").select("user_id", "event_type")
 
 
 @query("live_count_buckets", """

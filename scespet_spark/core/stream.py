@@ -291,7 +291,15 @@ class Stream:
     def key_list(self, name: str = "keys") -> "Stream":
         """Stream of the growing key list (reference: keyList,
         VectTerm.scala:43-52): at each event, the sorted set of keys seen
-        so far."""
+        so far.
+
+        SCALE WARNING — driver of last resort, like plain ``map_vector``:
+        the running cross-key set is an inherently sequential global
+        ordered window (one partition sorts the whole stream, output is
+        O(n*k)).  At scale, either sample the spine (``sample`` against a
+        Timer) before asking for the key list, or track key *counts* with
+        the decomposable ``map_vector(buckets=...)`` path and materialize
+        the list only at the final event."""
         first_w = Window.partitionBy(*self.keys).orderBy(*self._order())
         df = self.df.withColumn("__first", F.row_number().over(first_w) == 1)
         run = (Window.partitionBy().orderBy(*self._order())
@@ -533,6 +541,11 @@ class GroupedStream:
         elif isinstance(spec, Termination):
             b = F.lit(0)
         elif isinstance(spec, Session):
+            # Boundary semantic pinned to native session_window, verified
+            # empirically (test_session_exact_gap_boundary_batch_equals_live):
+            # an event arriving exactly ``gap`` after the previous one
+            # MERGES into the session (new session only when strictly
+            # greater), the same tie rule F.session_window applies.
             w_lag = Window.partitionBy(*s.keys).orderBy(*s._order())
             prev = F.lag(F.col(s.t)).over(w_lag)
             gap_us = F.lit(0).cast("timestamp") + F.expr(f"INTERVAL {spec.gap}")

@@ -79,8 +79,14 @@ def tumbling(df: DataFrame, duration: str, keys: Iterable[str] = (),
 def dedupe(df: DataFrame, cols: Iterable[str], t: str = "ts",
            watermark: str = "1 day") -> DataFrame:
     """Streaming distinct-by-columns (live ``valueSet``/``toValueSet``,
-    reference MacroTerm.scala:160-185): state bounded by the watermark."""
-    return df.withWatermark(t, watermark).dropDuplicates([*cols, t])
+    reference MacroTerm.scala:160-185): one row per distinct value via
+    ``dropDuplicatesWithinWatermark`` — dedup state is purged once the
+    watermark passes, so a value recurring after that re-emits (the
+    price of bounded state at scale; batch ``value_set`` owns exact
+    first-occurrence-event semantics).  Within the retention horizon the
+    emitted rows are exactly the distinct value set."""
+    return (df.withWatermark(t, watermark)
+            .dropDuplicatesWithinWatermark(list(cols)))
 
 
 def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float],

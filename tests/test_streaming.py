@@ -322,3 +322,31 @@ def test_streaming_gated_window_equals_batch(spark, batch_events):
         n=F.count("*"), win_seq=F.min("event_id")).df
     cols = ["user_id", "win_seq", "n"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_session_exact_gap_boundary_batch_equals_live(spark):
+    # exact-gap tie rule, verified against the NATIVE engine: an event
+    # exactly `gap` after the previous one MERGES into the session (new
+    # session only when strictly greater) — F.session_window and the
+    # batch Session spec must agree on this boundary
+    from scespet_spark.core.stream import Session, Stream
+    import tempfile
+    rows = [(0, 0, 1, 1.0), (10, 1, 1, 2.0),    # == gap: merges
+            (15, 2, 1, 4.0), (26, 3, 1, 8.0)]   # 11s > gap: new session
+    df = spark.createDataFrame(rows, "sec long, event_id long, user_id long, value double") \
+        .withColumn("ts", F.timestamp_micros((F.col("sec") * 1000000).cast("long"))).drop("sec")
+    batch = (Stream(df, t="ts", seq="event_id").by("user_id", name="user_id")
+             .group(Session("10 seconds"))
+             .reduce(n=F.count("*"), total=F.sum("value")))
+    got_batch = sorted((r.n, r.total) for r in batch.df.collect())
+    assert got_batch == [(1, 8.0), (3, 7.0)]
+
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream(sdf).by("user_id")
+            .group(Session("10 seconds"))
+            .reduce(n=F.count("*"), total=F.sum("value")))
+    got_live = sorted((r.n, r.total) for r in live.run("complete").collect())
+    assert got_live == got_batch
