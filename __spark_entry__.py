@@ -1617,6 +1617,76 @@ def multimodal_frame_sample(spark, sf_dir):
     return out.withColumn("frame_idx", F.col("frame_idx").cast("long"))
 
 
+@query("decontaminate_eval_overlap", f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 19 = 0),
+tr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 19 <> 0)
+SELECT doc_id, COUNT(*) AS n_hit_ngrams
+FROM tr JOIN ev USING (g) GROUP BY doc_id
+""")
+def decontaminate_eval_overlap(spark, sf_dir):
+    """Train/eval decontamination: docs sharing any word 3-gram with the
+    (broadcast) benchmark set.  Pseudo-benchmark = doc_id % 19 == 0."""
+    from scespet_spark.operators.pipeline import decontaminate
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(docs.filter(F.col("doc_id") % 19 != 0),
+                         docs.filter(F.col("doc_id") % 19 == 0))
+
+
+@query("pack_training_sequences", f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS start_tok,
+       (cum - n_tokens) // 2048 AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (cum - 1) // 2048
+            ELSE (cum - n_tokens) // 2048 END AS seq_last,
+       (cum - n_tokens) % 2048 AS off_in_seq
+FROM c
+""")
+def pack_training_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of the corpus into 2048-token training
+    sequences — global prefix sum via the two-phase bucketed scan."""
+    from scespet_spark.operators.pipeline import pack_sequences
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=2048)
+
+
+@query("shuffle_deterministic_shards", f"""
+SELECT doc_id,
+       {h64_sql("'42_' || doc_id::VARCHAR")} AS sort_key,
+       {h64_sql("'42_' || doc_id::VARCHAR")} % 64 AS shard
+FROM documents
+""")
+def shuffle_deterministic_shards(spark, sf_dir):
+    """Seeded reproducible global shuffle: shard + sort-key assignment
+    (write = repartition(shard) + sortWithinPartitions, no global sort)."""
+    from scespet_spark.operators.pipeline import shuffle_deterministic
+    return shuffle_deterministic(load_table(spark, sf_dir, "documents"))
+
+
+@query("quantize_embeddings_int8", """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       list_min(v) AS vmin, list_max(v) AS vmax,
+       CASE WHEN list_max(v) = list_min(v)
+            THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(floor(
+                 (x - list_min(v)) / ((list_max(v) - list_min(v)) / 255)
+                 + 0.5) AS INTEGER)) END AS q
+FROM n
+""")
+def quantize_embeddings_int8(spark, sf_dir):
+    """Per-vector affine int8 quantization as pure array expressions."""
+    from scespet_spark.operators.pipeline import quantize_embeddings
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-user daily tumbling aggregation, augmented with the
     running cross-vector grand total at each bucket close — exercises
@@ -1651,6 +1721,7 @@ _PRIORITY = [
     "doc_chunking", "redact_pii", "stratified_sample_docs",
     "multimodal_decode", "multimodal_frame_sample",
     "corpus_source_profile", "json_props_stats",
+    "decontaminate_eval_overlap", "pack_training_sequences",
     # lifecycle buckets
     "bucket_collapse_stats", "bind_hourly_rendezvous",
     # (b) new / changed this round

@@ -1,0 +1,117 @@
+"""Training-data pipeline operators: decontamination, sequence packing,
+deterministic shuffle, embedding quantization.
+
+These are the corpus-preparation steps between "deduped documents" and
+"training batches".  Scale shapes:
+
+* ``decontaminate`` — the eval/benchmark side of the overlap join is
+  tiny (benchmarks are MBs); its distinct n-gram set broadcasts, so the
+  100TB train side is ONE map-side semi-join pass, never shuffled.
+* ``pack_sequences`` — concat-and-chunk packing needs a global prefix
+  sum of token counts; computed with the same two-phase bucketed
+  decomposition as ``Stream.scan(buckets=...)`` — no single-partition
+  window over the corpus.
+* ``shuffle_deterministic`` — training-order randomization via a seeded
+  content hash: shard = hash mod N + sort-within-shard, which writes
+  shuffled shards with NO global sort barrier and is bit-reproducible
+  across runs (same seed -> same order).
+* ``quantize_embeddings`` — per-vector affine int8 quantization as pure
+  array expressions (codegen, no UDF); ``floor(x + 0.5)`` rounding is
+  explicit so every engine agrees on halfway points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import h64
+from .text import tokens
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  shingle_n: int = 3) -> DataFrame:
+    """Train/eval contamination detection: flag training docs sharing at
+    least one word ``shingle_n``-gram with the evaluation set; returns
+    ``(id_col, n_hit_ngrams)`` for contaminated docs.
+
+    The join key is the raw shingle (exact semantics, no collision
+    ambiguity); the eval side is distinct-collapsed and broadcast, so
+    the train side never shuffles — swap the key for ``h64(shingle)``
+    when benchmark suites grow beyond broadcast size."""
+    from .dedup import shingles
+    ev = (eval_df
+          .select(F.explode(shingles(F.col(text_col), shingle_n)).alias("__g"))
+          .distinct())
+    tr = (train
+          .select(F.col(id_col),
+                  F.explode(shingles(F.col(text_col), shingle_n)).alias("__g"))
+          .dropDuplicates([id_col, "__g"]))
+    return (tr.join(F.broadcast(ev), "__g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_ngrams")))
+
+
+def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   bucket_size: int = 4096) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ``id_col`` order into one token tape cut into fixed ``budget``-token
+    training sequences (documents may span a cut, as in standard LLM
+    pre-training packing).  Returns per document: ``n_tokens``,
+    ``start_tok`` (position on the tape), ``seq_first``/``seq_last``
+    (the sequence ids it lands in) and ``off_in_seq``.
+
+    The global prefix sum uses the two-phase bucketed scan (buckets of
+    ``bucket_size`` ids): per-bucket running sums in parallel + a tiny
+    prefix over bucket totals — no single-partition window."""
+    from ..core.stream import Stream
+    base = df.select(F.col(id_col),
+                     F.size(tokens(F.col(text_col))).alias("n_tokens"))
+    s = Stream(base, t=id_col, seq=id_col)
+    run = s.scan(buckets=(F.col(id_col) / F.lit(bucket_size)).cast("long"),
+                 cum=F.sum("n_tokens"))
+    start = F.col("cum") - F.col("n_tokens")
+    return (run.df
+            .withColumn("start_tok", start)
+            .withColumn("seq_first", F.expr(f"start_tok div {budget}"))
+            .withColumn("seq_last",
+                        F.when(F.col("n_tokens") > 0,
+                               F.expr(f"(cum - 1) div {budget}"))
+                        .otherwise(F.expr(f"start_tok div {budget}")))
+            .withColumn("off_in_seq", F.col("start_tok") % budget)
+            .drop("cum"))
+
+
+def shuffle_deterministic(df: DataFrame, seed: str = "42",
+                          n_shards: int = 64,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Reproducible global shuffle for training-order randomization:
+    ``sort_key = h64(seed || id)``, ``shard = sort_key mod n_shards``.
+    Reading shards in order, each sorted by key, replays one fixed
+    pseudo-random permutation — and writing is ``repartition(shard) +
+    sortWithinPartitions(sort_key)``, a bounded shuffle with no global
+    sort barrier.  Change ``seed`` for a fresh epoch order."""
+    key = h64(F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string")))
+    return (df.select(F.col(id_col), key.alias("sort_key"))
+            .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards))))
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        levels: int = 255) -> DataFrame:
+    """Per-vector affine quantization to ``levels+1`` integer codes
+    (int8 range for levels=255): ``q = floor((x - min) / scale + 0.5)``
+    with ``scale = (max - min) / levels``; emits (id, vmin, vmax, q).
+    Pure array expressions — whole-stage codegen, Arrow-free; the
+    explicit floor(+0.5) makes halfway rounding engine-independent.
+    Degenerate constant vectors quantize to all-zero codes."""
+    v = F.col(vec_col).cast("array<double>")
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    scale = (vmax - vmin) / levels
+    q = F.when(vmax == vmin,
+               F.transform(v, lambda x: F.lit(0))) \
+         .otherwise(F.transform(
+             v, lambda x: F.floor((x - vmin) / scale + F.lit(0.5)).cast("int")))
+    return df.select(F.col(id_col), vmin.alias("vmin"), vmax.alias("vmax"),
+                     q.alias("q"))

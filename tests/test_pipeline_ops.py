@@ -305,3 +305,52 @@ def test_show_console_sink(spark, capsys):
     show(random_events(spark, 3), prefix="evt:")
     out = capsys.readouterr().out
     assert "evt:" in out and "value" in out
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    from scespet_spark.operators.pipeline import decontaminate
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally unrelated words here")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9, "quick brown fox runs far")], "doc_id long, text string")
+    got = {r.doc_id: r.n_hit_ngrams for r in decontaminate(train, ev).collect()}
+    # shared 3-gram: "quick brown fox" -> doc 1 only
+    assert got == {1: 1}
+
+
+def test_pack_sequences_matches_plain_cumsum(spark):
+    from scespet_spark.operators.pipeline import pack_sequences
+    rows = [(i, " ".join(["w"] * ((i * 7) % 13 + 1))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.start_tok, r.seq_first, r.seq_last, r.off_in_seq)
+           for r in pack_sequences(df, budget=16, bucket_size=10).collect()}
+    cum = 0
+    for i in range(100):
+        n = (i * 7) % 13 + 1
+        start = cum
+        cum += n
+        assert got[i] == (start, start // 16, (cum - 1) // 16, start % 16), i
+
+
+def test_shuffle_deterministic_is_stable_and_spread(spark):
+    from scespet_spark.operators.pipeline import shuffle_deterministic
+    df = spark.createDataFrame([(i,) for i in range(256)], "doc_id long")
+    a = {r.doc_id: (r.sort_key, r.shard)
+         for r in shuffle_deterministic(df, seed="7").collect()}
+    b = {r.doc_id: (r.sort_key, r.shard)
+         for r in shuffle_deterministic(df, seed="7").collect()}
+    assert a == b                                   # reproducible
+    assert len({v[1] for v in a.values()}) > 32     # actually spreads
+    c = {r.doc_id for r in shuffle_deterministic(df, seed="8").collect()}
+    assert c == set(a)                              # permutation, new seed ok
+
+
+def test_quantize_embeddings_roundtrip_and_degenerate(spark):
+    from scespet_spark.operators.pipeline import quantize_embeddings
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0]), (2, [3.0, 3.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.vmin, r.vmax, r.q) for r in quantize_embeddings(df).collect()}
+    assert got[1] == (0.0, 1.0, [0, 128, 255])      # 0.5*255=127.5 -> floor+0.5=128
+    assert got[2] == (3.0, 3.0, [0, 0, 0])          # constant vector
