@@ -48,6 +48,12 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",
+    "dedup_ngram_jaccard",
+    "zip_keymap_region_value",
+    "decontaminate_eval_overlap",
+    "pack_training_sequences",
+    "shuffle_deterministic_shards",
+    "quantize_embeddings_int8",
 ]
 
 

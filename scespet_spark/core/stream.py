@@ -469,14 +469,25 @@ class Stream:
         return _temporal_join(self, other, left_cols, right_cols, emit="both")
 
     def take(self, other: "Stream", left_cols: Sequence[str],
-             right_cols: Sequence[str]) -> "Stream":
+             right_cols: Sequence[str],
+             key_map: "Column | dict | Sequence | None" = None) -> "Stream":
         """Emit (x.latest, y) only when *y* fires — an as-of join
-        (reference: ``take``, MacroTerm.scala:209-221)."""
+        (reference: ``take``, MacroTerm.scala:209-221).  ``key_map``
+        as in ``zip_join`` (reference ``VectTerm.take(other, keyMap)``,
+        VectTerm.scala:458-460)."""
+        if key_map is not None:
+            return _keymap_zip_join(self, other, left_cols, right_cols,
+                                    key_map, emit="right")
         return _temporal_join(self, other, left_cols, right_cols, emit="right")
 
-    def sample(self, trigger: "Stream", value_cols: Sequence[str]) -> "Stream":
+    def sample(self, trigger: "Stream", value_cols: Sequence[str],
+               key_map: "Column | dict | Sequence | None" = None) -> "Stream":
         """Snapshot this stream's latest value whenever ``trigger`` fires
-        (reference: ``sample``, MacroTerm.scala:226-230)."""
+        (reference: ``sample``, MacroTerm.scala:226-230; keyed form
+        VectTerm.scala:468-482)."""
+        if key_map is not None:
+            return _keymap_zip_join(self, trigger, value_cols, [],
+                                    key_map, emit="right")
         return _temporal_join(self, trigger, value_cols, [], emit="right")
 
     # -- cross-key snapshot aggregation (reference: mapVector,
@@ -731,7 +742,8 @@ def _temporal_join(left: Stream, right: Stream, left_cols: Sequence[str],
 
 
 def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
-                     right_cols: Sequence[str], key_map) -> Stream:
+                     right_cols: Sequence[str], key_map,
+                     emit: str = "both") -> Stream:
     """K -> K2 vector join (reference: VectorJoin.scala:16-133): each left
     cell k binds the right cell ``key_map(k)``; either side firing emits
     (x.latest, y.latest) under the LEFT key.
@@ -780,10 +792,11 @@ def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
           .withColumnRenamed("__lk", lk))
     right2 = Stream(rx, t=right.t, seq=right.seq, keys=(lk,))
     left2 = left._derive(lmapped.drop("__jk"))
-    out = _temporal_join(left2, right2, left_cols, right_cols, emit="both")
+    out = _temporal_join(left2, right2, left_cols, right_cols, emit=emit)
     # right events fire only EXISTING cells: before a left key's first
     # event there is no cell, so rows where the left side is still null
-    # are bind-time history, not emissions
+    # are bind-time history, not emissions (left-fired rows carry their
+    # own left value and pass trivially)
     alive = None
     for c in left_cols:
         cond = F.col(c).isNotNull()

@@ -39,15 +39,18 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     ambiguity); the eval side is distinct-collapsed and broadcast, so
     the train side never shuffles — swap the key for ``h64(shingle)``
     when benchmark suites grow beyond broadcast size."""
-    from .dedup import shingles
+    from .dedup import _spread, shingles
     ev = (eval_df
           .select(F.explode(shingles(F.col(text_col), shingle_n)).alias("__g"))
           .distinct())
-    tr = (train
+    tr = (_spread(train)
           .select(F.col(id_col),
-                  F.explode(shingles(F.col(text_col), shingle_n)).alias("__g"))
-          .dropDuplicates([id_col, "__g"]))
+                  F.explode(shingles(F.col(text_col), shingle_n)).alias("__g")))
+    # broadcast-join FIRST (a map-side filter: only contaminated grams
+    # survive), dedup the tiny matched remainder — the corpus's raw
+    # shingle strings are never shuffled
     return (tr.join(F.broadcast(ev), "__g")
+            .dropDuplicates([id_col, "__g"])
             .groupBy(id_col)
             .agg(F.count("*").alias("n_hit_ngrams")))
 

@@ -314,3 +314,17 @@ def test_keymap_zip_join_semantics(spark):
     # y=200. t=5 y(k2=11): bound to nothing. t=6 x(k=1): y still 200.
     assert got == [(1, 1, 1.0, 100.0), (2, 1, 1.0, 200.0),
                    (4, 2, 4.0, 200.0), (6, 1, 6.0, 200.0)]
+
+
+def test_keymap_take_emits_on_right_only(spark):
+    xs = Stream(spark.createDataFrame(
+        [(1, 1, 1, 1.0), (6, 6, 1, 6.0)],
+        "ts long, seq long, k long, x double"), t="ts", seq="seq", keys=("k",))
+    ys = Stream(spark.createDataFrame(
+        [(0, 0, 10, 100.0), (2, 2, 10, 200.0)],
+        "ts long, seq long, k2 long, y double"), t="ts", seq="seq", keys=("k2",))
+    out = xs.take(ys, ["x"], ["y"], key_map={1: 10})
+    got = sorted((r.ts, r.k, r.x, r.y) for r in out.df.collect())
+    # only right (y) events emit, and only once the cell is live:
+    # t=0 no cell yet -> nothing; t=2 -> (x latest=1, y=200)
+    assert got == [(2, 1, 1.0, 200.0)]
