@@ -999,6 +999,39 @@ def reduce_all_global(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@query("live_ewma_final_per_user", """
+SELECT user_id,
+       LIST_REDUCE(LIST(value::DOUBLE ORDER BY ts, event_id),
+                   (acc, v) -> 0.125 * v + 0.875 * acc) AS ewma
+FROM events GROUP BY user_id
+""")
+def live_ewma_final_per_user(spark, sf_dir):
+    """EWMA as a streaming plan: the reference's mutable Agg cell
+    (ReduceFuncs.scala:33-38) as per-key state — the same sequential
+    IEEE recurrence, so values are bit-identical to the batch fold and
+    the DuckDB LIST_REDUCE oracle.  The termination read (final value
+    per key) happens at the sink, as in batch (SimpleEnv.scala:93)."""
+    from scespet_spark.streaming.live import (read_events_stream,
+                                              run_available_now, stateful_scan)
+
+    def step(st, pdf):
+        rows = []
+        for ts, sq, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            v = float(v)
+            st["ewma"] = v if not st["seen"] else 0.125 * v + 0.875 * st["ewma"]
+            st["seen"] = 1.0
+            rows.append({"ts": ts, "event_id": int(sq), "ewma": st["ewma"]})
+        return rows
+
+    live = stateful_scan(read_events_stream(spark, sf_dir), ["user_id"],
+                         {"ewma": 0.0, "seen": 0.0}, step,
+                         "user_id long, ts timestamp, event_id long, ewma double",
+                         order_cols=["ts", "event_id"])
+    out = run_available_now(live, "append")
+    return (out.groupBy("user_id")
+            .agg(F.max_by("ewma", F.struct("ts", "event_id")).alias("ewma")))
+
+
 @query("ewma_final_per_user", """
 SELECT user_id,
        LIST_REDUCE(LIST(value::DOUBLE ORDER BY ts, event_id),
@@ -1728,6 +1761,7 @@ _PRIORITY = [
     "zip_keymap_region_value",
     "live_asof_purchase_last_click", "live_window_gated_reduce",
     "live_session_windows", "live_trigger_stream_slice",
+    "live_ewma_final_per_user",
     "session_windows_user", "scan_running_sum", "map_vector_running",
     # (c) one representative per remaining stream-operator family
     "zip_click_purchase", "asof_purchase_last_click", "sample_daily_value",
