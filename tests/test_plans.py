@@ -89,3 +89,19 @@ def test_embedding_near_dup_blocks_on_lsh_code(spark, entry):
     join_lines = [l for l in plan.splitlines() if "Join" in l]
     assert not any("label" in l for l in join_lines), join_lines
     assert "__blk" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, entry):
+    """The eval n-gram set must broadcast (benchmarks are MBs); the train
+    corpus must never be the shuffled side of the overlap join."""
+    plan = _plan(entry.queries()["decontaminate_eval_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_deterministic_has_no_global_sort(spark, entry):
+    """Deterministic shuffle assigns shard + sort key without a global
+    sort barrier (no range-partitioning exchange)."""
+    plan = _plan(entry.queries()["shuffle_deterministic_shards"](spark, SF))
+    assert "rangepartitioning" not in plan.lower()
+    assert "SinglePartition" not in plan

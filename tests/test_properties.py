@@ -138,3 +138,39 @@ def test_session_windows_match_gap_model(spark, gaps):
             cur += 1
     sizes.append(cur)
     assert got == sorted(sizes)
+
+
+@given(ntoks=st.lists(st.integers(0, 40), min_size=1, max_size=12),
+       budget=st.integers(1, 30))
+@SETTINGS
+def test_pack_sequences_tape_invariants(spark, ntoks, budget):
+    # concat-and-chunk model: starts are the exclusive prefix sum; the
+    # sequence span covers exactly [start, start+n) on the token tape
+    from scespet_spark.operators.pipeline import pack_sequences
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(ntoks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pack_sequences(df, budget=budget,
+                                               bucket_size=3).collect()}
+    cum = 0
+    for i, n in enumerate(ntoks):
+        r = got[i]
+        assert r.n_tokens == n
+        assert r.start_tok == cum
+        assert r.seq_first == cum // budget
+        last = (cum + n - 1) // budget if n else cum // budget
+        assert r.seq_last == last
+        assert r.off_in_seq == cum % budget
+        cum += n
+
+
+@given(vals=st.lists(st.floats(-100, 100, allow_nan=False), min_size=2,
+                     max_size=8))
+@SETTINGS
+def test_quantize_codes_within_range_and_monotone(spark, vals):
+    from scespet_spark.operators.pipeline import quantize_embeddings
+    df = spark.createDataFrame([(1, vals)], "vec_id long, embedding array<double>")
+    r = quantize_embeddings(df).collect()[0]
+    assert all(0 <= q <= 255 for q in r.q)
+    # order-preserving: larger input never gets a smaller code
+    pairs = sorted(zip(vals, r.q))
+    assert all(q1 <= q2 for (_, q1), (_, q2) in zip(pairs, pairs[1:]))
