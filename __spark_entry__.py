@@ -1533,6 +1533,34 @@ def text_quality(spark, sf_dir):
                                       "stopword_ratio", "quality")
 
 
+@query("text_repetition", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+             END AS distinct_token_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               round(len(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE
+                     / greatest(len(toks) - 1, 1), 6)
+             END AS distinct_bigram_ratio
+      FROM t),
+c AS (SELECT doc_id, MAX(c) AS maxc FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+        GROUP BY doc_id, tk) GROUP BY doc_id)
+SELECT b.doc_id, n_tokens, distinct_token_ratio, distinct_bigram_ratio,
+       CASE WHEN n_tokens > 0 THEN round(maxc::DOUBLE / n_tokens, 6)
+       END AS top_token_share
+FROM b LEFT JOIN c ON b.doc_id = c.doc_id
+""")
+def text_repetition(spark, sf_dir):
+    """Repetition/boilerplate stats (C4-style repeated-content filter)."""
+    from scespet_spark.operators.text import repetition_stats
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 @query("text_fingerprint", f"""
 SELECT doc_id,
        {h64_sql("array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' ')")}
@@ -1755,6 +1783,7 @@ _PRIORITY = [
     "multimodal_decode", "multimodal_frame_sample",
     "corpus_source_profile", "json_props_stats",
     "decontaminate_eval_overlap", "pack_training_sequences",
+    "text_repetition",
     # lifecycle buckets
     "bucket_collapse_stats", "bind_hourly_rendezvous",
     # (b) new / changed this round

@@ -105,6 +105,42 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out, h64(F.array_join(toks, " ")))
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Repetition / boilerplate detection (the C4/RefinedWeb-style
+    repeated-content filters): distinct-token ratio and distinct-bigram
+    ratio are map-only columnar math; the top token's share of the
+    document is an explode + two map-side-combinable groupBys (the
+    SimHash shuffle shape — counts, never text).  Empty documents yield
+    null ratios in both engines."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1))))
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), n.alias("n_tokens"),
+        F.when(n > 0, F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6))
+         .alias("distinct_token_ratio"),
+        F.when(n > 0, F.round(F.size(bigrams).cast("double")
+                              / F.greatest(n - 1, F.lit(1)), 6))
+         .alias("distinct_bigram_ratio"))
+    counts = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tk"))
+              .groupBy(id_col, "__tk").agg(F.count("*").alias("__c"))
+              .groupBy(id_col).agg(F.max("__c").alias("__maxc")))
+    return (base.join(counts, id_col, "left")
+            .select(id_col, "n_tokens", "distinct_token_ratio",
+                    "distinct_bigram_ratio",
+                    F.when(F.col("n_tokens") > 0,
+                           F.round(F.col("__maxc").cast("double")
+                                   / F.col("n_tokens"), 6))
+                    .alias("top_token_share")))
+
+
 def chunk_documents(df: DataFrame, size: int = 64, overlap: int = 16,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token-window document chunking (one-to-many): fixed ``size``-token

@@ -354,3 +354,20 @@ def test_quantize_embeddings_roundtrip_and_degenerate(spark):
     got = {r.vec_id: (r.vmin, r.vmax, r.q) for r in quantize_embeddings(df).collect()}
     assert got[1] == (0.0, 1.0, [0, 128, 255])      # 0.5*255=127.5 -> floor+0.5=128
     assert got[2] == (3.0, 3.0, [0, 0, 0])          # constant vector
+
+
+def test_repetition_stats_detects_repeats(spark):
+    from scespet_spark.operators.text import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words are different here"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].n_tokens == 4
+    assert got[1].distinct_token_ratio == 0.25
+    assert got[1].distinct_bigram_ratio == pytest.approx(1 / 3, abs=1e-6)
+    assert got[1].top_token_share == 1.0
+    assert got[2].distinct_token_ratio == 1.0
+    assert got[2].top_token_share == 0.2
+    assert got[3].n_tokens == 0
+    assert got[3].distinct_token_ratio is None
+    assert got[3].top_token_share is None
