@@ -54,6 +54,7 @@ HEADLINE = [
     "pack_training_sequences",
     "shuffle_deterministic_shards",
     "quantize_embeddings_int8",
+    "text_repetition",
 ]
 
 

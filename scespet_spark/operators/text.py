@@ -113,6 +113,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     document is an explode + two map-side-combinable groupBys (the
     SimHash shuffle shape — counts, never text).  Empty documents yield
     null ratios in both engines."""
+    from .dedup import _spread
+    df = _spread(df)
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     bigrams = F.when(
