@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus preparation pipeline: the composition a
+100 TB data pipeline actually runs, on the driver's synthetic tables.
+
+    dedup (exact + MinHash/LSH clusters)
+      -> decontaminate against a benchmark set
+      -> quality + repetition filters
+      -> pack into fixed-token training sequences
+      -> deterministic shuffle -> partitioned parquet
+
+Every stage is one of this repo's operators; nothing here is
+example-only code.  Run: ``python examples/corpus_pipeline.py [sf_dir]``
+(default /root/testdata/sf0.001).
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from scespet_spark import get_spark
+from scespet_spark.operators.dedup import (connected_components, exact_groups,
+                                           lsh_candidate_pairs)
+from scespet_spark.operators.pipeline import (decontaminate, pack_sequences,
+                                              shuffle_deterministic)
+from scespet_spark.operators.text import quality_score, repetition_stats
+from scespet_spark.sources.batch import load_table, write_partitioned
+
+
+def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
+    spark = get_spark(cpus=8)
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep each content hash's representative
+    reps = exact_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    docs = docs.join(reps, "doc_id")
+
+    # 2. near-dedup: LSH candidates -> connected components -> keep the
+    #    cluster representative (min id)
+    clusters = connected_components(lsh_candidate_pairs(docs))
+    dupes = clusters.filter(F.col("id") != F.col("cluster")) \
+                    .select(F.col("id").alias("doc_id"))
+    docs = docs.join(dupes, "doc_id", "left_anti")
+
+    # 3. decontamination: drop docs overlapping the benchmark set
+    #    (pseudo-benchmark: doc_id % 19 == 0)
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    dirty = decontaminate(train, bench).select("doc_id")
+    train = train.join(dirty, "doc_id", "left_anti")
+
+    # 4. quality + repetition filters
+    train = (quality_score(train).filter(F.col("quality") >= 0.3)
+             .select(*docs.columns))
+    rep = repetition_stats(train).filter(
+        (F.col("distinct_token_ratio") >= 0.3) | F.col("n_tokens").isNull())
+    train = train.join(rep.select("doc_id"), "doc_id")
+
+    # 5. pack into 512-token training sequences (concat-and-chunk)
+    packed = pack_sequences(train, budget=512)
+
+    # 6. deterministic shuffle + partitioned write
+    final = (packed.join(shuffle_deterministic(train, seed="1"), "doc_id")
+             .join(train.select("doc_id", "text"), "doc_id"))
+    out_dir = out_dir or os.path.join(tempfile.gettempdir(), "corpus_out")
+    write_partitioned(final, out_dir, partition_cols=("shard",),
+                      sort_within=("sort_key",))
+
+    n1 = final.count()
+    print(f"corpus: {n0} docs in -> {n1} packed/shuffled docs out ({out_dir})")
+    return n0, n1
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
+    from scespet_spark import get_spark
+    get_spark(cpus=8).stop()

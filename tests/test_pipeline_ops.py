@@ -371,3 +371,16 @@ def test_repetition_stats_detects_repeats(spark):
     assert got[3].n_tokens == 0
     assert got[3].distinct_token_ratio is None
     assert got[3].top_token_share is None
+
+
+def test_corpus_pipeline_example_runs(spark, tmp_path):
+    # the end-to-end example composes real operators; it must keep working
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline", "/root/repo/examples/corpus_pipeline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    n0, n1 = mod.main("/root/testdata/sf0.001", str(tmp_path / "out"))
+    assert n0 == 500 and 0 < n1 < n0
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert {"doc_id", "seq_first", "sort_key", "text"} <= set(got.columns)
