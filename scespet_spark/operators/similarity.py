@@ -19,7 +19,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -45,24 +48,34 @@ def sign_lsh_code(vec: Column, dim: int, bits: int = 6) -> Column:
     (``h_i[d] = ±1`` by the parity of the universal hash ``(d*a_i+b_i)
     mod p``).  Cosine-similar vectors agree on most hyperplane signs, so
     near-duplicates share a code w.h.p. — a blocking key whose ``2^bits``
-    cardinality is chosen to match corpus size.  Pure sequential
-    left-fold arithmetic over doubles: DuckDB's ``list_reduce``
-    reproduces every bit exactly (same property the cosine oracle relies
-    on)."""
+    cardinality is chosen to match corpus size.
+
+    Computed as an Arrow-batched pandas UDF that accumulates across
+    dimensions IN ORDER (vectorized across rows) — the same sequential
+    left fold as DuckDB's ``list_reduce`` oracle, so every sign bit is
+    reproduced exactly, at numpy speed instead of interpreted
+    per-element lambdas (see quantize_embeddings for the measurement)."""
     from .dedup import mh_coeffs
-    v = vec.cast("array<double>")
-    code = F.lit(0).cast("long")
+    signs = np.empty((bits, dim), dtype=np.float64)
     for i in range(bits):
         a, b = mh_coeffs(i)
-        dot_i = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda d: F.element_at(v, d)
-                * F.when(((d.cast("long") * a + b) % 2147483647) % 2 == 0,
-                         F.lit(-1.0)).otherwise(F.lit(1.0))),
-            F.lit(0.0), lambda acc, x: acc + x)
-        code = code + F.when(dot_i > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return code
+        for d in range(1, dim + 1):
+            signs[i, d - 1] = -1.0 if ((d * a + b) % 2147483647) % 2 == 0 else 1.0
+
+    @pandas_udf("long")
+    def _code(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        code = np.zeros(len(m), dtype=np.int64)
+        for i in range(bits):
+            acc = np.zeros(len(m), dtype=np.float64)
+            for d in range(dim):  # sequential over dims = left-fold order
+                acc = acc + m[:, d] * signs[i, d]
+            code |= (acc > 0).astype(np.int64) << i
+        return pd.Series(code)
+
+    return _code(vec.cast("array<double>"))
 
 
 def brute_force_topk(df: DataFrame, query: Sequence[float], k: int = 20,
