@@ -34,22 +34,7 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-@pandas_udf("double")
-def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
-    # accumulate across dims IN ORDER, vectorized across rows: the same
-    # IEEE left fold as F.aggregate and DuckDB list_reduce, numpy-speed
-    if not len(a):
-        return pd.Series([], dtype="float64")
-    ma = np.stack(a.to_numpy()).astype(np.float64)
-    mb = np.stack(b.to_numpy()).astype(np.float64)
-    n = len(ma)
-    d_, na, nb = (np.zeros(n) for _ in range(3))
-    for i in range(ma.shape[1]):
-        x, y = ma[:, i], mb[:, i]
-        d_ = d_ + x * y
-        na = na + x * x
-        nb = nb + y * y
-    return pd.Series(d_ / (np.sqrt(na) * np.sqrt(nb)))
+_COSINE_UDF = None  # built lazily: pandas_udf needs an active session
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -57,7 +42,26 @@ def cosine(a: Column, b: Column) -> Column:
     with dimension-sequential accumulation — bit-identical to the
     interpreted ``dot/(norm*norm)`` fold and the DuckDB oracle, measured
     ~3x faster (see quantize_embeddings)."""
-    return _cosine_arrow(a, b)
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+        @pandas_udf("double")
+        def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+            # accumulate across dims IN ORDER, vectorized across rows:
+            # the same IEEE left fold as F.aggregate / DuckDB list_reduce
+            if not len(a):
+                return pd.Series([], dtype="float64")
+            ma = np.stack(a.to_numpy()).astype(np.float64)
+            mb = np.stack(b.to_numpy()).astype(np.float64)
+            n = len(ma)
+            d_, na, nb = (np.zeros(n) for _ in range(3))
+            for i in range(ma.shape[1]):
+                x, y = ma[:, i], mb[:, i]
+                d_ = d_ + x * y
+                na = na + x * x
+                nb = nb + y * y
+            return pd.Series(d_ / (np.sqrt(na) * np.sqrt(nb)))
+        _COSINE_UDF = _cosine_arrow
+    return _COSINE_UDF(a, b)
 
 
 def _as_double_array(vec: Sequence[float]) -> Column:
