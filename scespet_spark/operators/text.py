@@ -39,8 +39,11 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_ws_tokens": F.size(toks),
         "n_bpe_tokens": F.size(F.regexp_extract_all(F.col(text_col),
                                                     F.lit(TOKEN_REGEX), 0)),
+        # sum of token lengths == count of non-space chars (tokens are
+        # exactly the non-space runs): pure codegen arithmetic, no
+        # interpreted per-token fold
         "mean_token_len": F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
             .cast("double") / F.size(toks), 6),
     })
 
