@@ -179,11 +179,23 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
     v = F.col(vec_col).cast("array<double>")
     pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
     cents = (pts.orderBy("id").limit(k)
-             .select(F.monotonically_increasing_id().alias("code"), 
+             .select(F.monotonically_increasing_id().alias("code"),
                      F.col("p").alias("c")))
-    dist = F.aggregate(F.zip_with(F.col("p"), F.col("c"),
-                                  lambda x, y: (x - y) * (x - y)),
-                       F.lit(0.0), lambda a, x: a + x)
+
+    @pandas_udf("double")
+    def _sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
+        # dim-sequential accumulation (left-fold order), rows vectorized
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(ma))
+        for i in range(ma.shape[1]):
+            dlt = ma[:, i] - mb[:, i]
+            acc = acc + dlt * dlt
+        return pd.Series(acc)
+
+    dist = _sqdist(F.col("p"), F.col("c"))
     for _ in range(iters):
         assigned = (pts.join(F.broadcast(cents))
                     .select("id", "p", "code", dist.alias("d"))
