@@ -350,3 +350,66 @@ def test_session_exact_gap_boundary_batch_equals_live(spark):
             .reduce(n=F.count("*"), total=F.sum("value")))
     got_live = sorted((r.n, r.total) for r in live.run("complete").collect())
     assert got_live == got_batch
+
+
+def test_stateful_ops_across_micro_batches(spark, batch_events):
+    # split events into 3 time-ordered files; maxFilesPerTrigger=1 gives
+    # 3 micro-batches, so per-key state must carry across batch
+    # boundaries (the single-file tests only ever exercise one batch)
+    import os
+    import tempfile
+    from scespet_spark.core.stream import Stream
+    from scespet_spark.streaming.live import asof_latest, stateful_scan
+
+    d = tempfile.mkdtemp()
+    ev = batch_events.orderBy("ts", "event_id")
+    cuts = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    lo, hi = int(cuts[0]), int(cuts[1])
+    for i, cond in enumerate([F.col("event_id") <= lo,
+                              (F.col("event_id") > lo) & (F.col("event_id") <= hi),
+                              F.col("event_id") > hi]):
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"f{i}"))
+    # stage as one dir of files named in time order
+    stage = tempfile.mkdtemp()
+    n = 0
+    for i in range(3):
+        src_dir = os.path.join(d, f"f{i}")
+        part = next(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
+        os.symlink(os.path.join(src_dir, part),
+                   os.path.join(stage, f"batch-{i}.parquet"))
+        n += 1
+    sdf = (spark.readStream.schema(batch_events.schema)
+           .option("maxFilesPerTrigger", 1).parquet(stage))
+
+    # running per-user count via stateful scan, 3 batches deep
+    def step(st, pdf):
+        rows = []
+        for _ in range(len(pdf)):
+            st["n"] += 1
+        rows.append({"n": st["n"]})
+        return rows
+
+    live = stateful_scan(sdf, ["user_id"], {"n": 0.0}, step,
+                         "user_id long, n double")
+    got = run_available_now(live, "append")
+    final = {r.user_id: r.n for r in
+             got.groupBy("user_id").agg(F.max("n").alias("n")).collect()}
+    want = {r.user_id: float(r.n) for r in
+            batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert final == want
+
+    # as-of join state must also survive batch boundaries
+    live2 = asof_latest(
+        sdf.filter(F.col("event_type") == "click").withColumn("cv", F.col("value")),
+        sdf.filter(F.col("event_type") == "purchase").withColumn("pv", F.col("value")),
+        ["user_id"], ["cv"], ["pv"])
+    got2 = run_available_now(live2, "append")
+    evs = Stream(batch_events, t="ts", seq="event_id")
+    clicks = (evs.filter(F.col("event_type") == "click")
+              .by("user_id", name="user_id").map(cv=F.col("value")))
+    purchases = (evs.filter(F.col("event_type") == "purchase")
+                 .by("user_id", name="user_id").map(pv=F.col("value")))
+    want2 = clicks.take(purchases, ["cv"], ["pv"]).df
+    cols = ["user_id", "event_id", "cv", "pv"]
+    assert _sorted_rows(got2, cols) == _sorted_rows(want2, cols)
