@@ -72,6 +72,22 @@ def load_csv(spark: SparkSession, path: str, schema: str, sep: str = "\t",
     return Stream(df, t=t, seq=seq)
 
 
+def load_jsonl(spark: SparkSession, path: str, schema: str | None = None,
+               t: str = "ts", seq: str | None = None) -> Stream:
+    """JSON-lines corpus source — the de-facto LLM training-data
+    interchange format.  Always pass ``schema`` at scale: schema
+    inference scans the data once before the real read, doubling the
+    100TB ingest.  ``seq=None`` synthesizes the replay tie-breaker."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if seq is None:
+        seq = "seq"
+        df = df.withColumn(seq, F.monotonically_increasing_id())
+    return Stream(df, t=t, seq=seq)
+
+
 def timer_spine(spark: SparkSession, start, end, step: str,
                 t: str = "ts") -> Stream:
     """Periodic event source (reference: util/Timer.scala:10-30) as a

@@ -328,3 +328,16 @@ def test_keymap_take_emits_on_right_only(spark):
     # only right (y) events emit, and only once the cell is live:
     # t=0 no cell yet -> nothing; t=2 -> (x latest=1, y=200)
     assert got == [(2, 1, 1.0, 200.0)]
+
+
+def test_load_jsonl_source(spark, tmp_path):
+    from scespet_spark.sources.batch import load_jsonl
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"ts": 1, "doc_id": 10, "text": "hello world"}\n'
+                 '{"ts": 2, "doc_id": 11, "text": "second doc"}\n')
+    s = load_jsonl(spark, str(p), schema="ts long, doc_id long, text string")
+    rows = s.df.orderBy("ts").collect()
+    assert [(r.ts, r.doc_id, r.text) for r in rows] == [
+        (1, 10, "hello world"), (2, 11, "second doc")]
+    # schema'd scan: no inference pass, columns typed as declared
+    assert dict(s.df.dtypes)["doc_id"] == "bigint"
