@@ -777,16 +777,30 @@ def at_single_key(spark, sf_dir):
 
 
 @query("key_list_running", """
-SELECT ts, event_id,
-       list_sort(list_distinct(LIST(user_id) OVER (
-         ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS keys
-FROM events
+WITH fs AS (
+  SELECT user_id, MIN(ROW(ts, event_id)) AS f FROM events GROUP BY user_id),
+day_end AS (
+  SELECT ts, event_id FROM events
+  WHERE event_id IN (SELECT MAX(event_id) FROM events
+                     GROUP BY DATE_TRUNC('day', ts)))
+SELECT d.ts, d.event_id, list_sort(LIST(fs.user_id)) AS keys
+FROM day_end d JOIN fs ON fs.f <= ROW(d.ts, d.event_id)
+GROUP BY d.ts, d.event_id
 """)
 def key_list_running(spark, sf_dir):
-    """Growing key-list stream (reference: keyList, VectTerm.scala:43-52)."""
+    """Growing key list (reference: keyList, VectTerm.scala:43-52)
+    SAMPLED at daily boundaries via ``key_list_at`` — the scale form:
+    the per-event running list is O(rows x keys) and inherently serial
+    (it failed its own result materialization at sf0.1); the first-seen
+    table range-joined against the spine gives identical list contents
+    at each sampled event with no global window."""
+    from scespet_spark.core.stream import Stream
     s = events_stream(spark, sf_dir).by("user_id", name="user_id")
-    return s.key_list().df.select("ts", "event_id", "keys")
+    day_end = (s.df.groupBy(F.date_trunc("day", F.col("ts")).alias("__d"))
+               .agg(F.max("event_id").alias("event_id"))
+               .join(s.df.select("ts", "event_id"), "event_id"))
+    spine = Stream(day_end.select("ts", "event_id"), t="ts", seq="event_id")
+    return s.key_list_at(spine).df.select("ts", "event_id", "keys")
 
 
 @query("nested_group_reduce", """

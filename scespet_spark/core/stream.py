@@ -311,6 +311,27 @@ class Stream:
         ).drop("__first")
         return self._derive(df)
 
+    def key_list_at(self, spine: "Stream", name: str = "keys") -> "Stream":
+        """Key list SAMPLED at a spine's events — the scale form of
+        ``key_list``: the per-event running list is O(rows x keys) and
+        inherently serial, but "which keys existed as of time t" needs
+        only the per-key FIRST-SEEN table (K rows, a combinable groupBy)
+        range-joined against the spine (S rows).  No global window;
+        output is S rows.  Keys and spine order by (t, seq) tuples, so
+        same-timestamp ties resolve exactly like the running form."""
+        if len(self.keys) != 1:
+            raise ValueError("key_list_at supports single-key streams")
+        k = self.keys[0]
+        first = self.df.groupBy(k).agg(
+            F.min(F.struct(F.col(self.t), F.col(self.seq))).alias("__fs"))
+        sp = spine.df.select(F.col(spine.t).alias(self.t),
+                             F.col(spine.seq).alias(self.seq))
+        out = (sp.join(F.broadcast(first),
+                       F.col("__fs") <= F.struct(F.col(self.t), F.col(self.seq)))
+               .groupBy(self.t, self.seq)
+               .agg(F.array_sort(F.collect_list(k)).alias(name)))
+        return Stream(out, self.t, self.seq, ())
+
     def key_to_stream(self, factory: "Stream") -> "Stream":
         """Derive a per-key stream from this vector's keyset via a
         factory stream (reference: keyToStream, VectTerm.scala:435-440):

@@ -341,3 +341,18 @@ def test_load_jsonl_source(spark, tmp_path):
         (1, 10, "hello world"), (2, 11, "second doc")]
     # schema'd scan: no inference pass, columns typed as declared
     assert dict(s.df.dtypes)["doc_id"] == "bigint"
+
+
+def test_key_list_at_matches_windowed_form(spark):
+    # the sampled (first-seen range-join) form must equal the running
+    # windowed key_list at the sampled events, ties included
+    rows = [(0, 0, 5), (1, 1, 3), (1, 2, 7), (4, 3, 3), (6, 4, 1)]
+    s = Stream(spark.createDataFrame(rows, "ts long, seq long, k long"),
+               t="ts", seq="seq").by(F.col("k"), name="k")
+    spine = Stream(spark.createDataFrame(
+        [(1, 1), (5, 9), (6, 4)], "ts long, seq long"), t="ts", seq="seq")
+    got = {(r.ts, r.seq): r.keys for r in s.key_list_at(spine).df.collect()}
+    windowed = {(r.ts, r.seq): r.keys for r in s.key_list().df.collect()}
+    assert got[(1, 1)] == windowed[(1, 1)] == [3, 5]
+    assert got[(5, 9)] == [3, 5, 7]          # between events: all seen by t=5
+    assert got[(6, 4)] == windowed[(6, 4)] == [1, 3, 5, 7]
