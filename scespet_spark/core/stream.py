@@ -296,10 +296,10 @@ class Stream:
         SCALE WARNING — driver of last resort, like plain ``map_vector``:
         the running cross-key set is an inherently sequential global
         ordered window (one partition sorts the whole stream, output is
-        O(n*k)).  At scale, either sample the spine (``sample`` against a
-        Timer) before asking for the key list, or track key *counts* with
-        the decomposable ``map_vector(buckets=...)`` path and materialize
-        the list only at the final event."""
+        O(n*k)).  At scale use ``key_list_at(spine)`` — identical list
+        contents at sampled events via a first-seen range-join, no
+        global window — or track key *counts* with the decomposable
+        ``map_vector(buckets=...)`` path."""
         first_w = Window.partitionBy(*self.keys).orderBy(*self._order())
         df = self.df.withColumn("__first", F.row_number().over(first_w) == 1)
         run = (Window.partitionBy().orderBy(*self._order())
