@@ -491,9 +491,9 @@ WITH e AS (
   FROM events),
 f AS (
   SELECT user_id, value, b,
-         SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
-           AS bucket,
+           AS BIGINT) AS bucket,
          SUM(b) OVER (PARTITION BY user_id) AS nb
   FROM e)
 SELECT user_id, bucket,
@@ -530,10 +530,10 @@ s AS (SELECT user_id, ts, event_id, NULL::DOUBLE AS value, 0 AS is_data,
 u AS (SELECT * FROM c UNION ALL SELECT * FROM s),
 f AS (
   SELECT user_id, value, is_data,
-         SUM(1 - is_data) OVER (
+         CAST(SUM(1 - is_data) OVER (
              PARTITION BY user_id ORDER BY ts, ord, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - (1 - is_data) AS bucket,
+           - (1 - is_data) AS BIGINT) AS bucket,
          SUM(1 - is_data) OVER (PARTITION BY user_id) AS nb
   FROM u)
 SELECT user_id, bucket,
@@ -1080,7 +1080,7 @@ def vwap_per_supplier(spark, sf_dir):
 @query("json_props_stats", """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events
@@ -1107,7 +1107,7 @@ def json_props_stats(spark, sf_dir):
 @query("corpus_source_profile", """
 SELECT source, lang,
        COUNT(*) AS n_docs,
-       SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_chars
 FROM documents
 GROUP BY source, lang
@@ -1140,12 +1140,19 @@ def mode_event_type(spark, sf_dir):
 
 
 @query("collect_types_sorted", """
-SELECT user_id, LIST_SORT(LIST(DISTINCT event_type)) AS types
+SELECT user_id,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',') AS types
 FROM events GROUP BY user_id
 """)
 def collect_types_sorted(spark, sf_dir):
+    """Set-accumulate reducer (reference: Reduce.scala collect shapes).
+    Emitted as a sorted comma-joined string — same information as the
+    sorted list, but hashable by the driver's pandas canonicalizer
+    (list-typed cells crash ``sort_values``)."""
     s = events_stream(spark, sf_dir).by("user_id", name="user_id")
-    return s.reduce(F.array_sort(F.collect_set("event_type")).alias("types"))
+    return s.reduce(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+        .alias("types"))
 
 
 # ---------------------------------------------------------------------------
@@ -1163,9 +1170,9 @@ c AS (
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
   FROM u GROUP BY user_id, cyc)
 SELECT user_id, DATE_TRUNC('day', cyc) AS day,
-       SUM(has_c) AS n_click_cycles,
-       SUM(has_p) AS n_purchase_cycles,
-       SUM(has_c * has_p) AS n_both_cycles
+       CAST(SUM(has_c) AS BIGINT) AS n_click_cycles,
+       CAST(SUM(has_p) AS BIGINT) AS n_purchase_cycles,
+       CAST(SUM(has_c * has_p) AS BIGINT) AS n_both_cycles
 FROM c GROUP BY user_id, DATE_TRUNC('day', cyc)
 """)
 def bind_hourly_rendezvous(spark, sf_dir):
@@ -1712,9 +1719,9 @@ def decontaminate_eval_overlap(spark, sf_dir):
 @query("pack_training_sequences", f"""
 WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum
+                                 AND CURRENT ROW) AS BIGINT) AS cum
       FROM t)
 SELECT doc_id, n_tokens,
        cum - n_tokens AS start_tok,
