@@ -1468,11 +1468,54 @@ def ann_batch_topk(spark, sf_dir):
                       F.col("rnk").cast("long").alias("rnk"))
 
 
-@query("ann_ivf_kmeans_codes")  # iterative (Lloyd's) — rows-only check
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Lloyd's k-means unrolled into chained CTE stages (the iteration
+    count is a fixed hyper-parameter, so the 'iterative' algorithm is a
+    finite SQL pipeline).  Distance is list-order-sequential float64
+    accumulation — the same left-fold the Spark ``_sqdist`` UDF pins —
+    and assignment tie-breaks on (distance, code), so integer codes are
+    reproducible even though per-dim AVG float order may differ."""
+    dist = ("list_sum(list_transform(list_zip({P}.p, {C}.c), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2])))")
+
+    def assign(p, c):
+        return (
+            "SELECT id, p, code FROM ("
+            "SELECT id, p, code, ROW_NUMBER() OVER "
+            "(PARTITION BY id ORDER BY d, code) AS rn FROM ("
+            f"SELECT {p}.id, {p}.p, {c}.code, "
+            + dist.format(P=p, C=c) + " AS d "
+            f"FROM {p}, {c})) WHERE rn = 1")
+
+    def update(a):
+        return (
+            "SELECT code, LIST(m ORDER BY pos) AS c FROM ("
+            "SELECT code, pos, AVG(x) AS m FROM ("
+            "SELECT code, UNNEST(p) AS x, "
+            f"UNNEST(range(1, len(p) + 1)) AS pos FROM {a}) "
+            "GROUP BY code, pos) GROUP BY code")
+
+    ctes = [
+        "pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS p FROM embeddings)",
+        ("c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)"
+         " AS code, p AS c FROM "
+         f"(SELECT id, p FROM pts ORDER BY id LIMIT {k}))"),
+    ]
+    for i in range(iters):
+        ctes.append(f"a{i} AS ({assign('pts', f'c{i}')})")
+        ctes.append(f"c{i + 1} AS ({update(f'a{i}')})")
+    ctes.append(f"af AS ({assign('pts', f'c{iters}')})")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT id AS vec_id, code FROM af")
+
+
+@query("ann_ivf_kmeans_codes", _kmeans_oracle_sql(k=8, iters=3))
 def ann_ivf_kmeans_codes(spark, sf_dir):
     """IVF coarse-code build: deterministic-seeded k-means expressed as
     broadcast-join assign + element-wise-mean update per iteration.
-    No oracle_sql: genuinely iterative (driver records rows-only)."""
+    Oracle = the same fixed 3 Lloyd's iterations unrolled as DuckDB CTE
+    stages over the identical seed (k lowest-id vectors) and the same
+    left-fold distance order."""
     from scespet_spark.operators.similarity import kmeans_codes
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_codes(emb, k=8, iters=3)

@@ -178,8 +178,12 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
     Returns (id, code) for partition-pruned probing at query time."""
     v = F.col(vec_col).cast("array<double>")
     pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
+    # seed: the k lowest-id vectors, code = rank-by-id (explicit
+    # row_number, not monotonically_increasing_id, so the code<->seed
+    # mapping is identical on any cluster/plan — and SQL-reproducible)
     cents = (pts.orderBy("id").limit(k)
-             .select(F.monotonically_increasing_id().alias("code"),
+             .select((F.row_number().over(Window.orderBy("id")) - 1)
+                     .cast("long").alias("code"),
                      F.col("p").alias("c")))
 
     @pandas_udf("double")
