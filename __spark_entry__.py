@@ -783,8 +783,11 @@ day_end AS (
   SELECT ts, event_id FROM events
   WHERE event_id IN (SELECT MAX(event_id) FROM events
                      GROUP BY DATE_TRUNC('day', ts)))
-SELECT d.ts, d.event_id, list_sort(LIST(fs.user_id)) AS keys
-FROM day_end d JOIN fs ON fs.f <= ROW(d.ts, d.event_id)
+SELECT d.ts, d.event_id,
+       COALESCE(array_to_string(list_sort(
+           LIST(fs.user_id) FILTER (fs.user_id IS NOT NULL)), ','), '')
+         AS keys
+FROM day_end d LEFT JOIN fs ON fs.f <= ROW(d.ts, d.event_id)
 GROUP BY d.ts, d.event_id
 """)
 def key_list_running(spark, sf_dir):
@@ -800,7 +803,11 @@ def key_list_running(spark, sf_dir):
                .agg(F.max("event_id").alias("event_id"))
                .join(s.df.select("ts", "event_id"), "event_id"))
     spine = Stream(day_end.select("ts", "event_id"), t="ts", seq="event_id")
-    return s.key_list_at(spine).df.select("ts", "event_id", "keys")
+    out = s.key_list_at(spine).df.select("ts", "event_id", "keys")
+    # joined string, not a list column: driver-hashable (the pandas
+    # canonicalizer crashes on list cells), same information
+    return out.withColumn(
+        "keys", F.array_join(F.col("keys").cast("array<string>"), ","))
 
 
 @query("nested_group_reduce", """
@@ -1799,17 +1806,21 @@ def shuffle_deterministic_shards(spark, sf_dir):
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT vec_id,
        list_min(v) AS vmin, list_max(v) AS vmax,
-       CASE WHEN list_max(v) = list_min(v)
+       array_to_string(CASE WHEN list_max(v) = list_min(v)
             THEN list_transform(v, x -> 0)
             ELSE list_transform(v, x -> CAST(floor(
                  (x - list_min(v)) / ((list_max(v) - list_min(v)) / 255)
-                 + 0.5) AS INTEGER)) END AS q
+                 + 0.5) AS INTEGER)) END, ',') AS q
 FROM n
 """)
 def quantize_embeddings_int8(spark, sf_dir):
-    """Per-vector affine int8 quantization as pure array expressions."""
+    """Per-vector affine int8 quantization (vectorized Arrow numpy
+    pass).  Codes emitted as a comma-joined string so the driver's
+    pandas canonicalizer can hash the column (list cells crash it)."""
     from scespet_spark.operators.pipeline import quantize_embeddings
-    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    out = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn(
+        "q", F.array_join(F.col("q").cast("array<string>"), ","))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -24,6 +24,7 @@ Design notes
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
@@ -327,7 +328,8 @@ class Stream:
         sp = spine.df.select(F.col(spine.t).alias(self.t),
                              F.col(spine.seq).alias(self.seq))
         out = (sp.join(F.broadcast(first),
-                       F.col("__fs") <= F.struct(F.col(self.t), F.col(self.seq)))
+                       F.col("__fs") <= F.struct(F.col(self.t), F.col(self.seq)),
+                       "left")
                .groupBy(self.t, self.seq)
                .agg(F.array_sort(F.collect_list(k)).alias(name)))
         return Stream(out, self.t, self.seq, ())
@@ -403,6 +405,23 @@ class Stream:
         bad = set(merge.values()) - set(self._MERGES)
         if bad:
             raise ValueError(f"unsupported merge kinds: {bad}")
+        unknown = set(merge) - set(aggs)
+        if unknown:
+            raise ValueError(
+                f"merge names unknown aggregates: {sorted(unknown)} "
+                f"(aggregates are {sorted(aggs)})")
+        # An aggregate without an explicit merge kind folds as "sum"; if
+        # its expression is visibly an extremum that silently computes
+        # wrong running values (bucket maxima get summed) — refuse.
+        for name, a in aggs.items():
+            if name in merge:
+                continue
+            m = re.match(r"Column<'(\w+)\(", str(a))
+            if m and m.group(1).lower() in ("max", "min"):
+                raise ValueError(
+                    f"aggregate {name!r} is {m.group(1)}() but has no "
+                    f"merge kind; pass merge={{'{name}': "
+                    f"'{m.group(1).lower()}'}}")
         keys = [] if cross_key else list(self.keys)
         df = self.df.withColumn(_BUCKET, buckets)
         names = list(aggs)
@@ -808,21 +827,35 @@ def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
     # the left key-universe with its bound right key: one row per left key
     keyset = (lmapped.select(F.col(lk).alias("__lk"), "__jk")
               .where(F.col("__jk").isNotNull()).distinct())
+    if isinstance(key_map, Column):
+        # multi-map guard for the row-expression form (the dict form is
+        # checked driver-side above): the distinct keyset must bind each
+        # left key to exactly ONE right key, else emissions silently
+        # duplicate.  In-plan assert so the check rides the same job.
+        guard = F.assert_true(
+            F.count("*").over(Window.partitionBy("__lk")) == F.lit(1),
+            F.concat(F.lit("key_map binds left key '"),
+                     F.col("__lk").cast("string"),
+                     F.lit("' to multiple right keys (reference "
+                           "multi-map error, VectorJoin.scala:38-40)")))
+        keyset = keyset.withColumn("__jk",
+                                   F.when(guard.isNull(), F.col("__jk")))
     rx = (right.df.join(keyset, right.df[rk] == keyset["__jk"])
           .drop("__jk").drop(right.df[rk])
           .withColumnRenamed("__lk", lk))
     right2 = Stream(rx, t=right.t, seq=right.seq, keys=(lk,))
-    left2 = left._derive(lmapped.drop("__jk"))
-    out = _temporal_join(left2, right2, left_cols, right_cols, emit=emit)
+    # explicit liveness marker: a cell exists from the key's FIRST left
+    # event regardless of value nullness (legitimately-null left values
+    # must not suppress emissions), so forward-fill a literal 1 instead
+    # of inferring liveness from the value columns
+    left2 = left._derive(lmapped.drop("__jk").withColumn("__cell", F.lit(1)))
+    out = _temporal_join(left2, right2, [*left_cols, "__cell"], right_cols,
+                         emit=emit)
     # right events fire only EXISTING cells: before a left key's first
-    # event there is no cell, so rows where the left side is still null
-    # are bind-time history, not emissions (left-fired rows carry their
-    # own left value and pass trivially)
-    alive = None
-    for c in left_cols:
-        cond = F.col(c).isNotNull()
-        alive = cond if alive is None else (alive | cond)
-    return out._derive(out.df.filter(alive)) if alive is not None else out
+    # event there is no cell — those rows are bind-time history, not
+    # emissions
+    return out._derive(out.df.filter(F.col("__cell").isNotNull())
+                       .drop("__cell"))
 
 
 def _asof_gate(data: Stream, gate_stream: Stream, gate_col: str) -> Stream:

@@ -121,23 +121,35 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     def _quant(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype=object)
-        lens = v.str.len()
-        if lens.nunique() == 1:  # uniform dims: one vectorized 2-D pass
-            m = np.stack(v.to_numpy())
+        # null / empty vectors quantize to null (the Column-expression
+        # degradation), never an np.stack / .min() crash
+        lens = v.str.len().fillna(-1).to_numpy()
+        out = np.full(len(v), None, dtype=object)
+        valid = lens > 0
+        if not valid.any():
+            return pd.Series(out, dtype=object)
+        sub = v.to_numpy()[valid]
+        if len(np.unique(lens[valid])) == 1:  # uniform dims: one 2-D pass
+            m = np.stack(sub).astype(np.float64)
             mn = m.min(axis=1, keepdims=True)
             mx = m.max(axis=1, keepdims=True)
             rng = mx - mn
             rng[rng == 0] = 1.0  # constant vectors -> (x-mn)=0 -> code 0
-            q = np.floor((m - mn) / (rng / levels) + 0.5).astype(np.int32)
-            return pd.Series(list(q))
-        out = []
-        for a in v:
-            a = np.asarray(a, dtype=np.float64)
-            mn, mx = a.min(), a.max()
-            out.append(np.zeros(len(a), dtype=np.int32) if mx == mn else
-                       np.floor((a - mn) / ((mx - mn) / levels) + 0.5)
-                       .astype(np.int32))
-        return pd.Series(out)
+            qs = list(np.floor((m - mn) / (rng / levels) + 0.5)
+                      .astype(np.int32))
+        else:  # ragged: per-row fallback
+            qs = []
+            for a in sub:
+                a = np.asarray(a, dtype=np.float64)
+                mn, mx = a.min(), a.max()
+                qs.append(np.zeros(len(a), dtype=np.int32) if mx == mn else
+                          np.floor((a - mn) / ((mx - mn) / levels) + 0.5)
+                          .astype(np.int32))
+        # per-slot assignment: out[valid] = qs would make numpy coerce
+        # the equal-length rows into a 2-D array and shape-error
+        for j, row in zip(np.flatnonzero(valid), qs):
+            out[j] = row
+        return pd.Series(out, dtype=object)
 
     v = F.col(vec_col).cast("array<double>")
     return df.select(F.col(id_col),

@@ -47,19 +47,29 @@ def cosine(a: Column, b: Column) -> Column:
         @pandas_udf("double")
         def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
             # accumulate across dims IN ORDER, vectorized across rows:
-            # the same IEEE left fold as F.aggregate / DuckDB list_reduce
+            # the same IEEE left fold as F.aggregate / DuckDB list_reduce.
+            # Null / empty / length-mismatched rows yield null (the
+            # degradation the Column-expression form had), computed-rows
+            # grouped by dim so np.stack stays rectangular.
             if not len(a):
                 return pd.Series([], dtype="float64")
-            ma = np.stack(a.to_numpy()).astype(np.float64)
-            mb = np.stack(b.to_numpy()).astype(np.float64)
-            n = len(ma)
-            d_, na, nb = (np.zeros(n) for _ in range(3))
-            for i in range(ma.shape[1]):
-                x, y = ma[:, i], mb[:, i]
-                d_ = d_ + x * y
-                na = na + x * x
-                nb = nb + y * y
-            return pd.Series(d_ / (np.sqrt(na) * np.sqrt(nb)))
+            la = a.str.len().fillna(-1).to_numpy()
+            lb = b.str.len().fillna(-1).to_numpy()
+            valid = (la > 0) & (la == lb)
+            res = np.full(len(a), np.nan)
+            av, bv = a.to_numpy(), b.to_numpy()
+            for dlen in np.unique(la[valid]):
+                sel = valid & (la == dlen)
+                ma = np.stack(av[sel]).astype(np.float64)
+                mb = np.stack(bv[sel]).astype(np.float64)
+                d_, na, nb = (np.zeros(len(ma)) for _ in range(3))
+                for i in range(ma.shape[1]):
+                    x, y = ma[:, i], mb[:, i]
+                    d_ = d_ + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                res[sel] = d_ / (np.sqrt(na) * np.sqrt(nb))
+            return pd.Series(res)
         _COSINE_UDF = _cosine_arrow
     return _COSINE_UDF(a, b)
 
@@ -92,14 +102,20 @@ def sign_lsh_code(vec: Column, dim: int, bits: int = 6) -> Column:
     def _code(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype="int64")
-        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        code = np.zeros(len(m), dtype=np.int64)
-        for i in range(bits):
-            acc = np.zeros(len(m), dtype=np.float64)
-            for d in range(dim):  # sequential over dims = left-fold order
-                acc = acc + m[:, d] * signs[i, d]
-            code |= (acc > 0).astype(np.int64) << i
-        return pd.Series(code)
+        # null / wrong-dim rows get a null code (no block) instead of an
+        # opaque np.stack crash
+        valid = (v.str.len().fillna(-1) == dim).to_numpy()
+        res = np.full(len(v), np.nan)
+        if valid.any():
+            m = np.stack(v.to_numpy()[valid]).astype(np.float64)  # (n, dim)
+            code = np.zeros(len(m), dtype=np.int64)
+            for i in range(bits):
+                acc = np.zeros(len(m), dtype=np.float64)
+                for d in range(dim):  # sequential over dims = left fold
+                    acc = acc + m[:, d] * signs[i, d]
+                code |= (acc > 0).astype(np.int64) << i
+            res[valid] = code
+        return pd.Series(res)
 
     return _code(vec.cast("array<double>"))
 

@@ -384,3 +384,33 @@ def test_corpus_pipeline_example_runs(spark, tmp_path):
     assert n0 == 500 and 0 < n1 < n0
     got = spark.read.parquet(str(tmp_path / "out"))
     assert {"doc_id", "seq_first", "sort_key", "text"} <= set(got.columns)
+
+
+def test_arrow_udf_null_and_ragged_vector_guards(spark):
+    # the Arrow UDFs must degrade to null on null / empty / mismatched
+    # vectors (the old Column-expression behavior), not crash np.stack
+    from scespet_spark.operators.pipeline import quantize_embeddings
+    from scespet_spark.operators.similarity import cosine, sign_lsh_code
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None), (3, []), (4, [5.0, 5.0])],
+        "vec_id long, embedding array<double>")
+
+    q = {r.vec_id: r.q for r in quantize_embeddings(df).collect()}
+    assert q[1] == [0, 128, 255]
+    assert q[2] is None and q[3] is None
+    assert q[4] == [0, 0]  # constant vector -> all-zero codes
+
+    c = {r.vec_id: r.s for r in df.withColumn(
+        "s", cosine(F.col("embedding"),
+                    F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))))
+        .collect()}
+    assert c[1] == pytest.approx(1.0)
+    assert c[2] is None     # null vector
+    assert c[3] is None     # empty vector
+    assert c[4] is None     # length mismatch (2 vs 3)
+
+    codes = {r.vec_id: r.code for r in df.withColumn(
+        "code", sign_lsh_code(F.col("embedding"), dim=3)).collect()}
+    assert codes[1] is not None
+    assert codes[2] is None and codes[3] is None and codes[4] is None

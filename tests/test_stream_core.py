@@ -356,3 +356,58 @@ def test_key_list_at_matches_windowed_form(spark):
     assert got[(1, 1)] == windowed[(1, 1)] == [3, 5]
     assert got[(5, 9)] == [3, 5, 7]          # between events: all seen by t=5
     assert got[(6, 4)] == windowed[(6, 4)] == [1, 3, 5, 7]
+
+
+def test_key_list_at_spine_before_first_key(spark):
+    # a spine event earlier than every first-seen emits an EMPTY list row
+    # (left join), so the output is always S rows
+    rows = [(5, 5, 1), (7, 7, 2)]
+    s = Stream(spark.createDataFrame(rows, "ts long, seq long, k long"),
+               t="ts", seq="seq").by(F.col("k"), name="k")
+    spine = Stream(spark.createDataFrame(
+        [(0, 0), (6, 6)], "ts long, seq long"), t="ts", seq="seq")
+    got = {(r.ts, r.seq): r.keys for r in s.key_list_at(spine).df.collect()}
+    assert got == {(0, 0): [], (6, 6): [1]}
+
+
+def test_scalable_scan_merge_key_validation(spark):
+    s = _stream(spark, [1, 2, 3])
+    # a merge entry naming a non-existent aggregate is a typo, not a noop
+    with pytest.raises(ValueError, match="unknown aggregates"):
+        s.scan(buckets=F.col("ts"), merge={"vmx": "max"}, vmax=F.max("val"))
+    # an extremum aggregate without an explicit merge kind would silently
+    # SUM bucket maxima — refuse instead
+    with pytest.raises(ValueError, match="no merge kind"):
+        s.scan(buckets=F.col("ts"), vmax=F.max("val"))
+
+
+def test_keymap_zip_join_null_left_values_still_emit(spark):
+    # a cell is live from the key's FIRST event regardless of value
+    # nullness: legitimately-null left values must not suppress emissions
+    xs = Stream(spark.createDataFrame(
+        [(1, 1, 1, None), (6, 6, 1, 6.0)],
+        "ts long, seq long, k long, x double"), t="ts", seq="seq", keys=("k",))
+    ys = Stream(spark.createDataFrame(
+        [(0, 0, 10, 100.0), (2, 2, 10, 200.0)],
+        "ts long, seq long, k2 long, y double"), t="ts", seq="seq", keys=("k2",))
+    out = xs.zip_join(ys, ["x"], ["y"], key_map={1: 10})
+    got = sorted((r.ts, r.k, r.x, r.y) for r in out.df.collect())
+    # t=0: no cell yet. t=1: x fires (null value), y latest = 100.
+    # t=2: y fires the live cell (x still null). t=6: x=6 fires.
+    assert got == [(1, 1, None, 100.0), (2, 1, None, 200.0),
+                   (6, 1, 6.0, 200.0)]
+
+
+def test_keymap_column_form_multi_map_raises(spark):
+    # the Column key_map form must also hit the multi-map guard when a
+    # row-dependent expression binds one left key to several right keys
+    xs = Stream(spark.createDataFrame(
+        [(0, 0, 1, 1.0), (1, 1, 1, 2.0)],
+        "ts long, seq long, k long, x double"), t="ts", seq="seq", keys=("k",))
+    ys = Stream(spark.createDataFrame(
+        [(0, 0, 10, 5.0), (1, 1, 11, 7.0)],
+        "ts long, seq long, k2 long, y double"), t="ts", seq="seq", keys=("k2",))
+    out = xs.zip_join(ys, ["x"], ["y"],
+                      key_map=F.col("k") * 10 + F.col("seq"))
+    with pytest.raises(Exception, match="multiple right keys"):
+        out.df.collect()
