@@ -44,38 +44,56 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma") -> Str
 
     # pandas ewm(adjust=False) evaluates the identical recurrence
     # ((1-a)*prev + a*x, seeded from x_0) in vectorized cython — same
-    # IEEE ops as the reference fold, no per-row Python loop
+    # IEEE ops as the reference fold, no per-row Python loop.
+    #
+    # Memory is bounded by ONE Arrow batch, not the partition: the fold
+    # streams the sorted batches and carries each key's last value
+    # across batch boundaries (one float per key).  Seeding the next
+    # batch's ewm with the carried value reproduces the exact elementwise
+    # op sequence of a single unbroken series, so a whale key spanning
+    # many batches — or a 100 TB partition — computes bit-identical
+    # values without ever materializing the key's history in pandas.
+    import numpy as np
+
+    def _chunked_fold(batches, group_keys):
+        carry: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = np.empty(len(pdf), dtype=np.float64)
+            groups = (pdf.groupby(group_keys, sort=False).indices.items()
+                      if group_keys else [((), np.arange(len(pdf)))])
+            for kt, idx in groups:
+                kt = kt if isinstance(kt, tuple) else (kt,)
+                x = pdf[value_col].to_numpy()[idx].astype(np.float64)
+                if kt in carry:
+                    seeded = np.concatenate(([carry[kt]], x))
+                    r = (pd.Series(seeded).ewm(alpha=alpha, adjust=False)
+                         .mean().to_numpy()[1:])
+                else:
+                    r = (pd.Series(x).ewm(alpha=alpha, adjust=False)
+                         .mean().to_numpy())
+                carry[kt] = r[-1]
+                vals[idx] = r
+            pdf = pdf.copy()
+            pdf[out] = vals
+            yield pdf
+
     if keys:
         # secondary-sort pattern: repartition by key to full parallelism
         # (groupBy.applyInPandas would pay a per-group Python dispatch and
         # AQE coalesces its small shuffle to a few tasks), sort JVM-side,
-        # then one vectorized grouped-ewm per partition.  A partition must
-        # fit in memory — the same contract as any pandas exchange.
+        # then the chunked grouped-ewm over the partition's batch stream.
         n = df.sparkSession.sparkContext.defaultParallelism
         part = df.repartition(n, *keys).sortWithinPartitions(*keys, *order)
-
-        def fold(batches):
-            batches = list(batches)
-            if not batches:  # repartition leaves empty partitions when
-                return       # distinct keys < partition count
-            pdf = pd.concat(batches, ignore_index=True)
-            if len(pdf):
-                grouped = pdf.groupby(keys, sort=False)[value_col]
-                r = grouped.ewm(alpha=alpha, adjust=False).mean()
-                pdf[out] = r.reset_index(
-                    level=list(range(len(keys))), drop=True)
-            yield pdf
-
-        folded = part.mapInPandas(fold, schema)
+        folded = part.mapInPandas(
+            lambda batches: _chunked_fold(batches, keys), schema)
     else:
-        def fold_all(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(order, kind="mergesort")
-            pdf[out] = (pdf[value_col].astype("float64")
-                        .ewm(alpha=alpha, adjust=False).mean())
-            return pdf
-
-        folded = df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
-            lambda p: fold_all(p).drop(columns="__g"), schema=schema)
+        # global EWMA is inherently one ordered series; a single sorted
+        # partition streamed batch-by-batch (constant pandas memory)
+        part = df.repartition(1).sortWithinPartitions(*order)
+        folded = part.mapInPandas(
+            lambda batches: _chunked_fold(batches, []), schema)
     return stream._derive(folded)
 
 

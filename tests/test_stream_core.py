@@ -411,3 +411,31 @@ def test_keymap_column_form_multi_map_raises(spark):
                       key_map=F.col("k") * 10 + F.col("seq"))
     with pytest.raises(Exception, match="multiple right keys"):
         out.df.collect()
+
+
+def test_ewma_whale_key_spanning_batches(spark):
+    # one whale key whose history spans many Arrow batches must compute
+    # the identical recurrence via the per-batch carry (bounded memory),
+    # bit-equal to the unbroken pandas fold
+    from scespet_spark.functions.reducers import ewma
+    import pandas as pd
+    rows = [(i, i, "whale" if i % 50 else "minnow", float((i * 7) % 23))
+            for i in range(500)]
+    s = Stream(spark.createDataFrame(
+        rows, "ts long, seq long, key string, v double"),
+        t="ts", seq="seq", keys=("key",))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = {(r.key, r.ts): r.ewma
+               for r in ewma(s, "v", alpha=0.25).df.collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    pdf = pd.DataFrame(rows, columns=["ts", "seq", "key", "v"])
+    expect = pdf.groupby("key")["v"].transform(
+        lambda x: x.ewm(alpha=0.25, adjust=False).mean())
+    for (_, r), e in zip(pdf.iterrows(), expect):
+        assert got[(r.key, r.ts)] == e, (r.key, r.ts)
