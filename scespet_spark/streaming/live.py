@@ -27,6 +27,7 @@ from __future__ import annotations
 import uuid
 from collections.abc import Callable, Iterable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
 
@@ -97,8 +98,10 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
 
     ``state_fields`` maps state names to initial values; ``step(state,
     pdf)`` folds a sorted pandas batch into the state dict and returns
-    output rows (list of dicts).  Uses applyInPandasWithState so state
-    lives in the executor state store, partitioned by key."""
+    output rows — either a list of dicts (per-row steps) or a pandas
+    DataFrame (vectorized steps; key columns are attached here).  Uses
+    applyInPandasWithState so state lives in the executor state store,
+    partitioned by key."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType
     import pandas as pd
@@ -123,7 +126,10 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
             rows = step(st, pdf)
         state.update(tuple(st[n] for n in state_names))
         key_vals = dict(zip(keys, key))
-        yield pd.DataFrame([{**key_vals, **r} for r in rows])
+        if isinstance(rows, pd.DataFrame):
+            yield rows.assign(**key_vals)
+        else:
+            yield pd.DataFrame([{**key_vals, **r} for r in rows])
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
@@ -286,16 +292,30 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
     u = lt.unionByName(rt)
 
     def step(st, pdf):
-        rows = []
-        for ts, sq, side, v in zip(pdf[t], pdf[seq], pdf["__side"], pdf["__v"]):
-            if side == 0:
-                st["lx"], st["lseen"] = float(v), 1.0
-            else:
-                st["rx"], st["rseen"] = float(v), 1.0
-            rows.append({t: ts, seq: int(sq),
-                         left_col: st["lx"] if st["lseen"] else None,
-                         right_col: st["rx"] if st["rseen"] else None})
-        return rows
+        # vectorized within-batch forward fill (every row emits both
+        # latest values); cross-batch state = the carry dict.  Fill by
+        # last-position indexing, not value ffill: a side's null value
+        # is a real update (latest becomes null), exactly like the
+        # sequential fold.
+        import numpy as np
+        n = len(pdf)
+        side = pdf["__side"].to_numpy()
+        v = pdf["__v"].to_numpy(dtype="float64")
+        pos = np.arange(n, dtype="float64")
+        out = {t: pdf[t].to_numpy(), seq: pdf[seq].to_numpy().astype("int64")}
+        for s_, col, seen, last in ((0, left_col, "lseen", "lx"),
+                                    (1, right_col, "rseen", "rx")):
+            lp = pd.Series(np.where(side == s_, pos, np.nan)).ffill().to_numpy()
+            filled = np.full(n, np.nan)
+            has = ~np.isnan(lp)
+            filled[has] = v[lp[has].astype("int64")]
+            if st[seen]:  # rows before this batch's first event: carry
+                filled[~has] = st[last]
+            out[col] = filled
+            hits = np.flatnonzero(side == s_)
+            if len(hits):
+                st[last], st[seen] = float(v[hits[-1]]), 1.0
+        return pd.DataFrame(out)
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
     return stateful_scan(
@@ -330,25 +350,27 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
                     | {f"s_{c}": 0.0 for c in left_cols})
 
     def step(st, pdf):
-        rows = []
-        series = ([pdf[t], pdf[seq], pdf["__side"]]
-                  + [pdf[c] for c in left_cols]
-                  + [pdf[c] for c in right_cols])
-        nl = len(left_cols)
-        for vals in zip(*series):
-            ts_, sq, side = vals[0], vals[1], vals[2]
-            if side == 0:
-                for c, v in zip(left_cols, vals[3:3 + nl]):
-                    if v == v:  # not NaN (null left value keeps prior state)
-                        st[f"v_{c}"], st[f"s_{c}"] = float(v), 1.0
-            else:
-                out = {t: ts_, seq: int(sq)}
-                for c in left_cols:
-                    out[c] = st[f"v_{c}"] if st[f"s_{c}"] else None
-                for c, v in zip(right_cols, vals[3 + nl:]):
-                    out[c] = float(v) if v == v else None
-                rows.append(out)
-        return rows
+        # vectorized: right rows emit, left columns forward-fill within
+        # the batch (plain value ffill is exact here — a null left value
+        # KEEPS prior state by contract), carry seeds the leading rows
+        import numpy as np
+        side = pdf["__side"].to_numpy()
+        mask_r = side == 1
+        out = {t: pdf[t].to_numpy()[mask_r],
+               seq: pdf[seq].to_numpy()[mask_r].astype("int64")}
+        for c in left_cols:
+            col = np.where(side == 0, pdf[c].to_numpy(dtype="float64"),
+                           np.nan)
+            filled = pd.Series(col).ffill().to_numpy()
+            if st[f"s_{c}"]:  # carry is non-NaN whenever seen
+                filled[np.isnan(filled)] = st[f"v_{c}"]
+            out[c] = filled[mask_r]
+            nz = np.flatnonzero(~np.isnan(col))
+            if len(nz):
+                st[f"v_{c}"], st[f"s_{c}"] = float(col[nz[-1]]), 1.0
+        for c in right_cols:
+            out[c] = pdf[c].to_numpy(dtype="float64")[mask_r]
+        return pd.DataFrame(out)
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
     val_ddl = ", ".join(f"{c} double" for c in (*left_cols, *right_cols))
