@@ -358,6 +358,43 @@ def window_gated_reduce(spark, sf_dir):
     return out.df.select("user_id", "win_seq", "total", "n")
 
 
+@query("window_gated_scan", """
+WITH g AS (
+  SELECT user_id, ts, event_id, value, (value >= 100) AS gate FROM events),
+r AS (
+  SELECT *,
+         CASE WHEN gate AND NOT COALESCE(
+             LAG(gate) OVER (PARTITION BY user_id ORDER BY ts, event_id), FALSE)
+           THEN 1 ELSE 0 END AS rising
+  FROM g),
+w AS (
+  SELECT *,
+         SUM(rising) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS win
+  FROM r)
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id, win ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS total,
+       CAST(COUNT(*) OVER (PARTITION BY user_id, win ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n
+FROM w WHERE gate
+""")
+def window_gated_scan(spark, sf_dir):
+    """Gated CUMULATIVE emission (``window(boolStream).scan``): every
+    in-window event emits the window's running aggregate — the scan
+    counterpart of window_gated_reduce (reference: window() CUMULATIVE,
+    MacroTerm.scala:242-259; open windows DO emit their running rows,
+    only ``reduce`` withholds un-closed windows)."""
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.window(F.col("value") >= 100).scan(
+        total=F.sum(F.col("value").cast("decimal(18,2)")), n=F.count("*"))
+    return out.df.select("user_id", "event_id",
+                         F.col("total").cast("double").alias("total"), "n")
+
+
 @query("live_window_gated_reduce", _ORACLES["window_gated_reduce"])
 def live_window_gated_reduce(spark, sf_dir):
     """Boolean-gated windows as a streaming plan: per-key edge-detect
@@ -1847,35 +1884,50 @@ def entry(spark: SparkSession) -> DataFrame:
 #: relational wrappers and the near-duplicate family members fall after
 #: slot 50 — they remain covered by the local oracle gate
 #: (tools/check_oracle.py runs ALL queries).
-_PRIORITY = [
-    # (a) training-pipeline operators — no driver evidence in round 1
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+#: Queries added or semantically changed THIS round — must sit in the
+#: first 50 of queries() so the driver gate re-checks them (asserted by
+#: tests/test_entry_contract.py).  Rewrite each round.
+_ROUND_CHANGED = [
+    # new this round
+    "window_gated_scan",
+    # oracle or implementation changed this round (BIGINT casts, k-means
+    # oracle + deterministic seed, string-join outputs, keymap liveness,
+    # chunked EWMA, vectorized live zip/asof, UDF null guards)
+    "ann_ivf_kmeans_codes", "corpus_source_profile", "json_props_stats",
+    "pack_training_sequences", "bind_hourly_rendezvous",
+    "live_trigger_stream_slice", "live_trigger_slice",
+    "collect_types_sorted", "key_list_running", "quantize_embeddings_int8",
+    "zip_keymap_region_value", "ewma_final_per_user",
+    "live_ewma_final_per_user", "live_zip_click_purchase",
+    "live_asof_purchase_last_click", "dedup_embedding_cosine",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_batch_topk",
-    "ann_ivf_kmeans_codes",
-    "text_token_stats", "text_lang_id", "text_quality", "text_fingerprint",
-    "doc_chunking", "redact_pii", "stratified_sample_docs",
-    "multimodal_decode", "multimodal_frame_sample",
-    "corpus_source_profile", "json_props_stats",
-    "decontaminate_eval_overlap", "pack_training_sequences",
-    "text_repetition",
-    # lifecycle buckets
-    "bucket_collapse_stats", "bind_hourly_rendezvous",
-    # (b) new / changed this round
-    "zip_keymap_region_value",
-    "live_asof_purchase_last_click", "live_window_gated_reduce",
-    "live_session_windows", "live_trigger_stream_slice",
-    "live_ewma_final_per_user",
+]
+
+_PRIORITY = [
+    # (a) the 28 queries with NO green driver row after rounds 1-2 (r1
+    # was the nanos crash; the driver checks only the first 50) — all
+    # pass the local exact-value gate, they just need driver evidence
+    "ann_ivf_kmeans_codes", "corpus_source_profile", "json_props_stats",
+    "pack_training_sequences", "bind_hourly_rendezvous",
+    "live_trigger_stream_slice", "collect_types_sorted",
+    "key_to_stream_daily", "map_keys_user_bucket", "key_list_running",
+    "value_set_types", "map_stream", "filter_stream",
+    "filter_type_purchase", "by_reduce_total", "live_zip_click_purchase",
+    "live_tumbling_daily", "live_value_set", "live_count_buckets",
+    "live_trigger_slice", "subset_active_users", "distinct_users_running",
+    "at_single_key", "funnel_view_to_purchase", "to_stream_mux",
+    "to_key_set", "shuffle_deterministic_shards", "quantize_embeddings_int8",
+    # (b) new / changed this round (rest of _ROUND_CHANGED)
+    "window_gated_scan", "zip_keymap_region_value", "ewma_final_per_user",
+    "live_ewma_final_per_user", "live_asof_purchase_last_click",
+    "dedup_embedding_cosine", "ann_brute_force_topk", "ann_ivf_topk",
+    "ann_batch_topk",
+    # (c) family representatives, padding to exactly 50
     "session_windows_user", "scan_running_sum", "map_vector_running",
-    # (c) one representative per remaining stream-operator family
     "zip_click_purchase", "asof_purchase_last_click", "sample_daily_value",
-    "group_count_reduce", "group_time_reduce",
-    "slice_before_signup", "slice_after_signup", "window_gated_reduce",
-    "sliding_window_user", "slice_by_purchase_trigger",
-    "reduce_all_global", "ewma_final_per_user",
-    "mode_event_type", "collect_types_sorted",
-    "nested_group_reduce", "key_to_stream_daily", "map_keys_user_bucket",
-    "key_list_running", "value_set_types",
+    "group_count_reduce", "group_time_reduce", "slice_before_signup",
+    "slice_after_signup", "window_gated_reduce", "sliding_window_user",
+    "slice_by_purchase_trigger",
 ]
 
 
