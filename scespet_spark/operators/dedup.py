@@ -94,6 +94,22 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return bh.groupBy(id_col).agg(*aggs)
 
 
+#: signature tables persisted by lsh_candidate_pairs, released via
+#: release_cached() once downstream results are materialized
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Unpersist LSH signature tables cached by ``lsh_candidate_pairs``.
+    Call after the candidate pairs (or anything derived from them) have
+    been materialized; returns how many tables were released."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
                         bands: int = 4, shingle_n: int = 3) -> DataFrame:
@@ -115,9 +131,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # the self-join doesn't recompute the whole shingle->minhash pipeline
     # for each side; at 100TB this would be a checkpoint to storage.
     # Cached blocks are LRU-evicted / released with the session; callers
-    # holding the session long-term should .unpersist() the result's
-    # lineage once candidate pairs are materialized downstream.
+    # holding the session long-term call release_cached() once candidate
+    # pairs are materialized downstream.
     banded = banded.persist()
+    _PERSISTED.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col(f"a.band") == F.col("b.band"),

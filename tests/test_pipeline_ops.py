@@ -414,3 +414,11 @@ def test_arrow_udf_null_and_ragged_vector_guards(spark):
         "code", sign_lsh_code(F.col("embedding"), dim=3)).collect()}
     assert codes[1] is not None
     assert codes[2] is None and codes[3] is None and codes[4] is None
+
+
+def test_lsh_release_cached(docs):
+    from scespet_spark.operators import dedup
+    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs.count()  # materialize (populates the persisted signature table)
+    assert dedup.release_cached() >= 1
+    assert dedup.release_cached() == 0  # idempotent once drained
