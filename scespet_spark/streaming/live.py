@@ -135,6 +135,38 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
 
 
+def _emit_closed_buckets(st, bid, vals, new_bucket, q):
+    """Shared tail of the vectorized slicing steps: group accumulated
+    rows by bucket id, merge the carried partial into its bucket, emit
+    every bucket below the new open bucket (non-empty ones), and roll
+    the open bucket's partial into the carry state."""
+    import numpy as np
+    if len(bid):
+        agg = (pd.DataFrame({"b": bid, "v": vals}).groupby("b", sort=True)
+               ["v"].agg(["sum", "size"]).astype("float64"))
+    else:
+        agg = pd.DataFrame({"sum": [], "size": []}, dtype="float64")
+    if st["cnt"] > 0:
+        if st["bucket"] in agg.index:
+            agg.loc[st["bucket"], "sum"] += st["acc"]
+            agg.loc[st["bucket"], "size"] += st["cnt"]
+        else:
+            carry = pd.DataFrame({"sum": [st["acc"]], "size": [st["cnt"]]},
+                                 index=[st["bucket"]])
+            agg = pd.concat([carry, agg]).sort_index()
+    closed = agg[(agg.index < new_bucket) & (agg["size"] > 0)]
+    if new_bucket in agg.index:
+        st["acc"] = float(agg.loc[new_bucket, "sum"])
+        st["cnt"] = float(agg.loc[new_bucket, "size"])
+    else:
+        st["acc"] = st["cnt"] = 0.0
+    st["bucket"] = float(new_bucket)
+    return pd.DataFrame({
+        "bucket": closed.index.to_numpy().astype("int64"),
+        "total": (closed["sum"] / q if q else closed["sum"]).to_numpy(),
+        "n": closed["size"].to_numpy().astype("int64")})
+
+
 def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
                  t: str = "ts", seq: str = "event_id",
                  quantize: int | None = None) -> DataFrame:
@@ -148,18 +180,16 @@ def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
     q = quantize
 
     def step(st, pdf):
-        rows = []
-        for ts, v in zip(pdf[t], pdf[value_col]):
-            st["cnt"] += 1
-            st["acc"] += round(float(v) * q) if q else float(v)
-            if st["cnt"] >= n:
-                rows.append({"bucket": int(st["bucket"]),
-                             "total": st["acc"] / q if q else st["acc"],
-                             "n": int(st["cnt"])})
-                st["bucket"] += 1
-                st["cnt"] = 0.0
-                st["acc"] = 0.0
-        return rows
+        # vectorized: row i's bucket id = carried bucket + (carried
+        # count + i) // n; buckets below the new open bucket are full
+        # and emit, the trailing partial becomes the carry
+        import numpy as np
+        m = len(pdf)
+        v = pdf[value_col].to_numpy(dtype="float64")
+        vals = np.round(v * q) if q else v
+        bid = st["bucket"] + (st["cnt"] + np.arange(m)) // n
+        new_bucket = st["bucket"] + (st["cnt"] + m) // n
+        return _emit_closed_buckets(st, bid, vals, new_bucket, q)
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
     return stateful_scan(df, keys,
@@ -194,28 +224,21 @@ def trigger_reduce(df: DataFrame, keys: list[str], boundary: Column,
         raise ValueError(f"align must be '{BEFORE}' or '{AFTER}'")
     tagged = df.withColumn("__b", F.when(boundary, F.lit(1)).otherwise(F.lit(0)))
     q = quantize
+    before = align == BEFORE
 
     def step(st, pdf):
-        rows = []
-
-        def emit():
-            rows.append({"bucket": int(st["bucket"]),
-                         "total": st["acc"] / q if q else st["acc"],
-                         "n": int(st["cnt"])})
-
-        for v, b in zip(pdf[value_col], pdf["__b"]):
-            if align == BEFORE and b:
-                if st["cnt"] > 0:
-                    emit()
-                st["bucket"] += 1
-                st["cnt"] = st["acc"] = 0.0
-            st["cnt"] += 1
-            st["acc"] += round(float(v) * q) if q else float(v)
-            if align == AFTER and b:
-                emit()
-                st["bucket"] += 1
-                st["cnt"] = st["acc"] = 0.0
-        return rows
+        # vectorized: row's bucket id = carried bucket + cumulative
+        # boundary count (inclusive for BEFORE — the boundary starts the
+        # new bucket; exclusive for AFTER — it joins the closing one).
+        # Buckets below the new open bucket with any rows emit.
+        import numpy as np
+        v = pdf[value_col].to_numpy(dtype="float64")
+        b = pdf["__b"].to_numpy()
+        vals = np.round(v * q) if q else v
+        cs = np.cumsum(b)
+        bid = st["bucket"] + (cs if before else cs - b)
+        new_bucket = st["bucket"] + float(cs[-1])
+        return _emit_closed_buckets(st, bid, vals, new_bucket, q)
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
     return stateful_scan(tagged, keys,
@@ -252,19 +275,20 @@ def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
     q = quantize
 
     def step(st, pdf):
-        rows = []
-        for v, tr in zip(pdf["__v"], pdf["__trig"]):
-            if tr == 1:
-                st["cnt"] += 1
-                st["acc"] += round(float(v) * q) if q else float(v)
-            else:
-                if st["cnt"] > 0:
-                    rows.append({"bucket": int(st["bucket"]),
-                                 "total": st["acc"] / q if q else st["acc"],
-                                 "n": int(st["cnt"])})
-                st["bucket"] += 1
-                st["cnt"] = st["acc"] = 0.0
-        return rows
+        # vectorized: a data row's bucket id = carried bucket + number
+        # of trigger rows sorted before it; every trigger advances the
+        # bucket counter (empty buckets skip ids and never emit)
+        import numpy as np
+        tr = pdf["__trig"].to_numpy()
+        v = pdf["__v"].to_numpy(dtype="float64")
+        is_trig = tr != 1
+        cs = np.cumsum(is_trig)
+        new_bucket = st["bucket"] + float(cs[-1])
+        data = ~is_trig
+        vals = v[data]
+        vals = np.round(vals * q) if q else vals
+        bid = (st["bucket"] + cs)[data]
+        return _emit_closed_buckets(st, bid, vals, new_bucket, q)
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
     return stateful_scan(u, keys,
@@ -396,22 +420,48 @@ def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
     q = quantize
 
     def step(st, pdf):
-        rows = []
-        for sq, v, g in zip(pdf[seq], pdf[value_col], pdf["__g"]):
-            if g:
-                if not st["in_win"]:
-                    st["in_win"] = 1.0
-                    st["acc"] = st["cnt"] = 0.0
-                    st["win_seq"] = float(sq)
-                st["win_seq"] = min(st["win_seq"], float(sq))
-                st["cnt"] += 1
-                st["acc"] += round(float(v) * q) if q else float(v)
-            elif st["in_win"]:
-                rows.append({"win_seq": int(st["win_seq"]),
-                             "total": st["acc"] / q if q else st["acc"],
-                             "n": int(st["cnt"])})
-                st["in_win"] = 0.0
-        return rows
+        # vectorized edge detection: window number = cumulative count of
+        # rising edges (0 = the carried-open window); a window closes
+        # when any gate-false row follows it, so only the window holding
+        # a gated final row stays open as the carry
+        import numpy as np
+        g = (pdf["__g"].to_numpy() == 1)
+        sq = pdf[seq].to_numpy(dtype="float64")
+        v = pdf[value_col].to_numpy(dtype="float64")
+        vals = np.round(v * q) if q else v
+        prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
+        wn = np.cumsum(g & ~prev)
+        if g.any():
+            agg = (pd.DataFrame({"w": wn[g], "v": vals[g], "s": sq[g]})
+                   .groupby("w", sort=True)
+                   .agg(sum=("v", "sum"), cnt=("v", "size"), mn=("s", "min"))
+                   .astype("float64"))
+        else:
+            agg = pd.DataFrame({"sum": [], "cnt": [], "mn": []},
+                               dtype="float64")
+        if st["in_win"]:
+            if 0 in agg.index:
+                agg.loc[0, "sum"] += st["acc"]
+                agg.loc[0, "cnt"] += st["cnt"]
+                agg.loc[0, "mn"] = min(agg.loc[0, "mn"], st["win_seq"])
+            else:
+                carry = pd.DataFrame(
+                    {"sum": [st["acc"]], "cnt": [st["cnt"]],
+                     "mn": [st["win_seq"]]}, index=[0])
+                agg = pd.concat([carry, agg]).sort_index()
+        open_id = wn[-1] if len(g) and g[-1] else None
+        closed = agg if open_id is None else agg[agg.index < open_id]
+        if open_id is not None:
+            st["in_win"] = 1.0
+            st["acc"] = float(agg.loc[open_id, "sum"])
+            st["cnt"] = float(agg.loc[open_id, "cnt"])
+            st["win_seq"] = float(agg.loc[open_id, "mn"])
+        else:
+            st["in_win"] = 0.0
+        return pd.DataFrame({
+            "win_seq": closed["mn"].to_numpy().astype("int64"),
+            "total": (closed["sum"] / q if q else closed["sum"]).to_numpy(),
+            "n": closed["cnt"].to_numpy().astype("int64")})
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
     return stateful_scan(
