@@ -759,8 +759,9 @@ def subset_active_users(spark, sf_dir):
 
 @query("distinct_users_running", """
 SELECT ts, event_id,
-       SUM(first_flag) OVER (ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       CAST(SUM(first_flag) OVER (ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
          AS n_users_seen
 FROM (
   SELECT ts, event_id,

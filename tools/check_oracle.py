@@ -99,6 +99,17 @@ def main():
             diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
             print(f"FAIL {name}: values differ, first diffs: {diffs}")
             ok = False
+        # the driver hashes raw pandas values, where int64 123 != float64
+        # 123.0 even though the canon compare above treats them equal
+        # (the round-2 HUGEINT lesson) — so pin numeric dtype KINDS too
+        if ok:
+            drift = {c: (sdf[c].dtype.kind, odf[c].dtype.kind)
+                     for c in scols
+                     if {sdf[c].dtype.kind, odf[c].dtype.kind} == {"i", "f"}}
+            if drift:
+                print(f"FAIL {name}: int-vs-float dtype drift (driver "
+                      f"hash would differ): {drift}")
+                ok = False
         if ok:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         else:
