@@ -45,6 +45,10 @@ def get_spark(
         # normalize in sources.batch.load_table (truncate to micros, same
         # as DuckDB's ns->us behavior, keeping oracle parity).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] without isAdjustedToUTC should read as LTZ (UTC
+        # session) not NTZ, so parquet event-times mix with generated
+        # timestamp spines and support unix_micros arithmetic.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

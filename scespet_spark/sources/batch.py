@@ -29,12 +29,21 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet readable on ANY session, not just
-    ones built by engine.get_spark: ``nanosAsLong`` is a runtime-settable
-    SQL conf, so set it here rather than requiring callers to configure
-    their builder (a vanilla session would otherwise die with
-    PARQUET_TYPE_ILLEGAL on events.parquet)."""
+    """Make the driver's parquet timestamps readable on ANY session, not
+    just ones built by engine.get_spark — both confs are runtime-settable
+    SQL confs, so set them here rather than requiring callers to
+    configure their builder.
+
+    - ``nanosAsLong``: TIMESTAMP(NANOS) columns arrive as long
+      epoch-nanos instead of dying with PARQUET_TYPE_ILLEGAL.
+    - ``inferTimestampNTZ.enabled=false``: timestamp[us] columns written
+      without isAdjustedToUTC read as TIMESTAMP (LTZ, UTC session)
+      rather than TIMESTAMP_NTZ — NTZ breaks ``unix_micros`` and cannot
+      mix with the LTZ timestamps our Timer/spine sources generate.
+      Values are identical either way under the UTC session timezone.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
