@@ -1290,9 +1290,19 @@ def bucket_collapse_stats(spark, sf_dir):
 from scespet_spark.operators.hashing import h64_sql  # noqa: E402
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
-_SHINGLES = ("list_distinct(list_transform("
-             "generate_series(1, greatest(len(t) - 2, 1)), "
-             "i -> array_to_string(t[i:i+2], ' ')))")
+
+
+def _shingle_hash_sql(n=3):
+    """DuckDB mirror of dedup.shingle_hashes over a token-hash list
+    column ``hs``: rolling digest sum_j c_j * hs[i+j] mod p, with
+    out-of-range positions contributing 0 (list_extract OOB -> NULL)."""
+    from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
+    terms = " + ".join(
+        f"(coalesce(hs[i + {j}], 0) * {sh_coeff(j)}) % {MH_PRIME}"
+        for j in range(n))
+    return ("list_distinct(list_transform("
+            f"generate_series(1, greatest(len(hs) - {n - 1}, 1)), "
+            f"i -> ({terms}) % {MH_PRIME}))")
 
 
 @query("dedup_exact", f"""
@@ -1309,7 +1319,7 @@ def _minhash_ctes(num_hashes=16, bands=4):
     from scespet_spark.operators.dedup import MH_PRIME, mh_coeffs
     rows = num_hashes // bands
     mh = ",\n       ".join(
-        "list_min(list_transform(bh, x -> ({a} * x + {b}) % {p})) AS mh_{i}"
+        "list_min(list_transform(s, x -> ({a} * x + {b}) % {p})) AS mh_{i}"
         .format(a=mh_coeffs(i)[0], b=mh_coeffs(i)[1], p=MH_PRIME, i=i)
         for i in range(num_hashes))
     band_sel = "\n  UNION ALL\n  ".join(
@@ -1318,11 +1328,11 @@ def _minhash_ctes(num_hashes=16, bands=4):
                 f"mh_{b * rows + r}::VARCHAR" for r in range(rows))))
         for b in range(bands))
     ctes = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
-bh AS (SELECT doc_id,
-              list_transform(s, x -> {h64_sql('x')} % {MH_PRIME}) AS bh
-       FROM sh),
-mh AS (SELECT doc_id, {mh} FROM bh),
+hs AS (SELECT doc_id,
+              list_transform(t, x -> {h64_sql('x')} % {MH_PRIME}) AS hs
+       FROM toks),
+sh AS (SELECT doc_id, {_shingle_hash_sql()} AS s FROM hs),
+mh AS (SELECT doc_id, {mh} FROM sh),
 banded AS ({band_sel}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1788,13 +1798,16 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @query("decontaminate_eval_overlap", f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES} AS s
-            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)),
+WITH hs AS (SELECT doc_id,
+                   list_transform({_TOKS},
+                                  x -> {{h64x}} % {{p}}) AS hs
+            FROM documents),
+sh AS (SELECT doc_id, {_shingle_hash_sql()} AS s FROM hs),
 ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 19 = 0),
 tr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 19 <> 0)
 SELECT doc_id, COUNT(*) AS n_hit_ngrams
 FROM tr JOIN ev USING (g) GROUP BY doc_id
-""")
+""".format(h64x=h64_sql('x'), p=2**31 - 1))
 def decontaminate_eval_overlap(spark, sf_dir):
     """Train/eval decontamination: docs sharing any word 3-gram with the
     (broadcast) benchmark set.  Pseudo-benchmark = doc_id % 19 == 0."""

@@ -38,17 +38,17 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     least one word ``shingle_n``-gram with the evaluation set; returns
     ``(id_col, n_hit_ngrams)`` for contaminated docs.
 
-    The join key is the raw shingle (exact semantics, no collision
-    ambiguity); the eval side is distinct-collapsed and broadcast, so
-    the train side never shuffles — swap the key for ``h64(shingle)``
-    when benchmark suites grow beyond broadcast size."""
-    from .dedup import _spread, shingles
-    ev = (eval_df
-          .select(F.explode(shingles(F.col(text_col), shingle_n)).alias("__g"))
-          .distinct())
-    tr = (_spread(train)
-          .select(F.col(id_col),
-                  F.explode(shingles(F.col(text_col), shingle_n)).alias("__g")))
+    The join key is the 60-bit shingle digest (one md5 per token, rolled
+    arithmetically — see ``dedup.shingle_hashes``): the broadcast eval
+    set is a set of ints, not strings, and the corpus side never builds
+    a shingle string at all."""
+    from .dedup import _spread, shingle_hashes, token_hash_array
+    grams = lambda d, *keep: (  # noqa: E731
+        d.select(*keep, token_hash_array(F.col(text_col)).alias("__hs"))
+         .select(*keep,
+                 F.explode(shingle_hashes(F.col("__hs"), shingle_n)).alias("__g")))
+    ev = grams(eval_df).distinct()
+    tr = grams(_spread(train), F.col(id_col))
     # broadcast-join FIRST (a map-side filter: only contaminated grams
     # survive), dedup the tiny matched remainder — the corpus's raw
     # shingle strings are never shuffled
