@@ -1902,46 +1902,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
-    # new this round
-    "window_gated_scan",
-    # oracle or implementation changed this round (BIGINT casts, k-means
-    # oracle + deterministic seed, string-join outputs, keymap liveness,
-    # chunked EWMA, vectorized live zip/asof, UDF null guards)
-    "ann_ivf_kmeans_codes", "corpus_source_profile", "json_props_stats",
-    "pack_training_sequences", "bind_hourly_rendezvous",
-    "live_trigger_stream_slice", "live_trigger_slice",
-    "collect_types_sorted", "key_list_running", "quantize_embeddings_int8",
-    "zip_keymap_region_value", "ewma_final_per_user",
-    "live_ewma_final_per_user", "live_zip_click_purchase",
-    "live_asof_purchase_last_click", "dedup_embedding_cosine",
-    "ann_brute_force_topk", "ann_ivf_topk", "ann_batch_topk",
+    # implementation + oracle changed this round: shingle digests are now
+    # rolled arithmetically from per-token hashes (dedup.shingle_hashes)
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
+    "decontaminate_eval_overlap",
 ]
 
 _PRIORITY = [
-    # (a) the 28 queries with NO green driver row after rounds 1-2 (r1
-    # was the nanos crash; the driver checks only the first 50) — all
-    # pass the local exact-value gate, they just need driver evidence
-    "ann_ivf_kmeans_codes", "corpus_source_profile", "json_props_stats",
-    "pack_training_sequences", "bind_hourly_rendezvous",
-    "live_trigger_stream_slice", "collect_types_sorted",
-    "key_to_stream_daily", "map_keys_user_bucket", "key_list_running",
-    "value_set_types", "map_stream", "filter_stream",
-    "filter_type_purchase", "by_reduce_total", "live_zip_click_purchase",
-    "live_tumbling_daily", "live_value_set", "live_count_buckets",
-    "live_trigger_slice", "subset_active_users", "distinct_users_running",
-    "at_single_key", "funnel_view_to_purchase", "to_stream_mux",
-    "to_key_set", "shuffle_deterministic_shards", "quantize_embeddings_int8",
-    # (b) new / changed this round (rest of _ROUND_CHANGED)
-    "window_gated_scan", "zip_keymap_region_value", "ewma_final_per_user",
-    "live_ewma_final_per_user", "live_asof_purchase_last_click",
-    "dedup_embedding_cosine", "ann_brute_force_topk", "ann_ivf_topk",
-    "ann_batch_topk",
+    # (a) changed this round — the driver must re-validate the new
+    # shingle-digest semantics
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
+    "decontaminate_eval_overlap",
+    # (b) the 26 other queries the r3 driver sample did not reach (all 80
+    # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
+    "q1_pricing_summary", "q3_order_revenue", "region_revenue",
+    "topk_orders", "rollup_order_status", "set_ops_customers",
+    "window_rank_orders", "live_window_gated_reduce", "nested_group_reduce",
+    "live_session_windows", "reduce_all_global", "vwap_per_supplier",
+    "mode_event_type", "bucket_collapse_stats", "dedup_exact",
+    "dedup_simhash", "text_token_stats", "text_lang_id", "text_quality",
+    "text_repetition", "text_fingerprint", "doc_chunking", "redact_pii",
+    "stratified_sample_docs", "multimodal_decode", "multimodal_frame_sample",
     # (c) family representatives, padding to exactly 50
-    "session_windows_user", "scan_running_sum", "map_vector_running",
-    "zip_click_purchase", "asof_purchase_last_click", "sample_daily_value",
-    "group_count_reduce", "group_time_reduce", "slice_before_signup",
-    "slice_after_signup", "window_gated_reduce", "sliding_window_user",
-    "slice_by_purchase_trigger",
+    "scan_running_sum", "map_vector_running", "session_windows_user",
+    "sliding_window_user", "window_gated_scan", "zip_click_purchase",
+    "asof_purchase_last_click", "sample_daily_value", "zip_keymap_region_value",
+    "group_count_reduce", "group_time_reduce", "slice_by_purchase_trigger",
+    "bind_hourly_rendezvous", "ewma_final_per_user", "collect_types_sorted",
+    "ann_ivf_kmeans_codes", "ann_brute_force_topk", "dedup_embedding_cosine",
+    "pack_training_sequences", "live_ewma_final_per_user",
 ]
 
 

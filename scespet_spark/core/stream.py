@@ -165,6 +165,9 @@ class Stream:
         src/scespet/EnvTermBuilder.scala:47-57; IteratorEvents,
         SimpleEvaluator.scala:33-62).  No sort is materialized — ordering
         is a *convention* consumed lazily by window specs."""
+        from ..sources.batch import ensure_nanos_conf
+        ensure_nanos_conf(spark)  # sessions not built by get_spark: keep
+        # TIMESTAMP(NANOS)/NTZ parquet handling identical to load_table
         df = spark.read.parquet(path)
         if seq is None:
             seq = "seq"
