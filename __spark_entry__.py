@@ -1692,6 +1692,71 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "fingerprint")
 
 
+@query("text_token_doc_freq", f"""
+SELECT token, COUNT(*) AS doc_freq
+FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents)
+GROUP BY token
+""")
+def text_token_doc_freq(spark, sf_dir):
+    """Corpus vocabulary doc-frequency table — the word-count building
+    block of frequency-based quality filters; one explode + one
+    combinable groupBy, output is vocabulary-sized."""
+    from scespet_spark.operators.text import token_doc_freq
+    return token_doc_freq(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_corpus_idf", f"""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token
+        FROM documents),
+freq AS (SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY token)
+SELECT doc_id, COUNT(*) AS n_distinct_tokens,
+       round(AVG(ln(n_docs / doc_freq)), 6) AS mean_idf
+FROM tok JOIN freq USING (token) CROSS JOIN n
+GROUP BY doc_id
+""")
+def text_corpus_idf(spark, sf_dir):
+    """CCNet-style corpus-frequency quality score: per-doc mean IDF over
+    distinct tokens.  Two corpus passes — the vocabulary-sized frequency
+    table, then a (token, id) equi-join back; text never shuffles."""
+    from scespet_spark.operators.text import corpus_idf_quality
+    return corpus_idf_quality(load_table(spark, sf_dir, "documents"))
+
+
+_QUOTA_N = 10
+
+
+def _quota_oracle(q=_QUOTA_N):
+    hh = h64_sql("doc_id::VARCHAR", seed=7)
+    return f"""
+WITH h AS (SELECT *, ({hh}) % 1048576 AS __hh FROM documents),
+c AS (SELECT source, COUNT(*) AS __cnt FROM documents GROUP BY source),
+cut AS (SELECT source,
+               CASE WHEN __cnt <= {q} THEN 1048576
+                    ELSE least(1048576,
+                               CAST(floor(({2 * q} * 1048576.0) / __cnt)
+                                    AS BIGINT) + 1) END AS __cut
+        FROM c),
+pre AS (SELECT h.* FROM h JOIN cut USING (source) WHERE __hh < __cut),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY __hh, doc_id) AS __rk
+      FROM pre)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE __rk <= {q}
+"""
+
+
+@query("sample_source_quota", _quota_oracle())
+def sample_source_quota(spark, sf_dir):
+    """Per-source quota cap (the domain-mix step): deterministic
+    hash-ordered top-``quota`` per source with a broadcast count-derived
+    cutoff prefilter, so the exact-rank window sees O(quota) rows per
+    source regardless of corpus size.  Oracle mirrors the identical
+    two-phase pipeline."""
+    from scespet_spark.operators.text import source_quota_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return source_quota_sample(docs, _QUOTA_N)
+
+
 @query("doc_chunking", f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
 n AS (SELECT doc_id, tk,
@@ -1906,13 +1971,16 @@ _ROUND_CHANGED = [
     # rolled arithmetically from per-token hashes (dedup.shingle_hashes)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
     "decontaminate_eval_overlap",
+    # new this round
+    "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
 ]
 
 _PRIORITY = [
-    # (a) changed this round — the driver must re-validate the new
-    # shingle-digest semantics
+    # (a) new / changed this round — the driver must (re-)validate the
+    # shingle-digest semantics and the corpus-frequency/quota operators
     "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
     "decontaminate_eval_overlap",
+    "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
     # (b) the 26 other queries the r3 driver sample did not reach (all 80
     # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -1929,8 +1997,7 @@ _PRIORITY = [
     "asof_purchase_last_click", "sample_daily_value", "zip_keymap_region_value",
     "group_count_reduce", "group_time_reduce", "slice_by_purchase_trigger",
     "bind_hourly_rendezvous", "ewma_final_per_user", "collect_types_sorted",
-    "ann_ivf_kmeans_codes", "ann_brute_force_topk", "dedup_embedding_cosine",
-    "pack_training_sequences", "live_ewma_final_per_user",
+    "ann_ivf_kmeans_codes", "ann_brute_force_topk",
 ]
 
 

@@ -55,6 +55,8 @@ HEADLINE = [
     "shuffle_deterministic_shards",
     "quantize_embeddings_int8",
     "text_repetition",
+    "text_corpus_idf",
+    "sample_source_quota",
 ]
 
 

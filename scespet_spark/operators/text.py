@@ -204,6 +204,82 @@ DEFAULT_REDACTIONS = (
 )
 
 
+def token_doc_freq(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Corpus token document-frequency table: one row per distinct token
+    with the number of documents containing it.  The building block for
+    frequency-based quality filters (CCNet-style).
+
+    Scale: explode *distinct* tokens per doc (bounded by doc length),
+    then one combinable groupBy-count.  The result's cardinality is the
+    corpus vocabulary — Zipf-bounded, orders of magnitude smaller than
+    the corpus itself."""
+    return (df.select(F.explode(F.array_distinct(tokens(F.col(text_col))))
+                      .alias("token"))
+            .groupBy("token").agg(F.count("*").alias("doc_freq")))
+
+
+def corpus_idf_quality(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style corpus-frequency quality score: mean inverse document
+    frequency ``ln(N / df)`` over each document's distinct tokens.  Low
+    mean-IDF = common/boilerplate vocabulary; high = rare (noise, OCR
+    garbage).  Returns (id, n_distinct_tokens, mean_idf).
+
+    Two passes over the corpus: (1) the vocabulary-sized doc-frequency
+    table (``token_doc_freq``), (2) explode distinct tokens again and
+    equi-join them to the table.  The join shuffles (token, id) pairs —
+    never text — and the frequency side is vocabulary-sized; Zipf means
+    the hot tokens are few and AQE's skew-join splits them."""
+    n_docs = df.select(F.count("*").alias("__n"))
+    freq = token_doc_freq(df, text_col, id_col)
+    ex = df.select(F.col(id_col),
+                   F.explode(F.array_distinct(tokens(F.col(text_col))))
+                   .alias("token"))
+    return (ex.join(freq, "token")
+            .crossJoin(F.broadcast(n_docs))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_distinct_tokens"),
+                 F.round(F.avg(F.log(F.col("__n").cast("double")
+                                     / F.col("doc_freq"))), 6)
+                  .alias("mean_idf")))
+
+
+def source_quota_sample(df: DataFrame, quota: int,
+                        source_col: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact per-source quota: keep at most ``quota`` documents per
+    source, chosen deterministically by hash order (reproducible across
+    runs/engines/partitionings — the domain-cap step of a training-data
+    mix).
+
+    Scale shape: a per-source ``row_number`` window alone would sort
+    every source's full event mass; instead a first pass counts each
+    source and derives a per-source hash *cutoff* admitting ~quota
+    survivors (a map-side filter after a broadcast join — counts are
+    one row per source), and only the survivors enter the exact-rank
+    window.  The window input is O(quota) rows per source regardless of
+    corpus size."""
+    from pyspark.sql import Window
+    h = F.pmod(h64(F.col(id_col).cast("string"), seed=7), F.lit(1 << 20))
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__cnt"))
+    # cutoff admits ~2x quota (cap at the full range when quota >= count)
+    cutoff = F.when(
+        F.col("__cnt") <= quota, F.lit(1 << 20)
+    ).otherwise(F.least(F.lit(1 << 20),
+                        (F.lit(2 * quota * (1 << 20)) / F.col("__cnt"))
+                        .cast("long") + 1))
+    pre = (df.join(F.broadcast(counts.select(source_col,
+                                             cutoff.alias("__cut"))),
+                   source_col)
+           .filter(h < F.col("__cut")))
+    w = (Window.partitionBy(source_col)
+         .orderBy(h.asc(), F.col(id_col).asc()))
+    return (pre.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= quota)
+            .select(*df.columns))
+
+
 def redact(df: DataFrame, text_col: str = "text",
            rules=DEFAULT_REDACTIONS, out: str = "clean_text") -> DataFrame:
     """PII-style redaction for training corpora: a chain of columnar

@@ -422,3 +422,39 @@ def test_lsh_release_cached(docs):
     pairs.count()  # materialize (populates the persisted signature table)
     assert dedup.release_cached() >= 1
     assert dedup.release_cached() == 0  # idempotent once drained
+
+
+def test_token_doc_freq(docs):
+    from scespet_spark.operators.text import token_doc_freq
+    freq = {r.token: r.doc_freq for r in token_doc_freq(docs).collect()}
+    assert freq["the"] == 3      # docs 0, 1, 2 (distinct per doc)
+    assert freq["fox"] == 3
+    assert freq["leaps"] == 1
+
+
+def test_corpus_idf_quality(docs):
+    import math
+    from scespet_spark.operators.text import corpus_idf_quality
+    out = {r.doc_id: r for r in corpus_idf_quality(docs).collect()}
+    assert out[0].mean_idf == out[1].mean_idf  # identical docs
+    # doc 4's tokens are all unique to it -> every idf = ln(5/1)
+    assert out[4].mean_idf == pytest.approx(math.log(5.0), abs=1e-6)
+    assert out[0].n_distinct_tokens == 8
+
+
+def test_source_quota_sample(spark):
+    from scespet_spark.operators.text import source_quota_sample
+    rows = [(i, f"t{i}", "en", f"s{i % 3}", 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                                     "source string, n_chars long")
+    out = source_quota_sample(df, 5)
+    per = {r.source: r.cnt for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic: same rows on re-run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in source_quota_sample(df, 5).collect())
+    assert ids1 == ids2
+    assert out.columns == df.columns
+    # quota >= source size keeps everything
+    assert source_quota_sample(df, 100).count() == 60
