@@ -81,14 +81,15 @@ def main():
         load_table(spark, sf_dir, tbl).write.format("noop").mode(
             "overwrite").save()
 
-    # min of 2 runs per query: the box shares CPUs with the driver
+    # min of 3 runs per query: the box shares CPUs with the driver
     # harness, and a single sample can be inflated several-fold by
-    # concurrent load; the min reflects the plan's steady-state cost
-    # (the quantity that actually scales with data volume)
+    # concurrent load (measured: identical queries vary 4x between
+    # samples); the min reflects the plan's steady-state cost (the
+    # quantity that actually scales with data volume)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
