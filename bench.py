@@ -57,6 +57,7 @@ HEADLINE = [
     "text_repetition",
     "text_corpus_idf",
     "sample_source_quota",
+    "ann_pq_adc_topk",
 ]
 
 

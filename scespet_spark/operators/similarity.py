@@ -184,6 +184,121 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rnk") <= k))
 
 
+def _sqdist_udf():
+    @pandas_udf("double")
+    def _sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
+        # dim-sequential accumulation (left-fold order), rows vectorized
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(ma))
+        for i in range(ma.shape[1]):
+            dlt = ma[:, i] - mb[:, i]
+            acc = acc + dlt * dlt
+        return pd.Series(acc)
+    return _sqdist
+
+
+def _pq_subpoints(df: DataFrame, m: int, dsub: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(id, sub, p): each vector split into ``m`` subvectors of ``dsub``
+    dims — the unit of product-quantization training."""
+    v = F.col(vec_col).cast("array<double>")
+    return (df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("long").alias("sub"),
+                     F.slice(v, j * dsub + 1, dsub).alias("p"))
+            for j in range(m)])).alias("sp"))
+        .select("id", "sp.sub", "sp.p"))
+
+
+def pq_train(df: DataFrame, m: int = 8, dsub: int = 8, ksub: int = 16,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training: per-subspace Lloyd's k-means, all
+    ``m`` subspaces trained in ONE set of jobs by keying every stage on
+    ``sub`` (centroids broadcast-join on it; argmin per (id, sub)).
+    Returns ``(codes, codebooks)``: codes = (id, sub, code) — ``m``
+    rows/vector of one byte-sized int each, a 32x memory compression of
+    a 64-dim float corpus (the property that lets 100 TB of embeddings
+    sit in cluster RAM for ANN shortlisting); codebooks = (sub, code, c).
+
+    Determinism contract matches ``kmeans_codes``: seeds are the ksub
+    lowest-id subvectors, distances fold dim-sequentially, assignment
+    tie-breaks (distance, code).  Reference semantic parity: same
+    coarse-quantize shape as kmeans IVF (see kmeans_codes docstring);
+    PQ is the standard extension for in-memory re-rankable codes."""
+    subpts = _pq_subpoints(df, m, dsub, id_col, vec_col)
+    seed_w = Window.partitionBy("sub").orderBy("id")
+    cents = (subpts.withColumn("rn", F.row_number().over(seed_w))
+             .filter(F.col("rn") <= ksub)
+             .select("sub", (F.col("rn") - 1).cast("long").alias("code"),
+                     F.col("p").alias("c")))
+    dist = _sqdist_udf()(F.col("p"), F.col("c"))
+    argmin_w = Window.partitionBy("id", "sub").orderBy("d", "code")
+    for _ in range(iters):
+        assigned = (subpts.join(F.broadcast(cents), "sub")
+                    .select("id", "sub", "p", "code", dist.alias("d"))
+                    .withColumn("rn", F.row_number().over(argmin_w))
+                    .filter(F.col("rn") == 1).select("id", "sub", "p", "code"))
+        per_dim = (assigned.select("sub", "code",
+                                   F.posexplode("p").alias("pos", "x"))
+                   .groupBy("sub", "code", "pos").agg(F.avg("x").alias("mv")))
+        cents = (per_dim.groupBy("sub", "code")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "mv")))
+                      .alias("pm"))
+                 .select("sub", "code",
+                         F.transform("pm", lambda s: s.getField("mv"))
+                          .alias("c")))
+        cents = cents.localCheckpoint(eager=True)
+    codes = (subpts.join(F.broadcast(cents), "sub")
+             .select("id", "sub", "code", dist.alias("d"))
+             .withColumn("rn", F.row_number().over(argmin_w))
+             .filter(F.col("rn") == 1)
+             .select(F.col("id").alias(id_col), "sub", "code"))
+    return codes, cents
+
+
+def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                shortlist: int = 50, m: int = 8, dsub: int = 8,
+                ksub: int = 16, iters: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ asymmetric-distance ANN with exact re-rank: (1) LUT = squared
+    distance from each query subvector to each codebook centroid,
+    quantized to integer microunits (``round(d * 1e6)`` as long — long
+    sums are order-independent, so the across-subspace total is exact
+    and engine-reproducible, unlike a float sum whose shuffle order
+    varies); (2) shortlist = lowest-``shortlist`` ADC totals via one
+    combinable groupBy-sum over the (id, sub, code) rows joined to the
+    broadcast LUT; (3) exact cosine re-rank of the shortlist only.
+
+    Scale: the corpus is touched once to build codes (offline in
+    production); the ADC pass streams m-byte codes, never vectors; the
+    exact pass reads ``shortlist`` vectors.  Returns (id, adc_microdist,
+    score) — the standard IVF-PQ + re-rank serving shape."""
+    codes, cents = pq_train(df, m, dsub, ksub, iters, id_col, vec_col)
+    qsub = [[float(x) for x in query[j * dsub:(j + 1) * dsub]]
+            for j in range(m)]
+    qdf = df.sparkSession.createDataFrame(
+        [(j, qsub[j]) for j in range(m)], "sub long, qp array<double>")
+    lut = (cents.join(F.broadcast(qdf), "sub")
+           .select("sub", "code",
+                   F.round(_sqdist_udf()(F.col("qp"), F.col("c")) * 1e6)
+                    .cast("long").alias("md")))
+    adc = (codes.join(F.broadcast(lut), ["sub", "code"])
+           .groupBy(id_col).agg(F.sum("md").alias("adc_microdist")))
+    short = adc.orderBy(F.col("adc_microdist").asc(), F.col(id_col)).limit(shortlist)
+    v = F.col(vec_col).cast("array<double>")
+    q = _as_double_array(query)
+    return (df.join(F.broadcast(short), id_col)
+            .select(F.col(id_col), "adc_microdist",
+                    F.round(cosine(v, q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
 def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse-code build: Lloyd's k-means with deterministic seeding

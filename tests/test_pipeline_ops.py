@@ -458,3 +458,26 @@ def test_source_quota_sample(spark):
     assert out.columns == df.columns
     # quota >= source size keeps everything
     assert source_quota_sample(df, 100).count() == 60
+
+
+def test_pq_train_and_adc(vecs):
+    from scespet_spark.operators.similarity import pq_adc_topk, pq_train
+    # 3-dim vectors: m=3 subspaces of 1 dim, 2 centroids each
+    codes, cents = pq_train(vecs, m=3, dsub=1, ksub=2, iters=2)
+    rows = codes.collect()
+    assert len(rows) == 5 * 3                      # m rows per vector
+    assert {r.sub for r in rows} == {0, 1, 2}
+    assert all(r.code in (0, 1) for r in rows)
+    n_cents = cents.count()                        # <= m * ksub: Lloyd's
+    assert 3 <= n_cents <= 6                       # drops emptied clusters
+    # determinism: identical on re-run
+    again = pq_train(vecs, m=3, dsub=1, ksub=2, iters=2)[0].collect()
+    key = lambda r: (r.vec_id, r.sub)  # noqa: E731
+    assert sorted((r.vec_id, r.sub, r.code) for r in rows) == \
+           sorted((r.vec_id, r.sub, r.code) for r in again)
+
+    out = pq_adc_topk(vecs, [1.0, 0.0, 0.0], k=3, shortlist=5,
+                      m=3, dsub=1, ksub=2, iters=2).collect()
+    # exact re-rank puts the identical vector first
+    assert out[0].vec_id == 0 and out[0].score == 1.0
+    assert all(isinstance(r.adc_microdist, int) for r in out)
