@@ -49,6 +49,11 @@ def get_spark(
         # session) not NTZ, so parquet event-times mix with generated
         # timestamp spines and support unix_micros arithmetic.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # bucketed-table home (operators.joins.write_bucketed); kept out
+        # of the repo tree — point at durable storage in production
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/scespet_spark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,66 @@
+"""Join strategies for skewed and co-located data at cluster scale.
+
+Spark's defaults cover the common cases (AQE splits skewed *shuffle*
+partitions; small dims broadcast), but two shapes need explicit help:
+
+* ``salted_join`` — a hot join key whose matching dim rows can't
+  broadcast: replicate the dim ``salt`` ways and scatter each fact row
+  to one deterministic salt bucket, so the hot key's event mass spreads
+  over ``salt`` reducers instead of serializing on one.
+* ``write_bucketed`` / bucketed tables — two big tables repeatedly
+  joined on the same key: pre-bucket both sides so the join is
+  co-located (NO exchange at read time — the property a plan test
+  pins).  At 100 TB this converts every recurring join from a full
+  shuffle into a local zip of matching buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str],
+                salt: int = 8, fact_row_cols: Sequence[str] | None = None,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join of a big ``fact`` side against a
+    non-broadcastable ``dim`` side.
+
+    The dim side is replicated ``salt`` times (explode — one narrow
+    stage, dim is the smaller side by assumption); each fact row picks
+    ONE salt deterministically from ``fact_row_cols`` (default: all
+    fact columns), so the join key becomes (on..., salt) and a key with
+    10^9 fact rows spreads over ``salt`` reducers.  Deterministic — no
+    ``rand()`` — so retries/speculative tasks agree.
+
+    Use when AQE skew-split can't apply: the skew is on the *map* side
+    of a required aggregation, or the dim rows for the hot key are too
+    wide to replicate via broadcast."""
+    if not 1 <= salt <= 1 << 16:
+        raise ValueError("salt must be in [1, 65536]")
+    row_cols = list(fact_row_cols) if fact_row_cols else list(fact.columns)
+    sdim = (dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .withColumn("__salt", F.col("__salt").cast("int")))
+    sfact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in row_cols]),
+                         F.lit(salt)).cast("int"))
+    return (sfact.join(sdim, [*on, "__salt"], how)
+            .drop("__salt"))
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
+                   n_buckets: int = 32, sort_cols: Sequence[str] = (),
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (and optionally sorted) table so later
+    equi-joins and aggregations on ``bucket_cols`` are co-located: both
+    sides read matching buckets and the join plans with NO Exchange.
+    Sorting within buckets additionally removes the join's Sort.
+
+    Bucketing requires the table catalog (``saveAsTable``) — plain
+    ``.parquet(path)`` cannot record bucket metadata."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
