@@ -4,7 +4,8 @@
 
     dedup (exact + MinHash/LSH clusters)
       -> decontaminate against a benchmark set
-      -> quality + repetition filters
+      -> quality + repetition + corpus-IDF filters
+      -> per-source quota cap
       -> pack into fixed-token training sequences
       -> deterministic shuffle -> partitioned parquet
 
@@ -26,7 +27,9 @@ from scespet_spark.operators.dedup import (connected_components, exact_groups,
                                            lsh_candidate_pairs)
 from scespet_spark.operators.pipeline import (decontaminate, pack_sequences,
                                               shuffle_deterministic)
-from scespet_spark.operators.text import quality_score, repetition_stats
+from scespet_spark.operators.text import (corpus_idf_quality, quality_score,
+                                          repetition_stats,
+                                          source_quota_sample)
 from scespet_spark.sources.batch import load_table, write_partitioned
 
 
@@ -59,6 +62,16 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     rep = repetition_stats(train).filter(
         (F.col("distinct_token_ratio") >= 0.3) | F.col("n_tokens").isNull())
     train = train.join(rep.select("doc_id"), "doc_id")
+
+    # 4b. corpus-frequency filter: drop boilerplate-vocabulary docs
+    #     (low mean IDF = the doc is made of the corpus's most common
+    #     tokens) -- two corpus passes, text never shuffles
+    idf = corpus_idf_quality(train).filter(F.col("mean_idf") >= 0.01)
+    train = train.join(idf.select("doc_id"), "doc_id")
+
+    # 4c. per-source quota: cap any single source's share of the mix
+    #     (deterministic hash order; prefiltered to O(quota)/source)
+    train = source_quota_sample(train, quota=200)
 
     # 5. pack into 512-token training sequences (concat-and-chunk)
     packed = pack_sequences(train, budget=512)
