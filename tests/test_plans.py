@@ -105,3 +105,44 @@ def test_shuffle_deterministic_has_no_global_sort(spark, entry):
     plan = _plan(entry.queries()["shuffle_deterministic_shards"](spark, SF))
     assert "rangepartitioning" not in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_corpus_idf_never_shuffles_text(spark, entry):
+    """text_corpus_idf shuffles (token, id) pairs and the vocabulary
+    table — the text column must not appear in any Exchange input (it
+    would ship the whole corpus twice)."""
+    plan = _plan(entry.queries()["text_corpus_idf"](spark, SF))
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if l.strip().startswith("Input") and "text#" in l:
+            # find the nearest preceding operator header
+            hdr = next(x for x in reversed(lines[:i]) if x.strip().startswith("("))
+            assert "Exchange" not in hdr, (hdr, l)
+
+
+def test_source_quota_broadcasts_counts(spark, entry):
+    """sample_source_quota's count-derived cutoff is one row per source:
+    it must broadcast-join (a map-side filter), never sort-merge."""
+    plan = _plan(entry.queries()["sample_source_quota"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_broadcasts_codebooks_and_lut(spark, entry):
+    """ann_pq_adc_topk: centroids/LUT/shortlist are tiny — every join in
+    the serving path must be broadcast; the corpus is never the shuffled
+    side."""
+    plan = _plan(entry.queries()["ann_pq_adc_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_reads_only_id_and_text(spark, entry):
+    """dedup_minhash_lsh projects (doc_id, text) before hashing: the scan
+    must prune the other document columns."""
+    plan = _plan(entry.queries()["dedup_minhash_lsh"](spark, SF))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads
+    for l in reads:
+        assert "source" not in l and "lang" not in l, l
