@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Scaling-slope harness: replicate the synthetic corpus N ways and time
+the heavy pipeline operators at each multiple.  A plan that survives a
+100x scale-up shows ~linear wall-clock growth here (slope ~1 in the
+data multiple); a quadratic or whale-key plan shows super-linear growth
+long before it OOMs in production.
+
+Run: python tools/stress_scale.py [sf_dir] [multiples...]
+Default: /root/testdata/sf0.1 at 1x, 10x, 30x.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scespet_spark import get_spark  # noqa: E402
+
+
+def replicate_docs(spark, sf_dir, mult):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if mult == 1:
+        return docs.repartition(32).persist()
+    big = (docs.crossJoin(spark.range(mult).select(F.col("id").alias("rep")))
+           .select((F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                   "text", "lang",
+                   F.concat_ws("_", "source", "rep").alias("source"),
+                   "n_chars")
+           .repartition(64).persist())
+    big.count()
+    return big
+
+
+def replicate_emb(spark, sf_dir, mult):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if mult == 1:
+        return emb.repartition(32).persist()
+    big = (emb.crossJoin(spark.range(mult).select(F.col("id").alias("rep")))
+           .select((F.col("vec_id") * mult + F.col("rep")).alias("vec_id"),
+                   "embedding", "label")
+           .repartition(64).persist())
+    big.count()
+    return big
+
+
+def timed(fn, reps=2):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main(sf_dir="/root/testdata/sf0.1", *mults):
+    mults = [int(m) for m in mults] or [1, 10, 30]
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from scespet_spark.operators.dedup import (lsh_candidate_pairs,
+                                               minhash_signature,
+                                               ngram_jaccard_pairs, simhash)
+    from scespet_spark.operators.pipeline import decontaminate
+    from scespet_spark.operators.similarity import pq_train
+    from scespet_spark.operators.text import (corpus_idf_quality,
+                                              repetition_stats,
+                                              source_quota_sample)
+
+    ops = {
+        "minhash_signature": lambda d, e: noop(minhash_signature(d)),
+        "lsh_pairs": lambda d, e: noop(lsh_candidate_pairs(d)),
+        "jaccard_verify": lambda d, e: noop(
+            ngram_jaccard_pairs(d, candidates=lsh_candidate_pairs(d))),
+        "simhash": lambda d, e: noop(simhash(d.select("doc_id", "text"))),
+        "corpus_idf": lambda d, e: noop(corpus_idf_quality(d)),
+        "repetition": lambda d, e: noop(repetition_stats(d)),
+        "source_quota": lambda d, e: noop(source_quota_sample(d, 10)),
+        "decontaminate": lambda d, e: noop(decontaminate(
+            d.filter(F.col("doc_id") % 19 != 0),
+            d.filter(F.col("doc_id") % 19 == 0))),
+        "pq_train_codes": lambda d, e: noop(pq_train(e)[0]),
+    }
+
+    results: dict[str, dict[int, float]] = {k: {} for k in ops}
+    for mult in mults:
+        docs = replicate_docs(spark, sf_dir, mult)
+        emb = replicate_emb(spark, sf_dir, mult)
+        n = docs.count()
+        print(f"== {mult}x: {n} docs ==", flush=True)
+        for name, fn in ops.items():
+            dt = timed(lambda: fn(docs, emb))
+            results[name][mult] = dt
+            print(f"  {name}: {dt:.2f}s", flush=True)
+        docs.unpersist()
+        emb.unpersist()
+        from scespet_spark.operators.dedup import release_cached
+        release_cached()
+
+    lo, hi = mults[0], mults[-1]
+    print(f"\n== scaling slope ({lo}x -> {hi}x data = {hi / lo:.0f}x) ==")
+    for name, r in results.items():
+        ratio = r[hi] / max(r[lo], 1e-9)
+        flag = "" if ratio <= 1.6 * hi / lo else "  <-- SUPER-LINEAR"
+        print(f"  {name}: {r[lo]:.2f}s -> {r[hi]:.2f}s = {ratio:.1f}x{flag}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
