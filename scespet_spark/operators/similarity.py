@@ -214,50 +214,97 @@ def _pq_subpoints(df: DataFrame, m: int, dsub: int, id_col: str,
         .select("id", "sp.sub", "sp.p"))
 
 
+def _pq_assign_udf(cent_list: list[dict[int, list[float]]], m: int,
+                   dsub: int):
+    """Pandas UDF assigning all ``m`` subspace codes for a full vector
+    in one Arrow pass.  Distances accumulate dim-sequentially (the
+    oracle's left fold); ``np.argmin`` takes the FIRST minimum — i.e.
+    the lowest code — matching the (distance, code) tie-break."""
+    cents = [
+        (np.array(sorted(cmap)),                       # codes, ascending
+         np.stack([np.asarray(cmap[c], dtype=np.float64)
+                   for c in sorted(cmap)]))            # (n_codes, dsub)
+        for cmap in cent_list
+    ]
+
+    @pandas_udf("array<bigint>")
+    def _assign(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        mat = np.stack(v.to_numpy()).astype(np.float64)   # (n, m*dsub)
+        out = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            codes, cj = cents[j]                          # (kj, dsub)
+            sub = mat[:, j * dsub:(j + 1) * dsub]         # (n, dsub)
+            acc = np.zeros((len(mat), len(cj)))
+            for d in range(dsub):                         # left fold
+                dlt = sub[:, d:d + 1] - cj[:, d]
+                acc = acc + dlt * dlt
+            out[:, j] = codes[np.argmin(acc, axis=1)]
+        return pd.Series(list(out))
+    return _assign
+
+
 def pq_train(df: DataFrame, m: int = 8, dsub: int = 8, ksub: int = 16,
              iters: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
-    """Product-quantization training: per-subspace Lloyd's k-means, all
-    ``m`` subspaces trained in ONE set of jobs by keying every stage on
-    ``sub`` (centroids broadcast-join on it; argmin per (id, sub)).
+    """Product-quantization training: per-subspace Lloyd's k-means.
     Returns ``(codes, codebooks)``: codes = (id, sub, code) — ``m``
     rows/vector of one byte-sized int each, a 32x memory compression of
     a 64-dim float corpus (the property that lets 100 TB of embeddings
     sit in cluster RAM for ANN shortlisting); codebooks = (sub, code, c).
 
+    Iteration shape is the MLlib-KMeans pattern: centroids are MODEL
+    state (m*ksub*dsub floats — bytes, not data), held on the driver and
+    shipped in the assign UDF's closure, so each iteration is ONE
+    vectorized Arrow pass over the corpus plus one combinable
+    per-(sub, code, dim) mean — no per-candidate join rows, no
+    lineage growth.  The corpus itself never collects.
+
     Determinism contract matches ``kmeans_codes``: seeds are the ksub
     lowest-id subvectors, distances fold dim-sequentially, assignment
-    tie-breaks (distance, code).  Reference semantic parity: same
-    coarse-quantize shape as kmeans IVF (see kmeans_codes docstring);
-    PQ is the standard extension for in-memory re-rankable codes."""
-    subpts = _pq_subpoints(df, m, dsub, id_col, vec_col)
-    seed_w = Window.partitionBy("sub").orderBy("id")
-    cents = (subpts.withColumn("rn", F.row_number().over(seed_w))
-             .filter(F.col("rn") <= ksub)
-             .select("sub", (F.col("rn") - 1).cast("long").alias("code"),
-                     F.col("p").alias("c")))
-    dist = _sqdist_udf()(F.col("p"), F.col("c"))
-    argmin_w = Window.partitionBy("id", "sub").orderBy("d", "code")
+    tie-breaks (distance, code); emptied clusters drop (both engines).
+    Reference semantic parity: same coarse-quantize shape as kmeans IVF
+    (see kmeans_codes docstring); PQ is the standard extension for
+    in-memory re-rankable codes."""
+    v = F.col(vec_col).cast("array<double>")
+    pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
+    seed_rows = pts.orderBy("id").limit(ksub).collect()   # model-sized
+    cent_list: list[dict[int, list[float]]] = [
+        {c: list(map(float, r.p[j * dsub:(j + 1) * dsub]))
+         for c, r in enumerate(seed_rows)}
+        for j in range(m)
+    ]
     for _ in range(iters):
-        assigned = (subpts.join(F.broadcast(cents), "sub")
-                    .select("id", "sub", "p", "code", dist.alias("d"))
-                    .withColumn("rn", F.row_number().over(argmin_w))
-                    .filter(F.col("rn") == 1).select("id", "sub", "p", "code"))
-        per_dim = (assigned.select("sub", "code",
-                                   F.posexplode("p").alias("pos", "x"))
-                   .groupBy("sub", "code", "pos").agg(F.avg("x").alias("mv")))
-        cents = (per_dim.groupBy("sub", "code")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "mv")))
-                      .alias("pm"))
-                 .select("sub", "code",
-                         F.transform("pm", lambda s: s.getField("mv"))
-                          .alias("c")))
-        cents = cents.localCheckpoint(eager=True)
-    codes = (subpts.join(F.broadcast(cents), "sub")
-             .select("id", "sub", "code", dist.alias("d"))
-             .withColumn("rn", F.row_number().over(argmin_w))
-             .filter(F.col("rn") == 1)
-             .select(F.col("id").alias(id_col), "sub", "code"))
+        assign = _pq_assign_udf(cent_list, m, dsub)
+        coded = pts.select("id", "p", assign(F.col("p")).alias("cs"))
+        # per-(sub, code, dim-within-sub) mean; sub/pos derived from the
+        # flat position, code picked from the assignment array
+        per_dim = (coded.select(
+            F.posexplode("p").alias("fpos", "x"),
+            F.col("cs"))
+            .select((F.col("fpos") / dsub).cast("int").alias("sub"),
+                    (F.col("fpos") % dsub).alias("pos"),
+                    F.element_at(F.col("cs"),
+                                 (F.col("fpos") / dsub).cast("int") + 1)
+                     .alias("code"),
+                    "x")
+            .groupBy("sub", "code", "pos").agg(F.avg("x").alias("mv")))
+        rows = per_dim.collect()                          # model-sized
+        new_list: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+        for r in rows:
+            new_list[r.sub].setdefault(r.code, [0.0] * dsub)[r.pos] = r.mv
+        cent_list = new_list
+    assign = _pq_assign_udf(cent_list, m, dsub)
+    codes = (pts.select("id", assign(F.col("p")).alias("cs"))
+             .select(F.col("id").alias(id_col),
+                     F.posexplode("cs").alias("sub", "code"))
+             .withColumn("sub", F.col("sub").cast("long")))
+    sess = df.sparkSession
+    cents = sess.createDataFrame(
+        [(j, int(c), cent_list[j][c]) for j in range(m)
+         for c in sorted(cent_list[j])],
+        "sub long, code long, c array<double>")
     return codes, cents
 
 
@@ -331,21 +378,24 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
         return pd.Series(acc)
 
     dist = _sqdist(F.col("p"), F.col("c"))
+
+    # argmin = combinable min_by hash agg on the (d, code) struct — same
+    # (d, code) tie-break as a row_number window, without sorting every
+    # point x centroid candidate row (see pq_train)
+    def argmin(with_p: bool):
+        joined = (pts.join(F.broadcast(cents))
+                  .select("id", "p", "code", dist.alias("d")))
+        aggs = [F.min_by("code", F.struct("d", "code")).alias("code")]
+        if with_p:
+            aggs.insert(0, F.first("p").alias("p"))
+        return joined.groupBy("id").agg(*aggs)
+
     for _ in range(iters):
-        assigned = (pts.join(F.broadcast(cents))
-                    .select("id", "p", "code", dist.alias("d"))
-                    .withColumn("rn", F.row_number().over(
-                        Window.partitionBy("id").orderBy("d", "code")))
-                    .filter(F.col("rn") == 1).select("id", "p", "code"))
+        assigned = argmin(with_p=True)
         per_dim = (assigned.select("code", F.posexplode("p").alias("pos", "x"))
                    .groupBy("code", "pos").agg(F.avg("x").alias("m")))
         cents = (per_dim.groupBy("code")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
                  .select("code", F.transform("pm", lambda s: s.getField("m")).alias("c")))
         cents = cents.localCheckpoint(eager=True)
-    assigned = (pts.join(F.broadcast(cents))
-                .select("id", "code", dist.alias("d"))
-                .withColumn("rn", F.row_number().over(
-                    Window.partitionBy("id").orderBy("d", "code")))
-                .filter(F.col("rn") == 1))
-    return assigned.select(F.col("id").alias(id_col), "code")
+    return argmin(with_p=False).select(F.col("id").alias(id_col), "code")
