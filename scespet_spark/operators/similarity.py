@@ -349,53 +349,35 @@ def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
 def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse-code build: Lloyd's k-means with deterministic seeding
-    (the k lowest-id vectors), expressed as DataFrame ops — assign =
-    argmin over broadcast centroids, update = element-wise mean per
-    cluster.  Each iteration: one broadcast join + two groupBys; the
-    corpus never shuffles whole vectors except the posexplode mean.
-    Returns (id, code) for partition-pruned probing at query time."""
+    (the k lowest-id vectors).  Same driver-held-model iteration shape
+    as ``pq_train`` (the MLlib-KMeans pattern): centroids are model
+    state in the assign UDF's closure, each iteration is one vectorized
+    Arrow pass + one combinable per-(code, dim) mean; the corpus never
+    collects and never forms per-candidate join rows.  Returns
+    (id, code) for partition-pruned probing at query time."""
+    dim = len(df.select(vec_col).first()[0])
     v = F.col(vec_col).cast("array<double>")
     pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
-    # seed: the k lowest-id vectors, code = rank-by-id (explicit
-    # row_number, not monotonically_increasing_id, so the code<->seed
-    # mapping is identical on any cluster/plan — and SQL-reproducible)
-    cents = (pts.orderBy("id").limit(k)
-             .select((F.row_number().over(Window.orderBy("id")) - 1)
-                     .cast("long").alias("code"),
-                     F.col("p").alias("c")))
+    # seed: the k lowest-id vectors, code = rank-by-id — identical on
+    # any cluster/plan and SQL-reproducible
+    seed_rows = pts.orderBy("id").limit(k).collect()      # model-sized
+    cent_list: list[dict[int, list[float]]] = [
+        {c: list(map(float, r.p)) for c, r in enumerate(seed_rows)}]
 
-    @pandas_udf("double")
-    def _sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
-        # dim-sequential accumulation (left-fold order), rows vectorized
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(ma))
-        for i in range(ma.shape[1]):
-            dlt = ma[:, i] - mb[:, i]
-            acc = acc + dlt * dlt
-        return pd.Series(acc)
-
-    dist = _sqdist(F.col("p"), F.col("c"))
-
-    # argmin = combinable min_by hash agg on the (d, code) struct — same
-    # (d, code) tie-break as a row_number window, without sorting every
-    # point x centroid candidate row (see pq_train)
-    def argmin(with_p: bool):
-        joined = (pts.join(F.broadcast(cents))
-                  .select("id", "p", "code", dist.alias("d")))
-        aggs = [F.min_by("code", F.struct("d", "code")).alias("code")]
-        if with_p:
-            aggs.insert(0, F.first("p").alias("p"))
-        return joined.groupBy("id").agg(*aggs)
+    def assign_df():
+        # m=1 "subspace" of the full dimension reuses the PQ assign UDF
+        # (same left-fold distance, same (d, code) tie-break)
+        assign = _pq_assign_udf(cent_list, 1, dim)
+        return pts.select("id", "p",
+                          F.element_at(assign(F.col("p")), 1).alias("code"))
 
     for _ in range(iters):
-        assigned = argmin(with_p=True)
-        per_dim = (assigned.select("code", F.posexplode("p").alias("pos", "x"))
+        per_dim = (assign_df()
+                   .select("code", F.posexplode("p").alias("pos", "x"))
                    .groupBy("code", "pos").agg(F.avg("x").alias("m")))
-        cents = (per_dim.groupBy("code")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                 .select("code", F.transform("pm", lambda s: s.getField("m")).alias("c")))
-        cents = cents.localCheckpoint(eager=True)
-    return argmin(with_p=False).select(F.col("id").alias(id_col), "code")
+        rows = per_dim.collect()                          # model-sized
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(r.code, [0.0] * dim)[r.pos] = r.m
+        cent_list = [new]
+    return assign_df().select(F.col("id").alias(id_col), "code")
