@@ -665,6 +665,22 @@ def zip_keymap_region_value(spark, sf_dir):
     return out.df.select("user_id", "ts", "event_id", "xv", "yv")
 
 
+@query("asof_broadcast_purchase_last_click", _ASOF_ORACLE)
+def asof_broadcast_purchase_last_click(spark, sf_dir):
+    """The same as-of join under the broadcast-interval physical
+    strategy (SURVEY §7's optional optimized as-of): click state becomes
+    broadcast validity intervals, the purchase (fact) stream is never
+    shuffled.  Same oracle as asof_purchase_last_click — value-identical
+    by construction, different plan (plan-tested)."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id").map(cv=F.col("value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(pv=F.col("value")))
+    out = clicks.take(purchases, ["cv"], ["pv"], broadcast_state=True)
+    return out.df.select("user_id", "ts", "event_id", "cv", "pv")
+
+
 @query("live_asof_purchase_last_click", _ASOF_ORACLE)
 def live_asof_purchase_last_click(spark, sf_dir):
     """The as-of join (take) as a Structured Streaming plan — closes the
@@ -2060,6 +2076,7 @@ _ROUND_CHANGED = [
     # new this round
     "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
     "ann_pq_codes", "ann_pq_adc_topk",
+    "asof_broadcast_purchase_last_click",
 ]
 
 _PRIORITY = [
@@ -2069,6 +2086,7 @@ _PRIORITY = [
     "decontaminate_eval_overlap",
     "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
     "ann_pq_codes", "ann_pq_adc_topk",
+    "asof_broadcast_purchase_last_click",
     # (b) the 26 other queries the r3 driver sample did not reach (all 80
     # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2084,7 +2102,7 @@ _PRIORITY = [
     "sliding_window_user", "window_gated_scan", "zip_click_purchase",
     "asof_purchase_last_click", "sample_daily_value", "zip_keymap_region_value",
     "group_count_reduce", "group_time_reduce", "slice_by_purchase_trigger",
-    "bind_hourly_rendezvous", "ewma_final_per_user", "collect_types_sorted",
+    "bind_hourly_rendezvous", "ewma_final_per_user",
 ]
 
 

@@ -513,24 +513,39 @@ class Stream:
 
     def take(self, other: "Stream", left_cols: Sequence[str],
              right_cols: Sequence[str],
-             key_map: "Column | dict | Sequence | None" = None) -> "Stream":
+             key_map: "Column | dict | Sequence | None" = None,
+             broadcast_state: bool = False) -> "Stream":
         """Emit (x.latest, y) only when *y* fires — an as-of join
         (reference: ``take``, MacroTerm.scala:209-221).  ``key_map``
         as in ``zip_join`` (reference ``VectTerm.take(other, keyMap)``,
-        VectTerm.scala:458-460)."""
+        VectTerm.scala:458-460).
+
+        ``broadcast_state=True`` selects the broadcast-interval physical
+        strategy (SURVEY §7's optional optimized as-of join) for the
+        common scale shape where THIS stream (the sampled state) is
+        small and ``other`` (the trigger/fact stream) is huge: state
+        rows become per-key validity intervals, broadcast, and the fact
+        stream resolves its as-of value with a map-side join — the
+        100 TB side is never shuffled (the union+window form exchanges
+        both sides).  Identical emission semantics, plan-tested."""
         if key_map is not None:
             return _keymap_zip_join(self, other, left_cols, right_cols,
                                     key_map, emit="right")
+        if broadcast_state:
+            return _broadcast_asof(self, other, left_cols, right_cols)
         return _temporal_join(self, other, left_cols, right_cols, emit="right")
 
     def sample(self, trigger: "Stream", value_cols: Sequence[str],
-               key_map: "Column | dict | Sequence | None" = None) -> "Stream":
+               key_map: "Column | dict | Sequence | None" = None,
+               broadcast_state: bool = False) -> "Stream":
         """Snapshot this stream's latest value whenever ``trigger`` fires
         (reference: ``sample``, MacroTerm.scala:226-230; keyed form
-        VectTerm.scala:468-482)."""
+        VectTerm.scala:468-482).  ``broadcast_state`` as in ``take``."""
         if key_map is not None:
             return _keymap_zip_join(self, trigger, value_cols, [],
                                     key_map, emit="right")
+        if broadcast_state:
+            return _broadcast_asof(self, trigger, value_cols, [])
         return _temporal_join(self, trigger, value_cols, [], emit="right")
 
     # -- cross-key snapshot aggregation (reference: mapVector,
@@ -782,6 +797,48 @@ def _temporal_join(left: Stream, right: Stream, left_cols: Sequence[str],
     sel += [F.col(f"__r_{c}").alias(c) for c in rc]
     out = u.select(*sel)
     return Stream(out, left.t, left.seq, tuple(keys))
+
+
+def _broadcast_asof(left: Stream, right: Stream, left_cols: Sequence[str],
+                    right_cols: Sequence[str]) -> Stream:
+    """Broadcast-interval as-of join: ``left`` (small state) becomes
+    per-key validity intervals ``[(t, seq), next (t, seq))``; each
+    ``right`` row resolves its as-of value via a broadcast left-outer
+    join with lexicographic struct containment.  Exactly one interval
+    matches per row (intervals partition the timeline), so row count
+    and emission semantics equal ``_temporal_join(emit="right")`` —
+    including null columns before the first left value and same-(t, seq)
+    left rows being visible (struct >= start mirrors the union form's
+    (ts, seq, side) order with left side 0).  The right side plans with
+    NO Exchange — the property that matters when it is the 100 TB one."""
+    if left.keys != right.keys:
+        raise ValueError("temporal join requires identical key columns "
+                         f"({left.keys} vs {right.keys})")
+    keys = list(left.keys)
+    lc = [c for c in left_cols if c not in keys]
+    rc = [c for c in right_cols if c not in keys]
+    pos = lambda t, s: F.struct(F.col(t).alias("t"), F.col(s).alias("s"))  # noqa: E731
+    lw = Window.partitionBy(*keys).orderBy(*ordering.order_cols(left.t, left.seq))
+    iv = left.df.select(
+        *keys,
+        pos(left.t, left.seq).alias("__start"),
+        F.lead(pos(left.t, left.seq)).over(lw).alias("__end"),
+        *[F.col(c).alias(f"__l_{c}") for c in lc],
+    )
+    r = right.df.alias("r")
+    l = F.broadcast(iv).alias("l")
+    rpos = F.struct(F.col(f"r.{right.t}").alias("t"),
+                    F.col(f"r.{right.seq}").alias("s"))
+    cond = [F.col(f"r.{k}").eqNullSafe(F.col(f"l.{k}")) for k in keys]
+    cond.append(rpos >= F.col("l.__start"))
+    cond.append(F.col("l.__end").isNull() | (rpos < F.col("l.__end")))
+    joined = r.join(l, cond, "left")
+    sel = [F.col(f"r.{right.t}").alias(left.t),
+           F.col(f"r.{right.seq}").alias(left.seq),
+           *[F.col(f"r.{k}").alias(k) for k in keys]]
+    sel += [F.col(f"l.__l_{c}").alias(c) for c in lc]
+    sel += [F.col(f"r.{c}").alias(c) for c in rc]
+    return Stream(joined.select(*sel), left.t, left.seq, tuple(keys))
 
 
 def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],

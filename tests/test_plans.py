@@ -146,3 +146,16 @@ def test_minhash_reads_only_id_and_text(spark, entry):
     assert reads
     for l in reads:
         assert "source" not in l and "lang" not in l, l
+
+
+def test_broadcast_asof_never_shuffles_fact_side(spark, entry):
+    """asof_broadcast_purchase_last_click: the only (non-broadcast)
+    Exchange allowed is the small state side's interval window — the
+    fact stream must reach its BroadcastHashJoin unshuffled."""
+    plan = _plan(entry.queries()["asof_broadcast_purchase_last_click"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    headers = [l for l in plan.splitlines()
+               if l.strip().startswith("(") and "Exchange" in l]
+    shuffles = [h for h in headers if "BroadcastExchange" not in h]
+    assert len(shuffles) <= 1, shuffles

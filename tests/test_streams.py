@@ -1,0 +1,29 @@
+
+
+def test_take_broadcast_state_matches_union_form(spark):
+    """The broadcast-interval as-of strategy is value-identical to the
+    union+window form, including same-(t, seq) visibility and nulls
+    before the first state row."""
+    from pyspark.sql import functions as F
+    from scespet_spark.core.stream import Stream
+    state = spark.createDataFrame(
+        [(2, 1, "u", 10.0), (5, 2, "u", 20.0), (5, 3, "u", 30.0),
+         (9, 4, "v", 99.0)],
+        "t long, seq long, k string, sv double")
+    fact = spark.createDataFrame(
+        [(1, 10, "u", 0.1), (2, 11, "u", 0.2), (5, 12, "u", 0.5),
+         (7, 13, "u", 0.7), (8, 14, "v", 0.8), (9, 15, "v", 0.9),
+         (1, 16, "w", 1.0)],
+        "t long, seq long, k string, fv double")
+    ls = Stream(state, t="t", seq="seq", keys=("k",))
+    rs = Stream(fact, t="t", seq="seq", keys=("k",))
+    a = ls.take(rs, ["sv"], ["fv"]).df
+    b = ls.take(rs, ["sv"], ["fv"], broadcast_state=True).df
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    lookup = {r[1]: r for r in rb}         # by seq
+    assert lookup[10][3] is None           # before first state row
+    assert lookup[11][3] == 10.0           # same-t state visible
+    assert lookup[12][3] == 30.0           # latest of two same-t states
+    assert lookup[16][3] is None           # key with no state
