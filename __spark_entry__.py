@@ -1825,6 +1825,39 @@ def text_corpus_idf(spark, sf_dir):
     return corpus_idf_quality(load_table(spark, sf_dir, "documents"))
 
 
+def _bigram_lm_oracle(k=1.0):
+    from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
+    c0, c1 = sh_coeff(0), sh_coeff(1)
+    return f"""
+WITH hs AS (SELECT doc_id,
+                   list_transform({_TOKS},
+                                  x -> {h64_sql('x')} % {MH_PRIME}) AS hs
+            FROM documents),
+bg AS (SELECT doc_id, hs[i] AS pre,
+              ((hs[i] * {c0}) % {MH_PRIME}
+               + (hs[i + 1] * {c1}) % {MH_PRIME}) % {MH_PRIME} AS bg
+       FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 1)) AS i
+             FROM hs WHERE len(hs) >= 2)),
+bgc AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY bg),
+prec AS (SELECT pre, COUNT(*) AS cpre FROM bg GROUP BY pre),
+v AS (SELECT COUNT(DISTINCT h) AS vv
+      FROM (SELECT unnest(hs) AS h FROM hs))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(AVG(ln((cbg + {k}) / (cpre + {k} * vv))), 6) AS mean_logp
+FROM bg JOIN bgc USING (bg) JOIN prec USING (pre) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+@query("text_bigram_lm", _bigram_lm_oracle())
+def text_bigram_lm(spark, sf_dir):
+    """In-corpus bigram-LM quality score (CCNet perplexity filtering
+    without an external model): add-1-smoothed mean log transition
+    probability per doc; digests end-to-end, text never shuffles."""
+    from scespet_spark.operators.text import bigram_lm_score
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
 _QUOTA_N = 10
 
 
@@ -2076,7 +2109,7 @@ _ROUND_CHANGED = [
     # new this round
     "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
     "ann_pq_codes", "ann_pq_adc_topk",
-    "asof_broadcast_purchase_last_click",
+    "asof_broadcast_purchase_last_click", "text_bigram_lm",
 ]
 
 _PRIORITY = [
@@ -2086,7 +2119,7 @@ _PRIORITY = [
     "decontaminate_eval_overlap",
     "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
     "ann_pq_codes", "ann_pq_adc_topk",
-    "asof_broadcast_purchase_last_click",
+    "asof_broadcast_purchase_last_click", "text_bigram_lm",
     # (b) the 26 other queries the r3 driver sample did not reach (all 80
     # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2102,7 +2135,7 @@ _PRIORITY = [
     "sliding_window_user", "window_gated_scan", "zip_click_purchase",
     "asof_purchase_last_click", "sample_daily_value", "zip_keymap_region_value",
     "group_count_reduce", "group_time_reduce", "slice_by_purchase_trigger",
-    "bind_hourly_rendezvous", "ewma_final_per_user",
+    "bind_hourly_rendezvous",
 ]
 
 

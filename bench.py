@@ -36,6 +36,7 @@ HEADLINE = [
     "window_gated_reduce",
     "zip_click_purchase",
     "asof_purchase_last_click",
+    "asof_broadcast_purchase_last_click",
     "ewma_final_per_user",
     "session_windows_user",
     "dedup_exact",
@@ -58,6 +59,7 @@ HEADLINE = [
     "text_corpus_idf",
     "sample_source_quota",
     "ann_pq_adc_topk",
+    "text_bigram_lm",
 ]
 
 

@@ -60,6 +60,21 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
 
     Bucketing requires the table catalog (``saveAsTable``) — plain
     ``.parquet(path)`` cannot record bucket metadata."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # with an in-memory catalog, a previous session's managed-table
+        # directory outlives its catalog entry; overwrite must reclaim
+        # the orphaned location or saveAsTable raises
+        # LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if "." not in table:
+            jvm = spark.sparkContext._jvm
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            p = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+            fs = p.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                fs.delete(p, True)
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

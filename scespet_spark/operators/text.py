@@ -245,6 +245,50 @@ def corpus_idf_quality(df: DataFrame, text_col: str = "text",
                   .alias("mean_idf")))
 
 
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: float = 1.0) -> DataFrame:
+    """In-corpus bigram language-model quality score: per-doc mean
+    ``ln P(w_i | w_{i-1})`` under an add-``k`` smoothed bigram model
+    fitted on the corpus itself (the CCNet perplexity-filter idea
+    without an external LM).  Low scores flag documents whose token
+    transitions are unusual for the corpus — OCR noise, shuffled text,
+    keyword-stuffed spam.  Returns (id, n_bigrams, mean_logp) for docs
+    with at least one bigram.
+
+    Tokens ride as 60-bit digests end-to-end (one md5 per token; the
+    bigram key is rolled arithmetically like ``dedup.shingle_hashes``):
+    the count tables and every shuffled row are ints, never text.  The
+    model tables are vocabulary-/bigram-vocabulary-sized (Zipf-bounded);
+    the per-doc join shuffles (digest, id) pairs, with AQE skew-join
+    covering the Zipf head."""
+    from .dedup import MH_PRIME, sh_coeff, token_hash_array
+    c0, c1 = sh_coeff(0), sh_coeff(1)
+    staged = df.select(F.col(id_col),
+                       token_hash_array(F.col(text_col)).alias("__hs"))
+    n = F.size(F.col("__hs"))
+    pos = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    bg = (staged.select(id_col, F.col("__hs"),
+                        F.explode(pos).alias("__i"))
+          .select(id_col,
+                  F.element_at("__hs", F.col("__i")).alias("__pre"),
+                  (((F.element_at("__hs", F.col("__i")) * c0) % MH_PRIME
+                    + (F.element_at("__hs", F.col("__i") + 1) * c1) % MH_PRIME)
+                   % MH_PRIME).alias("__bg")))
+    bg_counts = bg.groupBy("__bg").agg(F.count("*").alias("__cbg"))
+    pre_counts = bg.groupBy("__pre").agg(F.count("*").alias("__cpre"))
+    vocab = (staged.select(F.explode("__hs").alias("__h"))
+             .agg(F.count_distinct("__h").alias("__v")))
+    logp = F.log((F.col("__cbg") + F.lit(k))
+                 / (F.col("__cpre") + F.lit(k) * F.col("__v")))
+    return (bg.join(bg_counts, "__bg")
+            .join(pre_counts, "__pre")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(logp), 6).alias("mean_logp")))
+
+
 def source_quota_sample(df: DataFrame, quota: int,
                         source_col: str = "source",
                         id_col: str = "doc_id") -> DataFrame:

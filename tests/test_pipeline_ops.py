@@ -481,3 +481,19 @@ def test_pq_train_and_adc(vecs):
     # exact re-rank puts the identical vector first
     assert out[0].vec_id == 0 and out[0].score == 1.0
     assert all(isinstance(r.adc_microdist, int) for r in out)
+
+
+def test_bigram_lm_score(spark):
+    import math
+    from scespet_spark.operators.text import bigram_lm_score
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b a b a b"), (2, "x q z p w m"),
+         (3, "a"), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert 3 not in out and 4 not in out       # <2 tokens: no bigrams
+    assert out[0].n_bigrams == 5
+    assert out[0].mean_logp == out[1].mean_logp
+    # the common-transition docs score higher than the all-rare one
+    assert out[0].mean_logp > out[2].mean_logp
+    assert out[2].mean_logp < 0 and not math.isnan(out[2].mean_logp)
