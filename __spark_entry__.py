@@ -1865,17 +1865,9 @@ def _quota_oracle(q=_QUOTA_N):
     hh = h64_sql("doc_id::VARCHAR", seed=7)
     return f"""
 WITH h AS (SELECT *, ({hh}) % 1048576 AS __hh FROM documents),
-c AS (SELECT source, COUNT(*) AS __cnt FROM documents GROUP BY source),
-cut AS (SELECT source,
-               CASE WHEN __cnt <= {q} THEN 1048576
-                    ELSE least(1048576,
-                               CAST(floor(({2 * q} * 1048576.0) / __cnt)
-                                    AS BIGINT) + 1) END AS __cut
-        FROM c),
-pre AS (SELECT h.* FROM h JOIN cut USING (source) WHERE __hh < __cut),
 r AS (SELECT *, row_number() OVER (PARTITION BY source
                                    ORDER BY __hh, doc_id) AS __rk
-      FROM pre)
+      FROM h)
 SELECT doc_id, text, lang, source, n_chars FROM r WHERE __rk <= {q}
 """
 
@@ -1883,10 +1875,11 @@ SELECT doc_id, text, lang, source, n_chars FROM r WHERE __rk <= {q}
 @query("sample_source_quota", _quota_oracle())
 def sample_source_quota(spark, sf_dir):
     """Per-source quota cap (the domain-mix step): deterministic
-    hash-ordered top-``quota`` per source with a broadcast count-derived
-    cutoff prefilter, so the exact-rank window sees O(quota) rows per
-    source regardless of corpus size.  Oracle mirrors the identical
-    two-phase pipeline."""
+    hash-ordered top-``quota`` per source.  The implementation prefilters
+    with a broadcast count-derived cutoff (O(quota) window input per
+    source) plus an exactness fallback for under-filled sources, so the
+    oracle is the plain global-rank DEFINITION of the operator — not a
+    mirror of the pipeline."""
     from scespet_spark.operators.text import source_quota_sample
     docs = load_table(spark, sf_dir, "documents")
     return source_quota_sample(docs, _QUOTA_N)

@@ -299,11 +299,16 @@ def source_quota_sample(df: DataFrame, quota: int,
 
     Scale shape: a per-source ``row_number`` window alone would sort
     every source's full event mass; instead a first pass counts each
-    source and derives a per-source hash *cutoff* admitting ~quota
-    survivors (a map-side filter after a broadcast join — counts are
-    one row per source), and only the survivors enter the exact-rank
-    window.  The window input is O(quota) rows per source regardless of
-    corpus size."""
+    source and derives a per-source hash *cutoff* admitting ~2x quota
+    survivors in expectation (a map-side filter after a broadcast join —
+    counts are one row per source), and only the survivors enter the
+    exact-rank window.  The window input is O(quota) rows per source
+    regardless of corpus size.  Exactness is unconditional: any source
+    the cutoff under-fills (Chernoff-rare) is detected from the
+    (source-count-sized) survivor counts and re-admitted whole, so the
+    result is always precisely the quota lowest-hash rows per source —
+    the oracle is the plain global-rank definition, not a mirror of
+    this pipeline."""
     from pyspark.sql import Window
     h = F.pmod(h64(F.col(id_col).cast("string"), seed=7), F.lit(1 << 20))
     counts = df.groupBy(source_col).agg(F.count("*").alias("__cnt"))
@@ -316,7 +321,17 @@ def source_quota_sample(df: DataFrame, quota: int,
     pre = (df.join(F.broadcast(counts.select(source_col,
                                              cutoff.alias("__cut"))),
                    source_col)
-           .filter(h < F.col("__cut")))
+           .filter(h < F.col("__cut"))
+           .select(*df.columns))
+    # exactness fallback: a source whose prefilter admitted fewer than
+    # min(quota, count) rows gets all its rows ranked instead
+    surv = pre.groupBy(source_col).agg(F.count("*").alias("__nsurv"))
+    under = (surv.join(counts, source_col)
+             .filter(F.col("__nsurv") < F.least(F.lit(quota), F.col("__cnt")))
+             .select(source_col))
+    pre = (pre.join(F.broadcast(under), source_col, "left_anti")
+           .unionByName(df.join(F.broadcast(under), source_col, "left_semi")
+                        .select(*df.columns)))
     w = (Window.partitionBy(source_col)
          .orderBy(h.asc(), F.col(id_col).asc()))
     return (pre.withColumn("__rk", F.row_number().over(w))
