@@ -1825,6 +1825,43 @@ def text_corpus_idf(spark, sf_dir):
     return corpus_idf_quality(load_table(spark, sf_dir, "documents"))
 
 
+_LI_NUM = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+           "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_LI_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def _profile_oracle():
+    parts = []
+    for c in _LI_NUM:
+        parts.append(f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}::DOUBLE) AS vmin, MAX({c}::DOUBLE) AS vmax,
+       round(AVG({c}::DOUBLE), 6) AS vmean,
+       round(quantile_cont({c}::DOUBLE, 0.25), 6) AS p25,
+       round(quantile_cont({c}::DOUBLE, 0.50), 6) AS p50,
+       round(quantile_cont({c}::DOUBLE, 0.75), 6) AS p75
+FROM lineitem""")
+    for c in _LI_OTHER:
+        parts.append(f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       NULL::DOUBLE AS vmin, NULL::DOUBLE AS vmax, NULL::DOUBLE AS vmean,
+       NULL::DOUBLE AS p25, NULL::DOUBLE AS p50, NULL::DOUBLE AS p75
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_lineitem", _profile_oracle())
+def profile_lineitem(spark, sf_dir):
+    """Column-profile report over lineitem: one scan, one wide agg,
+    exact interpolated percentiles (engine-exact vs quantile_cont)."""
+    from scespet_spark.operators.text import profile_columns
+    return profile_columns(load_table(spark, sf_dir, "lineitem"))
+
+
 def _bigram_lm_oracle(k=1.0):
     from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
     c0, c1 = sh_coeff(0), sh_coeff(1)
@@ -2103,6 +2140,7 @@ _ROUND_CHANGED = [
     "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
     "ann_pq_codes", "ann_pq_adc_topk",
     "asof_broadcast_purchase_last_click", "text_bigram_lm",
+    "profile_lineitem",
 ]
 
 _PRIORITY = [
@@ -2113,6 +2151,7 @@ _PRIORITY = [
     "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
     "ann_pq_codes", "ann_pq_adc_topk",
     "asof_broadcast_purchase_last_click", "text_bigram_lm",
+    "profile_lineitem",
     # (b) the 26 other queries the r3 driver sample did not reach (all 80
     # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2128,7 +2167,6 @@ _PRIORITY = [
     "sliding_window_user", "window_gated_scan", "zip_click_purchase",
     "asof_purchase_last_click", "sample_daily_value", "zip_keymap_region_value",
     "group_count_reduce", "group_time_reduce", "slice_by_purchase_trigger",
-    "bind_hourly_rendezvous",
 ]
 
 

@@ -245,6 +245,58 @@ def corpus_idf_quality(df: DataFrame, text_col: str = "text",
                   .alias("mean_idf")))
 
 
+def profile_columns(df: DataFrame,
+                    percentiles: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Data-profiling report: one output row per input column with row /
+    null / distinct counts, and for numeric columns min, max, mean
+    (6dp) and exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` — both sort-based and deterministic, so
+    the profile is engine-exact, unlike approx sketches).
+
+    ONE scan + ONE aggregate computes every column's stats as a wide
+    row; the wide row then explodes to the per-column report.  Counts,
+    distincts, min/max/mean are combinable single-pass aggregates.
+    Exact percentiles buffer the column's values in the aggregate — fine
+    into the billions of rows; at 100 TB swap ``F.percentile`` for
+    ``approx_percentile`` (t-digest sketch, combinable, bounded memory)
+    at the cost of oracle exactness."""
+    from pyspark.sql.types import NumericType
+    num = {f.name for f in df.schema.fields
+           if isinstance(f.dataType, NumericType)}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"__nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        if c in num:
+            d = F.col(c).cast("double")
+            aggs += [F.min(d).alias(f"__min_{c}"), F.max(d).alias(f"__max_{c}"),
+                     F.round(F.avg(d), 6).alias(f"__mean_{c}")]
+            for p in percentiles:
+                aggs.append(F.round(F.percentile(d, F.lit(p)), 6)
+                            .alias(f"__p{int(p * 100)}_{c}"))
+    wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    rows = []
+    for c in df.columns:
+        fields = [F.lit(c).alias("column"), F.col("__n").alias("n_rows"),
+                  F.col(f"__nulls_{c}").cast("long").alias("n_nulls"),
+                  F.col(f"__dist_{c}").alias("n_distinct")]
+        if c in num:
+            fields += [F.col(f"__min_{c}").alias("vmin"),
+                       F.col(f"__max_{c}").alias("vmax"),
+                       F.col(f"__mean_{c}").alias("vmean")]
+            fields += [F.col(f"__p{int(p * 100)}_{c}")
+                       .alias(f"p{int(p * 100)}") for p in percentiles]
+        else:
+            fields += [null_d.alias("vmin"), null_d.alias("vmax"),
+                       null_d.alias("vmean")]
+            fields += [null_d.alias(f"p{int(p * 100)}") for p in percentiles]
+        rows.append(F.struct(*fields))
+    return (wide.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
+
+
 def bigram_lm_score(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: float = 1.0) -> DataFrame:
     """In-corpus bigram language-model quality score: per-doc mean

@@ -497,3 +497,19 @@ def test_bigram_lm_score(spark):
     # the common-transition docs score higher than the all-rare one
     assert out[0].mean_logp > out[2].mean_logp
     assert out[2].mean_logp < 0 and not math.isnan(out[2].mean_logp)
+
+
+def test_profile_columns(spark):
+    from scespet_spark.operators.text import profile_columns
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "b"), (4, 40.0, None)],
+        "k long, v double, s string")
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert set(out) == {"k", "v", "s"}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 3
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].vmin is None          # non-numeric: no value stats
+    assert out["k"].vmin == 1.0 and out["k"].vmax == 4.0
+    assert out["k"].p50 == 2.5            # exact interpolated median
+    assert out["v"].vmean == pytest.approx(70.0 / 3, abs=1e-6)
