@@ -292,17 +292,27 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
 
 def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
-                         max_iters: int = 20) -> DataFrame:
-    """Duplicate clusters from candidate pairs: connected components via
-    min-label propagation.  Returns (id, cluster) where cluster is the
-    smallest id reachable from id.
+                         max_iters: int = 20,
+                         algorithm: str = "label") -> DataFrame:
+    """Duplicate clusters from candidate pairs: connected components.
+    Returns (id, cluster) where cluster is the smallest id reachable
+    from id.
 
-    Each iteration is one join + one groupBy-min (all combinable);
-    iterations = graph diameter (near-dup clusters are shallow — a
-    handful).  ``localCheckpoint`` truncates lineage so plans don't grow
-    across iterations.  At extreme scale swap for the large-star/
-    small-star formulation; the loop/convergence skeleton is identical.
+    ``algorithm="label"`` (default): min-label propagation — one join +
+    one groupBy-min per iteration (all combinable); iterations = graph
+    diameter.  The right choice for near-dup clusters, which are
+    shallow.
+
+    ``algorithm="star"``: the alternating large-star/small-star method
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds on ANY graph shape, including the long
+    chains that make label propagation take diameter rounds.  The
+    extreme-scale choice when cluster topology is unknown.
+
+    Both use ``localCheckpoint`` to truncate lineage per iteration.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, a, b, max_iters)
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .unionByName(pairs.select(F.col(b).alias("src"),
                                        F.col(a).alias("dst")))
@@ -327,3 +337,61 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
         if changed == 0:
             break
     return labels
+
+
+def _cc_star(pairs: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round: large-star hangs every neighbor v > u onto u's minimum
+    neighborhood label; small-star re-hangs the v <= u neighbors.  Both
+    are one groupBy-min plus one join per pass — the same shuffle
+    profile as label propagation — but the tree flattens geometrically,
+    so rounds are O(log n) regardless of diameter.  Terminates when the
+    edge multiset stops changing; the final forest is star-shaped, and
+    (id, root) is exactly (id, min-reachable-id)."""
+    nodes = (pairs.select(F.col(a).alias("id"))
+             .unionByName(pairs.select(F.col(b).alias("id")))
+             .distinct())
+    # work on canonical directed edges u > v (u points toward smaller);
+    # self-loops dropped
+    edges = (pairs.select(F.greatest(a, b).alias("u"),
+                          F.least(a, b).alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def neighborhood_min(sym: DataFrame) -> DataFrame:
+        m = sym.groupBy("u").agg(F.min("v").alias("m"))
+        return m.withColumn("m", F.least("m", F.col("u")))
+
+    for _ in range(max_iters):
+        # large-star: for each node u, every STRICTLY LARGER neighbor v
+        # re-attaches to min(N(u) + {u})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = neighborhood_min(sym)
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")))
+        edges1 = large.distinct().localCheckpoint(eager=True)
+        # small-star: for each node u, every v <= u (plus u itself)
+        # re-attaches to the neighborhood min
+        sym1 = edges1.unionByName(
+            edges1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins1 = neighborhood_min(sym1)
+        small = (sym1.join(mins1, "u")
+                 .filter(F.col("v") <= F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(mins1.select(F.col("u"), F.col("m").alias("v")))
+                 .filter(F.col("u") != F.col("v")))
+        new_edges = small.distinct().localCheckpoint(eager=True)
+        if (new_edges.exceptAll(edges).limit(1).count() == 0
+                and edges.exceptAll(new_edges).limit(1).count() == 0):
+            edges = new_edges
+            break
+        edges = new_edges
+    roots = edges.groupBy("u").agg(F.min("v").alias("cluster")) \
+                 .select(F.col("u").alias("id"), "cluster")
+    return (nodes.join(roots, "id", "left")
+            .select("id", F.coalesce("cluster", F.col("id")).alias("cluster")))

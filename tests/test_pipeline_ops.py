@@ -513,3 +513,30 @@ def test_profile_columns(spark):
     assert out["k"].vmin == 1.0 and out["k"].vmax == 4.0
     assert out["k"].p50 == 2.5            # exact interpolated median
     assert out["v"].vmean == pytest.approx(70.0 / 3, abs=1e-6)
+
+
+def test_cc_star_matches_label_propagation(spark):
+    import random
+    from scespet_spark.operators.dedup import connected_components
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        edges = [(x, y) for x, y in edges if x != y]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab = {r.id: r.cluster
+               for r in connected_components(df).collect()}
+        star = {r.id: r.cluster
+                for r in connected_components(df, algorithm="star").collect()}
+        assert lab == star, f"trial {trial}"
+
+
+def test_cc_star_long_chain(spark):
+    from scespet_spark.operators.dedup import connected_components
+    # a 60-node chain: diameter 60 defeats shallow label propagation
+    # budgets, but the star method flattens it in O(log n) rounds
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components(df, algorithm="star", max_iters=10).collect()
+    assert all(r.cluster == 0 for r in out)
+    assert len(out) == 61
