@@ -1303,6 +1303,7 @@ def bucket_collapse_stats(spark, sf_dir):
 # (dedup, similarity search, text analysis, multimodal plumbing)
 # ===========================================================================
 
+from scespet_spark.operators.dedup import sh_coeff as _shc  # noqa: E402
 from scespet_spark.operators.hashing import h64_sql  # noqa: E402
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -1755,21 +1756,26 @@ def text_quality(spark, sf_dir):
 
 
 @query("text_repetition", f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-b AS (SELECT doc_id, len(toks) AS n_tokens,
-             CASE WHEN len(toks) > 0 THEN
-               round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+WITH t AS (SELECT doc_id,
+                  list_transform({_TOKS},
+                                 x -> {h64_sql('x')} % {2**31 - 1}) AS hs
+           FROM documents),
+b AS (SELECT doc_id, len(hs) AS n_tokens,
+             CASE WHEN len(hs) > 0 THEN
+               round(len(list_distinct(hs))::DOUBLE / len(hs), 6)
              END AS distinct_token_ratio,
-             CASE WHEN len(toks) > 0 THEN
+             CASE WHEN len(hs) > 0 THEN
                round(len(list_distinct(list_transform(
-                       generate_series(1, len(toks) - 1),
-                       i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE
-                     / greatest(len(toks) - 1, 1), 6)
+                       generate_series(1, greatest(len(hs) - 1, 1)),
+                       i -> ((coalesce(hs[i], 0) * {_shc(0)}) % {2**31 - 1}
+                             + (coalesce(hs[i + 1], 0) * {_shc(1)}) % {2**31 - 1})
+                            % {2**31 - 1})))::DOUBLE
+                     / greatest(len(hs) - 1, 1), 6)
              END AS distinct_bigram_ratio
       FROM t),
 c AS (SELECT doc_id, MAX(c) AS maxc FROM (
         SELECT doc_id, COUNT(*) AS c
-        FROM (SELECT doc_id, unnest(toks) AS tk FROM t)
+        FROM (SELECT doc_id, unnest(hs) AS tk FROM t)
         GROUP BY doc_id, tk) GROUP BY doc_id)
 SELECT b.doc_id, n_tokens, distinct_token_ratio, distinct_bigram_ratio,
        CASE WHEN n_tokens > 0 THEN round(maxc::DOUBLE / n_tokens, 6)
@@ -2141,6 +2147,8 @@ _ROUND_CHANGED = [
     "ann_pq_codes", "ann_pq_adc_topk",
     "asof_broadcast_purchase_last_click", "text_bigram_lm",
     "profile_lineitem",
+    # repetition ratios now computed over token/bigram digests
+    "text_repetition",
 ]
 
 _PRIORITY = [

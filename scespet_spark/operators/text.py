@@ -116,25 +116,25 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     document is an explode + two map-side-combinable groupBys (the
     SimHash shuffle shape — counts, never text).  Empty documents yield
     null ratios in both engines."""
-    from .dedup import _spread
-    df = _spread(df)
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                  F.element_at(toks, i + 1))))
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    from .dedup import _spread, shingle_hashes, token_hash_array
+    staged = (_spread(df)
+              .select(F.col(id_col),
+                      token_hash_array(F.col(text_col)).alias("__hs")))
+    n = F.size(F.col("__hs"))
+    # distinct counts run over token/bigram DIGESTS (one md5 per token,
+    # bigrams rolled arithmetically — no bigram string is built); digest
+    # collisions are ~n^2/2^32 per doc and identical in the oracle
+    bigrams = F.when(n >= 2, shingle_hashes(F.col("__hs"), 2)) \
+               .otherwise(F.array().cast("array<bigint>"))
+    base = staged.select(
         F.col(id_col), n.alias("n_tokens"),
-        F.when(n > 0, F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6))
+        F.when(n > 0, F.round(F.size(F.array_distinct(F.col("__hs")))
+                              .cast("double") / n, 6))
          .alias("distinct_token_ratio"),
         F.when(n > 0, F.round(F.size(bigrams).cast("double")
                               / F.greatest(n - 1, F.lit(1)), 6))
          .alias("distinct_bigram_ratio"))
-    counts = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tk"))
+    counts = (staged.select(F.col(id_col), F.explode("__hs").alias("__tk"))
               .groupBy(id_col, "__tk").agg(F.count("*").alias("__c"))
               .groupBy(id_col).agg(F.max("__c").alias("__maxc")))
     return (base.join(counts, id_col, "left")
