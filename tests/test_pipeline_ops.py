@@ -540,3 +540,25 @@ def test_cc_star_long_chain(spark):
     out = connected_components(df, algorithm="star", max_iters=10).collect()
     assert all(r.cluster == 0 for r in out)
     assert len(out) == 61
+
+
+def test_shingle_digest_count_parity(spark):
+    """Digest shingles must be count-identical to string shingles on
+    non-degenerate docs (collisions at these sizes are ~n^2/2^32 —
+    effectively impossible for 40-token docs)."""
+    import random
+    from scespet_spark.operators.dedup import (shingle_hashes, shingles,
+                                               token_hash_array)
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (df.select("doc_id",
+                     F.size(shingles(F.col("text"), 3)).alias("ns"),
+                     token_hash_array(F.col("text")).alias("__hs"))
+           .select("doc_id", "ns",
+                   F.size(shingle_hashes(F.col("__hs"), 3)).alias("nh"))
+           .collect())
+    for r in got:
+        assert r.ns == r.nh, r.doc_id
