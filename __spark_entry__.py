@@ -101,6 +101,111 @@ def q3(spark, sf_dir):
               .limit(10))
 
 
+@query("q5_local_supplier_volume", """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with the local-supplier (c_nationkey =
+    s_nationkey) correlation.  nation/region are fixed-size -> explicit
+    broadcast; SF-scaled joins left to AQE (q3 rationale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name")))
+
+
+@query("q6_forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + aggregate — the query that proves
+    predicate pushdown (every filter reaches the parquet scan) and
+    map-side combine (one partial row per partition shuffles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)"))
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount") >= 0.03)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@query("q10_returned_items", """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue ranking — fact-side filter
+    (l_returnflag pushed to the scan) then join + top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
 @query("region_revenue", """
 SELECT r_name,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -2149,6 +2254,8 @@ _ROUND_CHANGED = [
     "profile_lineitem",
     # repetition ratios now computed over token/bigram digests
     "text_repetition",
+    # new TPC-H-shape relational queries
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
 ]
 
 _PRIORITY = [
@@ -2160,6 +2267,7 @@ _PRIORITY = [
     "ann_pq_codes", "ann_pq_adc_topk",
     "asof_broadcast_purchase_last_click", "text_bigram_lm",
     "profile_lineitem",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     # (b) the 26 other queries the r3 driver sample did not reach (all 80
     # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2174,7 +2282,6 @@ _PRIORITY = [
     "scan_running_sum", "map_vector_running", "session_windows_user",
     "sliding_window_user", "window_gated_scan", "zip_click_purchase",
     "asof_purchase_last_click", "sample_daily_value", "zip_keymap_region_value",
-    "group_count_reduce", "group_time_reduce", "slice_by_purchase_trigger",
 ]
 
 

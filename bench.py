@@ -28,6 +28,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_order_revenue",
     "region_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "window_rank_orders",
     "by_reduce_total",
     "scan_running_sum",

@@ -159,3 +159,12 @@ def test_broadcast_asof_never_shuffles_fact_side(spark, entry):
                if l.strip().startswith("(") and "Exchange" in l]
     shuffles = [h for h in headers if "BroadcastExchange" not in h]
     assert len(shuffles) <= 1, shuffles
+
+
+def test_q6_pushes_all_filters(spark, entry):
+    """q6 is the pushdown showcase: shipdate range, discount range, and
+    quantity predicates must all reach the parquet scan."""
+    plan = _plan(entry.queries()["q6_forecast_revenue"](spark, SF))
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, (c, pushed)
