@@ -72,7 +72,9 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                                                ngram_jaccard_pairs, simhash)
     from scespet_spark.operators.pipeline import decontaminate
     from scespet_spark.operators.similarity import pq_train
-    from scespet_spark.operators.text import (corpus_idf_quality,
+    from scespet_spark.operators.text import (bigram_lm_score,
+                                              corpus_idf_quality,
+                                              profile_columns,
                                               repetition_stats,
                                               source_quota_sample)
 
@@ -89,6 +91,8 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             d.filter(F.col("doc_id") % 19 != 0),
             d.filter(F.col("doc_id") % 19 == 0))),
         "pq_train_codes": lambda d, e: noop(pq_train(e)[0]),
+        "bigram_lm": lambda d, e: noop(bigram_lm_score(d)),
+        "profile": lambda d, e: noop(profile_columns(d)),
     }
 
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
