@@ -200,20 +200,6 @@ def _sqdist_udf():
     return _sqdist
 
 
-def _pq_subpoints(df: DataFrame, m: int, dsub: int, id_col: str,
-                  vec_col: str) -> DataFrame:
-    """(id, sub, p): each vector split into ``m`` subvectors of ``dsub``
-    dims — the unit of product-quantization training."""
-    v = F.col(vec_col).cast("array<double>")
-    return (df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).cast("long").alias("sub"),
-                     F.slice(v, j * dsub + 1, dsub).alias("p"))
-            for j in range(m)])).alias("sp"))
-        .select("id", "sp.sub", "sp.p"))
-
-
 def _pq_assign_udf(cent_list: list[dict[int, list[float]]], m: int,
                    dsub: int):
     """Pandas UDF assigning all ``m`` subspace codes for a full vector
