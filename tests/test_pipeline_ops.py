@@ -562,3 +562,29 @@ def test_shingle_digest_count_parity(spark):
            .collect())
     for r in got:
         assert r.ns == r.nh, r.doc_id
+
+
+def test_source_quota_equals_bruteforce_reference(spark):
+    """End-to-end exactness invariant: the quota sample must equal the
+    brute-force top-quota by (hash, id) per source, independent of which
+    internal path (prefilter or fallback) produced it."""
+    import hashlib
+    import random
+    from scespet_spark.operators.text import source_quota_sample
+    rng = random.Random(3)
+    rows = [(i, f"t{i}", "en", f"s{rng.randrange(4)}", 1)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                                     "source string, n_chars long")
+
+    def h(i):
+        return int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:15], 16) % (1 << 20)
+
+    expect = set()
+    by_src = {}
+    for i, _, _, s, _ in rows:
+        by_src.setdefault(s, []).append(i)
+    for s, ids in by_src.items():
+        expect |= set(sorted(ids, key=lambda i: (h(i), i))[:17])
+    got = {r.doc_id for r in source_quota_sample(df, 17).collect()}
+    assert got == expect
