@@ -1,0 +1,23 @@
+"""The examples are operator compositions users copy — keep them
+running against the real testdata."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples"))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_pipeline_example(spark, tmp_path):
+    import corpus_pipeline
+    n_in, n_out = corpus_pipeline.main(SF, out_dir=str(tmp_path / "out"))
+    assert n_in > 0 and 0 < n_out <= n_in
+
+
+def test_ann_search_example(spark, capsys):
+    import ann_search
+    ann_search.main(SF)
+    out = capsys.readouterr().out
+    assert "recall@10" in out
