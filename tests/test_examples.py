@@ -21,3 +21,10 @@ def test_ann_search_example(spark, capsys):
     ann_search.main(SF)
     out = capsys.readouterr().out
     assert "recall@10" in out
+
+
+def test_trades_example(spark, capsys):
+    import trades_example
+    trades_example.main()
+    out = capsys.readouterr().out
+    assert "VOD" in out or "vwap" in out.lower()
