@@ -168,6 +168,44 @@ def q6_forecast_revenue(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+@query("q18_large_volume_customers", """
+WITH big AS (SELECT l_orderkey FROM lineitem
+             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN big ON big.l_orderkey = lineitem.l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over an aggregate (large-volume orders)
+    feeding a join — the agg-filter is a combinable groupBy whose result
+    (order keys only) semi-join-reduces the wide join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .filter(F.col("__q") > 250)
+           .select("l_orderkey"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li.join(big, "l_orderkey"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(20))
+
+
 @query("q10_returned_items", """
 SELECT c_custkey, c_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -2296,6 +2334,7 @@ _ROUND_CHANGED = [
     "text_repetition",
     # new TPC-H-shape relational queries
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
+    "q18_large_volume_customers",
     # composed dedup decision (exact reps minus near-dup members)
     "dedup_kept_corpus",
 ]
@@ -2310,7 +2349,7 @@ _PRIORITY = [
     "asof_broadcast_purchase_last_click", "text_bigram_lm",
     "profile_lineitem",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
-    "dedup_kept_corpus",
+    "q18_large_volume_customers", "dedup_kept_corpus",
     # (b) the 26 other queries the r3 driver sample did not reach (all 80
     # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2324,7 +2363,7 @@ _PRIORITY = [
     # (c) family representatives, padding to exactly 50
     "scan_running_sum", "map_vector_running", "session_windows_user",
     "sliding_window_user", "window_gated_scan", "zip_click_purchase",
-    "asof_purchase_last_click", "sample_daily_value",
+    "asof_purchase_last_click",
 ]
 
 
