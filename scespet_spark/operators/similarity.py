@@ -184,22 +184,6 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rnk") <= k))
 
 
-def _sqdist_udf():
-    @pandas_udf("double")
-    def _sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
-        # dim-sequential accumulation (left-fold order), rows vectorized
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(ma))
-        for i in range(ma.shape[1]):
-            dlt = ma[:, i] - mb[:, i]
-            acc = acc + dlt * dlt
-        return pd.Series(acc)
-    return _sqdist
-
-
 def _pq_assign_udf(cent_list: list[dict[int, list[float]]], m: int,
                    dsub: int):
     """Pandas UDF assigning all ``m`` subspace codes for a full vector
@@ -253,6 +237,19 @@ def pq_train(df: DataFrame, m: int = 8, dsub: int = 8, ksub: int = 16,
     Reference semantic parity: same coarse-quantize shape as kmeans IVF
     (see kmeans_codes docstring); PQ is the standard extension for
     in-memory re-rankable codes."""
+    codes, cent_list = _pq_train_model(df, m, dsub, ksub, iters,
+                                       id_col, vec_col)
+    cents = df.sparkSession.createDataFrame(
+        [(j, int(c), cent_list[j][c]) for j in range(m)
+         for c in sorted(cent_list[j])],
+        "sub long, code long, c array<double>")
+    return codes, cents
+
+
+def _pq_train_model(df: DataFrame, m: int, dsub: int, ksub: int,
+                    iters: int, id_col: str, vec_col: str):
+    """(codes DataFrame, cent_list) — the centroid model stays a plain
+    Python structure so serving paths can derive LUTs driver-side."""
     v = F.col(vec_col).cast("array<double>")
     pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
     seed_rows = pts.orderBy("id").limit(ksub).collect()   # model-sized
@@ -286,12 +283,7 @@ def pq_train(df: DataFrame, m: int = 8, dsub: int = 8, ksub: int = 16,
              .select(F.col("id").alias(id_col),
                      F.posexplode("cs").alias("sub", "code"))
              .withColumn("sub", F.col("sub").cast("long")))
-    sess = df.sparkSession
-    cents = sess.createDataFrame(
-        [(j, int(c), cent_list[j][c]) for j in range(m)
-         for c in sorted(cent_list[j])],
-        "sub long, code long, c array<double>")
-    return codes, cents
+    return codes, cent_list
 
 
 def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
@@ -311,15 +303,24 @@ def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     production); the ADC pass streams m-byte codes, never vectors; the
     exact pass reads ``shortlist`` vectors.  Returns (id, adc_microdist,
     score) — the standard IVF-PQ + re-rank serving shape."""
-    codes, cents = pq_train(df, m, dsub, ksub, iters, id_col, vec_col)
-    qsub = [[float(x) for x in query[j * dsub:(j + 1) * dsub]]
-            for j in range(m)]
-    qdf = df.sparkSession.createDataFrame(
-        [(j, qsub[j]) for j in range(m)], "sub long, qp array<double>")
-    lut = (cents.join(F.broadcast(qdf), "sub")
-           .select("sub", "code",
-                   F.round(_sqdist_udf()(F.col("qp"), F.col("c")) * 1e6)
-                    .cast("long").alias("md")))
+    import math
+    codes, cent_list = _pq_train_model(df, m, dsub, ksub, iters,
+                                       id_col, vec_col)
+    # the LUT is model-sized (m * ksub longs): derive it driver-side
+    # with the same dim-sequential fold and HALF_UP microunit rounding
+    # the engines pin — no extra Spark job
+    lut_rows = []
+    for j in range(m):
+        qp = [float(x) for x in query[j * dsub:(j + 1) * dsub]]
+        for c in sorted(cent_list[j]):
+            cv = cent_list[j][c]
+            acc = 0.0
+            for d in range(dsub):                         # left fold
+                dlt = qp[d] - cv[d]
+                acc = acc + dlt * dlt
+            lut_rows.append((j, int(c), int(math.floor(acc * 1e6 + 0.5))))
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "sub long, code long, md long")
     adc = (codes.join(F.broadcast(lut), ["sub", "code"])
            .groupBy(id_col).agg(F.sum("md").alias("adc_microdist")))
     short = adc.orderBy(F.col("adc_microdist").asc(), F.col(id_col)).limit(shortlist)
