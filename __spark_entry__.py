@@ -168,6 +168,60 @@ def q6_forecast_revenue(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+@query("q4_order_priority", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery = LEFT SEMI join (the
+    fact side is reduced before the aggregate; no duplicate inflation)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_shipdate")
+    return (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@query("q14_promo_revenue", """
+SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(18,2))
+                 ELSE 0 END)
+       / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join —
+    decimal-exact sums so the ratio is engine-exact before the final
+    double division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double")
+                 .alias("promo_revenue_pct")))
+
+
 @query("q18_large_volume_customers", """
 WITH big AS (SELECT l_orderkey FROM lineitem
              GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
@@ -2334,7 +2388,7 @@ _ROUND_CHANGED = [
     "text_repetition",
     # new TPC-H-shape relational queries
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
-    "q18_large_volume_customers",
+    "q18_large_volume_customers", "q4_order_priority", "q14_promo_revenue",
     # composed dedup decision (exact reps minus near-dup members)
     "dedup_kept_corpus",
 ]
@@ -2349,7 +2403,8 @@ _PRIORITY = [
     "asof_broadcast_purchase_last_click", "text_bigram_lm",
     "profile_lineitem",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
-    "q18_large_volume_customers", "dedup_kept_corpus",
+    "q18_large_volume_customers", "q4_order_priority", "q14_promo_revenue",
+    "dedup_kept_corpus",
     # (b) the 26 other queries the r3 driver sample did not reach (all 80
     # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2362,8 +2417,7 @@ _PRIORITY = [
     "stratified_sample_docs", "multimodal_decode", "multimodal_frame_sample",
     # (c) family representatives, padding to exactly 50
     "scan_running_sum", "map_vector_running", "session_windows_user",
-    "sliding_window_user", "window_gated_scan", "zip_click_purchase",
-    "asof_purchase_last_click",
+    "sliding_window_user", "window_gated_scan",
 ]
 
 
