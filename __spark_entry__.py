@@ -2394,8 +2394,9 @@ _ROUND_CHANGED = [
 ]
 
 _PRIORITY = [
-    # (a) new / changed this round — the driver must (re-)validate the
-    # shingle-digest semantics and the corpus-frequency/quota operators
+    # (a) new / changed in round 4 — the driver must (re-)validate:
+    # shingle-digest dedup family, corpus-frequency / quota / bigram-LM /
+    # profiler operators, PQ ANN, broadcast as-of, TPC-H shapes
     "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
     "decontaminate_eval_overlap",
     "text_token_doc_freq", "text_corpus_idf", "sample_source_quota",
@@ -2405,8 +2406,8 @@ _PRIORITY = [
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     "q18_large_volume_customers", "q4_order_priority", "q14_promo_revenue",
     "dedup_kept_corpus",
-    # (b) the 26 other queries the r3 driver sample did not reach (all 80
-    # have >=1 green row across r1-r3; rotation keeps the evidence fresh)
+    # (b) queries the r3 driver sample did not reach (every query has
+    # >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
     "topk_orders", "rollup_order_status", "set_ops_customers",
     "window_rank_orders", "live_window_gated_reduce", "nested_group_reduce",
