@@ -168,6 +168,52 @@ def q6_forecast_revenue(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+@query("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bi-directional nation-pair revenue by ship year —
+    double nation join with a disjunctive pair filter; fixed-size nation
+    broadcast twice under different aliases."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    pair = (((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")))
+    return (s.join(li, s.s_suppkey == li.l_suppkey)
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__ck"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(vol).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
 @query("q4_order_priority", """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -2389,6 +2435,7 @@ _ROUND_CHANGED = [
     # new TPC-H-shape relational queries
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     "q18_large_volume_customers", "q4_order_priority", "q14_promo_revenue",
+    "q7_volume_shipping",
     # composed dedup decision (exact reps minus near-dup members)
     "dedup_kept_corpus",
 ]
@@ -2405,7 +2452,7 @@ _PRIORITY = [
     "profile_lineitem",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     "q18_large_volume_customers", "q4_order_priority", "q14_promo_revenue",
-    "dedup_kept_corpus",
+    "q7_volume_shipping", "dedup_kept_corpus",
     # (b) queries the r3 driver sample did not reach (every query has
     # >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2418,7 +2465,7 @@ _PRIORITY = [
     "stratified_sample_docs", "multimodal_decode", "multimodal_frame_sample",
     # (c) family representatives, padding to exactly 50
     "scan_running_sum", "map_vector_running", "session_windows_user",
-    "sliding_window_user", "window_gated_scan",
+    "sliding_window_user",
 ]
 
 
