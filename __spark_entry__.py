@@ -168,6 +168,59 @@ def q6_forecast_revenue(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+@query("q13_customer_distribution", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts — a
+    LEFT join (zero-order customers count as 0) feeding a double
+    aggregate; both groupBys are combinable."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@query("q15_top_supplier", """
+WITH rev AS (SELECT l_suppkey AS supplier_no,
+                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1 - l_discount AS DECIMAL(18,2)))
+                         AS DOUBLE) AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue 'view' + scalar-subquery max filter —
+    the max is a 1-row broadcast join, not a driver collect."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")))
+                .cast("double").alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (s.join(rev, s.s_suppkey == rev.supplier_no)
+            .join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
 @query("q7_volume_shipping", """
 SELECT supp_nation, cust_nation, l_year,
        CAST(SUM(volume) AS DOUBLE) AS revenue
@@ -2435,7 +2488,7 @@ _ROUND_CHANGED = [
     # new TPC-H-shape relational queries
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     "q18_large_volume_customers", "q4_order_priority", "q14_promo_revenue",
-    "q7_volume_shipping",
+    "q7_volume_shipping", "q13_customer_distribution", "q15_top_supplier",
     # composed dedup decision (exact reps minus near-dup members)
     "dedup_kept_corpus",
 ]
@@ -2452,7 +2505,8 @@ _PRIORITY = [
     "profile_lineitem",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     "q18_large_volume_customers", "q4_order_priority", "q14_promo_revenue",
-    "q7_volume_shipping", "dedup_kept_corpus",
+    "q7_volume_shipping", "q13_customer_distribution", "q15_top_supplier",
+    "dedup_kept_corpus",
     # (b) queries the r3 driver sample did not reach (every query has
     # >=1 green row across r1-r3; rotation keeps the evidence fresh)
     "q1_pricing_summary", "q3_order_revenue", "region_revenue",
@@ -2464,8 +2518,7 @@ _PRIORITY = [
     "text_repetition", "text_fingerprint", "doc_chunking", "redact_pii",
     "stratified_sample_docs", "multimodal_decode", "multimodal_frame_sample",
     # (c) family representatives, padding to exactly 50
-    "scan_running_sum", "map_vector_running", "session_windows_user",
-    "sliding_window_user",
+    "scan_running_sum", "map_vector_running",
 ]
 
 
