@@ -527,8 +527,15 @@ class Stream:
         rows become per-key validity intervals, broadcast, and the fact
         stream resolves its as-of value with a map-side join — the
         100 TB side is never shuffled (the union+window form exchanges
-        both sides).  Identical emission semantics, plan-tested."""
+        both sides).  Identical emission semantics, plan-tested.
+        Incompatible with ``key_map`` (the broadcast strategy has no
+        key-mapping form) — combining them raises."""
         if key_map is not None:
+            if broadcast_state:
+                raise ValueError(
+                    "take: broadcast_state=True is not supported with "
+                    "key_map (the broadcast-interval strategy has no "
+                    "key-mapping form)")
             return _keymap_zip_join(self, other, left_cols, right_cols,
                                     key_map, emit="right")
         if broadcast_state:
@@ -540,8 +547,14 @@ class Stream:
                broadcast_state: bool = False) -> "Stream":
         """Snapshot this stream's latest value whenever ``trigger`` fires
         (reference: ``sample``, MacroTerm.scala:226-230; keyed form
-        VectTerm.scala:468-482).  ``broadcast_state`` as in ``take``."""
+        VectTerm.scala:468-482).  ``broadcast_state`` as in ``take``
+        (and likewise incompatible with ``key_map``)."""
         if key_map is not None:
+            if broadcast_state:
+                raise ValueError(
+                    "sample: broadcast_state=True is not supported with "
+                    "key_map (the broadcast-interval strategy has no "
+                    "key-mapping form)")
             return _keymap_zip_join(self, trigger, value_cols, [],
                                     key_map, emit="right")
         if broadcast_state:

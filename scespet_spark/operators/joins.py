@@ -36,9 +36,21 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str],
 
     Use when AQE skew-split can't apply: the skew is on the *map* side
     of a required aggregation, or the dim rows for the hot key are too
-    wide to replicate via broadcast."""
+    wide to replicate via broadcast.
+
+    Only fact-preserving joins are supported: with ``right``/``full``
+    ``how``, each unmatched dim *replica* would survive as its own
+    null-extended row, inflating the dim side up to ``salt``-fold."""
     if not 1 <= salt <= 1 << 16:
         raise ValueError("salt must be in [1, 65536]")
+    safe = {"inner", "left", "leftouter", "left_outer",
+            "left_semi", "leftsemi", "semi",
+            "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join how={how!r} unsupported: dim-side replication "
+            f"makes right/full outer joins emit up to salt x unmatched "
+            f"dim rows; use one of {sorted(safe)}")
     row_cols = list(fact_row_cols) if fact_row_cols else list(fact.columns)
     sdim = (dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

@@ -342,12 +342,16 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
     Arrow pass + one combinable per-(code, dim) mean; the corpus never
     collects and never forms per-candidate join rows.  Returns
     (id, code) for partition-pruned probing at query time."""
-    dim = len(df.select(vec_col).first()[0])
     v = F.col(vec_col).cast("array<double>")
     pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
     # seed: the k lowest-id vectors, code = rank-by-id — identical on
-    # any cluster/plan and SQL-reproducible
+    # any cluster/plan and SQL-reproducible.  dim derives from the seed
+    # collect (no extra job; also guards empty input / null embeddings).
     seed_rows = pts.orderBy("id").limit(k).collect()      # model-sized
+    if not seed_rows or seed_rows[0].p is None:
+        raise ValueError(
+            "kmeans_codes: input is empty or first embedding is null")
+    dim = len(seed_rows[0].p)
     cent_list: list[dict[int, list[float]]] = [
         {c: list(map(float, r.p)) for c, r in enumerate(seed_rows)}]
 

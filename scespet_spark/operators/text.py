@@ -245,6 +245,12 @@ def corpus_idf_quality(df: DataFrame, text_col: str = "text",
                   .alias("mean_idf")))
 
 
+def _plabel(p: float) -> str:
+    """Full-precision percentile label: 0.25 -> 'p25', 0.995 -> 'p99_5'
+    (so 0.99 and 0.995 never collide into the same column name)."""
+    return "p" + format(p * 100, "g").replace(".", "_")
+
+
 def profile_columns(df: DataFrame,
                     percentiles: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
     """Data-profiling report: one output row per input column with row /
@@ -261,6 +267,9 @@ def profile_columns(df: DataFrame,
     ``approx_percentile`` (t-digest sketch, combinable, bounded memory)
     at the cost of oracle exactness."""
     from pyspark.sql.types import NumericType
+    labels = [_plabel(p) for p in percentiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate percentile labels: {labels}")
     num = {f.name for f in df.schema.fields
            if isinstance(f.dataType, NumericType)}
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -274,7 +283,7 @@ def profile_columns(df: DataFrame,
                      F.round(F.avg(d), 6).alias(f"__mean_{c}")]
             for p in percentiles:
                 aggs.append(F.round(F.percentile(d, F.lit(p)), 6)
-                            .alias(f"__p{int(p * 100)}_{c}"))
+                            .alias(f"__{_plabel(p)}_{c}"))
     wide = df.agg(*aggs)
     null_d = F.lit(None).cast("double")
     rows = []
@@ -286,12 +295,11 @@ def profile_columns(df: DataFrame,
             fields += [F.col(f"__min_{c}").alias("vmin"),
                        F.col(f"__max_{c}").alias("vmax"),
                        F.col(f"__mean_{c}").alias("vmean")]
-            fields += [F.col(f"__p{int(p * 100)}_{c}")
-                       .alias(f"p{int(p * 100)}") for p in percentiles]
+            fields += [F.col(f"__{lb}_{c}").alias(lb) for lb in labels]
         else:
             fields += [null_d.alias("vmin"), null_d.alias("vmax"),
                        null_d.alias("vmean")]
-            fields += [null_d.alias(f"p{int(p * 100)}") for p in percentiles]
+            fields += [null_d.alias(lb) for lb in labels]
         rows.append(F.struct(*fields))
     return (wide.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.*"))
@@ -376,10 +384,13 @@ def source_quota_sample(df: DataFrame, quota: int,
            .filter(h < F.col("__cut"))
            .select(*df.columns))
     # exactness fallback: a source whose prefilter admitted fewer than
-    # min(quota, count) rows gets all its rows ranked instead
+    # min(quota, count) rows gets all its rows ranked instead.  Built
+    # from counts LEFT-joined to survivor counts so a source whose
+    # prefilter admitted ZERO rows (absent from `surv`) is still caught.
     surv = pre.groupBy(source_col).agg(F.count("*").alias("__nsurv"))
-    under = (surv.join(counts, source_col)
-             .filter(F.col("__nsurv") < F.least(F.lit(quota), F.col("__cnt")))
+    under = (counts.join(surv, source_col, "left")
+             .filter(F.coalesce(F.col("__nsurv"), F.lit(0))
+                     < F.least(F.lit(quota), F.col("__cnt")))
              .select(source_col))
     pre = (pre.join(F.broadcast(under), source_col, "left_anti")
            .unionByName(df.join(F.broadcast(under), source_col, "left_semi")

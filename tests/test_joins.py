@@ -75,3 +75,11 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     assert joined.count() == 1000
     row = joined.filter(F.col("k") == 10).collect()[0]
     assert (row.va, row.vb) == (20, 30)
+
+
+def test_salted_join_rejects_dim_preserving_how(skewed):
+    # right/full outer would emit up to salt x unmatched dim replicas
+    fact, dim = skewed
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(fact, dim, ["k"], salt=4, how=how)

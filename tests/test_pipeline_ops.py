@@ -588,3 +588,45 @@ def test_source_quota_equals_bruteforce_reference(spark):
         expect |= set(sorted(ids, key=lambda i: (h(i), i))[:17])
     got = {r.doc_id for r in source_quota_sample(df, 17).collect()}
     assert got == expect
+
+
+def test_source_quota_exact_with_zero_survivor_sources(spark):
+    """quota=1 over many multi-row sources: ~13% of sources have their
+    prefilter admit ZERO rows (cutoff ~2/count of the hash range misses
+    every row with p=exp(-2)); the fallback must re-admit those sources
+    whole, not silently drop them (round-4 advice, text.py:381)."""
+    import hashlib
+    from scespet_spark.operators.text import source_quota_sample
+    rows = [(s * 10 + j, f"t{s}", "en", f"s{s}", 1)
+            for s in range(60) for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, "
+                                     "source string, n_chars long")
+
+    def h(i):
+        return int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:15], 16) % (1 << 20)
+
+    out = source_quota_sample(df, 1)
+    # every source must contribute exactly its lowest-hash row
+    got = {r.source: r.doc_id for r in out.collect()}
+    assert len(got) == 60, f"dropped sources: {60 - len(got)}"
+    for s in range(60):
+        ids = [s * 10 + j for j in range(10)]
+        assert got[f"s{s}"] == min(ids, key=lambda i: (h(i), i))
+
+
+def test_kmeans_codes_rejects_empty_input(spark):
+    from scespet_spark.operators.similarity import kmeans_codes
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_codes(empty, k=2, iters=1)
+
+
+def test_profile_columns_subpercent_percentiles(spark):
+    from scespet_spark.operators.text import profile_columns
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)],
+                               "v double")
+    out = {r.column: r for r in
+           profile_columns(df, percentiles=(0.99, 0.995)).collect()}
+    # distinct labels, no AnalysisException, correct exact values
+    assert out["v"].p99 == pytest.approx(990.01, abs=1e-6)
+    assert out["v"].p99_5 == pytest.approx(995.005, abs=1e-6)

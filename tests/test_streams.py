@@ -27,3 +27,21 @@ def test_take_broadcast_state_matches_union_form(spark):
     assert lookup[11][3] == 10.0           # same-t state visible
     assert lookup[12][3] == 30.0           # latest of two same-t states
     assert lookup[16][3] is None           # key with no state
+
+
+def test_take_rejects_broadcast_state_with_key_map(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from scespet_spark.core.stream import Stream
+    left = spark.createDataFrame([(1, 1, "u", 1.0)],
+                                 "t long, seq long, k string, lv double")
+    right = spark.createDataFrame([(2, 2, "U", 2.0)],
+                                  "t long, seq long, k2 string, rv double")
+    ls = Stream(left, t="t", seq="seq", keys=("k",))
+    rs = Stream(right, t="t", seq="seq", keys=("k2",))
+    with pytest.raises(ValueError, match="broadcast_state"):
+        ls.take(rs, ["lv"], ["rv"], key_map=F.upper(F.col("k")),
+                broadcast_state=True)
+    with pytest.raises(ValueError, match="broadcast_state"):
+        ls.sample(rs, ["lv"], key_map=F.upper(F.col("k")),
+                  broadcast_state=True)
