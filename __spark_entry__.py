@@ -754,6 +754,60 @@ def live_zip_click_purchase(spark, sf_dir):
         "user_id", "ts", "event_id", "cv", "pv")
 
 
+@query("live_zip_typed", """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS side, props AS sv, NULL::DOUBLE AS pv
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL::VARCHAR AS sv, value AS pv
+  FROM events WHERE event_type = 'purchase'),
+f AS (
+  SELECT user_id, ts, event_id,
+         LAST_VALUE(sv IGNORE NULLS) OVER w AS sv,
+         LAST_VALUE(pv IGNORE NULLS) OVER w AS pv
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts, event_id, sv, pv FROM f
+""")
+def live_zip_typed(spark, sf_dir):
+    """Typed live zip: the left payload is a STRING (the click's raw
+    props JSON), the right a double — live state carries the value in
+    its own type instead of casting to double (the reference's events
+    are arbitrary case classes: EventSource.java:3-6,
+    RealTradeTests.scala:22-23).  Same oracle pattern as
+    live_zip_click_purchase."""
+    from scespet_spark.streaming.live import (read_events_stream,
+                                              run_available_now, zip_latest)
+    src = read_events_stream(spark, sf_dir)
+    live = zip_latest(
+        src.filter(F.col("event_type") == "click")
+           .withColumn("sv", F.col("props")),
+        src.filter(F.col("event_type") == "purchase")
+           .withColumn("pv", F.col("value")),
+        ["user_id"], "sv", "pv")
+    return run_available_now(live, "append").select(
+        "user_id", "ts", "event_id", "sv", "pv")
+
+
+@query("live_map_keys_bucket", """
+SELECT user_id % 4 AS key,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM events GROUP BY user_id % 4
+""")
+def live_map_keys_bucket(spark, sf_dir):
+    """Live map_keys (re-key + null-drop, ReKeyedVector.scala:9-59) as a
+    streaming plan, reduced with a complete-mode aggregation — same
+    oracle as the batch map_keys_user_bucket query."""
+    from scespet_spark.streaming.live import LiveStream, run_available_now
+    live = (LiveStream.from_events(spark, sf_dir)
+            .by("user_id")
+            .map_keys(F.col("user_id") % 4, name="key"))
+    out = live.df.groupBy("key").agg(_dsum("value").alias("total"),
+                                     F.count("*").alias("n"))
+    return run_available_now(out, "complete")
+
+
 @query("live_tumbling_daily", """
 SELECT user_id, DATE_TRUNC('day', ts) AS win_start,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,

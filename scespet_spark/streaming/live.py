@@ -90,9 +90,10 @@ def dedupe(df: DataFrame, cols: Iterable[str], t: str = "ts",
             .dropDuplicatesWithinWatermark(list(cols)))
 
 
-def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float],
+def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
                   step: Callable, out_schema: str, t: str = "ts",
-                  order_cols: list[str] | None = None) -> DataFrame:
+                  order_cols: list[str] | None = None,
+                  state_schema: str | None = None) -> DataFrame:
     """Arbitrary per-key incremental state — the live equivalent of the
     reference's mutable Agg cells fed one event at a time.
 
@@ -101,14 +102,35 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
     output rows — either a list of dicts (per-row steps) or a pandas
     DataFrame (vectorized steps; key columns are attached here).  Uses
     applyInPandasWithState so state lives in the executor state store,
-    partitioned by key."""
+    partitioned by key.
+
+    ``state_schema`` is a DDL string typing the state fields (in
+    ``state_fields`` order); omitted, every field is ``double`` (the
+    numeric-fold fast path).  Typed schemas are what let zip/as-of state
+    carry string or other non-numeric payloads — the reference's events
+    are arbitrary case classes (EventSource.java:3-6), not doubles."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType
+    import numpy as np
     import pandas as pd
 
     state_names = list(state_fields)
-    state_schema = StructType.fromDDL(
-        ", ".join(f"{n} double" for n in state_names))
+    schema = StructType.fromDDL(
+        state_schema if state_schema is not None
+        else ", ".join(f"{n} double" for n in state_names))
+    if [f.name for f in schema.fields] != state_names:
+        raise ValueError(
+            f"state_schema fields {[f.name for f in schema.fields]} must "
+            f"match state_fields order {state_names}")
+
+    def _py(v):
+        # the state store wants plain Python values; numpy scalars and
+        # NaN-for-None in object fields both round-trip wrong otherwise
+        if isinstance(v, np.generic):
+            return v.item()
+        if v is pd.NaT:
+            return None
+        return v
 
     def fn(key, pdfs, state):
         if state.exists:
@@ -124,7 +146,7 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 order_cols or [t], kind="mergesort")
             rows = step(st, pdf)
-        state.update(tuple(st[n] for n in state_names))
+        state.update(tuple(_py(st[n]) for n in state_names))
         key_vals = dict(zip(keys, key))
         if isinstance(rows, pd.DataFrame):
             yield rows.assign(**key_vals)
@@ -132,7 +154,7 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict[str, float]
             yield pd.DataFrame([{**key_vals, **r} for r in rows])
 
     return df.groupBy(*keys).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+        fn, out_schema, schema, "append", GroupStateTimeout.NoTimeout)
 
 
 def _emit_closed_buckets(st, bid, vals, new_bucket, q):
@@ -306,13 +328,21 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
     (VectorJoin.scala:55-66).  In-order delivery within the micro-batch
     is established by the (t, seq) sort; cross-batch order relies on the
     source's arrival order (use watermarked asof for out-of-order feeds).
-    """
+
+    Value columns keep their input types (string, long, timestamp, ... —
+    the reference's events are arbitrary case classes, EventSource.java:
+    3-6 / RealTradeTests.scala:22-23): state fields are typed from the
+    input schemas, not cast to double."""
+    ltype = left.schema[left_col].dataType
+    rtype = right.schema[right_col].dataType
     lt = left.select(*keys, F.col(t), F.col(seq),
                      F.lit(0).alias("__side"),
-                     F.col(left_col).cast("double").alias("__v"))
+                     F.col(left_col).alias("__lv"),
+                     F.lit(None).cast(rtype).alias("__rv"))
     rt = right.select(*keys, F.col(t), F.col(seq),
                       F.lit(1).alias("__side"),
-                      F.col(right_col).cast("double").alias("__v"))
+                      F.lit(None).cast(ltype).alias("__lv"),
+                      F.col(right_col).alias("__rv"))
     u = lt.unionByName(rt)
 
     def step(st, pdf):
@@ -320,17 +350,17 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
         # latest values); cross-batch state = the carry dict.  Fill by
         # last-position indexing, not value ffill: a side's null value
         # is a real update (latest becomes null), exactly like the
-        # sequential fold.
+        # sequential fold.  Object arrays carry any payload type.
         import numpy as np
         n = len(pdf)
         side = pdf["__side"].to_numpy()
-        v = pdf["__v"].to_numpy(dtype="float64")
         pos = np.arange(n, dtype="float64")
         out = {t: pdf[t].to_numpy(), seq: pdf[seq].to_numpy().astype("int64")}
-        for s_, col, seen, last in ((0, left_col, "lseen", "lx"),
-                                    (1, right_col, "rseen", "rx")):
+        for s_, src, col, seen, last in ((0, "__lv", left_col, "lseen", "lx"),
+                                         (1, "__rv", right_col, "rseen", "rx")):
+            v = pdf[src].to_numpy(dtype=object)
             lp = pd.Series(np.where(side == s_, pos, np.nan)).ffill().to_numpy()
-            filled = np.full(n, np.nan)
+            filled = np.full(n, None, dtype=object)
             has = ~np.isnan(lp)
             filled[has] = v[lp[has].astype("int64")]
             if st[seen]:  # rows before this batch's first event: carry
@@ -338,15 +368,18 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
             out[col] = filled
             hits = np.flatnonzero(side == s_)
             if len(hits):
-                st[last], st[seen] = float(v[hits[-1]]), 1.0
+                st[last], st[seen] = v[hits[-1]], 1.0
         return pd.DataFrame(out)
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
+    tddl = left.schema[t].dataType.simpleString()
     return stateful_scan(
-        u, keys, {"lx": 0.0, "rx": 0.0, "lseen": 0.0, "rseen": 0.0}, step,
-        f"{key_ddl}, {t} timestamp, {seq} long, "
-        f"{left_col} double, {right_col} double",
-        t=t, order_cols=[t, seq, "__side"])
+        u, keys, {"lx": None, "rx": None, "lseen": 0.0, "rseen": 0.0}, step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, "
+        f"{left_col} {ltype.simpleString()}, {right_col} {rtype.simpleString()}",
+        t=t, order_cols=[t, seq, "__side"],
+        state_schema=f"lx {ltype.simpleString()}, rx {rtype.simpleString()}, "
+                     f"lseen double, rseen double")
 
 
 def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
@@ -359,49 +392,66 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
     (left.latest, right values) — before the left's first event the left
     columns are null.  ``sample`` is the ``right_cols=[]`` case: the
     right stream is a pure trigger snapshotting the left.  Tie-break at
-    equal (t, seq) matches batch ``_temporal_join``: left first."""
-    lsel = ([F.col(c).cast("double").alias(c) for c in left_cols]
-            + [F.lit(None).cast("double").alias(c) for c in right_cols])
-    rsel = ([F.lit(None).cast("double").alias(c) for c in left_cols]
-            + [F.col(c).cast("double").alias(c) for c in right_cols])
+    equal (t, seq) matches batch ``_temporal_join``: left first.
+
+    Value columns keep their input types (string, long, timestamp, ... —
+    EventSource.java:3-6 / RealTradeTests.scala:22-23): state fields are
+    typed from the left schema, not cast to double."""
+    ltypes = {c: left.schema[c].dataType.simpleString() for c in left_cols}
+    rtypes = {c: right.schema[c].dataType.simpleString() for c in right_cols}
+    lsel = ([F.col(c).alias(c) for c in left_cols]
+            + [F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols])
+    rsel = ([F.lit(None).cast(ltypes[c]).alias(c) for c in left_cols]
+            + [F.col(c).alias(c) for c in right_cols])
     lt = left.select(*keys, F.col(t), F.col(seq),
                      F.lit(0).alias("__side"), *lsel)
     rt = right.select(*keys, F.col(t), F.col(seq),
                       F.lit(1).alias("__side"), *rsel)
     u = lt.unionByName(rt)
 
-    state_fields = ({f"v_{c}": 0.0 for c in left_cols}
-                    | {f"s_{c}": 0.0 for c in left_cols})
+    state_fields = {}
+    for c in left_cols:
+        state_fields[f"v_{c}"] = None
+        state_fields[f"s_{c}"] = 0.0
+    state_ddl = ", ".join(f"v_{c} {ltypes[c]}, s_{c} double"
+                          for c in left_cols)
 
     def step(st, pdf):
         # vectorized: right rows emit, left columns forward-fill within
         # the batch (plain value ffill is exact here — a null left value
-        # KEEPS prior state by contract), carry seeds the leading rows
+        # KEEPS prior state by contract), carry seeds the leading rows.
+        # Object arrays carry any payload type.
         import numpy as np
         side = pdf["__side"].to_numpy()
         mask_r = side == 1
         out = {t: pdf[t].to_numpy()[mask_r],
                seq: pdf[seq].to_numpy()[mask_r].astype("int64")}
         for c in left_cols:
-            col = np.where(side == 0, pdf[c].to_numpy(dtype="float64"),
-                           np.nan)
-            filled = pd.Series(col).ffill().to_numpy()
-            if st[f"s_{c}"]:  # carry is non-NaN whenever seen
-                filled[np.isnan(filled)] = st[f"v_{c}"]
+            col = np.where(side == 0, pdf[c].to_numpy(dtype=object), None)
+            with pd.option_context("future.no_silent_downcasting", True):
+                # keep object dtype through ffill: silent downcast to
+                # float64 would erase typed payloads (and warns)
+                filled = pd.Series(col, dtype=object).ffill().to_numpy()
+            if st[f"s_{c}"]:  # carry seeds rows before this batch's first
+                isna = pd.isna(filled)
+                filled[isna] = st[f"v_{c}"]
             out[c] = filled[mask_r]
-            nz = np.flatnonzero(~np.isnan(col))
+            nz = np.flatnonzero(pd.notna(col))
             if len(nz):
-                st[f"v_{c}"], st[f"s_{c}"] = float(col[nz[-1]]), 1.0
+                st[f"v_{c}"], st[f"s_{c}"] = col[nz[-1]], 1.0
         for c in right_cols:
-            out[c] = pdf[c].to_numpy(dtype="float64")[mask_r]
+            out[c] = pdf[c].to_numpy(dtype=object)[mask_r]
         return pd.DataFrame(out)
 
     key_ddl = ", ".join(f"{k} long" for k in keys)
-    val_ddl = ", ".join(f"{c} double" for c in (*left_cols, *right_cols))
+    tddl = left.schema[t].dataType.simpleString()
+    val_ddl = ", ".join(f"{c} {(ltypes | rtypes)[c]}"
+                        for c in (*left_cols, *right_cols))
     return stateful_scan(
         u, keys, state_fields, step,
-        f"{key_ddl}, {t} timestamp, {seq} long, {val_ddl}",
-        t=t, order_cols=[t, seq, "__side"])
+        f"{key_ddl}, {t} {tddl}, {seq} long, {val_ddl}",
+        t=t, order_cols=[t, seq, "__side"],
+        state_schema=state_ddl)
 
 
 def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
@@ -491,7 +541,8 @@ class LiveStream:
     verbs compile to Structured Streaming plans instead of batch ones.
 
     Supported live verbs: map / filter / filter_type / by (keying),
-    group(Every).reduce (watermarked tumbling), group(Count).reduce
+    map_keys (stateless re-key), key_to_stream (stream-static factory
+    bind), group(Every).reduce (watermarked tumbling), group(Count).reduce
     (stateful count buckets), value_set (watermarked dropDuplicates),
     zip_join (stateful last-value zip), take / sample (stateful as-of
     join), window (boolean-gated windows via edge-detect state),
@@ -534,6 +585,29 @@ class LiveStream:
 
     def by(self, key: str) -> "LiveStream":
         return self._derive(self.df, keys=(*self.keys, key))
+
+    def map_keys(self, new_key: Column, name: str = "key") -> "LiveStream":
+        """Live re-key K -> Option[K2]; a null mapping drops the event
+        (reference: ReKeyedVector.scala:9-59).  Stateless — a pure
+        projection + filter in the streaming plan.  The optional 1:1
+        collision assertion is batch-only (``Stream.map_keys(
+        check_collisions=True)``): it is a whole-history aggregate a
+        live plan cannot evaluate mid-stream."""
+        df = self.df.withColumn(name, new_key).filter(F.col(name).isNotNull())
+        return self._derive(df, keys=(name,))
+
+    def key_to_stream(self, factory: DataFrame) -> "LiveStream":
+        """Live keyToStream (reference: VectTerm.scala:435-440): bind the
+        stream's evolving keyset to a STATIC factory table with a
+        stream-static left join — each newly discovered key emits its
+        factory rows; keys with no factory rows keep one null row (the
+        unbound-cell state).  Key discovery = watermarked streaming
+        distinct, so state is bounded; the factory side is a batch
+        DataFrame (broadcast by Catalyst when small)."""
+        keyset = dedupe(self.df.select(*self.keys, self.t, self.seq),
+                        list(self.keys), self.t, self.watermark)
+        out = keyset.join(factory, on=list(self.keys), how="left")
+        return self._derive(out)
 
     def value_set(self, cols) -> "LiveStream":
         return self._derive(dedupe(self.df, list(cols), self.t, self.watermark))

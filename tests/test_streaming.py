@@ -413,3 +413,90 @@ def test_stateful_ops_across_micro_batches(spark, batch_events):
     want2 = clicks.take(purchases, ["cv"], ["pv"]).df
     cols = ["user_id", "event_id", "cv", "pv"]
     assert _sorted_rows(got2, cols) == _sorted_rows(want2, cols)
+
+
+def test_streaming_typed_asof_equals_batch(spark, batch_events):
+    # typed payloads: the left carries a STRING (props) and a LONG —
+    # live state must keep both types end-to-end, matching batch take
+    from scespet_spark.core.stream import Stream
+    from scespet_spark.streaming.live import asof_latest
+    src = read_events_stream(spark, SF)
+    live = asof_latest(
+        src.filter(F.col("event_type") == "click")
+           .withColumn("sv", F.col("props"))
+           .withColumn("lv", F.col("event_id") * 2),
+        src.filter(F.col("event_type") == "purchase")
+           .withColumn("pv", F.col("value")),
+        ["user_id"], ["sv", "lv"], ["pv"])
+    got = run_available_now(live, "append")
+    assert dict(got.dtypes)["sv"] == "string"
+    assert dict(got.dtypes)["lv"] == "bigint"
+    ev = Stream(batch_events, t="ts", seq="event_id")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id")
+                .map(sv=F.col("props"), lv=F.col("event_id") * 2))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(pv=F.col("value")))
+    want = clicks.take(purchases, ["sv", "lv"], ["pv"]).df
+    cols = ["user_id", "event_id", "sv", "lv", "pv"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_streaming_typed_zip_equals_batch(spark, batch_events):
+    # typed zip: string left payload, double right — value-identical to
+    # the batch zip join on the same split
+    from scespet_spark.core.stream import Stream
+    from scespet_spark.streaming.live import zip_latest
+    src = read_events_stream(spark, SF)
+    live = zip_latest(
+        src.filter(F.col("event_type") == "click")
+           .withColumn("sv", F.col("props")),
+        src.filter(F.col("event_type") == "purchase")
+           .withColumn("pv", F.col("value")),
+        ["user_id"], "sv", "pv")
+    got = run_available_now(live, "append")
+    assert dict(got.dtypes)["sv"] == "string"
+    ev = Stream(batch_events, t="ts", seq="event_id")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id").map(sv=F.col("props")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(pv=F.col("value")))
+    want = clicks.zip_join(purchases, ["sv"], ["pv"]).df
+    cols = ["user_id", "event_id", "sv", "pv"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_live_map_keys_equals_batch(spark, batch_events):
+    from scespet_spark.core.stream import Stream
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, SF).by("user_id")
+            .map_keys(F.when(F.col("user_id") < 10, F.col("user_id") % 3),
+                      name="key"))
+    got = run_available_now(
+        live.df.groupBy("key").agg(F.count("*").alias("n")), "complete")
+    s = (Stream(batch_events, t="ts", seq="event_id")
+         .by("user_id", name="user_id")
+         .map_keys(F.when(F.col("user_id") < 10, F.col("user_id") % 3),
+                   name="key"))
+    want = s.df.groupBy("key").agg(F.count("*").alias("n"))
+    cols = ["key", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # the null mapping dropped users >= 10
+    assert {r.key for r in got.collect()} == {0, 1, 2}
+
+
+def test_live_key_to_stream_binds_static_factory(spark, batch_events):
+    # each discovered key emits its factory rows; unbound keys keep a
+    # null row — mirrors batch key_to_stream (VectTerm.scala:435-440)
+    from scespet_spark.streaming.live import LiveStream
+    factory = spark.createDataFrame(
+        [(u, f"cfg{u}") for u in range(5)], "user_id long, cfg string")
+    live = (LiveStream.from_events(spark, SF).by("user_id")
+            .key_to_stream(factory))
+    got = run_available_now(live.df, "append").select("user_id", "cfg")
+    rows = {r.user_id: r.cfg for r in got.collect()}
+    n_users = batch_events.select("user_id").distinct().count()
+    assert len(rows) == n_users           # one row per discovered key
+    for u in range(5):
+        assert rows[u] == f"cfg{u}"       # bound cells carry factory data
+    assert all(v is None for u, v in rows.items() if u >= 5)  # unbound
