@@ -1015,6 +1015,48 @@ def zip_keymap_region_value(spark, sf_dir):
     return out.df.select("user_id", "ts", "event_id", "xv", "yv")
 
 
+@query("keymap_take_region_value", """
+WITH l AS (SELECT user_id, ts, event_id, value AS xv FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id % 5 AS bucket, ts, event_id, value AS yv FROM events
+      WHERE event_type = 'click'),
+ks AS (SELECT DISTINCT user_id, user_id % 5 AS bucket FROM l),
+rx AS (SELECT ks.user_id, r.ts, r.event_id, r.yv FROM r JOIN ks USING (bucket)),
+u AS (
+  SELECT user_id, ts, event_id, 0 AS side, xv, NULL::DOUBLE AS yv, 1 AS cell
+  FROM l
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS xv, yv,
+         NULL::INT AS cell
+  FROM rx),
+f AS (
+  SELECT user_id, ts, event_id, side, yv,
+         LAST_VALUE(xv IGNORE NULLS) OVER w AS xv,
+         LAST_VALUE(cell IGNORE NULLS) OVER w AS cell
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts, event_id, xv, yv FROM f
+WHERE side = 1 AND cell IS NOT NULL
+""")
+def keymap_take_region_value(spark, sf_dir):
+    """VectTerm.take with a key mapping (VectTerm.scala:458-460): every
+    bucket click fires all LIVE user cells with (latest purchase, click
+    value).  Unlike the zip form's replicate-then-window plan, take
+    compiles to the compact interval join (_keymap_take_join): one
+    window over purchases only, clicks join their buckets one row each —
+    the fan-out exists only in the emission set itself (plan-tested)."""
+    from scespet_spark.core.stream import Stream
+    ev = events_stream(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id").map(xv=F.col("value")))
+    clicks_df = (ev.df.filter(F.col("event_type") == "click")
+                 .select((F.col("user_id") % 5).alias("bucket"),
+                         "ts", "event_id", F.col("value").alias("yv")))
+    clicks = Stream(clicks_df, t="ts", seq="event_id", keys=("bucket",))
+    out = purchases.take(clicks, ["xv"], ["yv"], key_map=F.col("user_id") % 5)
+    return out.df.select("user_id", "ts", "event_id", "xv", "yv")
+
+
 @query("asof_broadcast_purchase_last_click", _ASOF_ORACLE)
 def asof_broadcast_purchase_last_click(spark, sf_dir):
     """The same as-of join under the broadcast-interval physical

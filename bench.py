@@ -53,6 +53,7 @@ HEADLINE = [
     "multimodal_decode",
     "dedup_ngram_jaccard",
     "zip_keymap_region_value",
+    "keymap_take_region_value",
     "decontaminate_eval_overlap",
     "pack_training_sequences",
     "shuffle_deterministic_shards",

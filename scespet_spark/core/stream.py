@@ -536,8 +536,8 @@ class Stream:
                     "take: broadcast_state=True is not supported with "
                     "key_map (the broadcast-interval strategy has no "
                     "key-mapping form)")
-            return _keymap_zip_join(self, other, left_cols, right_cols,
-                                    key_map, emit="right")
+            return _keymap_take_join(self, other, left_cols, right_cols,
+                                     key_map)
         if broadcast_state:
             return _broadcast_asof(self, other, left_cols, right_cols)
         return _temporal_join(self, other, left_cols, right_cols, emit="right")
@@ -555,8 +555,8 @@ class Stream:
                     "sample: broadcast_state=True is not supported with "
                     "key_map (the broadcast-interval strategy has no "
                     "key-mapping form)")
-            return _keymap_zip_join(self, trigger, value_cols, [],
-                                    key_map, emit="right")
+            return _keymap_take_join(self, trigger, value_cols, [],
+                                     key_map)
         if broadcast_state:
             return _broadcast_asof(self, trigger, value_cols, [])
         return _temporal_join(self, trigger, value_cols, [], emit="right")
@@ -854,25 +854,13 @@ def _broadcast_asof(left: Stream, right: Stream, left_cols: Sequence[str],
     return Stream(joined.select(*sel), left.t, left.seq, tuple(keys))
 
 
-def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
-                     right_cols: Sequence[str], key_map,
-                     emit: str = "both") -> Stream:
-    """K -> K2 vector join (reference: VectorJoin.scala:16-133): each left
-    cell k binds the right cell ``key_map(k)``; either side firing emits
-    (x.latest, y.latest) under the LEFT key.
-
-    Set-oriented translation: replicate right events to the left keys
-    that bind them (an equi-join of the right stream against the tiny
-    left key-universe — broadcastable), then run the standard per-key
-    temporal join.  A right event with no live left cell yet (the left
-    key's first event is later) emits nothing, but its value IS visible
-    to the cell once created — exactly the reference's bind-time
-    ``calculate()`` reading the current y value (VectorJoin.scala:50-70).
-
-    Errors: a left cell binding multiple right cells raises ValueError
-    (the multi-map guard, VectorJoin.scala:38-40).  Unmapped left keys
-    (null / absent mapping) keep a forever-null right side — the
-    unbound-cell state."""
+def _keymap_bind(left: Stream, right: Stream, key_map):
+    """Shared front half of the keymap joins: attach the bound right key
+    ``__jk`` to the left stream and derive the guarded left key-universe
+    (one row per left key with its bound right key; the multi-map
+    assertion of VectorJoin.scala:38-40 rides the keyset plan for the
+    Column form, driver-side for the dict form).  Returns
+    ``(lk, rk, lmapped, keyset)``."""
     if len(left.keys) != 1 or len(right.keys) != 1:
         raise ValueError("key_map join requires single-key streams "
                          f"({left.keys} vs {right.keys})")
@@ -913,6 +901,34 @@ def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
                            "multi-map error, VectorJoin.scala:38-40)")))
         keyset = keyset.withColumn("__jk",
                                    F.when(guard.isNull(), F.col("__jk")))
+    return lk, rk, lmapped, keyset
+
+
+def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
+                     right_cols: Sequence[str], key_map,
+                     emit: str = "both") -> Stream:
+    """K -> K2 vector join (reference: VectorJoin.scala:16-133): each left
+    cell k binds the right cell ``key_map(k)``; either side firing emits
+    (x.latest, y.latest) under the LEFT key.
+
+    Set-oriented translation: replicate right events to the left keys
+    that bind them (an equi-join of the right stream against the tiny
+    left key-universe — broadcastable), then run the standard per-key
+    temporal join.  A right event with no live left cell yet (the left
+    key's first event is later) emits nothing, but its value IS visible
+    to the cell once created — exactly the reference's bind-time
+    ``calculate()`` reading the current y value (VectorJoin.scala:50-70).
+
+    The replicate-then-window shape is required only for ``emit="both"``
+    (a right event must fire every live cell's running zip state);
+    ``take``/``sample`` (emit="right") use the compact
+    ``_keymap_take_join`` instead.
+
+    Errors: a left cell binding multiple right cells raises ValueError
+    (the multi-map guard, VectorJoin.scala:38-40).  Unmapped left keys
+    (null / absent mapping) keep a forever-null right side — the
+    unbound-cell state."""
+    lk, rk, lmapped, keyset = _keymap_bind(left, right, key_map)
     rx = (right.df.join(keyset, right.df[rk] == keyset["__jk"])
           .drop("__jk").drop(right.df[rk])
           .withColumnRenamed("__lk", lk))
@@ -929,6 +945,55 @@ def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
     # emissions
     return out._derive(out.df.filter(F.col("__cell").isNotNull())
                        .drop("__cell"))
+
+
+def _keymap_take_join(left: Stream, right: Stream, left_cols: Sequence[str],
+                      right_cols: Sequence[str], key_map) -> Stream:
+    """Compact keymap take/sample (emit="right"): same emissions as
+    ``_keymap_zip_join(emit="right")`` — each right event fires every
+    LIVE left cell in its bucket with (x.latest, y) — but the plan never
+    replicates right events into a window sort.  The left stream becomes
+    per-cell validity intervals ``[(t, seq), next (t, seq))`` (ONE
+    window, left rows only), and right events resolve their live cells
+    with a single bucket-key equi-join (interval containment as the join
+    filter).  The window input is O(left); right rows enter the join one
+    row each; the fan-out happens only in the join OUTPUT, which is the
+    emission set itself — the minimum possible.
+
+    Semantics pinned to the union+window form: liveness from the cell's
+    first event regardless of value nullness; a left state row at the
+    same (t, seq) as a right event is visible (struct >= start mirrors
+    the (ts, seq, side) order with left side 0); unmapped left keys
+    never emit (no right events bind them).  Reference: VectTerm.take/
+    sample with keyMap (VectTerm.scala:458-460), multi-map guard
+    VectorJoin.scala:38-40."""
+    lk, rk, lmapped, keyset = _keymap_bind(left, right, key_map)
+    lc = [c for c in left_cols if c != lk]
+    rc = [c for c in right_cols if c != rk]
+    pos = lambda t, s: F.struct(F.col(t).alias("t"), F.col(s).alias("s"))  # noqa: E731
+    lw = Window.partitionBy(lk).orderBy(*ordering.order_cols(left.t, left.seq))
+    iv = left.df.select(
+        F.col(lk),
+        pos(left.t, left.seq).alias("__start"),
+        F.lead(pos(left.t, left.seq)).over(lw).alias("__end"),
+        *[F.col(c).alias(f"__l_{c}") for c in lc])
+    # attach the guarded bound key; inner join drops unmapped cells
+    # (they can never receive a right event)
+    iv = iv.join(keyset, iv[lk] == keyset["__lk"]).drop("__lk")
+    r = right.df.alias("r")
+    l = iv.alias("l")
+    rpos = F.struct(F.col(f"r.{right.t}").alias("t"),
+                    F.col(f"r.{right.seq}").alias("s"))
+    cond = [F.col(f"r.{rk}") == F.col("l.__jk"),
+            rpos >= F.col("l.__start"),
+            F.col("l.__end").isNull() | (rpos < F.col("l.__end"))]
+    joined = r.join(l, cond, "inner")
+    sel = [F.col(f"r.{right.t}").alias(left.t),
+           F.col(f"r.{right.seq}").alias(left.seq),
+           F.col(f"l.{lk}").alias(lk)]
+    sel += [F.col(f"l.__l_{c}").alias(c) for c in lc]
+    sel += [F.col(f"r.{c}").alias(c) for c in rc]
+    return Stream(joined.select(*sel), left.t, left.seq, (lk,))
 
 
 def _asof_gate(data: Stream, gate_stream: Stream, gate_col: str) -> Stream:

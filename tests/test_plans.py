@@ -168,3 +168,13 @@ def test_q6_pushes_all_filters(spark, entry):
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
     for c in ("l_shipdate", "l_discount", "l_quantity"):
         assert c in pushed, (c, pushed)
+
+
+def test_keymap_take_no_prewindow_replication(spark, entry):
+    """keymap_take_region_value compiles to the compact interval join:
+    the only Window sorts LEFT rows (no Union of both streams feeding a
+    window, which is the zip form's replicate-then-sort shape), and
+    right rows reach the join unreplicated."""
+    plan = _plan(entry.queries()["keymap_take_region_value"](spark, SF))
+    assert "Union" not in plan, "right events replicated into the window"
+    assert plan.count("Window") >= 1

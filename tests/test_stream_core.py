@@ -439,3 +439,27 @@ def test_ewma_whale_key_spanning_batches(spark):
         lambda x: x.ewm(alpha=0.25, adjust=False).mean())
     for (_, r), e in zip(pdf.iterrows(), expect):
         assert got[(r.key, r.ts)] == e, (r.key, r.ts)
+
+
+def test_keymap_take_equals_zip_emit_right_form(spark):
+    # the compact interval-join take must emit exactly the rows the
+    # replicate-then-window zip form would keep for side=right
+    import random
+    from scespet_spark.core.stream import _keymap_zip_join
+    rng = random.Random(5)
+    lrows = [(rng.randrange(50), i, rng.randrange(8), float(i))
+             for i in range(120)]
+    rrows = [(rng.randrange(50), 1000 + i, rng.randrange(4), 100.0 + i)
+             for i in range(80)]
+    xs = Stream(spark.createDataFrame(
+        lrows, "ts long, seq long, k long, x double"),
+        t="ts", seq="seq", keys=("k",))
+    ys = Stream(spark.createDataFrame(
+        rrows, "ts long, seq long, k2 long, y double"),
+        t="ts", seq="seq", keys=("k2",))
+    km = F.col("k") % 4
+    compact = xs.take(ys, ["x"], ["y"], key_map=km).df
+    fanout = _keymap_zip_join(xs, ys, ["x"], ["y"], km, emit="right").df
+    a = sorted(map(tuple, compact.select("ts", "seq", "k", "x", "y").collect()))
+    b = sorted(map(tuple, fanout.select("ts", "seq", "k", "x", "y").collect()))
+    assert a == b and len(a) > 0
