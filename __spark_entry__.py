@@ -1426,6 +1426,34 @@ def sliding_window_user(spark, sf_dir):
     return out.df.select("user_id", "win_start", "n", "total")
 
 
+@query("sliding_window_scan", """
+WITH m AS (
+  SELECT user_id, ts, event_id, value,
+         UNNEST([DATE_TRUNC('day', ts),
+                 DATE_TRUNC('day', ts) - INTERVAL 1 DAY]) AS win_start
+  FROM events)
+SELECT user_id, event_id, win_start,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id, win_start ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM m
+""")
+def sliding_window_scan(spark, sf_dir):
+    """CUMULATIVE emission on sliding windows: per-event window
+    membership explodes (each event belongs to duration/slide windows)
+    and every (event, window) row carries that window's running
+    aggregate — completing the scan/reduce verb matrix for Sliding
+    (a new capability; the reference has no sliding windows)."""
+    from scespet_spark import Sliding
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Sliding("2 days", "1 day")).scan(
+        running_total=F.sum(F.col("value").cast("decimal(18,2)")))
+    return out.df.select("user_id", "event_id", "win_start",
+                         F.col("running_total").cast("double")
+                          .alias("running_total"))
+
+
 @query("to_stream_mux", """
 SELECT user_id, ts, event_id, value FROM events
 """)

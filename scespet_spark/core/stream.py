@@ -106,8 +106,11 @@ class Session:
 class Sliding:
     """Overlapping fixed windows (``duration`` long, advancing every
     ``slide``).  New capability — absent from the reference.  Each event
-    belongs to multiple windows, so only ``reduce`` is defined (a
-    cumulative per-event scan has no single bucket identity)."""
+    belongs to multiple windows: ``reduce`` emits one row per window;
+    ``scan`` explodes per-event window membership (``F.window`` with a
+    slide generates one row per containing window) and emits the running
+    aggregate within EACH window the event belongs to, disambiguated by
+    ``win_start``."""
 
     def __init__(self, duration: str, slide: str):
         self.duration = duration
@@ -639,7 +642,8 @@ class GroupedStream:
         elif isinstance(spec, TriggerStream):
             return self._with_trigger_stream_bucket(spec)
         elif isinstance(spec, Sliding):
-            raise TypeError("Sliding windows support reduce() only")
+            raise TypeError("Sliding buckets are handled inside scan/"
+                            "reduce (membership explode), not here")
         else:  # pragma: no cover
             raise TypeError(f"unknown slice spec {spec!r}")
         return s._derive(s.df.withColumn(_BUCKET, b))
@@ -677,6 +681,23 @@ class GroupedStream:
         return s._derive(u)
 
     def scan(self, **aggs: Column) -> Stream:
+        if isinstance(self.spec, Sliding):
+            # explode per-event window membership (F.window with a slide
+            # generates one row per containing window — a constant
+            # duration/slide factor), then an ordinary per-(key, window)
+            # running window.  Windows are time-bounded, so partitions
+            # stay bounded at any scale.
+            s = self.stream
+            df = s.df.withColumn(
+                _BUCKET, F.window(F.col(s.t), self.spec.duration,
+                                  self.spec.slide))
+            w = (Window.partitionBy(*s.keys, _BUCKET).orderBy(*s._order())
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            for name, a in aggs.items():
+                df = df.withColumn(name, a.over(w))
+            df = (df.withColumn("win_start", F.col(_BUCKET).getField("start"))
+                  .drop(_BUCKET))
+            return s._derive(df)
         s = self._with_bucket()
         w = s._running(extra_partition=[_BUCKET])
         df = s.df

@@ -143,9 +143,22 @@ def test_sliding_window_membership(spark):
     out = s.group(Sliding("20 seconds", "10 seconds")).reduce(n=F.count("*"))
     got = sorted((str(r.win_start)[11:19], r.n) for r in out.df.collect())
     assert got == [("00:00:00", 3), ("00:00:10", 1), ("23:59:50", 2)]
-    import pytest as _pytest
-    with _pytest.raises(TypeError):
-        s.group(Sliding("20 seconds", "10 seconds")).scan(n=F.count("*"))
+
+
+def test_sliding_scan_running_per_window(spark):
+    # CUMULATIVE emission on sliding windows: each (event, window) pair
+    # carries that window's running aggregate (golden, hand-computed)
+    from scespet_spark import Sliding, Stream
+    rows = [(t * 1_000_000, i, 1) for i, t in enumerate([0, 5, 12])]
+    df = spark.createDataFrame(rows, "us long, seq long, v long").select(
+        F.timestamp_micros("us").alias("ts"), "seq", "v")
+    s = Stream(df, t="ts", seq="seq")
+    out = s.group(Sliding("20 seconds", "10 seconds")).scan(n=F.count("*"))
+    got = sorted((str(r.win_start)[11:19], r.seq, r.n)
+                 for r in out.df.collect())
+    assert got == [("00:00:00", 0, 1), ("00:00:00", 1, 2), ("00:00:00", 2, 3),
+                   ("00:00:10", 2, 1),
+                   ("23:59:50", 0, 1), ("23:59:50", 1, 2)]
 
 
 def test_window_from_keyed_gate_streams(spark):
