@@ -2328,6 +2328,18 @@ def profile_lineitem(spark, sf_dir):
     return profile_columns(load_table(spark, sf_dir, "lineitem"))
 
 
+@query("profile_lineitem_approx")
+def profile_lineitem_approx(spark, sf_dir):
+    """The 100 TB profile path: approx_percentile (combinable sketch,
+    bounded memory per partial) instead of the exact buffering
+    percentile.  Sketch results are engine-specific, so there is no
+    value oracle — the driver's rows/schema check covers it; exactness
+    of the counts/min/max/mean half is proven by profile_lineitem."""
+    from scespet_spark.operators.text import profile_columns
+    return profile_columns(load_table(spark, sf_dir, "lineitem"),
+                           approx=True)
+
+
 def _bigram_lm_oracle(k=1.0):
     from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
     c0, c1 = sh_coeff(0), sh_coeff(1)

@@ -28,11 +28,23 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..core.stream import Stream
 
 
-def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma") -> Stream:
+def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
+         buckets: Column | None = None) -> Stream:
     """Per-key exponentially weighted moving average, one output per event.
 
     y_0 = x_0; y_i = alpha*x_i + (1-alpha)*y_{i-1} (reference seeds from
     the first value, ReduceFuncs.scala:33-38).
+
+    For an UNKEYED stream pass ``buckets`` (a coarse time-bucket Column,
+    monotone in (t, seq) — same contract as ``scan(buckets=...)``) to
+    replace the single-partition global fold with a two-phase
+    decomposition: phase 1 folds each bucket independently (0-seeded),
+    emitting only its (event count, end value); the per-bucket carry-in
+    values are then composed driver-side via ``c_k = z_k +
+    (1-alpha)^{n_k} * c_{k-1}`` (bucket-count-sized collect — the
+    driver-held-model pattern); phase 2 re-folds each bucket seeded with
+    its exact carry-in, running the identical elementwise recurrence.
+    Parallel across buckets, no ``repartition(1)``.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -55,8 +67,8 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma") -> Str
     # values without ever materializing the key's history in pandas.
     import numpy as np
 
-    def _chunked_fold(batches, group_keys):
-        carry: dict = {}
+    def _chunked_fold(batches, group_keys, init_carry=None):
+        carry: dict = dict(init_carry or {})
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -80,6 +92,10 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma") -> Str
             yield pdf
 
     if keys:
+        if buckets is not None:
+            raise ValueError("ewma buckets= is the unkeyed two-phase "
+                             "path; keyed streams already parallelize "
+                             "across keys")
         # secondary-sort pattern: repartition by key to full parallelism
         # (groupBy.applyInPandas would pay a per-group Python dispatch and
         # AQE coalesces its small shuffle to a few tasks), sort JVM-side,
@@ -88,6 +104,65 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma") -> Str
         part = df.repartition(n, *keys).sortWithinPartitions(*keys, *order)
         folded = part.mapInPandas(
             lambda batches: _chunked_fold(batches, keys), schema)
+    elif buckets is not None:
+        # two-phase global fold (see docstring): buckets fold in
+        # parallel; only the B carry compositions are sequential.
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+        df2 = df.withColumn("__b", buckets)
+        n = df.sparkSession.sparkContext.defaultParallelism
+        part = df2.repartition(n, "__b").sortWithinPartitions("__b", *order)
+        btype = df2.schema["__b"].dataType
+
+        def _phase1(batches):
+            # per bucket: event count + 0-seeded fold end value, carried
+            # across Arrow chunks (buckets are contiguous in the sorted
+            # partition, but a chunk boundary can split one)
+            state: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for bk, idx in pdf.groupby("__b", sort=False).indices.items():
+                    x = pdf[value_col].to_numpy()[idx].astype(np.float64)
+                    n0, z0 = state.get(bk, (0, 0.0))
+                    r = (pd.Series(np.concatenate(([z0], x)))
+                         .ewm(alpha=alpha, adjust=False).mean().to_numpy())
+                    state[bk] = (n0 + len(x), float(r[-1]))
+            if state:  # empty partitions must not emit (a frame with no
+                # rows would carry default float dtypes Arrow can't cast
+                # to e.g. a timestamp bucket column)
+                yield pd.DataFrame(
+                    {"__b": pd.Series(list(state), dtype=object),
+                     "__n": [v[0] for v in state.values()],
+                     "__z": [v[1] for v in state.values()]})
+
+        p1_schema = StructType([StructField("__b", btype),
+                                StructField("__n", LongType()),
+                                StructField("__z", DoubleType())])
+        pairs = part.mapInPandas(_phase1, p1_schema).collect()  # B rows
+        first = df2.select(
+            F.min_by(F.col(value_col).cast("double"),
+                     F.struct(*order)).alias("x1")).first()
+        if not pairs or first is None or first.x1 is None:
+            return stream._derive(
+                df.withColumn(out, F.lit(None).cast("double")))
+        x1 = float(first.x1)
+        cin: dict = {}
+        c = None
+        for r in sorted(pairs, key=lambda r: r["__b"]):
+            bk, nk, zk = r["__b"], r["__n"], r["__z"]
+            if c is None:
+                # first bucket: unseeded (y_1 = x_1 exactly); its end
+                # value composes as z + (1-a)^n * x1
+                c = zk + (1.0 - alpha) ** nk * x1
+            else:
+                cin[(bk,)] = c
+                c = zk + (1.0 - alpha) ** nk * c
+        schema2 = StructType(list(df2.schema.fields)
+                             + [StructField(out, DoubleType())])
+        folded = part.mapInPandas(
+            lambda batches: _chunked_fold(batches, ["__b"], cin), schema2)
+        folded = folded.drop("__b")
     else:
         # global EWMA is inherently one ordered series; a single sorted
         # partition streamed batch-by-batch (constant pandas memory)

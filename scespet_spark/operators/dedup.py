@@ -320,7 +320,7 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id")))
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # candidate label for each node: min over neighbors' labels
         prop = (edges.join(labels, edges.dst == labels.id)
                 .groupBy("src").agg(F.min("cluster").alias("nbr")))
@@ -330,12 +330,17 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                                F.coalesce(F.col("nbr"), labels.cluster))
                         .alias("cluster")))
         new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.cluster") != F.col("o.cluster")).limit(1)
-                   .count())
-        labels = new
-        if changed == 0:
-            break
+        prev, labels = labels, new
+        # convergence check every 2nd round (and on the last): the
+        # join+count is a full job per check, and comparing adjacent
+        # rounds never misses convergence — worst case is one extra
+        # (no-op) propagation round, cheaper than a check per round
+        if it % 2 == 1 or it == max_iters - 1:
+            changed = (new.alias("n").join(prev.alias("o"), "id")
+                       .filter(F.col("n.cluster") != F.col("o.cluster"))
+                       .limit(1).count())
+            if changed == 0:
+                break
     return labels
 
 

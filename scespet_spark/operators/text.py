@@ -252,7 +252,8 @@ def _plabel(p: float) -> str:
 
 
 def profile_columns(df: DataFrame,
-                    percentiles: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
+                    percentiles: tuple = (0.25, 0.5, 0.75),
+                    approx: bool = False) -> DataFrame:
     """Data-profiling report: one output row per input column with row /
     null / distinct counts, and for numeric columns min, max, mean
     (6dp) and exact interpolated percentiles (Spark ``percentile`` ==
@@ -263,9 +264,10 @@ def profile_columns(df: DataFrame,
     row; the wide row then explodes to the per-column report.  Counts,
     distincts, min/max/mean are combinable single-pass aggregates.
     Exact percentiles buffer the column's values in the aggregate — fine
-    into the billions of rows; at 100 TB swap ``F.percentile`` for
-    ``approx_percentile`` (t-digest sketch, combinable, bounded memory)
-    at the cost of oracle exactness."""
+    into the billions of rows; ``approx=True`` is the 100 TB path: it
+    swaps ``F.percentile`` for ``approx_percentile`` (KLL-style sketch,
+    combinable, bounded memory per partial) at the cost of oracle
+    exactness — counts/min/max/mean stay exact either way."""
     from pyspark.sql.types import NumericType
     labels = [_plabel(p) for p in percentiles]
     if len(set(labels)) != len(labels):
@@ -282,8 +284,9 @@ def profile_columns(df: DataFrame,
             aggs += [F.min(d).alias(f"__min_{c}"), F.max(d).alias(f"__max_{c}"),
                      F.round(F.avg(d), 6).alias(f"__mean_{c}")]
             for p in percentiles:
-                aggs.append(F.round(F.percentile(d, F.lit(p)), 6)
-                            .alias(f"__{_plabel(p)}_{c}"))
+                pct = (F.approx_percentile(d, F.lit(p), F.lit(10000))
+                       if approx else F.percentile(d, F.lit(p)))
+                aggs.append(F.round(pct, 6).alias(f"__{_plabel(p)}_{c}"))
     wide = df.agg(*aggs)
     null_d = F.lit(None).cast("double")
     rows = []

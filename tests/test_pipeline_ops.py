@@ -630,3 +630,18 @@ def test_profile_columns_subpercent_percentiles(spark):
     # distinct labels, no AnalysisException, correct exact values
     assert out["v"].p99 == pytest.approx(990.01, abs=1e-6)
     assert out["v"].p99_5 == pytest.approx(995.005, abs=1e-6)
+
+
+def test_profile_columns_approx_close_to_exact(spark):
+    from scespet_spark.operators.text import profile_columns
+    df = spark.createDataFrame([(float(i),) for i in range(1, 2001)],
+                               "v double")
+    exact = {r.column: r for r in profile_columns(df).collect()}
+    approx = {r.column: r for r in
+              profile_columns(df, approx=True).collect()}
+    # identical schema/counts; percentiles within sketch tolerance
+    assert exact["v"].n_rows == approx["v"].n_rows == 2000
+    assert approx["v"].vmin == 1.0 and approx["v"].vmax == 2000.0
+    for lb in ("p25", "p50", "p75"):
+        assert abs(getattr(approx["v"], lb) - getattr(exact["v"], lb)) \
+            <= 2.0, lb

@@ -463,3 +463,42 @@ def test_keymap_take_equals_zip_emit_right_form(spark):
     a = sorted(map(tuple, compact.select("ts", "seq", "k", "x", "y").collect()))
     b = sorted(map(tuple, fanout.select("ts", "seq", "k", "x", "y").collect()))
     assert a == b and len(a) > 0
+
+
+def test_ewma_global_two_phase_multi_partition(spark):
+    # the buckets= path replaces repartition(1) with parallel per-bucket
+    # folds + driver-composed carries.  On mantissa-bounded data (alpha
+    # 0.5, 0/1 values, short series) every op is exact dyadic arithmetic
+    # and the result is BIT-identical to the monolithic fold; on random
+    # doubles the only deviation is carry-composition rounding (~ulps).
+    import random
+    from scespet_spark.functions.reducers import ewma
+    rows = [(i, i, float(i % 2)) for i in range(40)]
+    s = Stream(spark.createDataFrame(rows, "t long, seq long, v double"),
+               t="t", seq="seq")
+    mono = [r.ewma for r in ewma(s, "v", 0.5).df.orderBy("seq").collect()]
+    bucketed = ewma(s, "v", 0.5, buckets=(F.col("t") / 10).cast("long"))
+    assert bucketed.df.rdd.getNumPartitions() > 1     # not repartition(1)
+    two = [r.ewma for r in bucketed.df.orderBy("seq").collect()]
+    assert two == mono                                # bit-identical
+
+    rng = random.Random(9)
+    rows2 = [(i, i, rng.random() * 100) for i in range(400)]
+    s2 = Stream(spark.createDataFrame(rows2, "t long, seq long, v double"),
+                t="t", seq="seq")
+    m2 = [r.ewma for r in ewma(s2, "v", 0.3).df.orderBy("seq").collect()]
+    t2 = [r.ewma for r in
+          ewma(s2, "v", 0.3, buckets=(F.col("t") / 50).cast("long"))
+          .df.orderBy("seq").collect()]
+    assert max(abs(a - b) / max(abs(a), 1e-9)
+               for a, b in zip(m2, t2)) < 1e-12
+
+
+def test_ewma_keyed_rejects_buckets(spark):
+    import pytest as _pytest
+    from scespet_spark.functions.reducers import ewma
+    s = Stream(spark.createDataFrame([(0, 0, 1, 1.0)],
+                                     "t long, seq long, k long, v double"),
+               t="t", seq="seq", keys=("k",))
+    with _pytest.raises(ValueError, match="unkeyed"):
+        ewma(s, "v", 0.5, buckets=F.col("t"))
