@@ -24,6 +24,12 @@ from scespet_spark.sources.batch import events_stream, load_table
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
+#: Queries that deliberately ship WITHOUT a value oracle (driver records
+#: the weaker rows/schema-only check).  Membership requires a docstring
+#: justification on the query; tests/test_entry_contract.py enforces
+#: that everything else has full oracle SQL.
+ROWS_ONLY: set[str] = {"profile_lineitem_approx"}
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -357,6 +363,498 @@ def q18_large_volume_customers(spark, sf_dir):
                     "total_qty")
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
             .limit(20))
+
+
+# The testdata has no partsupp table; the q2/q11/q16/q20 shapes below
+# derive the part-supplier relation from lineitem (who actually supplied
+# what, at what realized unit price) — the plan shapes (correlated min,
+# fraction-of-total HAVING, distinct-count with anti-join, nested
+# semi-joins) are the point, not the TPC-H literal text.
+
+_PS_CTE = """
+ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS DOUBLE) AS unit_cost
+       FROM lineitem GROUP BY l_partkey, l_suppkey)
+"""
+
+
+def _unit_cost_ps(li):
+    """Derived partsupp: realized unit cost per (part, supplier) —
+    decimal-exact sums, one deterministic double division."""
+    return (li.groupBy(F.col("l_partkey").alias("partkey"),
+                       F.col("l_suppkey").alias("suppkey"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double")
+                  / F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double")).cast("double").alias("unit_cost")))
+
+
+@query("q2_min_cost_supplier", f"""
+WITH {_PS_CTE},
+eu AS (SELECT suppkey, partkey, unit_cost, s_acctbal, s_name, n_name
+       FROM ps JOIN supplier ON s_suppkey = suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'),
+mn AS (SELECT partkey, MIN(unit_cost) AS unit_cost FROM eu GROUP BY partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, eu.unit_cost
+FROM part
+JOIN eu ON p_partkey = eu.partkey
+JOIN mn ON mn.partkey = eu.partkey AND mn.unit_cost = eu.unit_cost
+WHERE p_size <= 15 AND p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 25
+""")
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated-MIN subquery (cheapest supplier per
+    part within a region) = per-part min aggregate joined back on
+    (part, cost).  unit_cost is exact-decimal sums divided once in
+    double, so the equality join is engine-deterministic; the
+    supplier/nation/region enrichment side is broadcast-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+         .select("p_partkey", "p_type"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "EUROPE"))
+    eu_sup = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    eu = _unit_cost_ps(li).join(
+        F.broadcast(eu_sup), F.col("suppkey") == F.col("s_suppkey"))
+    mn = (eu.groupBy(F.col("partkey").alias("__mp"))
+          .agg(F.min("unit_cost").alias("__mn")))
+    return (eu.join(mn, (F.col("partkey") == F.col("__mp"))
+                    & (F.col("unit_cost") == F.col("__mn")))
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                    "unit_cost")
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(25))
+
+
+@query("q8_market_share", """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+GROUP BY o_year
+ORDER BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    7-way star join (all dims broadcast), conditional/total decimal
+    sums, one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
+                                                     "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__ck"), F.col("n_regionkey").alias("__rk"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("nation"))
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    cond = F.when(F.col("nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__ck"))
+            .join(F.broadcast(r), F.col("__rk") == F.col("r_regionkey"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sk"))
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg((F.sum(cond).cast("double") / F.sum(vol).cast("double"))
+                 .cast("double").alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@query("q9_product_profit", """
+SELECT nation, o_year,
+       CAST(CAST(SUM(rev) AS DOUBLE) - 0.8 * CAST(SUM(cost) AS DOUBLE)
+            AS DOUBLE) AS sum_profit
+FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2)) AS rev,
+             CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS cost
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per supplier-nation per year (cost proxy:
+    80% of retail price — no partsupp).  Revenue and cost aggregate as
+    exact decimals; the 0.8 factor applies once, post-aggregate, in
+    double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").contains("widget"))
+         .select("p_partkey", "p_retailprice"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
+                                                     "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    cost = (F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+            .groupBy("nation", F.year("o_orderdate").cast("long")
+                     .alias("o_year"))
+            .agg((F.sum(rev).cast("double")
+                  - F.lit(0.8) * F.sum(cost).cast("double"))
+                 .cast("double").alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@query("q11_important_stock", """
+WITH val AS (SELECT l_partkey AS partkey,
+                    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+             FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             GROUP BY l_partkey)
+SELECT partkey, CAST(v AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(v AS DOUBLE) > (SELECT 0.001 * CAST(SUM(v) AS DOUBLE) FROM val)
+ORDER BY part_value DESC, partkey
+""")
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose value exceeds a fraction of the
+    total — the fraction-of-global-sum threshold is a 1-row broadcast
+    join, never a driver collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
+                                                     "s_nationkey")
+    n = (load_table(spark, sf_dir, "nation")
+         .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+         .select("n_nationkey"))
+    val = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+           .groupBy(F.col("l_partkey").alias("partkey"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .alias("__v")))
+    thr = val.agg((F.lit(0.001) * F.sum("__v").cast("double"))
+                  .alias("__thr"))
+    return (val.join(F.broadcast(thr),
+                     F.col("__v").cast("double") > F.col("__thr"))
+            .select("partkey", F.col("__v").cast("double")
+                    .alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "partkey"))
+
+
+@query("q12_late_shipments", """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""")
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → linestatus; late = shipped 30-90
+    days after ordering): priority-split counts over a date-lag join
+    predicate — the lag condition evaluates post-join, the absolute
+    shipdate range pushes to the scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate >= o.o_orderdate
+                      + F.expr("INTERVAL 30 DAYS"))
+                   & (li.l_shipdate < o.o_orderdate
+                      + F.expr("INTERVAL 90 DAYS")))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+@query("q16_supplier_count", """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    with a NOT-IN (anti-join) exclusion list — the exclusion side is
+    supplier-sized, broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey",
+                                                      "l_suppkey")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#13")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+@query("q17_small_quantity_revenue", """
+WITH pavg AS (SELECT l_partkey AS partkey,
+                     0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                 AS DOUBLE) / COUNT(*)) AS qty_thr
+              FROM lineitem GROUP BY l_partkey)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pavg ON pavg.partkey = l_partkey
+WHERE p_brand = 'Brand#11' AND p_type = 'MEDIUM' AND l_quantity < qty_thr
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average-quantity threshold
+    (exact decimal sum / count, one double multiply — deterministic
+    across engines) filtering the fact table against its own
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#11")
+                 & (F.col("p_type") == "MEDIUM"))
+         .select("p_partkey"))
+    pavg = (li.groupBy(F.col("l_partkey").alias("partkey"))
+            .agg((F.lit(0.2)
+                  * (F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                     .cast("double") / F.count("*")))
+                 .alias("qty_thr")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(pavg, F.col("l_partkey") == pavg.partkey)
+            .filter(F.col("l_quantity") < F.col("qty_thr"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double") / F.lit(7.0)).cast("double")
+                 .alias("avg_yearly")))
+
+
+@query("q19_disjunctive_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: three OR'd brand/size/quantity branches — the
+    disjunction evaluates post-join on broadcast part attributes; the
+    derivable part-side domain (brand ∈ {...}) prunes the build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin("Brand#12", "Brand#15", "Brand#4"))
+         .select("p_partkey", "p_brand", "p_size"))
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & q.between(20, 30)))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(branch)
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+@query("q20_excess_suppliers", """
+WITH qty AS (SELECT l_suppkey, l_partkey,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      AS total_qty
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01'
+             GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_8', 'NATION_11')
+  AND s_suppkey IN (SELECT l_suppkey FROM qty
+                    JOIN part ON l_partkey = p_partkey
+                    WHERE p_name LIKE 'red%' AND total_qty > 50)
+ORDER BY s_suppkey
+""")
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-joins — suppliers who moved >50
+    units of any red part in 1996, restricted to a nation set.  The
+    inner aggregate reduces to supplier keys before touching the
+    supplier table; everything above the fact scan is key-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").startswith("red"))
+         .select("p_partkey"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = (load_table(spark, sf_dir, "nation")
+         .filter(F.col("n_name").isin("NATION_2", "NATION_5", "NATION_8",
+                                      "NATION_11"))
+         .select("n_nationkey"))
+    movers = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("l_suppkey", "l_partkey")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                   .cast("double").alias("total_qty"))
+              .filter(F.col("total_qty") > 50)
+              .select("l_suppkey").distinct())
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
+@query("q21_waiting_suppliers", """
+WITH lo AS (SELECT l_orderkey, l_suppkey,
+                   CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F')
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lo l1 ON s_suppkey = l1.l_suppkey
+WHERE n_name = 'NATION_4' AND l1.late = 1
+  AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""")
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (late = shipped >45 days after ordering):
+    suppliers who were the SOLE late shipper on a multi-supplier
+    finished order — an EXISTS (semi) and a NOT EXISTS (anti) against
+    the same derived relation, both keyed on order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = (load_table(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_4").select("n_nationkey"))
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate") > F.col("o_orderdate")
+                   + F.expr("INTERVAL 45 DAYS")).cast("int").alias("late")))
+    l1 = lo.filter(F.col("late") == 1)
+    l2 = lo.select(F.col("l_orderkey").alias("__ok2"),
+                   F.col("l_suppkey").alias("__sk2"))
+    l3 = (lo.filter(F.col("late") == 1)
+          .select(F.col("l_orderkey").alias("__ok3"),
+                  F.col("l_suppkey").alias("__sk3")))
+    cand = (l1.join(l2, (F.col("l_orderkey") == F.col("__ok2"))
+                    & (F.col("l_suppkey") != F.col("__sk2")), "left_semi")
+            .join(l3, (F.col("l_orderkey") == F.col("__ok3"))
+                  & (F.col("l_suppkey") != F.col("__sk3")), "left_anti"))
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(cand, s.s_suppkey == cand.l_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name"))
+
+
+@query("q22_global_sales_opportunity", """
+WITH pos AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*) AS avg_bal
+             FROM customer
+             WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9)
+  AND c_acctbal > (SELECT avg_bal FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""")
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers dormant since
+    mid-2000 (every sf0.01 customer has SOME order, so the literal
+    no-orders-ever predicate is degenerate here) — scalar-subquery
+    threshold (1-row broadcast) + anti-join against the recent-orders
+    key set."""
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9)))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= "2000-07-01")
+         .select("o_custkey"))
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double") / F.count("*")).alias("__avg")))
+    return (c.join(F.broadcast(avg_bal),
+                   F.col("c_acctbal") > F.col("__avg"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("totacctbal"))
+            .orderBy("c_nationkey"))
 
 
 @query("q10_returned_items", """

@@ -32,8 +32,14 @@ def test_round_changed_queries_inside_checked_window():
 
 
 def test_every_query_has_an_oracle():
-    missing = set(entry.queries()) - set(entry.oracle_sql())
+    # declared rows-only queries get the driver's weaker rows/schema
+    # check; anything else must carry full oracle SQL
+    missing = (set(entry.queries()) - set(entry.oracle_sql())
+               - entry.ROWS_ONLY)
     assert not missing, f"queries without oracle SQL: {missing}"
+    assert entry.ROWS_ONLY <= set(entry.queries())
+    assert not (entry.ROWS_ONLY & set(entry.oracle_sql())), \
+        "ROWS_ONLY queries must not also register oracle SQL"
 
 
 def test_no_complex_typed_output_columns(spark):

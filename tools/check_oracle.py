@@ -7,11 +7,12 @@ names, and exact cell values after sorting columns by name and rows by
 all columns.  Stricter than any reasonable driver hash — if this
 passes, the driver's order-insensitive value-hash passes.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--json OUT.json] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -56,6 +57,11 @@ def _normalize(df):
 
 def main():
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -69,6 +75,7 @@ def main():
     oracles = entrymod.oracle_sql()
     names = only or list(queries)
     failed = []
+    report = {}
     for name in names:
         t0 = time.time()
         try:
@@ -76,15 +83,19 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            report[name] = {"status": "spark_error", "err": str(e)[:300]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {"status": "rows_only", "rows": len(sdf),
+                            "sec": round(time.time() - t0, 1)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            report[name] = {"status": "duckdb_error", "err": str(e)[:300]}
             continue
         scols, srows = _normalize(sdf)
         ocols, orows = _normalize(odf)
@@ -112,9 +123,24 @@ def main():
                 ok = False
         if ok:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {"status": "ok", "rows": len(srows),
+                            "sec": round(time.time() - t0, 1)}
         else:
             failed.append(name)
+            report[name] = {"status": "mismatch", "rows": len(srows),
+                            "oracle_rows": len(orows)}
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(names),
+            "n_passed": len(names) - len(failed),
+            "failed": failed,
+            "queries": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
