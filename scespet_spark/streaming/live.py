@@ -672,6 +672,64 @@ class LiveStream:
                             order_cols=[self.t, self.seq])
         return self._derive(out)
 
+    def map_vector(self, **aggs) -> "LiveStream":
+        """Live cross-key whole-vector aggregate: the running value over
+        ALL events in arrival order, emitted at each event (reference
+        mapVector, VectTerm.scala:145-176 — batch: Stream.map_vector).
+
+        Each agg is ``name=("count",)`` / ``("sum"|"max"|"min", col)``.
+        The fold is one stateful group (the whole vector is one running
+        value), matching the reference's single-threaded push graph; for
+        throughput-bound batch backfills use Stream.map_vector with
+        ``buckets=`` instead, which parallelizes the same semantics."""
+        import pandas as pd
+
+        specs = {}
+        for name, spec in aggs.items():
+            kind, col = spec if len(spec) == 2 else (spec[0], None)
+            if kind not in ("count", "sum", "max", "min"):
+                raise ValueError(f"map_vector agg {name!r}: kind must be "
+                                 f"count/sum/max/min, got {kind!r}")
+            if kind != "count" and col is None:
+                raise ValueError(f"map_vector agg {name!r}: {kind} needs a "
+                                 f"source column")
+            specs[name] = (kind, col)
+        state_fields = {n: 0 if k == "count" else (0.0 if k == "sum" else None)
+                        for n, (k, _) in specs.items()}
+        state_schema = ", ".join(
+            f"{n} {'bigint' if k == 'count' else 'double'}"
+            for n, (k, _) in specs.items())
+        out_types = {n: "bigint" if k == "count" else "double"
+                     for n, (k, _) in specs.items()}
+        out_schema = (f"__all int, {self.t} timestamp, {self.seq} bigint, "
+                      + ", ".join(f"{n} {t}" for n, t in out_types.items()))
+        t, seq = self.t, self.seq
+
+        def step(st, pdf):
+            out = pdf[[t, seq]].copy()
+            for name, (kind, col) in specs.items():
+                if kind == "count":
+                    run = st[name] + pd.RangeIndex(1, len(pdf) + 1)
+                    st[name] = int(run[-1])
+                elif kind == "sum":
+                    run = st[name] + pdf[col].astype("float64").cumsum()
+                    st[name] = float(run.iloc[-1])
+                else:
+                    s = pdf[col].astype("float64")
+                    run = (s.cummax() if kind == "max" else s.cummin())
+                    if st[name] is not None:
+                        run = (run.clip(lower=st[name]) if kind == "max"
+                               else run.clip(upper=st[name]))
+                    st[name] = float(run.iloc[-1])
+                out[name] = run
+            return out
+
+        out = stateful_scan(
+            self.df.withColumn("__all", F.lit(0)), ["__all"], state_fields,
+            step, out_schema, t=self.t, order_cols=[self.t, self.seq],
+            state_schema=state_schema).drop("__all")
+        return self._derive(out, keys=())  # cross-key output is unkeyed
+
     def run(self, output_mode: str = "append") -> DataFrame:
         return run_available_now(self.df, output_mode)
 
