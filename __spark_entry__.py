@@ -410,10 +410,14 @@ LIMIT 25
 """)
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape: correlated-MIN subquery (cheapest supplier per
-    part within a region) = per-part min aggregate joined back on
-    (part, cost).  unit_cost is exact-decimal sums divided once in
-    double, so the equality join is engine-deterministic; the
-    supplier/nation/region enrichment side is broadcast-sized."""
+    part within a region), computed as a per-part window MIN + filter —
+    NOT a groupBy+self-join, which would scan and re-aggregate the fact
+    table twice (the plan showed two full lineitem scans).  One scan,
+    one (partkey, suppkey) aggregate, one partkey exchange for the
+    window; the supplier/nation/region enrichment side is
+    broadcast-sized.  unit_cost is exact-decimal sums divided once in
+    double, so the equality filter is engine-deterministic."""
+    from pyspark.sql import Window
     li = load_table(spark, sf_dir, "lineitem")
     p = (load_table(spark, sf_dir, "part")
          .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
@@ -427,10 +431,9 @@ def q2_min_cost_supplier(spark, sf_dir):
               .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
     eu = _unit_cost_ps(li).join(
         F.broadcast(eu_sup), F.col("suppkey") == F.col("s_suppkey"))
-    mn = (eu.groupBy(F.col("partkey").alias("__mp"))
-          .agg(F.min("unit_cost").alias("__mn")))
-    return (eu.join(mn, (F.col("partkey") == F.col("__mp"))
-                    & (F.col("unit_cost") == F.col("__mn")))
+    w = Window.partitionBy("partkey")
+    return (eu.withColumn("__mn", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("__mn"))
             .join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
                     "unit_cost")
@@ -563,8 +566,12 @@ ORDER BY part_value DESC, partkey
 """)
 def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape: parts whose value exceeds a fraction of the
-    total — the fraction-of-global-sum threshold is a 1-row broadcast
-    join, never a driver collect."""
+    total.  The threshold is a global window SUM over the already-
+    aggregated per-part values — NOT a second aggregate branch, which
+    would re-scan and re-aggregate the fact table (val's lineage runs
+    twice).  The single-partition window sees one row per part (a
+    dim-bounded relation), never fact rows."""
+    from pyspark.sql import Window
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
                                                      "s_nationkey")
@@ -576,10 +583,9 @@ def q11_important_stock(spark, sf_dir):
            .groupBy(F.col("l_partkey").alias("partkey"))
            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                 .alias("__v")))
-    thr = val.agg((F.lit(0.001) * F.sum("__v").cast("double"))
-                  .alias("__thr"))
-    return (val.join(F.broadcast(thr),
-                     F.col("__v").cast("double") > F.col("__thr"))
+    thr = F.lit(0.001) * F.sum("__v").over(Window.partitionBy()).cast("double")
+    return (val.withColumn("__thr", thr)
+            .filter(F.col("__v").cast("double") > F.col("__thr"))
             .select("partkey", F.col("__v").cast("double")
                     .alias("part_value"))
             .orderBy(F.col("part_value").desc(), "partkey"))
@@ -669,21 +675,26 @@ WHERE p_brand = 'Brand#11' AND p_type = 'MEDIUM' AND l_quantity < qty_thr
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated per-part average-quantity threshold
     (exact decimal sum / count, one double multiply — deterministic
-    across engines) filtering the fact table against its own
-    aggregate."""
+    across engines) filtering the fact table against its own aggregate.
+
+    One lineitem scan: the broadcast part semi-filter keeps EVERY
+    lineitem of each selected part (partkey determines brand), so the
+    per-part average over the filtered subset equals the average over
+    the whole table — computed as a window aggregate instead of a
+    second scan+groupBy branch."""
+    from pyspark.sql import Window
     li = load_table(spark, sf_dir, "lineitem")
     p = (load_table(spark, sf_dir, "part")
          .filter((F.col("p_brand") == "Brand#11")
                  & (F.col("p_type") == "MEDIUM"))
          .select("p_partkey"))
-    pavg = (li.groupBy(F.col("l_partkey").alias("partkey"))
-            .agg((F.lit(0.2)
-                  * (F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                     .cast("double") / F.count("*")))
-                 .alias("qty_thr")))
+    w = Window.partitionBy("l_partkey")
+    qty_thr = (F.lit(0.2)
+               * (F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+                  .cast("double") / F.count("*").over(w)))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(pavg, F.col("l_partkey") == pavg.partkey)
-            .filter(F.col("l_quantity") < F.col("qty_thr"))
+            .withColumn("__thr", qty_thr)
+            .filter(F.col("l_quantity") < F.col("__thr"))
             .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                   .cast("double") / F.lit(7.0)).cast("double")
                  .alias("avg_yearly")))
@@ -790,6 +801,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     suppliers who were the SOLE late shipper on a multi-supplier
     finished order — an EXISTS (semi) and a NOT EXISTS (anti) against
     the same derived relation, both keyed on order."""
+    from pyspark.sql import Window
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     o = (load_table(spark, sf_dir, "orders")
@@ -802,16 +814,22 @@ def q21_waiting_suppliers(spark, sf_dir):
           .select("l_orderkey", "l_suppkey",
                   (F.col("l_shipdate") > F.col("o_orderdate")
                    + F.expr("INTERVAL 45 DAYS")).cast("int").alias("late")))
-    l1 = lo.filter(F.col("late") == 1)
-    l2 = lo.select(F.col("l_orderkey").alias("__ok2"),
-                   F.col("l_suppkey").alias("__sk2"))
-    l3 = (lo.filter(F.col("late") == 1)
-          .select(F.col("l_orderkey").alias("__ok3"),
-                  F.col("l_suppkey").alias("__sk3")))
-    cand = (l1.join(l2, (F.col("l_orderkey") == F.col("__ok2"))
-                    & (F.col("l_suppkey") != F.col("__sk2")), "left_semi")
-            .join(l3, (F.col("l_orderkey") == F.col("__ok3"))
-                  & (F.col("l_suppkey") != F.col("__sk3")), "left_anti"))
+    # EXISTS/NOT-EXISTS folded into one pass: per-order distinct-supplier
+    # sets over a window (orders have a bounded handful of lines, so the
+    # collect_set state is small).  "another supplier exists" = >=2
+    # distinct suppliers; "no OTHER late supplier" = the late-supplier
+    # set is exactly {this supplier} (this row is late, so size == 1).
+    # The semi+anti-join form recomputed the lineitem-orders join three
+    # times; this is one scan of each table and one orderkey exchange.
+    w = Window.partitionBy("l_orderkey")
+    lo2 = (lo.withColumn("__supps", F.size(F.collect_set("l_suppkey")
+                                           .over(w)))
+           .withColumn("__late_supps",
+                       F.size(F.collect_set(
+                           F.when(F.col("late") == 1, F.col("l_suppkey")))
+                           .over(w))))
+    cand = lo2.filter((F.col("late") == 1) & (F.col("__supps") >= 2)
+                      & (F.col("__late_supps") == 1))
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(cand, s.s_suppkey == cand.l_suppkey)
             .groupBy("s_name")

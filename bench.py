@@ -63,6 +63,11 @@ HEADLINE = [
     "sample_source_quota",
     "ann_pq_adc_topk",
     "text_bigram_lm",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "cube_returnflag_status",
 ]
 
 
