@@ -969,6 +969,61 @@ def rollup_order_status(spark, sf_dir):
             .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("total")))
 
 
+@query("pivot_user_event_values", """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN
+                CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+                CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN
+                CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""")
+def pivot_user_event_values(spark, sf_dir):
+    """Pivot (long → wide): per-user value totals spread across
+    event-type columns.  The pivot values are declared explicitly, so
+    Spark skips the extra distinct-values job and the aggregate stays
+    one combinable groupBy (pivot compiles to conditional aggs — the
+    same plan the oracle spells out)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", ["click", "purchase", "view"])
+            .agg(_dsum("value"))
+            .orderBy("user_id"))
+
+
+@query("daily_revenue_delta", """
+WITH d AS (SELECT DATE_TRUNC('day', o_orderdate) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM orders GROUP BY DATE_TRUNC('day', o_orderdate))
+SELECT day, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY day) AS delta,
+       CAST(AVG(revenue) OVER (ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS ma7
+FROM d
+ORDER BY day
+""")
+def daily_revenue_delta(spark, sf_dir):
+    """Time-series analytics verbs: day-over-day LAG delta and a 7-day
+    moving average over the daily revenue series.  The ordered window
+    runs AFTER aggregation, on the calendar-bounded daily table (one
+    row per day — thousands of rows at any corpus scale), never on raw
+    facts."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+         .agg(_dsum("o_totalprice").alias("revenue")))
+    w = Window.orderBy("day")
+    ma = Window.orderBy("day").rowsBetween(-6, 0)
+    return (d.withColumn("delta", F.col("revenue") - F.lag("revenue").over(w))
+            .withColumn("ma7", F.avg("revenue").over(ma).cast("double"))
+            .orderBy("day"))
+
+
 @query("cube_returnflag_status", """
 SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) AS g_flag,
        GROUPING(l_linestatus) AS g_status, COUNT(*) AS n,
@@ -3213,6 +3268,7 @@ _ROUND_CHANGED = [
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_excess_suppliers", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "cube_returnflag_status",
+    "pivot_user_event_values", "daily_revenue_delta",
     # new live-mode coverage: typed zip state, live key algebra, native
     # sliding windows, cross-key running aggregate
     "live_zip_typed", "live_map_keys_bucket", "live_sliding_window",
@@ -3242,7 +3298,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "funnel_view_to_purchase",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_ivf_kmeans_codes",
     "dedup_embedding_cosine",
-    "pack_training_sequences", "shuffle_deterministic_shards",
 ]
 
 

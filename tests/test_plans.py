@@ -178,3 +178,22 @@ def test_keymap_take_no_prewindow_replication(spark, entry):
     plan = _plan(entry.queries()["keymap_take_region_value"](spark, SF))
     assert "Union" not in plan, "right events replicated into the window"
     assert plan.count("Window") >= 1
+
+
+def test_single_fact_scan_for_derived_relation_queries(spark, entry):
+    """Q2/Q11/Q17/Q21 reference a derived relation (per-part min/avg,
+    global threshold, per-order supplier sets) that a naive plan
+    recomputes — scanning lineitem once per reference.  The window-based
+    forms must scan each fact table exactly once."""
+    for name, table_col in [
+        ("q2_min_cost_supplier", "l_partkey"),
+        ("q11_important_stock", "l_partkey"),
+        ("q17_small_quantity_revenue", "l_partkey"),
+        ("q21_waiting_suppliers", "l_orderkey"),
+    ]:
+        plan = _plan(entry.queries()[name](spark, SF))
+        # formatted explain names the file only in each scan's detail
+        # block ("Location: ... lineitem.parquet")
+        li_scans = [l for l in plan.splitlines()
+                    if "Location" in l and "lineitem" in l]
+        assert len(li_scans) == 1, (name, li_scans)
