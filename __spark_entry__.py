@@ -2652,6 +2652,35 @@ def ann_batch_topk(spark, sf_dir):
                       F.col("rnk").cast("long").alias("rnk"))
 
 
+@query("ann_hard_negatives", f"""
+WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec
+      FROM n ORDER BY vec_id LIMIT 3),
+scored AS (
+  SELECT q.q_id, n.vec_id, n.label,
+         round({_cosine_sql('n.v', 'q.q_vec')}, 6) AS score
+  FROM n JOIN q ON n.label <> q.q_label)
+SELECT q_id, vec_id, label, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id) AS rnk
+  FROM scored) WHERE rnk <= 5
+""")
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training data op): per anchor,
+    the top-k most-similar vectors with a DIFFERENT label.  Broadcast
+    anchors, one corpus scan, label mismatch filtered map-side on the
+    broadcast join — only Q x k rows shuffle."""
+    from scespet_spark.operators.similarity import hard_negatives
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.orderBy("vec_id").limit(3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("label").alias("q_label"),
+                 F.col("embedding").cast("array<double>").alias("q_vec")))
+    out = hard_negatives(emb, q, k=5)
+    return out.select("q_id", "vec_id", "label", "score",
+                      F.col("rnk").cast("long").alias("rnk"))
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """Lloyd's k-means unrolled into chained CTE stages (the iteration
     count is a fixed hyper-parameter, so the 'iterative' algorithm is a
@@ -3277,6 +3306,7 @@ _ROUND_CHANGED = [
     # approx profiler / HLL cardinality (rows-only sketch paths)
     "keymap_take_region_value", "sliding_window_scan",
     "profile_lineitem_approx", "approx_distinct_users_daily",
+    "ann_hard_negatives",
     # implementation changed this round: quota exactness fix,
     # CC convergence batching, EWMA two-phase rework, typed live state
     # (zip/asof), profiler approx parameter
@@ -3297,7 +3327,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "session_windows_user", "sliding_window_user", "key_to_stream_daily",
     "funnel_view_to_purchase",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_ivf_kmeans_codes",
-    "dedup_embedding_cosine",
 ]
 
 

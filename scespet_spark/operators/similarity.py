@@ -184,6 +184,30 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rnk") <= k))
 
 
+def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label", q_id: str = "q_id",
+                   q_vec: str = "q_vec", q_label: str = "q_label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    embedding, the ``k`` most-similar corpus vectors with a DIFFERENT
+    label — the near-misses a contrastive loss learns most from.
+
+    Same scale shape as ``batch_topk``: the queries (anchor rows)
+    broadcast against the corpus in ONE scan — the label-mismatch
+    predicate rides the broadcast join, so same-label rows are dropped
+    map-side before scoring — then a per-query rank keeps k rows.  Only
+    Q×k result rows ever shuffle; the corpus never moves."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = (df.join(F.broadcast(queries),
+                      F.col(label_col) != F.col(q_label))
+              .select(q_id, F.col(id_col), F.col(label_col),
+                      F.round(cosine(v, F.col(q_vec).cast("array<double>")),
+                              6).alias("score")))
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
 def _pq_assign_udf(cent_list: list[dict[int, list[float]]], m: int,
                    dsub: int):
     """Pandas UDF assigning all ``m`` subspace codes for a full vector

@@ -251,6 +251,24 @@ def test_batch_topk_self_is_top1(spark):
     assert top1 == {0: 0, 1: 1}  # each query's nearest neighbor is itself
 
 
+def test_hard_negatives_excludes_own_label(spark):
+    from scespet_spark.operators.similarity import hard_negatives
+    from pyspark.sql import functions as F
+    # vec 0 (label 0) is nearly identical to vec 2 (label 0) and vec 3
+    # (label 1): the same-label near-dup must NOT appear as a negative
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1),
+            (2, [0.99, 0.01], 0), (3, [0.98, 0.02], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = (df.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("label").alias("q_label"),
+                 F.col("embedding").cast("array<double>").alias("q_vec")))
+    out = hard_negatives(df, q, k=2).collect()
+    assert all(r.label != 0 for r in out)
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rnk)] == [3, 1]
+
+
 def test_kmeans_codes_partitions_all_points(spark):
     from scespet_spark.operators.similarity import kmeans_codes
     rows = [(i, [float(i % 2) * 10 + j * 0.01, float(i % 2)])
