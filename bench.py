@@ -68,6 +68,9 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
     "cube_returnflag_status",
+    "pivot_user_event_values",
+    "daily_revenue_delta",
+    "ann_hard_negatives",
 ]
 
 

@@ -500,3 +500,27 @@ def test_live_key_to_stream_binds_static_factory(spark, batch_events):
     for u in range(5):
         assert rows[u] == f"cfg{u}"       # bound cells carry factory data
     assert all(v is None for u, v in rows.items() if u >= 5)  # unbound
+
+
+def test_streaming_map_vector_equals_batch(spark, batch_events):
+    # live cross-key running aggregate == the batch map_vector form
+    from scespet_spark import Stream
+    from scespet_spark.streaming.live import LiveStream, run_available_now
+
+    live = (LiveStream.from_events(spark, SF)
+            .by("user_id")
+            .map_vector(n_events=("count",), vmax=("max", "value"),
+                        vsum=("sum", "value"), vmin=("min", "value")))
+    out = run_available_now(live.df, "append")
+    got = sorted((r.event_id, r.n_events, round(r.vmax, 9),
+                  round(r.vsum, 6), round(r.vmin, 9))
+                 for r in out.collect())
+
+    batch = (Stream(batch_events, t="ts", seq="event_id")
+             .by("user_id", name="user_id")
+             .map_vector(n_events=F.count("*"), vmax=F.max("value"),
+                         vsum=F.sum("value"), vmin=F.min("value")))
+    want = sorted((r.event_id, r.n_events, round(r.vmax, 9),
+                   round(r.vsum, 6), round(r.vmin, 9))
+                  for r in batch.df.collect())
+    assert got == want and len(got) > 0
