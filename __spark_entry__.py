@@ -3169,6 +3169,55 @@ def multimodal_decode(spark, sf_dir):
     return decode_images(attach_payload(docs))
 
 
+@query("multimodal_resize", """
+WITH d AS (
+  SELECT doc_id,
+         CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS INT)
+           AS width,
+         CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS INT)
+           AS height,
+         md5(text) AS sig
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST(width * 128 // greatest(width, height) AS INT) AS out_w,
+       CAST(height * 128 // greatest(width, height) AS INT) AS out_h,
+       md5(sig || '#128') AS resized_sig
+FROM d
+""")
+def multimodal_resize(spark, sf_dir):
+    """Decode + aspect-preserving resize fused in one Arrow pass —
+    integer-arithmetic target dims, stubbed pixel kernel (PIL absent in
+    container; Spark-side schema/batching/fusion real)."""
+    from scespet_spark.operators.multimodal import attach_payload, resize_images
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_payload(docs), max_side=128)
+
+
+@query("multimodal_audio_features", """
+WITH d AS (
+  SELECT doc_id, md5(text) AS sig,
+         CAST(8000 + ('0x' || substr(md5(text), 5, 2))::INT % 4 * 8000
+              AS INT) AS sample_rate,
+         CAST(octet_length(encode(text)) * 10 % 60000 + 1000 AS BIGINT)
+           AS duration_ms
+  FROM documents)
+SELECT doc_id, sample_rate, duration_ms,
+       CAST(unnest(generate_series(0, duration_ms // 1000)) AS BIGINT)
+         AS frame_idx,
+       ('0x' || substr(md5(sig || ':' ||
+                           unnest(generate_series(0, duration_ms // 1000))),
+                       1, 4))::INT % 1000 / 1000.0 AS energy
+FROM d
+""")
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction (one-to-many frame expansion) through
+    the Arrow mapInPandas shape — per-frame energy rows; codec stubbed
+    (ffmpeg/torchaudio absent), expansion/batching/schema real."""
+    from scespet_spark.operators.multimodal import attach_payload, audio_features
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(attach_payload(docs), frame_ms=1000)
+
+
 @query("multimodal_frame_sample", """
 WITH b AS (SELECT doc_id, text,
                   octet_length(encode(text)) % 90 + 10 AS n_frames
@@ -3306,7 +3355,7 @@ _ROUND_CHANGED = [
     # approx profiler / HLL cardinality (rows-only sketch paths)
     "keymap_take_region_value", "sliding_window_scan",
     "profile_lineitem_approx", "approx_distinct_users_daily",
-    "ann_hard_negatives",
+    "ann_hard_negatives", "multimodal_resize", "multimodal_audio_features",
     # implementation changed this round: quota exactness fix,
     # CC convergence batching, EWMA two-phase rework, typed live state
     # (zip/asof), profiler approx parameter
@@ -3326,7 +3375,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "map_stream", "filter_stream", "by_reduce_total", "window_gated_scan",
     "session_windows_user", "sliding_window_user", "key_to_stream_daily",
     "funnel_view_to_purchase",
-    "ann_brute_force_topk", "ann_ivf_topk", "ann_ivf_kmeans_codes",
+    "ann_brute_force_topk",
 ]
 
 

@@ -24,7 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 MEDIA_META = StructType([
@@ -82,6 +83,92 @@ def decode_images(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("resized_sig", StringType()),
+])
+
+
+def resize_images(df: DataFrame, max_side: int = 128,
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Decode + aspect-preserving resize fused in ONE mapInPandas pass
+    (the production shape: the codec holds the pixel buffer, so resizing
+    in a second pass would re-decode or ship pixels between stages).
+    Target dims use integer arithmetic (w*max_side // max(w,h)) so the
+    plan is engine-deterministic; the pixel kernel itself is STUBBED
+    like ``decode_images`` (resized_sig stands in for the output
+    bytes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "out_w",
+                                   "out_h", "resized_sig")}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                w, h = _decode_one(b)
+                m = max(w, h)
+                sig = hashlib.md5(b).hexdigest()
+                out["doc_id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(w * max_side // m)
+                out["out_h"].append(h * max_side // m)
+                out["resized_sig"].append(
+                    hashlib.md5(f"{sig}#{max_side}".encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, RESIZED_IMAGE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("energy", DoubleType()),
+])
+
+
+def audio_features(df: DataFrame, frame_ms: int = 1000,
+                   id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Audio feature-extraction STUB: each payload expands one-to-many
+    into per-frame feature rows (frame energy here; MFCC vectors in
+    production) via the same iterator-of-batches mapInPandas shape —
+    per-task codec init, Arrow-columnar batches, output rows ≫ input
+    rows.  Pseudo sample-rate/duration/energy derive deterministically
+    from the content digest so the pipeline is oracle-checkable without
+    torchaudio/ffmpeg in the container."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "duration_ms",
+                                   "frame_idx", "energy")}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                d = hashlib.md5(b)
+                sig, dig = d.hexdigest(), d.digest()
+                sr = 8000 + dig[2] % 4 * 8000
+                dur = len(b) * 10 % 60000 + 1000
+                for f in range(dur // frame_ms + 1):
+                    h = hashlib.md5(f"{sig}:{f}".encode()).hexdigest()
+                    out["doc_id"].append(i)
+                    out["sample_rate"].append(sr)
+                    out["duration_ms"].append(dur)
+                    out["frame_idx"].append(f)
+                    out["energy"].append(int(h[:4], 16) % 1000 / 1000.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample(df: DataFrame, id_col: str = "doc_id",

@@ -147,6 +147,26 @@ def test_multimodal_decode_deterministic(docs):
     assert (out[0].width, out[0].height) == (out[1].width, out[1].height)
 
 
+def test_resize_preserves_aspect_and_bounds(docs):
+    from scespet_spark.operators.multimodal import resize_images
+    out = resize_images(attach_payload(docs), max_side=128).collect()
+    assert len(out) == 5
+    for r in out:
+        assert max(r.out_w, r.out_h) == 128  # long side hits the target
+        assert r.out_w == r.width * 128 // max(r.width, r.height)
+        assert r.out_h == r.height * 128 // max(r.width, r.height)
+
+
+def test_audio_features_frame_expansion(docs):
+    from scespet_spark.operators.multimodal import audio_features
+    out = audio_features(attach_payload(docs), frame_ms=1000)
+    rows = out.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    dur = rows[0].duration_ms
+    assert [r.frame_idx for r in rows] == list(range(dur // 1000 + 1))
+    assert all(0.0 <= r.energy < 1.0 for r in rows)
+    assert len({r.sample_rate for r in rows}) == 1
+
+
 def test_frame_sample_stride(docs):
     out = frame_sample(attach_payload(docs), every_n=10)
     rows = out.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
