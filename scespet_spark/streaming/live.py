@@ -534,6 +534,27 @@ def run_available_now(df: DataFrame, output_mode: str = "complete",
     return df.sparkSession.table(name)
 
 
+def write_parquet(df: DataFrame, path: str, checkpoint: str,
+                  partition_by: Iterable[str] = (),
+                  output_mode: str = "append") -> None:
+    """The production file sink: AvailableNow parquet write with a
+    checkpoint.  The checkpoint's offset log makes restarts exactly-once
+    — re-running with the same checkpoint against already-processed
+    input writes NOTHING new (no dedup pass needed downstream), and a
+    crash mid-run resumes from the last committed batch.  Partitioning
+    columns cluster output files for downstream partition pruning."""
+    w = (df.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode)
+         .trigger(availableNow=True))
+    pb = list(partition_by)
+    if pb:
+        w = w.partitionBy(*pb)
+    q = w.start()
+    q.awaitTermination()
+
+
 class LiveStream:
     """The fluent Stream surface over a *streaming* DataFrame — the
     reference's central contract is that one expression works on both
@@ -732,6 +753,12 @@ class LiveStream:
 
     def run(self, output_mode: str = "append") -> DataFrame:
         return run_available_now(self.df, output_mode)
+
+    def to_parquet(self, path: str, checkpoint: str,
+                   partition_by: Iterable[str] = ()) -> None:
+        """Checkpointed parquet sink (see ``write_parquet``): the
+        durable, exactly-once-on-restart output path."""
+        write_parquet(self.df, path, checkpoint, partition_by)
 
 
 class LiveGrouped:

@@ -524,3 +524,22 @@ def test_streaming_map_vector_equals_batch(spark, batch_events):
                    round(r.vsum, 6), round(r.vmin, 9))
                   for r in batch.df.collect())
     assert got == want and len(got) > 0
+
+
+def test_parquet_sink_checkpoint_exactly_once(spark, batch_events, tmp_path):
+    # the durable output path: AvailableNow parquet write; re-running
+    # against the same checkpoint must be a no-op (offset log replays
+    # nothing), so restarts never duplicate rows downstream
+    from scespet_spark.streaming.live import LiveStream
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    live = (LiveStream.from_events(spark, SF)
+            .filter(F.col("event_type") == "purchase"))
+    live.to_parquet(out, ckpt)
+    n_want = batch_events.filter(F.col("event_type") == "purchase").count()
+    assert spark.read.parquet(out).count() == n_want
+
+    live2 = (LiveStream.from_events(spark, SF)
+             .filter(F.col("event_type") == "purchase"))
+    live2.to_parquet(out, ckpt)  # same checkpoint: exactly-once
+    assert spark.read.parquet(out).count() == n_want
