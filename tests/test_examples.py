@@ -28,3 +28,10 @@ def test_trades_example(spark, capsys):
     trades_example.main()
     out = capsys.readouterr().out
     assert "VOD" in out or "vwap" in out.lower()
+
+
+def test_live_pipeline_example(spark, tmp_path, capsys):
+    import live_pipeline
+    n_batch, n_live = live_pipeline.main(SF, out_dir=str(tmp_path / "lp"))
+    assert n_batch == n_live > 0
+    assert "exactly-once: True" in capsys.readouterr().out
