@@ -68,6 +68,13 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
     import numpy as np
 
     def _chunked_fold(batches, group_keys, init_carry=None):
+        # ignore_na=True makes the fold the exact skip-null recurrence:
+        # a null value is "no event" (emits the previous mean, consumes
+        # no decay step) — matching the reference's double-typed fold,
+        # where nulls cannot occur, and keeping the bucketed carry
+        # composition (pure linear recurrence) exact under nulls.  The
+        # carry is only updated from non-NaN end values so an all-null
+        # chunk can't poison later chunks.
         carry: dict = dict(init_carry or {})
         for pdf in batches:
             if not len(pdf):
@@ -80,12 +87,15 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
                 x = pdf[value_col].to_numpy()[idx].astype(np.float64)
                 if kt in carry:
                     seeded = np.concatenate(([carry[kt]], x))
-                    r = (pd.Series(seeded).ewm(alpha=alpha, adjust=False)
+                    r = (pd.Series(seeded)
+                         .ewm(alpha=alpha, adjust=False, ignore_na=True)
                          .mean().to_numpy()[1:])
                 else:
-                    r = (pd.Series(x).ewm(alpha=alpha, adjust=False)
+                    r = (pd.Series(x)
+                         .ewm(alpha=alpha, adjust=False, ignore_na=True)
                          .mean().to_numpy())
-                carry[kt] = r[-1]
+                if not np.isnan(r[-1]):
+                    carry[kt] = r[-1]
                 vals[idx] = r
             pdf = pdf.copy()
             pdf[out] = vals
@@ -115,45 +125,60 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
         btype = df2.schema["__b"].dataType
 
         def _phase1(batches):
-            # per bucket: event count + 0-seeded fold end value, carried
-            # across Arrow chunks (buckets are contiguous in the sorted
-            # partition, but a chunk boundary can split one)
+            # per bucket: NON-NULL event count, 0-seeded fold end value,
+            # and the bucket's first non-null value, carried across Arrow
+            # chunks (buckets are contiguous in the sorted partition, but
+            # a chunk boundary can split one).  Nulls consume no decay
+            # step (skip-null recurrence, see _chunked_fold) so only
+            # non-null counts enter the (1-a)^n carry composition; the
+            # first values let the driver derive the global seed x1
+            # without a separate scan of the data.
             state: dict = {}
             for pdf in batches:
                 if not len(pdf):
                     continue
                 for bk, idx in pdf.groupby("__b", sort=False).indices.items():
                     x = pdf[value_col].to_numpy()[idx].astype(np.float64)
-                    n0, z0 = state.get(bk, (0, 0.0))
-                    r = (pd.Series(np.concatenate(([z0], x)))
-                         .ewm(alpha=alpha, adjust=False).mean().to_numpy())
-                    state[bk] = (n0 + len(x), float(r[-1]))
+                    valid = x[~np.isnan(x)]
+                    n0, z0, f0 = state.get(bk, (0, 0.0, None))
+                    if len(valid):
+                        r = (pd.Series(np.concatenate(([z0], x)))
+                             .ewm(alpha=alpha, adjust=False, ignore_na=True)
+                             .mean().to_numpy())
+                        z0 = float(r[-1])
+                        if f0 is None:
+                            f0 = float(valid[0])
+                    state[bk] = (n0 + len(valid), z0, f0)
             if state:  # empty partitions must not emit (a frame with no
                 # rows would carry default float dtypes Arrow can't cast
                 # to e.g. a timestamp bucket column)
                 yield pd.DataFrame(
                     {"__b": pd.Series(list(state), dtype=object),
                      "__n": [v[0] for v in state.values()],
-                     "__z": [v[1] for v in state.values()]})
+                     "__z": [v[1] for v in state.values()],
+                     "__f": [v[2] for v in state.values()]})
 
         p1_schema = StructType([StructField("__b", btype),
                                 StructField("__n", LongType()),
-                                StructField("__z", DoubleType())])
+                                StructField("__z", DoubleType()),
+                                StructField("__f", DoubleType())])
         pairs = part.mapInPandas(_phase1, p1_schema).collect()  # B rows
-        first = df2.select(
-            F.min_by(F.col(value_col).cast("double"),
-                     F.struct(*order)).alias("x1")).first()
-        if not pairs or first is None or first.x1 is None:
+        pairs = sorted(pairs, key=lambda r: r["__b"])
+        first_real = next((r for r in pairs if r["__n"] > 0), None)
+        if first_real is None:  # no non-null value anywhere
             return stream._derive(
                 df.withColumn(out, F.lit(None).cast("double")))
-        x1 = float(first.x1)
+        x1 = float(first_real["__f"])
         cin: dict = {}
         c = None
-        for r in sorted(pairs, key=lambda r: r["__b"]):
+        for r in pairs:
             bk, nk, zk = r["__b"], r["__n"], r["__z"]
             if c is None:
-                # first bucket: unseeded (y_1 = x_1 exactly); its end
-                # value composes as z + (1-a)^n * x1
+                # leading buckets before the first value pass the null
+                # state through; the first real bucket's end value
+                # composes as z + (1-a)^n * x1 (unseeded: y_1 = x_1)
+                if nk == 0:
+                    continue
                 c = zk + (1.0 - alpha) ** nk * x1
             else:
                 cin[(bk,)] = c

@@ -722,26 +722,37 @@ class LiveStream:
             for n, (k, _) in specs.items())
         out_types = {n: "bigint" if k == "count" else "double"
                      for n, (k, _) in specs.items()}
-        out_schema = (f"__all int, {self.t} timestamp, {self.seq} bigint, "
-                      + ", ".join(f"{n} {t}" for n, t in out_types.items()))
+        tddl = self.df.schema[self.t].dataType.simpleString()
+        sddl = self.df.schema[self.seq].dataType.simpleString()
+        out_schema = (f"__all int, {self.t} {tddl}, {self.seq} {sddl}, "
+                      + ", ".join(f"{n} {ty}" for n, ty in out_types.items()))
         t, seq = self.t, self.seq
 
         def step(st, pdf):
+            # null values must not poison the persisted state: batch
+            # map_vector's F.sum/F.max windows IGNORE nulls, so the live
+            # fold mirrors that — a null contributes nothing to sum, and
+            # max/min carry through null rows (null only before the
+            # first real value)
+            import math
             out = pdf[[t, seq]].copy()
             for name, (kind, col) in specs.items():
                 if kind == "count":
                     run = st[name] + pd.RangeIndex(1, len(pdf) + 1)
                     st[name] = int(run[-1])
                 elif kind == "sum":
-                    run = st[name] + pdf[col].astype("float64").cumsum()
+                    run = st[name] + pdf[col].astype("float64").fillna(
+                        0.0).cumsum()
                     st[name] = float(run.iloc[-1])
                 else:
                     s = pdf[col].astype("float64")
-                    run = (s.cummax() if kind == "max" else s.cummin())
+                    run = (s.cummax() if kind == "max" else s.cummin()).ffill()
                     if st[name] is not None:
                         run = (run.clip(lower=st[name]) if kind == "max"
-                               else run.clip(upper=st[name]))
-                    st[name] = float(run.iloc[-1])
+                               else run.clip(upper=st[name])).fillna(st[name])
+                    last = run.iloc[-1]
+                    if not (isinstance(last, float) and math.isnan(last)):
+                        st[name] = float(last)
                 out[name] = run
             return out
 

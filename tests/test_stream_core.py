@@ -502,3 +502,39 @@ def test_ewma_keyed_rejects_buckets(spark):
                t="t", seq="seq", keys=("k",))
     with _pytest.raises(ValueError, match="unkeyed"):
         ewma(s, "v", 0.5, buckets=F.col("t"))
+
+
+def test_ewma_nulls_skip_without_decay(spark):
+    # a null value is "no event": it emits the previous mean, consumes
+    # no decay step, and must not poison the fold — in BOTH the
+    # monolithic and the bucketed two-phase paths, including a null as
+    # the globally-first row (the seed is the first NON-null value)
+    from scespet_spark.functions.reducers import ewma
+    vals = [None, 1.0, None, 3.0, None, None, 5.0, 7.0]
+    rows = [(i, i, v) for i, v in enumerate(vals)]
+    s = Stream(spark.createDataFrame(rows, "t long, seq long, v double"),
+               t="t", seq="seq")
+    mono = [r.ewma for r in ewma(s, "v", 0.5).df.orderBy("seq").collect()]
+    two = [r.ewma for r in
+           ewma(s, "v", 0.5, buckets=(F.col("t") / 3).cast("long"))
+           .df.orderBy("seq").collect()]
+    # skip-null recurrence by hand: seed 1.0; 3 -> 2.0; 5 -> 3.5; 7 -> 5.25
+    want = [None, 1.0, 1.0, 2.0, 2.0, 2.0, 3.5, 5.25]
+    assert mono == want
+    assert two == want
+
+
+def test_ewma_bucketed_leading_null_bucket(spark):
+    # an ENTIRELY-null leading bucket must pass the null state through
+    # (emissions null until the first real value, later buckets seeded
+    # from the first real bucket) — the x1 seed comes from phase 1's
+    # per-bucket first values, not a min_by over possibly-null rows
+    from scespet_spark.functions.reducers import ewma
+    vals = [None, None, None, 4.0, 8.0, 2.0]
+    rows = [(i, i, v) for i, v in enumerate(vals)]
+    s = Stream(spark.createDataFrame(rows, "t long, seq long, v double"),
+               t="t", seq="seq")
+    two = [r.ewma for r in
+           ewma(s, "v", 0.5, buckets=(F.col("t") / 3).cast("long"))
+           .df.orderBy("seq").collect()]
+    assert two == [None, None, None, 4.0, 6.0, 4.0]

@@ -543,3 +543,26 @@ def test_parquet_sink_checkpoint_exactly_once(spark, batch_events, tmp_path):
              .filter(F.col("event_type") == "purchase"))
     live2.to_parquet(out, ckpt)  # same checkpoint: exactly-once
     assert spark.read.parquet(out).count() == n_want
+
+
+def test_streaming_map_vector_null_values(spark, tmp_path):
+    # null values must not poison persisted state: sum treats null as 0
+    # contribution, max/min carry through — matching batch F.sum/F.max
+    # windows, which ignore nulls (the state survives across micro-batch
+    # boundaries, so the all-important case is a null at a batch edge)
+    from scespet_spark.streaming.live import LiveStream, run_available_now
+
+    bdf = (spark.createDataFrame(
+        [(i, i, v) for i, v in enumerate([None, 2.0, None, 8.0, None, 1.0])],
+        "t long, event_id long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t"))
+    src_dir = str(tmp_path / "src")
+    bdf.coalesce(1).write.parquet(src_dir)
+    sdf = (spark.readStream.schema(bdf.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    live = LiveStream(sdf).map_vector(
+        n=("count",), vsum=("sum", "value"), vmax=("max", "value"))
+    out = {r.event_id: (r.n, r.vsum, r.vmax)
+           for r in run_available_now(live.df, "append").collect()}
+    assert out == {0: (1, 0.0, None), 1: (2, 2.0, 2.0), 2: (3, 2.0, 2.0),
+                   3: (4, 10.0, 8.0), 4: (5, 10.0, 8.0), 5: (6, 11.0, 8.0)}
