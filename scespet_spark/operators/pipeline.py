@@ -133,18 +133,21 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
             m = np.stack(sub).astype(np.float64)
             mn = m.min(axis=1, keepdims=True)
             mx = m.max(axis=1, keepdims=True)
-            rng = mx - mn
-            rng[rng == 0] = 1.0  # constant vectors -> (x-mn)=0 -> code 0
-            qs = list(np.floor((m - mn) / (rng / levels) + 0.5)
-                      .astype(np.int32))
+            # guard on the STEP, not the range: a subnormal range (e.g.
+            # 5e-324) is nonzero but (rng / levels) underflows to 0.0,
+            # which would divide-by-zero; such vectors are constant at
+            # any representable code resolution -> all-zero codes
+            scale = (mx - mn) / levels
+            scale[scale == 0] = 1.0
+            qs = list(np.floor((m - mn) / scale + 0.5).astype(np.int32))
         else:  # ragged: per-row fallback
             qs = []
             for a in sub:
                 a = np.asarray(a, dtype=np.float64)
                 mn, mx = a.min(), a.max()
-                qs.append(np.zeros(len(a), dtype=np.int32) if mx == mn else
-                          np.floor((a - mn) / ((mx - mn) / levels) + 0.5)
-                          .astype(np.int32))
+                step = (mx - mn) / levels
+                qs.append(np.zeros(len(a), dtype=np.int32) if step == 0 else
+                          np.floor((a - mn) / step + 0.5).astype(np.int32))
         # per-slot assignment: out[valid] = qs would make numpy coerce
         # the equal-length rows into a 2-D array and shape-error
         for j, row in zip(np.flatnonzero(valid), qs):
