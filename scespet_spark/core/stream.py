@@ -163,15 +163,31 @@ class Stream:
 
     @classmethod
     def from_parquet(cls, spark, path: str, t: str = ordering.T,
-                     seq: str | None = None, keys: Sequence[str] = ()) -> "Stream":
+                     seq: str | None = None, keys: Sequence[str] = (),
+                     nanos_ts: bool = False) -> "Stream":
         """Register a replayable source (reference: EnvTermBuilder.asStream,
         src/scespet/EnvTermBuilder.scala:47-57; IteratorEvents,
         SimpleEvaluator.scala:33-62).  No sort is materialized — ordering
-        is a *convention* consumed lazily by window specs."""
+        is a *convention* consumed lazily by window specs.
+
+        ``nanos_ts=True`` declares that ``t`` is stored as parquet
+        TIMESTAMP(NANOS) — under the session's nanosAsLong conf it reads
+        as an epoch-nanos long, and is truncated here to a micros
+        timestamp exactly as ``load_table`` does for the driver tables
+        (INTEGER division; float division corrupts values > 2^53).  It
+        cannot be auto-detected: a plain BIGINT event-time column (a
+        supported convention) is indistinguishable from the nanos read."""
+        from pyspark.sql.types import LongType
+
         from ..sources.batch import ensure_nanos_conf
-        ensure_nanos_conf(spark)  # sessions not built by get_spark: keep
-        # TIMESTAMP(NANOS)/NTZ parquet handling identical to load_table
+        ensure_nanos_conf(spark)  # sessions not built by get_spark
         df = spark.read.parquet(path)
+        if nanos_ts:
+            if not isinstance(df.schema[t].dataType, LongType):
+                raise ValueError(
+                    f"nanos_ts=True but column {t!r} read as "
+                    f"{df.schema[t].dataType.simpleString()}, not long")
+            df = df.withColumn(t, F.timestamp_micros(F.expr(f"`{t}` div 1000")))
         if seq is None:
             seq = "seq"
             df = df.withColumn(seq, F.monotonically_increasing_id())
@@ -448,9 +464,20 @@ class Stream:
             *keys, _BUCKET,
             *[self._MERGES[merge.get(n, "sum")][0](f"__tot_{n}").over(w_pref)
               .alias(f"__off_{n}") for n in names])
+        # null-SAFE join keys: a bucket expression evaluating to null
+        # (e.g. date_trunc of a null timestamp) groups fine in partials,
+        # but plain equi-join equality would silently drop those rows —
+        # the plain scan keeps them (nulls sort first), so must we
+        offsets = offsets.select(
+            *[F.col(k).alias(f"__jk_{k}") for k in keys],
+            F.col(_BUCKET).alias("__jb"),
+            *[F.col(f"__off_{n}") for n in names])
         if not keys:
             offsets = F.broadcast(offsets)
-        out = df.join(offsets, [*keys, _BUCKET])
+        cond = [F.col(k).eqNullSafe(F.col(f"__jk_{k}")) for k in keys]
+        cond.append(F.col(_BUCKET).eqNullSafe(F.col("__jb")))
+        out = df.join(offsets, cond).drop("__jb",
+                                          *[f"__jk_{k}" for k in keys])
         for n in names:
             combine = self._MERGES[merge.get(n, "sum")][1]
             out = out.withColumn(n, combine(F.col(n), F.col(f"__off_{n}")))
@@ -489,7 +516,7 @@ class Stream:
         onto this stream (gate-first on timestamp ties = close beats data),
         then gate as in ``window``."""
         joined = _asof_gate(self, gate_stream, gate_col)
-        return WindowedStream(joined, F.col(_GATE), gate_is_column=True)
+        return WindowedStream(joined, F.col(_GATE))
 
     # -- temporal joins (reference: MacroTerm.scala:190-230,
     #    VectorJoin.scala:16-133) -------------------------------------------
@@ -593,6 +620,21 @@ class Stream:
 # ---------------------------------------------------------------------------
 # grouped (sliced) streams
 # ---------------------------------------------------------------------------
+
+
+def _last_pos(s: "Stream") -> Column:
+    """Aggregate: the (t, seq) pair of the group's last event, as one
+    lexicographic struct max — the pair always names a REAL row, unlike
+    independent max(t)/max(seq) (exactly the pitfall _scalable_scan's
+    max_by comment documents)."""
+    return F.max(F.struct(F.col(s.t).alias("t"),
+                          F.col(s.seq).alias("s"))).alias("__pos")
+
+
+def _split_pos(df: DataFrame, s: "Stream") -> DataFrame:
+    return (df.withColumn(s.t, F.col("__pos.t"))
+            .withColumn(s.seq, F.col("__pos.s"))
+            .drop("__pos"))
 
 
 class GroupedStream:
@@ -706,22 +748,24 @@ class GroupedStream:
         return s._derive(df.drop(_BUCKET))
 
     def reduce(self, **aggs: Column) -> Stream:
-        """One row per bucket, emitted at the bucket's last event time."""
+        """One row per bucket, emitted at the bucket's last event time —
+        the (t, seq) PAIR of the bucket's last event by (t, seq) order
+        (a lexicographic struct max), never independent max(t)/max(seq),
+        which could name a row that doesn't exist when seq is not
+        monotone with t."""
         if isinstance(self.spec, Sliding):
             s = self.stream
             out = (s.df.groupBy(
                 *s.keys,
                 F.window(F.col(s.t), self.spec.duration,
                          self.spec.slide).alias(_BUCKET))
-                .agg(F.max(s.t).alias(s.t), F.max(s.seq).alias(s.seq),
-                     *[a.alias(n) for n, a in aggs.items()])
+                .agg(_last_pos(s), *[a.alias(n) for n, a in aggs.items()])
                 .withColumn("win_start", F.col(_BUCKET).getField("start")))
-            return s._derive(out.drop(_BUCKET))
+            return s._derive(_split_pos(out, s).drop(_BUCKET))
         s = self._with_bucket()
         out = (s.df.groupBy(*s.keys, _BUCKET)
-               .agg(F.max(s.t).alias(s.t), F.max(s.seq).alias(s.seq),
-                    *[a.alias(n) for n, a in aggs.items()]))
-        return s._derive(out.drop(_BUCKET))
+               .agg(_last_pos(s), *[a.alias(n) for n, a in aggs.items()]))
+        return s._derive(_split_pos(out, s).drop(_BUCKET))
 
 
 # ---------------------------------------------------------------------------
@@ -739,7 +783,7 @@ class WindowedStream:
     semantics fixed by TestSingleTerms.scala:193-212 "reduce while",
     where the trailing Open..512 never emits)."""
 
-    def __init__(self, stream: Stream, gate: Column, gate_is_column: bool = True):
+    def __init__(self, stream: Stream, gate: Column):
         self.stream = stream
         self.gate = gate
 
@@ -776,10 +820,8 @@ class WindowedStream:
         closed = (F.col(_WIN) < F.col("__max_win")) | ~F.col("__last_gate")
         df = df.filter(F.col(_GATE) & closed)
         out = (df.groupBy(*s.keys, _WIN)
-               .agg(F.max(s.t).alias(s.t), F.max(s.seq).alias(s.seq),
-                    *[a.alias(n) for n, a in aggs.items()])
-               .drop(_WIN))
-        return s._derive(out)
+               .agg(_last_pos(s), *[a.alias(n) for n, a in aggs.items()]))
+        return s._derive(_split_pos(out, s).drop(_WIN))
 
 
 # ---------------------------------------------------------------------------
@@ -801,19 +843,32 @@ def _temporal_join(left: Stream, right: Stream, left_cols: Sequence[str],
     lc = [c for c in left_cols if c not in keys]
     rc = [c for c in right_cols if c not in keys]
 
+    # values travel in single-field marker STRUCTS: the other side's
+    # padding is a null struct (skipped by the ignorenulls fill), while a
+    # row's own null VALUE is a non-null struct wrapping null — a real
+    # update that makes "latest" null, matching the live zip/asof state
+    # semantics and the broadcast/interval forms (which carry actual
+    # rows and so never confused padding with null updates)
+    def _wrap(c, side_df):
+        return F.struct(F.col(c).alias("v"))
+
+    def _pad(c, side_df):
+        ddl = side_df.schema[c].dataType.simpleString()
+        return F.lit(None).cast(f"struct<v: {ddl}>")
+
     lt = left.df.select(
         F.col(left.t).alias("ts_"), F.col(left.seq).alias("seq_"),
         *keys,
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__l_{c}") for c in lc],
-        *[F.lit(None).cast(right.df.schema[c].dataType).alias(f"__r_{c}") for c in rc],
+        *[_wrap(c, left.df).alias(f"__l_{c}") for c in lc],
+        *[_pad(c, right.df).alias(f"__r_{c}") for c in rc],
     )
     rt = right.df.select(
         F.col(right.t).alias("ts_"), F.col(right.seq).alias("seq_"),
         *keys,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(left.df.schema[c].dataType).alias(f"__l_{c}") for c in lc],
-        *[F.col(c).alias(f"__r_{c}") for c in rc],
+        *[_pad(c, left.df).alias(f"__l_{c}") for c in lc],
+        *[_wrap(c, right.df).alias(f"__r_{c}") for c in rc],
     )
     u = lt.unionByName(rt)
     w = (Window.partitionBy(*keys)
@@ -827,8 +882,8 @@ def _temporal_join(left: Stream, right: Stream, left_cols: Sequence[str],
     else:
         u = u.filter(F.col("__side") == 1)
     sel = [F.col("ts_").alias(left.t), F.col("seq_").alias(left.seq), *keys]
-    sel += [F.col(f"__l_{c}").alias(c) for c in lc]
-    sel += [F.col(f"__r_{c}").alias(c) for c in rc]
+    sel += [F.col(f"__l_{c}").getField("v").alias(c) for c in lc]
+    sel += [F.col(f"__r_{c}").getField("v").alias(c) for c in rc]
     out = u.select(*sel)
     return Stream(out, left.t, left.seq, tuple(keys))
 

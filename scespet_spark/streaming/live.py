@@ -90,6 +90,14 @@ def dedupe(df: DataFrame, cols: Iterable[str], t: str = "ts",
             .dropDuplicatesWithinWatermark(list(cols)))
 
 
+def _key_ddl(df: DataFrame, keys: Iterable[str]) -> str:
+    """Key columns typed from the INPUT schema — hardcoding ``long``
+    would crash (Arrow cast) any stream keyed on a string/other column,
+    which batch mode supports."""
+    return ", ".join(f"{k} {df.schema[k].dataType.simpleString()}"
+                     for k in keys)
+
+
 def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
                   step: Callable, out_schema: str, t: str = "ts",
                   order_cols: list[str] | None = None,
@@ -150,8 +158,11 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
         key_vals = dict(zip(keys, key))
         if isinstance(rows, pd.DataFrame):
             yield rows.assign(**key_vals)
-        else:
+        elif rows:
             yield pd.DataFrame([{**key_vals, **r} for r in rows])
+        # an empty LIST yields nothing: pd.DataFrame([]) has zero
+        # columns and fails Arrow conversion against out_schema — a
+        # conditional-emission step returning [] must be a clean no-op
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, schema, "append", GroupStateTimeout.NoTimeout)
@@ -213,7 +224,7 @@ def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
         new_bucket = st["bucket"] + (st["cnt"] + m) // n
         return _emit_closed_buckets(st, bid, vals, new_bucket, q)
 
-    key_ddl = ", ".join(f"{k} long" for k in keys)
+    key_ddl = _key_ddl(df, keys)
     return stateful_scan(df, keys,
                          {"cnt": 0.0, "acc": 0.0, "bucket": 0.0}, step,
                          f"{key_ddl}, bucket long, total double, n long",
@@ -262,7 +273,7 @@ def trigger_reduce(df: DataFrame, keys: list[str], boundary: Column,
         new_bucket = st["bucket"] + float(cs[-1])
         return _emit_closed_buckets(st, bid, vals, new_bucket, q)
 
-    key_ddl = ", ".join(f"{k} long" for k in keys)
+    key_ddl = _key_ddl(df, keys)
     return stateful_scan(tagged, keys,
                          {"cnt": 0.0, "acc": 0.0, "bucket": 0.0}, step,
                          f"{key_ddl}, bucket long, total double, n long",
@@ -312,7 +323,7 @@ def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
         bid = (st["bucket"] + cs)[data]
         return _emit_closed_buckets(st, bid, vals, new_bucket, q)
 
-    key_ddl = ", ".join(f"{k} long" for k in keys)
+    key_ddl = _key_ddl(data, keys)
     return stateful_scan(u, keys,
                          {"cnt": 0.0, "acc": 0.0, "bucket": 0.0}, step,
                          f"{key_ddl}, bucket long, total double, n long",
@@ -371,7 +382,7 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
                 st[last], st[seen] = v[hits[-1]], 1.0
         return pd.DataFrame(out)
 
-    key_ddl = ", ".join(f"{k} long" for k in keys)
+    key_ddl = _key_ddl(left, keys)
     tddl = left.schema[t].dataType.simpleString()
     return stateful_scan(
         u, keys, {"lx": None, "rx": None, "lseen": 0.0, "rseen": 0.0}, step,
@@ -443,7 +454,7 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
             out[c] = pdf[c].to_numpy(dtype=object)[mask_r]
         return pd.DataFrame(out)
 
-    key_ddl = ", ".join(f"{k} long" for k in keys)
+    key_ddl = _key_ddl(left, keys)
     tddl = left.schema[t].dataType.simpleString()
     val_ddl = ", ".join(f"{c} {(ltypes | rtypes)[c]}"
                         for c in (*left_cols, *right_cols))
@@ -513,7 +524,7 @@ def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
             "total": (closed["sum"] / q if q else closed["sum"]).to_numpy(),
             "n": closed["cnt"].to_numpy().astype("int64")})
 
-    key_ddl = ", ".join(f"{k} long" for k in keys)
+    key_ddl = _key_ddl(df, keys)
     return stateful_scan(
         tagged, keys,
         {"in_win": 0.0, "acc": 0.0, "cnt": 0.0, "win_seq": 0.0}, step,
@@ -627,6 +638,14 @@ class LiveStream:
         DataFrame (broadcast by Catalyst when small)."""
         keyset = dedupe(self.df.select(*self.keys, self.t, self.seq),
                         list(self.keys), self.t, self.watermark)
+        # a factory carrying its own t/seq columns (the batch contract:
+        # batch key_to_stream emits FACTORY event times) would collide
+        # with the key-discovery times — drop the overlapping discovery
+        # columns so the joined output carries the factory's,
+        # unambiguously
+        overlap = [c for c in (self.t, self.seq) if c in factory.columns]
+        if overlap:
+            keyset = keyset.drop(*overlap)
         out = keyset.join(factory, on=list(self.keys), how="left")
         return self._derive(out)
 
@@ -781,10 +800,19 @@ class LiveGrouped:
         from ..core.stream import (Count, Every, Session, Sliding, Trigger,
                                    TriggerStream)
         s = self.stream
+
+        def _windowed(out):
+            # the aggregation consumed the event-time/seq columns; the
+            # derived stream's ordering identity is the window itself —
+            # pointing t/seq at dropped columns would break every
+            # chained verb with UNRESOLVED_COLUMN
+            return LiveStream(out, t="win_start", seq="win_start",
+                              keys=s.keys, watermark=s.watermark)
+
         if isinstance(self.spec, Every):
             out = tumbling(s.df, self.spec.duration, keys=list(s.keys),
                            t=s.t, watermark=s.watermark, **aggs)
-            return s._derive(out)
+            return _windowed(out)
         if isinstance(self.spec, Session):
             # native stateful session windows: state purged once the
             # watermark passes a session's close — bounded at any scale
@@ -795,7 +823,7 @@ class LiveGrouped:
                    .agg(*[a.alias(n) for n, a in aggs.items()])
                    .withColumn("win_start", F.col("__win.start"))
                    .drop("__win"))
-            return s._derive(out)
+            return _windowed(out)
         if isinstance(self.spec, Sliding):
             wm = s.df.withWatermark(s.t, s.watermark)
             out = (wm.groupBy(*s.keys,
@@ -804,7 +832,7 @@ class LiveGrouped:
                    .agg(*[a.alias(n) for n, a in aggs.items()])
                    .withColumn("win_start", F.col("__win.start"))
                    .drop("__win"))
-            return s._derive(out)
+            return _windowed(out)
         if isinstance(self.spec, Count):
             # stateful count buckets support sum/count shapes via the
             # dedicated operator; arbitrary aggs need scan_state

@@ -538,3 +538,62 @@ def test_ewma_bucketed_leading_null_bucket(spark):
            ewma(s, "v", 0.5, buckets=(F.col("t") / 3).cast("long"))
            .df.orderBy("seq").collect()]
     assert two == [None, None, None, 4.0, 6.0, 4.0]
+
+
+def test_zip_join_null_value_is_a_real_update(spark):
+    # a left event whose VALUE is null must make "latest" null (the live
+    # zip state already does) — not resurrect the previous value: the
+    # padding-vs-payload distinction rides a marker struct in the union
+    rows = [(1, 1, 0, 5.0, None), (2, 2, 0, None, None),
+            (3, 3, 1, None, 7.0)]
+    df = spark.createDataFrame(
+        rows, "t long, seq long, side int, lv double, rv double")
+    lt = Stream(df.filter("side = 0").select("t", "seq", "lv"),
+                t="t", seq="seq")
+    rt = Stream(df.filter("side = 1").select("t", "seq", "rv"),
+                t="t", seq="seq")
+    out = lt.take(rt, ["lv"], ["rv"]).df.collect()
+    assert len(out) == 1
+    assert out[0].lv is None  # t=2's null update is visible, not 5.0
+    assert out[0].rv == 7.0
+    both = lt.zip_join(rt, ["lv"], ["rv"]).df.orderBy("seq").collect()
+    assert [r.lv for r in both] == [5.0, None, None]
+
+
+def test_reduce_emission_names_a_real_row(spark):
+    # emission (t, seq) must be the PAIR of the bucket's last event in
+    # (t, seq) order — independent max(t)/max(seq) would fabricate
+    # (t=2, seq=100) here, a row that does not exist
+    rows = [(1, 100, 1.0), (2, 5, 2.0)]
+    s = Stream(spark.createDataFrame(rows, "t long, seq long, v double"),
+               t="t", seq="seq")
+    out = s.group(Termination()).reduce(total=F.sum("v")).df.collect()
+    assert (out[0].t, out[0].seq) == (2, 5)
+    assert out[0].total == 3.0
+
+
+def test_scalable_scan_keeps_null_bucket_rows(spark):
+    # a bucket expression evaluating to null (e.g. derived from a null
+    # column) must not silently DROP those rows from the output — the
+    # plain scan keeps them (nulls order first)
+    rows = [(None, 0, 1.0), (1, 1, 2.0), (2, 2, 3.0), (3, 3, 4.0)]
+    df = spark.createDataFrame(rows, "b long, seq long, v double") \
+        .withColumn("t", F.coalesce(F.col("b"), F.lit(0)))
+    s = Stream(df, t="t", seq="seq")
+    out = s.scan(buckets=F.col("b"), total=F.sum("v")).df
+    assert out.count() == 4
+    got = {r.seq: r.total for r in out.collect()}
+    assert got[0] == 1.0  # the null-bucket row survives with its prefix
+
+
+def test_from_parquet_nanos_ts_optin(spark, tmp_path):
+    import pyspark.sql.functions as SF
+    p = str(tmp_path / "ev")
+    spark.createDataFrame([(86_400_000_000_000, 1, 2.0)],
+                          "ts long, seq long, v double") \
+        .write.parquet(p)
+    s = Stream.from_parquet(spark, p, t="ts", seq="seq", nanos_ts=True)
+    row = s.df.collect()[0]
+    assert str(row.ts) == "1970-01-02 00:00:00"  # nanos -> micros
+    plain = Stream.from_parquet(spark, p, t="ts", seq="seq")
+    assert plain.df.schema["ts"].dataType.simpleString() == "bigint"

@@ -615,3 +615,44 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     assert got[1] == (2, 2.0)
     assert got[3] == (1, 1.0)
     assert dropped == 1
+
+
+def test_live_string_keyed_stateful_op(spark):
+    # live state ops type key columns from the input schema — a stream
+    # keyed on a STRING column must work (batch supports any key type)
+    from scespet_spark.streaming.live import count_reduce, run_available_now
+    live = count_reduce(read_events_stream(spark, SF), ["event_type"],
+                        10, "value")
+    out = run_available_now(live, "append")
+    assert out.count() > 0
+    assert out.schema["event_type"].dataType.simpleString() == "string"
+
+
+def test_live_count_buckets_null_values(spark, tmp_path):
+    # a null value contributes nothing to the bucket total (matching
+    # batch F.sum) but still counts toward the bucket size
+    from scespet_spark.streaming.live import count_reduce, run_available_now
+    rows = [(i, i, 1, v) for i, v in
+            enumerate([1.0, None, 3.0, 4.0, 5.0, None, 7.0, 8.0])]
+    bdf = (spark.createDataFrame(
+        rows, "t long, event_id long, user_id long, value double")
+        .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t"))
+    src = str(tmp_path / "src")
+    bdf.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(bdf.schema).parquet(src)
+    out = run_available_now(count_reduce(sdf, ["user_id"], 4, "value"),
+                            "append")
+    got = {r.bucket: (r.total, r.n) for r in out.collect()}
+    assert got == {0: (8.0, 4), 1: (20.0, 4)}
+
+
+def test_stateful_scan_step_may_emit_nothing(spark):
+    # a conditional-emission step returning [] for a batch must be a
+    # clean no-op, not a zero-column-frame Arrow crash
+    from scespet_spark.streaming.live import stateful_scan
+    def step(st, pdf):
+        st["n"] += len(pdf)
+        return []  # never emits
+    live = stateful_scan(read_events_stream(spark, SF), ["user_id"],
+                         {"n": 0.0}, step, "user_id long, n long")
+    assert run_available_now(live, "append").count() == 0
