@@ -2509,11 +2509,15 @@ def _simhash_oracle(bits=32):
         for j in range(bits))
     sig = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
                      for j in range(bits))
+    # LEFT JOIN + COALESCE: token-less docs (which unnest drops) keep a
+    # row with simhash 0, mirroring the engine's explode_outer
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
 th AS (SELECT doc_id, {h64_sql('tk')} AS h FROM tok),
-b AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
-SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM b
+b AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM b)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 

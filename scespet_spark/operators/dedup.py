@@ -159,8 +159,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """MinHash-LSH near-duplicate *candidate* pairs: shingle -> minhash ->
     band -> bucket equi-join.  Output: (id_a, id_b) with id_a < id_b,
     distinct.  Rows per doc = ``bands``; join key = (band, band_hash)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # rows = 0 would hash EVERY doc to one empty-concat bucket (the
+        # self-join degenerates to all-pairs); a non-divisor would
+        # silently compute-but-ignore the trailing hashes
+        raise ValueError(f"bands ({bands}) must evenly divide "
+                         f"num_hashes ({num_hashes})")
     rows = num_hashes // bands
-    sig = minhash_signature(_spread(df), text_col, num_hashes, shingle_n)
+    sig = minhash_signature(_spread(df), text_col, num_hashes, shingle_n,
+                            id_col=id_col)
     banded = sig.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -192,11 +199,19 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
             out: str = "simhash") -> DataFrame:
     """SimHash document signature: per-bit majority vote over the token
     multiset's hashes.  One explode + one groupBy (map-side combinable);
-    re-joined to the input broadcast-free via the id-preserving groupBy."""
-    tok = _spread(df).select("*", F.explode(tokens(F.col(text_col))).alias("__tok"))
+    re-joined to the input broadcast-free via the id-preserving groupBy.
+
+    Token-less documents (empty/whitespace text) are PRESERVED with
+    signature 0 — ``explode_outer`` keeps their row as a null token
+    voting 0 on every bit; a plain explode would silently drop them
+    from the output."""
+    tok = _spread(df).select(
+        "*", F.explode_outer(tokens(F.col(text_col))).alias("__tok"))
     th = tok.withColumn("__h", h64(F.col("__tok")))
     bit_sums = [
-        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1))
+        F.sum(F.when(F.col("__tok").isNull(), 0)
+              .when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1)
+              .otherwise(-1))
          .alias(f"__b{j}")
         for j in range(bits)
     ]
@@ -231,7 +246,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col), token_hash_array(F.col(text_col)).alias("__hs"))
         .select(F.col(id_col), shingle_hashes(F.col("__hs"), shingle_n).alias("__sh")))
     if candidates is not None:
-        sh = shingle_sets(df)
+        # persisted: the set pipeline (_spread + per-token md5 + shingle
+        # roll) is joined once per pair SIDE — without the persist it
+        # recomputes over the full corpus twice (the exact recomputation
+        # lsh_candidate_pairs's persist avoids)
+        sh = shingle_sets(df).persist()
+        _PERSISTED.append(sh)
         out = (candidates.select("id_a", "id_b")
                .join(sh.select(F.col(id_col).alias("id_a"),
                                F.col("__sh").alias("__sa")), "id_a")
@@ -320,6 +340,7 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id")))
+    converged = False
     for it in range(max_iters):
         # candidate label for each node: min over neighbors' labels
         prop = (edges.join(labels, edges.dst == labels.id)
@@ -340,7 +361,17 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                        .filter(F.col("n.cluster") != F.col("o.cluster"))
                        .limit(1).count())
             if changed == 0:
+                converged = True
                 break
+    if not converged:
+        # silently returning partial labels would hand callers WRONG
+        # duplicate clusters with no signal (a >max_iters-diameter chain
+        # still has un-propagated labels)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"label-propagation rounds (graph diameter exceeds "
+            f"max_iters); raise max_iters or use algorithm='star' "
+            f"(O(log n) rounds on any topology)")
     return labels
 
 

@@ -275,8 +275,16 @@ def _pq_train_model(df: DataFrame, m: int, dsub: int, ksub: int,
     """(codes DataFrame, cent_list) — the centroid model stays a plain
     Python structure so serving paths can derive LUTs driver-side."""
     v = F.col(vec_col).cast("array<double>")
-    pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
+    # null/short embeddings would crash the np.stack in the assign UDF
+    # (and a null seed row the slicing below) — exclude them up front,
+    # like cosine/sign_lsh_code/quantize guard their inputs
+    pts = (df.select(F.col(id_col).alias("id"), v.alias("p"))
+           .filter(F.col("p").isNotNull() & (F.size("p") >= m * dsub)))
     seed_rows = pts.orderBy("id").limit(ksub).collect()   # model-sized
+    if not seed_rows:
+        raise ValueError(
+            f"pq_train: no usable embeddings (need non-null vectors of "
+            f"at least {m * dsub} dims)")
     cent_list: list[dict[int, list[float]]] = [
         {c: list(map(float, r.p[j * dsub:(j + 1) * dsub]))
          for c, r in enumerate(seed_rows)}

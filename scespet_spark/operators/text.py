@@ -188,9 +188,11 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     """
     from .hashing import h64
     bucket = F.pmod(h64(F.col(id_col).cast("string")), F.lit(10000))
-    rate = F.lit(int(default_rate * 10000))
+    # round, don't truncate: int(0.29 * 10000) is 2899 in binary float,
+    # silently sampling one bucket short of the declared rate
+    rate = F.lit(round(default_rate * 10000))
     for k, v in rates.items():
-        rate = F.when(F.col(strata_col) == k, int(v * 10000)).otherwise(rate)
+        rate = F.when(F.col(strata_col) == k, round(v * 10000)).otherwise(rate)
     return df.filter(bucket < rate)
 
 

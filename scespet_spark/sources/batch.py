@@ -66,18 +66,31 @@ def events_stream(spark: SparkSession, sf_dir: str) -> Stream:
     return Stream(load_table(spark, sf_dir, "events"), t="ts", seq="event_id")
 
 
+def _synth_seq(df: DataFrame, seq: str) -> DataFrame:
+    """Deterministic replay tie-breaker for sources with no natural
+    sequence column: a 64-bit hash of the full row content.  Unlike
+    monotonically_increasing_id — whose values follow the partition
+    layout, so the same file read with different split settings replays
+    same-timestamp events in a different order — the row hash is a pure
+    function of the data.  Identical duplicate rows share a seq and so
+    coalesce atomically (the (key, t)-cycle semantics), which is the
+    deterministic behavior."""
+    return df.withColumn(
+        seq, F.xxhash64(*[F.col(c) for c in df.columns]))
+
+
 def load_csv(spark: SparkSession, path: str, schema: str, sep: str = "\t",
              t: str = "ts", seq: str | None = None,
              header: bool = False) -> Stream:
     """Delimited-file event source (reference: the tab-separated
     trade/quote dumps, RealTradeTests.scala:53-94) — a schema'd CSV scan
     consumed in event-time order.  ``seq=None`` synthesizes a
-    per-partition monotonic id as the replay tie-breaker."""
+    deterministic row-content hash as the replay tie-breaker."""
     df = (spark.read.option("sep", sep).option("header", str(header).lower())
           .schema(schema).csv(path))
     if seq is None:
         seq = "seq"
-        df = df.withColumn(seq, F.monotonically_increasing_id())
+        df = _synth_seq(df, seq)
     return Stream(df, t=t, seq=seq)
 
 
@@ -93,7 +106,7 @@ def load_jsonl(spark: SparkSession, path: str, schema: str | None = None,
     df = reader.json(path)
     if seq is None:
         seq = "seq"
-        df = df.withColumn(seq, F.monotonically_increasing_id())
+        df = _synth_seq(df, seq)
     return Stream(df, t=t, seq=seq)
 
 
@@ -127,11 +140,19 @@ def random_events(spark: SparkSession, n: int, seed: int = 42,
                   t: str = "ts", value: str = "value") -> Stream:
     """Programmatic/random event source (reference: EventGenerator /
     newRandom, test/programs/package.scala:16-52): ``spark.range`` +
-    column exprs — generated distributed, never a driver loop."""
+    column exprs — generated distributed, never a driver loop.
+
+    Values derive from ``hash(id, seed)``, NOT ``F.rand(seed)``:
+    rand() seeds per-PARTITION, so its output changes with the range's
+    partition layout — the same call would generate different "random"
+    data on a different core count.  The hash form is a pure function
+    of (id, seed): reproducible on any cluster shape."""
+    u = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_000))
+         / F.lit(1_000_000.0))
     df = (spark.range(n)
           .select(F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias(t),
                   F.col("id").alias("seq"),
-                  F.round(F.rand(seed) * 100, 6).alias(value)))
+                  F.round(u * 100, 6).alias(value)))
     return Stream(df, t=t, seq="seq")
 
 

@@ -683,3 +683,38 @@ def test_profile_columns_approx_close_to_exact(spark):
     for lb in ("p25", "p50", "p75"):
         assert abs(getattr(approx["v"], lb) - getattr(exact["v"], lb)) \
             <= 2.0, lb
+
+
+def test_lsh_custom_id_col_and_bands_validation(spark, docs):
+    from scespet_spark.operators.dedup import lsh_candidate_pairs
+    import pytest as _pytest
+    renamed = docs.withColumnRenamed("doc_id", "vec_id")
+    out = lsh_candidate_pairs(renamed, id_col="vec_id")  # must not crash
+    assert set(out.columns) == {"id_a", "id_b"}
+    out.count()
+    with _pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(docs, num_hashes=16, bands=3)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(docs, num_hashes=16, bands=20)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from scespet_spark.operators.dedup import connected_components
+    import pytest as _pytest
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+    ok = connected_components(chain, max_iters=20)
+    assert ok.filter("cluster <> 0").count() == 0  # one chain, root 0
+
+
+def test_simhash_preserves_tokenless_docs(spark):
+    from scespet_spark.operators.dedup import simhash
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, ""), (2, "   ")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert set(out) == {0, 1, 2}  # empty docs keep a row
+    assert out[1] == 0 and out[2] == 0
+    assert out[0] != 0
