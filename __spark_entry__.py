@@ -3259,6 +3259,56 @@ def decontaminate_eval_overlap(spark, sf_dir):
                          docs.filter(F.col("doc_id") % 19 == 0))
 
 
+@query("dedup_incremental", f"""
+WITH newd AS (SELECT doc_id, {h64_sql('text')} AS content_hash
+              FROM documents WHERE doc_id % 3 <> 0),
+prior AS (SELECT DISTINCT {h64_sql('text')} AS content_hash
+          FROM documents WHERE doc_id % 3 = 0)
+SELECT MIN(doc_id) AS doc_id, content_hash
+FROM newd WHERE content_hash NOT IN (SELECT content_hash FROM prior)
+GROUP BY content_hash
+""")
+def dedup_incremental(spark, sf_dir):
+    """Cross-snapshot incremental dedup: a new crawl batch
+    (doc_id % 3 != 0) anti-joined against the prior kept corpus's digest
+    set (doc_id % 3 == 0) plus within-batch first-wins — the
+    continuous-corpus-build shape where BOTH sides are too large to
+    broadcast (shuffle hash anti-join on 60-bit digests)."""
+    from scespet_spark.operators.dedup import incremental_keep
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_keep(docs.filter(F.col("doc_id") % 3 != 0),
+                            docs.filter(F.col("doc_id") % 3 == 0))
+
+
+_MIX_W = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1,
+          "src4": 0.1}
+_MIX_N = 120
+
+
+def _mixture_oracle():
+    vals = ", ".join(f"('{k}', {v})" for k, v in _MIX_W.items())
+    hh = h64_sql("doc_id::VARCHAR", seed=11)
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT * FROM (VALUES {vals}) AS t(source, w)),
+cut AS (SELECT source, floor(least(1.0, w * {_MIX_N} / n) * 1048576) AS cut
+        FROM c JOIN w USING (source))
+SELECT doc_id, text, lang, source, n_chars
+FROM documents JOIN cut USING (source)
+WHERE ({hh}) % 1048576 < cut
+"""
+
+
+@query("mixture_sample_sources", _mixture_oracle())
+def mixture_sample_sources(spark, sf_dir):
+    """Training-mix resampling: deterministic hash sampling toward
+    declared per-source weights (the data-recipe step); count agg +
+    broadcast cutoffs + map-side filter — the corpus never shuffles."""
+    from scespet_spark.operators.text import mixture_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_W, _MIX_N)
+
+
 @query("pack_training_sequences", f"""
 WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,

@@ -49,6 +49,37 @@ def exact_groups(df: DataFrame, text_col: str = "text",
             .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")))
 
 
+def incremental_keep(new: DataFrame, prior: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     prior_digest_col: str | None = None) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: which documents of a NEW
+    crawl batch survive against an already-kept PRIOR corpus — the
+    continuous-corpus-build step that runs once per crawl.
+
+    A new doc is kept iff (a) its content digest is absent from the
+    prior corpus and (b) it is the first occurrence (min ``id_col``) of
+    that digest within the batch.  Returns ``(id_col, content_hash)``.
+
+    Scale shape: at 100 TB the prior side is a *digest table* (60-bit
+    ints, materialized once per snapshot — pass ``prior_digest_col`` to
+    reuse it instead of re-hashing text).  The anti-join is then
+    digest-vs-digest: a shuffle hash anti-join on uniformly-distributed
+    60-bit keys; neither side's text ever moves and no broadcast is
+    assumed (both sides can be billions of rows).  Within-batch
+    first-wins is a combinable min-aggregation (map-side partials), not
+    a window sort.  Differs from ``decontaminate`` (pipeline.py), whose
+    eval side is benchmark-sized and broadcasts."""
+    newd = new.select(F.col(id_col), h64(F.col(text_col)).alias("content_hash"))
+    if prior_digest_col is not None:
+        pri = prior.select(F.col(prior_digest_col).alias("content_hash"))
+    else:
+        pri = prior.select(h64(F.col(text_col)).alias("content_hash"))
+    return (newd.join(pri, "content_hash", "left_anti")
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, "content_hash"))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct, as strings) of a text column.
     Human-readable form — the dedup hot paths use ``shingle_hashes``,

@@ -196,6 +196,44 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     return df.filter(bucket < rate)
 
 
+def mixture_sample(df: DataFrame, weights: dict, total: int,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 11) -> DataFrame:
+    """Deterministic mixture resampling toward target source weights —
+    the training-mix step that turns raw per-source availability into a
+    declared data recipe (e.g. 40% web, 40% books, 20% code).
+
+    Each source ``s`` gets keep-probability
+    ``p_s = min(1, weights[s] * total / n_s)`` and a row is kept iff
+    ``hash(seed, id) mod M < floor(p_s * M)`` — so the sample hits the
+    target mixture in expectation, is reproducible across runs, engines
+    and partitionings, and ``p_s`` caps at 1 when a source is scarcer
+    than its target share (no oversampling).  Sources absent from
+    ``weights`` are dropped.
+
+    Scale shape: one tiny per-source count aggregation (map-side
+    combinable, output is #sources rows), a broadcast join of the
+    cutoffs, then a map-side filter — the corpus itself is never
+    shuffled and the whole operator is a single pass."""
+    from .hashing import h64
+    M = 1 << 20
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    wmap = F.create_map(*[x for kv in weights.items()
+                          for x in (F.lit(kv[0]), F.lit(float(kv[1])))])
+    # absent sources are dropped OUTSIDE the least(): Spark's least()
+    # skips NULL args, so a NULL weight would silently become cutoff 1.0
+    cut = counts.where(F.col(source_col).isin(*weights.keys())).select(
+        source_col,
+        F.floor(F.least(F.lit(1.0),
+                        wmap[F.col(source_col)] * total / F.col("__n"))
+                * M).alias("__cut"))
+    h = F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(M))
+    return (df.join(F.broadcast(cut), source_col)
+            .where(h < F.col("__cut"))
+            .drop("__cut")
+            .select(*df.columns))
+
+
 #: (name, pattern, replacement) — order matters (emails before bare
 #: domains, etc.).  Patterns are RE2-safe (no backrefs) so they run in
 #: Spark's codegen'd regexp_replace and in DuckDB identically.
@@ -340,14 +378,21 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                   (((F.element_at("__hs", F.col("__i")) * c0) % MH_PRIME
                     + (F.element_at("__hs", F.col("__i") + 1) * c1) % MH_PRIME)
                    % MH_PRIME).alias("__bg")))
-    bg_counts = bg.groupBy("__bg").agg(F.count("*").alias("__cbg"))
-    pre_counts = bg.groupBy("__pre").agg(F.count("*").alias("__cpre"))
+    # ONE corpus-wide count pass: group by (pre, bg); the prefix counts
+    # then roll up from that bigram-vocabulary-sized table (Zipf-bounded)
+    # instead of a second pass over the corpus, and since __bg determines
+    # __pre the model attaches to the per-doc rows with a SINGLE join on
+    # __bg carrying both counts.
+    bg_counts = (bg.groupBy("__pre", "__bg").agg(F.count("*").alias("__cbg")))
+    pre_counts = (bg_counts.groupBy("__pre")
+                  .agg(F.sum("__cbg").alias("__cpre")))
+    model = (bg_counts.join(pre_counts, "__pre")
+             .select("__bg", "__cbg", "__cpre"))
     vocab = (staged.select(F.explode("__hs").alias("__h"))
              .agg(F.count_distinct("__h").alias("__v")))
     logp = F.log((F.col("__cbg") + F.lit(k))
                  / (F.col("__cpre") + F.lit(k) * F.col("__v")))
-    return (bg.join(bg_counts, "__bg")
-            .join(pre_counts, "__pre")
+    return (bg.join(model, "__bg")
             .crossJoin(F.broadcast(vocab))
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),

@@ -718,3 +718,53 @@ def test_simhash_preserves_tokenless_docs(spark):
     assert set(out) == {0, 1, 2}  # empty docs keep a row
     assert out[1] == 0 and out[2] == 0
     assert out[0] != 0
+
+
+def test_incremental_keep_first_wins_and_anti_join(spark):
+    from scespet_spark.operators.dedup import incremental_keep
+    prior = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "seen before"),        # dup of prior -> dropped
+         (2, "fresh one"),          # kept
+         (3, "fresh one"),          # within-batch dup -> min id wins
+         (4, "another fresh")],     # kept
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in incremental_keep(new, prior).collect())
+    assert kept == [2, 4]
+
+
+def test_incremental_keep_prior_digest_reuse(spark):
+    """The 100 TB path: the prior corpus arrives as a digest table, not
+    text; results must be identical to re-hashing the prior text."""
+    from scespet_spark.operators.dedup import incremental_keep
+    from scespet_spark.operators.hashing import h64
+    prior = spark.createDataFrame(
+        [(100, "seen before")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "seen before"), (2, "fresh")], "doc_id long, text string")
+    via_text = incremental_keep(new, prior)
+    digests = prior.select(h64(F.col("text")).alias("d"))
+    via_digest = incremental_keep(new, digests, prior_digest_col="d")
+    assert sorted(via_text.collect()) == sorted(via_digest.collect())
+    assert [r.doc_id for r in via_digest.collect()] == [2]
+
+
+def test_mixture_sample_caps_and_drops(spark):
+    from scespet_spark.operators.text import mixture_sample
+    rows = [(i, f"t{i}", "a" if i < 40 else ("b" if i < 50 else "c"))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # b is scarcer (10 rows) than its target 0.5*40=20 -> p caps at 1,
+    # ALL of b kept; c absent from weights -> dropped entirely
+    out = mixture_sample(df, {"a": 0.5, "b": 0.5}, total=40)
+    by_src = {r.source: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    assert by_src.get("b") == 10
+    assert "c" not in by_src
+    # a: p = 0.5*40/40 = 0.5 -> roughly half in expectation; exact count
+    # is deterministic, so a repeat run is identical
+    again = mixture_sample(df, {"a": 0.5, "b": 0.5}, total=40)
+    assert sorted(out.collect()) == sorted(again.collect())
+    assert out.columns == df.columns
