@@ -63,6 +63,8 @@ HEADLINE = [
     "sample_source_quota",
     "ann_pq_adc_topk",
     "text_bigram_lm",
+    "dedup_incremental",
+    "mixture_sample_sources",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q18_large_volume_customers",
