@@ -197,3 +197,36 @@ def test_single_fact_scan_for_derived_relation_queries(spark, entry):
         li_scans = [l for l in plan.splitlines()
                     if "Location" in l and "lineitem" in l]
         assert len(li_scans) == 1, (name, li_scans)
+
+
+def test_mixture_sample_is_map_side_only(spark, entry):
+    """mixture_sample: the per-source cutoffs (one row per declared
+    source) must broadcast; the corpus itself is filtered in place — no
+    sort-merge join and no exchange of the document rows (the only
+    exchanges belong to the #sources-row count aggregation)."""
+    plan = _plan(entry.queries()["mixture_sample_sources"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus text column must never enter an Exchange (the count
+    # agg exchanges only (source, count) rows)
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if l.strip().startswith("Input") and "text#" in l:
+            hdr = next(x for x in reversed(lines[:i])
+                       if x.strip().startswith("("))
+            assert "Exchange" not in hdr, (hdr, l)
+
+
+def test_incremental_dedup_shuffles_digests_not_text(spark, entry):
+    """dedup_incremental anti-joins digest-vs-digest: raw text must not
+    appear in any Exchange input (only (content_hash, id) rows move),
+    and the within-batch first-wins is an aggregate, not a window sort."""
+    plan = _plan(entry.queries()["dedup_incremental"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if l.strip().startswith("Input") and "text#" in l:
+            hdr = next(x for x in reversed(lines[:i])
+                       if x.strip().startswith("("))
+            assert "Exchange" not in hdr, (hdr, l)
+    assert "Window" not in plan

@@ -67,7 +67,8 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from scespet_spark.operators.dedup import (lsh_candidate_pairs,
+    from scespet_spark.operators.dedup import (incremental_keep,
+                                               lsh_candidate_pairs,
                                                minhash_signature,
                                                ngram_jaccard_pairs, simhash)
     from scespet_spark.operators.pipeline import decontaminate
@@ -93,6 +94,11 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         "pq_train_codes": lambda d, e: noop(pq_train(e)[0]),
         "bigram_lm": lambda d, e: noop(bigram_lm_score(d)),
         "profile": lambda d, e: noop(profile_columns(d)),
+        # replicated corpus = adversarial for incremental dedup: every
+        # new-batch doc collides with some prior digest
+        "incremental": lambda d, e: noop(incremental_keep(
+            d.filter(F.col("doc_id") % 3 != 0),
+            d.filter(F.col("doc_id") % 3 == 0))),
     }
 
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
@@ -109,6 +115,9 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         emb.unpersist()
         from scespet_spark.operators.dedup import release_cached
         release_cached()
+        from scespet_spark.operators.similarity import (
+            release_cached as release_sim)
+        release_sim()
 
     lo, hi = mults[0], mults[-1]
     print(f"\n== scaling slope ({lo}x -> {hi}x data = {hi / lo:.0f}x) ==")
