@@ -174,3 +174,26 @@ def test_quantize_codes_within_range_and_monotone(spark, vals):
     # order-preserving: larger input never gets a smaller code
     pairs = sorted(zip(vals, r.q))
     assert all(q1 <= q2 for (_, q1), (_, q2) in zip(pairs, pairs[1:]))
+
+
+@given(new_texts=st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+       prior_texts=st.lists(st.sampled_from("abcd"), min_size=0, max_size=4))
+@SETTINGS
+def test_incremental_keep_matches_set_model(spark, new_texts, prior_texts):
+    """incremental_keep == {min-id of each digest in the new batch whose
+    text is absent from the prior corpus} on randomized overlapping
+    single-token corpora (duplicates within batch, across batches, and
+    empty sides all covered)."""
+    from scespet_spark.operators.dedup import incremental_keep
+    new = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(new_texts)] or [],
+        "doc_id long, text string")
+    prior = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(prior_texts)] or [],
+        "doc_id long, text string")
+    got = sorted(r.doc_id for r in incremental_keep(new, prior).collect())
+    firsts = {}
+    for i, t in enumerate(new_texts):
+        if t not in prior_texts and t not in firsts:
+            firsts[t] = i
+    assert got == sorted(firsts.values())
