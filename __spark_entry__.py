@@ -3280,6 +3280,27 @@ def dedup_incremental(spark, sf_dir):
                             docs.filter(F.col("doc_id") % 3 == 0))
 
 
+@query("dedup_incremental_near", f"""
+WITH {{ctes}}
+SELECT n.doc_id, COUNT(DISTINCT n.band) AS n_hit_bands
+FROM banded n
+JOIN (SELECT DISTINCT band, band_hash FROM banded WHERE doc_id % 3 = 0) p
+  USING (band, band_hash)
+WHERE n.doc_id % 3 <> 0
+GROUP BY n.doc_id
+""".format(ctes=_minhash_ctes()))
+def dedup_incremental_near(spark, sf_dir):
+    """Near-dup counterpart of dedup_incremental: new-batch docs
+    (doc_id % 3 != 0) that LSH-collide with the prior corpus's banded
+    signature table (doc_id % 3 == 0) — a band-key equi-join probe; at
+    100 TB the prior table is the materialized snapshot index, never
+    re-minhashed."""
+    from scespet_spark.operators.dedup import incremental_near_dup
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_near_dup(docs.filter(F.col("doc_id") % 3 != 0),
+                                docs.filter(F.col("doc_id") % 3 == 0))
+
+
 _MIX_W = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1,
           "src4": 0.1}
 _MIX_N = 120

@@ -184,6 +184,63 @@ def release_cached() -> int:
     return n
 
 
+def banded_signatures(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH band-bucket table: ``bands`` rows per doc of
+    ``(id, band, band_hash)`` — the unit of storage for persistent LSH
+    indexes (a snapshot materializes THIS table; probes and self-joins
+    both run against it)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must evenly divide "
+                         f"num_hashes ({num_hashes})")
+    rows = num_hashes // bands
+    sig = minhash_signature(_spread(df), text_col, num_hashes, shingle_n,
+                            id_col=id_col)
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                h64(F.concat_ws("_", *[F.col(f"mh_{b * rows + r}").cast("string")
+                                       for r in range(rows)])).alias("band_hash"))
+            for b in range(bands)])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+
+def incremental_near_dup(new: DataFrame, prior: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_hashes: int = 16, bands: int = 4,
+                         shingle_n: int = 3,
+                         prior_bands: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate counterpart of ``incremental_keep``: flag NEW
+    documents that LSH-collide with the PRIOR corpus — i.e. share at
+    least one minhash band bucket — returning ``(id_col, n_hit_bands)``
+    for the suspects (to drop outright or verify with
+    ``ngram_jaccard_pairs`` before dropping).
+
+    Scale shape: at 100 TB the prior side is the banded signature TABLE
+    from the last snapshot (pass ``prior_bands`` — the same table
+    ``banded_signatures`` materializes; never re-minhash the corpus),
+    and the probe is a band-key equi-join: new docs contribute
+    ``bands`` rows each, the join key (band, band_hash) is uniformly
+    distributed, and neither side's text or vectors move.  The
+    within-batch near-dup pass stays ``lsh_candidate_pairs`` on the
+    batch alone."""
+    nb = banded_signatures(new, id_col=id_col, text_col=text_col,
+                           num_hashes=num_hashes, bands=bands,
+                           shingle_n=shingle_n)
+    if prior_bands is None:
+        prior_bands = banded_signatures(prior, id_col=id_col,
+                                        text_col=text_col,
+                                        num_hashes=num_hashes, bands=bands,
+                                        shingle_n=shingle_n)
+    pb = prior_bands.select("band", "band_hash").distinct()
+    return (nb.join(pb, ["band", "band_hash"])
+            .groupBy(id_col)
+            .agg(F.count_distinct("band").alias("n_hit_bands")))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
                         bands: int = 4, shingle_n: int = 3) -> DataFrame:
@@ -196,18 +253,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         # silently compute-but-ignore the trailing hashes
         raise ValueError(f"bands ({bands}) must evenly divide "
                          f"num_hashes ({num_hashes})")
-    rows = num_hashes // bands
-    sig = minhash_signature(_spread(df), text_col, num_hashes, shingle_n,
-                            id_col=id_col)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                h64(F.concat_ws("_", *[F.col(f"mh_{b * rows + r}").cast("string")
-                                       for r in range(rows)])).alias("band_hash"))
-            for b in range(bands)])).alias("bb"),
-    ).select(id_col, "bb.band", "bb.band_hash")
+    banded = banded_signatures(df, id_col=id_col, text_col=text_col,
+                               num_hashes=num_hashes, bands=bands,
+                               shingle_n=shingle_n)
     # materialize the (tiny: bands rows/doc of 3 ints) signature table so
     # the self-join doesn't recompute the whole shingle->minhash pipeline
     # for each side; at 100TB this would be a checkpoint to storage.

@@ -768,3 +768,24 @@ def test_mixture_sample_caps_and_drops(spark):
     again = mixture_sample(df, {"a": 0.5, "b": 0.5}, total=40)
     assert sorted(out.collect()) == sorted(again.collect())
     assert out.columns == df.columns
+
+
+def test_incremental_near_dup_and_band_table_reuse(spark):
+    from scespet_spark.operators.dedup import (banded_signatures,
+                                               incremental_near_dup)
+    prior = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),  # exact
+         (2, "the quick brown fox jumps over the lazy cat"),  # near
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string")
+    via_text = incremental_near_dup(new, prior)
+    hits = {r.doc_id: r.n_hit_bands for r in via_text.collect()}
+    assert 1 in hits and hits[1] == 4      # exact dup collides all bands
+    assert 3 not in hits                   # disjoint text never collides
+    # snapshot path: prior arrives as its banded signature table
+    pb = banded_signatures(prior)
+    via_table = incremental_near_dup(new, prior=None, prior_bands=pb)
+    assert sorted(via_text.collect()) == sorted(via_table.collect())
