@@ -126,18 +126,25 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     # collisions are ~n^2/2^32 per doc and identical in the oracle
     bigrams = F.when(n >= 2, shingle_hashes(F.col("__hs"), 2)) \
                .otherwise(F.array().cast("array<bigint>"))
-    base = staged.select(
+    # the map-only ratios ride the explode as per-doc grouping CONSTANTS
+    # (functionally dependent on id), so the top-token count needs no
+    # join back — one scan, one hash pass, two combinable groupBys
+    # (previously the base/counts join branches each re-hashed the text)
+    ex = staged.select(
         F.col(id_col), n.alias("n_tokens"),
         F.when(n > 0, F.round(F.size(F.array_distinct(F.col("__hs")))
                               .cast("double") / n, 6))
          .alias("distinct_token_ratio"),
         F.when(n > 0, F.round(F.size(bigrams).cast("double")
                               / F.greatest(n - 1, F.lit(1)), 6))
-         .alias("distinct_bigram_ratio"))
-    counts = (staged.select(F.col(id_col), F.explode("__hs").alias("__tk"))
-              .groupBy(id_col, "__tk").agg(F.count("*").alias("__c"))
-              .groupBy(id_col).agg(F.max("__c").alias("__maxc")))
-    return (base.join(counts, id_col, "left")
+         .alias("distinct_bigram_ratio"),
+        F.explode_outer(F.col("__hs")).alias("__tk"))
+    grp = [F.col(id_col), F.col("n_tokens"), F.col("distinct_token_ratio"),
+           F.col("distinct_bigram_ratio")]
+    return (ex.groupBy(*grp, F.col("__tk")).agg(F.count("*").alias("__c"))
+            .groupBy(*grp)
+            .agg(F.max(F.when(F.col("__tk").isNotNull(), F.col("__c")))
+                 .alias("__maxc"))
             .select(id_col, "n_tokens", "distinct_token_ratio",
                     "distinct_bigram_ratio",
                     F.when(F.col("n_tokens") > 0,
