@@ -429,7 +429,15 @@ def q2_min_cost_supplier(spark, sf_dir):
     eu_sup = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
               .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
-    eu = _unit_cost_ps(li).join(
+    # push the highly selective part predicate INTO the fact scan stage
+    # as a broadcast semi-join BEFORE the (partkey, suppkey) aggregate:
+    # the per-partkey MIN is independent of other partkeys, so dropping
+    # non-qualifying parts first is value-identical while the aggregate
+    # and window see only the qualifying sliver (Catalyst cannot infer
+    # this itself — the part filter sits above the aggregation)
+    li_q = li.join(F.broadcast(p.select("p_partkey")),
+                   li["l_partkey"] == F.col("p_partkey"), "left_semi")
+    eu = _unit_cost_ps(li_q).join(
         F.broadcast(eu_sup), F.col("suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("partkey")
     return (eu.withColumn("__mn", F.min("unit_cost").over(w))

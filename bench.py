@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "text_bigram_lm",
     "dedup_incremental",
+    "dedup_incremental_near",
     "mixture_sample_sources",
     "q2_min_cost_supplier",
     "q9_product_profit",
