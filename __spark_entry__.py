@@ -3288,6 +3288,26 @@ def dedup_incremental(spark, sf_dir):
                             docs.filter(F.col("doc_id") % 3 == 0))
 
 
+@query("live_dedup_exact",
+       f"SELECT DISTINCT {h64_sql('text')} AS content_hash FROM documents")
+def live_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup: the documents table as a file-stream
+    (a crawl landing as parquet drops), first occurrence of each
+    content digest emitted, duplicates suppressed across micro-batches
+    via streaming dropDuplicates.  State is the digest set itself —
+    identical to batch exact dedup's reduction, held in the state store
+    (RocksDB at cluster scale); no watermark because corpus identity
+    has no event-time horizon.  The oracle is the distinct digest SET
+    (which physical row survives a tie is not part of the contract)."""
+    from scespet_spark.operators.hashing import h64
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    src = read_table_stream(spark, sf_dir, "documents")
+    dd = (src.select(h64(F.col("text")).alias("content_hash"))
+          .dropDuplicates(["content_hash"]))
+    return run_available_now(dd, "append")
+
+
 @query("dedup_incremental_near", f"""
 WITH {{ctes}}
 SELECT n.doc_id, COUNT(DISTINCT n.band) AS n_hit_bands

@@ -32,15 +32,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str,
-                       max_files_per_trigger: int = 1) -> DataFrame:
-    """The driver's ``events`` table as a file-streaming source (the
-    live analogue of sources.batch.events_stream).  Schema is taken
-    from a batch read; TIMESTAMP(NANOS) columns arrive as long under
-    ``nanosAsLong`` and are truncated to micros exactly like batch."""
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """Any driver parquet table as a file-streaming source — the live
+    ingest path for the pipeline operators (a crawl landing as parquet
+    drops IS a file stream).  Schema is taken from a batch read;
+    TIMESTAMP(NANOS) columns arrive as long under ``nanosAsLong`` and
+    are truncated to micros exactly like batch."""
     from ..sources.batch import ensure_nanos_conf
     ensure_nanos_conf(spark)
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
     # the streaming file source requires a *directory*; the driver ships
     # single parquet files, so stage a symlink dir (no data copy)
@@ -58,9 +59,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     df = (spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", max_files_per_trigger)
           .parquet(path))
-    if isinstance(df.schema["ts"].dataType, LongType):
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """The driver's ``events`` table as a file-streaming source (the
+    live analogue of sources.batch.events_stream)."""
+    return read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
 
 
 def tumbling(df: DataFrame, duration: str, keys: Iterable[str] = (),

@@ -656,3 +656,41 @@ def test_stateful_scan_step_may_emit_nothing(spark):
     live = stateful_scan(read_events_stream(spark, SF), ["user_id"],
                          {"n": 0.0}, step, "user_id long, n long")
     assert run_available_now(live, "append").count() == 0
+
+
+def test_streaming_exact_dedup_across_micro_batches(spark, tmp_path):
+    """Streaming exact dedup must suppress duplicates ACROSS
+    micro-batches (state outlives the batch): two parquet drops with
+    overlapping content, maxFilesPerTrigger=1 -> two batches, the
+    second batch's repeats must not re-emit."""
+    from scespet_spark.operators.hashing import h64
+    from scespet_spark.streaming.live import run_available_now
+    d = tmp_path / "drops"
+    d.mkdir()
+    spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame([(3, "beta"), (4, "gamma"), (5, "alpha")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d / "f2"))
+    # flatten the two drops into one source dir
+    import shutil
+    files = sorted(p for sub in ("f1", "f2")
+                   for p in (d / sub).glob("*.parquet"))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, p in enumerate(files):
+        shutil.copy(p, src / f"drop_{i}.parquet")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = run_available_now(
+        stream.select(h64(F.col("text")).alias("content_hash"))
+              .dropDuplicates(["content_hash"]),
+        "append")
+    batch_digests = {r.content_hash for r in
+                     spark.read.parquet(str(src))
+                     .select(h64(F.col("text")).alias("content_hash"))
+                     .collect()}
+    got = [r.content_hash for r in out.collect()]
+    assert len(got) == len(set(got)) == 3  # no cross-batch re-emission
+    assert set(got) == batch_digests
