@@ -85,6 +85,22 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
 
     n1 = final.count()
     print(f"corpus: {n0} docs in -> {n1} packed/shuffled docs out ({out_dir})")
+
+    # 7. the CONTINUOUS build: a second crawl lands and dedups against
+    #    the kept corpus's digest snapshot (exact) + its LSH band table
+    #    (near) — neither pass re-reads the kept corpus's text
+    from scespet_spark.operators.dedup import (banded_signatures,
+                                               incremental_keep,
+                                               incremental_near_dup)
+    from scespet_spark.operators.hashing import h64
+    snapshot = train.select(h64(F.col("text")).alias("d"))
+    band_table = banded_signatures(train)
+    recrawl = (load_table(spark, sf_dir, "documents")
+               .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    fresh = incremental_keep(recrawl, snapshot, prior_digest_col="d")
+    near = incremental_near_dup(recrawl, None, prior_bands=band_table)
+    print(f"second crawl: {recrawl.count()} docs -> "
+          f"{fresh.count()} exact-fresh, {near.count()} near-dup suspects")
     return n0, n1
 
 
