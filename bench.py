@@ -103,6 +103,7 @@ def main():
     # concurrent load (measured: identical queries vary 4x between
     # samples); the min reflects the plan's steady-state cost (the
     # quantity that actually scales with data volume)
+    from scespet_spark.operators import dedup, similarity
     timings: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
@@ -111,6 +112,11 @@ def main():
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+        # operator-persisted intermediates (LSH signatures, training
+        # points) must not accumulate across the session — each query's
+        # timing should include its own persists and nothing else's
+        dedup.release_cached()
+        similarity.release_cached()
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)

@@ -168,20 +168,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return ex.groupBy(id_col).agg(*aggs)
 
 
-#: signature tables persisted by lsh_candidate_pairs, released via
-#: release_cached() once downstream results are materialized
-_PERSISTED: list[DataFrame] = []
-
-
 def release_cached() -> int:
     """Unpersist LSH signature tables cached by ``lsh_candidate_pairs``.
     Call after the candidate pairs (or anything derived from them) have
     been materialized; returns how many tables were released."""
-    n = 0
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-        n += 1
-    return n
+    from ._cache import release
+    return release("dedup")
 
 
 def banded_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -192,6 +184,9 @@ def banded_signatures(df: DataFrame, id_col: str = "doc_id",
     indexes (a snapshot materializes THIS table; probes and self-joins
     both run against it)."""
     if bands <= 0 or num_hashes % bands != 0:
+        # rows = 0 would hash EVERY doc to one empty-concat bucket (the
+        # downstream self-join degenerates to all-pairs); a non-divisor
+        # would silently compute-but-ignore the trailing hashes
         raise ValueError(f"bands ({bands}) must evenly divide "
                          f"num_hashes ({num_hashes})")
     rows = num_hashes // bands
@@ -208,7 +203,7 @@ def banded_signatures(df: DataFrame, id_col: str = "doc_id",
     ).select(id_col, "bb.band", "bb.band_hash")
 
 
-def incremental_near_dup(new: DataFrame, prior: DataFrame,
+def incremental_near_dup(new: DataFrame, prior: DataFrame | None = None,
                          id_col: str = "doc_id", text_col: str = "text",
                          num_hashes: int = 16, bands: int = 4,
                          shingle_n: int = 3,
@@ -227,6 +222,10 @@ def incremental_near_dup(new: DataFrame, prior: DataFrame,
     distributed, and neither side's text or vectors move.  The
     within-batch near-dup pass stays ``lsh_candidate_pairs`` on the
     batch alone."""
+    if prior is None and prior_bands is None:
+        raise ValueError("incremental_near_dup needs the prior corpus: "
+                         "pass prior= (text) or prior_bands= (the "
+                         "snapshot's banded signature table)")
     nb = banded_signatures(new, id_col=id_col, text_col=text_col,
                            num_hashes=num_hashes, bands=bands,
                            shingle_n=shingle_n)
@@ -247,12 +246,6 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """MinHash-LSH near-duplicate *candidate* pairs: shingle -> minhash ->
     band -> bucket equi-join.  Output: (id_a, id_b) with id_a < id_b,
     distinct.  Rows per doc = ``bands``; join key = (band, band_hash)."""
-    if bands <= 0 or num_hashes % bands != 0:
-        # rows = 0 would hash EVERY doc to one empty-concat bucket (the
-        # self-join degenerates to all-pairs); a non-divisor would
-        # silently compute-but-ignore the trailing hashes
-        raise ValueError(f"bands ({bands}) must evenly divide "
-                         f"num_hashes ({num_hashes})")
     banded = banded_signatures(df, id_col=id_col, text_col=text_col,
                                num_hashes=num_hashes, bands=bands,
                                shingle_n=shingle_n)
@@ -262,8 +255,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # Cached blocks are LRU-evicted / released with the session; callers
     # holding the session long-term call release_cached() once candidate
     # pairs are materialized downstream.
-    banded = banded.persist()
-    _PERSISTED.append(banded)
+    from ._cache import persist as _persist
+    banded = _persist(banded, "dedup")
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col(f"a.band") == F.col("b.band"),
@@ -329,8 +322,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # roll) is joined once per pair SIDE — without the persist it
         # recomputes over the full corpus twice (the exact recomputation
         # lsh_candidate_pairs's persist avoids)
-        sh = shingle_sets(df).persist()
-        _PERSISTED.append(sh)
+        from ._cache import persist as _persist
+        sh = _persist(shingle_sets(df), "dedup")
         out = (candidates.select("id_a", "id_b")
                .join(sh.select(F.col(id_col).alias("id_a"),
                                F.col("__sh").alias("__sa")), "id_a")

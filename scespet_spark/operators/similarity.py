@@ -34,23 +34,13 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-#: training-point projections persisted by pq_train/kmeans_codes for
-#: their Lloyd's iterations; released via release_cached() once the
-#: codes/serving results are materialized (same pattern as dedup's LSH
-#: signature cache)
-_PERSISTED: list[DataFrame] = []
-
-
 def release_cached() -> int:
     """Unpersist training-point tables cached by ``pq_train``/
     ``kmeans_codes``/``pq_adc_topk``.  Call after the codes (or anything
     derived from them) have been materialized; returns how many tables
     were released."""
-    n = 0
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-        n += 1
-    return n
+    from ._cache import release
+    return release("similarity")
 
 
 _COSINE_UDF = None  # built lazily: pandas_udf needs an active session
@@ -303,8 +293,8 @@ def _pq_train_model(df: DataFrame, m: int, dsub: int, ksub: int,
     # points instead of re-reading/re-projecting the source per pass (the
     # MLlib-KMeans shape — at 100 TB training runs on a sample, and the
     # sample is what persists).  Released via release_cached().
-    pts = pts.persist()
-    _PERSISTED.append(pts)
+    from ._cache import persist as _persist
+    pts = _persist(pts, "similarity")
     seed_rows = pts.orderBy("id").limit(ksub).collect()   # model-sized
     if not seed_rows:
         raise ValueError(
@@ -403,8 +393,8 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
     pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
     # cache across the iters+1 assign scans (see _pq_train_model note);
     # released via release_cached()
-    pts = pts.persist()
-    _PERSISTED.append(pts)
+    from ._cache import persist as _persist
+    pts = _persist(pts, "similarity")
     # seed: the k lowest-id vectors, code = rank-by-id — identical on
     # any cluster/plan and SQL-reproducible.  dim derives from the seed
     # collect (no extra job; also guards empty input / null embeddings).

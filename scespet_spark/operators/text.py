@@ -385,21 +385,25 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                   (((F.element_at("__hs", F.col("__i")) * c0) % MH_PRIME
                     + (F.element_at("__hs", F.col("__i") + 1) * c1) % MH_PRIME)
                    % MH_PRIME).alias("__bg")))
-    # ONE corpus-wide count pass: group by (pre, bg); the prefix counts
-    # then roll up from that bigram-vocabulary-sized table (Zipf-bounded)
-    # instead of a second pass over the corpus, and since __bg determines
-    # __pre the model attaches to the per-doc rows with a SINGLE join on
-    # __bg carrying both counts.
-    bg_counts = (bg.groupBy("__pre", "__bg").agg(F.count("*").alias("__cbg")))
-    pre_counts = (bg_counts.groupBy("__pre")
-                  .agg(F.sum("__cbg").alias("__cpre")))
-    model = (bg_counts.join(pre_counts, "__pre")
-             .select("__bg", "__cbg", "__cpre"))
+    # ONE corpus-wide count pass: group by (pre, bg); both model tables
+    # (bigram counts, prefix counts) then roll up from that
+    # bigram-vocabulary-sized table (Zipf-bounded) instead of each
+    # taking its own pass over the corpus.  The per-doc attach stays TWO
+    # joins — one on __bg, one on __pre — because the rolled __bg key
+    # can birthday-collide across distinct prefixes (~B^2/2^32 pairs: a
+    # certainty at corpus scale); a single join on __bg alone would
+    # duplicate rows for colliding bigram types.  Counts for colliding
+    # keys merge, which is exactly what the oracle's plain GROUP BY
+    # computes — engine-identical at any collision density.
+    pair_counts = (bg.groupBy("__pre", "__bg").agg(F.count("*").alias("__c")))
+    bg_counts = pair_counts.groupBy("__bg").agg(F.sum("__c").alias("__cbg"))
+    pre_counts = pair_counts.groupBy("__pre").agg(F.sum("__c").alias("__cpre"))
     vocab = (staged.select(F.explode("__hs").alias("__h"))
              .agg(F.count_distinct("__h").alias("__v")))
     logp = F.log((F.col("__cbg") + F.lit(k))
                  / (F.col("__cpre") + F.lit(k) * F.col("__v")))
-    return (bg.join(model, "__bg")
+    return (bg.join(bg_counts, "__bg")
+            .join(pre_counts, "__pre")
             .crossJoin(F.broadcast(vocab))
             .groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
