@@ -2820,6 +2820,51 @@ def ann_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(emb, qvec, k=10, shortlist=50)
 
 
+def _ivfpq_oracle(k: int = 10, nprobe: int = 2, shortlist: int = 50,
+                  m: int = 8, dsub: int = 8) -> str:
+    sq = ("list_sum(list_transform(list_zip(q.qp, c.c), "
+          "z -> (z[1] - z[2]) * (z[1] - z[2])))")
+    return f"""
+WITH {_pq_ctes(m=m, dsub=dsub)},
+cent AS (
+  SELECT label, list(mv ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS mv
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i) GROUP BY label),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT label FROM cent, qv
+          ORDER BY round({_cosine_sql('centroid', 'v')}, 6) DESC, label
+          LIMIT {nprobe}),
+members AS (SELECT vec_id FROM embeddings JOIN probe USING (label)),
+qsub AS (SELECT j AS sub, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS qp
+         FROM qv CROSS JOIN (SELECT CAST(unnest(generate_series(0, {m - 1}))
+                                    AS BIGINT) AS j)),
+lut AS (SELECT c.sub, c.code, CAST(round({sq} * 1000000) AS BIGINT) AS md
+        FROM c2 c JOIN qsub q USING (sub)),
+adc AS (SELECT a.id, CAST(SUM(l.md) AS BIGINT) AS adc_microdist
+        FROM af a JOIN lut l USING (sub, code)
+        JOIN members mm ON mm.vec_id = a.id GROUP BY a.id),
+short AS (SELECT * FROM adc ORDER BY adc_microdist, id LIMIT {shortlist})
+SELECT s.id AS vec_id, s.adc_microdist,
+       round({_cosine_sql('p.v', 'q.v')}, 6) AS score
+FROM short s JOIN pts p ON p.id = s.id CROSS JOIN qv q
+ORDER BY score DESC, vec_id LIMIT {k}
+"""
+
+
+@query("ann_ivfpq_topk", _ivfpq_oracle())
+def ann_ivfpq_topk(spark, sf_dir):
+    """True IVF-PQ serving: probe the best 2 coarse cells by centroid
+    cosine, ADC-shortlist within the probed cells only (corpus-wide PQ
+    codebooks; at scale the codes table is partitioned by cell so this
+    is partition pruning), exact re-rank of the shortlist — the
+    canonical 100 TB ANN query."""
+    from scespet_spark.operators.similarity import ivfpq_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivfpq_topk(emb, qvec, k=10, nprobe=2, shortlist=50)
+
+
 @query("ann_ivf_kmeans_codes", _kmeans_oracle_sql(k=8, iters=3))
 def ann_ivf_kmeans_codes(spark, sf_dir):
     """IVF coarse-code build: deterministic-seeded k-means expressed as

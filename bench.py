@@ -62,6 +62,7 @@ HEADLINE = [
     "text_corpus_idf",
     "sample_source_quota",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "text_bigram_lm",
     "dedup_incremental",
     "dedup_incremental_near",

@@ -336,7 +336,8 @@ def _pq_train_model(df: DataFrame, m: int, dsub: int, ksub: int,
 def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                 shortlist: int = 50, m: int = 8, dsub: int = 8,
                 ksub: int = 16, iters: int = 2, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                members: DataFrame | None = None) -> DataFrame:
     """PQ asymmetric-distance ANN with exact re-rank: (1) LUT = squared
     distance from each query subvector to each codebook centroid,
     quantized to integer microunits (``round(d * 1e6)`` as long — long
@@ -368,6 +369,14 @@ def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
             lut_rows.append((j, int(c), int(math.floor(acc * 1e6 + 0.5))))
     lut = df.sparkSession.createDataFrame(
         lut_rows, "sub long, code long, md long")
+    if members is not None:
+        # IVF restriction: ADC only the probed cells' codes (codebooks
+        # stay corpus-wide — the offline artifact).  At 100 TB the codes
+        # table is partitioned by coarse cell, so this is partition
+        # pruning, not a join; here it is a semi-join on id.
+        codes = codes.join(members.select(F.col(members.columns[0])
+                                          .alias(id_col)),
+                           id_col, "left_semi")
     adc = (codes.join(F.broadcast(lut), ["sub", "code"])
            .groupBy(id_col).agg(F.sum("md").alias("adc_microdist")))
     short = adc.orderBy(F.col("adc_microdist").asc(), F.col(id_col)).limit(shortlist)
@@ -378,6 +387,35 @@ def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                     F.round(cosine(v, q), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+def ivfpq_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+               nprobe: int = 2, shortlist: int = 50, m: int = 8,
+               dsub: int = 8, ksub: int = 16, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               label_col: str = "label") -> DataFrame:
+    """True IVF-PQ serving — the canonical 100 TB ANN shape: (1) rank
+    coarse cells by centroid cosine and probe the best ``nprobe``;
+    (2) ADC-shortlist WITHIN the probed cells only (PQ codebooks are the
+    corpus-wide offline artifact; with the codes table partitioned by
+    coarse cell the ADC pass reads nprobe/N of the codes — partition
+    pruning); (3) exact cosine re-rank of the shortlist vectors only.
+
+    Composes ``label_centroids``-probing (``ivf_topk``) with
+    ``pq_adc_topk(members=...)``; the coarse cell here is the ``label``
+    column — in production the ``kmeans_codes`` output."""
+    q = _as_double_array(query)
+    cents = label_centroids(df, label_col, vec_col)
+    probe = (cents
+             .select(label_col,
+                     F.round(cosine(F.col("centroid"), q), 6).alias("cs"))
+             .orderBy(F.col("cs").desc(), F.col(label_col))
+             .limit(nprobe)
+             .select(label_col))
+    members = df.join(F.broadcast(probe), label_col).select(id_col)
+    return pq_adc_topk(df, query, k=k, shortlist=shortlist, m=m, dsub=dsub,
+                       ksub=ksub, iters=iters, id_col=id_col,
+                       vec_col=vec_col, members=members)
 
 
 def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,

@@ -789,3 +789,21 @@ def test_incremental_near_dup_and_band_table_reuse(spark):
     pb = banded_signatures(prior)
     via_table = incremental_near_dup(new, prior=None, prior_bands=pb)
     assert sorted(via_text.collect()) == sorted(via_table.collect())
+
+
+def test_ivfpq_restricts_adc_to_probed_cells(vecs):
+    """ivfpq_topk must only surface ids from the nprobe best coarse
+    cells, and must equal pq_adc_topk hand-restricted to those members
+    (corpus-wide codebooks, probed-cell ADC)."""
+    from scespet_spark.operators import similarity
+    from scespet_spark.operators.similarity import ivfpq_topk, pq_adc_topk
+    q = [1.0, 0.0, 0.0]
+    kw = dict(k=3, shortlist=4, m=1, dsub=3, ksub=2, iters=1)
+    out = ivfpq_topk(vecs, q, nprobe=1, **kw).collect()
+    # nprobe=1 with this query lands on label 0 (x-axis cluster)
+    assert {r.vec_id for r in out} <= {0, 1, 4}
+    by_hand = pq_adc_topk(
+        vecs, q, members=vecs.filter("label = 0").select("vec_id"),
+        **kw).collect()
+    assert sorted(out) == sorted(by_hand)
+    similarity.release_cached()
