@@ -1308,17 +1308,24 @@ def live_window_gated_reduce(spark, sf_dir):
 # temporal joins (zip / take / sample)
 # ---------------------------------------------------------------------------
 
+#: zip/asof oracles wrap each side's own value in a single-field STRUCT
+#: (padding = NULL struct, skipped by IGNORE NULLS; a row's own NULL
+#: value = non-null struct wrapping null — a REAL update that makes
+#: "latest" null), mirroring the engine's marker-struct forward fill
+#: exactly even for corpora containing null payloads.
 _ZIP_ORACLE_BODY = """
 WITH u AS (
-  SELECT user_id, ts, event_id, 0 AS side, value AS cv, NULL::DOUBLE AS pv
+  SELECT user_id, ts, event_id, 0 AS side,
+         {'v': value} AS cv, NULL::STRUCT(v DOUBLE) AS pv
   FROM events WHERE event_type = 'click'
   UNION ALL
-  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS cv, value AS pv
+  SELECT user_id, ts, event_id, 1 AS side,
+         NULL::STRUCT(v DOUBLE) AS cv, {'v': value} AS pv
   FROM events WHERE event_type = 'purchase'),
 f AS (
   SELECT user_id, ts, event_id, side,
-         LAST_VALUE(cv IGNORE NULLS) OVER w AS cv,
-         LAST_VALUE(pv IGNORE NULLS) OVER w AS pv
+         struct_extract(LAST_VALUE(cv IGNORE NULLS) OVER w, 'v') AS cv,
+         struct_extract(LAST_VALUE(pv IGNORE NULLS) OVER w, 'v') AS pv
   FROM u
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -1356,15 +1363,17 @@ def live_zip_click_purchase(spark, sf_dir):
 
 @query("live_zip_typed", """
 WITH u AS (
-  SELECT user_id, ts, event_id, 0 AS side, props AS sv, NULL::DOUBLE AS pv
+  SELECT user_id, ts, event_id, 0 AS side,
+         {'v': props} AS sv, NULL::STRUCT(v DOUBLE) AS pv
   FROM events WHERE event_type = 'click'
   UNION ALL
-  SELECT user_id, ts, event_id, 1 AS side, NULL::VARCHAR AS sv, value AS pv
+  SELECT user_id, ts, event_id, 1 AS side,
+         NULL::STRUCT(v VARCHAR) AS sv, {'v': value} AS pv
   FROM events WHERE event_type = 'purchase'),
 f AS (
   SELECT user_id, ts, event_id,
-         LAST_VALUE(sv IGNORE NULLS) OVER w AS sv,
-         LAST_VALUE(pv IGNORE NULLS) OVER w AS pv
+         struct_extract(LAST_VALUE(sv IGNORE NULLS) OVER w, 'v') AS sv,
+         struct_extract(LAST_VALUE(pv IGNORE NULLS) OVER w, 'v') AS pv
   FROM u
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -1598,14 +1607,16 @@ WITH c AS (SELECT user_id, ts, event_id, value AS cv FROM events
 p AS (SELECT user_id, ts, event_id, value AS pv FROM events
       WHERE event_type = 'purchase'),
 u AS (
-  SELECT user_id, ts, event_id, 0 AS side, cv, NULL::DOUBLE AS pv FROM c
+  SELECT user_id, ts, event_id, 0 AS side,
+         {'v': cv} AS cv, NULL::DOUBLE AS pv FROM c
   UNION ALL
-  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS cv, pv FROM p),
+  SELECT user_id, ts, event_id, 1 AS side,
+         NULL::STRUCT(v DOUBLE) AS cv, pv FROM p),
 f AS (
   SELECT user_id, ts, event_id, side, pv,
-         LAST_VALUE(cv IGNORE NULLS) OVER (
+         struct_extract(LAST_VALUE(cv IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, event_id, side
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'v') AS cv
   FROM u)
 SELECT user_id, ts, event_id, cv, pv FROM f WHERE side = 1
 """
@@ -1630,16 +1641,20 @@ r AS (SELECT user_id % 5 AS bucket, ts, event_id, value AS yv FROM events
 ks AS (SELECT DISTINCT user_id, user_id % 5 AS bucket FROM l),
 rx AS (SELECT ks.user_id, r.ts, r.event_id, r.yv FROM r JOIN ks USING (bucket)),
 u AS (
-  SELECT user_id, ts, event_id, 0 AS side, xv, NULL::DOUBLE AS yv FROM l
+  SELECT user_id, ts, event_id, 0 AS side,
+         {'v': xv} AS xv, NULL::STRUCT(v DOUBLE) AS yv, 1 AS cell FROM l
   UNION ALL
-  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS xv, yv FROM rx),
+  SELECT user_id, ts, event_id, 1 AS side,
+         NULL::STRUCT(v DOUBLE) AS xv, {'v': yv} AS yv, NULL::INT AS cell
+  FROM rx),
 f AS (
   SELECT user_id, ts, event_id, side,
-         LAST_VALUE(xv IGNORE NULLS) OVER w AS xv,
-         LAST_VALUE(yv IGNORE NULLS) OVER w AS yv
+         struct_extract(LAST_VALUE(xv IGNORE NULLS) OVER w, 'v') AS xv,
+         struct_extract(LAST_VALUE(yv IGNORE NULLS) OVER w, 'v') AS yv,
+         LAST_VALUE(cell IGNORE NULLS) OVER w AS cell
   FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-SELECT user_id, ts, event_id, xv, yv FROM f WHERE xv IS NOT NULL
+SELECT user_id, ts, event_id, xv, yv FROM f WHERE cell IS NOT NULL
 """)
 def zip_keymap_region_value(spark, sf_dir):
     """VectTerm.join with a key mapping (VectTerm.scala:454-456,
@@ -1668,15 +1683,16 @@ r AS (SELECT user_id % 5 AS bucket, ts, event_id, value AS yv FROM events
 ks AS (SELECT DISTINCT user_id, user_id % 5 AS bucket FROM l),
 rx AS (SELECT ks.user_id, r.ts, r.event_id, r.yv FROM r JOIN ks USING (bucket)),
 u AS (
-  SELECT user_id, ts, event_id, 0 AS side, xv, NULL::DOUBLE AS yv, 1 AS cell
+  SELECT user_id, ts, event_id, 0 AS side,
+         {'v': xv} AS xv, NULL::DOUBLE AS yv, 1 AS cell
   FROM l
   UNION ALL
-  SELECT user_id, ts, event_id, 1 AS side, NULL::DOUBLE AS xv, yv,
+  SELECT user_id, ts, event_id, 1 AS side, NULL::STRUCT(v DOUBLE) AS xv, yv,
          NULL::INT AS cell
   FROM rx),
 f AS (
   SELECT user_id, ts, event_id, side, yv,
-         LAST_VALUE(xv IGNORE NULLS) OVER w AS xv,
+         struct_extract(LAST_VALUE(xv IGNORE NULLS) OVER w, 'v') AS xv,
          LAST_VALUE(cell IGNORE NULLS) OVER w AS cell
   FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, side
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -1745,15 +1761,15 @@ spine AS (
   SELECT u.user_id, d.ts FROM (SELECT DISTINCT user_id FROM events) u
   CROSS JOIN days d),
 u AS (
-  SELECT user_id, ts, event_id, 0 AS side, value FROM events
+  SELECT user_id, ts, event_id, 0 AS side, {'v': value} AS value FROM events
   UNION ALL
   SELECT user_id, ts, 4611686018427387904 AS event_id, 1 AS side,
-         NULL::DOUBLE AS value FROM spine),
+         NULL::STRUCT(v DOUBLE) AS value FROM spine),
 f AS (
   SELECT user_id, ts, side,
-         LAST_VALUE(value IGNORE NULLS) OVER (
+         struct_extract(LAST_VALUE(value IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, event_id, side
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'v') AS value
   FROM u)
 SELECT user_id, ts, value FROM f WHERE side = 1
 """)
@@ -2721,7 +2737,8 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
             "GROUP BY code, pos) GROUP BY code")
 
     ctes = [
-        "pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS p FROM embeddings)",
+        ("pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS p "
+         "FROM embeddings WHERE embedding IS NOT NULL)"),
         ("c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)"
          " AS code, p AS c FROM "
          f"(SELECT id, p FROM pts ORDER BY id LIMIT {k}))"),

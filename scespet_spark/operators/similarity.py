@@ -205,7 +205,13 @@ def hard_negatives(df: DataFrame, queries: DataFrame, k: int = 5,
     broadcast against the corpus in ONE scan — the label-mismatch
     predicate rides the broadcast join, so same-label rows are dropped
     map-side before scoring — then a per-query rank keeps k rows.  Only
-    Q×k result rows ever shuffle; the corpus never moves."""
+    Q×k result rows ever shuffle; the corpus never moves.
+
+    NULL-label policy (deliberate): rows whose label is unknown — on
+    either side — are EXCLUDED (SQL null comparison semantics).  An
+    unlabeled corpus row cannot be proven a true negative, and mining
+    it as one risks poisoning the contrastive loss with a false
+    negative; label your data or pre-filter if you want them eligible."""
     v = F.col(vec_col).cast("array<double>")
     scored = (df.join(F.broadcast(queries),
                       F.col(label_col) != F.col(q_label))
@@ -428,18 +434,22 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
     collects and never forms per-candidate join rows.  Returns
     (id, code) for partition-pruned probing at query time."""
     v = F.col(vec_col).cast("array<double>")
-    pts = df.select(F.col(id_col).alias("id"), v.alias("p"))
+    # null embeddings are excluded up front (like _pq_train_model): a
+    # null among the k lowest-id SEED rows would otherwise crash model
+    # init with a raw TypeError, and any null crashes the assign stack
+    pts = (df.select(F.col(id_col).alias("id"), v.alias("p"))
+           .filter(F.col("p").isNotNull()))
     # cache across the iters+1 assign scans (see _pq_train_model note);
     # released via release_cached()
     from ._cache import persist as _persist
     pts = _persist(pts, "similarity")
     # seed: the k lowest-id vectors, code = rank-by-id — identical on
     # any cluster/plan and SQL-reproducible.  dim derives from the seed
-    # collect (no extra job; also guards empty input / null embeddings).
+    # collect (no extra job; also guards empty input).
     seed_rows = pts.orderBy("id").limit(k).collect()      # model-sized
-    if not seed_rows or seed_rows[0].p is None:
+    if not seed_rows:
         raise ValueError(
-            "kmeans_codes: input is empty or first embedding is null")
+            "kmeans_codes: no usable embeddings (all null or empty input)")
     dim = len(seed_rows[0].p)
     cent_list: list[dict[int, list[float]]] = [
         {c: list(map(float, r.p)) for c, r in enumerate(seed_rows)}]

@@ -75,8 +75,13 @@ def _synth_seq(df: DataFrame, seq: str) -> DataFrame:
     function of the data.  Identical duplicate rows share a seq and so
     coalesce atomically (the (key, t)-cycle semantics), which is the
     deterministic behavior."""
+    from pyspark.sql.types import MapType
+    # map columns are not hashable by Spark's hash expressions — exclude
+    # them rather than fail analysis for any schema containing one
+    cols = [F.col(f.name) for f in df.schema.fields
+            if not isinstance(f.dataType, MapType)]
     return df.withColumn(
-        seq, F.xxhash64(*[F.col(c) for c in df.columns]))
+        seq, F.xxhash64(*cols) if cols else F.lit(0).cast("bigint"))
 
 
 def load_csv(spark: SparkSession, path: str, schema: str, sep: str = "\t",

@@ -338,6 +338,19 @@ def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
                          t=t, order_cols=[t, "__trig", seq])
 
 
+#: integral payload types must not ride the union as themselves: the
+#: padding makes the column nullable, and Spark's Arrow-to-pandas hands
+#: a nullable int64 to the state function as float64 — silently rounding
+#: values above 2^53 (a 64-bit id corrupts).  They travel as strings
+#: (exact both ways) and cast back on output.
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _wire(dt) -> str:
+    s = dt.simpleString()
+    return "string" if s in _INTEGRAL else s
+
+
 def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
                left_col: str, right_col: str,
                t: str = "ts", seq: str = "event_id") -> DataFrame:
@@ -354,14 +367,15 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
     input schemas, not cast to double."""
     ltype = left.schema[left_col].dataType
     rtype = right.schema[right_col].dataType
+    lw, rw = _wire(ltype), _wire(rtype)
     lt = left.select(*keys, F.col(t), F.col(seq),
                      F.lit(0).alias("__side"),
-                     F.col(left_col).alias("__lv"),
-                     F.lit(None).cast(rtype).alias("__rv"))
+                     F.col(left_col).cast(lw).alias("__lv"),
+                     F.lit(None).cast(rw).alias("__rv"))
     rt = right.select(*keys, F.col(t), F.col(seq),
                       F.lit(1).alias("__side"),
-                      F.lit(None).cast(ltype).alias("__lv"),
-                      F.col(right_col).alias("__rv"))
+                      F.lit(None).cast(lw).alias("__lv"),
+                      F.col(right_col).cast(rw).alias("__rv"))
     u = lt.unionByName(rt)
 
     def step(st, pdf):
@@ -392,13 +406,18 @@ def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
 
     key_ddl = _key_ddl(left, keys)
     tddl = left.schema[t].dataType.simpleString()
-    return stateful_scan(
+    out = stateful_scan(
         u, keys, {"lx": None, "rx": None, "lseen": 0.0, "rseen": 0.0}, step,
         f"{key_ddl}, {t} {tddl}, {seq} long, "
-        f"{left_col} {ltype.simpleString()}, {right_col} {rtype.simpleString()}",
+        f"{left_col} {lw}, {right_col} {rw}",
         t=t, order_cols=[t, seq, "__side"],
-        state_schema=f"lx {ltype.simpleString()}, rx {rtype.simpleString()}, "
-                     f"lseen double, rseen double")
+        state_schema=f"lx {lw}, rx {rw}, lseen double, rseen double")
+    # integral payloads come back from their string transport
+    if lw != ltype.simpleString():
+        out = out.withColumn(left_col, F.col(left_col).cast(ltype))
+    if rw != rtype.simpleString():
+        out = out.withColumn(right_col, F.col(right_col).cast(rtype))
+    return out
 
 
 def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
@@ -416,12 +435,16 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
     Value columns keep their input types (string, long, timestamp, ... —
     EventSource.java:3-6 / RealTradeTests.scala:22-23): state fields are
     typed from the left schema, not cast to double."""
-    ltypes = {c: left.schema[c].dataType.simpleString() for c in left_cols}
-    rtypes = {c: right.schema[c].dataType.simpleString() for c in right_cols}
-    lsel = ([F.col(c).alias(c) for c in left_cols]
+    otypes = {c: left.schema[c].dataType for c in left_cols}
+    otypes.update({c: right.schema[c].dataType for c in right_cols})
+    # integral columns travel as strings (see _wire) — exact under the
+    # nullable Arrow-to-pandas conversion, cast back on output
+    ltypes = {c: _wire(left.schema[c].dataType) for c in left_cols}
+    rtypes = {c: _wire(right.schema[c].dataType) for c in right_cols}
+    lsel = ([F.col(c).cast(ltypes[c]).alias(c) for c in left_cols]
             + [F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols])
     rsel = ([F.lit(None).cast(ltypes[c]).alias(c) for c in left_cols]
-            + [F.col(c).alias(c) for c in right_cols])
+            + [F.col(c).cast(rtypes[c]).alias(c) for c in right_cols])
     lt = left.select(*keys, F.col(t), F.col(seq),
                      F.lit(0).alias("__side"), *lsel)
     rt = right.select(*keys, F.col(t), F.col(seq),
@@ -466,11 +489,15 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
     tddl = left.schema[t].dataType.simpleString()
     val_ddl = ", ".join(f"{c} {(ltypes | rtypes)[c]}"
                         for c in (*left_cols, *right_cols))
-    return stateful_scan(
+    out = stateful_scan(
         u, keys, state_fields, step,
         f"{key_ddl}, {t} {tddl}, {seq} long, {val_ddl}",
         t=t, order_cols=[t, seq, "__side"],
         state_schema=state_ddl)
+    for c in (*left_cols, *right_cols):
+        if (ltypes | rtypes)[c] != otypes[c].simpleString():
+            out = out.withColumn(c, F.col(c).cast(otypes[c]))
+    return out
 
 
 def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
@@ -742,7 +769,10 @@ class LiveStream:
                 raise ValueError(f"map_vector agg {name!r}: {kind} needs a "
                                  f"source column")
             specs[name] = (kind, col)
-        state_fields = {n: 0 if k == "count" else (0.0 if k == "sum" else None)
+        # sum state starts None (not 0.0): batch F.sum windows emit NULL
+        # until the first non-null value, and seeding 0.0 would emit 0.0
+        # there instead — a live/batch divergence
+        state_fields = {n: 0 if k == "count" else None
                         for n, (k, _) in specs.items()}
         state_schema = ", ".join(
             f"{n} {'bigint' if k == 'count' else 'double'}"
@@ -768,9 +798,19 @@ class LiveStream:
                     run = st[name] + pd.RangeIndex(1, len(pdf) + 1)
                     st[name] = int(run[-1])
                 elif kind == "sum":
-                    run = st[name] + pdf[col].astype("float64").fillna(
-                        0.0).cumsum()
-                    st[name] = float(run.iloc[-1])
+                    s = pdf[col].astype("float64")
+                    base = st[name] if st[name] is not None else 0.0
+                    run = base + s.fillna(0.0).cumsum()
+                    if st[name] is None:
+                        # NULL until the first real value EVER (matches
+                        # batch F.sum); the seen flag is the state value
+                        # itself flipping from None
+                        seen = s.notna().cummax()
+                        run = run.where(seen)
+                        if bool(seen.iloc[-1]):
+                            st[name] = float(run.iloc[-1])
+                    else:
+                        st[name] = float(run.iloc[-1])
                 else:
                     s = pdf[col].astype("float64")
                     run = (s.cummax() if kind == "max" else s.cummin()).ffill()

@@ -597,3 +597,21 @@ def test_from_parquet_nanos_ts_optin(spark, tmp_path):
     assert str(row.ts) == "1970-01-02 00:00:00"  # nanos -> micros
     plain = Stream.from_parquet(spark, p, t="ts", seq="seq")
     assert plain.df.schema["ts"].dataType.simpleString() == "bigint"
+
+
+def test_ewma_null_group_key_rows_fold_as_own_group(spark):
+    """Rows whose group KEY is null must fold as their own group (the
+    same grouping a window partitionBy gives them) — never emit
+    uninitialized values (pandas groupby drops NaN keys by default)."""
+    from scespet_spark.core.stream import Stream
+    from scespet_spark.functions.reducers import ewma
+    rows = [(0, 0, None, 10.0), (1, 1, 7, 2.0), (2, 2, None, 20.0),
+            (3, 3, 7, 4.0)]
+    df = spark.createDataFrame(
+        rows, "ts long, event_id long, user_id long, value double")
+    s = Stream(df, t="ts", seq="event_id", keys=("user_id",))
+    out = {r.event_id: r.e for r in
+           ewma(s, "value", alpha=0.5, out="e").df.collect()}
+    # null-key group: y0=10, y1=.5*20+.5*10=15; key-7 group: y0=2, y1=3
+    assert out[0] == 10.0 and out[2] == 15.0
+    assert out[1] == 2.0 and out[3] == 3.0

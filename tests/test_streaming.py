@@ -546,8 +546,8 @@ def test_parquet_sink_checkpoint_exactly_once(spark, batch_events, tmp_path):
 
 
 def test_streaming_map_vector_null_values(spark, tmp_path):
-    # null values must not poison persisted state: sum treats null as 0
-    # contribution, max/min carry through — matching batch F.sum/F.max
+    # null values must not poison persisted state: a null contributes
+    # nothing to sum, max/min carry through — matching batch F.sum/F.max
     # windows, which ignore nulls (the state survives across micro-batch
     # boundaries, so the all-important case is a null at a batch edge)
     from scespet_spark.streaming.live import LiveStream, run_available_now
@@ -564,7 +564,9 @@ def test_streaming_map_vector_null_values(spark, tmp_path):
         n=("count",), vsum=("sum", "value"), vmax=("max", "value"))
     out = {r.event_id: (r.n, r.vsum, r.vmax)
            for r in run_available_now(live.df, "append").collect()}
-    assert out == {0: (1, 0.0, None), 1: (2, 2.0, 2.0), 2: (3, 2.0, 2.0),
+    # row 0: sum is NULL (not 0.0) before the first non-null value —
+    # exactly what batch F.sum running windows emit
+    assert out == {0: (1, None, None), 1: (2, 2.0, 2.0), 2: (3, 2.0, 2.0),
                    3: (4, 10.0, 8.0), 4: (5, 10.0, 8.0), 5: (6, 11.0, 8.0)}
 
 
@@ -694,3 +696,34 @@ def test_streaming_exact_dedup_across_micro_batches(spark, tmp_path):
     got = [r.content_hash for r in out.collect()]
     assert len(got) == len(set(got)) == 3  # no cross-batch re-emission
     assert set(got) == batch_digests
+
+
+def test_typed_live_joins_preserve_big_longs(spark, tmp_path):
+    """bigint payloads above 2^53 must survive the live zip/asof state
+    machinery exactly: the union's padding makes value columns nullable,
+    and a nullable int64 reaches pandas as float64 — the transport layer
+    must not let that round the payload."""
+    from scespet_spark.streaming.live import asof_latest, zip_latest, run_available_now
+    big = (1 << 53) + 1      # not representable as float64
+    big2 = (1 << 60) + 7
+    rows_l = [(1, 1, 10, big)]
+    rows_r = [(1, 2, 11, big2)]
+    schema_l = "user_id long, t long, event_id long, lv bigint"
+    schema_r = "user_id long, t long, event_id long, rv bigint"
+
+    def as_stream(rows, schema, sub):
+        bdf = (spark.createDataFrame(rows, schema)
+               .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t"))
+        d = tmp_path / sub
+        bdf.coalesce(1).write.parquet(str(d))
+        return (spark.readStream.schema(bdf.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(d)))
+
+    l = as_stream(rows_l, schema_l, "l")
+    r = as_stream(rows_r, schema_r, "r")
+    z = run_available_now(
+        zip_latest(l, r, ["user_id"], "lv", "rv"), "append").collect()
+    assert {(row.lv, row.rv) for row in z} == {(big, None), (big, big2)}
+    a = run_available_now(
+        asof_latest(l, r, ["user_id"], ["lv"], ["rv"]), "append").collect()
+    assert [(row.lv, row.rv) for row in a] == [(big, big2)]
