@@ -906,21 +906,13 @@ def _broadcast_asof(left: Stream, right: Stream, left_cols: Sequence[str],
     keys = list(left.keys)
     lc = [c for c in left_cols if c not in keys]
     rc = [c for c in right_cols if c not in keys]
-    pos = lambda t, s: F.struct(F.col(t).alias("t"), F.col(s).alias("s"))  # noqa: E731
-    lw = Window.partitionBy(*keys).orderBy(*ordering.order_cols(left.t, left.seq))
-    iv = left.df.select(
-        *keys,
-        pos(left.t, left.seq).alias("__start"),
-        F.lead(pos(left.t, left.seq)).over(lw).alias("__end"),
-        *[F.col(c).alias(f"__l_{c}") for c in lc],
-    )
+    iv, containment = _interval_table(left, keys, lc)
     r = right.df.alias("r")
     l = F.broadcast(iv).alias("l")
     rpos = F.struct(F.col(f"r.{right.t}").alias("t"),
                     F.col(f"r.{right.seq}").alias("s"))
-    cond = [F.col(f"r.{k}").eqNullSafe(F.col(f"l.{k}")) for k in keys]
-    cond.append(rpos >= F.col("l.__start"))
-    cond.append(F.col("l.__end").isNull() | (rpos < F.col("l.__end")))
+    cond = ([F.col(f"r.{k}").eqNullSafe(F.col(f"l.{k}")) for k in keys]
+            + containment(rpos))
     joined = r.join(l, cond, "left")
     sel = [F.col(f"r.{right.t}").alias(left.t),
            F.col(f"r.{right.seq}").alias(left.seq),
@@ -928,6 +920,32 @@ def _broadcast_asof(left: Stream, right: Stream, left_cols: Sequence[str],
     sel += [F.col(f"l.__l_{c}").alias(c) for c in lc]
     sel += [F.col(f"r.{c}").alias(c) for c in rc]
     return Stream(joined.select(*sel), left.t, left.seq, tuple(keys))
+
+
+def _interval_table(left: Stream, keys: list[str],
+                    value_cols: list[str]):
+    """Per-key validity intervals of a state stream: one row per left
+    event with ``__start = (t, seq)``, ``__end = next (t, seq)`` (null
+    for the last), and the value columns as ``__l_*``.  The tie-break
+    contract both consumers rely on: joining with ``rpos >= __start``
+    makes a left row at the same (t, seq) as a right event VISIBLE,
+    mirroring the union form's (ts, seq, side) order with left side 0.
+    Returns ``(iv, containment)`` where ``containment(rpos)`` is the
+    [start, end) filter list for an alias ``l`` of ``iv``."""
+    pos = F.struct(F.col(left.t).alias("t"), F.col(left.seq).alias("s"))
+    lw = Window.partitionBy(*keys).orderBy(
+        *ordering.order_cols(left.t, left.seq))
+    iv = left.df.select(
+        *keys,
+        pos.alias("__start"),
+        F.lead(pos).over(lw).alias("__end"),
+        *[F.col(c).alias(f"__l_{c}") for c in value_cols])
+
+    def containment(rpos):
+        return [rpos >= F.col("l.__start"),
+                F.col("l.__end").isNull() | (rpos < F.col("l.__end"))]
+
+    return iv, containment
 
 
 def _keymap_bind(left: Stream, right: Stream, key_map):
@@ -1046,13 +1064,7 @@ def _keymap_take_join(left: Stream, right: Stream, left_cols: Sequence[str],
     lk, rk, lmapped, keyset = _keymap_bind(left, right, key_map)
     lc = [c for c in left_cols if c != lk]
     rc = [c for c in right_cols if c != rk]
-    pos = lambda t, s: F.struct(F.col(t).alias("t"), F.col(s).alias("s"))  # noqa: E731
-    lw = Window.partitionBy(lk).orderBy(*ordering.order_cols(left.t, left.seq))
-    iv = left.df.select(
-        F.col(lk),
-        pos(left.t, left.seq).alias("__start"),
-        F.lead(pos(left.t, left.seq)).over(lw).alias("__end"),
-        *[F.col(c).alias(f"__l_{c}") for c in lc])
+    iv, containment = _interval_table(left, [lk], lc)
     # attach the guarded bound key; inner join drops unmapped cells
     # (they can never receive a right event)
     iv = iv.join(keyset, iv[lk] == keyset["__lk"]).drop("__lk")
@@ -1060,9 +1072,7 @@ def _keymap_take_join(left: Stream, right: Stream, left_cols: Sequence[str],
     l = iv.alias("l")
     rpos = F.struct(F.col(f"r.{right.t}").alias("t"),
                     F.col(f"r.{right.seq}").alias("s"))
-    cond = [F.col(f"r.{rk}") == F.col("l.__jk"),
-            rpos >= F.col("l.__start"),
-            F.col("l.__end").isNull() | (rpos < F.col("l.__end"))]
+    cond = [F.col(f"r.{rk}") == F.col("l.__jk")] + containment(rpos)
     joined = r.join(l, cond, "inner")
     sel = [F.col(f"r.{right.t}").alias(left.t),
            F.col(f"r.{right.seq}").alias(left.seq),
