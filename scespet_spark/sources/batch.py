@@ -84,15 +84,39 @@ def _synth_seq(df: DataFrame, seq: str) -> DataFrame:
         seq, F.xxhash64(*cols) if cols else F.lit(0).cast("bigint"))
 
 
+def _fetch_url(path: str) -> str:
+    """http(s) sources download once to a content-addressed driver-side
+    cache and are read as local files — the reference's URL use case
+    (RealTradeTests.scala:53-94) is small reference dumps, and that is
+    what this is for: bulk data belongs on distributed storage, where
+    the executors read it directly."""
+    if not path.startswith(("http://", "https://")):
+        return path
+    import hashlib
+    import os
+    import tempfile
+    import urllib.request
+    dst = os.path.join(tempfile.gettempdir(), "scespet_url_cache",
+                       hashlib.md5(path.encode()).hexdigest()
+                       + os.path.basename(path)[-40:])
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if not os.path.exists(dst):
+        tmp = dst + ".part"
+        urllib.request.urlretrieve(path, tmp)
+        os.replace(tmp, dst)  # atomic: a crashed download never half-reads
+    return dst
+
+
 def load_csv(spark: SparkSession, path: str, schema: str, sep: str = "\t",
              t: str = "ts", seq: str | None = None,
              header: bool = False) -> Stream:
-    """Delimited-file event source (reference: the tab-separated
+    """Delimited file/URL event source (reference: the tab-separated
     trade/quote dumps, RealTradeTests.scala:53-94) — a schema'd CSV scan
     consumed in event-time order.  ``seq=None`` synthesizes a
-    deterministic row-content hash as the replay tie-breaker."""
+    deterministic row-content hash as the replay tie-breaker; http(s)
+    paths download via the driver-side cache (``_fetch_url``)."""
     df = (spark.read.option("sep", sep).option("header", str(header).lower())
-          .schema(schema).csv(path))
+          .schema(schema).csv(_fetch_url(path)))
     if seq is None:
         seq = "seq"
         df = _synth_seq(df, seq)
@@ -108,7 +132,7 @@ def load_jsonl(spark: SparkSession, path: str, schema: str | None = None,
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.json(path)
+    df = reader.json(_fetch_url(path))
     if seq is None:
         seq = "seq"
         df = _synth_seq(df, seq)

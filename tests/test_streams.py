@@ -45,3 +45,30 @@ def test_take_rejects_broadcast_state_with_key_map(spark):
     with pytest.raises(ValueError, match="broadcast_state"):
         ls.sample(rs, ["lv"], key_map=F.upper(F.col("k")),
                   broadcast_state=True)
+
+
+def test_load_csv_from_url(spark, tmp_path):
+    """http(s) paths download through the driver-side cache and read
+    like local files (the reference's URL trade-dump use case)."""
+    import http.server
+    import threading
+
+    data = "10\t100.5\taapl\n20\t101.0\tmsft\n"
+    (tmp_path / "trades.tsv").write_text(data)
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/trades.tsv"
+        from scespet_spark.sources.batch import load_csv
+        s = load_csv(spark, url, "ts long, px double, sym string")
+        rows = sorted((r.ts, r.px, r.sym) for r in s.df.collect())
+        assert rows == [(10, 100.5, "aapl"), (20, 101.0, "msft")]
+        assert "seq" in s.df.columns  # synthesized tie-breaker
+        # second load hits the cache (no re-download): same rows
+        assert load_csv(spark, url,
+                        "ts long, px double, sym string").df.count() == 2
+    finally:
+        srv.shutdown()
