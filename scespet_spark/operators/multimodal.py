@@ -56,10 +56,13 @@ def attach_payload(df: DataFrame, text_col: str = "text",
                  F.md5(F.col("payload")).alias("sig")))
 
 
-def _decode_one(payload: bytes) -> tuple[int, int]:
+def _decode_one(payload: bytes,
+                digest: bytes | None = None) -> tuple[int, int]:
     """STUB decode: deterministic pseudo width/height from the content
-    digest.  Replace with PIL/ffmpeg in production (not in container)."""
-    d = hashlib.md5(payload).digest()
+    digest.  Replace with PIL/ffmpeg in production (not in container) —
+    this is the ONE place the stub formula lives; callers that already
+    hold the payload's md5 pass it via ``digest`` to avoid re-hashing."""
+    d = digest if digest is not None else hashlib.md5(payload).digest()
     return 64 + d[0] % 192, 64 + d[1] % 192
 
 
@@ -114,10 +117,11 @@ def resize_images(df: DataFrame, max_side: int = 128,
                 b = bytes(p)
                 # ONE md5 per payload: dims and signature both derive
                 # from the same digest (hashing the buffer twice doubled
-                # per-row CPU for what this operator exists to batch)
+                # per-row CPU for what this operator exists to batch);
+                # the decode formula stays in _decode_one (the codec
+                # swap point) — only the digest is shared
                 d = hashlib.md5(b)
-                dig = d.digest()
-                w, h = 64 + dig[0] % 192, 64 + dig[1] % 192
+                w, h = _decode_one(b, d.digest())
                 m = max(w, h)
                 sig = d.hexdigest()
                 out["doc_id"].append(i)

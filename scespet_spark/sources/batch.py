@@ -75,36 +75,61 @@ def _synth_seq(df: DataFrame, seq: str) -> DataFrame:
     function of the data.  Identical duplicate rows share a seq and so
     coalesce atomically (the (key, t)-cycle semantics), which is the
     deterministic behavior."""
-    from pyspark.sql.types import MapType
-    # map columns are not hashable by Spark's hash expressions — exclude
-    # them rather than fail analysis for any schema containing one
-    cols = [F.col(f.name) for f in df.schema.fields
-            if not isinstance(f.dataType, MapType)]
-    return df.withColumn(
-        seq, F.xxhash64(*cols) if cols else F.lit(0).cast("bigint"))
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        # xxhash64 rejects map types RECURSIVELY (a struct/array holding
+        # a map fails analysis too), so the check must recurse as well
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    # map-bearing columns hash via their JSON rendering (deterministic
+    # for a given stored layout) rather than being DROPPED from the
+    # hash — excluding them would give rows differing only in a map
+    # column identical seqs, silently coalescing distinct events
+    cols = [F.to_json(F.col(f.name)) if has_map(f.dataType)
+            else F.col(f.name) for f in df.schema.fields]
+    return df.withColumn(seq, F.xxhash64(*cols))
 
 
-def _fetch_url(path: str) -> str:
-    """http(s) sources download once to a content-addressed driver-side
-    cache and are read as local files — the reference's URL use case
-    (RealTradeTests.scala:53-94) is small reference dumps, and that is
-    what this is for: bulk data belongs on distributed storage, where
-    the executors read it directly."""
-    if not path.startswith(("http://", "https://")):
-        return path
+def _fetch_url_lines(path: str) -> list[str]:
+    """Download an http(s) source once into a per-user, mode-0700
+    driver-side cache and return its LINES.  The caller parallelizes the
+    lines into the cluster, so this works on any deployment (a local
+    /tmp path baked into a plan would 404 on real executors).  The
+    reference's URL use case (RealTradeTests.scala:53-94) is small
+    reference dumps, and that is what this is for: bulk data belongs on
+    distributed storage, where the executors read it directly.
+
+    Concurrency/tenancy: the cache dir is created 0700 under the
+    current uid (another local user can neither poison nor read it) and
+    downloads land in an mkstemp file before an atomic replace, so
+    concurrent fetchers of one URL never interleave writes."""
     import hashlib
     import os
     import tempfile
     import urllib.request
-    dst = os.path.join(tempfile.gettempdir(), "scespet_url_cache",
-                       hashlib.md5(path.encode()).hexdigest()
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"scespet_url_cache_{os.getuid()}")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    dst = os.path.join(cache, hashlib.md5(path.encode()).hexdigest()
                        + os.path.basename(path)[-40:])
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
     if not os.path.exists(dst):
-        tmp = dst + ".part"
-        urllib.request.urlretrieve(path, tmp)
-        os.replace(tmp, dst)  # atomic: a crashed download never half-reads
-    return dst
+        fd, tmp = tempfile.mkstemp(dir=cache)
+        try:
+            with urllib.request.urlopen(path) as r, os.fdopen(fd, "wb") as f:
+                f.write(r.read())
+            os.replace(tmp, dst)  # atomic: never half-reads
+        except BaseException:
+            os.unlink(tmp)
+            raise
+    with open(dst, encoding="utf-8") as f:
+        return f.read().splitlines()
 
 
 def load_csv(spark: SparkSession, path: str, schema: str, sep: str = "\t",
@@ -114,9 +139,15 @@ def load_csv(spark: SparkSession, path: str, schema: str, sep: str = "\t",
     trade/quote dumps, RealTradeTests.scala:53-94) — a schema'd CSV scan
     consumed in event-time order.  ``seq=None`` synthesizes a
     deterministic row-content hash as the replay tie-breaker; http(s)
-    paths download via the driver-side cache (``_fetch_url``)."""
-    df = (spark.read.option("sep", sep).option("header", str(header).lower())
-          .schema(schema).csv(_fetch_url(path)))
+    paths download via the driver cache and parallelize their LINES
+    (cluster-safe — see ``_fetch_url_lines``)."""
+    reader = (spark.read.option("sep", sep)
+              .option("header", str(header).lower()).schema(schema))
+    if path.startswith(("http://", "https://")):
+        lines = _fetch_url_lines(path)
+        df = reader.csv(spark.sparkContext.parallelize(lines or [""]))
+    else:
+        df = reader.csv(path)
     if seq is None:
         seq = "seq"
         df = _synth_seq(df, seq)
@@ -132,7 +163,11 @@ def load_jsonl(spark: SparkSession, path: str, schema: str | None = None,
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.json(_fetch_url(path))
+    if path.startswith(("http://", "https://")):
+        lines = _fetch_url_lines(path)
+        df = reader.json(spark.sparkContext.parallelize(lines or ["{}"]))
+    else:
+        df = reader.json(path)
     if seq is None:
         seq = "seq"
         df = _synth_seq(df, seq)

@@ -338,12 +338,14 @@ def trigger_stream_reduce(data: DataFrame, trig: DataFrame, keys: list[str],
                          t=t, order_cols=[t, "__trig", seq])
 
 
-#: integral payload types must not ride the union as themselves: the
-#: padding makes the column nullable, and Spark's Arrow-to-pandas hands
-#: a nullable int64 to the state function as float64 — silently rounding
+#: bigint payloads must not ride the union as themselves: the padding
+#: makes the column nullable, and Spark's Arrow-to-pandas hands a
+#: nullable int64 to the state function as float64 — silently rounding
 #: values above 2^53 (a 64-bit id corrupts).  They travel as strings
-#: (exact both ways) and cast back on output.
-_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+#: (exact both ways) and cast back on output.  Narrower integrals
+#: (int and below, max 2^31) are exactly representable in float64, so
+#: they keep the cheap numeric passthrough.
+_INTEGRAL = ("bigint",)
 
 
 def _wire(dt) -> str:
@@ -428,7 +430,9 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
     contract, EventSource.java:3-6).  The left side's latest values live
     in per-key state; each RIGHT event emits one row carrying
     (left.latest, right values) — before the left's first event the left
-    columns are null.  ``sample`` is the ``right_cols=[]`` case: the
+    columns are null, and a left event with a null payload is a real
+    update (latest becomes null), matching batch ``_temporal_join``'s
+    marker-struct semantics.  ``sample`` is the ``right_cols=[]`` case: the
     right stream is a pure trigger snapshotting the left.  Tie-break at
     equal (t, seq) matches batch ``_temporal_join``: left first.
 
@@ -459,28 +463,31 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
                           for c in left_cols)
 
     def step(st, pdf):
-        # vectorized: right rows emit, left columns forward-fill within
-        # the batch (plain value ffill is exact here — a null left value
-        # KEEPS prior state by contract), carry seeds the leading rows.
-        # Object arrays carry any payload type.
+        # vectorized: right rows emit, left columns fill from the LAST
+        # LEFT ROW's position (not the last non-null value): a left
+        # event with a null payload is a REAL update that makes "latest"
+        # null — the batch marker-struct semantics (_temporal_join) and
+        # the zip_latest fill.  Carry seeds rows before this batch's
+        # first left event.  Object arrays carry any payload type.
         import numpy as np
+        n = len(pdf)
         side = pdf["__side"].to_numpy()
         mask_r = side == 1
+        pos = np.arange(n, dtype="float64")
+        lp = pd.Series(np.where(side == 0, pos, np.nan)).ffill().to_numpy()
+        has = ~np.isnan(lp)
         out = {t: pdf[t].to_numpy()[mask_r],
                seq: pdf[seq].to_numpy()[mask_r].astype("int64")}
+        hits = np.flatnonzero(side == 0)
         for c in left_cols:
-            col = np.where(side == 0, pdf[c].to_numpy(dtype=object), None)
-            with pd.option_context("future.no_silent_downcasting", True):
-                # keep object dtype through ffill: silent downcast to
-                # float64 would erase typed payloads (and warns)
-                filled = pd.Series(col, dtype=object).ffill().to_numpy()
-            if st[f"s_{c}"]:  # carry seeds rows before this batch's first
-                isna = pd.isna(filled)
-                filled[isna] = st[f"v_{c}"]
+            v = pdf[c].to_numpy(dtype=object)
+            filled = np.full(n, None, dtype=object)
+            filled[has] = v[lp[has].astype("int64")]
+            if st[f"s_{c}"]:
+                filled[~has] = st[f"v_{c}"]
             out[c] = filled[mask_r]
-            nz = np.flatnonzero(pd.notna(col))
-            if len(nz):
-                st[f"v_{c}"], st[f"s_{c}"] = col[nz[-1]], 1.0
+            if len(hits):
+                st[f"v_{c}"], st[f"s_{c}"] = v[hits[-1]], 1.0
         for c in right_cols:
             out[c] = pdf[c].to_numpy(dtype=object)[mask_r]
         return pd.DataFrame(out)

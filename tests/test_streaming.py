@@ -727,3 +727,27 @@ def test_typed_live_joins_preserve_big_longs(spark, tmp_path):
     a = run_available_now(
         asof_latest(l, r, ["user_id"], ["lv"], ["rv"]), "append").collect()
     assert [(row.lv, row.rv) for row in a] == [(big, big2)]
+
+
+def test_live_asof_null_left_value_is_a_real_update(spark, tmp_path):
+    """A left event with a NULL payload must make the live as-of state
+    null (batch marker-struct semantics) — not keep the prior value."""
+    from scespet_spark.streaming.live import asof_latest, run_available_now
+    rows_l = [(1, 1, 10, 5.0), (1, 3, 12, None)]
+    rows_r = [(1, 2, 11, 1.0), (1, 4, 13, 2.0)]
+    sl = "user_id long, t long, event_id long, lv double"
+    sr = "user_id long, t long, event_id long, rv double"
+
+    def as_stream(rows, schema, sub):
+        bdf = (spark.createDataFrame(rows, schema)
+               .withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t"))
+        d = tmp_path / sub
+        bdf.coalesce(1).write.parquet(str(d))
+        return (spark.readStream.schema(bdf.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(d)))
+
+    out = run_available_now(
+        asof_latest(as_stream(rows_l, sl, "l"), as_stream(rows_r, sr, "r"),
+                    ["user_id"], ["lv"], ["rv"]), "append")
+    got = {r.event_id: r.lv for r in out.collect()}
+    assert got == {11: 5.0, 13: None}  # the null at seq 12 IS an update
