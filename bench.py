@@ -106,6 +106,7 @@ def main():
     # quantity that actually scales with data volume)
     from scespet_spark.operators import dedup, similarity
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in HEADLINE:
         samples = []
         for _ in range(3):
@@ -119,6 +120,19 @@ def main():
         dedup.release_cached()
         similarity.release_cached()
         timings[name] = round(min(samples), 3)
+        if min(samples) > 0:
+            spreads.append(max(samples) / min(samples))
+
+    # same-build repeat spread: max/min ratio of the 3 identical samples
+    # per query.  This quantifies this box's co-tenant noise so round-
+    # over-round deltas inside the band are separable from real
+    # regressions (an identical plan re-run this far apart is noise).
+    spreads.sort()
+    noise = {
+        "median_samplespread": round(spreads[len(spreads) // 2], 2),
+        "p90_samplespread": round(spreads[int(len(spreads) * 0.9)], 2),
+        "max_samplespread": round(spreads[-1], 2),
+    } if spreads else {}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -127,6 +141,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeat_spread": noise,
     }))
 
 

@@ -507,6 +507,154 @@ def asof_latest(left: DataFrame, right: DataFrame, keys: list[str],
     return out
 
 
+#: payload types the keymap join's JSON state can carry exactly.  The
+#: per-bucket cell table must round-trip the executor state store, so
+#: values are serialized; Python json round-trips float (repr-based),
+#: int, str, bool and None losslessly.  Timestamp/binary payloads would
+#: need a codec — rejected loudly instead of corrupted silently.
+_JSON_SAFE = ("double", "float", "int", "bigint", "smallint", "tinyint",
+              "string", "boolean")
+
+
+def keymap_latest(left: DataFrame, right: DataFrame, lk: str, rk: str,
+                  key_map, left_cols: list[str], right_cols: list[str],
+                  emit: str = "both", t: str = "ts",
+                  seq: str = "event_id") -> DataFrame:
+    """Live K -> K2 vector join (reference: VectTerm.join/take/sample
+    with keyMap, VectTerm.scala:454-460 / VectorJoin.scala:16-133; the
+    streaming counterpart of batch ``_keymap_zip_join`` /
+    ``_keymap_take_join`` — r5 VERDICT item #2).
+
+    Each left cell k binds the right cell ``key_map(k)``.  Both streams
+    are re-keyed to the BOUND (right) key and unioned; per-bucket state
+    carries the live cell table (left key -> latest left values) plus,
+    for ``emit="both"``, the bucket's latest right values.  Emissions
+    match batch exactly:
+
+      * ``emit="both"`` (zip): a left event updates its cell and emits
+        (x, y.latest) for that cell (null y before the bucket's first
+        right event, VectorJoin.scala:55-66); a right event emits
+        (x.latest, y) for EVERY live cell in the bucket.
+      * ``emit="right"`` (take/sample): only right events emit, one row
+        per live cell; left events update state silently.
+
+    A right event before any cell is live emits nothing, but its value
+    IS visible to cells created later (bind-time ``calculate()``,
+    VectorJoin.scala:50-70).  Unmapped left keys (null ``key_map``)
+    land in the null bucket: under zip they emit (x, null-forever) on
+    their own fire — the unbound-cell state — and under take they never
+    emit.  Tie order at equal (t, seq): left first, matching batch
+    ``_temporal_join``.
+
+    ``key_map`` is a Column over the left stream or an explicit
+    dict/pair-list (the multi-map guard of VectorJoin.scala:38-40 runs
+    driver-side for the dict form; the Column form must be a pure
+    function of the key — validate data-dependent expressions batch-
+    first, where the in-plan assertion lives).
+
+    The fan-out is the emission set itself — the per-bucket Python loop
+    is output-bound, exactly the reference's per-cell firing.  State is
+    one JSON cell-table per bucket: |live cells in bucket| * |left
+    cols|, the same state the reference's VectorJoin holds in memory."""
+    import json
+
+    if emit not in ("both", "right"):
+        raise ValueError(f"emit must be 'both' or 'right', got {emit!r}")
+    if isinstance(key_map, Column):
+        lmapped = left.withColumn("__jk", key_map)
+    else:
+        pairs = (list(key_map.items()) if isinstance(key_map, dict)
+                 else [tuple(p) for p in key_map])
+        from collections import Counter
+        dups = [k for k, n in Counter(k for k, _ in pairs).items() if n > 1]
+        if dups:
+            mapped = sorted({k2 for k, k2 in pairs if k in dups})
+            raise ValueError(
+                f"key_map maps multiple right keys onto left key(s) {dups}: "
+                f"{mapped} (reference multi-map error, VectorJoin.scala:38-40)")
+        spark = left.sparkSession
+        lk_type = left.schema[lk].dataType.simpleString()
+        rk_type = right.schema[rk].dataType.simpleString()
+        mdf = spark.createDataFrame(pairs, f"{lk} {lk_type}, __jk {rk_type}")
+        lmapped = left.join(F.broadcast(mdf), lk, "left")
+
+    otypes = {c: left.schema[c].dataType for c in left_cols}
+    otypes.update({c: right.schema[c].dataType for c in right_cols})
+    otypes[lk] = left.schema[lk].dataType
+    for c, dt in otypes.items():
+        if dt.simpleString() not in _JSON_SAFE:
+            raise TypeError(
+                f"keymap join payload column {c!r} has type "
+                f"{dt.simpleString()}; live keymap state carries only "
+                f"{_JSON_SAFE} — cast it or run the join batch-side")
+    ltypes = {c: _wire(left.schema[c].dataType) for c in left_cols}
+    rtypes = {c: _wire(right.schema[c].dataType) for c in right_cols}
+    lkw = _wire(left.schema[lk].dataType)
+    lsel = ([F.col(c).cast(ltypes[c]).alias(c) for c in left_cols]
+            + [F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols])
+    rsel = ([F.lit(None).cast(ltypes[c]).alias(c) for c in left_cols]
+            + [F.col(c).cast(rtypes[c]).alias(c) for c in right_cols])
+    lt = lmapped.select(F.col("__jk"), F.col(lk).cast(lkw).alias("__lk"),
+                        F.col(t), F.col(seq), F.lit(0).alias("__side"), *lsel)
+    rt = right.select(F.col(rk).alias("__jk"),
+                      F.lit(None).cast(lkw).alias("__lk"),
+                      F.col(t), F.col(seq), F.lit(1).alias("__side"), *rsel)
+    u = lt.unionByName(rt)
+    lcols, rcols = list(left_cols), list(right_cols)
+    both = emit == "both"
+
+    def _clean(v):
+        return None if pd.isna(v) else v
+
+    def step(st, pdf):
+        cells = json.loads(st["cells"]) if st["cells"] else {}
+        y = json.loads(st["y"]) if st["y"] else None
+        out = []
+        tv = list(pdf[t])
+        for i, rec in enumerate(pdf.to_dict("records")):
+            if rec["__side"] == 0:
+                lkv = _clean(rec["__lk"])
+                lvals = [_clean(rec[c]) for c in lcols]
+                cells[str(lkv)] = [lkv, lvals]
+                if both:
+                    out.append([lkv, tv[i], rec[seq], *lvals,
+                                *(y if y is not None
+                                  else [None] * len(rcols))])
+            else:
+                rvals = [_clean(rec[c]) for c in rcols]
+                for lkv, lvals in cells.values():
+                    out.append([lkv, tv[i], rec[seq], *lvals, *rvals])
+                if both:
+                    y = rvals
+        st["cells"] = json.dumps(cells)
+        st["y"] = None if y is None else json.dumps(y)
+        if not out:
+            return []
+        cols = [lk, t, seq, *lcols, *rcols]
+        pdf_out = pd.DataFrame(out, columns=cols)
+        # object dtype keeps None as a true null through Arrow (a float64
+        # column would smuggle it through as NaN, diverging from batch)
+        for c in (lk, *lcols, *rcols):
+            pdf_out[c] = pdf_out[c].astype(object).where(
+                pdf_out[c].notna(), None)
+        return pdf_out
+
+    jk_ddl = _key_ddl(u, ["__jk"])
+    tddl = left.schema[t].dataType.simpleString()
+    val_ddl = ", ".join(f"{c} {(ltypes | rtypes)[c]}"
+                        for c in (*lcols, *rcols))
+    val_ddl = f", {val_ddl}" if val_ddl else ""
+    out = stateful_scan(
+        u, ["__jk"], {"cells": None, "y": None}, step,
+        f"{jk_ddl}, {lk} {lkw}, {t} {tddl}, {seq} long{val_ddl}",
+        t=t, order_cols=[t, seq, "__side"],
+        state_schema="cells string, y string").drop("__jk")
+    for c in (lk, *lcols, *rcols):
+        if (ltypes | rtypes | {lk: lkw})[c] != otypes[c].simpleString():
+            out = out.withColumn(c, F.col(c).cast(otypes[c]))
+    return out
+
+
 def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
                  t: str = "ts", seq: str = "event_id",
                  quantize: int | None = None) -> DataFrame:
@@ -523,54 +671,167 @@ def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
     q = quantize
 
     def step(st, pdf):
-        # vectorized edge detection: window number = cumulative count of
-        # rising edges (0 = the carried-open window); a window closes
-        # when any gate-false row follows it, so only the window holding
-        # a gated final row stays open as the carry
-        import numpy as np
         g = (pdf["__g"].to_numpy() == 1)
         sq = pdf[seq].to_numpy(dtype="float64")
         v = pdf[value_col].to_numpy(dtype="float64")
-        vals = np.round(v * q) if q else v
-        prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
-        wn = np.cumsum(g & ~prev)
-        if g.any():
-            agg = (pd.DataFrame({"w": wn[g], "v": vals[g], "s": sq[g]})
-                   .groupby("w", sort=True)
-                   .agg(sum=("v", "sum"), cnt=("v", "size"), mn=("s", "min"))
-                   .astype("float64"))
-        else:
-            agg = pd.DataFrame({"sum": [], "cnt": [], "mn": []},
-                               dtype="float64")
-        if st["in_win"]:
-            if 0 in agg.index:
-                agg.loc[0, "sum"] += st["acc"]
-                agg.loc[0, "cnt"] += st["cnt"]
-                agg.loc[0, "mn"] = min(agg.loc[0, "mn"], st["win_seq"])
-            else:
-                carry = pd.DataFrame(
-                    {"sum": [st["acc"]], "cnt": [st["cnt"]],
-                     "mn": [st["win_seq"]]}, index=[0])
-                agg = pd.concat([carry, agg]).sort_index()
-        open_id = wn[-1] if len(g) and g[-1] else None
-        closed = agg if open_id is None else agg[agg.index < open_id]
-        if open_id is not None:
-            st["in_win"] = 1.0
-            st["acc"] = float(agg.loc[open_id, "sum"])
-            st["cnt"] = float(agg.loc[open_id, "cnt"])
-            st["win_seq"] = float(agg.loc[open_id, "mn"])
-        else:
-            st["in_win"] = 0.0
-        return pd.DataFrame({
-            "win_seq": closed["mn"].to_numpy().astype("int64"),
-            "total": (closed["sum"] / q if q else closed["sum"]).to_numpy(),
-            "n": closed["cnt"].to_numpy().astype("int64")})
+        return _gated_edge_step(st, g, sq, v, q)
 
     key_ddl = _key_ddl(df, keys)
     return stateful_scan(
         tagged, keys,
         {"in_win": 0.0, "acc": 0.0, "cnt": 0.0, "win_seq": 0.0}, step,
         f"{key_ddl}, win_seq long, total double, n long",
+        t=t, order_cols=[t, seq])
+
+
+def _gated_edge_step(st, g, sq, v, q):
+    """Shared core of the gated-window steps: vectorized edge detection
+    over one key's sorted rows.  Window number = cumulative count of
+    rising edges (0 = the carried-open window); a window closes when any
+    gate-false row follows it, so only the window holding a gated final
+    row stays open as the carry.  ``g`` is the per-row boolean gate,
+    ``sq`` the seq values, ``v`` the raw values, ``q`` the quantizer."""
+    import numpy as np
+    vals = np.round(v * q) if q else v
+    prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
+    wn = np.cumsum(g & ~prev)
+    if g.any():
+        agg = (pd.DataFrame({"w": wn[g], "v": vals[g], "s": sq[g]})
+               .groupby("w", sort=True)
+               .agg(sum=("v", "sum"), cnt=("v", "size"), mn=("s", "min"))
+               .astype("float64"))
+    else:
+        agg = pd.DataFrame({"sum": [], "cnt": [], "mn": []},
+                           dtype="float64")
+    if st["in_win"]:
+        if 0 in agg.index:
+            agg.loc[0, "sum"] += st["acc"]
+            agg.loc[0, "cnt"] += st["cnt"]
+            agg.loc[0, "mn"] = min(agg.loc[0, "mn"], st["win_seq"])
+        else:
+            carry = pd.DataFrame(
+                {"sum": [st["acc"]], "cnt": [st["cnt"]],
+                 "mn": [st["win_seq"]]}, index=[0])
+            agg = pd.concat([carry, agg]).sort_index()
+    open_id = wn[-1] if len(g) and g[-1] else None
+    closed = agg if open_id is None else agg[agg.index < open_id]
+    if open_id is not None:
+        st["in_win"] = 1.0
+        st["acc"] = float(agg.loc[open_id, "sum"])
+        st["cnt"] = float(agg.loc[open_id, "cnt"])
+        st["win_seq"] = float(agg.loc[open_id, "mn"])
+    else:
+        st["in_win"] = 0.0
+    return pd.DataFrame({
+        "win_seq": closed["mn"].to_numpy().astype("int64"),
+        "total": (closed["sum"] / q if q else closed["sum"]).to_numpy(),
+        "n": closed["cnt"].to_numpy().astype("int64")})
+
+
+def gated_reduce_from(data: DataFrame, gate_stream: DataFrame,
+                      keys: list[str], gate_col: str, value_col: str,
+                      t: str = "ts", seq: str = "event_id",
+                      quantize: int | None = None) -> DataFrame:
+    """Live windows gated by a *separate* boolean stream — the streaming
+    form of batch ``Stream.window_from`` (reference: per-key window
+    streams, VectTerm.scala:530-543; r5 VERDICT item #4).
+
+    The gate stream's rows are unioned into the keyed data stream and
+    forward-filled onto data rows inside the per-key state step; on a
+    timestamp tie the gate sorts FIRST, so a same-time close excludes
+    the data row and a same-time open includes it (close-beats-data,
+    WindowedBucket_LastValue.scala:10-11) — the exact tie rule of batch
+    ``_asof_gate``.  Window numbering/emission then matches
+    ``gated_reduce``: rising edge (as seen by data rows) opens, falling
+    edge closes and emits ``(key, win_seq, total, n)``; the trailing
+    open window never emits (live streams have no termination event).
+
+    State is four doubles per key (gate + the open window's partial) —
+    bounded regardless of stream length."""
+    d = data.select(*keys, F.col(t), F.col(seq),
+                    F.col(value_col).cast("double").alias("__v"),
+                    F.lit(1).alias("__side"),
+                    F.lit(None).cast("int").alias("__g"))
+    g = gate_stream.select(*keys, F.col(t), F.col(seq),
+                           F.lit(None).cast("double").alias("__v"),
+                           F.lit(0).alias("__side"),
+                           F.when(F.col(gate_col), F.lit(1))
+                            .otherwise(F.lit(0)).alias("__g"))
+    u = d.unionByName(g)
+    q = quantize
+
+    def step(st, pdf):
+        # fill the gate onto every row from the last gate row at or
+        # before it (carry seeds rows before this batch's first gate
+        # event: gate defaults to False), then run the standard edge
+        # step over the data rows only
+        import numpy as np
+        n = len(pdf)
+        side = pdf["__side"].to_numpy()
+        gv = pdf["__g"].to_numpy(dtype="float64")
+        pos = np.arange(n, dtype="float64")
+        lp = pd.Series(np.where(side == 0, pos, np.nan)).ffill().to_numpy()
+        has = ~np.isnan(lp)
+        filled = np.full(n, st["gate"] == 1.0)
+        filled[has] = gv[lp[has].astype("int64")] == 1.0
+        hits = np.flatnonzero(side == 0)
+        if len(hits):
+            st["gate"] = float(gv[hits[-1]])
+        mask = side == 1
+        return _gated_edge_step(
+            st, filled[mask],
+            pdf[seq].to_numpy(dtype="float64")[mask],
+            pdf["__v"].to_numpy(dtype="float64")[mask], q)
+
+    key_ddl = _key_ddl(data, keys)
+    return stateful_scan(
+        u, keys,
+        {"in_win": 0.0, "acc": 0.0, "cnt": 0.0, "win_seq": 0.0,
+         "gate": 0.0}, step,
+        f"{key_ddl}, win_seq long, total double, n long",
+        t=t, order_cols=[t, "__side", seq])
+
+
+def sliding_scan(df: DataFrame, keys: list[str], duration: str, slide: str,
+                 value_col: str, t: str = "ts", seq: str = "event_id",
+                 quantize: int | None = None) -> DataFrame:
+    """Live CUMULATIVE emission on sliding windows (r5 VERDICT item #6):
+    every event emits, for EACH of its containing windows, that window's
+    running aggregate — the streaming counterpart of batch
+    ``GroupedStream.scan`` on ``Sliding`` (core/stream.py Sliding scan).
+
+    ``F.window`` with a slide in a projection explodes each row into its
+    duration/slide member windows (the same trick the batch scan uses);
+    the running sum is then per-(key, window) state — one (acc, n) pair
+    per open window per key.  At cluster scale bound the state with the
+    state-store TTL (windows stop receiving rows once the watermark
+    passes their end; this local form keeps NoTimeout for exactness).
+    ``quantize`` as in trigger_reduce: exact integer accumulation."""
+    exploded = (df.withColumn("__win", F.window(F.col(t), duration, slide))
+                .withColumn("win_start", F.col("__win.start"))
+                .drop("__win"))
+    q = quantize
+
+    def step(st, pdf):
+        import numpy as np
+        v = pdf[value_col].to_numpy(dtype="float64")
+        vals = np.round(v * q) if q else v
+        run = st["acc"] + np.cumsum(vals)
+        cnt = st["cnt"] + np.arange(1, len(pdf) + 1, dtype="float64")
+        st["acc"] = float(run[-1])
+        st["cnt"] = float(cnt[-1])
+        return pd.DataFrame({
+            t: pdf[t].to_numpy(), seq: pdf[seq].to_numpy().astype("int64"),
+            "running_total": (run / q if q else run),
+            "running_n": cnt.astype("int64")})
+
+    skeys = [*keys, "win_start"]
+    key_ddl = _key_ddl(exploded, skeys)
+    tddl = df.schema[t].dataType.simpleString()
+    return stateful_scan(
+        exploded, skeys, {"acc": 0.0, "cnt": 0.0}, step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, "
+        f"running_total double, running_n long",
         t=t, order_cols=[t, seq])
 
 
@@ -694,8 +955,24 @@ class LiveStream:
     def value_set(self, cols) -> "LiveStream":
         return self._derive(dedupe(self.df, list(cols), self.t, self.watermark))
 
+    def _keymap(self, other: "LiveStream", key_map) -> tuple[str, str]:
+        if len(self.keys) != 1 or len(other.keys) != 1:
+            raise ValueError("key_map join requires single-key streams "
+                             f"({self.keys} vs {other.keys})")
+        return self.keys[0], other.keys[0]
+
     def zip_join(self, other: "LiveStream", left_col: str,
-                 right_col: str) -> "LiveStream":
+                 right_col: str, key_map=None) -> "LiveStream":
+        """Live zip join; with ``key_map`` the K -> K2 vector join
+        (VectTerm.scala:454-456): each of this stream's cells binds the
+        ``key_map(k)`` cell of ``other``, either side firing emits under
+        THIS stream's key (see ``keymap_latest``)."""
+        if key_map is not None:
+            lk, rk = self._keymap(other, key_map)
+            out = keymap_latest(self.df, other.df, lk, rk, key_map,
+                                [left_col], [right_col], "both",
+                                self.t, self.seq)
+            return self._derive(out, keys=(lk,))
         if self.keys != other.keys:
             raise ValueError("zip_join requires identical keys")
         out = zip_latest(self.df, other.df, list(self.keys),
@@ -703,19 +980,28 @@ class LiveStream:
         return self._derive(out)
 
     def take(self, other: "LiveStream", left_cols: list[str],
-             right_cols: list[str]) -> "LiveStream":
+             right_cols: list[str], key_map=None) -> "LiveStream":
         """Live as-of join: emit (self.latest, other) when *other* fires
-        (the streaming form of batch ``take``, MacroTerm.scala:209-221)."""
+        (the streaming form of batch ``take``, MacroTerm.scala:209-221).
+        With ``key_map`` each right event fires every LIVE cell in its
+        bucket (VectTerm.scala:458-460; see ``keymap_latest``)."""
+        if key_map is not None:
+            lk, rk = self._keymap(other, key_map)
+            out = keymap_latest(self.df, other.df, lk, rk, key_map,
+                                left_cols, right_cols, "right",
+                                self.t, self.seq)
+            return self._derive(out, keys=(lk,))
         if self.keys != other.keys:
             raise ValueError("take requires identical keys")
         out = asof_latest(self.df, other.df, list(self.keys),
                           left_cols, right_cols, self.t, self.seq)
         return self._derive(out)
 
-    def sample(self, trigger: "LiveStream", value_cols: list[str]) -> "LiveStream":
+    def sample(self, trigger: "LiveStream", value_cols: list[str],
+               key_map=None) -> "LiveStream":
         """Snapshot this stream's latest values whenever ``trigger`` fires
         (the streaming form of batch ``sample``, MacroTerm.scala:226-230)."""
-        return self.take(trigger, value_cols, [])
+        return self.take(trigger, value_cols, [], key_map=key_map)
 
     def window(self, gate: Column, value_col: str,
                quantize: int | None = None) -> "LiveStream":
@@ -723,6 +1009,30 @@ class LiveStream:
         gate holds, emit (win_seq, total, n) on the falling edge."""
         out = gated_reduce(self.df, list(self.keys), gate, value_col,
                            self.t, self.seq, quantize)
+        return self._derive(out)
+
+    def window_from(self, gate_stream: "LiveStream", gate_col: str,
+                    value_col: str,
+                    quantize: int | None = None) -> "LiveStream":
+        """Live windows gated by a SEPARATE boolean stream (batch
+        ``Stream.window_from``): the gate forward-fills onto data rows
+        with gate-first tie order (close-beats-data), then the standard
+        edge-detect windows (see ``gated_reduce_from``)."""
+        if self.keys != gate_stream.keys:
+            raise ValueError("window_from requires identical keys "
+                             f"({self.keys} vs {gate_stream.keys})")
+        out = gated_reduce_from(self.df, gate_stream.df, list(self.keys),
+                                gate_col, value_col, self.t, self.seq,
+                                quantize)
+        return self._derive(out)
+
+    def sliding_scan(self, duration: str, slide: str, value_col: str,
+                     quantize: int | None = None) -> "LiveStream":
+        """Live CUMULATIVE per-window emission for sliding windows (the
+        scan counterpart of ``group(Sliding).reduce``; see
+        ``sliding_scan``)."""
+        out = sliding_scan(self.df, list(self.keys), duration, slide,
+                           value_col, self.t, self.seq, quantize)
         return self._derive(out)
 
     def group(self, spec) -> "LiveGrouped":
@@ -850,6 +1160,19 @@ class LiveGrouped:
     def __init__(self, stream: LiveStream, spec):
         self.stream = stream
         self.spec = spec
+
+    def scan(self, value_col: str,
+             quantize: int | None = None) -> LiveStream:
+        """CUMULATIVE emission — live support mirrors batch
+        ``GroupedStream.scan`` for ``Sliding`` (per-(key, window)
+        running state); other specs have dedicated stateful verbs."""
+        from ..core.stream import Sliding
+        if isinstance(self.spec, Sliding):
+            return self.stream.sliding_scan(self.spec.duration,
+                                            self.spec.slide, value_col,
+                                            quantize)
+        raise TypeError("live scan supports Sliding; use scan_state / "
+                        "count_reduce / trigger_reduce for other specs")
 
     def reduce(self, **aggs: Column) -> LiveStream:
         from ..core.stream import (Count, Every, Session, Sliding, Trigger,

@@ -230,3 +230,22 @@ def test_incremental_dedup_shuffles_digests_not_text(spark, entry):
                        if x.strip().startswith("("))
             assert "Exchange" not in hdr, (hdr, l)
     assert "Window" not in plan
+
+
+def test_cube_expands_cells_not_facts(spark, entry):
+    """cube_returnflag_status pre-aggregates the fact scan to the base
+    (returnflag, linestatus) cells before CUBE, so Expand multiplies a
+    handful of cell rows instead of 4x the fact rows.  The plan must
+    show Expand fed by a completed aggregate (4 HashAggregates: pre-agg
+    partial+final below Expand, cube partial+final above), never Expand
+    directly over the scan."""
+    plan = _plan(entry.queries()["cube_returnflag_status"](spark, SF))
+    assert plan.count("Expand") >= 1
+    assert plan.count("HashAggregate") >= 4, plan
+    # the tree section indents children under parents: Expand's direct
+    # child must be a HashAggregate, not the parquet scan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Expand" in l and "(" in l and i + 1 < len(lines):
+            assert "HashAggregate" in lines[i + 1], lines[i:i + 2]
+            break

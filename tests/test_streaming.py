@@ -751,3 +751,180 @@ def test_live_asof_null_left_value_is_a_real_update(spark, tmp_path):
                     ["user_id"], ["lv"], ["rv"]), "append")
     got = {r.event_id: r.lv for r in out.collect()}
     assert got == {11: 5.0, 13: None}  # the null at seq 12 IS an update
+
+
+@pytest.fixture(scope="module")
+def staged_events_3(spark, batch_events, tmp_path_factory):
+    """events split into 3 time-ordered files; with maxFilesPerTrigger=1
+    every stateful op sees 3 micro-batches and must carry state across
+    the boundaries."""
+    import os
+    d = tmp_path_factory.mktemp("split3")
+    stage = tmp_path_factory.mktemp("stage3")
+    ev = batch_events
+    cuts = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    lo, hi = int(cuts[0]), int(cuts[1])
+    for i, cond in enumerate([F.col("event_id") <= lo,
+                              (F.col("event_id") > lo) & (F.col("event_id") <= hi),
+                              F.col("event_id") > hi]):
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"f{i}"))
+        part = next(p for p in os.listdir(d / f"f{i}")
+                    if p.endswith(".parquet"))
+        os.symlink(str(d / f"f{i}" / part), str(stage / f"batch-{i}.parquet"))
+
+    def make():
+        return (spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    return make
+
+
+def _live3(make_src, **kw):
+    from scespet_spark.streaming.live import LiveStream
+    return LiveStream(make_src(), **kw)
+
+
+def test_live_keymap_joins_equal_batch_across_batches(spark, batch_events,
+                                                      staged_events_3):
+    """take/zip with key_map: the per-bucket cell table and latest-right
+    state must survive micro-batch boundaries; emissions must equal the
+    batch _keymap_take_join / _keymap_zip_join forms exactly."""
+    from scespet_spark.core.stream import Stream
+
+    def split_live():
+        s = _live3(staged_events_3)
+        p = (s.filter(F.col("event_type") == "purchase")
+             .map(xv=F.col("value")).by("user_id"))
+        c = (s.filter(F.col("event_type") == "click")
+             .map(bucket=F.col("user_id") % 5, yv=F.col("value"))
+             .by("bucket"))
+        return p, c
+
+    ev = Stream(batch_events, t="ts", seq="event_id")
+    bp = (ev.filter(F.col("event_type") == "purchase")
+          .by("user_id", name="user_id").map(xv=F.col("value")))
+    bc_df = (batch_events.filter(F.col("event_type") == "click")
+             .select((F.col("user_id") % 5).alias("bucket"),
+                     "ts", "event_id", F.col("value").alias("yv")))
+    bc = Stream(bc_df, t="ts", seq="event_id", keys=("bucket",))
+    cols = ["user_id", "event_id", "xv", "yv"]
+
+    p, c = split_live()
+    got_take = run_available_now(
+        p.take(c, ["xv"], ["yv"], key_map=F.col("user_id") % 5).df, "append")
+    want_take = bp.take(bc, ["xv"], ["yv"], key_map=F.col("user_id") % 5).df
+    assert _sorted_rows(got_take, cols) == _sorted_rows(want_take, cols)
+
+    p, c = split_live()
+    got_zip = run_available_now(
+        p.zip_join(c, "xv", "yv", key_map=F.col("user_id") % 5).df, "append")
+    want_zip = bp.zip_join(bc, ["xv"], ["yv"],
+                           key_map=F.col("user_id") % 5).df
+    assert _sorted_rows(got_zip, cols) == _sorted_rows(want_zip, cols)
+
+
+def test_live_window_from_equals_batch_across_batches(spark, batch_events,
+                                                      staged_events_3):
+    """gate state (current gate + open-window partial) must survive
+    micro-batch boundaries; emissions equal batch window_from.reduce."""
+    from scespet_spark.core.stream import Stream
+
+    s = _live3(staged_events_3)
+    data = s.filter(F.col("event_type") == "purchase").by("user_id")
+    gate = (s.filter(F.col("event_type") == "click")
+            .map(g=F.col("value") >= 100).by("user_id"))
+    got = run_available_now(
+        data.window_from(gate, "g", "value", quantize=100).df, "append")
+
+    ev = Stream(batch_events, t="ts", seq="event_id")
+    bd = ev.filter(F.col("event_type") == "purchase").by("user_id",
+                                                         name="user_id")
+    bg = (ev.filter(F.col("event_type") == "click")
+          .by("user_id", name="user_id").map(g=F.col("value") >= 100))
+    want = bd.window_from(bg, "g").reduce(
+        total=F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        n=F.count("*"), win_seq=F.min("event_id")).df
+    cols = ["user_id", "win_seq", "total", "n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_live_sliding_scan_equals_batch_across_batches(spark, batch_events,
+                                                       staged_events_3):
+    """per-(key, window) running state must survive micro-batch
+    boundaries; emissions equal batch group(Sliding).scan."""
+    from scespet_spark import Sliding
+    from scespet_spark.core.stream import Stream
+
+    s = _live3(staged_events_3).by("user_id")
+    got = run_available_now(
+        s.group(Sliding("2 days", "1 day")).scan("value", quantize=100).df,
+        "append")
+
+    ev = Stream(batch_events, t="ts", seq="event_id").by("user_id",
+                                                         name="user_id")
+    want = (ev.group(Sliding("2 days", "1 day"))
+            .scan(running_total=F.sum(F.col("value").cast("decimal(18,2)")),
+                  running_n=F.count("*")).df
+            .withColumn("running_total",
+                        F.col("running_total").cast("double")))
+    cols = ["user_id", "event_id", "win_start", "running_total", "running_n"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_live_keymap_edge_semantics(spark, tmp_path):
+    """Pinned reference edges: a right event before any live cell emits
+    nothing but IS visible to a later-created cell (bind-time
+    calculate(), VectorJoin.scala:50-70); dict multi-map raises
+    (VectorJoin.scala:38-40); non-JSON-safe payloads are rejected."""
+    import os
+    from scespet_spark.streaming.live import LiveStream, keymap_latest
+
+    rows = [
+        # (ts-second, event_id, side: l/r, key-or-bucket, value)
+        (1, 1, "r", 0, 500.0),   # right fires bucket 0 pre-cell: no emit
+        (2, 2, "l", 10, 1.0),    # cell 10 (bucket 0) created
+        (3, 3, "r", 0, 600.0),   # fires cell 10
+    ]
+    import pandas as pd
+    left = pd.DataFrame([
+        {"ts": pd.Timestamp(2024, 1, 1, 0, 0, s), "event_id": e,
+         "user_id": k, "xv": v}
+        for s, e, side, k, v in rows if side == "l"])
+    right = pd.DataFrame([
+        {"ts": pd.Timestamp(2024, 1, 1, 0, 0, s), "event_id": e,
+         "bucket": k, "yv": v}
+        for s, e, side, k, v in rows if side == "r"])
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(right).coalesce(1).write.parquet(rdir)
+
+    def stream(d):
+        schema = spark.read.parquet(d).schema
+        return spark.readStream.schema(schema).parquet(d)
+
+    # zip: pre-cell right value visible at the cell's first left fire
+    out = keymap_latest(stream(ldir), stream(rdir), "user_id", "bucket",
+                        F.col("user_id") % 10, ["xv"], ["yv"], emit="both")
+    got = sorted(tuple(r) for r in run_available_now(out, "append")
+                 .select("user_id", "event_id", "xv", "yv").collect())
+    assert got == [(10, 2, 1.0, 500.0),   # left fire sees pre-cell right
+                   (10, 3, 1.0, 600.0)]   # right fire; e1 emitted nothing
+
+    # take: only right fires emit, pre-cell right emits nothing
+    out = keymap_latest(stream(ldir), stream(rdir), "user_id", "bucket",
+                        F.col("user_id") % 10, ["xv"], ["yv"], emit="right")
+    got = sorted(tuple(r) for r in run_available_now(out, "append")
+                 .select("user_id", "event_id", "xv", "yv").collect())
+    assert got == [(10, 3, 1.0, 600.0)]
+
+    # dict multi-map guard
+    with pytest.raises(ValueError, match="multi-map|multiple right"):
+        keymap_latest(stream(ldir), stream(rdir), "user_id", "bucket",
+                      {10: 0}.items() and [(10, 0), (10, 1)],
+                      ["xv"], ["yv"], emit="right")
+
+    # non-JSON-safe payload type rejected loudly
+    with pytest.raises(TypeError, match="JSON|state carries"):
+        keymap_latest(stream(ldir).withColumn("bad", F.col("ts")),
+                      stream(rdir), "user_id", "bucket",
+                      F.col("user_id") % 10, ["bad"], ["yv"], emit="right")
