@@ -807,3 +807,63 @@ def test_ivfpq_restricts_adc_to_probed_cells(vecs):
         **kw).collect()
     assert sorted(out) == sorted(by_hand)
     similarity.release_cached()
+
+
+def test_incremental_roundtrip_equals_scratch_dedup_of_union(spark):
+    """The continuous-corpus-build story, property-tested across two
+    simulated snapshots of the REAL documents table: composing
+    incremental_keep + incremental_near_dup(prior_bands=...) snapshot
+    by snapshot must land exactly where a from-scratch dedup of the
+    union lands (r5 VERDICT item #7).
+
+    Snapshot 1 = documents with doc_id <= median, snapshot 2 = the rest
+    (id order mirrors crawl order, so first-wins is well-defined)."""
+    from scespet_spark.operators.dedup import (banded_signatures,
+                                               exact_groups,
+                                               incremental_keep,
+                                               incremental_near_dup,
+                                               lsh_candidate_pairs,
+                                               ngram_jaccard_pairs)
+    from scespet_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    snap1 = docs.filter(F.col("doc_id") <= mid)
+    snap2 = docs.filter(F.col("doc_id") > mid)
+
+    # -- exact path: snapshot-1 digest table + incremental batch keep --
+    g1 = exact_groups(snap1)  # the materialized snapshot artifact
+    kept1 = {r.rep_id for r in g1.collect()}
+    kept2 = {r.doc_id for r in
+             incremental_keep(snap2, g1,
+                              prior_digest_col="content_hash").collect()}
+    scratch = {r.rep_id for r in exact_groups(docs).collect()}
+    assert kept1 | kept2 == scratch
+    assert not (kept1 & kept2)
+
+    # -- near-dup path: snapshot-1 band table + incremental probe --
+    pb1 = banded_signatures(snap1)  # the materialized snapshot artifact
+    suspects2 = {r.doc_id for r in
+                 incremental_near_dup(snap2, prior_bands=pb1).collect()}
+    # from-scratch: band the UNION once, split by snapshot, re-derive
+    # which snap2 docs share a bucket with snap1 — must be identical
+    # (signatures are deterministic, so the probe path loses nothing)
+    ub = banded_signatures(docs)
+    b1 = (ub.join(snap1.select("doc_id"), "doc_id", "left_semi")
+          .select("band", "band_hash").distinct())
+    b2 = ub.join(snap2.select("doc_id"), "doc_id", "left_semi")
+    scratch_suspects = {r.doc_id for r in
+                        b2.join(b1, ["band", "band_hash"])
+                        .select("doc_id").distinct().collect()}
+    assert suspects2 == scratch_suspects
+
+    # -- verification closes the loop: every VERIFIED cross-snapshot
+    # near-dup pair's new-side doc must already be in the suspect set
+    # (a verified pair shared a band, so the probe caught it)
+    cand = lsh_candidate_pairs(docs)
+    verified = ngram_jaccard_pairs(docs, candidates=cand, threshold=0.5)
+    cross_new = {r.id_b for r in verified.collect()
+                 if r.id_a <= mid < r.id_b} | \
+                {r.id_a for r in verified.collect()
+                 if r.id_b <= mid < r.id_a}
+    assert cross_new <= suspects2
