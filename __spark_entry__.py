@@ -2788,6 +2788,54 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qvec, k=20, nprobe=2)
 
 
+@query("ann_ivf_incremental_topk", f"""
+WITH cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i),
+         cut
+    WHERE vec_id <= cut.c
+    GROUP BY label, i) GROUP BY label),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_cosine_sql('n.v', 'cent.centroid')}, 6) DESC,
+                      cent.label) AS rn
+    FROM n CROSS JOIN cent) WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT label AS cell FROM cent, q
+          ORDER BY round({_cosine_sql('centroid', 'qv')}, 6) DESC, label
+          LIMIT 2)
+SELECT vec_id, round({_cosine_sql('v', 'qv')}, 6) AS score
+FROM n JOIN assign USING (vec_id) JOIN probe USING (cell), q
+ORDER BY score DESC, vec_id LIMIT 20
+""")
+def ann_ivf_incremental_topk(spark, sf_dir):
+    """Incremental IVF index maintenance — the ANN counterpart of the
+    incremental dedup family: the coarse centroids are trained ONCE on
+    the first snapshot (the model artifact), a later ingest batch is
+    assigned to the EXISTING cells with `ivf_assign` (broadcast
+    centroids, map-side argmax — no retraining, no corpus reshuffle),
+    and serving reads the merged codes table with
+    `ivf_topk_from_index` (probe nprobe cells -> exact-score members).
+    The oracle replays the same split/assign/probe in SQL."""
+    from scespet_spark.operators.similarity import (ivf_assign,
+                                                    ivf_topk_from_index,
+                                                    label_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    snap1 = emb.filter(F.col("vec_id") <= cut)
+    snap2 = emb.filter(F.col("vec_id") > cut)
+    cents = label_centroids(snap1)           # snapshot model artifact
+    codes = ivf_assign(snap1, cents).unionByName(ivf_assign(snap2, cents))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk_from_index(emb, codes, cents, qvec, k=20, nprobe=2)
+
+
 @query("ann_batch_topk", f"""
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS q_vec FROM n ORDER BY vec_id LIMIT 3),
@@ -3647,7 +3695,7 @@ _ROUND_CHANGED = [
     # (key_map= on zip/take), gate-from-separate-stream windows,
     # CUMULATIVE sliding emission
     "live_keymap_take", "live_keymap_zip", "live_window_from",
-    "live_sliding_scan", "window_from_reduce",
+    "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3662,7 +3710,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "key_list_running", "bind_hourly_rendezvous",
     "slice_before_signup", "slice_after_signup",
     "slice_by_purchase_trigger", "group_count_reduce",
-    "group_time_reduce", "collect_types_sorted", "zip_keymap_region_value",
+    "group_time_reduce", "zip_keymap_region_value",
     "keymap_take_region_value", "window_gated_scan", "sliding_window_scan",
     "session_windows_user", "live_sliding_window", "live_window_gated_reduce",
     "live_trigger_stream_slice", "live_asof_purchase_last_click",

@@ -176,6 +176,80 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 20,
             .limit(k))
 
 
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               label_col: str = "label",
+               cell_col: str = "cell") -> DataFrame:
+    """Assign a batch of vectors to an EXISTING IVF coarse index — the
+    continuous-ingest step of index maintenance (the ANN counterpart of
+    dedup's ``incremental_keep``): new crawl embeddings append
+    ``(id, cell)`` rows to the codes table; the centroids (a model-sized
+    artifact trained once per snapshot) stay fixed, so nothing is
+    retrained and the existing corpus never reshuffles.
+
+    Scale shape: the K x d centroid matrix is driver-held model state
+    (same as the PQ codebooks) shipped inside an Arrow-batched
+    pandas_udf; assignment is one vectorized matmul + argmax per batch —
+    a MAP-ONLY plan with zero Exchange.  The alternative (explode K
+    scored rows per vector, window-argmax by id) shuffles K x N rows —
+    fatal at K = tens of thousands of cells.  Ties break
+    deterministically: highest cosine (rounded to 6, the serving/oracle
+    convention), then lowest cell id."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = centroids.select(F.col(label_col).alias("c"),
+                            F.col("centroid")).collect()
+    rows.sort(key=lambda r: r.c)  # ascending: np.argmax's first-max = min cell
+    if not rows:
+        raise ValueError("ivf_assign: centroids table is empty")
+    cells = np.array([r.c for r in rows])
+    C = np.array([r.centroid for r in rows], dtype="float64")
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+    cell_ddl = centroids.schema[label_col].dataType.simpleString()
+
+    @pandas_udf(cell_ddl)
+    def _assign(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype("float64")
+        mn = np.linalg.norm(M, axis=1)
+        M = M / np.where(mn == 0, 1.0, mn)[:, None]
+        S = np.round(M @ Cn.T, 6)
+        return pd.Series(cells[np.argmax(S, axis=1)])
+
+    return df.select(F.col(id_col),
+                     _assign(F.col(vec_col).cast("array<double>"))
+                     .alias(cell_col))
+
+
+def ivf_topk_from_index(df: DataFrame, codes: DataFrame,
+                        centroids: DataFrame, query: Sequence[float],
+                        k: int = 20, nprobe: int = 2,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label",
+                        cell_col: str = "cell") -> DataFrame:
+    """IVF serving against MATERIALIZED index artifacts (the codes table
+    ``ivf_assign`` maintains plus the snapshot's centroids), instead of
+    re-deriving cells from a label column: rank cells by centroid
+    cosine, probe the best ``nprobe``, exact-score only the member
+    vectors.  This is the 100 TB read shape for a continuously-growing
+    index: the query touches nprobe/K of the codes table and the
+    shortlisted vectors — the corpus itself never shuffles."""
+    q = _as_double_array(query)
+    probe = (centroids
+             .select(F.col(label_col).alias(cell_col),
+                     F.round(cosine(F.col("centroid"), q), 6).alias("__cs"))
+             .orderBy(F.col("__cs").desc(), F.col(cell_col))
+             .limit(nprobe)
+             .select(cell_col))
+    member_ids = codes.join(F.broadcast(probe), cell_col).select(id_col)
+    v = F.col(vec_col).cast("array<double>")
+    return (df.join(member_ids, id_col, "left_semi")
+            .select(F.col(id_col), F.round(cosine(v, q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
 def batch_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
                q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:

@@ -878,9 +878,12 @@ class LiveStream:
     Supported live verbs: map / filter / filter_type / by (keying),
     map_keys (stateless re-key), key_to_stream (stream-static factory
     bind), group(Every).reduce (watermarked tumbling), group(Count).reduce
-    (stateful count buckets), value_set (watermarked dropDuplicates),
+    (stateful count buckets), group(Sliding).scan (per-(key, window)
+    running state), value_set (watermarked dropDuplicates),
     zip_join (stateful last-value zip), take / sample (stateful as-of
-    join), window (boolean-gated windows via edge-detect state),
+    join) — all three with ``key_map=`` for K -> K2 keyed-bucket joins
+    (keymap_latest), window (boolean-gated windows via edge-detect
+    state), window_from (gate carried by a separate stream),
     stateful_scan (arbitrary per-key fold), trigger_reduce /
     trigger_stream_reduce (data-driven slicing by a condition or a
     separate trigger stream).  ``run()`` executes AvailableNow into a

@@ -867,3 +867,32 @@ def test_incremental_roundtrip_equals_scratch_dedup_of_union(spark):
                 {r.id_a for r in verified.collect()
                  if r.id_b <= mid < r.id_a}
     assert cross_new <= suspects2
+
+
+def test_ivf_assign_and_index_serving(vecs):
+    """Incremental IVF maintenance: new vectors assign to the nearest
+    EXISTING centroid (deterministic tie-break), and index serving
+    surfaces only members of the probed cells, exactly scored."""
+    from scespet_spark.operators.similarity import (ivf_assign,
+                                                    ivf_topk_from_index,
+                                                    label_centroids)
+    spark = vecs.sparkSession
+    cents = label_centroids(vecs)  # cell 0 ~ +x-ish, cell 1 ~ +y
+    new = spark.createDataFrame(
+        [(10, [0.0, 1.0, 0.0]),      # clearly cell 1
+         (11, [1.0, 0.05, 0.0])],    # clearly cell 0
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cell for r in ivf_assign(new, cents).collect()}
+    assert got == {10: 1, 11: 0}
+
+    # serving with nprobe=1 against +y must return ONLY cell-1 members
+    codes = ivf_assign(vecs, cents).unionByName(ivf_assign(new, cents))
+    out = ivf_topk_from_index(vecs.unionByName(
+        new.withColumn("label", F.lit(-1))), codes, cents,
+        [0.0, 1.0, 0.0], k=10, nprobe=1)
+    ids = [r.vec_id for r in out.collect()]
+    # vec 4 ([-1,0,0]) also lands in cell 1: cosine 0 vs cell 0's
+    # negative — assignment follows geometry, not the original label
+    assert set(ids) == {2, 3, 4, 10}
+    # exact ordering by cosine desc then id: 2 and 10 tie at 1.0
+    assert ids[:2] == [2, 10] and ids[-1] == 4

@@ -249,3 +249,20 @@ def test_cube_expands_cells_not_facts(spark, entry):
         if "Expand" in l and "(" in l and i + 1 < len(lines):
             assert "HashAggregate" in lines[i + 1], lines[i:i + 2]
             break
+
+
+def test_ivf_assign_is_map_only(spark, entry):
+    """Incremental IVF assignment must be a map-only Arrow plan: the
+    centroid matrix rides the UDF closure (driver-held model state), so
+    the vector side never shuffles — no Exchange, no window-argmax over
+    K scored rows per vector."""
+    from pyspark.sql import functions as F
+    from scespet_spark.operators.similarity import (ivf_assign,
+                                                    label_centroids)
+    from scespet_spark.sources.batch import load_table
+    emb = load_table(spark, SF, "embeddings")
+    cents = label_centroids(emb)
+    plan = _plan(ivf_assign(emb, cents))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan
+    assert "Window" not in plan
