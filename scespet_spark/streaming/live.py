@@ -109,7 +109,8 @@ def _key_ddl(df: DataFrame, keys: Iterable[str]) -> str:
 def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
                   step: Callable, out_schema: str, t: str = "ts",
                   order_cols: list[str] | None = None,
-                  state_schema: str | None = None) -> DataFrame:
+                  state_schema: str | None = None,
+                  timeout_ts: Callable | None = None) -> DataFrame:
     """Arbitrary per-key incremental state — the live equivalent of the
     reference's mutable Agg cells fed one event at a time.
 
@@ -124,7 +125,15 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
     ``state_fields`` order); omitted, every field is ``double`` (the
     numeric-fold fast path).  Typed schemas are what let zip/as-of state
     carry string or other non-numeric payloads — the reference's events
-    are arbitrary case classes (EventSource.java:3-6), not doubles."""
+    are arbitrary case classes (EventSource.java:3-6), not doubles.
+
+    ``timeout_ts`` bounds state at scale: a callable mapping the group
+    key tuple to an epoch-millis expiry — once the event-time watermark
+    passes it, the group's state is REMOVED from the store (the input
+    must carry ``withWatermark``).  Purged groups simply restart from
+    the initial state if (impossibly, given the watermark filter) they
+    recur.  Without it, state lives forever (NoTimeout) — exact, but
+    unbounded on unbounded key spaces."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType
     import numpy as np
@@ -149,6 +158,12 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
         return v
 
     def fn(key, pdfs, state):
+        if timeout_ts is not None and state.hasTimedOut:
+            # watermark passed this group's expiry: purge and emit
+            # nothing — the group can no longer receive rows (the
+            # watermark filter drops anything this late)
+            state.remove()
+            return
         if state.exists:
             st = dict(zip(state_names, state.get))
         else:
@@ -163,6 +178,12 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
                 order_cols or [t], kind="mergesort")
             rows = step(st, pdf)
         state.update(tuple(_py(st[n]) for n in state_names))
+        if timeout_ts is not None:
+            # expiry must sit beyond the current watermark or Spark
+            # rejects it; a group first seen when already expirable gets
+            # the minimal legal horizon (one tick past the watermark)
+            state.setTimeoutTimestamp(
+                max(int(timeout_ts(key)), state.getCurrentWatermarkMs() + 1))
         key_vals = dict(zip(keys, key))
         if isinstance(rows, pd.DataFrame):
             yield rows.assign(**key_vals)
@@ -173,7 +194,9 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
         # conditional-emission step returning [] must be a clean no-op
 
     return df.groupBy(*keys).applyInPandasWithState(
-        fn, out_schema, schema, "append", GroupStateTimeout.NoTimeout)
+        fn, out_schema, schema, "append",
+        GroupStateTimeout.EventTimeTimeout if timeout_ts is not None
+        else GroupStateTimeout.NoTimeout)
 
 
 def _emit_closed_buckets(st, bid, vals, new_bucket, q):
@@ -794,7 +817,8 @@ def gated_reduce_from(data: DataFrame, gate_stream: DataFrame,
 
 def sliding_scan(df: DataFrame, keys: list[str], duration: str, slide: str,
                  value_col: str, t: str = "ts", seq: str = "event_id",
-                 quantize: int | None = None) -> DataFrame:
+                 quantize: int | None = None,
+                 watermark: str | None = None) -> DataFrame:
     """Live CUMULATIVE emission on sliding windows (r5 VERDICT item #6):
     every event emits, for EACH of its containing windows, that window's
     running aggregate — the streaming counterpart of batch
@@ -803,14 +827,32 @@ def sliding_scan(df: DataFrame, keys: list[str], duration: str, slide: str,
     ``F.window`` with a slide in a projection explodes each row into its
     duration/slide member windows (the same trick the batch scan uses);
     the running sum is then per-(key, window) state — one (acc, n) pair
-    per open window per key.  At cluster scale bound the state with the
-    state-store TTL (windows stop receiving rows once the watermark
-    passes their end; this local form keeps NoTimeout for exactness).
+    per open window per key.
+
+    ``watermark`` (e.g. ``"1 day"``) is the bounded-state mode for
+    unbounded streams: the input is watermarked on ``t`` (rows later
+    than the delay are dropped by Spark's watermark filter) and each
+    (key, window) group's state carries an event-time expiry of
+    ``window end + delay`` — once the watermark passes it the state
+    store PURGES the group, so live state is at most the windows still
+    inside the watermark horizon per key, regardless of stream length.
+    Omitted, state is exact-forever (NoTimeout) — right for bounded
+    replays, unbounded on endless streams.
     ``quantize`` as in trigger_reduce: exact integer accumulation."""
+    if watermark is not None:
+        df = df.withWatermark(t, watermark)
     exploded = (df.withColumn("__win", F.window(F.col(t), duration, slide))
                 .withColumn("win_start", F.col("__win.start"))
                 .drop("__win"))
     q = quantize
+    timeout_ts = None
+    if watermark is not None:
+        horizon_ms = int((pd.Timedelta(duration) + pd.Timedelta(watermark))
+                         .total_seconds() * 1000)
+
+        def timeout_ts(key):
+            # win_start is the last group-key element (see skeys below)
+            return int(pd.Timestamp(key[-1]).timestamp() * 1000) + horizon_ms
 
     def step(st, pdf):
         import numpy as np
@@ -832,7 +874,7 @@ def sliding_scan(df: DataFrame, keys: list[str], duration: str, slide: str,
         exploded, skeys, {"acc": 0.0, "cnt": 0.0}, step,
         f"{key_ddl}, {t} {tddl}, {seq} long, "
         f"running_total double, running_n long",
-        t=t, order_cols=[t, seq])
+        t=t, order_cols=[t, seq], timeout_ts=timeout_ts)
 
 
 def run_available_now(df: DataFrame, output_mode: str = "complete",
@@ -1030,12 +1072,16 @@ class LiveStream:
         return self._derive(out)
 
     def sliding_scan(self, duration: str, slide: str, value_col: str,
-                     quantize: int | None = None) -> "LiveStream":
+                     quantize: int | None = None,
+                     watermark: str | None = None) -> "LiveStream":
         """Live CUMULATIVE per-window emission for sliding windows (the
         scan counterpart of ``group(Sliding).reduce``; see
-        ``sliding_scan``)."""
+        ``sliding_scan``).  Pass ``watermark`` on unbounded streams to
+        purge closed-window state once the watermark passes (bounded
+        state; rows later than the delay are dropped)."""
         out = sliding_scan(self.df, list(self.keys), duration, slide,
-                           value_col, self.t, self.seq, quantize)
+                           value_col, self.t, self.seq, quantize,
+                           watermark=watermark)
         return self._derive(out)
 
     def group(self, spec) -> "LiveGrouped":

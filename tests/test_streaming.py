@@ -928,3 +928,22 @@ def test_live_keymap_edge_semantics(spark, tmp_path):
         keymap_latest(stream(ldir).withColumn("bad", F.col("ts")),
                       stream(rdir), "user_id", "bucket",
                       F.col("user_id") % 10, ["bad"], ["yv"], emit="right")
+
+
+def test_live_sliding_scan_watermark_ttl_same_results(spark, batch_events,
+                                                      staged_events_3):
+    """Bounded-state mode: with a watermark, closed-window state is
+    purged on event-time timeout — on an in-order multi-batch stream the
+    emissions must be IDENTICAL to the exact NoTimeout mode (purging
+    only ever removes state that can no longer receive rows)."""
+    exact = _live3(staged_events_3).by("user_id")
+    got_exact = run_available_now(
+        exact.group(__import__("scespet_spark").Sliding("2 days", "1 day"))
+        .scan("value", quantize=100).df, "append")
+
+    ttl = _live3(staged_events_3).by("user_id")
+    got_ttl = run_available_now(
+        ttl.sliding_scan("2 days", "1 day", "value", quantize=100,
+                         watermark="1 day").df, "append")
+    cols = ["user_id", "event_id", "win_start", "running_total", "running_n"]
+    assert _sorted_rows(got_ttl, cols) == _sorted_rows(got_exact, cols)
