@@ -110,6 +110,25 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     near = incremental_near_dup(recrawl, None, prior_bands=band_table)
     print(f"second crawl: {recrawl.count()} docs -> "
           f"{fresh.count()} exact-fresh, {near.count()} near-dup suspects")
+
+    # 8. the embedding index keeps up the same way: the IVF centroids
+    #    are the snapshot's model artifact; a new embedding batch
+    #    assigns to the EXISTING cells map-side (no retraining, no
+    #    corpus reshuffle) and appends to the codes table, which
+    #    serving probes directly
+    from scespet_spark.operators.similarity import (ivf_assign,
+                                                    ivf_topk_from_index,
+                                                    label_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb).persist()          # snapshot artifact
+    codes = ivf_assign(emb, cents).persist()        # snapshot artifact
+    new_emb = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    codes2 = codes.unionByName(ivf_assign(new_emb, cents))  # append-only
+    qv = emb.limit(1).select("embedding").collect()[0][0]
+    hits = ivf_topk_from_index(emb.unionByName(new_emb), codes2, cents,
+                               qv, k=5, nprobe=2)
+    print(f"index after append: {codes2.count()} codes; "
+          f"top-5 probe ids: {[r.vec_id for r in hits.collect()]}")
     return n0, n1
 
 
