@@ -619,9 +619,12 @@ def keymap_latest(left: DataFrame, right: DataFrame, lk: str, rk: str,
             + [F.col(c).cast(rtypes[c]).alias(c) for c in right_cols])
     lt = lmapped.select(F.col("__jk"), F.col(lk).cast(lkw).alias("__lk"),
                         F.col(t), F.col(seq), F.lit(0).alias("__side"), *lsel)
-    rt = right.select(F.col(rk).alias("__jk"),
-                      F.lit(None).cast(lkw).alias("__lk"),
-                      F.col(t), F.col(seq), F.lit(1).alias("__side"), *rsel)
+    # a null right key never equi-joins in the batch form — keep it out
+    # of the null bucket, which holds the UNMAPPED left cells (they must
+    # never receive right events)
+    rt = right.filter(F.col(rk).isNotNull()).select(
+        F.col(rk).alias("__jk"), F.lit(None).cast(lkw).alias("__lk"),
+        F.col(t), F.col(seq), F.lit(1).alias("__side"), *rsel)
     u = lt.unionByName(rt)
     lcols, rcols = list(left_cols), list(right_cols)
     both = emit == "both"

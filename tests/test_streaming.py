@@ -947,3 +947,40 @@ def test_live_sliding_scan_watermark_ttl_same_results(spark, batch_events,
                          watermark="1 day").df, "append")
     cols = ["user_id", "event_id", "win_start", "running_total", "running_n"]
     assert _sorted_rows(got_ttl, cols) == _sorted_rows(got_exact, cols)
+
+
+def test_live_keymap_unmapped_left_and_null_right_key(spark, tmp_path):
+    """Dict-form edges: an UNMAPPED left cell zips to a forever-null
+    right side (emitting on its own fires) and never receives right
+    events; a right row with a NULL key joins nothing (batch equi-join
+    semantics) rather than firing the unmapped cells."""
+    import pandas as pd
+    from scespet_spark.streaming.live import keymap_latest
+
+    left = pd.DataFrame([
+        {"ts": pd.Timestamp(2024, 1, 1, 0, 0, 1), "event_id": 1,
+         "user_id": 10, "xv": 1.0},    # mapped -> bucket 0
+        {"ts": pd.Timestamp(2024, 1, 1, 0, 0, 2), "event_id": 2,
+         "user_id": 99, "xv": 9.0}])   # NOT in the dict -> unmapped
+    right = pd.DataFrame([
+        {"ts": pd.Timestamp(2024, 1, 1, 0, 0, 3), "event_id": 3,
+         "bucket": 0.0, "yv": 100.0},
+        {"ts": pd.Timestamp(2024, 1, 1, 0, 0, 4), "event_id": 4,
+         "bucket": None, "yv": 666.0}])  # null key: joins nothing
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(right).coalesce(1).write.parquet(rdir)
+
+    def stream(d):
+        return spark.readStream.schema(
+            spark.read.parquet(d).schema).parquet(d)
+
+    out = keymap_latest(stream(ldir), stream(rdir), "user_id", "bucket",
+                        {10: 0.0}, ["xv"], ["yv"], emit="both")
+    got = sorted(tuple(r) for r in run_available_now(out, "append")
+                 .select("user_id", "event_id", "xv", "yv").collect())
+    assert got == [
+        (10, 1, 1.0, None),     # mapped cell's own fire, no y yet
+        (10, 3, 1.0, 100.0),    # bucket-0 right fires the mapped cell
+        (99, 2, 9.0, None),     # unmapped cell: own fire, null y forever
+    ]  # and the null-key right row (event 4) fired NOTHING
