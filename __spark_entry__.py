@@ -2753,6 +2753,37 @@ def dedup_embedding_cosine(spark, sf_dir):
         threshold=0.35)
 
 
+@query("dedup_embedding_incremental", f"""
+WITH cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sign_lsh_sql('v')} AS blk FROM n),
+hits AS (
+  SELECT nw.vec_id, pr.vec_id AS prior_id,
+         round({_cosine_sql('nw.v', 'pr.v')}, 6) AS cosine
+  FROM b pr JOIN b nw ON pr.blk = nw.blk, cut
+  WHERE pr.vec_id <= cut.c AND nw.vec_id > cut.c)
+SELECT vec_id, prior_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, prior_id) AS rn
+  FROM hits WHERE cosine >= 0.35) WHERE rn = 1
+""")
+def dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup — the cosine counterpart of the
+    LSH band-table probe (completes the incremental family: text exact,
+    text near, ANN index, embedding near).  The prior snapshot persists
+    its sign-LSH block table (`embedding_block_table`); a new embedding
+    batch probes it with a block-key equi-join and verifies cosine only
+    on in-block candidates — never all-pairs, never re-coding the
+    corpus.  Returns each new vector's best prior hit."""
+    from scespet_spark.operators.dedup import (embedding_block_table,
+                                               incremental_embedding_near_dup)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    prior = embedding_block_table(emb.filter(F.col("vec_id") <= cut))
+    new = emb.filter(F.col("vec_id") > cut)
+    return incremental_embedding_near_dup(new, prior, threshold=0.35)
+
+
 @query("ann_brute_force_topk", f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -3696,6 +3727,7 @@ _ROUND_CHANGED = [
     # CUMULATIVE sliding emission
     "live_keymap_take", "live_keymap_zip", "live_window_from",
     "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
+    "dedup_embedding_incremental",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3708,7 +3740,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "at_single_key", "subset_active_users", "map_keys_user_bucket",
     "nested_group_reduce", "value_set_types", "to_key_set",
     "key_list_running", "bind_hourly_rendezvous",
-    "slice_before_signup", "slice_after_signup",
+    "slice_before_signup",
     "slice_by_purchase_trigger", "group_count_reduce",
     "group_time_reduce", "zip_keymap_region_value",
     "keymap_take_region_value", "window_gated_scan", "sliding_window_scan",

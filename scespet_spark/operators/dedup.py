@@ -21,7 +21,7 @@ md5-based hashing so the DuckDB oracle reproduces results exactly
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashing import h64
 from .text import tokens
@@ -381,6 +381,57 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                     F.col(f"b.{id_col}").alias("id_b"),
                     cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def embedding_block_table(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          block_code: Column | None = None,
+                          dim: int = 64, bits: int = 6) -> DataFrame:
+    """The embedding snapshot artifact: ``(id, block, vector)`` with the
+    sign-LSH coarse code materialized — the table a snapshot persists so
+    later crawls can probe it without re-coding the corpus (the
+    embedding counterpart of ``banded_signatures``)."""
+    from .similarity import sign_lsh_code
+    blk = (block_code if block_code is not None
+           else sign_lsh_code(F.col(vec_col), dim=dim, bits=bits))
+    return df.select(F.col(id_col), blk.alias("block"),
+                     F.col(vec_col).cast("array<double>").alias("vec"))
+
+
+def incremental_embedding_near_dup(new: DataFrame,
+                                   prior_blocks: DataFrame,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   block_code: Column | None = None,
+                                   dim: int = 64, bits: int = 6,
+                                   threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine counterpart of ``incremental_near_dup``: flag
+    NEW vectors whose cosine against ANY prior-snapshot vector in their
+    sign-LSH block reaches ``threshold`` — returning ``(id, prior_id,
+    cosine)`` for the best prior hit per new vector (deterministic:
+    highest cosine, then lowest prior id).
+
+    Scale shape: the prior side is the materialized block table from
+    the last snapshot (``embedding_block_table`` — never re-code or
+    re-read the corpus); the probe is a block-key equi-join, so each
+    new vector meets only its block's prior members (bounded by LSH
+    collision density, never all-pairs), and verification cosines are
+    computed only on those candidates."""
+    from .similarity import cosine, sign_lsh_code
+    blk = (block_code if block_code is not None
+           else sign_lsh_code(F.col(vec_col), dim=dim, bits=bits))
+    n = new.select(F.col(id_col), blk.alias("block"),
+                   F.col(vec_col).cast("array<double>").alias("__nv"))
+    p = prior_blocks.select(F.col(id_col).alias("prior_id"), "block",
+                            F.col("vec").alias("__pv"))
+    cos = F.round(cosine(F.col("__nv"), F.col("__pv")), 6)
+    hits = (n.join(p, "block")
+            .select(id_col, "prior_id", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
+                                           F.col("prior_id"))
+    return (hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
 
 
 def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",

@@ -896,3 +896,37 @@ def test_ivf_assign_and_index_serving(vecs):
     assert set(ids) == {2, 3, 4, 10}
     # exact ordering by cosine desc then id: 2 and 10 tie at 1.0
     assert ids[:2] == [2, 10] and ids[-1] == 4
+
+
+def test_incremental_embedding_probe_matches_from_scratch(spark):
+    """The embedding probe against a materialized prior block table must
+    equal re-deriving blocks from scratch over the union, and its hits
+    must be exactly the cross-snapshot subset of the self-join pairs."""
+    from scespet_spark.operators.dedup import (embedding_block_table,
+                                               embedding_near_dup_pairs,
+                                               incremental_embedding_near_dup)
+    from scespet_spark.operators.similarity import sign_lsh_code
+    from scespet_spark.sources.batch import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    prior = embedding_block_table(emb.filter(F.col("vec_id") <= cut))
+    new = emb.filter(F.col("vec_id") > cut)
+    got = incremental_embedding_near_dup(new, prior, threshold=0.35)
+
+    # from-scratch: all within-block pairs over the union, restricted to
+    # (prior, new) and reduced to best-per-new — block codes are
+    # deterministic, so the probe must lose nothing
+    pairs = embedding_near_dup_pairs(
+        emb, block_code=sign_lsh_code(F.col("embedding"), dim=64, bits=6),
+        threshold=0.35)
+    cross = (pairs.filter((F.col("id_a") <= cut) & (F.col("id_b") > cut))
+             .select(F.col("id_b").alias("vec_id"),
+                     F.col("id_a").alias("prior_id"), "cosine"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(),
+                                        F.col("prior_id"))
+    want = (cross.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").drop("rn"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() > 0
