@@ -197,3 +197,53 @@ def test_incremental_keep_matches_set_model(spark, new_texts, prior_texts):
         if t not in prior_texts and t not in firsts:
             firsts[t] = i
     assert got == sorted(firsts.values())
+
+
+@given(lev=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3),
+                              st.integers(-5, 5)), max_size=8),
+       rev=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1),
+                              st.integers(-5, 5)), max_size=8))
+@SETTINGS
+def test_keymap_zip_and_take_match_model(spark, lev, rev):
+    """K->K2 vector join vs the reference push-model (VectorJoin.scala:
+    16-133): left cells bind buckets via an explicit dict (key 3 left
+    UNMAPPED), right events fire every live cell in their bucket, ties
+    resolve left-first, pre-cell right values are visible at bind time,
+    unmapped cells keep a forever-null right side (zip) / never fire
+    (take)."""
+    key_map = {0: 0, 1: 1, 2: 0}          # key 3 unmapped
+    left = [(t, 2 * i, k, v) for i, (t, k, v)
+            in enumerate(sorted(lev, key=lambda e: e[0]))]
+    right = [(t, 2 * i + 1, b, v) for i, (t, b, v)
+             in enumerate(sorted(rev, key=lambda e: e[0]))]
+
+    merged = sorted([(t, s, 0, k, v) for t, s, k, v in left]
+                    + [(t, s, 1, b, v) for t, s, b, v in right],
+                    key=lambda e: (e[0], e[1], e[2]))
+    cells, ybkt = {}, {}
+    zip_expect, take_expect = [], []
+    for t, s, side, kb, v in merged:
+        if side == 0:
+            cells[kb] = v
+            zip_expect.append((kb, t, s, v, ybkt.get(key_map.get(kb))))
+        else:
+            for k in cells:
+                if key_map.get(k) == kb:
+                    row = (k, t, s, cells[k], v)
+                    zip_expect.append(row)
+                    take_expect.append(row)
+            ybkt[kb] = v
+
+    ldf = spark.createDataFrame(left or [], "ts long, seq long, k long, xv long")
+    rdf = spark.createDataFrame(right or [], "ts long, seq long, b long, yv long")
+    ls = Stream(ldf, t="ts", seq="seq", keys=("k",))
+    rs = Stream(rdf, t="ts", seq="seq", keys=("b",))
+
+    got_zip = sorted((r.k, r.ts, r.seq, r.xv, r.yv) for r in
+                     ls.zip_join(rs, ["xv"], ["yv"], key_map=key_map)
+                     .df.collect())
+    assert got_zip == sorted(zip_expect)
+    got_take = sorted((r.k, r.ts, r.seq, r.xv, r.yv) for r in
+                      ls.take(rs, ["xv"], ["yv"], key_map=key_map)
+                      .df.collect())
+    assert got_take == sorted(take_expect)
