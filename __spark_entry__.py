@@ -2527,6 +2527,53 @@ def bucket_collapse_stats(spark, sf_dir):
         "n_cycles long, n_events long, total double")
 
 
+@query("live_bucket_collapse_stats", """
+WITH b AS (
+  SELECT user_id, day, MAX(ts) AS ts, MAX(event_id) AS event_id,
+         COUNT(DISTINCT ts) AS n_cycles, COUNT(*) AS n_events,
+         LIST_REDUCE(LIST(value ORDER BY ts, event_id),
+                     (a, b) -> a + b) AS total
+  FROM (SELECT user_id, ts, event_id, value,
+               DATE_TRUNC('day', ts) AS day FROM events)
+  GROUP BY user_id, day)
+SELECT user_id, ts, event_id, n_cycles, n_events, total FROM b
+WHERE day < (SELECT MAX(day) FROM b b2 WHERE b2.user_id = b.user_id)
+""")
+def live_bucket_collapse_stats(spark, sf_dir):
+    """The custom lifecycle bucket in LIVE mode (live_collapse): the
+    mutable bucket object itself is per-key state, cloudpickled across
+    micro-batches; a row in a later daily slice completes the open
+    bucket and emits it.  Only CLOSED buckets emit (no termination
+    event live — same contract as count_reduce), so the oracle is the
+    batch bucket_collapse_stats result minus each key's final day."""
+    from scespet_spark.operators.buckets import CycleBucket
+    from scespet_spark.streaming.live import (live_collapse,
+                                              read_events_stream,
+                                              run_available_now)
+
+    class Stats(CycleBucket):
+        def open(self):
+            self.n_cycles = 0
+            self.n_events = 0
+            self.total = 0.0
+
+        def add_cycle(self, cycle):
+            self.n_cycles += 1
+            self.n_events += len(cycle)
+            for v in cycle["value"]:
+                self.total += float(v)
+
+        def value(self):
+            return {"n_cycles": self.n_cycles, "n_events": self.n_events,
+                    "total": self.total}
+
+    src = read_events_stream(spark, sf_dir)
+    out = live_collapse(src, ["user_id"], Stats, "1 day",
+                        "n_cycles long, n_events long, total double")
+    return run_available_now(out, "append").select(
+        "user_id", "ts", "event_id", "n_cycles", "n_events", "total")
+
+
 # ===========================================================================
 # Training-data pipeline operators over documents / embeddings
 # (dedup, similarity search, text analysis, multimodal plumbing)
@@ -3727,7 +3774,7 @@ _ROUND_CHANGED = [
     # CUMULATIVE sliding emission
     "live_keymap_take", "live_keymap_zip", "live_window_from",
     "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
-    "dedup_embedding_incremental",
+    "dedup_embedding_incremental", "live_bucket_collapse_stats",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3748,7 +3795,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_trigger_stream_slice", "live_asof_purchase_last_click",
     "live_zip_click_purchase", "live_map_vector_running",
     "asof_purchase_last_click", "zip_click_purchase",
-    "scan_running_sum", "reduce_all_global",
+    "scan_running_sum",
     "dedup_exact", "dedup_minhash_lsh", "dedup_kept_corpus",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_hard_negatives",
     "sample_source_quota", "text_bigram_lm", "q14_promo_revenue",

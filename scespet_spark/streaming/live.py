@@ -880,6 +880,83 @@ def sliding_scan(df: DataFrame, keys: list[str], duration: str, slide: str,
         t=t, order_cols=[t, seq], timeout_ts=timeout_ts)
 
 
+def live_collapse(df: DataFrame, keys: list[str], bucket_factory,
+                  every: str, value_ddl: str, t: str = "ts",
+                  seq: str = "event_id", emit: str = "last",
+                  cycle_col: str | None = None) -> DataFrame:
+    """Custom lifecycle buckets (open/add-per-cycle/complete) in live
+    mode — the streaming counterpart of ``operators.buckets.collapse``
+    (reference: collapseWith/collapseK, VectTerm.scala:632-661;
+    lifecycle SliceCellLifecycle.scala:13-30; atomic same-cycle
+    rendezvous SlicedBucket.scala:33-83).
+
+    The mutable bucket OBJECT is the per-key state: cloudpickled into
+    the state store between micro-batches (the reference holds exactly
+    this object in its graph node).  Rows are folded cycle-at-a-time
+    (all rows sharing one ``cycle_col`` value fire the bucket once —
+    the rendezvous contract); a row landing in a LATER ``every``-slice
+    completes the open bucket, and:
+
+      * ``emit="last"``: the completed bucket emits one row at its last
+        event's (t, seq) — only CLOSED buckets emit (live streams have
+        no termination event; batch mode owns the termination flush,
+        SimpleEnv.scala:93, same contract as count_reduce).
+      * ``emit="all"``: every cycle emits the bucket's running value
+        (CUMULATIVE).
+
+    State size is one pickled bucket + 3 doubles per key, independent
+    of bucket length.  ``every`` must be a fixed-width duration (epoch
+    alignment matches batch ``F.window``)."""
+    if emit not in ("last", "all"):
+        raise ValueError(f"emit must be 'last' or 'all', got {emit!r}")
+    step_ms = int(pd.Timedelta(every).total_seconds() * 1000)
+    cyc = cycle_col or t
+    last = emit == "last"
+
+    def step(st, pdf):
+        from pyspark import cloudpickle
+        bucket = (cloudpickle.loads(bytes(st["blob"]))
+                  if st["blob"] is not None else None)
+        out = []
+        # resolution-proof epoch math: Arrow may hand datetime64[ns] or
+        # [us] depending on the column's parquet type
+        bids = pd.Series(pdf[t].values.astype("datetime64[ms]")
+                         .astype("int64") // step_ms, index=pdf.index)
+        for bid, grp in pdf.groupby(bids, sort=True):
+            if bucket is not None and bid > st["bucket"]:
+                bucket.complete()
+                if last:
+                    out.append({t: pd.Timestamp(int(st["last_t"]), unit="us"),
+                                seq: int(st["last_seq"]), **bucket.value()})
+                bucket = None
+            if bucket is None:
+                bucket = bucket_factory()
+                bucket.open()
+                st["bucket"] = float(bid)
+            for _, cycle in grp.groupby(cyc, sort=True):
+                bucket.add_cycle(cycle)
+                if not last:
+                    out.append({t: cycle[t].iloc[-1],
+                                seq: int(cycle[seq].iloc[-1]),
+                                **bucket.value()})
+            st["last_t"] = float(grp[t].values[-1]
+                                 .astype("datetime64[us]").astype("int64"))
+            st["last_seq"] = float(grp[seq].iloc[-1])
+        st["blob"] = bytearray(cloudpickle.dumps(bucket))
+        return out
+
+    key_ddl = _key_ddl(df, keys)
+    tddl = df.schema[t].dataType.simpleString()
+    return stateful_scan(
+        df, keys,
+        {"bucket": -1.0, "last_t": 0.0, "last_seq": 0.0, "blob": None},
+        step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, {value_ddl}",
+        t=t, order_cols=[t, seq],
+        state_schema="bucket double, last_t double, last_seq double, "
+                     "blob binary")
+
+
 def run_available_now(df: DataFrame, output_mode: str = "complete",
                       name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input

@@ -984,3 +984,63 @@ def test_live_keymap_unmapped_left_and_null_right_key(spark, tmp_path):
         (10, 3, 1.0, 100.0),    # bucket-0 right fires the mapped cell
         (99, 2, 9.0, None),     # unmapped cell: own fire, null y forever
     ]  # and the null-key right row (event 4) fired NOTHING
+
+
+def test_live_collapse_bucket_state_survives_batches(spark, batch_events,
+                                                     staged_events_3):
+    """The cloudpickled bucket OBJECT must carry across micro-batch
+    boundaries: live_collapse('last') over 3 batches equals the batch
+    collapse restricted to closed (non-final per key) buckets; 'all'
+    mode equals the batch CUMULATIVE emission everywhere."""
+    import pandas as pd
+    from scespet_spark import Every, Stream
+    from scespet_spark.operators.buckets import CycleBucket, collapse
+    from scespet_spark.streaming.live import live_collapse
+
+    class Stats(CycleBucket):
+        def open(self):
+            self.n = 0
+            self.total = 0.0
+
+        def add_cycle(self, cycle):
+            self.n += len(cycle)
+            for v in cycle["value"]:
+                self.total += float(v)
+
+        def value(self):
+            return {"n": self.n, "total": self.total}
+
+    got = run_available_now(
+        live_collapse(staged_events_3(), ["user_id"], Stats, "1 day",
+                      "n long, total double"), "append")
+
+    s = Stream(batch_events, t="ts", seq="event_id").by("user_id",
+                                                        name="user_id")
+    want_all = collapse(s.group(Every("1 day")), Stats,
+                        "user_id long, ts timestamp, event_id long, "
+                        "n long, total double")
+    # closed = drop each key's final (max-day) bucket
+    last_day = (want_all
+                .withColumn("day", F.date_trunc("day", "ts"))
+                .groupBy("user_id").agg(F.max("day").alias("last_day")))
+    want = (want_all.withColumn("day", F.date_trunc("day", "ts"))
+            .join(last_day, "user_id")
+            .filter(F.col("day") < F.col("last_day"))
+            .drop("day", "last_day"))
+    cols = ["user_id", "event_id", "n", "total"]
+    got_r = [(u, e, n, round(t_, 6)) for u, e, n, t_ in _sorted_rows(got, cols)]
+    want_r = [(u, e, n, round(t_, 6)) for u, e, n, t_ in _sorted_rows(want, cols)]
+    assert got_r == want_r
+
+    # CUMULATIVE: every cycle emits the running value
+    got_all = run_available_now(
+        live_collapse(staged_events_3(), ["user_id"], Stats, "1 day",
+                      "n long, total double", emit="all"), "append")
+    want_cum = collapse(s.group(Every("1 day")), Stats,
+                        "user_id long, ts timestamp, event_id long, "
+                        "n long, total double", emit="all")
+    got_r = [(u, e, n, round(t_, 6)) for u, e, n, t_
+             in _sorted_rows(got_all, cols)]
+    want_r = [(u, e, n, round(t_, 6)) for u, e, n, t_
+              in _sorted_rows(want_cum, cols)]
+    assert got_r == want_r
