@@ -1155,6 +1155,31 @@ def scan_running_sum(spark, sf_dir):
                          F.col("running_total").cast("double").alias("running_total"))
 
 
+@query("live_scan_running_sum", _ORACLES["scan_running_sum"])
+def live_scan_running_sum(spark, sf_dir):
+    """The CUMULATIVE per-key fold as a streaming plan (fold_all/scan,
+    MacroTerm.scala:63-84 one-expression-two-modes): per-key running
+    state via scan_state, integer-quantized accumulation for decimal
+    exactness — same oracle as the batch scan_running_sum."""
+    from scespet_spark.streaming.live import LiveStream
+
+    def step(st, pdf):
+        import numpy as np
+        cents = np.round(pdf["value"].to_numpy(dtype="float64") * 100)
+        run = st["acc"] + np.cumsum(cents)
+        st["acc"] = float(run[-1])
+        out = pdf[["event_id", "ts"]].copy()
+        out["running_total"] = run / 100.0
+        return out
+
+    live = (LiveStream.from_events(spark, sf_dir).by("user_id")
+            .scan_state({"acc": 0.0}, step,
+                        "user_id long, event_id long, ts timestamp, "
+                        "running_total double"))
+    return live.run("append").select("event_id", "ts", "user_id",
+                                     "running_total")
+
+
 @query("group_count_reduce", """
 SELECT user_id, bucket,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
@@ -3775,6 +3800,7 @@ _ROUND_CHANGED = [
     "live_keymap_take", "live_keymap_zip", "live_window_from",
     "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
+    "live_scan_running_sum",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3798,7 +3824,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "scan_running_sum",
     "dedup_exact", "dedup_minhash_lsh", "dedup_kept_corpus",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_hard_negatives",
-    "sample_source_quota", "text_bigram_lm", "q14_promo_revenue",
+    "sample_source_quota", "text_bigram_lm",
     "set_ops_customers",
 ]
 
