@@ -3704,6 +3704,23 @@ def mixture_sample_sources(spark, sf_dir):
     return mixture_sample(docs, _MIX_W, _MIX_N)
 
 
+@query("live_mixture_sample", _mixture_oracle())
+def live_mixture_sample(spark, sf_dir):
+    """The mixture recipe applied to a LIVE ingest stream: cutoffs are
+    the snapshot artifact (mixture_cutoffs over the batch corpus), the
+    crawl stream samples against them with a stream-static broadcast
+    join + map-side hash filter — row-by-row, reproducible, no corpus
+    counting on the hot path.  Same oracle as mixture_sample_sources
+    (the stream replays the same corpus)."""
+    from scespet_spark.operators.text import mixture_cutoffs, mixture_apply
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    cut = mixture_cutoffs(docs, _MIX_W, _MIX_N)   # snapshot artifact
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(mixture_apply(stream, cut), "append")
+
+
 @query("pack_training_sequences", f"""
 WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,
@@ -3800,7 +3817,7 @@ _ROUND_CHANGED = [
     "live_keymap_take", "live_keymap_zip", "live_window_from",
     "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
-    "live_scan_running_sum",
+    "live_scan_running_sum", "live_mixture_sample",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3825,7 +3842,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "dedup_exact", "dedup_minhash_lsh", "dedup_kept_corpus",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_hard_negatives",
     "sample_source_quota", "text_bigram_lm",
-    "set_ops_customers",
 ]
 
 

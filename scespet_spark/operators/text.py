@@ -222,20 +222,40 @@ def mixture_sample(df: DataFrame, weights: dict, total: int,
     combinable, output is #sources rows), a broadcast join of the
     cutoffs, then a map-side filter — the corpus itself is never
     shuffled and the whole operator is a single pass."""
-    from .hashing import h64
-    M = 1 << 20
+    cut = mixture_cutoffs(df, weights, total, source_col)
+    return mixture_apply(df, cut, source_col, id_col, seed)
+
+
+def mixture_cutoffs(df: DataFrame, weights: dict, total: int,
+                    source_col: str = "source") -> DataFrame:
+    """The mixture recipe as a #sources-row cutoff table — the snapshot
+    artifact ``mixture_apply`` consumes (persist it once per corpus
+    snapshot; a live ingest stream then samples against it without
+    ever counting the corpus)."""
+    _M = 1 << 20
     counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
     wmap = F.create_map(*[x for kv in weights.items()
                           for x in (F.lit(kv[0]), F.lit(float(kv[1])))])
     # absent sources are dropped OUTSIDE the least(): Spark's least()
     # skips NULL args, so a NULL weight would silently become cutoff 1.0
-    cut = counts.where(F.col(source_col).isin(*weights.keys())).select(
+    return counts.where(F.col(source_col).isin(*weights.keys())).select(
         source_col,
         F.floor(F.least(F.lit(1.0),
                         wmap[F.col(source_col)] * total / F.col("__n"))
-                * M).alias("__cut"))
-    h = F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(M))
-    return (df.join(F.broadcast(cut), source_col)
+                * _M).alias("__cut"))
+
+
+def mixture_apply(df: DataFrame, cutoffs: DataFrame,
+                  source_col: str = "source", id_col: str = "doc_id",
+                  seed: int = 11) -> DataFrame:
+    """Apply a cutoff table to a corpus OR a live stream: broadcast
+    (stream-static when ``df`` streams) join + map-side deterministic
+    hash filter.  A crawl stream is sampled toward the declared recipe
+    row by row, reproducibly — no corpus counting on the hot path."""
+    from .hashing import h64
+    _M = 1 << 20
+    h = F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(_M))
+    return (df.join(F.broadcast(cutoffs), source_col)
             .where(h < F.col("__cut"))
             .drop("__cut")
             .select(*df.columns))
