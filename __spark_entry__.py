@@ -3613,6 +3613,22 @@ def decontaminate_eval_overlap(spark, sf_dir):
                          docs.filter(F.col("doc_id") % 19 == 0))
 
 
+@query("live_decontaminate", _ORACLES["decontaminate_eval_overlap"])
+def live_decontaminate(spark, sf_dir):
+    """Decontamination on a LIVE crawl stream: the benchmark digest set
+    is the batch-side artifact (broadcast into the stream-static join);
+    incoming docs are flagged row-by-row as their micro-batches land.
+    Same operator, same oracle — the stream replays the same corpus."""
+    from scespet_spark.operators.pipeline import decontaminate
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    stream = read_table_stream(spark, sf_dir, "documents")
+    out = decontaminate(stream.filter(F.col("doc_id") % 19 != 0),
+                        docs.filter(F.col("doc_id") % 19 == 0))
+    return run_available_now(out, "complete")
+
+
 @query("dedup_incremental", f"""
 WITH newd AS (SELECT doc_id, {h64_sql('text')} AS content_hash
               FROM documents WHERE doc_id % 3 <> 0),
@@ -3817,7 +3833,7 @@ _ROUND_CHANGED = [
     "live_keymap_take", "live_keymap_zip", "live_window_from",
     "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
-    "live_scan_running_sum", "live_mixture_sample",
+    "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3827,7 +3843,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # (b) rotation: keep evidence fresh for families whose last green
     # row is oldest (r3 or earlier), then one representative per
     # operator family touched by shared code paths this round
-    "at_single_key", "subset_active_users", "map_keys_user_bucket",
+    "subset_active_users", "map_keys_user_bucket",
     "nested_group_reduce", "value_set_types", "to_key_set",
     "key_list_running", "bind_hourly_rendezvous",
     "slice_before_signup",

@@ -35,6 +35,10 @@ def _spread(df: DataFrame) -> DataFrame:
     re-coalesces user-specified repartition(n)) costs one small shuffle
     of (id, text) and buys back the whole stage's parallelism; skipped
     when the scan is already parallel (the 100TB case)."""
+    if df.isStreaming:
+        # micro-batches inherit the source's parallelism, and .rdd is
+        # illegal on a streaming plan — the spread is a batch-only fix
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
