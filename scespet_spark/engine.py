@@ -24,7 +24,15 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
+    """``rocksdb_state=True`` switches Structured Streaming state to the
+    RocksDB provider — the production setting for the stateful live
+    operators (keymap cell tables, sliding-scan windows, dedup digest
+    sets): state spills to local disk with changelog checkpointing
+    instead of living on the executor heap, so state size is bounded by
+    disk, not memory.  Off by default locally (HDFS-backed in-memory
+    store is faster at test scale)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -55,6 +63,13 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/scespet_spark_warehouse"))
     )
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider").config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled", "true")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1044,3 +1044,24 @@ def test_live_collapse_bucket_state_survives_batches(spark, batch_events,
     want_r = [(u, e, n, round(t_, 6)) for u, e, n, t_
               in _sorted_rows(want_cum, cols)]
     assert got_r == want_r
+
+
+def test_rocksdb_state_store_runs_stateful_op(spark):
+    """The production state-store setting must actually execute: run a
+    stateful live op with the RocksDB provider (a runtime SQL conf,
+    read at streaming-query start) and check results are unchanged."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        from scespet_spark.streaming.live import LiveStream
+        out = (LiveStream.from_events(spark, SF).by("user_id")
+               .count_reduce(5, "value").run("append"))
+        assert out.count() > 0
+        assert out.filter("n <> 5").count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
