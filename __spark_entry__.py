@@ -2392,6 +2392,22 @@ def vwap_per_supplier(spark, sf_dir):
         vwap("l_extendedprice", "l_quantity").alias("vwap"))
 
 
+@query("live_vwap_per_supplier", _ORACLES["vwap_per_supplier"])
+def live_vwap_per_supplier(spark, sf_dir):
+    """The VWAP reducer over a LIVE trade stream (the reference's
+    canonical realtime use, RealTradeTests.scala:22-23): decimal-exact
+    sum(px*qty)/sum(qty) as a complete-mode streaming aggregation —
+    partials are combinable, so each micro-batch folds map-side.  Same
+    oracle as the batch query."""
+    from scespet_spark.functions.reducers import vwap
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    li = read_table_stream(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_suppkey").agg(
+        vwap("l_extendedprice", "l_quantity").alias("vwap"))
+    return run_available_now(out, "complete")
+
+
 @query("json_props_stats", """
 SELECT event_type,
        COUNT(*) AS n,
@@ -3834,6 +3850,7 @@ _ROUND_CHANGED = [
     "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
     "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
+    "live_vwap_per_supplier",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3844,7 +3861,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # row is oldest (r3 or earlier), then one representative per
     # operator family touched by shared code paths this round
     "subset_active_users", "map_keys_user_bucket",
-    "nested_group_reduce", "value_set_types", "to_key_set",
+    "nested_group_reduce", "value_set_types",
     "key_list_running", "bind_hourly_rendezvous",
     "slice_before_signup",
     "slice_by_purchase_trigger", "group_count_reduce",
