@@ -3543,6 +3543,20 @@ def multimodal_decode(spark, sf_dir):
     return decode_images(attach_payload(docs))
 
 
+@query("live_multimodal_decode", _ORACLES["multimodal_decode"])
+def live_multimodal_decode(spark, sf_dir):
+    """Multimodal decode on a LIVE ingest stream: the Arrow
+    ``mapInPandas`` decode stage runs unchanged inside the streaming
+    plan (binary payloads decoded micro-batch by micro-batch as crawl
+    files land) — same operator, same oracle."""
+    from scespet_spark.operators.multimodal import (attach_payload,
+                                                    decode_images)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(decode_images(attach_payload(stream)), "append")
+
+
 @query("multimodal_resize", """
 WITH d AS (
   SELECT doc_id,
@@ -3850,7 +3864,7 @@ _ROUND_CHANGED = [
     "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
     "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
-    "live_vwap_per_supplier",
+    "live_vwap_per_supplier", "live_multimodal_decode",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3861,7 +3875,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # row is oldest (r3 or earlier), then one representative per
     # operator family touched by shared code paths this round
     "subset_active_users", "map_keys_user_bucket",
-    "nested_group_reduce", "value_set_types",
+    "nested_group_reduce",
     "key_list_running", "bind_hourly_rendezvous",
     "slice_before_signup",
     "slice_by_purchase_trigger", "group_count_reduce",
