@@ -3767,6 +3767,27 @@ def live_mixture_sample(spark, sf_dir):
     return run_available_now(mixture_apply(stream, cut), "append")
 
 
+@query("weighted_sample_chars", f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         round(POW((({h64_sql("doc_id::VARCHAR", seed=17)}) % {1 << 20}
+                    + 0.5) / {1 << 20},
+                   1.0 / n_chars), 9) AS sk
+  FROM documents WHERE n_chars > 0
+  ORDER BY sk DESC, doc_id LIMIT 200)
+ORDER BY doc_id
+""")
+def weighted_sample_chars(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis): 200 docs drawn proportional to length — the
+    quality-weighted subsampling step; reproducible across runs,
+    engines, and partitionings (hash-derived uniforms, exact top-k)."""
+    from scespet_spark.operators.text import weighted_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return (weighted_sample(docs, "n_chars", 200)
+            .select("doc_id", "source", "n_chars").orderBy("doc_id"))
+
+
 @query("pack_training_sequences", f"""
 WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,
@@ -3865,6 +3886,7 @@ _ROUND_CHANGED = [
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
     "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
     "live_vwap_per_supplier", "live_multimodal_decode",
+    "weighted_sample_chars",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3876,7 +3898,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # operator family touched by shared code paths this round
     "subset_active_users", "map_keys_user_bucket",
     "nested_group_reduce",
-    "key_list_running", "bind_hourly_rendezvous",
+    "bind_hourly_rendezvous",
     "slice_before_signup",
     "slice_by_purchase_trigger", "group_count_reduce",
     "group_time_reduce", "zip_keymap_region_value",

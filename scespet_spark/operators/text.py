@@ -203,6 +203,30 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     return df.filter(bucket < rate)
 
 
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id", seed: int = 17) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws a reproducible uniform u from a hash
+    of its id and gets sort key ``u^(1/w)``; the global top-k by key is
+    an exact weighted sample — the quality-weighted corpus subsampling
+    step (sample 1M docs proportional to quality score) that plain
+    `.sample()` cannot do deterministically or weighted.
+
+    Rows with weight <= 0 or null never sample.  Scale shape: one
+    map-side key computation + a distributed TakeOrdered top-k (k rows
+    to the driver, the corpus never sorts globally)."""
+    from .hashing import h64
+    _M = 1 << 20
+    u = (F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(_M))
+         + 0.5) / _M
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    return (df.where(F.col(weight_col) > 0)
+            .withColumn("__sk", F.round(key, 9))
+            .orderBy(F.col("__sk").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__sk"))
+
+
 def mixture_sample(df: DataFrame, weights: dict, total: int,
                    source_col: str = "source", id_col: str = "doc_id",
                    seed: int = 11) -> DataFrame:

@@ -930,3 +930,20 @@ def test_incremental_embedding_probe_matches_from_scratch(spark):
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """A-ES weighted sampling: reproducible across runs/partitionings,
+    zero/null weights never sample, and heavy rows are preferred (the
+    heaviest-weight stratum must dominate a small sample)."""
+    from scespet_spark.operators.text import weighted_sample
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)]
+    rows += [(2000, 0.0), (2001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(r.doc_id for r in weighted_sample(df, "w", 40).collect())
+    again = sorted(r.doc_id for r in
+                   weighted_sample(df.repartition(7), "w", 40).collect())
+    assert got == again                    # deterministic, layout-proof
+    assert 2000 not in got and 2001 not in got
+    heavy = sum(1 for d in got if d < 50)
+    assert heavy >= 30                     # 1000x weight dominates
