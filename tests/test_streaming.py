@@ -1065,3 +1065,28 @@ def test_rocksdb_state_store_runs_stateful_op(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_new_live_verbs_reject_bad_usage(spark):
+    """Error paths: mismatched keys on window_from, bad emit mode on
+    keymap/live_collapse, non-Sliding live scan spec."""
+    from scespet_spark import Count
+    from scespet_spark.streaming.live import LiveStream, keymap_latest
+
+    s = LiveStream.from_events(spark, SF)
+    a = s.by("user_id")
+    b = s.map(bucket=F.col("user_id") % 2).by("bucket")
+    with pytest.raises(ValueError, match="identical keys"):
+        a.window_from(b, "g", "value")
+    with pytest.raises(ValueError, match="single-key|identical"):
+        LiveStream(a.df, keys=("user_id", "event_type")).take(
+            b, ["value"], [], key_map=F.col("user_id") % 2)
+    with pytest.raises(ValueError, match="emit"):
+        keymap_latest(a.df, b.df, "user_id", "bucket",
+                      F.col("user_id") % 2, ["value"], [], emit="bogus")
+    with pytest.raises(TypeError, match="Sliding"):
+        a.group(Count(5)).scan("value")
+    with pytest.raises(ValueError, match="emit"):
+        from scespet_spark.streaming.live import live_collapse
+        live_collapse(a.df, ["user_id"], object, "1 day", "n long",
+                      emit="bogus")
