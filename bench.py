@@ -75,6 +75,11 @@ HEADLINE = [
     "pivot_user_event_values",
     "daily_revenue_delta",
     "ann_hard_negatives",
+    # round 6 additions
+    "ann_ivf_incremental_topk",
+    "dedup_embedding_incremental",
+    "weighted_sample_chars",
+    "window_from_reduce",
 ]
 
 
