@@ -1327,6 +1327,18 @@ def window_gated_scan(spark, sf_dir):
                          F.col("total").cast("double").alias("total"), "n")
 
 
+@query("live_window_gated_scan", _ORACLES["window_gated_scan"])
+def live_window_gated_scan(spark, sf_dir):
+    """Gated CUMULATIVE emission live: every in-window event emits the
+    window's running aggregate as it arrives — open windows included,
+    exactly the batch window_gated_scan semantics (same oracle)."""
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir)
+            .by("user_id")
+            .window_scan(F.col("value") >= 100, "value", quantize=100))
+    return live.run("append").select("user_id", "event_id", "total", "n")
+
+
 @query("live_window_gated_reduce", _ORACLES["window_gated_reduce"])
 def live_window_gated_reduce(spark, sf_dir):
     """Boolean-gated windows as a streaming plan: per-key edge-detect
@@ -3886,7 +3898,7 @@ _ROUND_CHANGED = [
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
     "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
     "live_vwap_per_supplier", "live_multimodal_decode",
-    "weighted_sample_chars",
+    "weighted_sample_chars", "live_window_gated_scan",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3897,7 +3909,6 @@ _PRIORITY = _ROUND_CHANGED + [
     # row is oldest (r3 or earlier), then one representative per
     # operator family touched by shared code paths this round
     "subset_active_users", "map_keys_user_bucket",
-    "nested_group_reduce",
     "bind_hourly_rendezvous",
     "slice_before_signup",
     "slice_by_purchase_trigger", "group_count_reduce",

@@ -754,6 +754,61 @@ def _gated_edge_step(st, g, sq, v, q):
         "n": closed["cnt"].to_numpy().astype("int64")})
 
 
+def gated_scan(df: DataFrame, keys: list[str], gate: Column, value_col: str,
+               t: str = "ts", seq: str = "event_id",
+               quantize: int | None = None) -> DataFrame:
+    """CUMULATIVE emission inside boolean-gated windows — the live form
+    of batch ``window(gate).scan`` (MacroTerm.scala:242-259: open
+    windows DO emit their running rows; only ``reduce`` withholds
+    un-closed windows).  Each in-window row emits the window's running
+    ``(total, n)`` the moment it arrives; state is the open window's
+    partial (3 doubles per key)."""
+    tagged = df.withColumn("__g", F.when(gate, F.lit(1)).otherwise(F.lit(0)))
+    q = quantize
+
+    def step(st, pdf):
+        # vectorized: window number = cumulative rising edges (0 = the
+        # carried-open window); per-window running sums via groupby
+        # cumsum, carry seeds window 0
+        import numpy as np
+        g = (pdf["__g"].to_numpy() == 1)
+        v = pdf[value_col].to_numpy(dtype="float64")
+        vals = np.round(v * q) if q else v
+        prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
+        wn = np.cumsum(g & ~prev)
+        idx = np.flatnonzero(g)
+        st_next_open = bool(len(g)) and bool(g[-1])
+        if not len(idx):
+            st["in_win"] = 1.0 if st_next_open else 0.0
+            if not st_next_open:
+                st["acc"] = st["cnt"] = 0.0
+            return []
+        w = wn[idx]
+        run = pd.Series(vals[idx]).groupby(w).cumsum().to_numpy()
+        cn = (pd.Series(np.ones(len(idx))).groupby(w).cumsum()
+              .to_numpy())
+        if st["in_win"]:
+            m0 = w == 0
+            run[m0] += st["acc"]
+            cn[m0] += st["cnt"]
+        if st_next_open:
+            st["in_win"], st["acc"], st["cnt"] = 1.0, float(run[-1]), float(cn[-1])
+        else:
+            st["in_win"] = st["acc"] = st["cnt"] = 0.0
+        return pd.DataFrame({
+            t: pdf[t].to_numpy()[idx],
+            seq: pdf[seq].to_numpy()[idx].astype("int64"),
+            "total": run / q if q else run,
+            "n": cn.astype("int64")})
+
+    key_ddl = _key_ddl(df, keys)
+    tddl = df.schema[t].dataType.simpleString()
+    return stateful_scan(
+        tagged, keys, {"in_win": 0.0, "acc": 0.0, "cnt": 0.0}, step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, total double, n long",
+        t=t, order_cols=[t, seq])
+
+
 def gated_reduce_from(data: DataFrame, gate_stream: DataFrame,
                       keys: list[str], gate_col: str, value_col: str,
                       t: str = "ts", seq: str = "event_id",
@@ -1134,6 +1189,15 @@ class LiveStream:
         gate holds, emit (win_seq, total, n) on the falling edge."""
         out = gated_reduce(self.df, list(self.keys), gate, value_col,
                            self.t, self.seq, quantize)
+        return self._derive(out)
+
+    def window_scan(self, gate: Column, value_col: str,
+                    quantize: int | None = None) -> "LiveStream":
+        """CUMULATIVE gated windows: every in-window row emits the
+        running (total, n) — open windows included, exactly like batch
+        ``window(gate).scan`` (see ``gated_scan``)."""
+        out = gated_scan(self.df, list(self.keys), gate, value_col,
+                         self.t, self.seq, quantize)
         return self._derive(out)
 
     def window_from(self, gate_stream: "LiveStream", gate_col: str,
