@@ -110,7 +110,8 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
                   step: Callable, out_schema: str, t: str = "ts",
                   order_cols: list[str] | None = None,
                   state_schema: str | None = None,
-                  timeout_ts: Callable | None = None) -> DataFrame:
+                  timeout_ts: Callable | None = None,
+                  idle_ttl: str | None = None) -> DataFrame:
     """Arbitrary per-key incremental state — the live equivalent of the
     reference's mutable Agg cells fed one event at a time.
 
@@ -132,8 +133,13 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
     passes it, the group's state is REMOVED from the store (the input
     must carry ``withWatermark``).  Purged groups simply restart from
     the initial state if (impossibly, given the watermark filter) they
-    recur.  Without it, state lives forever (NoTimeout) — exact, but
-    unbounded on unbounded key spaces."""
+    recur.  ``idle_ttl`` (e.g. ``"30 days"``) is the last-activity
+    variant for unbounded KEY spaces: each batch re-arms the group's
+    expiry to its latest event time + the ttl, so keys idle beyond the
+    horizon purge (a re-emerging key restarts from initial state — the
+    documented bounded-state trade).  Mutually exclusive with
+    ``timeout_ts``; without either, state lives forever (NoTimeout) —
+    exact, but unbounded on unbounded key spaces."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType
     import numpy as np
@@ -157,8 +163,14 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
             return None
         return v
 
+    if timeout_ts is not None and idle_ttl is not None:
+        raise ValueError("timeout_ts and idle_ttl are mutually exclusive")
+    ttl_ms = (int(pd.Timedelta(idle_ttl).total_seconds() * 1000)
+              if idle_ttl is not None else None)
+    timed = timeout_ts is not None or ttl_ms is not None
+
     def fn(key, pdfs, state):
-        if timeout_ts is not None and state.hasTimedOut:
+        if timed and state.hasTimedOut:
             # watermark passed this group's expiry: purge and emit
             # nothing — the group can no longer receive rows (the
             # watermark filter drops anything this late)
@@ -173,17 +185,24 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
         # out of event order whenever a key spans chunks
         chunks = [p for p in pdfs if len(p)]
         rows = []
+        pdf = None
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 order_cols or [t], kind="mergesort")
             rows = step(st, pdf)
         state.update(tuple(_py(st[n]) for n in state_names))
-        if timeout_ts is not None:
+        if timed:
             # expiry must sit beyond the current watermark or Spark
             # rejects it; a group first seen when already expirable gets
             # the minimal legal horizon (one tick past the watermark)
+            if timeout_ts is not None:
+                expiry = int(timeout_ts(key))
+            else:  # idle_ttl: re-arm from this batch's latest event
+                last = (int(pdf[t].values.max().astype("datetime64[ms]")
+                            .astype("int64")) if pdf is not None else 0)
+                expiry = last + ttl_ms
             state.setTimeoutTimestamp(
-                max(int(timeout_ts(key)), state.getCurrentWatermarkMs() + 1))
+                max(expiry, state.getCurrentWatermarkMs() + 1))
         key_vals = dict(zip(keys, key))
         if isinstance(rows, pd.DataFrame):
             yield rows.assign(**key_vals)
@@ -195,7 +214,7 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
 
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, schema, "append",
-        GroupStateTimeout.EventTimeTimeout if timeout_ts is not None
+        GroupStateTimeout.EventTimeTimeout if timed
         else GroupStateTimeout.NoTimeout)
 
 
@@ -542,7 +561,8 @@ _JSON_SAFE = ("double", "float", "int", "bigint", "smallint", "tinyint",
 def keymap_latest(left: DataFrame, right: DataFrame, lk: str, rk: str,
                   key_map, left_cols: list[str], right_cols: list[str],
                   emit: str = "both", t: str = "ts",
-                  seq: str = "event_id") -> DataFrame:
+                  seq: str = "event_id",
+                  idle_ttl: str | None = None) -> DataFrame:
     """Live K -> K2 vector join (reference: VectTerm.join/take/sample
     with keyMap, VectTerm.scala:454-460 / VectorJoin.scala:16-133; the
     streaming counterpart of batch ``_keymap_zip_join`` /
@@ -578,11 +598,19 @@ def keymap_latest(left: DataFrame, right: DataFrame, lk: str, rk: str,
     The fan-out is the emission set itself — the per-bucket Python loop
     is output-bound, exactly the reference's per-cell firing.  State is
     one JSON cell-table per bucket: |live cells in bucket| * |left
-    cols|, the same state the reference's VectorJoin holds in memory."""
+    cols|, the same state the reference's VectorJoin holds in memory.
+    On unbounded bucket spaces pass ``idle_ttl`` (e.g. ``"30 days"``):
+    both inputs are watermarked with that delay and a bucket idle
+    beyond it purges its cell table (a re-emerging bucket restarts
+    from empty — the bounded-state trade; rows later than the delay
+    are dropped by the watermark filter)."""
     import json
 
     if emit not in ("both", "right"):
         raise ValueError(f"emit must be 'both' or 'right', got {emit!r}")
+    if idle_ttl is not None:
+        left = left.withWatermark(t, idle_ttl)
+        right = right.withWatermark(t, idle_ttl)
     if isinstance(key_map, Column):
         lmapped = left.withColumn("__jk", key_map)
     else:
@@ -674,7 +702,8 @@ def keymap_latest(left: DataFrame, right: DataFrame, lk: str, rk: str,
         u, ["__jk"], {"cells": None, "y": None}, step,
         f"{jk_ddl}, {lk} {lkw}, {t} {tddl}, {seq} long{val_ddl}",
         t=t, order_cols=[t, seq, "__side"],
-        state_schema="cells string, y string").drop("__jk")
+        state_schema="cells string, y string",
+        idle_ttl=idle_ttl).drop("__jk")
     for c in (lk, *lcols, *rcols):
         if (ltypes | rtypes | {lk: lkw})[c] != otypes[c].simpleString():
             out = out.withColumn(c, F.col(c).cast(otypes[c]))

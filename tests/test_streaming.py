@@ -1090,3 +1090,35 @@ def test_new_live_verbs_reject_bad_usage(spark):
         from scespet_spark.streaming.live import live_collapse
         live_collapse(a.df, ["user_id"], object, "1 day", "n long",
                       emit="bogus")
+
+
+def test_keymap_idle_ttl_parity_and_purge(spark, batch_events,
+                                          staged_events_3):
+    """idle_ttl on the keymap join: with a horizon longer than the
+    stream, results are identical to the unbounded form; with a tiny
+    horizon, state rows are actually purged mid-run."""
+    from scespet_spark.streaming.live import keymap_latest
+
+    def build(src, ttl):
+        lt = (src.filter(F.col("event_type") == "purchase")
+              .withColumn("xv", F.col("value")))
+        rt = (src.filter(F.col("event_type") == "click")
+              .withColumn("bucket", F.col("user_id") % 5)
+              .withColumn("yv", F.col("value")))
+        return keymap_latest(lt, rt, "user_id", "bucket",
+                             F.col("user_id") % 5, ["xv"], ["yv"],
+                             emit="right", idle_ttl=ttl)
+
+    cols = ["user_id", "event_id", "xv", "yv"]
+    got = run_available_now(build(staged_events_3(), "365 days"), "append")
+    want = run_available_now(build(staged_events_3(), None), "append")
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # tiny horizon: confirm the state store actually removes rows
+    q = (build(staged_events_3(), "1 hour")
+         .writeStream.format("memory").queryName("ttl_probe")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"]
+                  for p in q.recentProgress if p["stateOperators"])
+    assert removed > 0
