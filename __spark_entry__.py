@@ -2967,6 +2967,68 @@ def ann_ivf_incremental_topk(spark, sf_dir):
     return ivf_topk_from_index(emb, codes, cents, qvec, k=20, nprobe=2)
 
 
+@query("live_ann_serving", f"""
+WITH cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i) GROUP BY label),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_cosine_sql('n.v', 'cent.centroid')}, 6) DESC,
+                      cent.label) AS rn
+    FROM n CROSS JOIN cent) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 3),
+probe AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, cent.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round({_cosine_sql('cent.centroid', 'q.qv')}, 6) DESC,
+                      cent.label) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= 2),
+cand AS (
+  SELECT q.q_id, n.vec_id,
+         round({_cosine_sql('n.v', 'q.qv')}, 6) AS score
+  FROM q JOIN probe USING (q_id)
+         JOIN assign ON assign.cell = probe.cell
+         JOIN n ON n.vec_id = assign.vec_id)
+SELECT q_id, vec_id, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id) AS rnk
+  FROM cand) WHERE rnk <= 5
+""")
+def live_ann_serving(spark, sf_dir):
+    """ANN serving over a LIVE query stream against the static IVF
+    index (ann_topk_stream): per-micro-batch probe via the driver-held
+    centroid matrix, stream-static equi-join to the probed cells'
+    members, exact per-query top-k.  The oracle replays the same
+    assign/probe/rank in SQL for queries = vec_id < 3."""
+    from scespet_spark.operators.similarity import (ann_topk_stream,
+                                                    ivf_assign,
+                                                    label_centroids)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # snapshot artifacts: materialized once (persist = the local stand-in
+    # for the parquet index tables a snapshot job writes), so the
+    # stream-static join reads them instead of re-deriving per batch
+    from scespet_spark.operators._cache import persist as _persist_
+    cents = _persist_(label_centroids(emb), "similarity")
+    codes = _persist_(ivf_assign(emb, cents), "similarity")
+    qs = (read_table_stream(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    out = ann_topk_stream(qs, emb, cents, codes, k=5, nprobe=2)
+    return run_available_now(out, "append").select(
+        "q_id", "vec_id", "score", "rnk")
+
+
 @query("ann_batch_topk", f"""
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS q_vec FROM n ORDER BY vec_id LIMIT 3),
@@ -3898,7 +3960,7 @@ _ROUND_CHANGED = [
     "dedup_embedding_incremental", "live_bucket_collapse_stats",
     "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
     "live_vwap_per_supplier", "live_multimodal_decode",
-    "weighted_sample_chars", "live_window_gated_scan",
+    "weighted_sample_chars", "live_window_gated_scan", "live_ann_serving",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3908,7 +3970,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # (b) rotation: keep evidence fresh for families whose last green
     # row is oldest (r3 or earlier), then one representative per
     # operator family touched by shared code paths this round
-    "subset_active_users", "map_keys_user_bucket",
+    "subset_active_users",
     "bind_hourly_rendezvous",
     "slice_before_signup",
     "slice_by_purchase_trigger", "group_count_reduce",

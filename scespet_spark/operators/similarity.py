@@ -250,6 +250,79 @@ def ivf_topk_from_index(df: DataFrame, codes: DataFrame,
             .limit(k))
 
 
+def ann_topk_stream(queries: DataFrame, df: DataFrame,
+                    centroids: DataFrame, codes: DataFrame,
+                    k: int = 5, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label", cell_col: str = "cell",
+                    q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """ANN serving over a LIVE query stream against a static IVF index —
+    the online half of the index `ivf_assign` maintains.
+
+    Plan shape (every stage streaming-legal and scale-shaped):
+      1. probe: an Arrow pandas_udf ranks the driver-held centroid
+         matrix per query (vectorized matmul, map-only — same trick as
+         ``ivf_assign``) and attaches the nprobe best cells;
+      2. candidates: explode cells -> stream-static equi-join against
+         the cell-keyed codes table joined to its vectors — each query
+         touches nprobe/K of the index, the corpus never shuffles;
+      3. rank: exact cosine per candidate, then per-query top-k inside
+         a stateful step (a query's candidates arrive in its own
+         micro-batch; state is a dummy marker).
+
+    Emits ``(q_id, vec_id, score, rnk)`` rows per query as its
+    micro-batch lands."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(centroids.select(F.col(label_col).alias("c"),
+                                   "centroid").collect(),
+                  key=lambda r: r.c)
+    if not rows:
+        raise ValueError("ann_topk_stream: centroids table is empty")
+    cells_arr = np.array([r.c for r in rows])
+    C = np.array([r.centroid for r in rows], dtype="float64")
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn == 0, 1.0, cn)[:, None]
+    cell_ddl = centroids.schema[label_col].dataType.simpleString()
+
+    @pandas_udf(f"array<{cell_ddl}>")
+    def _probe(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype("float64")
+        mn = np.linalg.norm(M, axis=1)
+        M = M / np.where(mn == 0, 1.0, mn)[:, None]
+        S = np.round(M @ Cn.T, 6)
+        # nprobe best cells, ties to the lower cell id: sort by
+        # (-score, cell) via lexsort on the ascending-cell axis
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cells_arr[row].tolist() for row in order])
+
+    qx = queries.withColumn(
+        cell_col, F.explode(_probe(F.col(q_vec).cast("array<double>"))))
+    index = codes.join(
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                  .alias("__v")), id_col)
+    cand = (qx.join(index, cell_col)
+            .select(q_id, F.col(id_col),
+                    F.round(cosine(F.col("__v"),
+                                   F.col(q_vec).cast("array<double>")), 6)
+                    .alias("score")))
+
+    def step(st, pdf):
+        top = pdf.sort_values(["score", id_col],
+                              ascending=[False, True]).head(k)
+        top = top.assign(rnk=range(1, len(top) + 1))
+        return top[[id_col, "score", "rnk"]]
+
+    from ..streaming.live import stateful_scan
+    qid_ddl = queries.schema[q_id].dataType.simpleString()
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return stateful_scan(
+        cand, [q_id], {"seen": 0.0}, step,
+        f"{q_id} {qid_ddl}, {id_col} {id_ddl}, score double, rnk long",
+        t="score", order_cols=[id_col])
+
+
 def batch_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
                q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
