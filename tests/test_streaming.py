@@ -1122,3 +1122,42 @@ def test_keymap_idle_ttl_parity_and_purge(spark, batch_events,
     removed = sum(p["stateOperators"][0]["numRowsRemoved"]
                   for p in q.recentProgress if p["stateOperators"])
     assert removed > 0
+
+
+def test_live_ann_serving_across_micro_batches(spark, tmp_path):
+    """Queries arriving in separate micro-batches each get their exact
+    per-query top-k; results equal the batch index-serving form."""
+    import os
+    from scespet_spark.operators.similarity import (ann_topk_stream,
+                                                    ivf_assign,
+                                                    ivf_topk_from_index,
+                                                    label_centroids)
+    emb = load_table(spark, SF, "embeddings")
+    cents = label_centroids(emb).persist()
+    codes = ivf_assign(emb, cents).persist()
+
+    qb = (emb.filter(F.col("vec_id") < 4)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    stage = tmp_path / "qstream"
+    stage.mkdir()
+    for i, cond in enumerate([F.col("q_id") < 2, F.col("q_id") >= 2]):
+        d = tmp_path / f"qf{i}"
+        qb.filter(cond).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.symlink(str(d / part), str(stage / f"b{i}.parquet"))
+    qs = (spark.readStream.schema(qb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+
+    got = run_available_now(
+        ann_topk_stream(qs, emb, cents, codes, k=5, nprobe=2), "append")
+    got_rows = _sorted_rows(got, ["q_id", "rnk", "vec_id", "score"])
+
+    want_rows = []
+    for r in qb.collect():
+        top = ivf_topk_from_index(emb, codes, cents, r.q_vec,
+                                  k=5, nprobe=2).collect()
+        want_rows += [(r.q_id, i + 1, x.vec_id, x.score)
+                      for i, x in enumerate(top)]
+    assert got_rows == sorted(want_rows)
+    cents.unpersist(); codes.unpersist()
