@@ -61,6 +61,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
     n2 = spark.read.parquet(out).count()
     print(f"sink rows after run 1: {n1}, after restart: {n2} "
           f"(exactly-once: {n1 == n2})")
+
+    # -- r6 verbs: a K->K2 keyed-bucket join and a separate-stream
+    # gate, both as streaming plans (the CEP shapes that used to be
+    # batch-only) ----------------------------------------------------
+    src = LiveStream.from_events(spark, sf_dir)
+    purchases = (src.filter(F.col("event_type") == "purchase")
+                 .map(xv=F.col("value")).by("user_id"))
+    clicks = (src.filter(F.col("event_type") == "click")
+              .map(bucket=F.col("user_id") % 5, yv=F.col("value"))
+              .by("bucket"))
+    km = purchases.take(clicks, ["xv"], ["yv"],
+                        key_map=F.col("user_id") % 5).run("append")
+    print(f"live keymap take emissions: {km.count()}")
+
+    src2 = LiveStream.from_events(spark, sf_dir)
+    data = src2.filter(F.col("event_type") == "purchase").by("user_id")
+    gate = (src2.filter(F.col("event_type") == "click")
+            .map(g=F.col("value") >= 100).by("user_id"))
+    wf = data.window_from(gate, "g", "value", quantize=100).run("append")
+    print(f"live window_from closed windows: {wf.count()}")
     return n_batch, n_live
 
 
