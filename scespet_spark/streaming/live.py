@@ -1088,13 +1088,16 @@ class LiveStream:
     running state), value_set (watermarked dropDuplicates),
     zip_join (stateful last-value zip), take / sample (stateful as-of
     join) — all three with ``key_map=`` for K -> K2 keyed-bucket joins
-    (keymap_latest), window (boolean-gated windows via edge-detect
-    state), window_from (gate carried by a separate stream),
-    stateful_scan (arbitrary per-key fold), trigger_reduce /
-    trigger_stream_reduce (data-driven slicing by a condition or a
-    separate trigger stream).  ``run()`` executes AvailableNow into a
-    memory sink — the bridge that lets batch golden tests assert on
-    live output.
+    (keymap_latest, optional idle_ttl state purge), window / window_scan
+    (boolean-gated windows, reduce and cumulative emission), window_from
+    (gate carried by a separate stream), sliding_scan (cumulative
+    sliding windows, optional watermark TTL), scan_state (arbitrary
+    per-key fold), trigger_reduce / trigger_stream_reduce (data-driven
+    slicing by a condition or a separate trigger stream), and
+    live_collapse (module-level: lifecycle buckets with the mutable
+    bucket object as pickled state).  ``run()`` executes AvailableNow
+    into a memory sink — the bridge that lets batch golden tests assert
+    on live output.
     """
 
     def __init__(self, df: DataFrame, t: str = "ts", seq: str = "event_id",
