@@ -2207,6 +2207,134 @@ def session_windows_user(spark, sf_dir):
     return out.df.select("user_id", "ts", "n", "total")
 
 
+@query("session_windows_scan", """
+WITH l AS (
+  SELECT user_id, ts, event_id, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l)
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS total,
+       CAST(COUNT(*) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n
+FROM s
+""")
+def session_windows_scan(spark, sf_dir):
+    """Session-window CUMULATIVE emission: every event emits its
+    session's running aggregate (the scan counterpart of
+    session_windows_user)."""
+    from scespet_spark import Session
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Session("1 day")).scan(
+        total=F.sum(F.col("value").cast("decimal(18,2)")), n=F.count("*"))
+    return out.df.select("user_id", "event_id",
+                         F.col("total").cast("double").alias("total"), "n")
+
+
+@query("live_session_scan", _ORACLES["session_windows_scan"])
+def live_session_scan(spark, sf_dir):
+    """Session scan as a streaming plan (sliced_scan with the Session
+    spec): per-key gap tracking + running session partials in the state
+    store — same oracle as the batch session_windows_scan."""
+    from scespet_spark import Session
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir).by("user_id")
+            .group(Session("1 day")).scan("value", quantize=100))
+    return live.run("append").select("user_id", "event_id", "total", "n")
+
+
+@query("count_buckets_scan", """
+WITH b AS (
+  SELECT user_id, ts, event_id, value,
+         (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - 1) // 50 AS bucket
+  FROM events)
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS total,
+       CAST(COUNT(*) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n
+FROM b
+""")
+def count_buckets_scan(spark, sf_dir):
+    """Count-bucket CUMULATIVE emission: every event emits its 50-event
+    bucket's running aggregate (the scan counterpart of
+    group_count_reduce)."""
+    from scespet_spark import Count
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Count(50)).scan(
+        total=F.sum(F.col("value").cast("decimal(18,2)")), n=F.count("*"))
+    return out.df.select("user_id", "event_id",
+                         F.col("total").cast("double").alias("total"), "n")
+
+
+@query("live_count_scan", _ORACLES["count_buckets_scan"])
+def live_count_scan(spark, sf_dir):
+    """Count-bucket scan as a streaming plan (sliced_scan with the
+    Count spec) — same oracle as count_buckets_scan."""
+    from scespet_spark import Count
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir).by("user_id")
+            .group(Count(50)).scan("value", quantize=100))
+    return live.run("append").select("user_id", "event_id", "total", "n")
+
+
+@query("slice_scan_signup", """
+WITH r AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS b
+  FROM events),
+w AS (
+  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - b AS bucket
+  FROM r)
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS total,
+       CAST(COUNT(*) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n
+FROM w
+""")
+def slice_scan_signup(spark, sf_dir):
+    """Data-driven-slice CUMULATIVE emission (AFTER alignment: the
+    signup closes its bucket): every event emits its slice's running
+    aggregate (the scan counterpart of slice_after_signup)."""
+    from scespet_spark import AFTER, Trigger
+    s = events_stream(spark, sf_dir).by("user_id", name="user_id")
+    out = s.group(Trigger(F.col("event_type") == "signup", AFTER)).scan(
+        total=F.sum(F.col("value").cast("decimal(18,2)")), n=F.count("*"))
+    return out.df.select("user_id", "event_id",
+                         F.col("total").cast("double").alias("total"), "n")
+
+
+@query("live_trigger_scan", _ORACLES["slice_scan_signup"])
+def live_trigger_scan(spark, sf_dir):
+    """Data-driven-slice scan as a streaming plan (sliced_scan with the
+    Trigger spec, AFTER alignment) — same oracle as slice_scan_signup."""
+    from scespet_spark import AFTER, Trigger
+    from scespet_spark.streaming.live import LiveStream
+    live = (LiveStream.from_events(spark, sf_dir).by("user_id")
+            .group(Trigger(F.col("event_type") == "signup", AFTER))
+            .scan("value", quantize=100))
+    return live.run("append").select("user_id", "event_id", "total", "n")
+
+
 @query("live_session_windows", """
 WITH l AS (
   SELECT user_id, ts, event_id, value,
@@ -3961,6 +4089,10 @@ _ROUND_CHANGED = [
     "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
     "live_vwap_per_supplier", "live_multimodal_decode",
     "weighted_sample_chars", "live_window_gated_scan", "live_ann_serving",
+    # the scan/reduce matrix completion: CUMULATIVE emission for
+    # Count/Trigger/Session slicing in BOTH modes
+    "session_windows_scan", "live_session_scan", "count_buckets_scan",
+    "live_count_scan", "slice_scan_signup", "live_trigger_scan",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -3968,13 +4100,9 @@ _ROUND_CHANGED = [
 
 _PRIORITY = _ROUND_CHANGED + [
     # (b) rotation: keep evidence fresh for families whose last green
-    # row is oldest (r3 or earlier), then one representative per
-    # operator family touched by shared code paths this round
-    "subset_active_users",
-    "bind_hourly_rendezvous",
-    "slice_before_signup",
-    "slice_by_purchase_trigger", "group_count_reduce",
-    "group_time_reduce", "zip_keymap_region_value",
+    # row is oldest, then one representative per operator family
+    # touched by shared code paths this round
+    "zip_keymap_region_value",
     "keymap_take_region_value", "window_gated_scan", "sliding_window_scan",
     "session_windows_user", "live_sliding_window", "live_window_gated_reduce",
     "live_trigger_stream_slice", "live_asof_purchase_last_click",

@@ -395,6 +395,85 @@ def _wire(dt) -> str:
     return "string" if s in _INTEGRAL else s
 
 
+def sliced_scan(df: DataFrame, keys: list[str], spec, value_col: str,
+                t: str = "ts", seq: str = "event_id",
+                quantize: int | None = None) -> DataFrame:
+    """CUMULATIVE emission inside sliced buckets for the stateful slice
+    specs — the live form of batch ``group(spec).scan`` for ``Count``,
+    ``Trigger``, and ``Session`` (completing the scan/reduce matrix in
+    both modes; Every/Sliding scans live in ``sliding_scan``, gated
+    windows in ``gated_scan``).
+
+    Every event emits its bucket's running ``(total, n)`` the moment it
+    arrives — open buckets included, exactly like batch ``scan``
+    (reference CUMULATIVE, SliceAfterBucket.scala:163-166).  State is
+    the open bucket's partial plus the spec's boundary carry (5 doubles
+    per key).  ``quantize`` as in trigger_reduce."""
+    from ..core.stream import BEFORE, Count, Session, Trigger
+    q = quantize
+    # extract plain scalars from the spec: the step closure must not
+    # capture a Column (py4j handles don't pickle to the executors)
+    kind = type(spec).__name__
+    count_n = spec.n if isinstance(spec, Count) else None
+    before = isinstance(spec, Trigger) and spec.align == BEFORE
+    if isinstance(spec, Trigger):
+        df = df.withColumn("__b", F.when(spec.cond, F.lit(1))
+                           .otherwise(F.lit(0)))
+    gap_us = (int(pd.Timedelta(spec.gap).total_seconds() * 1_000_000)
+              if isinstance(spec, Session) else None)
+
+    def step(st, pdf):
+        import numpy as np
+        m = len(pdf)
+        v = pdf[value_col].to_numpy(dtype="float64")
+        vals = np.round(v * q) if q else v
+        if kind == "Count":
+            bid = st["bucket"] + (st["cnt"] + np.arange(m)) // count_n
+            new_open = st["bucket"] + (st["cnt"] + m) // count_n
+        elif kind == "Trigger":
+            b = pdf["__b"].to_numpy()
+            cs = np.cumsum(b)
+            bid = st["bucket"] + (cs if before else cs - b)
+            # the open bucket after this batch is the full boundary
+            # count — under AFTER a trailing boundary row sits in the
+            # bucket it CLOSES, so bid[-1] may name an already-closed
+            # bucket and must not become the carry
+            new_open = st["bucket"] + float(cs[-1])
+        else:  # Session: new session when the gap is strictly exceeded
+            ts_us = pdf[t].values.astype("datetime64[us]").astype("int64")
+            prev = np.concatenate(([int(st["last_t"])], ts_us[:-1]))
+            new = (ts_us - prev) > gap_us
+            if st["seen"] == 0.0:
+                new[0] = False  # first event EVER opens bucket 0
+            bid = st["bucket"] + np.cumsum(new.astype("int64"))
+            new_open = float(bid[-1])
+            st["last_t"] = float(ts_us[-1])
+            st["seen"] = 1.0
+        run = pd.Series(vals).groupby(bid).cumsum().to_numpy()
+        cn = pd.Series(np.ones(m)).groupby(bid).cumsum().to_numpy()
+        open_mask = bid == st["bucket"]
+        run[open_mask] += st["acc"]
+        cn[open_mask] += st["cnt"]
+        if bid[-1] == new_open:
+            st["acc"], st["cnt"] = float(run[-1]), float(cn[-1])
+        else:  # the open bucket has no rows yet
+            st["acc"] = st["cnt"] = 0.0
+        st["bucket"] = float(new_open)
+        return pd.DataFrame({
+            t: pdf[t].to_numpy(), seq: pdf[seq].to_numpy().astype("int64"),
+            "total": run / q if q else run,
+            "n": cn.astype("int64")})
+
+    key_ddl = _key_ddl(df, keys)
+    tddl = df.schema[t].dataType.simpleString()
+    return stateful_scan(
+        df, keys,
+        {"bucket": 0.0, "acc": 0.0, "cnt": 0.0, "last_t": 0.0,
+         "seen": 0.0}, step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, total double, n long",
+        t=t, order_cols=[t, seq])
+
+
 def zip_latest(left: DataFrame, right: DataFrame, keys: list[str],
                left_col: str, right_col: str,
                t: str = "ts", seq: str = "event_id") -> DataFrame:
@@ -1389,15 +1468,21 @@ class LiveGrouped:
     def scan(self, value_col: str,
              quantize: int | None = None) -> LiveStream:
         """CUMULATIVE emission — live support mirrors batch
-        ``GroupedStream.scan`` for ``Sliding`` (per-(key, window)
-        running state); other specs have dedicated stateful verbs."""
-        from ..core.stream import Sliding
+        ``GroupedStream.scan``: ``Sliding`` via per-(key, window)
+        running state, ``Count``/``Trigger``/``Session`` via the
+        stateful ``sliced_scan``; gated windows live on
+        ``LiveStream.window_scan``."""
+        from ..core.stream import Count, Session, Sliding, Trigger
+        s = self.stream
         if isinstance(self.spec, Sliding):
-            return self.stream.sliding_scan(self.spec.duration,
-                                            self.spec.slide, value_col,
-                                            quantize)
-        raise TypeError("live scan supports Sliding; use scan_state / "
-                        "count_reduce / trigger_reduce for other specs")
+            return s.sliding_scan(self.spec.duration, self.spec.slide,
+                                  value_col, quantize)
+        if isinstance(self.spec, (Count, Trigger, Session)):
+            out = sliced_scan(s.df, list(s.keys), self.spec, value_col,
+                              s.t, s.seq, quantize)
+            return s._derive(out)
+        raise TypeError("live scan supports Count/Trigger/Session/"
+                        "Sliding; use scan_state for custom folds")
 
     def reduce(self, **aggs: Column) -> LiveStream:
         from ..core.stream import (Count, Every, Session, Sliding, Trigger,
