@@ -1161,3 +1161,28 @@ def test_live_ann_serving_across_micro_batches(spark, tmp_path):
                       for i, x in enumerate(top)]
     assert got_rows == sorted(want_rows)
     cents.unpersist(); codes.unpersist()
+
+
+def test_sliced_scan_carry_across_batches(spark, batch_events,
+                                          staged_events_3):
+    """Count/Trigger/Session cumulative scans must carry the open
+    bucket's partial (and, for Trigger AFTER, the post-boundary open
+    bucket id — a batch ending on a boundary row must NOT merge the
+    next batch into the closed bucket) across micro-batch boundaries:
+    live equals batch scan for all three specs."""
+    from scespet_spark import AFTER, Count, Session, Stream, Trigger
+
+    b = Stream(batch_events, t="ts", seq="event_id").by("user_id",
+                                                        name="user_id")
+    cols = ["user_id", "event_id", "total", "n"]
+    for spec in (Count(7), Trigger(F.col("event_type") == "signup", AFTER),
+                 Session("12 hours")):
+        live = (_live3(staged_events_3).by("user_id")
+                .group(spec).scan("value", quantize=100))
+        got = _sorted_rows(run_available_now(live.df, "append"), cols)
+        want_df = (b.group(spec)
+                   .scan(total=F.sum(F.col("value").cast("decimal(18,2)")),
+                         n=F.count("*")).df
+                   .withColumn("total", F.col("total").cast("double")))
+        want = _sorted_rows(want_df, cols)
+        assert got == want, type(spec).__name__
