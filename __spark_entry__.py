@@ -2157,6 +2157,118 @@ def slice_by_purchase_trigger(spark, sf_dir):
     return out.df.select("user_id", "ts", "total", "n")
 
 
+@query("slice_stream_scan", """
+WITH c AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, ts, event_id, 0 AS trig, value FROM c
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS trig, NULL::DOUBLE AS value FROM p),
+f AS (
+  SELECT *, SUM(trig) OVER (PARTITION BY user_id ORDER BY ts, trig, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - trig AS b
+  FROM u)
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id, b ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS total,
+       CAST(COUNT(*) OVER (PARTITION BY user_id, b ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n
+FROM f WHERE trig = 0
+""")
+def slice_stream_scan(spark, sf_dir):
+    """Trigger-stream-slice CUMULATIVE emission: every click emits its
+    purchase-delimited bucket's running aggregate (the scan counterpart
+    of slice_by_purchase_trigger)."""
+    from scespet_spark import TriggerStream
+    ev = events_stream(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .by("user_id", name="user_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .by("user_id", name="user_id"))
+    out = clicks.group(TriggerStream(purchases, AFTER)).scan(
+        total=F.sum(F.col("value").cast("decimal(18,2)")), n=F.count("*"))
+    return out.df.select("user_id", "event_id",
+                         F.col("total").cast("double").alias("total"), "n")
+
+
+@query("live_trigger_stream_scan", _ORACLES["slice_stream_scan"])
+def live_trigger_stream_scan(spark, sf_dir):
+    """Trigger-stream-slice scan as a streaming plan — same oracle as
+    slice_stream_scan."""
+    from scespet_spark.streaming.live import LiveStream
+    src = LiveStream.from_events(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click").by("user_id")
+    purchases = src.filter(F.col("event_type") == "purchase").by("user_id")
+    out = clicks.trigger_stream_scan(purchases, "value", "AFTER",
+                                     quantize=100)
+    return out.run("append").select("user_id", "event_id", "total", "n")
+
+
+@query("window_from_scan", """
+WITH d AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'purchase'),
+gs AS (SELECT user_id, ts, event_id, (value >= 100) AS g FROM events
+       WHERE event_type = 'click'),
+u AS (
+  SELECT user_id, ts, event_id, value, 1 AS side, NULL::BOOLEAN AS g FROM d
+  UNION ALL
+  SELECT user_id, ts, event_id, NULL::DOUBLE AS value, 0 AS side, g FROM gs),
+f AS (
+  SELECT *, COALESCE(LAST_VALUE(g IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), FALSE) AS gate
+  FROM u),
+dd AS (SELECT user_id, ts, event_id, value, gate FROM f WHERE side = 1),
+r AS (
+  SELECT *, CASE WHEN gate AND NOT COALESCE(
+      LAG(gate) OVER (PARTITION BY user_id ORDER BY ts, event_id), FALSE)
+    THEN 1 ELSE 0 END AS rising FROM dd),
+w AS (
+  SELECT *, SUM(rising) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS win FROM r)
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id, win ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS total,
+       CAST(COUNT(*) OVER (PARTITION BY user_id, win ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n
+FROM w WHERE gate
+""")
+def window_from_scan(spark, sf_dir):
+    """CUMULATIVE emission inside windows gated by a separate stream:
+    every in-window purchase emits the window's running aggregate (the
+    scan counterpart of window_from_reduce; open windows DO emit)."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .by("user_id", name="user_id"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .by("user_id", name="user_id")
+              .map(g=F.col("value") >= 100))
+    out = purchases.window_from(clicks, "g").scan(
+        total=F.sum(F.col("value").cast("decimal(18,2)")), n=F.count("*"))
+    return out.df.select("user_id", "event_id",
+                         F.col("total").cast("double").alias("total"), "n")
+
+
+@query("live_window_from_scan", _ORACLES["window_from_scan"])
+def live_window_from_scan(spark, sf_dir):
+    """window_from scan as a streaming plan — same oracle as
+    window_from_scan."""
+    from scespet_spark.streaming.live import LiveStream
+    src = LiveStream.from_events(spark, sf_dir)
+    data = src.filter(F.col("event_type") == "purchase").by("user_id")
+    gate = (src.filter(F.col("event_type") == "click")
+            .map(g=F.col("value") >= 100).by("user_id"))
+    out = data.window_from_scan(gate, "g", "value", quantize=100)
+    return out.run("append").select("user_id", "event_id", "total", "n")
+
+
 @query("funnel_view_to_purchase", """
 SELECT user_id,
        MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
@@ -4093,6 +4205,8 @@ _ROUND_CHANGED = [
     # Count/Trigger/Session slicing in BOTH modes
     "session_windows_scan", "live_session_scan", "count_buckets_scan",
     "live_count_scan", "slice_scan_signup", "live_trigger_scan",
+    "slice_stream_scan", "live_trigger_stream_scan",
+    "window_from_scan", "live_window_from_scan",
     # implementation changed this round: CUBE now pre-aggregates to the
     # base cells before Expand (r5 VERDICT item #3)
     "cube_returnflag_status",
@@ -4103,8 +4217,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # row is oldest, then one representative per operator family
     # touched by shared code paths this round
     "zip_keymap_region_value",
-    "keymap_take_region_value", "window_gated_scan", "sliding_window_scan",
-    "session_windows_user", "live_sliding_window", "live_window_gated_reduce",
+    "keymap_take_region_value", "live_window_gated_reduce",
     "live_trigger_stream_slice", "live_asof_purchase_last_click",
     "live_zip_click_purchase", "live_map_vector_running",
     "asof_purchase_last_click", "zip_click_purchase",

@@ -875,39 +875,10 @@ def gated_scan(df: DataFrame, keys: list[str], gate: Column, value_col: str,
     q = quantize
 
     def step(st, pdf):
-        # vectorized: window number = cumulative rising edges (0 = the
-        # carried-open window); per-window running sums via groupby
-        # cumsum, carry seeds window 0
-        import numpy as np
         g = (pdf["__g"].to_numpy() == 1)
         v = pdf[value_col].to_numpy(dtype="float64")
-        vals = np.round(v * q) if q else v
-        prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
-        wn = np.cumsum(g & ~prev)
-        idx = np.flatnonzero(g)
-        st_next_open = bool(len(g)) and bool(g[-1])
-        if not len(idx):
-            st["in_win"] = 1.0 if st_next_open else 0.0
-            if not st_next_open:
-                st["acc"] = st["cnt"] = 0.0
-            return []
-        w = wn[idx]
-        run = pd.Series(vals[idx]).groupby(w).cumsum().to_numpy()
-        cn = (pd.Series(np.ones(len(idx))).groupby(w).cumsum()
-              .to_numpy())
-        if st["in_win"]:
-            m0 = w == 0
-            run[m0] += st["acc"]
-            cn[m0] += st["cnt"]
-        if st_next_open:
-            st["in_win"], st["acc"], st["cnt"] = 1.0, float(run[-1]), float(cn[-1])
-        else:
-            st["in_win"] = st["acc"] = st["cnt"] = 0.0
-        return pd.DataFrame({
-            t: pdf[t].to_numpy()[idx],
-            seq: pdf[seq].to_numpy()[idx].astype("int64"),
-            "total": run / q if q else run,
-            "n": cn.astype("int64")})
+        return _gated_scan_core(st, g, pdf[t].to_numpy(),
+                                pdf[seq].to_numpy(), v, q, t, seq)
 
     key_ddl = _key_ddl(df, keys)
     tddl = df.schema[t].dataType.simpleString()
@@ -915,6 +886,145 @@ def gated_scan(df: DataFrame, keys: list[str], gate: Column, value_col: str,
         tagged, keys, {"in_win": 0.0, "acc": 0.0, "cnt": 0.0}, step,
         f"{key_ddl}, {t} {tddl}, {seq} long, total double, n long",
         t=t, order_cols=[t, seq])
+
+
+def _gated_scan_core(st, g, tv, sq, v, q, t, seq):
+    """Shared core of the gated scans: window number = cumulative rising
+    edges over one key's sorted rows (0 = the carried-open window);
+    per-window running sums via groupby cumsum, carry seeds window 0."""
+    import numpy as np
+    vals = np.round(v * q) if q else v
+    prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
+    wn = np.cumsum(g & ~prev)
+    idx = np.flatnonzero(g)
+    st_next_open = bool(len(g)) and bool(g[-1])
+    if not len(idx):
+        st["in_win"] = 1.0 if st_next_open else 0.0
+        if not st_next_open:
+            st["acc"] = st["cnt"] = 0.0
+        return []
+    w = wn[idx]
+    run = pd.Series(vals[idx]).groupby(w).cumsum().to_numpy()
+    cn = pd.Series(np.ones(len(idx))).groupby(w).cumsum().to_numpy()
+    if st["in_win"]:
+        m0 = w == 0
+        run[m0] += st["acc"]
+        cn[m0] += st["cnt"]
+    if st_next_open:
+        st["in_win"], st["acc"], st["cnt"] = 1.0, float(run[-1]), float(cn[-1])
+    else:
+        st["in_win"] = st["acc"] = st["cnt"] = 0.0
+    return pd.DataFrame({
+        t: tv[idx], seq: sq[idx].astype("int64"),
+        "total": run / q if q else run,
+        "n": cn.astype("int64")})
+
+
+def gated_scan_from(data: DataFrame, gate_stream: DataFrame,
+                    keys: list[str], gate_col: str, value_col: str,
+                    t: str = "ts", seq: str = "event_id",
+                    quantize: int | None = None) -> DataFrame:
+    """CUMULATIVE emission inside windows gated by a SEPARATE boolean
+    stream — the live form of batch ``window_from(...).scan`` (gate
+    forward-fill with gate-first tie order, then cumulative gated
+    windows; open windows DO emit their running rows)."""
+    d = data.select(*keys, F.col(t), F.col(seq),
+                    F.col(value_col).cast("double").alias("__v"),
+                    F.lit(1).alias("__side"),
+                    F.lit(None).cast("int").alias("__g"))
+    g = gate_stream.select(*keys, F.col(t), F.col(seq),
+                           F.lit(None).cast("double").alias("__v"),
+                           F.lit(0).alias("__side"),
+                           F.when(F.col(gate_col), F.lit(1))
+                            .otherwise(F.lit(0)).alias("__g"))
+    u = d.unionByName(g)
+    q = quantize
+
+    def step(st, pdf):
+        import numpy as np
+        n = len(pdf)
+        side = pdf["__side"].to_numpy()
+        gv = pdf["__g"].to_numpy(dtype="float64")
+        pos = np.arange(n, dtype="float64")
+        lp = pd.Series(np.where(side == 0, pos, np.nan)).ffill().to_numpy()
+        has = ~np.isnan(lp)
+        filled = np.full(n, st["gate"] == 1.0)
+        filled[has] = gv[lp[has].astype("int64")] == 1.0
+        hits = np.flatnonzero(side == 0)
+        if len(hits):
+            st["gate"] = float(gv[hits[-1]])
+        mask = side == 1
+        return _gated_scan_core(
+            st, filled[mask], pdf[t].to_numpy()[mask],
+            pdf[seq].to_numpy()[mask],
+            pdf["__v"].to_numpy(dtype="float64")[mask], q, t, seq)
+
+    key_ddl = _key_ddl(data, keys)
+    tddl = data.schema[t].dataType.simpleString()
+    return stateful_scan(
+        u, keys, {"in_win": 0.0, "acc": 0.0, "cnt": 0.0, "gate": 0.0},
+        step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, total double, n long",
+        t=t, order_cols=[t, "__side", seq])
+
+
+def trigger_stream_scan(data: DataFrame, trig: DataFrame, keys: list[str],
+                        value_col: str, align: str = "AFTER",
+                        t: str = "ts", seq: str = "event_id",
+                        quantize: int | None = None) -> DataFrame:
+    """CUMULATIVE emission inside buckets sliced by a SEPARATE trigger
+    stream — the live form of batch ``group(TriggerStream(...)).scan``.
+    Bucket ids match trigger_stream_reduce (and the batch engine):
+    a data row's bucket = number of trigger events sorted before it,
+    timestamp ties resolved by alignment."""
+    from ..core.stream import AFTER, BEFORE
+    if align not in (BEFORE, AFTER):
+        raise ValueError(f"align must be '{BEFORE}' or '{AFTER}'")
+    d = data.select(*keys, F.col(t), F.col(seq),
+                    F.col(value_col).cast("double").alias("__v"),
+                    F.lit(1).alias("__trig"))
+    g = trig.select(*keys, F.col(t), F.col(seq),
+                    F.lit(None).cast("double").alias("__v"),
+                    F.lit(0 if align == BEFORE else 2).alias("__trig"))
+    u = d.unionByName(g)
+    q = quantize
+
+    def step(st, pdf):
+        import numpy as np
+        tr = pdf["__trig"].to_numpy()
+        v = pdf["__v"].to_numpy(dtype="float64")
+        is_trig = tr != 1
+        cs = np.cumsum(is_trig)
+        new_open = st["bucket"] + float(cs[-1])
+        mask = ~is_trig
+        if not mask.any():
+            st["bucket"], st["acc"], st["cnt"] = new_open, 0.0, 0.0
+            return []
+        bid = (st["bucket"] + cs)[mask]
+        vals = v[mask]
+        vals = np.round(vals * q) if q else vals
+        run = pd.Series(vals).groupby(bid).cumsum().to_numpy()
+        cn = pd.Series(np.ones(len(vals))).groupby(bid).cumsum().to_numpy()
+        open_mask = bid == st["bucket"]
+        run[open_mask] += st["acc"]
+        cn[open_mask] += st["cnt"]
+        if bid[-1] == new_open:
+            st["acc"], st["cnt"] = float(run[-1]), float(cn[-1])
+        else:
+            st["acc"] = st["cnt"] = 0.0
+        st["bucket"] = float(new_open)
+        return pd.DataFrame({
+            t: pdf[t].to_numpy()[mask],
+            seq: pdf[seq].to_numpy()[mask].astype("int64"),
+            "total": run / q if q else run,
+            "n": cn.astype("int64")})
+
+    key_ddl = _key_ddl(data, keys)
+    tddl = data.schema[t].dataType.simpleString()
+    return stateful_scan(
+        u, keys, {"bucket": 0.0, "acc": 0.0, "cnt": 0.0}, step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, total double, n long",
+        t=t, order_cols=[t, "__trig", seq])
 
 
 def gated_reduce_from(data: DataFrame, gate_stream: DataFrame,
@@ -1324,6 +1434,33 @@ class LiveStream:
         out = gated_reduce_from(self.df, gate_stream.df, list(self.keys),
                                 gate_col, value_col, self.t, self.seq,
                                 quantize)
+        return self._derive(out)
+
+    def window_from_scan(self, gate_stream: "LiveStream", gate_col: str,
+                         value_col: str,
+                         quantize: int | None = None) -> "LiveStream":
+        """CUMULATIVE emission inside windows gated by a SEPARATE
+        boolean stream (batch ``window_from(...).scan``; see
+        ``gated_scan_from``)."""
+        if self.keys != gate_stream.keys:
+            raise ValueError("window_from_scan requires identical keys "
+                             f"({self.keys} vs {gate_stream.keys})")
+        out = gated_scan_from(self.df, gate_stream.df, list(self.keys),
+                              gate_col, value_col, self.t, self.seq,
+                              quantize)
+        return self._derive(out)
+
+    def trigger_stream_scan(self, trig: "LiveStream", value_col: str,
+                            align: str = "AFTER",
+                            quantize: int | None = None) -> "LiveStream":
+        """CUMULATIVE emission inside buckets sliced by a separate
+        trigger stream (batch ``group(TriggerStream(...)).scan``; see
+        ``trigger_stream_scan``)."""
+        if self.keys != trig.keys:
+            raise ValueError("trigger-stream slicing requires identical keys")
+        out = trigger_stream_scan(self.df, trig.df, list(self.keys),
+                                  value_col, align, self.t, self.seq,
+                                  quantize)
         return self._derive(out)
 
     def sliding_scan(self, duration: str, slide: str, value_col: str,
