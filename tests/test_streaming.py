@@ -1186,3 +1186,49 @@ def test_sliced_scan_carry_across_batches(spark, batch_events,
                    .withColumn("total", F.col("total").cast("double")))
         want = _sorted_rows(want_df, cols)
         assert got == want, type(spec).__name__
+
+
+def test_stream_sliced_and_gated_scans_across_batches(spark, batch_events,
+                                                      staged_events_3):
+    """trigger_stream_scan and window_from_scan carry their open-bucket
+    partials and gate/boundary state across micro-batches: live equals
+    batch for both shapes."""
+    from scespet_spark import Stream, TriggerStream
+
+    cols = ["user_id", "event_id", "total", "n"]
+    ev = Stream(batch_events, t="ts", seq="event_id")
+
+    # trigger-stream scan
+    s = _live3(staged_events_3)
+    lc = s.filter(F.col("event_type") == "click").by("user_id")
+    lp = s.filter(F.col("event_type") == "purchase").by("user_id")
+    got = run_available_now(
+        lc.trigger_stream_scan(lp, "value", "AFTER", quantize=100).df,
+        "append")
+    bc = ev.filter(F.col("event_type") == "click").by("user_id",
+                                                      name="user_id")
+    bp = ev.filter(F.col("event_type") == "purchase").by("user_id",
+                                                         name="user_id")
+    want = (bc.group(TriggerStream(bp, "AFTER"))
+            .scan(total=F.sum(F.col("value").cast("decimal(18,2)")),
+                  n=F.count("*")).df
+            .withColumn("total", F.col("total").cast("double")))
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+    # window_from scan
+    s2 = _live3(staged_events_3)
+    data = s2.filter(F.col("event_type") == "purchase").by("user_id")
+    gate = (s2.filter(F.col("event_type") == "click")
+            .map(g=F.col("value") >= 100).by("user_id"))
+    got2 = run_available_now(
+        data.window_from_scan(gate, "g", "value", quantize=100).df,
+        "append")
+    bg = (ev.filter(F.col("event_type") == "click")
+          .by("user_id", name="user_id").map(g=F.col("value") >= 100))
+    bd = ev.filter(F.col("event_type") == "purchase").by("user_id",
+                                                         name="user_id")
+    want2 = (bd.window_from(bg, "g")
+             .scan(total=F.sum(F.col("value").cast("decimal(18,2)")),
+                   n=F.count("*")).df
+             .withColumn("total", F.col("total").cast("double")))
+    assert _sorted_rows(got2, cols) == _sorted_rows(want2, cols)
