@@ -1609,16 +1609,20 @@ class LiveGrouped:
         running state, ``Count``/``Trigger``/``Session`` via the
         stateful ``sliced_scan``; gated windows live on
         ``LiveStream.window_scan``."""
-        from ..core.stream import Count, Session, Sliding, Trigger
+        from ..core.stream import Count, Every, Session, Sliding, Trigger
         s = self.stream
         if isinstance(self.spec, Sliding):
             return s.sliding_scan(self.spec.duration, self.spec.slide,
+                                  value_col, quantize)
+        if isinstance(self.spec, Every):
+            # a tumbling scan is the sliding scan with slide = duration
+            return s.sliding_scan(self.spec.duration, self.spec.duration,
                                   value_col, quantize)
         if isinstance(self.spec, (Count, Trigger, Session)):
             out = sliced_scan(s.df, list(s.keys), self.spec, value_col,
                               s.t, s.seq, quantize)
             return s._derive(out)
-        raise TypeError("live scan supports Count/Trigger/Session/"
+        raise TypeError("live scan supports Count/Every/Trigger/Session/"
                         "Sliding; use scan_state for custom folds")
 
     def reduce(self, **aggs: Column) -> LiveStream:

@@ -1084,8 +1084,9 @@ def test_new_live_verbs_reject_bad_usage(spark):
     with pytest.raises(ValueError, match="emit"):
         keymap_latest(a.df, b.df, "user_id", "bucket",
                       F.col("user_id") % 2, ["value"], [], emit="bogus")
-    with pytest.raises(TypeError, match="Sliding"):
-        a.group(Count(5)).scan("value")
+    from scespet_spark.core.stream import Termination
+    with pytest.raises(TypeError, match="scan_state"):
+        a.group(Termination()).scan("value")
     with pytest.raises(ValueError, match="emit"):
         from scespet_spark.streaming.live import live_collapse
         live_collapse(a.df, ["user_id"], object, "1 day", "n long",
