@@ -1498,6 +1498,17 @@ class LiveStream:
                                     value_col, align, self.t, self.seq)
         return self._derive(out)
 
+    def collapse(self, bucket_factory, every: str, value_ddl: str,
+                 emit: str = "last",
+                 cycle_col: str | None = None) -> "LiveStream":
+        """Custom lifecycle buckets over ``every``-duration slices (the
+        fluent form of ``live_collapse``; batch counterpart
+        ``operators.buckets.collapse``)."""
+        out = live_collapse(self.df, list(self.keys), bucket_factory,
+                            every, value_ddl, self.t, self.seq, emit,
+                            cycle_col)
+        return self._derive(out)
+
     def scan_state(self, state_fields: dict, step: Callable,
                    out_schema: str) -> "LiveStream":
         out = stateful_scan(self.df, list(self.keys), state_fields, step,
