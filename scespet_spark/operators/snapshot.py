@@ -1,0 +1,71 @@
+"""Corpus snapshot artifacts: the durable tables a continuous-build
+pipeline materializes once per snapshot so every later crawl batch can
+probe them WITHOUT re-reading or re-hashing the corpus.
+
+One snapshot =
+  * ``digests``   — exact-dedup content hashes (`dedup.exact_groups`),
+                    the prior side of `incremental_keep`;
+  * ``bands``     — the MinHash-LSH band table (`dedup.banded_signatures`),
+                    the prior side of `incremental_near_dup`;
+  * ``blocks``    — the sign-LSH embedding block table
+                    (`dedup.embedding_block_table`), the prior side of
+                    `incremental_embedding_near_dup`;
+  * ``centroids`` + ``codes`` — the IVF coarse index
+                    (`similarity.label_centroids` / `ivf_assign`),
+                    served by `ivf_topk_from_index` / `ann_topk_stream`
+                    and appended to by `ivf_assign` on new batches.
+
+Scale notes: each table is written partitioned/sized for its probe —
+digests and band/block tables are equi-join keys (plain parquet, the
+join shuffles on the key either way; at cluster scale bucket them with
+``joins.write_bucketed`` to pre-co-locate repeat probes), centroids are
+model-sized.  Writing is one pass over the corpus per artifact family;
+reading is schema-on-read parquet."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: artifact name -> builder(docs, emb) (documented above)
+_TABLES = ("digests", "bands", "blocks", "centroids", "codes")
+
+
+def write_snapshot(out_dir: str, docs: DataFrame | None = None,
+                   emb: DataFrame | None = None,
+                   num_hashes: int = 16, bands: int = 4,
+                   shingle_n: int = 3, lsh_bits: int = 6) -> list[str]:
+    """Materialize the snapshot artifact tables for a corpus (either
+    side optional: text-only corpora skip the embedding artifacts and
+    vice versa).  Returns the artifact names written."""
+    from .dedup import (banded_signatures, embedding_block_table,
+                        exact_groups)
+    from .similarity import ivf_assign, label_centroids
+
+    written = []
+
+    def _w(name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        written.append(name)
+
+    if docs is not None:
+        _w("digests", exact_groups(docs))
+        _w("bands", banded_signatures(docs, num_hashes=num_hashes,
+                                      bands=bands, shingle_n=shingle_n))
+    if emb is not None:
+        _w("blocks", embedding_block_table(emb, bits=lsh_bits))
+        cents = label_centroids(emb)
+        _w("centroids", cents)
+        _w("codes", ivf_assign(emb, cents))
+    return written
+
+
+def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Load whichever artifact tables exist under ``out_dir``."""
+    out = {}
+    for name in _TABLES:
+        path = os.path.join(out_dir, name)
+        if os.path.isdir(path):
+            out[name] = spark.read.parquet(path)
+    return out

@@ -947,3 +947,58 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     assert 2000 not in got and 2001 not in got
     heavy = sum(1 for d in got if d < 50)
     assert heavy >= 30                     # 1000x weight dominates
+
+
+def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
+    """write_snapshot -> read_snapshot -> every incremental probe gives
+    identical results to the inline (un-persisted) path: the snapshot
+    tables ARE the operators' prior sides, on disk."""
+    from scespet_spark.operators.dedup import (banded_signatures,
+                                               embedding_block_table,
+                                               exact_groups,
+                                               incremental_embedding_near_dup,
+                                               incremental_keep,
+                                               incremental_near_dup)
+    from scespet_spark.operators.similarity import (ivf_assign,
+                                                    ivf_topk_from_index,
+                                                    label_centroids)
+    from scespet_spark.operators.snapshot import (read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    cut_d = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    cut_e = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    d1, d2 = (docs.filter(F.col("doc_id") <= cut_d),
+              docs.filter(F.col("doc_id") > cut_d))
+    e1, e2 = (emb.filter(F.col("vec_id") <= cut_e),
+              emb.filter(F.col("vec_id") > cut_e))
+
+    written = write_snapshot(str(tmp_path), docs=d1, emb=e1)
+    assert sorted(written) == ["bands", "blocks", "centroids",
+                               "codes", "digests"]
+    snap = read_snapshot(spark, str(tmp_path))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(incremental_keep(d2, snap["digests"],
+                                 prior_digest_col="content_hash")) == \
+        rows(incremental_keep(d2, exact_groups(d1),
+                              prior_digest_col="content_hash"))
+    assert rows(incremental_near_dup(d2, prior_bands=snap["bands"])) == \
+        rows(incremental_near_dup(d2, prior_bands=banded_signatures(d1)))
+    assert rows(incremental_embedding_near_dup(
+        e2, snap["blocks"], threshold=0.35)) == \
+        rows(incremental_embedding_near_dup(
+            e2, embedding_block_table(e1), threshold=0.35))
+    q = e1.limit(1).select("embedding").collect()[0][0]
+    merged = snap["codes"].unionByName(ivf_assign(e2, snap["centroids"]))
+    got = ivf_topk_from_index(emb, merged, snap["centroids"], q, k=5)
+    cents = label_centroids(e1)
+    want = ivf_topk_from_index(
+        emb, ivf_assign(e1, cents).unionByName(ivf_assign(e2, cents)),
+        cents, q, k=5)
+    assert rows(got) == rows(want)
