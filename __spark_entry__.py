@@ -3742,6 +3742,46 @@ def text_bigram_lm(spark, sf_dir):
     return bigram_lm_score(load_table(spark, sf_dir, "documents"))
 
 
+@query("perplexity_filter_docs", f"""
+WITH scores AS ({{lm}}),
+thr AS (SELECT quantile_cont(mean_logp, 0.1) AS t FROM scores)
+SELECT doc_id, n_bigrams, mean_logp
+FROM scores, thr WHERE mean_logp >= t
+""".format(lm=_bigram_lm_oracle()))
+def perplexity_filter_docs(spark, sf_dir):
+    """CCNet-style perplexity filter: drop the 10% of documents with
+    the lowest in-corpus bigram-LM mean log probability.  The threshold
+    is an exact interpolated percentile (engine-exact vs quantile_cont,
+    same contract as profile_lineitem) attached as a 1-row broadcast;
+    approx=True is the 100 TB sketch path."""
+    from scespet_spark.operators.text import perplexity_filter
+    return perplexity_filter(load_table(spark, sf_dir, "documents"),
+                             frac=0.1)
+
+
+_NGRAM_K = 5
+
+
+@query("top_ngrams_source", f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+g AS (SELECT source, array_to_string(t[i:i + 1], ' ') AS ngram
+      FROM (SELECT source, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+c AS (SELECT source, ngram, COUNT(*) AS n FROM g GROUP BY source, ngram),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, ngram ASC) AS rank
+      FROM c)
+SELECT source, ngram, n, rank FROM r WHERE rank <= {_NGRAM_K}
+""")
+def top_ngrams_source(spark, sf_dir):
+    """Per-source top-k bigram report (vocabulary drift / boilerplate
+    triage): combinable n-gram count, then a top-k window over the
+    count table only — the fact rows never sort."""
+    from scespet_spark.operators.text import top_ngrams
+    return top_ngrams(load_table(spark, sf_dir, "documents"),
+                      n=2, k=_NGRAM_K)
+
+
 _QUOTA_N = 10
 
 
@@ -4035,6 +4075,44 @@ def dedup_incremental_near(spark, sf_dir):
                                 docs.filter(F.col("doc_id") % 3 == 0))
 
 
+_SEG_SIZE = 10
+
+
+@query("dedup_segments", f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+seg AS (SELECT doc_id, i AS seg_idx,
+               array_to_string(t[(i * {_SEG_SIZE} + 1):((i + 1) * {_SEG_SIZE})],
+                               ' ') AS seg
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(t) / {_SEG_SIZE}.0) AS INT) - 1)) AS i
+              FROM toks WHERE len(t) > 0)),
+w AS (SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY {h64_sql('seg')}
+                                ORDER BY doc_id, seg_idx) AS rk
+      FROM seg),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id)
+SELECT w.doc_id,
+       string_agg(w.seg, ' ' ORDER BY w.seg_idx) AS clean_text,
+       COUNT(*) AS n_kept,
+       CAST(any_value(tot.n_segments) AS BIGINT) AS n_segments
+FROM w JOIN tot ON w.doc_id = tot.doc_id
+WHERE w.rk = 1
+GROUP BY w.doc_id
+""")
+def dedup_segments(spark, sf_dir):
+    """C4/RefinedWeb-style line-level dedup, re-expressed for the
+    token corpus as fixed {size}-token segments: every segment whose
+    digest occurred earlier in the corpus (first occurrence by
+    (doc_id, seg_idx)) is removed and the survivors reassembled.
+    Winner election shuffles (digest, id, idx) ints only; segment text
+    never enters an Exchange — it is re-derived map-side from the
+    original doc row after the kept-index list joins back."""
+    from scespet_spark.operators.dedup import segment_dedup
+    return segment_dedup(load_table(spark, sf_dir, "documents"),
+                         size=_SEG_SIZE)
+
+
 _MIX_W = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1,
           "src4": 0.1}
 _MIX_N = 120
@@ -4187,6 +4265,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
+    # brand-new operators this round: C4-style segment (line-level)
+    # dedup, CCNet-style perplexity filtering, per-source n-gram report
+    "dedup_segments", "perplexity_filter_docs", "top_ngrams_source",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4223,8 +4304,10 @@ _PRIORITY = _ROUND_CHANGED + [
     "asof_purchase_last_click", "zip_click_purchase",
     "scan_running_sum",
     "dedup_exact", "dedup_minhash_lsh", "dedup_kept_corpus",
-    "ann_brute_force_topk", "ann_ivf_topk", "ann_hard_negatives",
-    "sample_source_quota", "text_bigram_lm",
+    "ann_brute_force_topk", "ann_ivf_topk",
+    # (ann_hard_negatives / sample_source_quota / text_bigram_lm rotated
+    # OUT this round — all PASS-r5 driver rows — to make window room for
+    # the three new r6 operators at the head)
 ]
 
 

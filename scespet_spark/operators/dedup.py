@@ -84,6 +84,63 @@ def incremental_keep(new: DataFrame, prior: DataFrame,
             .select(id_col, "content_hash"))
 
 
+def segment_dedup(df: DataFrame, size: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sub-document (C4/RefinedWeb-style "line-level") dedup: split each
+    document into consecutive ``size``-token segments — the corpus
+    equivalent of lines — drop every segment whose content digest
+    already occurred earlier in the corpus (first occurrence by
+    ``(id, segment index)`` wins), and reassemble the survivors in
+    order.  Boilerplate that repeats across pages (headers, footers,
+    cookie banners) vanishes from all but its first carrier; documents
+    that lose every segment drop out entirely.
+
+    Returns ``(id_col, clean_text, n_kept, n_segments)``.
+
+    Scale design: the winner election shuffles only
+    ``(digest, id, seg_idx)`` ints — segment text never enters that
+    Exchange (the digest is computed map-side from the document row and
+    the text discarded).  The one text-bearing shuffle is the final
+    ``id_col`` equi-join attaching each doc's kept-segment index list
+    back to its corpus row; reconstruction then re-derives the
+    surviving segment text map-side from the original document, so at
+    100 TB the segment table itself — ~1x corpus bytes — never
+    materializes past its map stage.
+    """
+    if size < 1:
+        raise ValueError("segment size must be >= 1")
+    toks = tokens(F.col(text_col))
+    segs = (_spread(df.select(F.col(id_col), toks.alias("__t"))
+                    .where(F.size("__t") > 0))
+            .select(id_col, "__t",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("__t") / F.lit(size)).cast("int") - 1))
+                     .alias("seg_idx"))
+            .select(id_col, "seg_idx",
+                    h64(F.array_join(
+                        F.slice(F.col("__t"),
+                                F.col("seg_idx") * size + 1, size), " "))
+                    .alias("__d")))
+    winners = (segs.groupBy("__d")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("seg_idx").alias("s"))).alias("__w"))
+               .select(F.col("__w.i").alias(id_col),
+                       F.col("__w.s").alias("seg_idx")))
+    kept = (winners.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("seg_idx")).alias("__keep")))
+    rebuilt = F.array_join(
+        F.transform(F.col("__keep"),
+                    lambda i: F.array_join(
+                        F.slice(tokens(F.col(text_col)), i * size + 1, size),
+                        " ")), " ")
+    return (df.join(kept, id_col)
+            .select(id_col, rebuilt.alias("clean_text"),
+                    F.size("__keep").cast("long").alias("n_kept"),
+                    F.ceil(F.size(toks) / F.lit(size)).cast("long")
+                     .alias("n_segments")))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct, as strings) of a text column.
     Human-readable form — the dedup hot paths use ``shingle_hashes``,

@@ -454,6 +454,64 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                  F.round(F.avg(logp), 6).alias("mean_logp")))
 
 
+def perplexity_filter(df: DataFrame, frac: float = 0.1,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: float = 1.0, approx: bool = False) -> DataFrame:
+    """CCNet-style perplexity filtering: score every document with the
+    in-corpus bigram LM (``bigram_lm_score``) and drop the worst
+    ``frac`` tail — docs whose mean log transition probability falls
+    below the corpus ``frac``-quantile (OCR noise, shuffled text,
+    keyword spam).  Returns the survivors' ``(id, n_bigrams,
+    mean_logp)``.
+
+    The threshold is ONE number computed from the doc-level score table
+    (corpus-cardinality, tiny next to the token tables) and attached as
+    a 1-row broadcast — the score table never re-shuffles.  Exact
+    ``F.percentile`` buffers the doc scores in a single aggregate
+    (fine into the billions of docs); ``approx=True`` swaps in
+    ``approx_percentile`` (combinable sketch, bounded memory) for the
+    100 TB path at the cost of oracle exactness.
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    scored = bigram_lm_score(df, text_col=text_col, id_col=id_col, k=k)
+    pct = (F.approx_percentile(F.col("mean_logp"), F.lit(frac), F.lit(10000))
+           if approx else F.percentile(F.col("mean_logp"), F.lit(frac)))
+    thr = scored.agg(pct.alias("__thr"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .where(F.col("mean_logp") >= F.col("__thr"))
+            .drop("__thr"))
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 5,
+               text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Corpus reporting: the ``k`` most frequent token ``n``-grams per
+    ``group_col`` (per-source vocabulary drift, boilerplate spotting,
+    contamination triage).  Deterministic tie-break: count desc, then
+    n-gram text asc.
+
+    The count is a combinable groupBy (map-side partials bound the
+    shuffle to distinct n-grams per partition — Zipf makes the head
+    combine hard); the top-k window then runs over the
+    (groups x distinct-ngram) COUNT table, never the fact rows, and
+    each group's partition sorts only its own vocabulary."""
+    if n < 1 or k < 1:
+        raise ValueError("need n >= 1 and k >= 1")
+    from pyspark.sql import Window
+    toks = tokens(F.col(text_col))
+    grams = (df.select(group_col, toks.alias("__t"))
+             .where(F.size("__t") >= n)
+             .select(group_col,
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                         lambda i: F.array_join(F.slice(F.col("__t"), i, n),
+                                                " "))).alias("ngram")))
+    counts = grams.groupBy(group_col, "ngram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("ngram"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
 def source_quota_sample(df: DataFrame, quota: int,
                         source_col: str = "source",
                         id_col: str = "doc_id") -> DataFrame:

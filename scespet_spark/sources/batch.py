@@ -230,21 +230,40 @@ def show(stream: Stream, n: int = 20, prefix: str = "") -> None:
 
 def write_partitioned(df: DataFrame, path: str, partition_cols=(),
                       sort_within=(), max_records_per_file: int = 2_000_000,
-                      mode: str = "overwrite") -> None:
-    """Parquet sink for pipeline outputs at scale: hive-partition by the
-    given columns, cluster writes so each task writes few files per
+                      mode: str = "overwrite", fmt: str = "parquet") -> None:
+    """Columnar sink for pipeline outputs at scale: hive-partition by
+    the given columns, cluster writes so each task writes few files per
     partition value (repartition on the partition key avoids the
     every-task-writes-every-partition small-file explosion), sort within
     files for row-group pruning on later scans, and cap records per
-    file so downstream readers get balanced splits."""
+    file so downstream readers get balanced splits.  ``fmt`` selects
+    any columnar format Spark writes natively (parquet, orc) — both
+    carry the same partition/sort/size clustering."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar sink format: {fmt}")
     w = df
     if partition_cols:
         w = w.repartition(*[F.col(c) for c in partition_cols])
     if sort_within:
         w = w.sortWithinPartitions(*[F.col(c) for c in
                                      (*partition_cols, *sort_within)])
-    writer = (w.write.mode(mode)
+    writer = (w.write.mode(mode).format(fmt)
               .option("maxRecordsPerFile", str(max_records_per_file)))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+    writer.save(path)
+
+
+def load_columnar(spark: SparkSession, path: str, fmt: str = "parquet",
+                  t: str = "ts", seq: str | None = None) -> Stream:
+    """Event source over a columnar table (parquet or ORC — e.g. a
+    snapshot written by ``write_partitioned``), consumed in event-time
+    order.  Both formats keep predicate pushdown and column pruning at
+    the scan; ``seq=None`` synthesizes the replay tie-breaker."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar source format: {fmt}")
+    df = spark.read.format(fmt).load(path)
+    if seq is None:
+        seq = "seq"
+        df = _synth_seq(df, seq)
+    return Stream(df, t=t, seq=seq)

@@ -1002,3 +1002,77 @@ def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
         emb, ivf_assign(e1, cents).unionByName(ivf_assign(e2, cents)),
         cents, q, k=5)
     assert rows(got) == rows(want)
+
+
+def test_segment_dedup_drops_repeated_segments(spark):
+    from scespet_spark.operators.dedup import segment_dedup
+    rows = [
+        (1, "a b c d e f"),   # size=3: segs "a b c", "d e f"
+        (2, "a b c x y z"),   # first segment duplicates doc1 seg0
+        (3, "d e f"),         # entirely duplicate -> doc drops
+        (4, ""),              # tokenless -> drops
+        (5, "q r"),           # short partial segment survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segment_dedup(df, size=3).collect()}
+    assert sorted(out) == [1, 2, 5]
+    assert out[1].clean_text == "a b c d e f"
+    assert (out[1].n_kept, out[1].n_segments) == (2, 2)
+    assert out[2].clean_text == "x y z"
+    assert (out[2].n_kept, out[2].n_segments) == (1, 2)
+    assert out[5].clean_text == "q r"
+    with pytest.raises(ValueError, match="segment size"):
+        segment_dedup(df, size=0)
+
+
+def test_segment_dedup_unique_corpus_is_identity(spark):
+    from scespet_spark.operators.dedup import segment_dedup
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(7))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = segment_dedup(df, size=3).collect()
+    assert len(out) == 20
+    orig = dict(rows)
+    for r in out:
+        assert r.clean_text == orig[r.doc_id]
+        assert r.n_kept == r.n_segments == 3  # 7 tokens -> 3,3,1
+
+
+def test_perplexity_filter_drops_low_tail(spark):
+    from scespet_spark.operators.text import bigram_lm_score, perplexity_filter
+    # 9 docs share a common phrase pattern; 1 doc is token soup -> its
+    # transitions are unseen elsewhere and must land in the drop tail
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(9)] + [(99, "zz qq jj xx vv kk ww yy uu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = perplexity_filter(df, frac=0.1)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 99 not in ids and len(ids) == 9
+    # frac=0 keeps everything
+    assert perplexity_filter(df, frac=0.0).count() == 10
+    # survivors' scores all sit at/above the threshold percentile
+    scores = {r.doc_id: r.mean_logp for r in bigram_lm_score(df).collect()}
+    assert min(scores[i] for i in ids) > scores[99]
+    with pytest.raises(ValueError, match="frac"):
+        perplexity_filter(df, frac=1.5)
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from scespet_spark.operators.text import top_ngrams
+    rows = [
+        (1, "s1", "a b a b a b"),   # s1 bigrams: "a b" x3, "b a" x2
+        (2, "s1", "c d"),           # "c d" x1
+        (3, "s2", "x y x y"),       # s2: "x y" x2, "y x" x1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.source, r.rank): (r.ngram, r.n)
+           for r in top_ngrams(df, n=2, k=2).collect()}
+    assert got == {("s1", 1): ("a b", 3), ("s1", 2): ("b a", 2),
+                   ("s2", 1): ("x y", 2), ("s2", 2): ("y x", 1)}
+    # tie-break: equal counts order by ngram text ascending
+    tie = spark.createDataFrame([(1, "s", "b b a a")],
+                                "doc_id long, source string, text string")
+    r1, r2, r3 = sorted(top_ngrams(tie, n=2, k=3).collect(),
+                        key=lambda r: r.rank)
+    assert (r1.ngram, r2.ngram, r3.ngram) == ("a a", "b a", "b b")
+    with pytest.raises(ValueError, match="n >= 1"):
+        top_ngrams(df, n=0)
