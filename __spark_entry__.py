@@ -4077,6 +4077,49 @@ def dedup_incremental_near(spark, sf_dir):
 
 _SEG_SIZE = 10
 
+_SEG_CTES = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+seg AS (SELECT doc_id, i AS seg_idx,
+               array_to_string(t[(i * {_SEG_SIZE} + 1):((i + 1) * {_SEG_SIZE})],
+                               ' ') AS seg
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(
+                         0, CAST(ceil(len(t) / {_SEG_SIZE}.0) AS INT) - 1)) AS i
+              FROM toks WHERE len(t) > 0))
+"""
+
+
+@query("live_dedup_segments", f"""
+WITH {_SEG_CTES},
+w AS (SELECT doc_id, seg_idx, {h64_sql('seg')} AS segment_hash,
+             row_number() OVER (PARTITION BY {h64_sql('seg')}
+                                ORDER BY doc_id, seg_idx) AS rk
+      FROM seg)
+SELECT doc_id, seg_idx, segment_hash FROM w WHERE rk = 1
+""")
+def live_dedup_segments(spark, sf_dir):
+    """Streaming segment (line-level) dedup election: the crawl stream
+    explodes map-side to (doc_id, seg_idx, digest) — text never enters
+    the exchange — and ``first_wins`` elects each digest's winner with
+    deterministic order (arrival drop first, then min (doc_id,
+    seg_idx) within it), so the single-drop source is row-identical to
+    batch segment_dedup's election.  Cross-drop suppression is pinned
+    by test_streaming_first_wins_across_micro_batches.  State per
+    digest is one flag in the state store."""
+    from scespet_spark.operators.dedup import segment_digests
+    from scespet_spark.streaming.live import (first_wins,
+                                              read_table_stream,
+                                              run_available_now)
+    src = read_table_stream(spark, sf_dir, "documents")
+    segs = (segment_digests(src, size=_SEG_SIZE)
+            .select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"),
+                    F.col("__d").alias("segment_hash")))
+    out = first_wins(segs, keys=["segment_hash"],
+                     order_cols=["doc_id", "seg_idx"],
+                     payload_cols=["doc_id", "seg_idx"])
+    return run_available_now(out, "append").select(
+        "doc_id", "seg_idx", "segment_hash")
+
 
 @query("dedup_segments", f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -4267,7 +4310,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND_CHANGED = [
     # brand-new operators this round: C4-style segment (line-level)
     # dedup, CCNet-style perplexity filtering, per-source n-gram report
-    "dedup_segments", "perplexity_filter_docs", "top_ngrams_source",
+    "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
+    "top_ngrams_source",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4304,10 +4348,10 @@ _PRIORITY = _ROUND_CHANGED + [
     "asof_purchase_last_click", "zip_click_purchase",
     "scan_running_sum",
     "dedup_exact", "dedup_minhash_lsh", "dedup_kept_corpus",
-    "ann_brute_force_topk", "ann_ivf_topk",
-    # (ann_hard_negatives / sample_source_quota / text_bigram_lm rotated
-    # OUT this round — all PASS-r5 driver rows — to make window room for
-    # the three new r6 operators at the head)
+    "ann_brute_force_topk",
+    # (ann_ivf_topk / ann_hard_negatives / sample_source_quota /
+    # text_bigram_lm rotated OUT this round — all PASS-r5 driver rows —
+    # to make window room for the four new r6 operators at the head)
 ]
 
 

@@ -80,6 +80,9 @@ HEADLINE = [
     "dedup_embedding_incremental",
     "weighted_sample_chars",
     "window_from_reduce",
+    "dedup_segments",
+    "perplexity_filter_docs",
+    "top_ngrams_source",
 ]
 
 

@@ -3,8 +3,9 @@
 100 TB data pipeline actually runs, on the driver's synthetic tables.
 
     dedup (exact + MinHash/LSH clusters)
+      -> segment-level boilerplate removal (C4-style line dedup)
       -> decontaminate against a benchmark set
-      -> quality + repetition + corpus-IDF filters
+      -> quality + repetition + corpus-IDF + perplexity filters
       -> per-source quota cap
       -> pack into fixed-token training sequences
       -> deterministic shuffle -> partitioned parquet
@@ -49,6 +50,18 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
                     .select(F.col("id").alias("doc_id"))
     docs = docs.join(dupes, "doc_id", "left_anti")
 
+    # 2b. segment-level boilerplate removal (C4-style line dedup):
+    #     cross-page repeated segments vanish from all but their first
+    #     carrier; documents are rewritten to the surviving text
+    from scespet_spark.operators.dedup import segment_dedup
+    cleaned = segment_dedup(docs, size=10)
+    docs = (docs.drop("text", "n_chars")
+            .join(cleaned.select("doc_id",
+                                 F.col("clean_text").alias("text")),
+                  "doc_id")
+            .withColumn("n_chars", F.length("text"))
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+
     # 3. decontamination: drop docs overlapping the benchmark set
     #    (pseudo-benchmark: doc_id % 19 == 0)
     bench = docs.filter(F.col("doc_id") % 19 == 0)
@@ -68,6 +81,16 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     #     tokens) -- two corpus passes, text never shuffles
     idf = corpus_idf_quality(train).filter(F.col("mean_idf") >= 0.01)
     train = train.join(idf.select("doc_id"), "doc_id")
+
+    # 4b2. perplexity filter (CCNet): drop the tail of docs whose token
+    #      transitions the in-corpus bigram LM finds most surprising.
+    #      The LM traverses its input several times (bigram counts,
+    #      prefix counts, vocabulary) — persist first so those passes
+    #      read the filtered corpus, not the whole dedup/CC lineage
+    from scespet_spark.operators.text import perplexity_filter
+    train = train.persist()
+    lm_kept = perplexity_filter(train, frac=0.05)
+    train = train.join(lm_kept.select("doc_id"), "doc_id")
 
     # 4c. per-source quota: cap any single source's share of the mix
     #     (deterministic hash order; prefiltered to O(quota)/source)

@@ -84,6 +84,31 @@ def incremental_keep(new: DataFrame, prior: DataFrame,
             .select(id_col, "content_hash"))
 
 
+def segment_digests(df: DataFrame, size: int = 10,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Map-side segment digest table ``(id, seg_idx, __d)``: each doc's
+    consecutive ``size``-token segments hashed in place — the text is
+    dropped before any shuffle.  Shared by batch ``segment_dedup`` and
+    the live first-wins election; works unchanged on streaming plans
+    (``_spread`` is a batch-only no-op there)."""
+    if size < 1:
+        raise ValueError("segment size must be >= 1")
+    toks = tokens(F.col(text_col))
+    return (_spread(df.select(F.col(id_col), toks.alias("__t"))
+                    .where(F.size("__t") > 0))
+            .select(id_col, "__t",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("__t") / F.lit(size)).cast("int") - 1))
+                     .alias("seg_idx"))
+            .select(id_col, "seg_idx",
+                    h64(F.array_join(
+                        F.slice(F.col("__t"),
+                                F.col("seg_idx") * size + 1, size), " "))
+                    .alias("__d")))
+
+
 def segment_dedup(df: DataFrame, size: int = 10,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Sub-document (C4/RefinedWeb-style "line-level") dedup: split each
@@ -98,31 +123,22 @@ def segment_dedup(df: DataFrame, size: int = 10,
     Returns ``(id_col, clean_text, n_kept, n_segments)``.
 
     Scale design: the winner election shuffles only
-    ``(digest, id, seg_idx)`` ints — segment text never enters that
-    Exchange (the digest is computed map-side from the document row and
-    the text discarded).  The one text-bearing shuffle is the final
-    ``id_col`` equi-join attaching each doc's kept-segment index list
-    back to its corpus row; reconstruction then re-derives the
-    surviving segment text map-side from the original document, so at
-    100 TB the segment table itself — ~1x corpus bytes — never
-    materializes past its map stage.
+    ``(digest, id, seg_idx)`` ints — segment text never enters a
+    hash-partitioned Exchange (the digest is computed map-side from the
+    document row and the text discarded; plan-pinned by
+    ``test_segment_dedup_election_shuffles_ints_only``, which also
+    allows the batch-only ``_spread`` round-robin of the raw scan).
+    The one text-bearing shuffle is the final ``id_col`` equi-join
+    attaching each doc's kept-segment index list back to its corpus
+    row; reconstruction then re-derives the surviving segment text
+    map-side from the original document, so at 100 TB the segment
+    table itself — ~1x corpus bytes — never materializes past its map
+    stage.
     """
     if size < 1:
         raise ValueError("segment size must be >= 1")
     toks = tokens(F.col(text_col))
-    segs = (_spread(df.select(F.col(id_col), toks.alias("__t"))
-                    .where(F.size("__t") > 0))
-            .select(id_col, "__t",
-                    F.explode(F.sequence(
-                        F.lit(0),
-                        F.ceil(F.size("__t") / F.lit(size)).cast("int") - 1))
-                     .alias("seg_idx"))
-            .select(id_col, "seg_idx",
-                    h64(F.array_join(
-                        F.slice(F.col("__t"),
-                                F.col("seg_idx") * size + 1, size), " "))
-                    .alias("__d")))
-    winners = (segs.groupBy("__d")
+    winners = (segment_digests(df, size, text_col, id_col).groupBy("__d")
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                    F.col("seg_idx").alias("s"))).alias("__w"))
                .select(F.col("__w.i").alias(id_col),

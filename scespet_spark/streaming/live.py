@@ -98,6 +98,39 @@ def dedupe(df: DataFrame, cols: Iterable[str], t: str = "ts",
             .dropDuplicatesWithinWatermark(list(cols)))
 
 
+def first_wins(df: DataFrame, keys: list[str], order_cols: list[str],
+               payload_cols: list[str], t: str = "ts",
+               idle_ttl: str | None = None) -> DataFrame:
+    """Deterministic streaming first-occurrence election: per key, emit
+    exactly one row — the ``order_cols``-minimal row of the EARLIEST
+    micro-batch in which the key appears — then suppress the key
+    forever.  The deterministic-winner counterpart of streaming
+    ``dropDuplicates`` (which keeps an arbitrary row within a batch):
+    arrival order decides ACROSS drops (the streaming contract), the
+    batch tie-break decides WITHIN the winning drop, so a single-drop
+    source is row-identical to the batch ``min(order_cols)`` election.
+
+    State per key is one flag in the state store (RocksDB at scale);
+    the grouped exchange carries only ``keys + order + payload``
+    columns.  ``idle_ttl`` bounds state on unbounded key spaces at the
+    documented re-emergence cost; without it state is exact and lives
+    forever (the same trade streaming exact dedup makes)."""
+    overlap = set(keys) & set(payload_cols)
+    if overlap:
+        raise ValueError(f"payload_cols duplicate key columns: {overlap}")
+
+    def step(st, pdf):
+        if st["seen"]:
+            return []
+        st["seen"] = 1.0
+        return pdf.head(1)[list(payload_cols)]
+
+    out_schema = _key_ddl(df, [*payload_cols, *keys])
+    return stateful_scan(df, list(keys), {"seen": 0.0}, step,
+                         out_schema=out_schema, t=t,
+                         order_cols=list(order_cols), idle_ttl=idle_ttl)
+
+
 def _key_ddl(df: DataFrame, keys: Iterable[str]) -> str:
     """Key columns typed from the INPUT schema — hardcoding ``long``
     would crash (Arrow cast) any stream keyed on a string/other column,

@@ -232,6 +232,42 @@ def test_incremental_dedup_shuffles_digests_not_text(spark, entry):
     assert "Window" not in plan
 
 
+def test_segment_dedup_election_shuffles_ints_only(spark, entry):
+    """dedup_segments: the winner election (groupBy segment digest) and
+    the kept-list rollup must shuffle int rows only — no text and no
+    token array may enter a HASH-partitioned Exchange.  (The one
+    round-robin `_spread` repartition may carry the scan rows: it is
+    the documented small-file parallelism fix that vanishes when the
+    scan is already parallel.)  Election must be a combinable min-agg,
+    never a window sort."""
+    plan = _plan(entry.queries()["dedup_segments"](spark, SF))
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if l.strip().startswith("Input") and ("text#" in l or "__t#" in l):
+            hdr = next(x for x in reversed(lines[:i])
+                       if x.strip().startswith("("))
+            if "Exchange" in hdr:
+                args = next(x for x in lines[i:]
+                            if x.strip().startswith("Arguments"))
+                assert "hashpartitioning" not in args, (hdr, l, args)
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combinable election
+
+
+def test_top_ngrams_windows_count_table_not_facts(spark, entry):
+    """top_ngrams_source: the n-gram count must be a partial/final
+    hash aggregate (map-side combine absorbs the Zipf head) and the
+    rank window must sit ABOVE the final aggregate — the window sort
+    runs over the count table, never the exploded fact rows."""
+    plan = _plan(entry.queries()["top_ngrams_source"](spark, SF))
+    assert "partial_count" in plan or "partial_count_distinct" in plan, plan
+    assert "Window" in plan
+    # in the tree section the Window node must appear ABOVE (before)
+    # the Generate (explode) node that produces the n-gram rows
+    tree = plan.split("(1) ")[0]
+    assert tree.index("Window") < tree.index("Generate"), tree
+
+
 def test_cube_expands_cells_not_facts(spark, entry):
     """cube_returnflag_status pre-aggregates the fact scan to the base
     (returnflag, linestatus) cells before CUBE, so Expand multiplies a

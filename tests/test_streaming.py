@@ -1233,3 +1233,47 @@ def test_stream_sliced_and_gated_scans_across_batches(spark, batch_events,
                    n=F.count("*")).df
              .withColumn("total", F.col("total").cast("double")))
     assert _sorted_rows(got2, cols) == _sorted_rows(want2, cols)
+
+
+def test_streaming_first_wins_across_micro_batches(spark, tmp_path):
+    """first_wins: arrival drop beats the batch tie-break ACROSS
+    micro-batches (doc 9 loses 'beta' to drop-1's doc 2 despite the
+    smaller id), while WITHIN one drop the min-(order_cols) row wins
+    (doc 4 beats doc 6 for 'gamma'); a winner's key never re-emits."""
+    from scespet_spark.streaming.live import first_wins, run_available_now
+    import shutil
+    d = tmp_path / "drops"
+    d.mkdir()
+    spark.createDataFrame([(5, "alpha"), (2, "beta")],
+                          "doc_id long, k string") \
+        .coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame([(9, "beta"), (6, "gamma"), (4, "gamma")],
+                          "doc_id long, k string") \
+        .coalesce(1).write.parquet(str(d / "f2"))
+    src = tmp_path / "src"
+    src.mkdir()
+    files = sorted(p for sub in ("f1", "f2")
+                   for p in (d / sub).glob("*.parquet"))
+    import os
+    import time
+    now = time.time()
+    for i, p in enumerate(files):
+        dst = src / f"drop_{i}.parquet"
+        shutil.copy(p, dst)
+        # the file source orders drops by modification time: pin
+        # distinct mtimes so drop_0 is unambiguously the earlier batch
+        os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+    stream = (spark.readStream.schema("doc_id long, k string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = run_available_now(
+        first_wins(stream, keys=["k"], order_cols=["doc_id"],
+                   payload_cols=["doc_id"]), "append")
+    got = {r.k: r.doc_id for r in out.collect()}
+    assert got == {"alpha": 5, "beta": 2, "gamma": 4}
+    assert out.count() == 3  # one row per key, ever
+
+    # payload overlapping the key is a usage error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate key"):
+        first_wins(stream, keys=["k"], order_cols=["doc_id"],
+                   payload_cols=["k", "doc_id"])
