@@ -3742,6 +3742,23 @@ def text_bigram_lm(spark, sf_dir):
     return bigram_lm_score(load_table(spark, sf_dir, "documents"))
 
 
+@query("live_text_bigram_lm", _bigram_lm_oracle())
+def live_text_bigram_lm(spark, sf_dir):
+    """The snapshot LM applied to a LIVE crawl stream: the model tables
+    (bigram/prefix counts + vocabulary) are fitted ONCE from the batch
+    corpus — the persisted snapshot artifact — and incoming documents
+    score via stream-static joins as their micro-batches land (unseen
+    bigrams coalesce to pure smoothing mass).  Same oracle as
+    text_bigram_lm — the stream replays the same corpus, and the model
+    was fitted on it."""
+    from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    model = bigram_lm_model(load_table(spark, sf_dir, "documents"))
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(bigram_lm_apply(stream, model), "complete")
+
+
 @query("perplexity_filter_docs", f"""
 WITH scores AS ({{lm}}),
 thr AS (SELECT quantile_cont(mean_logp, 0.1) AS t FROM scores)
@@ -4311,7 +4328,7 @@ _ROUND_CHANGED = [
     # brand-new operators this round: C4-style segment (line-level)
     # dedup, CCNet-style perplexity filtering, per-source n-gram report
     "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
-    "top_ngrams_source",
+    "top_ngrams_source", "live_text_bigram_lm",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4348,10 +4365,10 @@ _PRIORITY = _ROUND_CHANGED + [
     "asof_purchase_last_click", "zip_click_purchase",
     "scan_running_sum",
     "dedup_exact", "dedup_minhash_lsh", "dedup_kept_corpus",
-    "ann_brute_force_topk",
-    # (ann_ivf_topk / ann_hard_negatives / sample_source_quota /
-    # text_bigram_lm rotated OUT this round — all PASS-r5 driver rows —
-    # to make window room for the four new r6 operators at the head)
+    # (ann_brute_force_topk / ann_ivf_topk / ann_hard_negatives /
+    # sample_source_quota / text_bigram_lm rotated OUT this round — all
+    # PASS-r4/r5 driver rows — to make window room for the five new r6
+    # operators at the head)
 ]
 
 

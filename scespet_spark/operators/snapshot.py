@@ -10,6 +10,10 @@ One snapshot =
   * ``blocks``    — the sign-LSH embedding block table
                     (`dedup.embedding_block_table`), the prior side of
                     `incremental_embedding_near_dup`;
+  * ``lm_bigrams`` / ``lm_prefixes`` / ``lm_vocab`` — the fitted
+                    bigram-LM model tables (`text.bigram_lm_model`),
+                    applied to later crawls (batch or live stream) by
+                    `text.bigram_lm_apply`;
   * ``centroids`` + ``codes`` — the IVF coarse index
                     (`similarity.label_centroids` / `ivf_assign`),
                     served by `ivf_topk_from_index` / `ann_topk_stream`
@@ -29,7 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 #: artifact name -> builder(docs, emb) (documented above)
-_TABLES = ("digests", "bands", "blocks", "centroids", "codes")
+_TABLES = ("digests", "bands", "blocks", "centroids", "codes",
+           "lm_bigrams", "lm_prefixes", "lm_vocab")
 
 
 def write_snapshot(out_dir: str, docs: DataFrame | None = None,
@@ -53,6 +58,11 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("digests", exact_groups(docs))
         _w("bands", banded_signatures(docs, num_hashes=num_hashes,
                                       bands=bands, shingle_n=shingle_n))
+        from .text import bigram_lm_model
+        bgc, prec, vocab = bigram_lm_model(docs)
+        _w("lm_bigrams", bgc)
+        _w("lm_prefixes", prec)
+        _w("lm_vocab", vocab)
     if emb is not None:
         _w("blocks", embedding_block_table(emb, bits=lsh_bits))
         cents = label_centroids(emb)

@@ -415,6 +415,15 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     model tables are vocabulary-/bigram-vocabulary-sized (Zipf-bounded);
     the per-doc join shuffles (digest, id) pairs, with AQE skew-join
     covering the Zipf head."""
+    return bigram_lm_apply(df, bigram_lm_model(df, text_col, id_col),
+                           text_col=text_col, id_col=id_col, k=k)
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str):
+    """Per-doc rolled bigram digests ``(id, __pre, __bg)`` plus the
+    staged token-hash frame — the map-side front half shared by model
+    fitting and application (one md5 per token; bigram keys rolled
+    arithmetically like ``dedup.shingle_hashes``)."""
     from .dedup import MH_PRIME, sh_coeff, token_hash_array
     c0, c1 = sh_coeff(0), sh_coeff(1)
     staged = df.select(F.col(id_col),
@@ -429,27 +438,61 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                   (((F.element_at("__hs", F.col("__i")) * c0) % MH_PRIME
                     + (F.element_at("__hs", F.col("__i") + 1) * c1) % MH_PRIME)
                    % MH_PRIME).alias("__bg")))
-    # ONE corpus-wide count pass: group by (pre, bg); both model tables
-    # (bigram counts, prefix counts) then roll up from that
-    # bigram-vocabulary-sized table (Zipf-bounded) instead of each
-    # taking its own pass over the corpus.  The per-doc attach stays TWO
-    # joins — one on __bg, one on __pre — because the rolled __bg key
-    # can birthday-collide across distinct prefixes (~B^2/2^32 pairs: a
-    # certainty at corpus scale); a single join on __bg alone would
-    # duplicate rows for colliding bigram types.  Counts for colliding
-    # keys merge, which is exactly what the oracle's plain GROUP BY
-    # computes — engine-identical at any collision density.
+    return bg, staged
+
+
+def bigram_lm_model(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Fit the bigram-LM tables ONCE — the snapshot model artifact a
+    continuous pipeline persists and re-applies to later crawls.
+    Returns ``(bg_counts, pre_counts, vocab)`` DataFrames (bigram
+    counts, prefix counts, 1-row vocabulary size).
+
+    ONE corpus-wide count pass: group by (pre, bg); both model tables
+    then roll up from that bigram-vocabulary-sized table (Zipf-bounded)
+    instead of each taking its own pass over the corpus."""
+    bg, staged = _doc_bigrams(df, text_col, id_col)
     pair_counts = (bg.groupBy("__pre", "__bg").agg(F.count("*").alias("__c")))
     bg_counts = pair_counts.groupBy("__bg").agg(F.sum("__c").alias("__cbg"))
     pre_counts = pair_counts.groupBy("__pre").agg(F.sum("__c").alias("__cpre"))
     vocab = (staged.select(F.explode("__hs").alias("__h"))
              .agg(F.count_distinct("__h").alias("__v")))
-    logp = F.log((F.col("__cbg") + F.lit(k))
-                 / (F.col("__cpre") + F.lit(k) * F.col("__v")))
-    return (bg.join(bg_counts, "__bg")
-            .join(pre_counts, "__pre")
-            .crossJoin(F.broadcast(vocab))
-            .groupBy(id_col)
+    return bg_counts, pre_counts, vocab
+
+
+def bigram_lm_apply(df: DataFrame, model, text_col: str = "text",
+                    id_col: str = "doc_id", k: float = 1.0) -> DataFrame:
+    """Score documents under a FITTED bigram model (see
+    ``bigram_lm_model``): per-doc mean ``ln P(w_i | w_{i-1})`` with
+    add-``k`` smoothing; bigrams the model never saw coalesce to count
+    0 (pure smoothing mass), so new crawls score honestly.  Works
+    unchanged on a LIVE stream (stream-static joins against the
+    snapshot model tables; the 1-row vocabulary count is read once
+    driver-side there, since a streaming plan cannot cross-join).
+
+    The per-doc attach stays TWO joins — one on __bg, one on __pre —
+    because the rolled __bg key can birthday-collide across distinct
+    prefixes (~B^2/2^32 pairs: a certainty at corpus scale); a single
+    join on __bg alone would duplicate rows for colliding bigram
+    types.  Counts for colliding keys merge, which is exactly what the
+    oracle's plain GROUP BY computes — engine-identical at any
+    collision density."""
+    bg_counts, pre_counts, vocab = model
+    bg, _ = _doc_bigrams(df, text_col, id_col)
+    if df.isStreaming:
+        v_col = F.lit(vocab.collect()[0][0])
+        attached = bg
+    else:
+        v_col = F.col("__v")
+        attached = None  # cross-join below
+    logp = F.log((F.coalesce(F.col("__cbg"), F.lit(0)) + F.lit(k))
+                 / (F.coalesce(F.col("__cpre"), F.lit(0))
+                    + F.lit(k) * v_col))
+    joined = (bg.join(bg_counts, "__bg", "left")
+              .join(pre_counts, "__pre", "left"))
+    if attached is None:
+        joined = joined.crossJoin(F.broadcast(vocab))
+    return (joined.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg(logp), 6).alias("mean_logp")))
 

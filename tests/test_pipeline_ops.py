@@ -977,8 +977,9 @@ def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
               emb.filter(F.col("vec_id") > cut_e))
 
     written = write_snapshot(str(tmp_path), docs=d1, emb=e1)
-    assert sorted(written) == ["bands", "blocks", "centroids",
-                               "codes", "digests"]
+    assert sorted(written) == ["bands", "blocks", "centroids", "codes",
+                               "digests", "lm_bigrams", "lm_prefixes",
+                               "lm_vocab"]
     snap = read_snapshot(spark, str(tmp_path))
 
     def rows(df):
@@ -1002,6 +1003,12 @@ def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
         emb, ivf_assign(e1, cents).unionByName(ivf_assign(e2, cents)),
         cents, q, k=5)
     assert rows(got) == rows(want)
+    # the persisted LM model scores the SECOND crawl identically to the
+    # inline fit on the first snapshot
+    from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
+    loaded = (snap["lm_bigrams"], snap["lm_prefixes"], snap["lm_vocab"])
+    assert rows(bigram_lm_apply(d2, loaded)) == \
+        rows(bigram_lm_apply(d2, bigram_lm_model(d1)))
 
 
 def test_segment_dedup_drops_repeated_segments(spark):
@@ -1076,3 +1083,27 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     assert (r1.ngram, r2.ngram, r3.ngram) == ("a a", "b a", "b b")
     with pytest.raises(ValueError, match="n >= 1"):
         top_ngrams(df, n=0)
+
+
+def test_bigram_lm_fit_apply_and_unseen_smoothing(spark):
+    import math
+    from scespet_spark.operators.text import (bigram_lm_apply,
+                                              bigram_lm_model,
+                                              bigram_lm_score)
+    fit = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                "doc_id long, text string")
+    model = bigram_lm_model(fit)
+    # V=3 tokens; seen transition a->b: ln((1+1)/(1+1*3)) = ln(1/2)
+    seen = {r.doc_id: r.mean_logp
+            for r in bigram_lm_apply(fit, model).collect()}
+    assert seen[1] == round(math.log(0.5), 6)
+    # a doc of entirely UNSEEN bigrams scores pure smoothing mass:
+    # ln((0+1)/(0+1*3)) per transition
+    new = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    out = bigram_lm_apply(new, model).collect()[0]
+    assert out.n_bigrams == 2
+    assert out.mean_logp == round(math.log(1 / 3), 6)
+    # the composed scorer equals fit+apply on the same corpus
+    a = sorted(map(tuple, bigram_lm_score(fit).collect()))
+    b = sorted(map(tuple, bigram_lm_apply(fit, model).collect()))
+    assert a == b
