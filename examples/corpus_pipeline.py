@@ -60,7 +60,15 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
                                  F.col("clean_text").alias("text")),
                   "doc_id")
             .withColumn("n_chars", F.length("text"))
-            .select("doc_id", "text", "lang", "source", "n_chars"))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            # the deduped+cleaned corpus feeds every downstream stage
+            # (bench/train split, quality, IDF, LM): checkpoint here so
+            # the iterative CC + segment election lineage runs ONCE and
+            # the logical plan TRUNCATES (persist alone keeps the
+            # nested plan growing until codegen/planning itself blows
+            # up) — at a real site this is the post-dedup materialized
+            # table
+            .localCheckpoint())
 
     # 3. decontamination: drop docs overlapping the benchmark set
     #    (pseudo-benchmark: doc_id % 19 == 0)
@@ -88,7 +96,7 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     #      prefix counts, vocabulary) — persist first so those passes
     #      read the filtered corpus, not the whole dedup/CC lineage
     from scespet_spark.operators.text import perplexity_filter
-    train = train.persist()
+    train = train.localCheckpoint()   # truncate before the LM's passes
     lm_kept = perplexity_filter(train, frac=0.05)
     train = train.join(lm_kept.select("doc_id"), "doc_id")
 
@@ -97,9 +105,10 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     train = source_quota_sample(train, quota=200)
 
     # the kept corpus feeds packing (3 references in the final plan) and
-    # the step-7 snapshot builds: persist it so the dedup/filter lineage
-    # runs once, not once per consumer
-    train = train.persist()
+    # the step-7 snapshot builds: checkpoint it so the dedup/filter
+    # lineage runs once, not once per consumer, and downstream plans
+    # start from a flat scan
+    train = train.localCheckpoint()
 
     # 5. pack into 512-token training sequences (concat-and-chunk)
     packed = pack_sequences(train, budget=512)
@@ -133,6 +142,15 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     near = incremental_near_dup(recrawl, None, prior_bands=band_table)
     print(f"second crawl: {recrawl.count()} docs -> "
           f"{fresh.count()} exact-fresh, {near.count()} near-dup suspects")
+
+    # 7b. the snapshot's LM model scores the second crawl without
+    #     re-fitting: unseen transitions fall back to smoothing mass
+    from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
+    lm = tuple(t.persist() for t in bigram_lm_model(train))  # snapshot
+    crawl_scores = bigram_lm_apply(recrawl, lm)
+    n_flagged = crawl_scores.filter(F.col("mean_logp") < -9).count()
+    print(f"snapshot LM flagged {n_flagged} second-crawl docs "
+          f"below the -9 logp floor")
 
     # 8. the embedding index keeps up the same way: the IVF centroids
     #    are the snapshot's model artifact; a new embedding batch

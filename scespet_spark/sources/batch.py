@@ -254,6 +254,24 @@ def write_partitioned(df: DataFrame, path: str, partition_cols=(),
     writer.save(path)
 
 
+def write_jsonl(df: DataFrame, path: str, partition_cols=(),
+                mode: str = "overwrite",
+                max_records_per_file: int = 2_000_000) -> None:
+    """JSON-lines sink — the de-facto LLM training-data interchange
+    format (`load_jsonl` is the matching source).  Same partition
+    clustering and file-size cap as the columnar sink; prefer parquet/
+    ORC for anything re-read by THIS engine (jsonl costs a parse and
+    loses types), jsonl for handing a corpus to external tooling."""
+    w = df
+    if partition_cols:
+        w = w.repartition(*[F.col(c) for c in partition_cols])
+    writer = (w.write.mode(mode)
+              .option("maxRecordsPerFile", str(max_records_per_file)))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.json(path)
+
+
 def load_columnar(spark: SparkSession, path: str, fmt: str = "parquet",
                   t: str = "ts", seq: str | None = None) -> Stream:
     """Event source over a columnar table (parquet or ORC — e.g. a

@@ -632,3 +632,17 @@ def test_ewma_null_group_key_rows_fold_as_own_group(spark):
     # null-key group: y0=10, y1=.5*20+.5*10=15; key-7 group: y0=2, y1=3
     assert out[0] == 10.0 and out[2] == 15.0
     assert out[1] == 2.0 and out[3] == 3.0
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    from scespet_spark.sources.batch import load_jsonl, write_jsonl
+    df = spark.createDataFrame(
+        [(i, i % 2, f"doc {i}", float(i)) for i in range(12)],
+        "ts long, p long, text string, v double")
+    out = str(tmp_path / "jsonl_out")
+    write_jsonl(df, out, partition_cols=("p",))
+    back = load_jsonl(spark, out + "/*/*.json",
+                      schema="ts long, text string, v double")
+    assert back.df.count() == 12
+    assert {r.text for r in back.df.select("text").collect()} == \
+        {f"doc {i}" for i in range(12)}

@@ -80,7 +80,8 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                                                incremental_near_dup,
                                                lsh_candidate_pairs,
                                                minhash_signature,
-                                               ngram_jaccard_pairs, simhash)
+                                               ngram_jaccard_pairs,
+                                               segment_dedup, simhash)
     from scespet_spark.operators.pipeline import decontaminate
     from scespet_spark.operators.similarity import pq_train
     from scespet_spark.operators.text import (bigram_lm_score,
@@ -103,6 +104,9 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             d.filter(F.col("doc_id") % 19 == 0))),
         "pq_train_codes": lambda d, e: noop(pq_train(e)[0]),
         "bigram_lm": lambda d, e: noop(bigram_lm_score(d)),
+        # replicated corpus = adversarial for segment dedup too: every
+        # replica's segments collide into the same digest groups
+        "segment_dedup": lambda d, e: noop(segment_dedup(d)),
         "profile": lambda d, e: noop(profile_columns(d)),
         # replicated corpus = adversarial for incremental dedup: every
         # new-batch doc collides with some prior digest
