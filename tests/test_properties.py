@@ -247,3 +247,35 @@ def test_keymap_zip_and_take_match_model(spark, lev, rev):
                       ls.take(rs, ["xv"], ["yv"], key_map=key_map)
                       .df.collect())
     assert got_take == sorted(take_expect)
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abc"), min_size=0,
+                              max_size=9),
+                     min_size=1, max_size=8),
+       size=st.integers(1, 4))
+@SETTINGS
+def test_segment_dedup_matches_first_occurrence_model(spark, docs, size):
+    """segment_dedup == a direct Python model: segments in (doc_id,
+    seg_idx) order, first occurrence of each segment text wins, docs
+    reassemble from survivors, all-loser docs drop.  Random corpora
+    with tiny alphabets maximize cross-doc segment collisions."""
+    from scespet_spark.operators.dedup import segment_dedup
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # python model
+    seen, want = set(), {}
+    for i, toks in enumerate(docs):
+        if not toks:
+            continue
+        segs = [toks[j:j + size] for j in range(0, len(toks), size)]
+        kept = []
+        for sg in segs:
+            key = " ".join(sg)
+            if key not in seen:
+                seen.add(key)
+                kept.append(key)
+        if kept:
+            want[i] = (" ".join(kept), len(kept), len(segs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_segments)
+           for r in segment_dedup(df, size=size).collect()}
+    assert got == want
