@@ -3757,8 +3757,6 @@ def live_text_bigram_lm(spark, sf_dir):
     model = bigram_lm_model(load_table(spark, sf_dir, "documents"))
     stream = read_table_stream(spark, sf_dir, "documents")
     return run_available_now(bigram_lm_apply(stream, model), "complete")
-
-
 @query("perplexity_filter_docs", f"""
 WITH scores AS ({{lm}}),
 thr AS (SELECT quantile_cont(mean_logp, 0.1) AS t FROM scores)
@@ -3774,6 +3772,31 @@ def perplexity_filter_docs(spark, sf_dir):
     from scespet_spark.operators.text import perplexity_filter
     return perplexity_filter(load_table(spark, sf_dir, "documents"),
                              frac=0.1)
+
+
+@query("live_perplexity_filter", _ORACLES["perplexity_filter_docs"])
+def live_perplexity_filter(spark, sf_dir):
+    """The full CCNet gate on a LIVE crawl: score each arriving doc
+    against the snapshot LM (stream-static, as live_text_bigram_lm) and
+    keep those at/above the snapshot's 10th-percentile threshold — the
+    threshold is the second snapshot artifact (ONE number, computed
+    batch-side with the exact percentile) applied as a map-side filter.
+    Same oracle as perplexity_filter_docs: the stream replays the
+    corpus the model and threshold were fitted on."""
+    from scespet_spark.operators.text import (bigram_lm_apply,
+                                              bigram_lm_model,
+                                              bigram_lm_score)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    model = bigram_lm_model(docs)
+    thr = (bigram_lm_score(docs)
+           .agg(F.percentile(F.col("mean_logp"), F.lit(0.1)))
+           .collect()[0][0])                       # snapshot artifact
+    stream = read_table_stream(spark, sf_dir, "documents")
+    scored = bigram_lm_apply(stream, model)
+    return run_available_now(
+        scored.filter(F.col("mean_logp") >= F.lit(thr)), "complete")
 
 
 _NGRAM_K = 5
@@ -4328,7 +4351,7 @@ _ROUND_CHANGED = [
     # brand-new operators this round: C4-style segment (line-level)
     # dedup, CCNet-style perplexity filtering, per-source n-gram report
     "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
-    "top_ngrams_source", "live_text_bigram_lm",
+    "top_ngrams_source", "live_text_bigram_lm", "live_perplexity_filter",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4364,11 +4387,11 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_zip_click_purchase", "live_map_vector_running",
     "asof_purchase_last_click", "zip_click_purchase",
     "scan_running_sum",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_kept_corpus",
-    # (ann_brute_force_topk / ann_ivf_topk / ann_hard_negatives /
-    # sample_source_quota / text_bigram_lm rotated OUT this round — all
-    # PASS-r4/r5 driver rows — to make window room for the five new r6
-    # operators at the head)
+    "dedup_exact", "dedup_minhash_lsh",
+    # (dedup_kept_corpus / ann_brute_force_topk / ann_ivf_topk /
+    # ann_hard_negatives / sample_source_quota / text_bigram_lm rotated
+    # OUT this round — all PASS-r4/r5 driver rows — to make window room
+    # for the six new r6 operators at the head)
 ]
 
 
