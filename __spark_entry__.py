@@ -3799,6 +3799,25 @@ def live_perplexity_filter(spark, sf_dir):
         scored.filter(F.col("mean_logp") >= F.lit(thr)), "complete")
 
 
+@query("text_collapse_repeats", f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       array_to_string(
+           list_filter(t, (x, i) -> i = 1 OR x <> t[i - 1]), ' ')
+           AS clean_text,
+       CAST(len(t) - len(list_filter(t, (x, i) -> i = 1 OR x <> t[i - 1]))
+            AS BIGINT) AS n_removed
+FROM toks
+""")
+def text_collapse_repeats(spark, sf_dir):
+    """De-repetition cleaning: runs of immediately repeated tokens
+    collapse to one occurrence (generation loops, scraper stutter) —
+    an indexed-lambda array filter, map-only at any scale."""
+    from scespet_spark.operators.text import collapse_repeats
+    return collapse_repeats(load_table(spark, sf_dir, "documents")) \
+        .select("doc_id", "clean_text", "n_removed")
+
+
 _NGRAM_K = 5
 
 
@@ -4352,6 +4371,7 @@ _ROUND_CHANGED = [
     # dedup, CCNet-style perplexity filtering, per-source n-gram report
     "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
     "top_ngrams_source", "live_text_bigram_lm", "live_perplexity_filter",
+    "text_collapse_repeats",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4387,11 +4407,12 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_zip_click_purchase", "live_map_vector_running",
     "asof_purchase_last_click", "zip_click_purchase",
     "scan_running_sum",
-    "dedup_exact", "dedup_minhash_lsh",
-    # (dedup_kept_corpus / ann_brute_force_topk / ann_ivf_topk /
-    # ann_hard_negatives / sample_source_quota / text_bigram_lm rotated
-    # OUT this round — all PASS-r4/r5 driver rows — to make window room
-    # for the six new r6 operators at the head)
+    "dedup_exact",
+    # (dedup_minhash_lsh / dedup_kept_corpus / ann_brute_force_topk /
+    # ann_ivf_topk / ann_hard_negatives / sample_source_quota /
+    # text_bigram_lm rotated OUT this round — all PASS-r4/r5 driver
+    # rows — to make window room for the seven new r6 operators at the
+    # head)
 ]
 
 

@@ -497,6 +497,28 @@ def bigram_lm_apply(df: DataFrame, model, text_col: str = "text",
                  F.round(F.avg(logp), 6).alias("mean_logp")))
 
 
+def collapse_repeats(df: DataFrame, text_col: str = "text",
+                     out_col: str = "clean_text") -> DataFrame:
+    """De-repetition cleaning: collapse every run of immediately
+    repeated tokens to a single occurrence ("the the the" -> "the") —
+    the generation-loop / scraper-stutter artifact filter.  Appends
+    ``out_col`` plus ``n_removed``.
+
+    Pure columnar array expressions (an indexed lambda filter inside
+    whole-stage codegen): map-only, no shuffle, no UDF — cleaning
+    100 TB is scan-speed."""
+    toks = tokens(F.col(text_col))
+    # element_at is 1-based, so element_at(toks, i) with the 0-based
+    # lambda index i IS the previous token; the when() guards index 0
+    # (element_at(_, 0) raises — SQL arrays are 1-based)
+    kept = F.filter(toks, lambda x, i: F.when(i == 0, F.lit(True))
+                    .otherwise(x != F.element_at(toks, i)))
+    return df.withColumns({
+        out_col: F.array_join(kept, " "),
+        "n_removed": (F.size(toks) - F.size(kept)).cast("long"),
+    })
+
+
 def perplexity_filter(df: DataFrame, frac: float = 0.1,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: float = 1.0, approx: bool = False) -> DataFrame:

@@ -1107,3 +1107,15 @@ def test_bigram_lm_fit_apply_and_unseen_smoothing(spark):
     a = sorted(map(tuple, bigram_lm_score(fit).collect()))
     b = sorted(map(tuple, bigram_lm_apply(fit, model).collect()))
     assert a == b
+
+
+def test_collapse_repeats_runs_and_identity(spark):
+    from scespet_spark.operators.text import collapse_repeats
+    df = spark.createDataFrame(
+        [(1, "the the the cat sat sat"), (2, "a b c"), (3, ""),
+         (4, "x x x x x")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in collapse_repeats(df).collect()}
+    assert out == {1: ("the cat sat", 3), 2: ("a b c", 0), 3: ("", 0),
+                   4: ("x", 4)}
