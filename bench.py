@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_segments",
     "perplexity_filter_docs",
     "top_ngrams_source",
+    "text_collapse_repeats",
 ]
 
 
