@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Live-mode throughput harness: replicate the synthetic corpus, stage
+it as K parquet drops, and run the streaming pipeline operators over
+the drops with ``maxFilesPerTrigger=1`` — measuring end-to-end rows/sec
+and per-micro-batch latency for the state-store-backed family.
+
+The numbers answer the 100 TB question for the LIVE path: does
+per-micro-batch cost stay flat as state accumulates across drops
+(bounded-state design working), and what fixed latency does a
+micro-batch carry (the floor for crawl-drop cadence)?
+
+Run: python tools/stream_throughput.py [sf_dir] [mult] [n_drops]
+Default: /root/testdata/sf0.1, 4x corpus, 8 drops.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scespet_spark import get_spark  # noqa: E402
+
+
+def stage_drops(spark, sf_dir, mult, n_drops):
+    """Corpus replicated ``mult`` ways, split into ``n_drops``
+    single-file parquet drops with strictly increasing mtimes (the file
+    source orders drops by mtime)."""
+    stage = os.path.join(tempfile.gettempdir(), "stream_tp_src")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (docs.crossJoin(spark.range(mult).select(F.col("id").alias("rep")))
+           .select((F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+                   "text", "lang", "source", "n_chars"))
+    now = time.time()
+    n_rows = 0
+    for i in range(n_drops):
+        part = big.filter(F.pmod(F.col("doc_id"), F.lit(n_drops)) == i)
+        d = os.path.join(stage, f"b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"drop_{i:03d}.parquet")
+        os.replace(os.path.join(d, f), dst)
+        shutil.rmtree(d)
+        os.utime(dst, (now - 1000 + i, now - 1000 + i))
+        n_rows += spark.read.parquet(dst).count()
+    return stage, n_rows
+
+
+def run_stream(spark, build, src, n_rows, label, mode="append"):
+    """Run one streaming op over the staged drops (availableNow) and
+    report wall, rows/sec, and first/last micro-batch durations."""
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = build(stream)
+    ckpt = tempfile.mkdtemp(prefix=f"stream_tp_{label}_")
+    t0 = time.time()
+    q = (out.writeStream.format("noop")
+         .option("checkpointLocation", ckpt)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    per_batch = [p["durationMs"]["triggerExecution"] / 1000
+                 for p in q.recentProgress if p["numInputRows"] > 0]
+    shutil.rmtree(ckpt, ignore_errors=True)
+    if per_batch:
+        print(f"  {label}: {wall:.1f}s total, {n_rows / wall:,.0f} rows/s, "
+              f"{len(per_batch)} batches, first {per_batch[0]:.2f}s "
+              f"last {per_batch[-1]:.2f}s")
+    else:
+        print(f"  {label}: {wall:.1f}s (no batch progress)")
+    return wall, per_batch
+
+
+def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
+    mult, n_drops = int(mult), int(n_drops)
+    spark = get_spark(app_name="stream-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+    src, n_rows = stage_drops(spark, sf_dir, mult, n_drops)
+    print(f"== {n_rows} docs across {n_drops} drops ({mult}x sf corpus) ==")
+
+    from scespet_spark.operators.dedup import segment_digests
+    from scespet_spark.operators.hashing import h64
+    from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
+    from scespet_spark.streaming.live import first_wins
+
+    def exact_dedup(stream):
+        return (stream.select(h64(F.col("text")).alias("content_hash"))
+                .dropDuplicates(["content_hash"]))
+
+    def segment_election(stream):
+        segs = (segment_digests(stream, size=10)
+                .select("doc_id",
+                        F.col("seg_idx").cast("long").alias("seg_idx"),
+                        F.col("__d").alias("segment_hash")))
+        return first_wins(segs, ["segment_hash"], ["doc_id", "seg_idx"],
+                          ["doc_id", "seg_idx"])
+
+    model = tuple(t.persist() for t in bigram_lm_model(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    for t in model:
+        t.count()
+
+    def lm_scoring(stream):
+        return bigram_lm_apply(stream, model)
+
+    results = {}
+    for label, build, mode in [("exact_dedup", exact_dedup, "append"),
+                               ("segment_election", segment_election,
+                                "append"),
+                               ("lm_scoring", lm_scoring, "complete")]:
+        results[label] = run_stream(spark, build, src, n_rows, label, mode)
+    shutil.rmtree(src, ignore_errors=True)
+    return results
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
