@@ -4215,6 +4215,39 @@ def dedup_segments(spark, sf_dir):
                          size=_SEG_SIZE)
 
 
+@query("dedup_incremental_segments", f"""
+WITH {_SEG_CTES},
+h AS (SELECT doc_id, seg_idx, seg, {h64_sql('seg')} AS d FROM seg),
+pri AS (SELECT DISTINCT d FROM h WHERE doc_id % 3 = 0),
+neu AS (SELECT * FROM h WHERE doc_id % 3 <> 0
+        AND d NOT IN (SELECT d FROM pri)),
+w AS (SELECT *, row_number() OVER (PARTITION BY d
+                                   ORDER BY doc_id, seg_idx) AS rk
+      FROM neu),
+tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg
+        WHERE doc_id % 3 <> 0 GROUP BY doc_id)
+SELECT w.doc_id,
+       string_agg(w.seg, ' ' ORDER BY w.seg_idx) AS clean_text,
+       COUNT(*) AS n_kept,
+       CAST(any_value(tot.n_segments) AS BIGINT) AS n_segments
+FROM w JOIN tot ON w.doc_id = tot.doc_id
+WHERE w.rk = 1
+GROUP BY w.doc_id
+""")
+def dedup_incremental_segments(spark, sf_dir):
+    """Cross-snapshot segment dedup: a new crawl batch
+    (doc_id % 3 != 0) cleaned against the prior corpus's segment-digest
+    table (doc_id % 3 == 0) — digest-vs-digest shuffle anti-join,
+    neither side broadcast, then the ints-only within-batch election.
+    Completes the incremental family: exact, near, embedding,
+    segments."""
+    from scespet_spark.operators.dedup import incremental_segment_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_segment_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        prior=docs.filter(F.col("doc_id") % 3 == 0), size=_SEG_SIZE)
+
+
 _MIX_W = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1,
           "src4": 0.1}
 _MIX_N = 120
@@ -4371,7 +4404,7 @@ _ROUND_CHANGED = [
     # dedup, CCNet-style perplexity filtering, per-source n-gram report
     "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
     "top_ngrams_source", "live_text_bigram_lm", "live_perplexity_filter",
-    "text_collapse_repeats",
+    "text_collapse_repeats", "dedup_incremental_segments",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4407,12 +4440,11 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_zip_click_purchase", "live_map_vector_running",
     "asof_purchase_last_click", "zip_click_purchase",
     "scan_running_sum",
-    "dedup_exact",
-    # (dedup_minhash_lsh / dedup_kept_corpus / ann_brute_force_topk /
-    # ann_ivf_topk / ann_hard_negatives / sample_source_quota /
-    # text_bigram_lm rotated OUT this round — all PASS-r4/r5 driver
-    # rows — to make window room for the seven new r6 operators at the
-    # head)
+    # (dedup_exact / dedup_minhash_lsh / dedup_kept_corpus /
+    # ann_brute_force_topk / ann_ivf_topk / ann_hard_negatives /
+    # sample_source_quota / text_bigram_lm rotated OUT this round — all
+    # PASS-r4/r5 driver rows — to make window room for the eight new r6
+    # operators at the head)
 ]
 
 

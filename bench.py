@@ -84,6 +84,7 @@ HEADLINE = [
     "perplexity_filter_docs",
     "top_ngrams_source",
     "text_collapse_repeats",
+    "dedup_incremental_segments",
 ]
 
 

@@ -157,6 +157,54 @@ def segment_dedup(df: DataFrame, size: int = 10,
                      .alias("n_segments")))
 
 
+def incremental_segment_dedup(new: DataFrame,
+                              prior: DataFrame | None = None,
+                              prior_segments: DataFrame | None = None,
+                              size: int = 10, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Cross-snapshot segment (line-level) dedup: clean a NEW crawl
+    batch against the segments already kept in a PRIOR corpus — the
+    per-crawl form of ``segment_dedup``.  A new segment survives iff
+    its digest is absent from the prior segment-digest table AND it
+    wins the within-batch first-occurrence election.  Returns the same
+    ``(id, clean_text, n_kept, n_segments)`` shape as ``segment_dedup``
+    (docs losing every segment drop).
+
+    Pass ``prior_segments`` (a ``__d``-digest column table — the
+    materialized snapshot artifact, see snapshot.py) to skip
+    re-segmenting the prior corpus; ``prior`` re-derives it from text.
+
+    Scale shape: the anti-join is digest-vs-digest (shuffle hash, both
+    sides int-only, neither broadcast — a billion-row crawl against a
+    100 TB corpus's segment table); the within-batch election and
+    reassembly follow ``segment_dedup``'s ints-only design."""
+    if (prior is None) == (prior_segments is None):
+        raise ValueError("pass exactly one of prior / prior_segments")
+    if prior_segments is None:
+        prior_segments = segment_digests(prior, size, text_col, id_col)
+    pri = prior_segments.select("__d").distinct()
+    segs = segment_digests(new, size, text_col, id_col)
+    winners = (segs.join(pri, "__d", "left_anti")
+               .groupBy("__d")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("seg_idx").alias("s"))).alias("__w"))
+               .select(F.col("__w.i").alias(id_col),
+                       F.col("__w.s").alias("seg_idx")))
+    kept = (winners.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("seg_idx")).alias("__keep")))
+    toks = tokens(F.col(text_col))
+    rebuilt = F.array_join(
+        F.transform(F.col("__keep"),
+                    lambda i: F.array_join(
+                        F.slice(tokens(F.col(text_col)), i * size + 1, size),
+                        " ")), " ")
+    return (new.join(kept, id_col)
+            .select(id_col, rebuilt.alias("clean_text"),
+                    F.size("__keep").cast("long").alias("n_kept"),
+                    F.ceil(F.size(toks) / F.lit(size)).cast("long")
+                     .alias("n_segments")))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct, as strings) of a text column.
     Human-readable form — the dedup hot paths use ``shingle_hashes``,

@@ -10,6 +10,9 @@ One snapshot =
   * ``blocks``    — the sign-LSH embedding block table
                     (`dedup.embedding_block_table`), the prior side of
                     `incremental_embedding_near_dup`;
+  * ``segments``  — the segment-digest table (`dedup.segment_digests`,
+                    distinct ``__d``), the prior side of
+                    `incremental_segment_dedup`;
   * ``lm_bigrams`` / ``lm_prefixes`` / ``lm_vocab`` — the fitted
                     bigram-LM model tables (`text.bigram_lm_model`),
                     applied to later crawls (batch or live stream) by
@@ -34,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 #: artifact name -> builder(docs, emb) (documented above)
 _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
-           "lm_bigrams", "lm_prefixes", "lm_vocab")
+           "segments", "lm_bigrams", "lm_prefixes", "lm_vocab")
 
 
 def write_snapshot(out_dir: str, docs: DataFrame | None = None,
@@ -58,6 +61,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("digests", exact_groups(docs))
         _w("bands", banded_signatures(docs, num_hashes=num_hashes,
                                       bands=bands, shingle_n=shingle_n))
+        from .dedup import segment_digests
+        _w("segments", segment_digests(docs).select("__d").distinct())
         from .text import bigram_lm_model
         bgc, prec, vocab = bigram_lm_model(docs)
         _w("lm_bigrams", bgc)

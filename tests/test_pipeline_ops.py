@@ -979,7 +979,7 @@ def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
     written = write_snapshot(str(tmp_path), docs=d1, emb=e1)
     assert sorted(written) == ["bands", "blocks", "centroids", "codes",
                                "digests", "lm_bigrams", "lm_prefixes",
-                               "lm_vocab"]
+                               "lm_vocab", "segments"]
     snap = read_snapshot(spark, str(tmp_path))
 
     def rows(df):
@@ -1003,6 +1003,12 @@ def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
         emb, ivf_assign(e1, cents).unionByName(ivf_assign(e2, cents)),
         cents, q, k=5)
     assert rows(got) == rows(want)
+    # the persisted segment-digest table cleans the second crawl
+    # identically to re-deriving it from the prior corpus's text
+    from scespet_spark.operators.dedup import incremental_segment_dedup
+    assert rows(incremental_segment_dedup(
+        d2, prior_segments=snap["segments"])) == \
+        rows(incremental_segment_dedup(d2, prior=d1))
     # the persisted LM model scores the SECOND crawl identically to the
     # inline fit on the first snapshot
     from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
@@ -1119,3 +1125,28 @@ def test_collapse_repeats_runs_and_identity(spark):
            for r in collapse_repeats(df).collect()}
     assert out == {1: ("the cat sat", 3), 2: ("a b c", 0), 3: ("", 0),
                    4: ("x", 4)}
+
+
+def test_incremental_segment_dedup_prior_and_batch_election(spark):
+    from scespet_spark.operators.dedup import (incremental_segment_dedup,
+                                               segment_digests)
+    prior = spark.createDataFrame([(100, "a b c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a b c x y z"),   # first segment known to the prior corpus
+         (2, "x y z"),         # loses to doc 1's within-batch claim
+         (3, "a b c")],        # fully prior-duplicate -> drops
+        "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_segments)
+           for r in incremental_segment_dedup(new, prior=prior,
+                                              size=3).collect()}
+    assert out == {1: ("x y z", 1, 2)}
+    # the materialized digest-table path is row-identical
+    tab = segment_digests(prior, 3).select("__d").distinct()
+    out2 = {r.doc_id: (r.clean_text, r.n_kept, r.n_segments)
+            for r in incremental_segment_dedup(new, prior_segments=tab,
+                                               size=3).collect()}
+    assert out2 == out
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_segment_dedup(new)
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_segment_dedup(new, prior=prior, prior_segments=tab)
