@@ -4248,6 +4248,45 @@ def dedup_incremental_segments(spark, sf_dir):
         prior=docs.filter(F.col("doc_id") % 3 == 0), size=_SEG_SIZE)
 
 
+@query("live_incremental_segments", f"""
+WITH {_SEG_CTES},
+h AS (SELECT doc_id, seg_idx, {h64_sql('seg')} AS segment_hash FROM seg),
+pri AS (SELECT DISTINCT segment_hash FROM h WHERE doc_id % 3 = 0),
+neu AS (SELECT * FROM h WHERE doc_id % 3 <> 0
+        AND segment_hash NOT IN (SELECT segment_hash FROM pri)),
+w AS (SELECT *, row_number() OVER (PARTITION BY segment_hash
+                                   ORDER BY doc_id, seg_idx) AS rk
+      FROM neu)
+SELECT doc_id, seg_idx, segment_hash FROM w WHERE rk = 1
+""")
+def live_incremental_segments(spark, sf_dir):
+    """The continuous-build segment probe on a LIVE crawl: arriving
+    docs explode to segment digests map-side, the prior snapshot's
+    digest table suppresses known boilerplate via a stream-static
+    anti-join, and ``first_wins`` elects each novel digest's winner
+    across micro-batches.  Single-drop source = row-identical to the
+    batch anti-join election (the oracle)."""
+    from scespet_spark.operators.dedup import segment_digests
+    from scespet_spark.streaming.live import (first_wins,
+                                              read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    prior = (segment_digests(docs.filter(F.col("doc_id") % 3 == 0),
+                             size=_SEG_SIZE)
+             .select("__d").distinct())                # snapshot artifact
+    stream = read_table_stream(spark, sf_dir, "documents")
+    segs = (segment_digests(stream.filter(F.col("doc_id") % 3 != 0),
+                            size=_SEG_SIZE)
+            .join(prior, "__d", "left_anti")
+            .select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"),
+                    F.col("__d").alias("segment_hash")))
+    out = first_wins(segs, keys=["segment_hash"],
+                     order_cols=["doc_id", "seg_idx"],
+                     payload_cols=["doc_id", "seg_idx"])
+    return run_available_now(out, "append").select(
+        "doc_id", "seg_idx", "segment_hash")
+
+
 _MIX_W = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.1,
           "src4": 0.1}
 _MIX_N = 120
@@ -4405,6 +4444,7 @@ _ROUND_CHANGED = [
     "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
     "top_ngrams_source", "live_text_bigram_lm", "live_perplexity_filter",
     "text_collapse_repeats", "dedup_incremental_segments",
+    "live_incremental_segments",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4439,7 +4479,8 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_trigger_stream_slice", "live_asof_purchase_last_click",
     "live_zip_click_purchase", "live_map_vector_running",
     "asof_purchase_last_click", "zip_click_purchase",
-    "scan_running_sum",
+    # (scan_running_sum also rotated out: PASS-r4/r5; the scan family
+    # keeps live_scan_running_sum in the head)
     # (dedup_exact / dedup_minhash_lsh / dedup_kept_corpus /
     # ann_brute_force_topk / ann_ivf_topk / ann_hard_negatives /
     # sample_source_quota / text_bigram_lm rotated OUT this round — all

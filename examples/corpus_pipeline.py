@@ -143,6 +143,15 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     print(f"second crawl: {recrawl.count()} docs -> "
           f"{fresh.count()} exact-fresh, {near.count()} near-dup suspects")
 
+    # 7a. segment-level continuation: the snapshot's segment-digest
+    #     table suppresses boilerplate the kept corpus already carries
+    from scespet_spark.operators.dedup import (incremental_segment_dedup,
+                                               segment_digests)
+    seg_table = segment_digests(train).select("__d").distinct().persist()
+    seg_clean = incremental_segment_dedup(recrawl, prior_segments=seg_table)
+    print(f"segment probe: {seg_clean.count()} second-crawl docs keep "
+          f"novel text after snapshot-segment suppression")
+
     # 7b. the snapshot's LM model scores the second crawl without
     #     re-fitting: unseen transitions fall back to smoothing mass
     from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
