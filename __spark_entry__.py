@@ -4134,6 +4134,62 @@ def dedup_incremental_near(spark, sf_dir):
                                 docs.filter(F.col("doc_id") % 3 == 0))
 
 
+def _winnow_ctes(n=3, w=4):
+    from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
+    terms = " + ".join(
+        f"(coalesce(hs[i + {j}], 0) * {sh_coeff(j)}) % {MH_PRIME}"
+        for j in range(n))
+    return f"""
+hs AS (SELECT doc_id,
+              list_transform({_TOKS},
+                             x -> {h64_sql('x')} % {MH_PRIME}) AS hs
+       FROM documents),
+sh AS (SELECT doc_id,
+              list_transform(generate_series(1, greatest(len(hs) - {n - 1}, 1)),
+                             i -> ({terms}) % {MH_PRIME}) AS sh
+       FROM hs),
+fp AS (SELECT doc_id, unnest(
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(sh) - {w - 1}, 1)),
+               i -> list_aggregate(sh[i:i + {w - 1}], 'min')))) AS fingerprint
+       FROM sh)
+"""
+
+
+@query("text_winnow_fingerprints", f"""
+WITH {_winnow_ctes()}
+SELECT doc_id, fingerprint FROM fp
+""")
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: min shingle digest per sliding
+    window, distinct per doc — any shared passage of >= window +
+    shingle_n - 1 tokens is guaranteed a shared fingerprint at ~2/(w+1)
+    the storage; map-side codegen arithmetic end-to-end."""
+    from scespet_spark.operators.dedup import winnow_fingerprints
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_winnow_pairs", f"""
+WITH {_winnow_ctes()},
+rare AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+         HAVING COUNT(DISTINCT doc_id) <= 100),
+j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b USING (fingerprint)
+      JOIN rare USING (fingerprint)
+      WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, COUNT(*) AS n_shared
+FROM j GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+""")
+def dedup_winnow_pairs(spark, sf_dir):
+    """Passage-overlap candidates: docs sharing >= 2 winnowed
+    fingerprints (one copied paragraph inside otherwise-different docs
+    — the case whole-doc MinHash misses).  Fingerprint equi-join,
+    linear in overlap density; ubiquitous fingerprints (doc-freq >
+    max_df) dropped first, the MOSS boilerplate cap."""
+    from scespet_spark.operators.dedup import winnow_overlap_pairs
+    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
 _SEG_SIZE = 10
 
 _SEG_CTES = f"""
@@ -4444,7 +4500,8 @@ _ROUND_CHANGED = [
     "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
     "top_ngrams_source", "live_text_bigram_lm", "live_perplexity_filter",
     "text_collapse_repeats", "dedup_incremental_segments",
-    "live_incremental_segments",
+    "live_incremental_segments", "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4478,9 +4535,9 @@ _PRIORITY = _ROUND_CHANGED + [
     "keymap_take_region_value", "live_window_gated_reduce",
     "live_trigger_stream_slice", "live_asof_purchase_last_click",
     "live_zip_click_purchase", "live_map_vector_running",
-    "asof_purchase_last_click", "zip_click_purchase",
-    # (scan_running_sum also rotated out: PASS-r4/r5; the scan family
-    # keeps live_scan_running_sum in the head)
+    # (asof_purchase_last_click / zip_click_purchase /
+    # scan_running_sum also rotated out: PASS-r4/r5; their families
+    # keep live_* representatives in the head)
     # (dedup_exact / dedup_minhash_lsh / dedup_kept_corpus /
     # ann_brute_force_topk / ann_ivf_topk / ann_hard_negatives /
     # sample_source_quota / text_bigram_lm rotated OUT this round — all

@@ -85,6 +85,8 @@ HEADLINE = [
     "top_ngrams_source",
     "text_collapse_repeats",
     "dedup_incremental_segments",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -270,6 +270,87 @@ def shingle_hashes(hs_col: Column, n: int = 3) -> Column:
             digest))
 
 
+def _positional_shingles(hs_col: Column, n: int) -> Column:
+    """Positional (non-distinct) shingle digest sequence — shared by
+    winnowing, which needs window positions, unlike the distinct-set
+    form ``shingle_hashes`` feeds minhash."""
+    def digest(i: Column) -> Column:
+        acc = None
+        for j in range(n):
+            t = (F.coalesce(F.try_element_at(hs_col, i + j), F.lit(0))
+                 * sh_coeff(j)) % MH_PRIME
+            acc = t if acc is None else acc + t
+        return acc % MH_PRIME
+
+    return F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size(hs_col) - (n - 1), F.lit(1))),
+        digest)
+
+
+def winnow_fingerprints(df: DataFrame, shingle_n: int = 3, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS sketch): the min shingle digest of every ``window``-length
+    sliding window over the positional shingle sequence, deduplicated —
+    guarantees any shared passage of >= window+shingle_n-1 tokens
+    between two documents shares at least one selected fingerprint,
+    while storing only ~2/(window+1) of the shingles.  Returns
+    ``(id_col, fingerprint)`` rows.
+
+    Pure codegen array arithmetic map-side (one md5 per token; shingle
+    and window selection are rolled 64-bit ops); the output is a
+    fingerprint table ~corpus_tokens * 2/(window+1) rows of ints."""
+    if shingle_n < 1 or window < 1:
+        raise ValueError("need shingle_n >= 1 and window >= 1")
+    # STAGE the shingle array as a bound column before the window
+    # transform references it O(len) times: inlined, Catalyst would
+    # rebuild the whole shingle array per window position — a quadratic
+    # per-doc blowup (measured 46s -> 1.4s at sf0.01)
+    staged = (_spread(df.select(F.col(id_col), F.col(text_col)))
+              .select(id_col,
+                      token_hash_array(F.col(text_col)).alias("__hs"))
+              .select(id_col,
+                      _positional_shingles(F.col("__hs"), shingle_n)
+                      .alias("__sh")))
+    wins = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__sh") - (window - 1),
+                                        F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("__sh"), i, window))))
+    return staged.select(id_col, F.explode(wins).alias("fingerprint"))
+
+
+def winnow_overlap_pairs(df: DataFrame, min_shared: int = 2,
+                         max_df: int = 100, shingle_n: int = 3,
+                         window: int = 4, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Passage-overlap candidate pairs via shared winnowed
+    fingerprints: docs sharing >= ``min_shared`` selected fingerprints
+    — the partial-plagiarism / passage-contamination complement to
+    whole-document MinHash (which needs global similarity; winnowing
+    catches ONE copied paragraph inside otherwise-different docs).
+
+    Scale shape: the pair generation is a fingerprint equi-join —
+    linear in overlap density, never all-pairs — and ``max_df`` drops
+    fingerprints carried by more than that many docs FIRST (ubiquitous
+    boilerplate would otherwise quadratically explode the hot digests;
+    the same cap MOSS applies).  Returns (id_a, id_b, n_shared)."""
+    fp = winnow_fingerprints(df, shingle_n, window, text_col, id_col)
+    rare = (fp.groupBy("fingerprint")
+            .agg(F.count_distinct(id_col).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint"))
+    fp = fp.join(rare, "fingerprint")
+    a = fp.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
+    b = fp.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
+    return (a.join(b, "fingerprint")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 16, shingle_n: int = 3,
                       id_col: str = "doc_id") -> DataFrame:

@@ -1150,3 +1150,31 @@ def test_incremental_segment_dedup_prior_and_batch_election(spark):
         incremental_segment_dedup(new)
     with pytest.raises(ValueError, match="exactly one"):
         incremental_segment_dedup(new, prior=prior, prior_segments=tab)
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    from scespet_spark.operators.dedup import (winnow_fingerprints,
+                                               winnow_overlap_pairs)
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "one two three " + passage + " four five six"),
+        (2, "seven eight " + passage + " nine ten eleven twelve"),
+        (3, "totally unrelated words without any overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # winnowing guarantee: a shared run of >= window + shingle_n - 1
+    # = 6 tokens forces >= 1 shared selected fingerprint
+    fp = winnow_fingerprints(df, shingle_n=3, window=4)
+    by_doc = {i: {r.fingerprint for r in fp.filter(F.col("doc_id") == i)
+                  .collect()} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in winnow_overlap_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    # max_df boilerplate cap: a fingerprint in every doc generates no pairs
+    allsame = spark.createDataFrame(
+        [(i, passage) for i in range(4)], "doc_id long, text string")
+    assert winnow_overlap_pairs(allsame, min_shared=1, max_df=2).count() == 0
+    with pytest.raises(ValueError, match="shingle_n"):
+        winnow_fingerprints(df, shingle_n=0)
