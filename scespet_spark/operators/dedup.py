@@ -137,7 +137,6 @@ def segment_dedup(df: DataFrame, size: int = 10,
     """
     if size < 1:
         raise ValueError("segment size must be >= 1")
-    toks = tokens(F.col(text_col))
     winners = (segment_digests(df, size, text_col, id_col).groupBy("__d")
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                    F.col("seg_idx").alias("s"))).alias("__w"))
@@ -145,16 +144,28 @@ def segment_dedup(df: DataFrame, size: int = 10,
                        F.col("__w.s").alias("seg_idx")))
     kept = (winners.groupBy(id_col)
             .agg(F.sort_array(F.collect_list("seg_idx")).alias("__keep")))
+    return _rebuild_from_kept(df.join(kept, id_col), size, text_col, id_col)
+
+
+def _rebuild_from_kept(joined: DataFrame, size: int, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Reassemble survivor text from a kept-seg_idx list map-side.  The
+    token array is STAGED as a bound column first: referenced unbound
+    inside the per-index transform lambda, Catalyst would re-split the
+    document text once per kept segment (the quadratic inlining blowup
+    measured 15x on winnowing)."""
+    staged = joined.select(id_col, "__keep",
+                           tokens(F.col(text_col)).alias("__toks"))
     rebuilt = F.array_join(
         F.transform(F.col("__keep"),
                     lambda i: F.array_join(
-                        F.slice(tokens(F.col(text_col)), i * size + 1, size),
-                        " ")), " ")
-    return (df.join(kept, id_col)
-            .select(id_col, rebuilt.alias("clean_text"),
-                    F.size("__keep").cast("long").alias("n_kept"),
-                    F.ceil(F.size(toks) / F.lit(size)).cast("long")
-                     .alias("n_segments")))
+                        F.slice(F.col("__toks"), i * size + 1, size), " ")),
+        " ")
+    return staged.select(
+        id_col, rebuilt.alias("clean_text"),
+        F.size("__keep").cast("long").alias("n_kept"),
+        F.ceil(F.size("__toks") / F.lit(size)).cast("long")
+         .alias("n_segments"))
 
 
 def incremental_segment_dedup(new: DataFrame,
@@ -192,17 +203,8 @@ def incremental_segment_dedup(new: DataFrame,
                        F.col("__w.s").alias("seg_idx")))
     kept = (winners.groupBy(id_col)
             .agg(F.sort_array(F.collect_list("seg_idx")).alias("__keep")))
-    toks = tokens(F.col(text_col))
-    rebuilt = F.array_join(
-        F.transform(F.col("__keep"),
-                    lambda i: F.array_join(
-                        F.slice(tokens(F.col(text_col)), i * size + 1, size),
-                        " ")), " ")
-    return (new.join(kept, id_col)
-            .select(id_col, rebuilt.alias("clean_text"),
-                    F.size("__keep").cast("long").alias("n_kept"),
-                    F.ceil(F.size(toks) / F.lit(size)).cast("long")
-                     .alias("n_segments")))
+    return _rebuild_from_kept(new.join(kept, id_col), size, text_col,
+                              id_col)
 
 
 def shingles(col: Column, n: int = 3) -> Column:

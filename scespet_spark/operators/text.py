@@ -507,16 +507,21 @@ def collapse_repeats(df: DataFrame, text_col: str = "text",
     Pure columnar array expressions (an indexed lambda filter inside
     whole-stage codegen): map-only, no shuffle, no UDF — cleaning
     100 TB is scan-speed."""
-    toks = tokens(F.col(text_col))
+    # STAGE the token array as a bound column: referenced unbound
+    # inside the indexed filter lambda, Catalyst would re-split the
+    # text once per token (the quadratic inlining blowup measured 15x
+    # on winnowing)
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
     # element_at is 1-based, so element_at(toks, i) with the 0-based
     # lambda index i IS the previous token; the when() guards index 0
     # (element_at(_, 0) raises — SQL arrays are 1-based)
-    kept = F.filter(toks, lambda x, i: F.when(i == 0, F.lit(True))
-                    .otherwise(x != F.element_at(toks, i)))
-    return df.withColumns({
+    kept = F.filter(F.col("__toks"),
+                    lambda x, i: F.when(i == 0, F.lit(True))
+                    .otherwise(x != F.element_at(F.col("__toks"), i)))
+    return (staged.withColumns({
         out_col: F.array_join(kept, " "),
-        "n_removed": (F.size(toks) - F.size(kept)).cast("long"),
-    })
+        "n_removed": (F.size("__toks") - F.size(kept)).cast("long"),
+    }).drop("__toks"))
 
 
 def perplexity_filter(df: DataFrame, frac: float = 0.1,
