@@ -4056,6 +4056,33 @@ def decontaminate_eval_overlap(spark, sf_dir):
                          docs.filter(F.col("doc_id") % 19 == 0))
 
 
+@query("contamination_fraction_docs", f"""
+WITH hs AS (SELECT doc_id,
+                   list_transform({_TOKS},
+                                  x -> {{h64x}} % {{p}}) AS hs
+            FROM documents),
+sh AS (SELECT doc_id, {_shingle_hash_sql()} AS s FROM hs),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 19 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 19 <> 0)
+SELECT tr.doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_hit,
+       round(CAST(SUM(CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_contaminated
+FROM tr LEFT JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id
+""".format(h64x=h64_sql('x'), p=2**31 - 1))
+def contamination_fraction_docs(spark, sf_dir):
+    """Graded contamination: per-doc fraction of distinct 3-grams
+    shared with the benchmark set (the GPT-3/PaLM overlap metric) for
+    EVERY training doc — broadcast digest set, one map-side corpus
+    pass, hit and total counts in the same aggregate."""
+    from scespet_spark.operators.pipeline import contamination_fraction
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_fraction(docs.filter(F.col("doc_id") % 19 != 0),
+                                  docs.filter(F.col("doc_id") % 19 == 0))
+
+
 @query("live_decontaminate", _ORACLES["decontaminate_eval_overlap"])
 def live_decontaminate(spark, sf_dir):
     """Decontamination on a LIVE crawl stream: the benchmark digest set
@@ -4501,7 +4528,7 @@ _ROUND_CHANGED = [
     "top_ngrams_source", "live_text_bigram_lm", "live_perplexity_filter",
     "text_collapse_repeats", "dedup_incremental_segments",
     "live_incremental_segments", "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
+    "dedup_winnow_pairs", "contamination_fraction_docs",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4534,8 +4561,9 @@ _PRIORITY = _ROUND_CHANGED + [
     "zip_keymap_region_value",
     "keymap_take_region_value", "live_window_gated_reduce",
     "live_trigger_stream_slice", "live_asof_purchase_last_click",
-    "live_zip_click_purchase", "live_map_vector_running",
-    # (asof_purchase_last_click / zip_click_purchase /
+    "live_zip_click_purchase",
+    # (live_map_vector_running / asof_purchase_last_click /
+    # zip_click_purchase /
     # scan_running_sum also rotated out: PASS-r4/r5; their families
     # keep live_* representatives in the head)
     # (dedup_exact / dedup_minhash_lsh / dedup_kept_corpus /

@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_incremental_segments",
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "contamination_fraction_docs",
 ]
 
 

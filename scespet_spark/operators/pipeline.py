@@ -58,6 +58,44 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
             .agg(F.count("*").alias("n_hit_ngrams")))
 
 
+def contamination_fraction(train: DataFrame, eval_df: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           shingle_n: int = 3) -> DataFrame:
+    """Graded contamination: per-doc FRACTION of distinct word
+    ``shingle_n``-grams shared with the evaluation set (the overlap
+    metric GPT-3/PaLM-style contamination reports use), for every
+    training doc — 0.0 when clean.  Returns
+    ``(id_col, n_ngrams, n_hit, frac_contaminated)``; thresholding
+    beats ``decontaminate``'s any-hit flag when benchmarks share
+    common phrases with genuinely clean text.
+
+    Same scale shape as ``decontaminate``: the eval side collapses to
+    a broadcast digest set (benchmark-sized ints) and the corpus makes
+    one map-side pass — its per-doc distinct-gram count and hit count
+    ride the same aggregate, so the corpus text never shuffles."""
+    from .dedup import _spread, shingle_hashes, token_hash_array
+    ev = (eval_df.select(token_hash_array(F.col(text_col)).alias("__hs"))
+          .select(F.explode(shingle_hashes(F.col("__hs"),
+                                           shingle_n)).alias("__g"))
+          .distinct())
+    tr = (_spread(train)
+          .select(F.col(id_col),
+                  token_hash_array(F.col(text_col)).alias("__hs"))
+          .select(id_col,
+                  F.explode(shingle_hashes(F.col("__hs"),
+                                           shingle_n)).alias("__g")))
+    hit = (tr.join(F.broadcast(ev.select(F.col("__g").alias("__g"),
+                                         F.lit(1).alias("__hit"))),
+                   "__g", "left")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_ngrams"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("long").alias("n_hit")))
+    return hit.withColumn(
+        "frac_contaminated",
+        F.round(F.col("n_hit").cast("double") / F.col("n_ngrams"), 6))
+
+
 def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
                    text_col: str = "text",
                    bucket_size: int = 4096) -> DataFrame:

@@ -1178,3 +1178,20 @@ def test_winnow_shared_passage_guarantee(spark):
     assert winnow_overlap_pairs(allsame, min_shared=1, max_df=2).count() == 0
     with pytest.raises(ValueError, match="shingle_n"):
         winnow_fingerprints(df, shingle_n=0)
+
+
+def test_contamination_fraction_grades_overlap(spark):
+    from scespet_spark.operators.pipeline import contamination_fraction
+    ev = spark.createDataFrame([(100, "the exam question is this")],
+                               "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "the exam question is this and more words follow here"),
+         (2, "entirely unrelated tokens nothing shared at all"),
+         (3, "the exam question is this")],   # fully contaminated
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination_fraction(tr, ev).collect()}
+    assert out[3].frac_contaminated == 1.0
+    assert out[2].frac_contaminated == 0.0 and out[2].n_hit == 0
+    assert 0.0 < out[1].frac_contaminated < 1.0
+    # fraction = hits over the doc's DISTINCT 3-gram count
+    assert out[1].n_hit == 3 and out[1].n_ngrams == 8
