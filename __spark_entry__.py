@@ -3137,6 +3137,38 @@ def ann_brute_force_topk(spark, sf_dir):
     return brute_force_topk(emb, qvec, k=20)
 
 
+@query("dedup_semantic", f"""
+WITH cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i) GROUP BY label),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_cosine_sql('n.v', 'cent.centroid')}, 6) DESC,
+                      cent.label) AS rn
+    FROM n CROSS JOIN cent) WHERE rn = 1),
+m AS (SELECT n.vec_id, assign.cell, n.v FROM n JOIN assign USING (vec_id))
+SELECT a.vec_id, a.cell, COUNT(*) AS n_close
+FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id > b.vec_id
+WHERE round({_cosine_sql('a.v', 'b.v')}, 6) >= 0.35
+GROUP BY a.vec_id, a.cell
+""")
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: k-means-cell-blocked semantic duplicates — items with
+    a lower-id cell-mate at cosine >= 0.35 (paraphrases/re-renders that
+    share no n-grams).  Cell equi-join bounds the pair check to
+    (N/K)^2 per cell; assignment is the map-only ivf_assign against
+    the centroid artifact."""
+    from scespet_spark.operators.similarity import semantic_dedup
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"),
+                          threshold=0.35)
+
+
 @query("ann_ivf_topk", f"""
 WITH cent AS (
   SELECT label, list(m ORDER BY i) AS centroid FROM (
@@ -4529,6 +4561,7 @@ _ROUND_CHANGED = [
     "text_collapse_repeats", "dedup_incremental_segments",
     "live_incremental_segments", "text_winnow_fingerprints",
     "dedup_winnow_pairs", "contamination_fraction_docs",
+    "dedup_semantic",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4561,8 +4594,8 @@ _PRIORITY = _ROUND_CHANGED + [
     "zip_keymap_region_value",
     "keymap_take_region_value", "live_window_gated_reduce",
     "live_trigger_stream_slice", "live_asof_purchase_last_click",
-    "live_zip_click_purchase",
-    # (live_map_vector_running / asof_purchase_last_click /
+    # (live_zip_click_purchase / live_map_vector_running /
+    # asof_purchase_last_click /
     # zip_click_purchase /
     # scan_running_sum also rotated out: PASS-r4/r5; their families
     # keep live_* representatives in the head)

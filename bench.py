@@ -88,6 +88,7 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "contamination_fraction_docs",
+    "dedup_semantic",
 ]
 
 

@@ -222,6 +222,42 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
                      .alias(cell_col))
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic
+    duplicates — coarse k-means cells block the pairwise check, then
+    within each cell an item is a duplicate if some LOWER-id cell-mate
+    sits at cosine >= ``threshold`` (min-id representative wins, the
+    deterministic form of the paper's keep-one rule).  Returns the
+    DROPPED items ``(id_col, cell, n_close)``; anti-join against the
+    corpus to keep survivors.  Catches paraphrases and re-renders that
+    share no n-grams — the case every text-hash dedup misses.
+
+    Scale shape: assignment is the map-only ``ivf_assign`` against the
+    snapshot centroid artifact (pass ``centroids=``); the pair check is
+    a cell equi-join — the method's documented cost is within-cell
+    all-pairs, bounded by (N/K)^2 per cell, tuned by K, and NEVER a
+    corpus-wide cross join (cells partition the corpus)."""
+    cents = centroids if centroids is not None else \
+        label_centroids(df, label_col, vec_col)
+    codes = ivf_assign(df, cents, id_col, vec_col, label_col)
+    v = (df.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("__v"))
+         .join(codes, id_col))
+    a = v.select("cell", F.col(id_col).alias("__ida"),
+                 F.col("__v").alias("__va"))
+    b = v.select("cell", F.col(id_col).alias("__idb"),
+                 F.col("__v").alias("__vb"))
+    return (a.join(b, "cell")
+            .filter(F.col("__ida") > F.col("__idb"))
+            .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                    >= threshold)
+            .groupBy(F.col("__ida").alias(id_col), "cell")
+            .agg(F.count("*").alias("n_close")))
+
+
 def ivf_topk_from_index(df: DataFrame, codes: DataFrame,
                         centroids: DataFrame, query: Sequence[float],
                         k: int = 20, nprobe: int = 2,

@@ -1195,3 +1195,21 @@ def test_contamination_fraction_grades_overlap(spark):
     assert 0.0 < out[1].frac_contaminated < 1.0
     # fraction = hits over the doc's DISTINCT 3-gram count
     assert out[1].n_hit == 3 and out[1].n_ngrams == 8
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark, vecs):
+    from scespet_spark.operators.similarity import (label_centroids,
+                                                    semantic_dedup)
+    # vecs: ids 0/1 nearly parallel (label 0), 2/3 nearly parallel
+    # (label 1), 4 anti-parallel to 0 (label 0)
+    out = {r.vec_id: (r.cell, r.n_close)
+           for r in semantic_dedup(vecs, threshold=0.95).collect()}
+    assert set(out) == {1, 3}          # higher id of each twin pair drops
+    assert out[1][1] == out[3][1] == 1
+    # anti-parallel vec 4 never matches; passing the centroid artifact
+    # gives identical results (the snapshot path)
+    cents = label_centroids(vecs)
+    out2 = {r.vec_id: (r.cell, r.n_close)
+            for r in semantic_dedup(vecs, threshold=0.95,
+                                    centroids=cents).collect()}
+    assert out2 == out
