@@ -279,3 +279,22 @@ def test_segment_dedup_matches_first_occurrence_model(spark, docs, size):
     got = {r.doc_id: (r.clean_text, r.n_kept, r.n_segments)
            for r in segment_dedup(df, size=size).collect()}
     assert got == want
+
+
+@given(pre_a=st.lists(st.sampled_from("pqr"), min_size=0, max_size=6),
+       post_a=st.lists(st.sampled_from("stu"), min_size=0, max_size=6),
+       pre_b=st.lists(st.sampled_from("vwx"), min_size=0, max_size=6),
+       shared=st.lists(st.sampled_from("abcdef"), min_size=6, max_size=10))
+@SETTINGS
+def test_winnowing_shared_run_guarantee(spark, pre_a, post_a, pre_b, shared):
+    """Winnowing guarantee (Schleimer et al.): two docs sharing a token
+    run of >= window + shingle_n - 1 = 6 tokens MUST share at least one
+    selected fingerprint, wherever the run sits inside each doc."""
+    from scespet_spark.operators.dedup import winnow_fingerprints
+    rows = [(1, " ".join(pre_a + shared + post_a)),
+            (2, " ".join(pre_b + shared))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, shingle_n=3, window=4).collect()
+    a = {r.fingerprint for r in fp if r.doc_id == 1}
+    b = {r.fingerprint for r in fp if r.doc_id == 2}
+    assert a & b
