@@ -4115,6 +4115,23 @@ def contamination_fraction_docs(spark, sf_dir):
                                   docs.filter(F.col("doc_id") % 19 == 0))
 
 
+@query("live_contamination_fraction",
+       _ORACLES["contamination_fraction_docs"])
+def live_contamination_fraction(spark, sf_dir):
+    """Graded contamination on the LIVE crawl: each arriving doc's
+    n-gram overlap fraction vs the broadcast benchmark digest set —
+    same one-pass aggregate as batch, per micro-batch (complete mode);
+    the stream replays the corpus, so the batch oracle applies."""
+    from scespet_spark.operators.pipeline import contamination_fraction
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    stream = read_table_stream(spark, sf_dir, "documents")
+    out = contamination_fraction(stream.filter(F.col("doc_id") % 19 != 0),
+                                 docs.filter(F.col("doc_id") % 19 == 0))
+    return run_available_now(out, "complete")
+
+
 @query("live_decontaminate", _ORACLES["decontaminate_eval_overlap"])
 def live_decontaminate(spark, sf_dir):
     """Decontamination on a LIVE crawl stream: the benchmark digest set
@@ -4561,7 +4578,7 @@ _ROUND_CHANGED = [
     "text_collapse_repeats", "dedup_incremental_segments",
     "live_incremental_segments", "text_winnow_fingerprints",
     "dedup_winnow_pairs", "contamination_fraction_docs",
-    "dedup_semantic",
+    "dedup_semantic", "live_contamination_fraction",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4593,8 +4610,9 @@ _PRIORITY = _ROUND_CHANGED + [
     # touched by shared code paths this round
     "zip_keymap_region_value",
     "keymap_take_region_value", "live_window_gated_reduce",
-    "live_trigger_stream_slice", "live_asof_purchase_last_click",
-    # (live_zip_click_purchase / live_map_vector_running /
+    "live_trigger_stream_slice",
+    # (live_asof_purchase_last_click / live_zip_click_purchase /
+    # live_map_vector_running /
     # asof_purchase_last_click /
     # zip_click_purchase /
     # scan_running_sum also rotated out: PASS-r4/r5; their families
