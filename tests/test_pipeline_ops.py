@@ -1213,3 +1213,18 @@ def test_semantic_dedup_drops_higher_id_twin(spark, vecs):
             for r in semantic_dedup(vecs, threshold=0.95,
                                     centroids=cents).collect()}
     assert out2 == out
+
+
+def test_semantic_dedup_over_trained_kmeans_cells(spark, vecs):
+    # the 100 TB form: cells come from kmeans_codes (K tuned to corpus
+    # size), not a pre-labeled column — same operator, code column as
+    # the cell label
+    from scespet_spark.operators.similarity import (kmeans_codes,
+                                                    semantic_dedup)
+    codes = kmeans_codes(vecs, k=2, iters=3)
+    tagged = (vecs.drop("label")
+              .join(codes.withColumnRenamed("id", "vec_id"), "vec_id"))
+    out = {r.vec_id for r in
+           semantic_dedup(tagged, threshold=0.95,
+                          label_col="code").collect()}
+    assert out == {1, 3}   # same twins as the label-cell path
