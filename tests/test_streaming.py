@@ -1277,3 +1277,38 @@ def test_streaming_first_wins_across_micro_batches(spark, tmp_path):
     with _pytest.raises(ValueError, match="duplicate key"):
         first_wins(stream, keys=["k"], order_cols=["doc_id"],
                    payload_cols=["k", "doc_id"])
+
+
+def test_live_lm_scoring_across_micro_batches_equals_batch(spark, tmp_path):
+    """Snapshot-LM scoring on a 2-drop crawl stream: the final
+    complete-mode table must equal scoring the union in batch (stream-
+    static joins re-run per batch; state-free, so late drops only ADD
+    rows)."""
+    import os
+    import shutil
+    import time
+    from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
+    from scespet_spark.streaming.live import run_available_now
+    fit = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the dog sat on the rug")],
+        "doc_id long, text string")
+    model = bigram_lm_model(fit)
+    crawl = [(1, "the cat sat quietly"), (2, "zz qq unknown tokens"),
+             (3, "the dog sat on the mat")]
+    d = tmp_path / "drops"; d.mkdir()
+    src = tmp_path / "src"; src.mkdir()
+    now = time.time()
+    for i, row in enumerate(crawl):
+        spark.createDataFrame([row], "doc_id long, text string") \
+            .coalesce(1).write.parquet(str(d / f"f{i}"))
+        f = next((d / f"f{i}").glob("*.parquet"))
+        dst = src / f"drop_{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    live = run_available_now(bigram_lm_apply(stream, model), "complete")
+    batch = bigram_lm_apply(
+        spark.createDataFrame(crawl, "doc_id long, text string"), model)
+    assert sorted(map(tuple, live.collect())) == \
+        sorted(map(tuple, batch.collect()))
