@@ -81,6 +81,40 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
             .map(g=F.col("value") >= 100).by("user_id"))
     wf = data.window_from(gate, "g", "value", quantize=100).run("append")
     print(f"live window_from closed windows: {wf.count()}")
+
+    # -- r6 crawl gate: every snapshot artifact applied to ONE live
+    # document stream — segment election against the prior corpus's
+    # digest table, then the CCNet perplexity gate from the snapshot
+    # LM + threshold (zero corpus passes on the hot path) ------------
+    from scespet_spark.operators.dedup import segment_digests
+    from scespet_spark.operators.text import (bigram_lm_apply,
+                                              bigram_lm_model,
+                                              bigram_lm_score)
+    from scespet_spark.sources.batch import load_table
+    from scespet_spark.streaming.live import (first_wins,
+                                              read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)          # kept corpus
+    seg_table = segment_digests(prior).select("__d").distinct()
+    lm = bigram_lm_model(prior)
+    thr = (bigram_lm_score(prior)
+           .agg(F.percentile(F.col("mean_logp"), F.lit(0.1)))
+           .collect()[0][0])
+    crawl = read_table_stream(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 3 != 0)
+    novel = first_wins(
+        segment_digests(crawl).join(seg_table, "__d", "left_anti")
+        .select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"),
+                F.col("__d").alias("segment_hash")),
+        keys=["segment_hash"], order_cols=["doc_id", "seg_idx"],
+        payload_cols=["doc_id", "seg_idx"])
+    n_novel = run_available_now(novel, "append").count()
+    kept = run_available_now(
+        bigram_lm_apply(crawl, lm).filter(F.col("mean_logp") >= F.lit(thr)),
+        "complete").count()
+    print(f"live crawl gate: {n_novel} novel segments elected, "
+          f"{kept} docs pass the snapshot perplexity gate")
     return n_batch, n_live
 
 
