@@ -268,6 +268,32 @@ def test_top_ngrams_windows_count_table_not_facts(spark, entry):
     assert tree.index("Window") < tree.index("Generate"), tree
 
 
+def test_contamination_fraction_broadcasts_eval_digests(spark, entry):
+    """contamination_fraction: the eval digest set must broadcast (a
+    map-side pass over the corpus) and the corpus text must never enter
+    an Exchange — only digests and ids move."""
+    plan = _plan(entry.queries()["contamination_fraction_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if l.strip().startswith("Input") and "text#" in l:
+            hdr = next(x for x in reversed(lines[:i])
+                       if x.strip().startswith("("))
+            if "Exchange" in hdr:
+                args = next(x for x in lines[i:]
+                            if x.strip().startswith("Arguments"))
+                assert "hashpartitioning" not in args, (hdr, l, args)
+
+
+def test_semantic_dedup_joins_cells_never_cross(spark, entry):
+    """dedup_semantic: the pair check must be a cell equi-join (the
+    SemDeDup blocking), never a cartesian product over the corpus."""
+    plan = _plan(entry.queries()["dedup_semantic"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
+
+
 def test_cube_expands_cells_not_facts(spark, entry):
     """cube_returnflag_status pre-aggregates the fact scan to the base
     (returnflag, linestatus) cells before CUBE, so Expand multiplies a
