@@ -1032,6 +1032,48 @@ def daily_revenue_delta(spark, sf_dir):
             .orderBy("day"))
 
 
+@query("trailing_week_revenue", """
+WITH d AS (SELECT DATE_TRUNC('day', o_orderdate) AS day,
+                  (DATE_TRUNC('day', o_orderdate)::DATE
+                   - DATE '1992-01-01') AS day_num,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM orders
+           GROUP BY DATE_TRUNC('day', o_orderdate))
+SELECT day, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+            OVER (ORDER BY day_num
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev7,
+       COUNT(*) OVER (ORDER BY day_num
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS days_present
+FROM d ORDER BY day
+""")
+def trailing_week_revenue(spark, sf_dir):
+    """RANGE-frame window (the frame variant ROWS can't express): the
+    trailing CALENDAR week's revenue per day — missing days shrink the
+    frame instead of pulling older rows in, unlike the ma7 ROWS frame
+    in daily_revenue_delta.  Decimal-exact window sum (engine-identical
+    under any incremental evaluation); the ordered window runs on the
+    calendar-bounded daily table, never raw facts."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    d = (o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+         .agg(_dsum("o_totalprice").alias("revenue"))
+         .withColumn("day_num",
+                     F.datediff(F.col("day"),
+                                F.lit("1992-01-01").cast("date"))
+                      .cast("long")))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (d.select(
+        "day", "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("rev7"),
+        F.count("*").over(w).alias("days_present"))
+        .orderBy("day"))
+
+
 @query("cube_returnflag_status", """
 SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) AS g_flag,
        GROUPING(l_linestatus) AS g_status, COUNT(*) AS n,
@@ -4579,6 +4621,7 @@ _ROUND_CHANGED = [
     "live_incremental_segments", "text_winnow_fingerprints",
     "dedup_winnow_pairs", "contamination_fraction_docs",
     "dedup_semantic", "live_contamination_fraction",
+    "trailing_week_revenue",
     # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
     # driver CORRECTNESS row — judge-verified locally, now rotated to
     # the head of the window for driver-green evidence
@@ -4610,8 +4653,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # touched by shared code paths this round
     "zip_keymap_region_value",
     "keymap_take_region_value", "live_window_gated_reduce",
-    "live_trigger_stream_slice",
-    # (live_asof_purchase_last_click / live_zip_click_purchase /
+    # (live_trigger_stream_slice / live_asof_purchase_last_click / live_zip_click_purchase /
     # live_map_vector_running /
     # asof_purchase_last_click /
     # zip_click_purchase /

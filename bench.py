@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "contamination_fraction_docs",
     "dedup_semantic",
+    "trailing_week_revenue",
 ]
 
 
