@@ -43,10 +43,18 @@ _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
 def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    emb: DataFrame | None = None,
                    num_hashes: int = 16, bands: int = 4,
-                   shingle_n: int = 3, lsh_bits: int = 6) -> list[str]:
+                   shingle_n: int = 3, lsh_bits: int = 6,
+                   segment_size: int = 10) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
-    vice versa).  Returns the artifact names written."""
+    vice versa).  Returns the artifact names written.
+
+    Also writes ``manifest.json`` recording the hashing parameters the
+    tables were built with: every incremental probe is only correct
+    against artifacts built with MATCHING parameters (a band table
+    built with different ``num_hashes``/``bands``/``shingle_n``
+    produces silently-empty joins, not errors) — ``check_compat``
+    turns that silent corruption into a loud one."""
     from .dedup import (banded_signatures, embedding_block_table,
                         exact_groups)
     from .similarity import ivf_assign, label_centroids
@@ -62,7 +70,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("bands", banded_signatures(docs, num_hashes=num_hashes,
                                       bands=bands, shingle_n=shingle_n))
         from .dedup import segment_digests
-        _w("segments", segment_digests(docs).select("__d").distinct())
+        _w("segments", segment_digests(docs, size=segment_size)
+           .select("__d").distinct())
         from .text import bigram_lm_model
         bgc, prec, vocab = bigram_lm_model(docs)
         _w("lm_bigrams", bgc)
@@ -73,7 +82,31 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         cents = label_centroids(emb)
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
+    import json
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump({"num_hashes": num_hashes, "bands": bands,
+                   "shingle_n": shingle_n, "lsh_bits": lsh_bits,
+                   "segment_size": segment_size,
+                   "tables": written}, f, indent=1)
     return written
+
+
+def check_compat(out_dir: str, **params) -> dict:
+    """Assert the probe-side parameters match the snapshot's manifest
+    (``check_compat(path, num_hashes=16, bands=4)``); returns the
+    manifest.  Mismatched hashing params make incremental probes
+    silently empty — this makes them raise instead."""
+    import json
+    path = os.path.join(out_dir, "manifest.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    bad = {k: (manifest.get(k), v) for k, v in params.items()
+           if manifest.get(k) != v}
+    if bad:
+        raise ValueError(
+            f"snapshot {out_dir} was built with different parameters "
+            f"(manifest vs probe): {bad}")
+    return manifest
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

@@ -1228,3 +1228,16 @@ def test_semantic_dedup_over_trained_kmeans_cells(spark, vecs):
            semantic_dedup(tagged, threshold=0.95,
                           label_col="code").collect()}
     assert out == {1, 3}   # same twins as the label-cell path
+
+
+def test_snapshot_manifest_and_compat_guard(spark, tmp_path):
+    from scespet_spark.operators.snapshot import (check_compat,
+                                                  write_snapshot)
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j k l")],
+                                 "doc_id long, text string")
+    write_snapshot(str(tmp_path), docs=docs, num_hashes=8, bands=2)
+    m = check_compat(str(tmp_path), num_hashes=8, bands=2, shingle_n=3)
+    assert m["segment_size"] == 10 and "digests" in m["tables"]
+    # a probe configured differently must raise, not silently miss
+    with pytest.raises(ValueError, match="different parameters"):
+        check_compat(str(tmp_path), num_hashes=16)
