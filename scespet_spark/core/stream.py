@@ -969,7 +969,7 @@ def _keymap_bind(left: Stream, right: Stream, key_map):
         if dups:
             mapped = sorted({k2 for k, k2 in pairs if k in dups})
             raise ValueError(
-                f"key_map maps multiple right keys onto left key(s) {dups}: "
+                f"key_map binds left key(s) {dups} to multiple right keys "
                 f"{mapped} (reference multi-map error, VectorJoin.scala:38-40)")
         spark = left.df.sparkSession
         lk_type = left.df.schema[lk].dataType.simpleString()

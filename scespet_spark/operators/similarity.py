@@ -303,8 +303,13 @@ def ann_topk_stream(queries: DataFrame, df: DataFrame,
          the cell-keyed codes table joined to its vectors — each query
          touches nprobe/K of the index, the corpus never shuffles;
       3. rank: exact cosine per candidate, then per-query top-k inside
-         a stateful step (a query's candidates arrive in its own
-         micro-batch; state is a dummy marker).
+         a stateful step.  A query's candidates all land in its own
+         micro-batch (they derive from that one query row joined to the
+         static index), so the FIRST batch seen for a q_id emits its
+         complete top-k; the ``seen`` flag then suppresses any later
+         batch for the same q_id — a duplicated/retried query event
+         would otherwise re-emit an overlapping result set with ``rnk``
+         restarting at 1.
 
     Emits ``(q_id, vec_id, score, rnk)`` rows per query as its
     micro-batch lands."""
@@ -345,6 +350,9 @@ def ann_topk_stream(queries: DataFrame, df: DataFrame,
                     .alias("score")))
 
     def step(st, pdf):
+        if st["seen"]:  # duplicate/retried query event: already answered
+            return []
+        st["seen"] = 1.0
         top = pdf.sort_values(["score", id_col],
                               ascending=[False, True]).head(k)
         top = top.assign(rnk=range(1, len(top) + 1))

@@ -40,6 +40,42 @@ _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
            "segments", "lm_bigrams", "lm_prefixes", "lm_vocab")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — the
+    manifest and existence checks must go through the SAME filesystem
+    the artifact tables are written to (HDFS/S3 in deployment);
+    driver-local ``open()``/``os.path`` silently sees nothing there."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text, "utf-8"))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(
+            f"snapshot manifest not found: {path} (is this a snapshot "
+            f"dir written by write_snapshot?)")
+    stream = fs.open(jpath)
+    try:
+        # py4j copies a Python bytearray INTO Java and never back, so
+        # readFully(buf) can't return data; drain JVM-side instead
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    emb: DataFrame | None = None,
                    num_hashes: int = 16, bands: int = 4,
@@ -83,23 +119,27 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
     import json
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump({"num_hashes": num_hashes, "bands": bands,
-                   "shingle_n": shingle_n, "lsh_bits": lsh_bits,
-                   "segment_size": segment_size,
-                   "tables": written}, f, indent=1)
+    spark = (docs if docs is not None else emb).sparkSession
+    _fs_write_text(
+        spark, os.path.join(out_dir, "manifest.json"),
+        json.dumps({"num_hashes": num_hashes, "bands": bands,
+                    "shingle_n": shingle_n, "lsh_bits": lsh_bits,
+                    "segment_size": segment_size,
+                    "tables": written}, indent=1))
     return written
 
 
-def check_compat(out_dir: str, **params) -> dict:
+def check_compat(out_dir: str, spark: SparkSession | None = None,
+                 **params) -> dict:
     """Assert the probe-side parameters match the snapshot's manifest
     (``check_compat(path, num_hashes=16, bands=4)``); returns the
     manifest.  Mismatched hashing params make incremental probes
-    silently empty — this makes them raise instead."""
+    silently empty — this makes them raise instead.  ``spark`` defaults
+    to the active session (needed to reach the snapshot filesystem)."""
     import json
-    path = os.path.join(out_dir, "manifest.json")
-    with open(path) as f:
-        manifest = json.load(f)
+    spark = spark or SparkSession.getActiveSession()
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
     bad = {k: (manifest.get(k), v) for k, v in params.items()
            if manifest.get(k) != v}
     if bad:
@@ -110,10 +150,17 @@ def check_compat(out_dir: str, **params) -> dict:
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
-    """Load whichever artifact tables exist under ``out_dir``."""
+    """Load the artifact tables the manifest records.  A missing or
+    unreadable manifest raises (a half-written snapshot must not
+    silently read as an EMPTY one — every incremental probe against {}
+    would keep everything)."""
+    import json
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
     out = {}
-    for name in _TABLES:
+    for name in manifest.get("tables", _TABLES):
         path = os.path.join(out_dir, name)
-        if os.path.isdir(path):
+        fs, jpath = _hadoop_fs(spark, path)
+        if fs.exists(jpath):
             out[name] = spark.read.parquet(path)
     return out

@@ -214,14 +214,21 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
 
     Rows with weight <= 0 or null never sample.  Scale shape: one
     map-side key computation + a distributed TakeOrdered top-k (k rows
-    to the driver, the corpus never sorts globally)."""
+    to the driver, the corpus never sorts globally).
+
+    The sort key is the UNROUNDED ``ln(u)/w`` (same order as
+    ``u^(1/w)``): for weights around 1e8+ the key spread of the pow
+    form drops below any fixed rounding precision, collapsing keys into
+    id-ordered ties and deterministically biasing the sample toward low
+    ids; ``ln(u)/w`` stays numerically well-spread at any weight
+    scale."""
     from .hashing import h64
     _M = 1 << 20
     u = (F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(_M))
          + 0.5) / _M
-    key = F.pow(u, 1.0 / F.col(weight_col))
+    key = F.log(u) / F.col(weight_col)
     return (df.where(F.col(weight_col) > 0)
-            .withColumn("__sk", F.round(key, 9))
+            .withColumn("__sk", key)
             .orderBy(F.col("__sk").desc(), F.col(id_col))
             .limit(k)
             .drop("__sk"))

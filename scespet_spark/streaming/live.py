@@ -118,6 +118,10 @@ def first_wins(df: DataFrame, keys: list[str], order_cols: list[str],
     overlap = set(keys) & set(payload_cols)
     if overlap:
         raise ValueError(f"payload_cols duplicate key columns: {overlap}")
+    if idle_ttl is not None:
+        # EventTimeTimeout needs a watermarked input; apply it here
+        # (mirrors keymap_latest) so callers don't have to know that
+        df = df.withWatermark(t, idle_ttl)
 
     def step(st, pdf):
         if st["seen"]:
@@ -129,6 +133,21 @@ def first_wins(df: DataFrame, keys: list[str], order_cols: list[str],
     return stateful_scan(df, list(keys), {"seen": 0.0}, step,
                          out_schema=out_schema, t=t,
                          order_cols=list(order_cols), idle_ttl=idle_ttl)
+
+
+def _epoch_ms(ts_val, tz: str) -> int:
+    """True epoch millis of a timestamp Arrow handed a Python worker.
+    Arrow strips the zone and delivers WALL-CLOCK values in
+    ``spark.sql.session.timeZone``; casting those straight to int64
+    treats them as UTC, so any comparison against
+    ``state.getCurrentWatermarkMs()`` (true internal epoch) is off by
+    the zone offset — west of UTC, state expires hours EARLY and
+    running totals silently reset while the key is still inside the
+    watermark horizon.  Localize to the session zone first."""
+    ts = pd.Timestamp(ts_val)
+    if ts.tzinfo is None:
+        ts = ts.tz_localize(tz)
+    return ts.value // 1_000_000  # tz-aware .value is UTC epoch ns
 
 
 def _key_ddl(df: DataFrame, keys: Iterable[str]) -> str:
@@ -201,6 +220,9 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
     ttl_ms = (int(pd.Timedelta(idle_ttl).total_seconds() * 1000)
               if idle_ttl is not None else None)
     timed = timeout_ts is not None or ttl_ms is not None
+    # captured at plan-build time: the worker-side values are wall-clock
+    # in this zone (see _epoch_ms) and the workers can't read the conf
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def fn(key, pdfs, state):
         if timed and state.hasTimedOut:
@@ -231,8 +253,8 @@ def stateful_scan(df: DataFrame, keys: list[str], state_fields: dict,
             if timeout_ts is not None:
                 expiry = int(timeout_ts(key))
             else:  # idle_ttl: re-arm from this batch's latest event
-                last = (int(pdf[t].values.max().astype("datetime64[ms]")
-                            .astype("int64")) if pdf is not None else 0)
+                last = (_epoch_ms(pdf[t].max(), tz)
+                        if pdf is not None else 0)
                 expiry = last + ttl_ms
             state.setTimeoutTimestamp(
                 max(expiry, state.getCurrentWatermarkMs() + 1))
@@ -1158,10 +1180,12 @@ def sliding_scan(df: DataFrame, keys: list[str], duration: str, slide: str,
     if watermark is not None:
         horizon_ms = int((pd.Timedelta(duration) + pd.Timedelta(watermark))
                          .total_seconds() * 1000)
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
         def timeout_ts(key):
-            # win_start is the last group-key element (see skeys below)
-            return int(pd.Timestamp(key[-1]).timestamp() * 1000) + horizon_ms
+            # win_start is the last group-key element (see skeys below);
+            # it arrives wall-clock in the session zone (_epoch_ms)
+            return _epoch_ms(key[-1], tz) + horizon_ms
 
     def step(st, pdf):
         import numpy as np

@@ -1312,3 +1312,65 @@ def test_live_lm_scoring_across_micro_batches_equals_batch(spark, tmp_path):
         spark.createDataFrame(crawl, "doc_id long, text string"), model)
     assert sorted(map(tuple, live.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_epoch_ms_localizes_session_zone():
+    """State-expiry epoch math must treat worker-side wall-clock values
+    as session-zone local, not UTC: west of UTC the naive-cast epoch is
+    hours early and state purges inside the watermark horizon."""
+    import pandas as pd
+    from scespet_spark.streaming.live import _epoch_ms
+
+    wall = pd.Timestamp("2024-06-01 00:00:00")        # LA wall clock
+    assert _epoch_ms(wall, "America/Los_Angeles") == \
+        int(pd.Timestamp("2024-06-01 07:00:00", tz="UTC").value // 1e6)
+    assert _epoch_ms(wall, "UTC") == \
+        int(pd.Timestamp("2024-06-01 00:00:00", tz="UTC").value // 1e6)
+
+
+def test_live_sliding_scan_ttl_parity_west_of_utc(spark, staged_events_3):
+    """The watermark/TTL purge must be zone-correct: under a session
+    timezone west of UTC, bounded-state sliding_scan emissions must
+    still equal the exact NoTimeout mode (pre-fix, expiry was computed
+    hours early and running state could purge mid-window)."""
+    from scespet_spark import Sliding
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        exact = _live3(staged_events_3).by("user_id")
+        got_exact = run_available_now(
+            exact.group(Sliding("2 days", "1 day"))
+            .scan("value", quantize=100).df, "append")
+        ttl = _live3(staged_events_3).by("user_id")
+        got_ttl = run_available_now(
+            ttl.sliding_scan("2 days", "1 day", "value", quantize=100,
+                             watermark="1 day").df, "append")
+        cols = ["user_id", "event_id", "win_start",
+                "running_total", "running_n"]
+        assert _sorted_rows(got_ttl, cols) == _sorted_rows(got_exact, cols)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_first_wins_idle_ttl_self_watermarks(spark, tmp_path):
+    """first_wins(idle_ttl=...) must apply its own watermark: the
+    EventTimeTimeout plan fails at start on an unwatermarked input, and
+    the docstring advertises idle_ttl without that caveat."""
+    import pandas as pd
+    from scespet_spark.streaming.live import first_wins
+
+    rows = pd.DataFrame([
+        {"ts": pd.Timestamp(2024, 1, 1, 0, 0, s), "doc_id": i,
+         "k": i % 2, "v": float(i)}
+        for s, i in [(1, 3), (2, 1), (3, 2), (4, 0)]])
+    d = str(tmp_path / "p")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(d)
+    stream = (spark.readStream.schema(spark.read.parquet(d).schema)
+              .parquet(d))
+    out = run_available_now(
+        first_wins(stream, keys=["k"], order_cols=["doc_id"],
+                   payload_cols=["doc_id", "v"], idle_ttl="1 hour"),
+        "append")
+    got = sorted(tuple(r) for r in out.select("k", "doc_id").collect())
+    assert got == [(0, 0), (1, 1)]  # batch-tie-break min(doc_id) per key
