@@ -4422,6 +4422,91 @@ def dedup_incremental_segments(spark, sf_dir):
         prior=docs.filter(F.col("doc_id") % 3 == 0), size=_SEG_SIZE)
 
 
+#: exact-substring dedup gram length (tokens) — the "min matched
+#: substring" L of the suffix-array dedup family
+_SUB_L = 15
+
+#: shared oracle CTEs: positional L-gram digest table over `documents`
+#: (one row per token position of docs with >= L tokens)
+_GRAM_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             {h64_sql(f"array_to_string(t[i:i + {_SUB_L} - 1], ' ')")} AS d
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {_SUB_L} + 1)) AS i
+            FROM toks WHERE len(t) >= {_SUB_L}))"""
+
+#: shared oracle tail: duplicate occurrences `dup(doc_id, pos)` ->
+#: coverage -> per-token anti-join -> reassembled survivors (docs
+#: restricted by {where} on the doc side)
+_SUB_TAIL = """cov AS (SELECT DISTINCT doc_id, pos + u AS p
+        FROM (SELECT doc_id, pos,
+                     unnest(generate_series(0, {L} - 1)) AS u FROM dup)),
+tp AS (SELECT doc_id, unnest(t) AS tok,
+              unnest(generate_series(1, len(t))) AS p
+       FROM toks WHERE {where}),
+kept AS (SELECT tp.doc_id, tp.tok, tp.p
+         FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+         WHERE cov.p IS NULL),
+n AS (SELECT doc_id, len(t) AS n_tokens FROM toks WHERE {where})
+SELECT n.doc_id,
+       coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '') AS clean_text,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_tokens - COUNT(kept.p) AS BIGINT) AS n_removed
+FROM n LEFT JOIN kept ON n.doc_id = kept.doc_id
+GROUP BY n.doc_id, n.n_tokens"""
+
+
+@query("dedup_substring", f"""
+WITH {_GRAM_CTES},
+dup AS (SELECT doc_id, pos FROM
+        (SELECT doc_id, pos,
+                row_number() OVER (PARTITION BY d
+                                   ORDER BY doc_id, pos) AS rk
+         FROM g) WHERE rk > 1),
+{_SUB_TAIL.format(L=_SUB_L, where="TRUE")}
+""")
+def dedup_substring(spark, sf_dir):
+    """Exact-substring dedup (suffix-array family, Lee et al. 2021):
+    every arbitrary-offset repeated substring of >= {_SUB_L} tokens is
+    cut from all but its globally-first occurrence — duplicate-marking
+    overlapping L-grams is exactly the suffix-array semantics,
+    re-expressed as a distributable first-occurrence election
+    (dedup.substring_dedup docstring has the equivalence argument).
+    Election shuffles (digest, id, pos) ints only; rebuild is
+    O(tokens + cuts) map-side via the fixed-length-interval gap
+    complement."""
+    from scespet_spark.operators.dedup import substring_dedup
+    return substring_dedup(load_table(spark, sf_dir, "documents"),
+                           min_len=_SUB_L)
+
+
+@query("dedup_incremental_substring", f"""
+WITH {_GRAM_CTES},
+pri AS (SELECT DISTINCT d FROM g WHERE doc_id % 3 = 0),
+newg AS (SELECT * FROM g WHERE doc_id % 3 <> 0),
+dup AS (SELECT doc_id, pos FROM newg WHERE d IN (SELECT d FROM pri)
+        UNION ALL
+        SELECT doc_id, pos FROM
+        (SELECT doc_id, pos,
+                row_number() OVER (PARTITION BY d
+                                   ORDER BY doc_id, pos) AS rk
+         FROM newg WHERE d NOT IN (SELECT d FROM pri)) WHERE rk > 1),
+{_SUB_TAIL.format(L=_SUB_L, where="doc_id % 3 <> 0")}
+""")
+def dedup_incremental_substring(spark, sf_dir):
+    """Cross-snapshot exact-substring dedup: a new crawl batch
+    (doc_id % 3 != 0) cleaned against the prior corpus's gram-digest
+    table — any new-batch passage already present in the prior corpus
+    is cut wholesale (digest semi-join, ints both sides, neither
+    broadcast), then the within-batch first-occurrence election runs
+    on the remainder."""
+    from scespet_spark.operators.dedup import incremental_substring_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_substring_dedup(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        prior=docs.filter(F.col("doc_id") % 3 == 0), min_len=_SUB_L)
+
+
 @query("live_incremental_segments", f"""
 WITH {_SEG_CTES},
 h AS (SELECT doc_id, seg_idx, {h64_sql('seg')} AS segment_hash FROM seg),

@@ -207,6 +207,155 @@ def incremental_segment_dedup(new: DataFrame,
                               id_col)
 
 
+def gram_digests(df: DataFrame, min_len: int = 20, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Positional overlapping ``min_len``-token-gram digest table:
+    ``(id_col, pos, __g)`` with one row per token position (docs
+    shorter than ``min_len`` tokens produce none).  The digest is the
+    full 60-bit ``h64`` of the joined gram text — NOT the 31-bit rolled
+    shingle family (`_positional_shingles`): exact-substring removal
+    acts directly on digest equality with no later verification step,
+    so birthday collisions at 2^15.5 grams would cut innocent text.
+    Cost is ``min_len`` md5-input bytes per corpus byte, map-side and
+    embarrassingly parallel; at 100 TB swap ``h64`` for xxhash64(128)
+    via the same expression shape (md5 is the oracle-parity choice,
+    hashing.py)."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    # stage the token array, then build the per-position digest ARRAY in
+    # one projection and explode it: exploding (id, pos, token-array)
+    # rows first would materialize the O(n^2) per-doc array copies
+    staged = (_spread(df.select(F.col(id_col), F.col(text_col)))
+              .select(id_col, tokens(F.col(text_col)).alias("__t")))
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (min_len - 1)),
+        lambda i: h64(F.array_join(F.slice(F.col("__t"), i, min_len), " ")))
+    return (staged.filter(F.size("__t") >= min_len)
+            .select(id_col, F.posexplode(g).alias("__p0", "__g"))
+            .select(id_col, (F.col("__p0") + 1).alias("pos"), "__g"))
+
+
+def _cut_and_rebuild(docs: DataFrame, dup_occ: DataFrame, min_len: int,
+                     text_col: str, id_col: str) -> DataFrame:
+    """Shared tail of the substring-dedup family: given duplicate gram
+    occurrences ``(id_col, pos)``, remove every token covered by one
+    and reassemble.  Returns (id, clean_text, n_tokens, n_removed) for
+    EVERY input doc (a fully-duplicated doc keeps its row with empty
+    ``clean_text`` — the caller decides whether to drop it).
+
+    The rebuild is O(tokens + cuts) map-side, not O(tokens * cuts):
+    cut intervals all have length ``min_len``, so their ends are
+    monotone in their sorted starts and the kept text is exactly the
+    GAPS between consecutive cuts — [prev_cut + min_len, next_cut - 1]
+    plus the head/tail gaps — with no interval-merge loop needed."""
+    L = min_len
+    cuts = (dup_occ.groupBy(id_col)
+            .agg(F.sort_array(F.collect_set("pos")).alias("__cuts")))
+    staged = (docs.join(cuts, id_col, "left")
+              .select(id_col, "__cuts",
+                      tokens(F.col(text_col)).alias("__toks"))
+              .select(id_col, "__cuts", "__toks",
+                      F.size("__toks").alias("__n")))
+    m = F.size("__cuts")
+    gaps = F.concat(
+        F.array(F.struct(F.lit(1).alias("lo"),
+                         (F.element_at("__cuts", 1) - 1).alias("hi"))),
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(m, F.lit(2))),
+            lambda i: F.struct(
+                (F.coalesce(F.try_element_at("__cuts", i - 1), F.lit(0)) + L)
+                .alias("lo"),
+                (F.coalesce(F.try_element_at("__cuts", i), F.lit(0)) - 1)
+                .alias("hi"))),
+        F.array(F.struct((F.element_at("__cuts", m) + L).alias("lo"),
+                         F.col("__n").alias("hi"))))
+    kept = F.flatten(F.transform(
+        F.filter(gaps, lambda s: s["hi"] >= s["lo"]),
+        lambda s: F.slice(F.col("__toks"), s["lo"], s["hi"] - s["lo"] + 1)))
+    kept = F.when(F.col("__cuts").isNull(), F.col("__toks")).otherwise(kept)
+    return (staged.select(id_col, kept.alias("__k"), "__n")
+            .select(F.col(id_col),
+                    F.array_join("__k", " ").alias("clean_text"),
+                    F.col("__n").cast("long").alias("n_tokens"),
+                    (F.col("__n") - F.size("__k")).cast("long")
+                    .alias("n_removed")))
+
+
+def substring_dedup(df: DataFrame, min_len: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring dedup (the suffix-array family of "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021):
+    remove every ARBITRARY-OFFSET substring of >= ``min_len`` tokens
+    that also occurs elsewhere in the corpus (any other document, or an
+    earlier position of the same document), keeping the globally first
+    occurrence by ``(id, pos)``.  The suffix-array formulation and this
+    one coincide exactly: a token lies in some repeated substring of
+    length >= L iff some repeated L-gram covers it, and an L-gram
+    occurrence is "repeated" iff it is not the first occurrence of its
+    content — so duplicate-marking overlapping L-grams IS the
+    suffix-array semantics, re-expressed as a groupBy instead of a
+    suffix sort (which does not distribute).
+
+    Returns ``(id, clean_text, n_tokens, n_removed)`` for every doc.
+
+    Scale shape: gram digests are map-side (`gram_digests`); the
+    first-occurrence election shuffles ``(digest, id, pos)`` ints only,
+    pre-filtered to digests with >1 occurrence (the overwhelmingly
+    unique grams of a real corpus never join); cut positions flow back
+    as one int list per doc and the text is re-derived map-side
+    (`_cut_and_rebuild`), so gram/segment text never enters an
+    Exchange."""
+    occ = gram_digests(df, min_len, text_col, id_col)
+    dup_g = (occ.groupBy("__g")
+             .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                 F.col("pos").alias("p"))).alias("__w"),
+                  F.count("*").alias("__c"))
+             .filter(F.col("__c") > 1)
+             .select("__g", "__w"))
+    dup_occ = (occ.join(dup_g, "__g")
+               .filter((F.col(id_col) != F.col("__w.i"))
+                       | (F.col("pos") != F.col("__w.p")))
+               .select(id_col, "pos"))
+    return _cut_and_rebuild(df, dup_occ, min_len, text_col, id_col)
+
+
+def incremental_substring_dedup(new: DataFrame,
+                                prior: DataFrame | None = None,
+                                prior_grams: DataFrame | None = None,
+                                min_len: int = 20, text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Cross-snapshot exact-substring dedup: clean a NEW crawl batch
+    against a PRIOR corpus — a new-batch token is cut iff covered by a
+    gram that occurs in the prior corpus OR earlier in the new batch
+    itself.  Pass ``prior_grams`` (a ``__g`` digest table, the snapshot
+    artifact) to skip re-hashing the prior corpus.
+
+    Scale shape: the prior probe is a digest-vs-digest semi-join (ints
+    both sides, neither broadcast); the within-batch election follows
+    ``substring_dedup``."""
+    if (prior is None) == (prior_grams is None):
+        raise ValueError("pass exactly one of prior / prior_grams")
+    if prior_grams is None:
+        prior_grams = gram_digests(prior, min_len, text_col, id_col)
+    pri = prior_grams.select("__g").distinct()
+    occ = gram_digests(new, min_len, text_col, id_col)
+    hit_prior = occ.join(pri, "__g", "left_semi").select(id_col, "pos")
+    fresh = occ.join(pri, "__g", "left_anti")
+    dup_g = (fresh.groupBy("__g")
+             .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                 F.col("pos").alias("p"))).alias("__w"),
+                  F.count("*").alias("__c"))
+             .filter(F.col("__c") > 1)
+             .select("__g", "__w"))
+    dup_batch = (fresh.join(dup_g, "__g")
+                 .filter((F.col(id_col) != F.col("__w.i"))
+                         | (F.col("pos") != F.col("__w.p")))
+                 .select(id_col, "pos"))
+    return _cut_and_rebuild(new, hit_prior.unionByName(dup_batch),
+                            min_len, text_col, id_col)
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct, as strings) of a text column.
     Human-readable form — the dedup hot paths use ``shingle_hashes``,

@@ -13,6 +13,9 @@ One snapshot =
   * ``segments``  — the segment-digest table (`dedup.segment_digests`,
                     distinct ``__d``), the prior side of
                     `incremental_segment_dedup`;
+  * ``grams``     — the positional-gram digest table
+                    (`dedup.gram_digests`, distinct ``__g``), the prior
+                    side of `incremental_substring_dedup`;
   * ``lm_bigrams`` / ``lm_prefixes`` / ``lm_vocab`` — the fitted
                     bigram-LM model tables (`text.bigram_lm_model`),
                     applied to later crawls (batch or live stream) by
@@ -37,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 #: artifact name -> builder(docs, emb) (documented above)
 _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
-           "segments", "lm_bigrams", "lm_prefixes", "lm_vocab")
+           "segments", "grams", "lm_bigrams", "lm_prefixes", "lm_vocab")
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -80,7 +83,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    emb: DataFrame | None = None,
                    num_hashes: int = 16, bands: int = 4,
                    shingle_n: int = 3, lsh_bits: int = 6,
-                   segment_size: int = 10) -> list[str]:
+                   segment_size: int = 10, sub_min_len: int = 20) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -108,6 +111,9 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         from .dedup import segment_digests
         _w("segments", segment_digests(docs, size=segment_size)
            .select("__d").distinct())
+        from .dedup import gram_digests
+        _w("grams", gram_digests(docs, min_len=sub_min_len)
+           .select("__g").distinct())
         from .text import bigram_lm_model
         bgc, prec, vocab = bigram_lm_model(docs)
         _w("lm_bigrams", bgc)
@@ -125,6 +131,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         json.dumps({"num_hashes": num_hashes, "bands": bands,
                     "shingle_n": shingle_n, "lsh_bits": lsh_bits,
                     "segment_size": segment_size,
+                    "sub_min_len": sub_min_len,
                     "tables": written}, indent=1))
     return written
 

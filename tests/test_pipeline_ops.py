@@ -978,8 +978,8 @@ def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
 
     written = write_snapshot(str(tmp_path), docs=d1, emb=e1)
     assert sorted(written) == ["bands", "blocks", "centroids", "codes",
-                               "digests", "lm_bigrams", "lm_prefixes",
-                               "lm_vocab", "segments"]
+                               "digests", "grams", "lm_bigrams",
+                               "lm_prefixes", "lm_vocab", "segments"]
     snap = read_snapshot(spark, str(tmp_path))
 
     def rows(df):
@@ -1009,6 +1009,12 @@ def test_snapshot_roundtrip_feeds_every_incremental_probe(spark, tmp_path):
     assert rows(incremental_segment_dedup(
         d2, prior_segments=snap["segments"])) == \
         rows(incremental_segment_dedup(d2, prior=d1))
+    # the persisted gram-digest table cuts the second crawl's repeated
+    # passages identically to re-hashing the prior corpus
+    from scespet_spark.operators.dedup import incremental_substring_dedup
+    assert rows(incremental_substring_dedup(
+        d2, prior_grams=snap["grams"])) == \
+        rows(incremental_substring_dedup(d2, prior=d1))
     # the persisted LM model scores the SECOND crawl identically to the
     # inline fit on the first snapshot
     from scespet_spark.operators.text import bigram_lm_apply, bigram_lm_model
@@ -1241,3 +1247,78 @@ def test_snapshot_manifest_and_compat_guard(spark, tmp_path):
     # a probe configured differently must raise, not silently miss
     with pytest.raises(ValueError, match="different parameters"):
         check_compat(str(tmp_path), num_hashes=16)
+
+
+def test_substring_dedup_cuts_arbitrary_offset_repeats(spark):
+    """Exact-substring semantics (suffix-array family): repeated runs of
+    >= min_len tokens vanish at ANY offset — mid-doc, cross-doc, and
+    within one doc — while the globally-first occurrence keeps every
+    token; docs shorter than min_len are never touched."""
+    from scespet_spark.operators.dedup import substring_dedup
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g"),        # first occurrence: untouched
+        (2, "x y a b c d z"),        # shares "a b c d" at offset 3
+        (3, "p q r"),                # unique
+        (4, "a b c"),                # entirely a repeat of doc1's head
+        (5, "m n"),                  # shorter than min_len: untouched
+        (6, "u v w u v w u v w"),    # within-doc repetition
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in substring_dedup(docs, min_len=3).collect()}
+    assert got == {
+        1: ("a b c d e f g", 7, 0),
+        2: ("x y z", 7, 4),
+        3: ("p q r", 3, 0),
+        4: ("", 3, 3),
+        5: ("m n", 2, 0),
+        6: ("u v w", 9, 6),
+    }
+
+
+def test_incremental_substring_dedup_prior_and_batch(spark):
+    """A new-batch passage is cut if it occurs in the PRIOR corpus (the
+    first batch occurrence too — prior wins) or earlier in the batch;
+    passing the snapshot gram table equals re-hashing the prior text."""
+    from scespet_spark.operators.dedup import (gram_digests,
+                                               incremental_substring_dedup)
+    prior = spark.createDataFrame(
+        [(1, "h e l l o w o r l d")], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (10, "q q h e l l o w z"),   # "h e l l o w" occurs in prior
+        (11, "f r e s h t e x t"),   # unique -> untouched
+        (12, "f r e s h t o o"),     # "f r e s h t" repeats doc 11
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in incremental_substring_dedup(
+               new, prior=prior, min_len=5).collect()}
+    # doc 12 shares grams at pos 1 AND 2 ("f r e s h", "r e s h t")
+    # with doc 11 -> coverage extends through token 6
+    assert got == {10: ("q q z", 6), 11: ("f r e s h t e x t", 0),
+                   12: ("o o", 6)}
+    via_snap = incremental_substring_dedup(
+        new, prior_grams=gram_digests(prior, min_len=5).select("__g"),
+        min_len=5)
+    assert sorted(map(tuple, via_snap.collect())) == sorted(
+        map(tuple, incremental_substring_dedup(
+            new, prior=prior, min_len=5).collect()))
+
+
+def test_substring_dedup_rebuild_gap_edges(spark):
+    """Gap-complement rebuild edges: cuts at position 1, adjacent cuts
+    (contiguous coverage, empty gap), and a cut ending exactly at the
+    last token."""
+    from scespet_spark.operators.dedup import _cut_and_rebuild
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")], "doc_id long, text string")
+    # L=3, cuts at 2 and 6: coverage 2-4 and 6-8 -> kept 1, 5, 9, 10
+    dup = spark.createDataFrame([(1, 2), (1, 6)], "doc_id long, pos int")
+    r = _cut_and_rebuild(docs, dup, 3, "text", "doc_id").collect()[0]
+    assert (r.clean_text, r.n_tokens, r.n_removed) == ("t1 t5 t9 t10", 10, 6)
+    # adjacent cuts 1 and 4: coverage 1-3, 4-6 -> kept 7..10
+    dup = spark.createDataFrame([(1, 1), (1, 4)], "doc_id long, pos int")
+    r = _cut_and_rebuild(docs, dup, 3, "text", "doc_id").collect()[0]
+    assert (r.clean_text, r.n_removed) == ("t7 t8 t9 t10", 6)
+    # cut ending at the final token: 8 covers 8-10
+    dup = spark.createDataFrame([(1, 8)], "doc_id long, pos int")
+    r = _cut_and_rebuild(docs, dup, 3, "text", "doc_id").collect()[0]
+    assert (r.clean_text, r.n_removed) == ("t1 t2 t3 t4 t5 t6 t7", 3)

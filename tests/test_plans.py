@@ -328,3 +328,25 @@ def test_ivf_assign_is_map_only(spark, entry):
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan
     assert "Window" not in plan
+
+
+def test_substring_dedup_election_shuffles_ints_only(spark, entry):
+    """dedup_substring: the first-occurrence election (groupBy gram
+    digest) must shuffle (digest, id, pos) int rows only — neither the
+    document text nor the token array may enter a HASH-partitioned
+    Exchange (the `_spread` round-robin of the raw scan is the
+    documented small-file exception).  Election must be a combinable
+    min-agg pre-filtered to repeated digests, never a window sort."""
+    plan = _plan(entry.queries()["dedup_substring"](spark, SF))
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if l.strip().startswith("Input") and ("text#" in l or "__t#" in l
+                                              or "__toks#" in l):
+            hdr = next(x for x in reversed(lines[:i])
+                       if x.strip().startswith("("))
+            if "Exchange" in hdr:
+                args = next(x for x in lines[i:]
+                            if x.strip().startswith("Arguments"))
+                assert "hashpartitioning" not in args, (hdr, l, args)
+    assert "Window" not in plan
+    assert "partial_min" in plan
