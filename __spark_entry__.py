@@ -3873,6 +3873,84 @@ def live_perplexity_filter(spark, sf_dir):
         scored.filter(F.col("mean_logp") >= F.lit(thr)), "complete")
 
 
+#: hashed-feature quality-classifier demo params: train split is
+#: doc_id % 3 == 0 with label lang == 'en'; B buckets, alpha = 1
+_QC_B = 1024
+
+#: oracle CTEs for the fitted model (weights/unseen/bias) and the
+#: scored target rows; {target} restricts the apply side
+_QC_SQL = f"""WITH tok AS (SELECT doc_id, (lang = 'en')::INT AS y,
+                    unnest({_TOKS}) AS tk
+             FROM documents WHERE doc_id % 3 = 0),
+cnt AS (SELECT ({h64_sql('tk')}) % {_QC_B} AS bucket,
+               SUM(y) AS cp, SUM(1 - y) AS cn
+        FROM tok GROUP BY 1),
+tot AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn FROM cnt),
+w AS (SELECT bucket,
+             ln((cp + 1.0) / (tp + {_QC_B}.0))
+           - ln((cn + 1.0) / (tn + {_QC_B}.0)) AS w
+      FROM cnt, tot),
+wu AS (SELECT ln(1.0 / (tp + {_QC_B}.0)) - ln(1.0 / (tn + {_QC_B}.0)) AS w
+       FROM tot),
+bias AS (SELECT ln((SUM((lang = 'en')::INT) + 1.0)
+              / (SUM((lang <> 'en')::INT) + 1.0)) AS b
+         FROM documents WHERE doc_id % 3 = 0),
+app AS (SELECT doc_id, ({h64_sql('tk')}) % {_QC_B} AS bucket
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tk
+              FROM documents WHERE {{target}})),
+sc AS (SELECT app.doc_id,
+              round(avg(coalesce(w.w, (SELECT w FROM wu)))
+                    + (SELECT b FROM bias), 6) AS score,
+              COUNT(*) AS n_tokens
+       FROM app LEFT JOIN w ON app.bucket = w.bucket
+       GROUP BY app.doc_id)
+SELECT doc_id, score, n_tokens, (score > 0.0)::INT AS pred FROM sc"""
+
+
+@query("text_quality_classifier", _QC_SQL.format(target="doc_id % 3 <> 0"))
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (the rung above the heuristic score
+    and the bigram LM): a hashed-feature linear classifier with
+    NB log-count-ratio weights (fastText-style bag of buckets, NBSVM
+    weights) fitted on the labeled train split (doc_id % 3 == 0,
+    label = lang == 'en') and applied to the held-out docs.  Fit is one
+    map-side-combinable token-count pass to a <= B-row weight table —
+    the snapshot artifact; apply is a broadcast join + per-doc mean.
+    No UDF anywhere; closed-form fit keeps both halves SQL-exact."""
+    from scespet_spark.operators.text import (quality_classifier_apply,
+                                              quality_classifier_fit)
+    docs = load_table(spark, sf_dir, "documents")
+    model = quality_classifier_fit(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=_QC_B)
+    return quality_classifier_apply(docs.filter(F.col("doc_id") % 3 != 0),
+                                    model, n_buckets=_QC_B)
+
+
+@query("live_quality_classifier", _QC_SQL.format(target="TRUE"))
+def live_quality_classifier(spark, sf_dir):
+    """The persisted quality classifier serving a LIVE crawl stream:
+    the weight table (fitted once batch-side — the snapshot artifact)
+    attaches to arriving documents via a broadcast stream-static join;
+    bias and unseen-bucket weight are the two scalar model rows, read
+    once driver-side.  Zero corpus passes at serve time.  Oracle =
+    the batch apply over the full table the stream replays."""
+    from scespet_spark.operators.text import (quality_classifier_apply,
+                                              quality_classifier_fit)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    model = quality_classifier_fit(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=_QC_B)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(
+        quality_classifier_apply(stream, model, n_buckets=_QC_B),
+        "complete")
+
+
 @query("text_collapse_repeats", f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id,

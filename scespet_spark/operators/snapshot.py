@@ -20,6 +20,10 @@ One snapshot =
                     bigram-LM model tables (`text.bigram_lm_model`),
                     applied to later crawls (batch or live stream) by
                     `text.bigram_lm_apply`;
+  * ``quality_weights`` — the hashed-feature quality-classifier weight
+                    table (`text.quality_classifier_fit`, needs a
+                    labeled corpus), applied by
+                    `text.quality_classifier_apply`;
   * ``centroids`` + ``codes`` — the IVF coarse index
                     (`similarity.label_centroids` / `ivf_assign`),
                     served by `ivf_topk_from_index` / `ann_topk_stream`
@@ -40,7 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 #: artifact name -> builder(docs, emb) (documented above)
 _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
-           "segments", "grams", "lm_bigrams", "lm_prefixes", "lm_vocab")
+           "segments", "grams", "lm_bigrams", "lm_prefixes", "lm_vocab",
+           "quality_weights")
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -81,9 +86,11 @@ def _fs_read_text(spark: SparkSession, path: str) -> str:
 
 def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    emb: DataFrame | None = None,
+                   labeled: DataFrame | None = None,
                    num_hashes: int = 16, bands: int = 4,
                    shingle_n: int = 3, lsh_bits: int = 6,
-                   segment_size: int = 10, sub_min_len: int = 20) -> list[str]:
+                   segment_size: int = 10, sub_min_len: int = 20,
+                   qc_buckets: int = 1024) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -119,19 +126,28 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("lm_bigrams", bgc)
         _w("lm_prefixes", prec)
         _w("lm_vocab", vocab)
+    if labeled is not None:
+        # the model-based quality rung: a <= qc_buckets-row weight
+        # table (bias/unseen rows included) applied map-side to every
+        # later crawl — fit requires a 0/1 `label` column
+        from .text import quality_classifier_fit
+        _w("quality_weights",
+           quality_classifier_fit(labeled, n_buckets=qc_buckets))
     if emb is not None:
         _w("blocks", embedding_block_table(emb, bits=lsh_bits))
         cents = label_centroids(emb)
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
     import json
-    spark = (docs if docs is not None else emb).sparkSession
+    spark = next(d for d in (docs, emb, labeled)
+                 if d is not None).sparkSession
     _fs_write_text(
         spark, os.path.join(out_dir, "manifest.json"),
         json.dumps({"num_hashes": num_hashes, "bands": bands,
                     "shingle_n": shingle_n, "lsh_bits": lsh_bits,
                     "segment_size": segment_size,
                     "sub_min_len": sub_min_len,
+                    "qc_buckets": qc_buckets,
                     "tables": written}, indent=1))
     return written
 

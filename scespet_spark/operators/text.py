@@ -654,3 +654,91 @@ def redact(df: DataFrame, text_col: str = "text",
         n = n + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
         col = F.regexp_replace(col, pat, rep)
     return df.withColumn(out, col).withColumn("n_redactions", n)
+
+
+def quality_classifier_fit(labeled: DataFrame, label_col: str = "label",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           n_buckets: int = 1024,
+                           alpha: float = 1.0) -> DataFrame:
+    """Fit a hashed-feature linear quality classifier (fastText-style
+    bag-of-buckets; weights are the multinomial-NB log-count ratios of
+    NBSVM) — the model-based rung of the quality ladder above the
+    heuristic score and the bigram LM.  ``labeled`` carries a 0/1
+    ``label_col``; tokens hash into ``n_buckets`` buckets and each
+    bucket's weight is
+
+        ln((c_pos + alpha) / (T_pos + alpha*B))
+      - ln((c_neg + alpha) / (T_neg + alpha*B))
+
+    Returns ONE model table ``(bucket, w)`` — the snapshot artifact —
+    with two reserved rows: bucket -1 = the class-prior bias
+    ``ln((N_pos+alpha)/(N_neg+alpha))`` and bucket -2 = the
+    unseen-bucket weight (pure smoothing mass), so a later crawl's
+    out-of-vocabulary tokens score honestly.
+
+    The closed-form count fit is what makes BOTH fit and apply plain
+    distributed aggregations (one token-count pass, map-side
+    combinable) with an exact SQL oracle — no gradient loop, no
+    driver-held dense vector.  Scale: the count table is at most
+    ``n_buckets`` rows regardless of corpus size."""
+    from .dedup import _spread
+    y = F.col(label_col).cast("int")
+    b = (_spread(labeled.select(F.col(id_col), F.col(text_col),
+                                y.alias("__y")))
+         .select("__y", F.explode(tokens(F.col(text_col))).alias("__tk")))
+    cnt = (b.select((h64(F.col("__tk")) % n_buckets).alias("bucket"), "__y")
+           .groupBy("bucket")
+           .agg(F.sum("__y").alias("__cp"),
+                F.sum(1 - F.col("__y")).alias("__cn")))
+    tot = cnt.agg(F.sum("__cp").alias("__tp"), F.sum("__cn").alias("__tn"))
+    aB = alpha * n_buckets
+    w = (cnt.crossJoin(F.broadcast(tot))
+         .select("bucket",
+                 (F.log((F.col("__cp") + alpha) / (F.col("__tp") + aB))
+                  - F.log((F.col("__cn") + alpha) / (F.col("__tn") + aB)))
+                 .alias("w")))
+    unseen = tot.select(
+        F.lit(-2).cast("long").alias("bucket"),
+        (F.log(F.lit(alpha) / (F.col("__tp") + aB))
+         - F.log(F.lit(alpha) / (F.col("__tn") + aB))).alias("w"))
+    prior = (labeled.agg(F.sum(y).alias("__p"), F.sum(1 - y).alias("__n"))
+             .select(F.lit(-1).cast("long").alias("bucket"),
+                     F.log((F.col("__p") + alpha) / (F.col("__n") + alpha))
+                     .alias("w")))
+    return w.unionByName(unseen).unionByName(prior)
+
+
+def quality_classifier_apply(df: DataFrame, model: DataFrame,
+                             n_buckets: int = 1024,
+                             threshold: float = 0.0,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Score documents under a FITTED quality classifier (see
+    ``quality_classifier_fit``): per-doc mean bucket weight plus the
+    class-prior bias, rounded to 6dp for cross-engine float parity;
+    ``pred`` = score > ``threshold``.  Docs with zero tokens drop (no
+    feature rows — same contract as ``bigram_lm_apply``).
+
+    Works unchanged on a LIVE stream: the bucket-weight attach is a
+    broadcast stream-static join (the model is at most n_buckets+2
+    rows) and the two scalar rows (bias, unseen weight) are read once
+    driver-side — a model-sized collect, the same trade the streaming
+    LM apply makes because a streaming plan cannot cross-join.  Zero
+    corpus passes at serve time."""
+    scal = {r["bucket"]: r["w"]
+            for r in model.filter(F.col("bucket") < 0).collect()}
+    if -1 not in scal or -2 not in scal:
+        raise ValueError(
+            "model table lacks the reserved bias (-1) / unseen (-2) "
+            "rows — was it written by quality_classifier_fit?")
+    weights = model.filter(F.col("bucket") >= 0)
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .select(id_col,
+                   F.explode(tokens(F.col(text_col))).alias("__tk"))
+           .select(id_col, (h64(F.col("__tk")) % n_buckets).alias("bucket")))
+    return (tok.join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.round(F.avg(F.coalesce(F.col("w"), F.lit(scal[-2])))
+                         + F.lit(scal[-1]), 6).alias("score"),
+                 F.count("*").cast("long").alias("n_tokens"))
+            .withColumn("pred", (F.col("score") > threshold).cast("int")))

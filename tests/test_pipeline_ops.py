@@ -1322,3 +1322,61 @@ def test_substring_dedup_rebuild_gap_edges(spark):
     dup = spark.createDataFrame([(1, 8)], "doc_id long, pos int")
     r = _cut_and_rebuild(docs, dup, 3, "text", "doc_id").collect()[0]
     assert (r.clean_text, r.n_removed) == ("t1 t2 t3 t4 t5 t6 t7", 3)
+
+
+def test_quality_classifier_learns_token_signal(spark):
+    """On a corpus where classes actually differ in token distribution,
+    the NB-log-odds weights must separate them: held-out docs built
+    from 'good' vocabulary score positive, 'bad' vocabulary negative,
+    and out-of-vocabulary tokens fall back to the unseen weight
+    instead of crashing or scoring zero."""
+    from scespet_spark.operators.text import (quality_classifier_apply,
+                                              quality_classifier_fit)
+    good = "clear prose with varied informative vocabulary"
+    bad = "spam spam buy buy click click now now"
+    train = spark.createDataFrame(
+        [(i, good, 1) for i in range(10)]
+        + [(100 + i, bad, 0) for i in range(10)],
+        "doc_id long, text string, label int")
+    model = quality_classifier_fit(train, n_buckets=256)
+    held = spark.createDataFrame([
+        (1000, "varied informative prose"),
+        (1001, "buy spam now click"),
+        (1002, "wholly novel unseen tokens"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_classifier_apply(
+        held, model, n_buckets=256).collect()}
+    assert got[1000].pred == 1 and got[1000].score > 0
+    assert got[1001].pred == 0 and got[1001].score < 0
+    # OOV doc: all tokens take the unseen weight; with a balanced
+    # train set the score is ~bias + w_unseen — finite, deterministic
+    assert got[1002].score is not None
+    # model malformed without the reserved rows
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reserved"):
+        quality_classifier_apply(
+            held, model.filter(F.col("bucket") >= 0), n_buckets=256)
+
+
+def test_snapshot_quality_weights_roundtrip(spark, tmp_path):
+    """write_snapshot(labeled=...) persists the classifier weight
+    table; the loaded artifact scores a later crawl identically to the
+    inline fit."""
+    from scespet_spark.operators.snapshot import (read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.operators.text import (quality_classifier_apply,
+                                              quality_classifier_fit)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    labeled = (docs.filter(F.col("doc_id") % 3 == 0)
+               .withColumn("label", (F.col("lang") == "en").cast("int")))
+    write_snapshot(str(tmp_path), labeled=labeled, qc_buckets=512)
+    snap = read_snapshot(spark, str(tmp_path))
+    held = docs.filter(F.col("doc_id") % 3 != 0)
+    got = quality_classifier_apply(held, snap["quality_weights"],
+                                   n_buckets=512)
+    want = quality_classifier_apply(
+        held, quality_classifier_fit(labeled, n_buckets=512),
+        n_buckets=512)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
