@@ -2821,6 +2821,71 @@ def bind_hourly_rendezvous(spark, sf_dir):
                  F.sum(F.col("has_c") * F.col("has_p")).alias("n_both_cycles")))
 
 
+@query("live_bind_hourly", """
+WITH u AS (
+  SELECT user_id, DATE_TRUNC('hour', ts) AS cyc, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')),
+c AS (
+  SELECT user_id, cyc,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+  FROM u GROUP BY user_id, cyc),
+b AS (
+  SELECT user_id, DATE_TRUNC('day', cyc) AS day,
+         CAST(SUM(has_c) AS BIGINT) AS n_click_cycles,
+         CAST(SUM(has_p) AS BIGINT) AS n_purchase_cycles,
+         CAST(SUM(has_c * has_p) AS BIGINT) AS n_both_cycles
+  FROM c GROUP BY user_id, DATE_TRUNC('day', cyc))
+SELECT user_id, day, n_click_cycles, n_purchase_cycles, n_both_cycles
+FROM b
+WHERE day < (SELECT MAX(day) FROM b b2 WHERE b2.user_id = b.user_id)
+""")
+def live_bind_hourly(spark, sf_dir):
+    """Live N-way bucket bind (reference Entry point C: trades+quotes
+    into one Stats bucket, EnvTermBuilder.scala:113-134): click and
+    purchase STREAMS rendezvous per (user, hour) cycle into one daily
+    XY-collector bucket — add_cycle fires exactly once per cycle even
+    when the sides land in different micro-batches (the open cycle's
+    rows are state until a later cycle proves it complete,
+    JoinValueRendezvous semantics).  Only closed cycles fire and only
+    closed buckets emit, so the oracle is batch bind_hourly_rendezvous
+    minus each user's final day."""
+    from scespet_spark.operators.buckets import CycleBucket
+    from scespet_spark.streaming.live import (live_bind,
+                                              read_events_stream,
+                                              run_available_now)
+
+    class XY(CycleBucket):
+        def open(self):
+            self.c = self.p = self.b = 0
+
+        def add_cycle(self, cycle):
+            hc = bool((cycle["side"] == "click").any())
+            hp = bool((cycle["side"] == "purchase").any())
+            self.c += int(hc)
+            self.p += int(hp)
+            self.b += int(hc and hp)
+
+        def value(self):
+            return {"n_click_cycles": self.c, "n_purchase_cycles": self.p,
+                    "n_both_cycles": self.b}
+
+    src = read_events_stream(spark, sf_dir)
+    clicks = (src.filter(F.col("event_type") == "click")
+              .withColumn("cyc", F.date_trunc("hour", "ts")))
+    purchases = (src.filter(F.col("event_type") == "purchase")
+                 .withColumn("cyc", F.date_trunc("hour", "ts")))
+    out = live_bind(
+        {"click": (clicks, ["cyc", "value"]),
+         "purchase": (purchases, ["cyc", "value"])},
+        ["user_id"], XY, "1 day",
+        "n_click_cycles long, n_purchase_cycles long, n_both_cycles long",
+        cycle_col="cyc")
+    return (run_available_now(out, "append")
+            .select("user_id", F.date_trunc("day", "ts").alias("day"),
+                    "n_click_cycles", "n_purchase_cycles", "n_both_cycles"))
+
+
 @query("bucket_collapse_stats", """
 SELECT user_id,
        MAX(ts) AS ts, MAX(event_id) AS event_id,

@@ -1287,6 +1287,118 @@ def live_collapse(df: DataFrame, keys: list[str], bucket_factory,
                      "blob binary")
 
 
+def live_bind(inputs: dict[str, tuple[DataFrame, Iterable[str]]],
+              keys: list[str], bucket_factory, every: str, value_ddl: str,
+              t: str = "ts", seq: str = "event_id", emit: str = "last",
+              cycle_col: str | None = None) -> DataFrame:
+    """Live N-way bucket ``bind``: N tagged input streams rendezvous
+    into ONE lifecycle bucket per (key, ``every``-slice) — the
+    streaming counterpart of ``operators.buckets.bind`` + ``collapse``
+    (reference Entry point C: EnvTermBuilder.scala:113-134 binds
+    trades+quotes into one Stats bucket; the rendezvous contract —
+    a multi-input node fires ONCE per cycle after all inputs — is
+    JoinValueRendezvous / SlicedBucket.scala:33-83).
+
+    Each input keeps its own value columns (other sides null) plus a
+    ``side`` tag, exactly like batch ``bind``; the union is
+    shuffle-free and the one grouped exchange is per key.
+
+    Cross-micro-batch atomicity is the point: rows of one (key, cycle)
+    may land in DIFFERENT micro-batches (the N sources advance
+    independently), so the OPEN cycle's rows are buffered in the state
+    store and ``add_cycle`` fires exactly once — when a row with a
+    LATER cycle value arrives and proves the cycle complete.  Hence
+    only CLOSED cycles fire and only CLOSED buckets emit (no
+    termination event live — the live_collapse contract): per key the
+    final bucket, which contains the final pending cycle, never emits.
+
+    Requires the in-order multi-batch delivery every live fold here
+    assumes, plus ``cycle_col`` non-decreasing in ``t`` (any event-time
+    truncation qualifies; default = ``t`` itself).  State per key is
+    one pickled bucket + ONE cycle's raw rows — bounded by cycle
+    width, not stream length."""
+    if emit not in ("last", "all"):
+        raise ValueError(f"emit must be 'last' or 'all', got {emit!r}")
+    parts = []
+    for tag, (df, cols) in inputs.items():
+        parts.append(df.select(*keys, t, seq, *cols)
+                     .withColumn("side", F.lit(tag)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p, allowMissingColumns=True)
+
+    step_ms = int(pd.Timedelta(every).total_seconds() * 1000)
+    cyc = cycle_col or t
+    last = emit == "last"
+
+    def step(st, pdf):
+        from pyspark import cloudpickle
+        bucket = (cloudpickle.loads(bytes(st["blob"]))
+                  if st["blob"] is not None else None)
+        pend = (cloudpickle.loads(bytes(st["pend"]))
+                if st["pend"] is not None else None)
+        if pend is not None:
+            # pending rows precede every batch row (in-order contract)
+            pdf = pd.concat([pend, pdf], ignore_index=True)
+        out = []
+        bids = pd.Series(pdf[t].values.astype("datetime64[ms]")
+                         .astype("int64") // step_ms, index=pdf.index)
+        groups = list(pdf.groupby([bids, pdf[cyc]], sort=True))
+        # the LAST (bucket, cycle) group stays pending — its rendezvous
+        # is only proven complete by a later cycle's arrival
+        for (bid, _cval), grp in groups[:-1]:
+            if bucket is not None and bid > st["bucket"]:
+                bucket.complete()
+                if last:
+                    out.append({t: pd.Timestamp(int(st["last_t"]),
+                                                unit="us"),
+                                seq: int(st["last_seq"]),
+                                **bucket.value()})
+                bucket = None
+            if bucket is None:
+                bucket = bucket_factory()
+                bucket.open()
+                st["bucket"] = float(bid)
+            bucket.add_cycle(grp)
+            if not last:
+                out.append({t: grp[t].iloc[-1],
+                            seq: int(grp[seq].iloc[-1]),
+                            **bucket.value()})
+            st["last_t"] = float(grp[t].values[-1]
+                                 .astype("datetime64[us]").astype("int64"))
+            st["last_seq"] = float(grp[seq].iloc[-1])
+        if groups:
+            # a pending row in a LATER bucket already proves the open
+            # bucket complete (cycles are time-ordered): close and emit
+            # it now — otherwise a key whose final slice holds a single
+            # cycle would never close its previous slice
+            pend_bid = groups[-1][0][0]
+            if bucket is not None and pend_bid > st["bucket"]:
+                bucket.complete()
+                if last:
+                    out.append({t: pd.Timestamp(int(st["last_t"]),
+                                                unit="us"),
+                                seq: int(st["last_seq"]),
+                                **bucket.value()})
+                bucket = None
+            st["pend"] = bytearray(cloudpickle.dumps(groups[-1][1]))
+        st["blob"] = (bytearray(cloudpickle.dumps(bucket))
+                      if bucket is not None else None)
+        return out
+
+    key_ddl = _key_ddl(u, keys)
+    tddl = u.schema[t].dataType.simpleString()
+    return stateful_scan(
+        u, keys,
+        {"bucket": -1.0, "last_t": 0.0, "last_seq": 0.0,
+         "blob": None, "pend": None},
+        step,
+        f"{key_ddl}, {t} {tddl}, {seq} long, {value_ddl}",
+        t=t, order_cols=[t, seq],
+        state_schema="bucket double, last_t double, last_seq double, "
+                     "blob binary, pend binary")
+
+
 def run_available_now(df: DataFrame, output_mode: str = "complete",
                       name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input

@@ -1374,3 +1374,104 @@ def test_first_wins_idle_ttl_self_watermarks(spark, tmp_path):
         "append")
     got = sorted(tuple(r) for r in out.select("k", "doc_id").collect())
     assert got == [(0, 0), (1, 1)]  # batch-tie-break min(doc_id) per key
+
+
+def _bind_hourly(src):
+    from scespet_spark.streaming.live import live_bind
+
+    class _XY:
+        """Test bucket: counts cycles where each / both sides fired.
+        Defined in-closure: cloudpickle serializes local classes by
+        VALUE — a module-level test class would pickle by reference
+        and fail to import on the executors."""
+
+        def open(self):
+            self.c = self.p = self.b = 0
+
+        def add_cycle(self, cycle):
+            hc = bool((cycle["side"] == "click").any())
+            hp = bool((cycle["side"] == "purchase").any())
+            self.c += int(hc)
+            self.p += int(hp)
+            self.b += int(hc and hp)
+
+        def value(self):
+            return {"nc": self.c, "np": self.p, "nb": self.b}
+
+        def complete(self):
+            pass
+    clicks = (src.filter(F.col("event_type") == "click")
+              .withColumn("cyc", F.date_trunc("hour", "ts")))
+    purchases = (src.filter(F.col("event_type") == "purchase")
+                 .withColumn("cyc", F.date_trunc("hour", "ts")))
+    return live_bind(
+        {"click": (clicks, ["cyc", "value"]),
+         "purchase": (purchases, ["cyc", "value"])},
+        ["user_id"], _XY, "1 day", "nc long, np long, nb long",
+        cycle_col="cyc")
+
+
+def test_live_bind_parity_across_micro_batches(spark, batch_events,
+                                               staged_events_3):
+    """live_bind: N-way rendezvous state (pending cycle + bucket) must
+    survive micro-batch boundaries — 3 staged drops emit exactly what a
+    single-batch replay emits."""
+    from scespet_spark.streaming.live import run_available_now
+
+    got3 = run_available_now(_bind_hourly(staged_events_3()), "append")
+    # single-drop source: the same events as ONE file stream batch
+    import tempfile
+    d = tempfile.mkdtemp()
+    batch_events.coalesce(1).write.mode("overwrite").parquet(d + "/one")
+    src1 = (spark.readStream
+            .schema(batch_events.schema).parquet(d + "/one"))
+    got1 = run_available_now(_bind_hourly(src1), "append")
+    cols = ["user_id", "ts", "event_id", "nc", "np", "nb"]
+    assert _sorted_rows(got3, cols) == _sorted_rows(got1, cols)
+    assert got3.count() > 0
+
+
+def test_live_bind_cycle_split_across_batches_fires_once(spark, tmp_path):
+    """The rendezvous contract: one (user, hour) cycle whose click
+    lands in drop 1 and purchase in drop 2 must fire add_cycle ONCE,
+    with both sides visible (n_both counts it) — the single-stream
+    live_collapse would have folded it twice."""
+    import os
+    import pandas as pd
+    from scespet_spark.streaming.live import run_available_now
+
+    rows = [
+        # (ts, event_id, type): hour 10 cycle split across drops;
+        # hour 12 and day+1 rows close the cycle and the bucket
+        [(pd.Timestamp(2024, 1, 1, 10, 0, 5), 1, "click", 1.0)],
+        [(pd.Timestamp(2024, 1, 1, 10, 0, 9), 2, "purchase", 2.0),
+         (pd.Timestamp(2024, 1, 1, 12, 0, 0), 3, "click", 3.0)],
+        [(pd.Timestamp(2024, 1, 2, 1, 0, 0), 4, "purchase", 4.0),
+         (pd.Timestamp(2024, 1, 3, 1, 0, 0), 5, "click", 5.0)],
+    ]
+    src = tmp_path / "drops"
+    src.mkdir()
+    now = __import__("time").time()
+    for i, drop in enumerate(rows):
+        pdf = pd.DataFrame(drop, columns=["ts", "event_id",
+                                          "event_type", "value"])
+        pdf["user_id"] = 7
+        d = tmp_path / f"f{i}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"drop-{i}.parquet"
+        import shutil
+        shutil.copy(str(d / part), str(dst))
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (spark.readStream
+              .schema("ts timestamp, event_id long, event_type string, "
+                      "value double, user_id long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = run_available_now(_bind_hourly(stream), "append")
+    got = sorted(tuple(r) for r in
+                 out.select("user_id", "event_id", "nc", "np", "nb")
+                 .collect())
+    # day 1 bucket: cycle h10 (click+purchase, split) + cycle h12
+    # (click only) -> nc=2, np=1, nb=1, emitted at its last fired
+    # event (event 3); day 2's single cycle closes via day 3's row
+    assert got == [(7, 3, 2, 1, 1), (7, 4, 0, 1, 0)]
