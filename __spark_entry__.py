@@ -4565,6 +4565,105 @@ def dedup_incremental_segments(spark, sf_dir):
         prior=docs.filter(F.col("doc_id") % 3 == 0), size=_SEG_SIZE)
 
 
+#: deterministic URL-shaped column over `documents` for the URL-dedup
+#: demo: spelling variants (case, www, default port, trailing slash,
+#: fragment, tracking/query-order noise) that canonicalize together
+_URL_SPARK = None  # built in the query (needs F)
+_URL_SQL = """'https://WWW.Example.com:443/' || lang
+  || '/Page' || (doc_id % 7)::VARCHAR
+  || CASE doc_id % 4
+       WHEN 0 THEN '/?utm_source=feed&b=2&a=1&ref=' || (doc_id % 5)::VARCHAR
+       WHEN 1 THEN '/?a=1&b=2'
+       WHEN 2 THEN '/#frag'
+       ELSE '' END"""
+
+#: DuckDB mirror of dedup.canonical_url over a column named url
+_CANON_SQL = r"""CASE WHEN lower(regexp_extract(url,
+         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*).*$', 1)) <> ''
+   AND regexp_extract(url,
+         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*).*$', 2) <> ''
+  THEN lower(regexp_extract(url,
+         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*).*$', 1))
+    || '://'
+    || regexp_replace(regexp_replace(lower(regexp_extract(url,
+         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*).*$', 2)),
+         '^www\.', ''), ':(80|443)$', '')
+    || regexp_replace(regexp_extract(url,
+         '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*).*$', 3), '/+$', '')
+    || CASE WHEN array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(url, '^[^?#]*\?([^#]*).*$', 1),
+                           '&'),
+              x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)='))),
+              '&') <> ''
+       THEN '?' || array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(url, '^[^?#]*\?([^#]*).*$', 1),
+                           '&'),
+              x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)='))),
+              '&')
+       ELSE '' END
+  ELSE NULL END"""
+
+
+def _demo_url_col():
+    """The deterministic URL-variant column (Spark side of _URL_SQL)."""
+    return F.concat(
+        F.lit("https://WWW.Example.com:443/"),
+        F.col("lang"), F.lit("/Page"), (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/?utm_source=feed&b=2&a=1&ref="),
+                        (F.col("doc_id") % 5).cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/?a=1&b=2"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/#frag"))
+        .otherwise(F.lit("")))
+
+
+@query("dedup_url_canonical", f"""
+WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {_CANON_SQL} AS canon_url FROM urls)
+SELECT canon_url, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM c WHERE canon_url IS NOT NULL GROUP BY canon_url
+""")
+def dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization + first-wins URL dedup — the cheapest
+    high-yield dedup signal a crawl pipeline applies before any content
+    hashing: case/www/default-port/trailing-slash/fragment noise and
+    tracking or reordered query params all collapse to one canonical
+    key (dedup.canonical_url, pure codegen regexp/array expressions),
+    then one combinable groupBy elects the min-id representative per
+    canonical URL with the spelling-variant count."""
+    from scespet_spark.operators.dedup import url_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    return url_dedup(docs.withColumn("url", _demo_url_col()))
+
+
+@query("live_dedup_url", f"""
+WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {_CANON_SQL} AS canon_url FROM urls)
+SELECT canon_url, MIN(doc_id) AS doc_id
+FROM c WHERE canon_url IS NOT NULL GROUP BY canon_url
+""")
+def live_dedup_url(spark, sf_dir):
+    """The URL-canonical gate on a LIVE crawl: arriving documents map
+    to their canonical URL (same codegen expression — map-only on the
+    stream) and first_wins elects one winner per canonical key across
+    micro-batches, suppressing every later spelling variant.  Arrival
+    order decides across drops, min doc_id within a drop — on the
+    single-drop replay this equals the batch min-id election."""
+    from scespet_spark.operators.dedup import canonical_url
+    from scespet_spark.streaming.live import (first_wins,
+                                              read_table_stream,
+                                              run_available_now)
+    stream = (read_table_stream(spark, sf_dir, "documents")
+              .withColumn("url", _demo_url_col())
+              .withColumn("canon_url", canonical_url(F.col("url")))
+              .filter(F.col("canon_url").isNotNull()))
+    out = first_wins(stream, keys=["canon_url"], order_cols=["doc_id"],
+                     payload_cols=["doc_id"], t="doc_id")
+    return run_available_now(out, "append").select("canon_url", "doc_id")
+
+
 #: exact-substring dedup gram length (tokens) — the "min matched
 #: substring" L of the suffix-array dedup family
 _SUB_L = 15

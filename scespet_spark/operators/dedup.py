@@ -356,6 +356,59 @@ def incremental_substring_dedup(new: DataFrame,
                             min_len, text_col, id_col)
 
 
+#: query-string parameters that never identify content — the standard
+#: tracking params crawl pipelines strip before URL-keyed dedup
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL column — the cheapest high-yield dedup
+    signal a crawl pipeline applies BEFORE any content hashing (the
+    same page is typically crawled under dozens of URL spellings):
+
+      * scheme and host lowercased; ``www.`` prefix and default ports
+        (:80, :443) stripped from the host;
+      * fragment dropped; trailing slashes trimmed from the path;
+      * tracking query params removed (`TRACKING_PARAM_RE`), the rest
+        SORTED (param order never identifies content) and re-joined.
+
+    Malformed URLs (no scheme://host) canonicalize to NULL — a null
+    key never elects into a dedup group.  Pure codegen regexp/array
+    expressions (RE2-safe, no backrefs) with an exact DuckDB mirror:
+    map-only at any scale."""
+    pat = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*).*$"
+    scheme = F.lower(F.regexp_extract(col, pat, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.regexp_extract(col, pat, 2)),
+                         "^www\\.", ""),
+        ":(80|443)$", "")
+    path = F.regexp_replace(F.regexp_extract(col, pat, 3), "/+$", "")
+    q = F.regexp_extract(col, r"^[^?#]*\?([^#]*).*$", 1)
+    params = F.array_join(
+        F.array_sort(F.filter(
+            F.split(q, "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE))), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")))
+    return F.when((scheme != "") & (host != ""), canon)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-keyed first-wins dedup: one row per canonical URL with the
+    kept (min-``id_col``) representative and the spelling-variant
+    count; malformed URLs (null canonical form) never group.  One
+    combinable groupBy on the canonical string — at crawl scale this
+    runs before fetch/content hashing and removes most duplicates for
+    the cost of one map pass + one key shuffle."""
+    return (df.withColumn("canon_url", canonical_url(F.col(url_col)))
+            .filter(F.col("canon_url").isNotNull())
+            .groupBy("canon_url")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("n_dups")))
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct, as strings) of a text column.
     Human-readable form — the dedup hot paths use ``shingle_hashes``,

@@ -1380,3 +1380,31 @@ def test_snapshot_quality_weights_roundtrip(spark, tmp_path):
         n_buckets=512)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalization rule, pinned: case, www, default ports,
+    trailing slash, fragment, tracking params, query-order; malformed
+    URLs -> NULL (never elect); non-default ports and path case are
+    PRESERVED."""
+    from scespet_spark.operators.dedup import canonical_url, url_dedup
+    urls = [
+        (1, "HTTPS://WWW.Example.COM:443/a/B/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/a/B?a=1&b=2"),          # same canonical
+        (3, "http://example.com:8080/a"),                # port preserved
+        (4, "http://example.com/A"),                     # path case kept
+        (5, "not a url"),                                # malformed
+        (6, "https://sub.example.com/a?fbclid=zz"),      # tracking only
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r.doc_id: r.canon for r in df.select(
+        "doc_id", canonical_url(F.col("url")).alias("canon")).collect()}
+    assert got[1] == got[2] == "https://example.com/a/B?a=1&b=2"
+    assert got[3] == "http://example.com:8080/a"
+    assert got[4] == "http://example.com/A"
+    assert got[5] is None
+    assert got[6] == "https://sub.example.com/a"
+    kept = {r.canon_url: (r.doc_id, r.n_dups)
+            for r in url_dedup(df).collect()}
+    assert kept["https://example.com/a/B?a=1&b=2"] == (1, 2)
+    assert len(kept) == 4  # doc 5 never groups
