@@ -70,6 +70,13 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
             # table
             .localCheckpoint())
 
+    # phase boundary: the LSH/shingle tables the dedup operators
+    # persisted internally are dead once the cleaned corpus has
+    # materialized — release them here, or a long-lived session
+    # accretes one cached table per dedup pass (_cache.py design)
+    from scespet_spark.operators.dedup import release_cached as _release_dedup
+    _release_dedup()
+
     # 3. decontamination: drop docs overlapping the benchmark set
     #    (pseudo-benchmark: doc_id % 19 == 0)
     bench = docs.filter(F.col("doc_id") % 19 == 0)
@@ -179,6 +186,20 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
                                qv, k=5, nprobe=2)
     print(f"index after append: {codes2.count()} codes; "
           f"top-5 probe ids: {[r.vec_id for r in hits.collect()]}")
+
+    # final phase boundary: every snapshot artifact has served its
+    # probes — drop the explicit persists AND whatever the operator
+    # families registered, so the session ends with no cached blocks
+    # (the localCheckpoint tables are source data, not cache)
+    released = [snapshot, band_table, seg_table, *lm, cents, codes]
+    for tbl in released:
+        tbl.unpersist()
+    from scespet_spark.operators.similarity import (
+        release_cached as _release_sim)
+    _release_dedup()
+    _release_sim()
+    leftover = [t for t in released if t.storageLevel.useMemory]
+    print(f"cache: {len(leftover)} persisted tables left after release")
     return n0, n1
 
 

@@ -10,10 +10,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 SF = "/root/testdata/sf0.001"
 
 
-def test_corpus_pipeline_example(spark, tmp_path):
+def test_corpus_pipeline_example(spark, tmp_path, capsys):
     import corpus_pipeline
     n_in, n_out = corpus_pipeline.main(SF, out_dir=str(tmp_path / "out"))
     assert n_in > 0 and 0 < n_out <= n_in
+    # cache-release discipline: every explicitly persisted snapshot
+    # table AND every operator-family cache must be released at the
+    # phase boundaries (localCheckpoint lineage-truncation tables are
+    # source data, not cache, and are exempt)
+    assert "cache: 0 persisted tables left" in capsys.readouterr().out
+    from scespet_spark.operators._cache import _REGISTRY
+    assert not _REGISTRY, f"unreleased cache families: {list(_REGISTRY)}"
 
 
 def test_ann_search_example(spark, capsys):
