@@ -4939,57 +4939,46 @@ def entry(spark: SparkSession) -> DataFrame:
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
-    # brand-new operators this round: C4-style segment (line-level)
-    # dedup, CCNet-style perplexity filtering, per-source n-gram report
-    "dedup_segments", "live_dedup_segments", "perplexity_filter_docs",
-    "top_ngrams_source", "live_text_bigram_lm", "live_perplexity_filter",
-    "text_collapse_repeats", "dedup_incremental_segments",
-    "live_incremental_segments", "text_winnow_fingerprints",
-    "dedup_winnow_pairs", "contamination_fraction_docs",
-    "dedup_semantic", "live_contamination_fraction",
-    "trailing_week_revenue",
-    # (r5 VERDICT item #1) the 5 round-5 queries that have never had a
-    # driver CORRECTNESS row — judge-verified locally, now rotated to
-    # the head of the window for driver-green evidence
-    "ann_ivfpq_topk", "dedup_incremental", "dedup_incremental_near",
-    "live_dedup_exact", "mixture_sample_sources",
-    # new live-parity coverage this round: keyed-bucket joins
-    # (key_map= on zip/take), gate-from-separate-stream windows,
-    # CUMULATIVE sliding emission
-    "live_keymap_take", "live_keymap_zip", "live_window_from",
-    "live_sliding_scan", "window_from_reduce", "ann_ivf_incremental_topk",
-    "dedup_embedding_incremental", "live_bucket_collapse_stats",
-    "live_scan_running_sum", "live_mixture_sample", "live_decontaminate",
-    "live_vwap_per_supplier", "live_multimodal_decode",
-    "weighted_sample_chars", "live_window_gated_scan", "live_ann_serving",
-    # the scan/reduce matrix completion: CUMULATIVE emission for
-    # Count/Trigger/Session slicing in BOTH modes
-    "session_windows_scan", "live_session_scan", "count_buckets_scan",
-    "live_count_scan", "slice_scan_signup", "live_trigger_scan",
-    "slice_stream_scan", "live_trigger_stream_scan",
-    "window_from_scan", "live_window_from_scan",
-    # implementation changed this round: CUBE now pre-aggregates to the
-    # base cells before Expand (r5 VERDICT item #3)
-    "cube_returnflag_status",
+    # brand-new operators this round: exact-substring (suffix-array
+    # family) dedup batch+incremental, the snapshot-persisted hashed-
+    # feature quality classifier batch+live, the live N-way bucket
+    # bind rendezvous, URL-canonical dedup batch+live
+    "dedup_substring", "dedup_incremental_substring",
+    "text_quality_classifier", "live_quality_classifier",
+    "live_bind_hourly", "dedup_url_canonical", "live_dedup_url",
+    # implementation changed this round: weighted_sample's sort key is
+    # now the unrounded ln(u)/w (precision fix, oracle updated), and
+    # the r7 advice fixes touched sliding_scan's state expiry,
+    # first_wins' watermark, and ann_topk_stream's duplicate-query
+    # suppression — re-verify their query representatives
+    "weighted_sample_chars", "live_sliding_scan", "live_ann_serving",
+    "live_dedup_segments", "live_incremental_segments",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
-    # (b) rotation: keep evidence fresh for families whose last green
-    # row is oldest, then one representative per operator family
-    # touched by shared code paths this round
-    "zip_keymap_region_value",
-    "keymap_take_region_value", "live_window_gated_reduce",
-    # (live_trigger_stream_slice / live_asof_purchase_last_click / live_zip_click_purchase /
-    # live_map_vector_running /
-    # asof_purchase_last_click /
-    # zip_click_purchase /
-    # scan_running_sum also rotated out: PASS-r4/r5; their families
-    # keep live_* representatives in the head)
-    # (dedup_exact / dedup_minhash_lsh / dedup_kept_corpus /
-    # ann_brute_force_topk / ann_ivf_topk / ann_hard_negatives /
-    # sample_source_quota / text_bigram_lm rotated OUT this round — all
-    # PASS-r4/r5 driver rows — to make window room for the eight new r6
-    # operators at the head)
+    # (r6 VERDICT item #5) evidence rotation: the r3-era rows are the
+    # oldest driver evidence in the repo and shared code has changed
+    # under all of them since — the full r3 cohort rotates back in
+    "at_single_key", "subset_active_users", "to_key_set",
+    "key_list_running", "collect_types_sorted", "bind_hourly_rendezvous",
+    "slice_by_purchase_trigger", "ann_batch_topk", "ann_ivf_kmeans_codes",
+    "ann_ivf_topk", "corpus_source_profile", "dedup_embedding_cosine",
+    "distinct_users_running", "filter_type_purchase", "group_count_reduce",
+    "group_time_reduce", "json_props_stats", "map_keys_user_bucket",
+    "pack_training_sequences", "quantize_embeddings_int8",
+    "shuffle_deterministic_shards", "slice_after_signup",
+    "slice_before_signup", "to_stream_mux", "value_set_types",
+    "window_gated_reduce",
+    # then the oldest r4 rows, one representative per family (the
+    # watch-listed text_bigram_lm among them)
+    "dedup_exact", "dedup_kept_corpus", "dedup_minhash_lsh",
+    "text_bigram_lm", "scan_running_sum", "map_vector_running",
+    "q1_pricing_summary", "bucket_collapse_stats", "multimodal_decode",
+    "mode_event_type", "asof_broadcast_purchase_last_click",
+    "reduce_all_global",
+    # (the entire r6 cohort — 50 fresh PASS-r6 rows — rotates out this
+    # round to make room; every rotated-out query stays covered by the
+    # full local oracle gate, tools/check_oracle.py)
 ]
 
 

@@ -90,6 +90,11 @@ HEADLINE = [
     "contamination_fraction_docs",
     "dedup_semantic",
     "trailing_week_revenue",
+    # round 7 additions
+    "dedup_substring",
+    "dedup_incremental_substring",
+    "text_quality_classifier",
+    "dedup_url_canonical",
 ]
 
 

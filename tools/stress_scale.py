@@ -81,9 +81,11 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                                                lsh_candidate_pairs,
                                                minhash_signature,
                                                ngram_jaccard_pairs,
-                                               segment_dedup, simhash)
+                                               segment_dedup, simhash,
+                                               substring_dedup,
+                                               winnow_overlap_pairs)
     from scespet_spark.operators.pipeline import decontaminate
-    from scespet_spark.operators.similarity import pq_train
+    from scespet_spark.operators.similarity import pq_train, semantic_dedup
     from scespet_spark.operators.text import (bigram_lm_score,
                                               corpus_idf_quality,
                                               profile_columns,
@@ -126,6 +128,20 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         "incremental_near_probe": lambda d, e, x=None: noop(
             incremental_near_dup(d.filter(F.col("doc_id") % 3 != 0),
                                  prior_bands=x["prior_bands"])),
+        # replication is MAXIMALLY adversarial for the passage ops:
+        # every replica shares every fingerprint/gram with every other
+        # replica.  winnow_overlap's pair explosion is bounded by
+        # max_df (the MOSS boilerplate cap — pairs grow ~mult*max_df,
+        # not mult^2); substring dedup's occurrence lists grow ~mult
+        # per gram (linear join rows, linear cut lists).
+        "winnow_overlap": lambda d, e: noop(
+            winnow_overlap_pairs(d, max_df=100)),
+        "substring_dedup": lambda d, e: noop(substring_dedup(d)),
+        # replicas of one vector are exact semantic duplicates: every
+        # cell fills with cosine-1.0 neighbours — the worst case for
+        # the (N/K)^2-bounded within-cell pair check
+        "semantic_dedup": lambda d, e: noop(
+            semantic_dedup(e, threshold=0.99)),
     }
 
     if only:
