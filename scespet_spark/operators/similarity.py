@@ -239,7 +239,15 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
     snapshot centroid artifact (pass ``centroids=``); the pair check is
     a cell equi-join — the method's documented cost is within-cell
     all-pairs, bounded by (N/K)^2 per cell, tuned by K, and NEVER a
-    corpus-wide cross join (cells partition the corpus)."""
+    corpus-wide cross join (cells partition the corpus).
+
+    SCALE WARNING: K must GROW with the corpus.  The default cells
+    (the label column's distinct values) are the small-SF demo only —
+    with K fixed, within-cell pairs grow (N/K)^2 and the measured
+    slope is quadratic in the corpus multiple (38.8x wall at 30x data,
+    SCALE.md).  Production passes ``centroids=`` sized to a constant
+    target cell size (K ~ N/500: measured 4.9x at the same 30x) — the
+    SemDeDup paper's own constant-cell-size regime."""
     cents = centroids if centroids is not None else \
         label_centroids(df, label_col, vec_col)
     codes = ivf_assign(df, cents, id_col, vec_col, label_col)

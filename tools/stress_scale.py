@@ -139,9 +139,25 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         "substring_dedup": lambda d, e: noop(substring_dedup(d)),
         # replicas of one vector are exact semantic duplicates: every
         # cell fills with cosine-1.0 neighbours — the worst case for
-        # the (N/K)^2-bounded within-cell pair check
+        # the (N/K)^2-bounded within-cell pair check.  The bare form
+        # keeps K fixed (the in-query label-cell demo) and is therefore
+        # QUADRATIC in the multiple — measured, documented in SCALE.md;
+        # the _scaledK form is the production path: a centroid artifact
+        # whose K grows with N (fixed ~500-vector target cell size)
+        # keeps the pair count linear in N
         "semantic_dedup": lambda d, e: noop(
             semantic_dedup(e, threshold=0.99)),
+        # centroid sample must be hash-SPREAD, not head-of-id: the
+        # replicated corpus's lowest ids are replicas of a handful of
+        # base vectors, which would collapse the cells right back to
+        # the fixed-K case
+        "semantic_dedup_scaledK": lambda d, e: noop(
+            semantic_dedup(e, threshold=0.99, centroids=(
+                e.orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+                .limit(max(10, e.count() // 500))
+                .select(F.col("vec_id").alias("label"),
+                        F.col("embedding").cast("array<double>")
+                        .alias("centroid"))))),
     }
 
     if only:
