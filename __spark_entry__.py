@@ -4722,6 +4722,38 @@ def dedup_substring(spark, sf_dir):
                            min_len=_SUB_L)
 
 
+@query("live_substring_probe", f"""
+WITH {_GRAM_CTES},
+pri AS (SELECT DISTINCT d FROM g WHERE doc_id % 3 = 0)
+SELECT doc_id, pos FROM g
+WHERE doc_id % 3 <> 0 AND d IN (SELECT d FROM pri)
+""")
+def live_substring_probe(spark, sf_dir):
+    """The substring-dedup snapshot probe on a LIVE crawl: arriving
+    docs hash to positional gram digests map-side (gram_digests is
+    streaming-legal — staged-array transforms + posexplode, no
+    shuffle) and a stream-static semi-join against the prior corpus's
+    gram table emits every (doc, pos) whose passage the corpus already
+    contains — the serving-mode "which spans of this page are already
+    known" signal (contamination detection / pre-cut coordinates; the
+    batch rebuild consumes these as its cut list).  Zero corpus passes
+    at serve time; per-micro-batch cost is the arriving docs' grams
+    joined to the artifact."""
+    from scespet_spark.operators.dedup import gram_digests
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    prior = (gram_digests(docs.filter(F.col("doc_id") % 3 == 0),
+                          min_len=_SUB_L)
+             .select("__g").distinct())              # snapshot artifact
+    stream = read_table_stream(spark, sf_dir, "documents")
+    hits = (gram_digests(stream.filter(F.col("doc_id") % 3 != 0),
+                         min_len=_SUB_L)
+            .join(prior, "__g", "left_semi")
+            .select("doc_id", "pos"))
+    return run_available_now(hits, "append")
+
+
 @query("dedup_incremental_substring", f"""
 WITH {_GRAM_CTES},
 pri AS (SELECT DISTINCT d FROM g WHERE doc_id % 3 = 0),
@@ -4944,6 +4976,7 @@ _ROUND_CHANGED = [
     # feature quality classifier batch+live, the live N-way bucket
     # bind rendezvous, URL-canonical dedup batch+live
     "dedup_substring", "dedup_incremental_substring",
+    "live_substring_probe",
     "text_quality_classifier", "live_quality_classifier",
     "live_bind_hourly", "dedup_url_canonical", "live_dedup_url",
     # implementation changed this round: weighted_sample's sort key is
@@ -4975,7 +5008,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "text_bigram_lm", "scan_running_sum", "map_vector_running",
     "q1_pricing_summary", "bucket_collapse_stats", "multimodal_decode",
     "mode_event_type", "asof_broadcast_purchase_last_click",
-    "reduce_all_global",
     # (the entire r6 cohort — 50 fresh PASS-r6 rows — rotates out this
     # round to make room; every rotated-out query stays covered by the
     # full local oracle gate, tools/check_oracle.py)
