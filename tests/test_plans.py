@@ -350,3 +350,14 @@ def test_substring_dedup_election_shuffles_ints_only(spark, entry):
                 assert "hashpartitioning" not in args, (hdr, l, args)
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_quality_classifier_apply_broadcasts_weights(spark, entry):
+    """text_quality_classifier: the weight attach must be a broadcast
+    join (the model is <= n_buckets+2 rows — shuffling the exploded
+    token table against it would move the corpus), and no row-at-a-time
+    Python may appear anywhere in fit or apply."""
+    plan = _plan(entry.queries()["text_quality_classifier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
