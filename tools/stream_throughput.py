@@ -113,11 +113,48 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
     def lm_scoring(stream):
         return bigram_lm_apply(stream, model)
 
+    # r7 live additions: the substring snapshot probe (gram hash +
+    # stream-static semi-join), the quality-classifier scorer
+    # (broadcast weight join + per-doc mean), and the URL-canonical
+    # first-wins election
+    from scespet_spark.operators.dedup import (canonical_url, gram_digests)
+    from scespet_spark.operators.text import (quality_classifier_apply,
+                                              quality_classifier_fit)
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = (gram_digests(base.filter(F.col("doc_id") % 3 == 0),
+                          min_len=15).select("__g").distinct().persist())
+    grams.count()
+    qc_model = quality_classifier_fit(
+        base.withColumn("label", (F.col("lang") == "en").cast("int"))
+    ).persist()
+    qc_model.count()
+
+    def substring_probe(stream):
+        return (gram_digests(stream, min_len=15)
+                .join(grams, "__g", "left_semi").select("doc_id", "pos"))
+
+    def quality_scoring(stream):
+        return quality_classifier_apply(stream, qc_model)
+
+    def url_election(stream):
+        canon = (stream.withColumn(
+            "url", F.concat(F.lit("https://WWW.Example.com/"), F.col("lang"),
+                            F.lit("/p"), (F.col("doc_id") % 97).cast("string")))
+            .withColumn("canon_url", canonical_url(F.col("url")))
+            .filter(F.col("canon_url").isNotNull()))
+        return first_wins(canon, ["canon_url"], ["doc_id"], ["doc_id"],
+                          t="doc_id")
+
     results = {}
     for label, build, mode in [("exact_dedup", exact_dedup, "append"),
                                ("segment_election", segment_election,
                                 "append"),
-                               ("lm_scoring", lm_scoring, "complete")]:
+                               ("lm_scoring", lm_scoring, "complete"),
+                               ("substring_probe", substring_probe,
+                                "append"),
+                               ("quality_scoring", quality_scoring,
+                                "complete"),
+                               ("url_election", url_election, "append")]:
         results[label] = run_stream(spark, build, src, n_rows, label, mode)
     shutil.rmtree(src, ignore_errors=True)
     return results
