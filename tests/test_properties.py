@@ -298,3 +298,48 @@ def test_winnowing_shared_run_guarantee(spark, pre_a, post_a, pre_b, shared):
     a = {r.fingerprint for r in fp if r.doc_id == 1}
     b = {r.fingerprint for r in fp if r.doc_id == 2}
     assert a & b
+
+
+# --- exact-substring dedup vs a direct Python model --------------------
+
+def _substring_model(docs, L):
+    """Reference model of suffix-array-family dedup: enumerate every
+    L-gram occurrence in global (doc_id, pos) order, mark all but the
+    first occurrence of each gram CONTENT as duplicates, remove tokens
+    covered by any duplicate occurrence, reassemble."""
+    toks = {i: t.split() for i, t in docs}
+    first = {}
+    cuts = {i: set() for i, _ in docs}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - L + 1):
+            g = tuple(t[p:p + L])
+            if g in first:
+                cuts[i].add(p)
+            else:
+                first[g] = (i, p)
+    out = {}
+    for i, t in toks.items():
+        covered = set()
+        for c in cuts[i]:
+            covered.update(range(c, c + L))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        out[i] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+    min_size=1, max_size=6))
+@SETTINGS
+def test_substring_dedup_matches_bruteforce_model(spark, docs):
+    """Tiny 3-token vocabulary forces dense arbitrary-offset overlap —
+    within-doc repeats, cross-doc repeats, full-doc duplication, and
+    docs shorter than L, all shrunk to minimal counterexamples."""
+    from scespet_spark.operators.dedup import substring_dedup
+    L = 3
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+           for r in substring_dedup(df, min_len=L).collect()}
+    assert got == _substring_model(rows, L)
