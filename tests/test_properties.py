@@ -343,3 +343,123 @@ def test_substring_dedup_matches_bruteforce_model(spark, docs):
     got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
            for r in substring_dedup(df, min_len=L).collect()}
     assert got == _substring_model(rows, L)
+
+
+# --- live N-way bind vs the batch rendezvous model ---------------------
+
+def _bind_model(rows, every_s, L_only_closed=True):
+    """Model of live_bind emit='last': fold (key, cycle)-grouped rows
+    in time order into per-slice XY buckets; only buckets closed by a
+    later-cycle row emit.  rows: (ts_s, seq, key, side)."""
+    from collections import defaultdict
+    out = []
+    per_key = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[0], r[1])):
+        per_key[r[2]].append(r)
+    for k, ev in per_key.items():
+        cycles = {}
+        for ts, seq, _k, side in ev:
+            cycles.setdefault(ts, []).append((ts, seq, side))
+        ordered = sorted(cycles)
+        open_b, last = None, None
+        for ci, cyc in enumerate(ordered):
+            bid = cyc // every_s
+            is_final_cycle = ci == len(ordered) - 1
+            if open_b is not None and bid > open_b["bid"]:
+                out.append((k, last[0], last[1], open_b["c"], open_b["p"],
+                            open_b["b"]))
+                open_b = None
+            if is_final_cycle:
+                break  # the pending cycle never fires; its bucket never closes
+            if open_b is None:
+                open_b = {"bid": bid, "c": 0, "p": 0, "b": 0}
+            sides = {s for _, _, s in cycles[cyc]}
+            open_b["c"] += int("click" in sides)
+            open_b["p"] += int("purchase" in sides)
+            open_b["b"] += int({"click", "purchase"} <= sides)
+            last = (cyc, max(s for _, s, _ in cycles[cyc]))
+        # the final cycle, pending forever, still CLOSES the previous
+        # bucket if it belongs to a later slice
+        if open_b is not None and ordered:
+            if ordered[-1] // every_s > open_b["bid"]:
+                out.append((k, last[0], last[1], open_b["c"], open_b["p"],
+                            open_b["b"]))
+    return sorted(out)
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_live_bind_matches_model_at_random_drop_boundaries(spark, tmp_path_factory, data):
+    """live_bind emissions must be invariant to WHERE the micro-batch
+    boundaries fall (the pending-cycle state machinery) and equal the
+    rendezvous model: cycles fire once with all sides, only closed
+    buckets emit."""
+    import os
+    import pandas as pd
+    from scespet_spark.streaming.live import live_bind, run_available_now
+
+    n = data.draw(st.integers(4, 12))
+    rows = []
+    for seq in range(n):
+        ts = data.draw(st.integers(0, 9), label=f"ts{seq}")
+        key = data.draw(st.integers(0, 1), label=f"k{seq}")
+        side = data.draw(st.sampled_from(["click", "purchase"]),
+                         label=f"s{seq}")
+        rows.append((ts, seq, key, side))
+    rows.sort(key=lambda r: (r[0], r[1]))  # in-order delivery contract
+    cut = data.draw(st.integers(1, n - 1), label="cut")
+    drops = [rows[:cut], rows[cut:]]
+
+    tmp = tmp_path_factory.mktemp("bindprop")
+    src = tmp / "src"
+    src.mkdir()
+    now = __import__("time").time()
+    for i, drop in enumerate(d for d in drops if d):
+        pdf = pd.DataFrame(
+            [{"ts": pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=4 * t),
+              "event_id": s, "user_id": k, "event_type": side, "value": 1.0}
+             for t, s, k, side in drop])
+        d = tmp / f"f{i}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.replace(str(d / part), str(src / f"drop-{i}.parquet"))
+        os.utime(str(src / f"drop-{i}.parquet"),
+                 (now - 100 + i, now - 100 + i))
+    stream = (spark.readStream
+              .schema("ts timestamp, event_id long, user_id long, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    class XY:
+        def open(self):
+            self.c = self.p = self.b = 0
+
+        def add_cycle(self, cycle):
+            hc = bool((cycle["side"] == "click").any())
+            hp = bool((cycle["side"] == "purchase").any())
+            self.c += int(hc)
+            self.p += int(hp)
+            self.b += int(hc and hp)
+
+        def value(self):
+            return {"nc": self.c, "np": self.p, "nb": self.b}
+
+        def complete(self):
+            pass
+
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    out = run_available_now(live_bind(
+        {"click": (clicks, ["value"]), "purchase": (purchases, ["value"])},
+        ["user_id"], XY, "20 seconds", "nc long, np long, nb long"),
+        "append")
+    base = pd.Timestamp(2024, 1, 1)
+    got = sorted(
+        (r.user_id, int((r.ts - base).total_seconds()) // 4, r.event_id,
+         r.nc, r.np, r.nb)
+        for r in out.collect())
+    want = [(k, ts, seq, c, p, b)
+            for (k, ts, seq, c, p, b) in _bind_model(
+                [(t, s, k, side) for t, s, k, side in rows], 5)]
+    assert got == sorted(want)
