@@ -208,7 +208,7 @@ def incremental_segment_dedup(new: DataFrame,
 
 
 def gram_digests(df: DataFrame, min_len: int = 20, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", hash_fn=None) -> DataFrame:
     """Positional overlapping ``min_len``-token-gram digest table:
     ``(id_col, pos, __g)`` with one row per token position (docs
     shorter than ``min_len`` tokens produce none).  The digest is the
@@ -217,11 +217,12 @@ def gram_digests(df: DataFrame, min_len: int = 20, text_col: str = "text",
     acts directly on digest equality with no later verification step,
     so birthday collisions at 2^15.5 grams would cut innocent text.
     Cost is ``min_len`` md5-input bytes per corpus byte, map-side and
-    embarrassingly parallel; at 100 TB swap ``h64`` for xxhash64(128)
-    via the same expression shape (md5 is the oracle-parity choice,
-    hashing.py)."""
+    embarrassingly parallel; at 100 TB pass ``hash_fn=F.xxhash64`` (or
+    any Column->Column digest) via the production hook — md5 ``h64``
+    is the default oracle-parity choice (hashing.py)."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
+    hf = hash_fn or h64
     # stage the token array, then build the per-position digest ARRAY in
     # one projection and explode it: exploding (id, pos, token-array)
     # rows first would materialize the O(n^2) per-doc array copies
@@ -229,7 +230,7 @@ def gram_digests(df: DataFrame, min_len: int = 20, text_col: str = "text",
               .select(id_col, tokens(F.col(text_col)).alias("__t")))
     g = F.transform(
         F.sequence(F.lit(1), F.size("__t") - (min_len - 1)),
-        lambda i: h64(F.array_join(F.slice(F.col("__t"), i, min_len), " ")))
+        lambda i: hf(F.array_join(F.slice(F.col("__t"), i, min_len), " ")))
     return (staged.filter(F.size("__t") >= min_len)
             .select(id_col, F.posexplode(g).alias("__p0", "__g"))
             .select(id_col, (F.col("__p0") + 1).alias("pos"), "__g"))
@@ -283,7 +284,8 @@ def _cut_and_rebuild(docs: DataFrame, dup_occ: DataFrame, min_len: int,
 
 def substring_dedup(df: DataFrame, min_len: int = 20,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id", hash_fn=None,
+                    verify: bool = False) -> DataFrame:
     """Exact-substring dedup (the suffix-array family of "Deduplicating
     Training Data Makes Language Models Better", Lee et al. 2021):
     remove every ARBITRARY-OFFSET substring of >= ``min_len`` tokens
@@ -305,8 +307,20 @@ def substring_dedup(df: DataFrame, min_len: int = 20,
     unique grams of a real corpus never join); cut positions flow back
     as one int list per doc and the text is re-derived map-side
     (`_cut_and_rebuild`), so gram/segment text never enters an
-    Exchange."""
-    occ = gram_digests(df, min_len, text_col, id_col)
+    Exchange.
+
+    ``hash_fn`` swaps the gram digest (production: ``F.xxhash64``; the
+    md5 default is the oracle-parity choice).  ``verify=True`` is the
+    collision-audit mode for digests narrower than the corpus demands:
+    every duplicate-marked occurrence is re-checked against its
+    winner's actual gram tokens (two doc-id joins carrying token
+    arrays, bounded by the DUPLICATE density — not corpus size) and a
+    digest collision between different grams no longer cuts innocent
+    text.  Verification is CONSERVATIVE under collisions: an occurrence
+    whose true first occurrence lost the collided group's election is
+    kept rather than cut — the audit mode trades a vanishing miss rate
+    for a zero false-cut rate."""
+    occ = gram_digests(df, min_len, text_col, id_col, hash_fn=hash_fn)
     dup_g = (occ.groupBy("__g")
              .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                  F.col("pos").alias("p"))).alias("__w"),
@@ -316,8 +330,20 @@ def substring_dedup(df: DataFrame, min_len: int = 20,
     dup_occ = (occ.join(dup_g, "__g")
                .filter((F.col(id_col) != F.col("__w.i"))
                        | (F.col("pos") != F.col("__w.p")))
-               .select(id_col, "pos"))
-    return _cut_and_rebuild(df, dup_occ, min_len, text_col, id_col)
+               .select(id_col, "pos", "__w"))
+    if verify:
+        ta = (df.select(F.col(id_col), tokens(F.col(text_col))
+                        .alias("__toks")))
+        wa = ta.select(F.col(id_col).alias("__wi"),
+                       F.col("__toks").alias("__wtoks"))
+        dup_occ = (dup_occ
+                   .join(ta, id_col)
+                   .join(wa, F.col("__w.i") == F.col("__wi"))
+                   .filter(F.slice(F.col("__toks"), F.col("pos"), min_len)
+                           == F.slice(F.col("__wtoks"), F.col("__w.p"),
+                                      min_len)))
+    return _cut_and_rebuild(df, dup_occ.select(id_col, "pos"),
+                            min_len, text_col, id_col)
 
 
 def incremental_substring_dedup(new: DataFrame,

@@ -1408,3 +1408,30 @@ def test_canonical_url_rules(spark):
             for r in url_dedup(df).collect()}
     assert kept["https://example.com/a/B?a=1&b=2"] == (1, 2)
     assert len(kept) == 4  # doc 5 never groups
+
+
+def test_substring_dedup_verify_guards_digest_collisions(spark):
+    """verify=True re-checks duplicate-marked occurrences against the
+    winner's actual tokens: under a degenerate hash (every gram
+    collides into one group) the unverified form cuts innocent text,
+    the verified form cuts ONLY true content matches; with the real
+    60-bit hash verify=True is output-identical to verify=False."""
+    from scespet_spark.operators.dedup import substring_dedup
+    docs = spark.createDataFrame([
+        (0, "a b c x y z"),
+        (1, "a b c q r s"),
+    ], "doc_id long, text string")
+    const = lambda c: F.lit(0).cast("bigint")  # all grams collide
+    bad = {r.doc_id: r.clean_text for r in substring_dedup(
+        docs, min_len=3, hash_fn=const).collect()}
+    good = {r.doc_id: r.clean_text for r in substring_dedup(
+        docs, min_len=3, hash_fn=const, verify=True).collect()}
+    # unverified: every non-first gram is "duplicate" -> innocent cuts
+    assert bad[0] != "a b c x y z" or bad[1] != "a b c q r s"
+    # verified: only doc1's true "a b c" repeat is cut
+    assert good == {0: "a b c x y z", 1: "q r s"}
+    # real digest, no collisions: identical output either way
+    base = sorted(map(tuple, substring_dedup(docs, min_len=3).collect()))
+    ver = sorted(map(tuple, substring_dedup(docs, min_len=3,
+                                            verify=True).collect()))
+    assert base == ver
