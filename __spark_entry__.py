@@ -3298,6 +3298,44 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qvec, k=20, nprobe=2)
 
 
+@query("cluster_balance_sample", f"""
+WITH cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i) GROUP BY label),
+n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT n.vec_id, n.label, cent.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_cosine_sql('n.v', 'cent.centroid')}, 6) DESC,
+                      cent.label) AS rn
+    FROM n CROSS JOIN cent) WHERE rn = 1),
+cnt AS (SELECT cell, COUNT(*) AS c FROM assign GROUP BY cell),
+cut AS (SELECT cell,
+               floor(least(1.0, 0.1 * 200.0 / c) * {1 << 20}) AS k
+        FROM cnt)
+SELECT a.vec_id, a.label, a.cell
+FROM assign a JOIN cut USING (cell)
+WHERE ({h64_sql('a.vec_id::VARCHAR', seed=11)}) % {1 << 20} < cut.k
+""")
+def cluster_balance_sample(spark, sf_dir):
+    """Embedding-cluster-balanced resampling (topic rebalancing): every
+    vector assigns to its embedding-space cluster (map-only argmax vs
+    the centroid artifact — zero Exchange, the ivf_assign plan), then
+    the corpus resamples toward a UNIFORM 10-way cluster recipe of 200
+    vectors — over-represented clusters downsample, scarce ones cap at
+    keep-all.  Broadcast #clusters-row cutoffs + deterministic hash
+    filter: one pass, reproducible across runs/engines/partitionings,
+    the corpus never shuffles."""
+    from scespet_spark.operators.similarity import cluster_mixture_sample
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_mixture_sample(emb, {c: 0.1 for c in range(10)}, 200)
+    return out.select("vec_id", "label", "cell")
+
+
 @query("ann_ivf_incremental_topk", f"""
 WITH cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
 cent AS (
@@ -4976,7 +5014,7 @@ _ROUND_CHANGED = [
     # feature quality classifier batch+live, the live N-way bucket
     # bind rendezvous, URL-canonical dedup batch+live
     "dedup_substring", "dedup_incremental_substring",
-    "live_substring_probe",
+    "live_substring_probe", "cluster_balance_sample",
     "text_quality_classifier", "live_quality_classifier",
     "live_bind_hourly", "dedup_url_canonical", "live_dedup_url",
     # implementation changed this round: weighted_sample's sort key is
@@ -5007,7 +5045,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "dedup_exact", "dedup_kept_corpus", "dedup_minhash_lsh",
     "text_bigram_lm", "scan_running_sum", "map_vector_running",
     "q1_pricing_summary", "bucket_collapse_stats", "multimodal_decode",
-    "mode_event_type", "asof_broadcast_purchase_last_click",
+    "asof_broadcast_purchase_last_click",
     # (the entire r6 cohort — 50 fresh PASS-r6 rows — rotates out this
     # round to make room; every rotated-out query stays covered by the
     # full local oracle gate, tools/check_oracle.py)

@@ -95,6 +95,7 @@ HEADLINE = [
     "dedup_incremental_substring",
     "text_quality_classifier",
     "dedup_url_canonical",
+    "cluster_balance_sample",
 ]
 
 

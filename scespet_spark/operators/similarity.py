@@ -266,6 +266,35 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
             .agg(F.count("*").alias("n_close")))
 
 
+def cluster_mixture_sample(df: DataFrame, weights: dict, total: int,
+                           centroids: DataFrame | None = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label",
+                           seed: int = 11) -> DataFrame:
+    """Embedding-cluster-balanced resampling — the topic-rebalancing
+    step of a training-data pipeline: assign every vector to its
+    embedding-space cluster (``ivf_assign`` against the snapshot
+    centroid artifact; the ``label_col`` cells are the small-SF demo),
+    then resample toward declared per-cluster weights exactly like
+    ``text.mixture_sample`` resamples sources — over-represented
+    topics (boilerplate-heavy web clusters) downsample to the recipe,
+    scarce topics cap at keep-everything.
+
+    Scale shape: assignment is the map-only driver-held-matrix argmax
+    (zero Exchange); the cutoff table is #clusters rows broadcast; the
+    keep decision is a deterministic hash filter — one pass, the
+    corpus never shuffles.  Returns the input rows plus ``cell``."""
+    cents = centroids if centroids is not None else \
+        label_centroids(df, label_col, vec_col)
+    codes = ivf_assign(df, cents, id_col, vec_col, label_col)
+    tagged = df.join(codes, id_col)
+    from .text import mixture_apply, mixture_cutoffs
+    cut = mixture_cutoffs(tagged, weights, total, source_col="cell")
+    return mixture_apply(tagged, cut, source_col="cell", id_col=id_col,
+                         seed=seed)
+
+
 def ivf_topk_from_index(df: DataFrame, codes: DataFrame,
                         centroids: DataFrame, query: Sequence[float],
                         k: int = 20, nprobe: int = 2,

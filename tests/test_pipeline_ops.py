@@ -1435,3 +1435,27 @@ def test_substring_dedup_verify_guards_digest_collisions(spark):
     ver = sorted(map(tuple, substring_dedup(docs, min_len=3,
                                             verify=True).collect()))
     assert base == ver
+
+
+def test_cluster_mixture_sample_balances_clusters(spark):
+    """Cluster-balanced resampling: over-represented clusters hit
+    their target share (to hash-filter tolerance), scarce clusters cap
+    at keep-everything, clusters absent from the recipe drop."""
+    from scespet_spark.operators.similarity import cluster_mixture_sample
+    from scespet_spark.sources.batch import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    labels = sorted(r.label for r in emb.select("label").distinct().collect())
+    # lopsided recipe: half the mass on one cluster, rest uniform,
+    # one cluster dropped
+    w = {c: 0.5 / (len(labels) - 2) for c in labels[1:-1]}
+    w[labels[0]] = 0.5
+    got = cluster_mixture_sample(emb, w, 60)
+    counts = {r.cell: r.n for r in
+              got.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert labels[-1] not in counts              # absent cluster drops
+    n0 = emb.count()
+    # deterministic: identical under repartitioning
+    again = cluster_mixture_sample(emb.repartition(7), w, 60)
+    assert sorted(r.vec_id for r in got.collect()) == \
+        sorted(r.vec_id for r in again.collect())
+    assert 0 < got.count() < n0
