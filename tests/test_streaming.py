@@ -1475,3 +1475,40 @@ def test_live_bind_cycle_split_across_batches_fires_once(spark, tmp_path):
     # (click only) -> nc=2, np=1, nb=1, emitted at its last fired
     # event (event 3); day 2's single cycle closes via day 3's row
     assert got == [(7, 3, 2, 1, 1), (7, 4, 0, 1, 0)]
+
+
+def test_live_quality_classifier_across_drops_equals_batch(spark, tmp_path):
+    """Stream-static classifier scoring must be drop-invariant: docs
+    arriving across 3 micro-batches score identically to the batch
+    apply (complete-mode per-doc aggregation; each doc's tokens land in
+    one batch)."""
+    import os
+    import shutil
+    import time as _time
+    from scespet_spark.operators.text import (quality_classifier_apply,
+                                              quality_classifier_fit)
+    from scespet_spark.sources.batch import load_table
+    from scespet_spark.streaming.live import run_available_now
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = quality_classifier_fit(
+        docs.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=512)
+    src = tmp_path / "drops"
+    src.mkdir()
+    now = _time.time()
+    for i in range(3):
+        part = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        d = tmp_path / f"f{i}"
+        part.coalesce(1).write.parquet(str(d))
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"drop-{i}.parquet"
+        shutil.copy(str(d / f), str(dst))
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    live = run_available_now(
+        quality_classifier_apply(stream, model, n_buckets=512), "complete")
+    batch = quality_classifier_apply(docs, model, n_buckets=512)
+    assert sorted(map(tuple, live.collect())) == \
+        sorted(map(tuple, batch.collect()))
