@@ -1459,3 +1459,16 @@ def test_cluster_mixture_sample_balances_clusters(spark):
     assert sorted(r.vec_id for r in got.collect()) == \
         sorted(r.vec_id for r in again.collect())
     assert 0 < got.count() < n0
+
+
+def test_substring_dedup_xxhash_production_hook(spark):
+    """The production hash hook (hash_fn=F.xxhash64, JVM-native — no
+    md5 string pass) must produce output identical to the oracle-parity
+    md5 digest in the collision-free regime."""
+    from scespet_spark.operators.dedup import substring_dedup
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    md5 = sorted(map(tuple, substring_dedup(docs, min_len=15).collect()))
+    xxh = sorted(map(tuple, substring_dedup(
+        docs, min_len=15, hash_fn=F.xxhash64).collect()))
+    assert md5 == xxh
