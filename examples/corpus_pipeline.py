@@ -4,6 +4,7 @@
 
     dedup (exact + MinHash/LSH clusters)
       -> segment-level boilerplate removal (C4-style line dedup)
+      -> exact-substring dedup (suffix-array family, >= 15-token passages)
       -> decontaminate against a benchmark set
       -> quality + repetition + corpus-IDF + perplexity filters
       -> per-source quota cap
@@ -58,6 +59,17 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     docs = (docs.drop("text", "n_chars")
             .join(cleaned.select("doc_id",
                                  F.col("clean_text").alias("text")),
+                  "doc_id"))
+
+    # 2c. exact-substring dedup (the suffix-array family): arbitrary-
+    #     offset repeated passages of >= 15 tokens that survived the
+    #     aligned-segment pass (cross-doc copies at different offsets)
+    #     are cut from all but their first carrier
+    from scespet_spark.operators.dedup import substring_dedup
+    sub = substring_dedup(docs, min_len=15)
+    docs = (docs.drop("text")
+            .join(sub.filter(F.col("n_tokens") > F.col("n_removed"))
+                  .select("doc_id", F.col("clean_text").alias("text")),
                   "doc_id")
             .withColumn("n_chars", F.length("text"))
             .select("doc_id", "text", "lang", "source", "n_chars")
