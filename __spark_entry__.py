@@ -3976,6 +3976,42 @@ def live_perplexity_filter(spark, sf_dir):
         scored.filter(F.col("mean_logp") >= F.lit(thr)), "complete")
 
 
+#: deterministic split demo: 80/10/10 with the OPERATOR's own float
+#: accumulation reproduced here (0.8 + 0.1 != 0.9 exactly in binary —
+#: the oracle must embed the identical integer cutoffs)
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_cuts():
+    cuts, cum = [], 0.0
+    for name, frac in _SPLIT_FRACS.items():
+        cum += frac
+        cuts.append((name, round(cum * (1 << 20))))
+    return cuts
+
+
+@query("split_train_val_test", f"""
+WITH b AS (SELECT doc_id, source,
+                  ({h64_sql("doc_id::VARCHAR", seed=23)}) % {1 << 20} AS h
+           FROM documents)
+SELECT CASE {' '.join(f"WHEN h < {cut} THEN '{name}'"
+                      for name, cut in _split_cuts())} END AS split,
+       source, COUNT(*) AS n
+FROM b GROUP BY 1, 2
+""")
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 dataset split assignment: hash-bucket
+    ranges per split, reproducible across runs/engines/partitionings
+    and stable under corpus growth (a doc's split never changes when
+    other docs appear — frozen eval sets cannot leak into later train
+    snapshots, the property randomSplit lacks).  Map-only expression;
+    the demo reports per-(split, source) counts."""
+    from scespet_spark.operators.pipeline import split_assign
+    docs = load_table(spark, sf_dir, "documents")
+    return (split_assign(docs, _SPLIT_FRACS)
+            .groupBy("split", "source").agg(F.count("*").alias("n")))
+
+
 #: hashed-feature quality-classifier demo params: train split is
 #: doc_id % 3 == 0 with label lang == 'en'; B buckets, alpha = 1
 _QC_B = 1024
@@ -5015,6 +5051,7 @@ _ROUND_CHANGED = [
     # bind rendezvous, URL-canonical dedup batch+live
     "dedup_substring", "dedup_incremental_substring",
     "live_substring_probe", "cluster_balance_sample",
+    "split_train_val_test",
     "text_quality_classifier", "live_quality_classifier",
     "live_bind_hourly", "dedup_url_canonical", "live_dedup_url",
     # implementation changed this round: weighted_sample's sort key is
@@ -5042,7 +5079,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "window_gated_reduce",
     # then the oldest r4 rows, one representative per family (the
     # watch-listed text_bigram_lm among them)
-    "dedup_exact", "dedup_kept_corpus", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_minhash_lsh",
     "text_bigram_lm", "scan_running_sum", "map_vector_running",
     "q1_pricing_summary", "bucket_collapse_stats", "multimodal_decode",
     "asof_broadcast_purchase_last_click",

@@ -96,6 +96,7 @@ HEADLINE = [
     "text_quality_classifier",
     "dedup_url_canonical",
     "cluster_balance_sample",
+    "split_train_val_test",
 ]
 
 

@@ -196,3 +196,33 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     return df.select(F.col(id_col),
                      F.array_min(v).alias("vmin"), F.array_max(v).alias("vmax"),
                      _quant(v).alias("q"))
+
+
+def split_assign(df: DataFrame, fractions: dict[str, float],
+                 id_col: str = "doc_id", seed: int = 23) -> DataFrame:
+    """Deterministic dataset split assignment (train/val/test): each
+    row gets the split whose cumulative hash-bucket range contains
+    ``h64(seed, id) mod M`` — reproducible across runs, engines, and
+    partitionings (the property ``randomSplit`` lacks: its assignment
+    changes with partitioning), and STABLE UNDER CORPUS GROWTH: a doc's
+    split never changes when other docs are added or removed, so eval
+    sets stay fixed across corpus snapshots and nothing ever leaks from
+    a frozen eval split into a later train set.
+
+    ``fractions`` values must sum to <= 1 (insertion order defines the
+    bucket ranges); rows past the total get split NULL — drop them or
+    treat as holdout.  Pure map-side expression: no shuffle, no UDF."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    from .hashing import h64
+    _M = 1 << 20
+    b = F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(_M))
+    expr, cum = None, 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cut = round(cum * _M)
+        branch = (F.when(b < cut, F.lit(name)) if expr is None
+                  else expr.when(b < cut, F.lit(name)))
+        expr = branch
+    return df.withColumn("split", expr)

@@ -1472,3 +1472,31 @@ def test_substring_dedup_xxhash_production_hook(spark):
     xxh = sorted(map(tuple, substring_dedup(
         docs, min_len=15, hash_fn=F.xxhash64).collect()))
     assert md5 == xxh
+
+
+def test_split_assign_stable_and_partition_invariant(spark):
+    """Split assignment must be a pure function of the id: identical
+    under repartitioning AND under corpus growth (a doc keeps its
+    split when other docs are added — frozen eval sets never leak);
+    fractions past 1.0 raise; rows past the total get NULL."""
+    import pytest as _pytest
+    from scespet_spark.operators.pipeline import split_assign
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r.doc_id: r.split for r in
+            split_assign(docs, fr).select("doc_id", "split").collect()}
+    part = {r.doc_id: r.split for r in
+            split_assign(docs.repartition(13), fr)
+            .select("doc_id", "split").collect()}
+    assert full == part
+    sub = {r.doc_id: r.split for r in
+           split_assign(docs.filter(F.col("doc_id") % 2 == 0), fr)
+           .select("doc_id", "split").collect()}
+    assert all(full[i] == s for i, s in sub.items())
+    assert set(full.values()) == {"train", "val", "test"}
+    with _pytest.raises(ValueError, match="sum"):
+        split_assign(docs, {"a": 0.7, "b": 0.5})
+    # sum < 1: the tail is unassigned (NULL), not silently a split
+    partial = split_assign(docs, {"train": 0.5})
+    assert partial.filter(F.col("split").isNull()).count() > 0
