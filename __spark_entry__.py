@@ -4943,9 +4943,12 @@ def live_mixture_sample(spark, sf_dir):
 @query("weighted_sample_chars", f"""
 SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,
-         ln((({h64_sql("doc_id::VARCHAR", seed=17)}) % {1 << 20}
-             + 0.5) / {1 << 20}) / n_chars AS sk
-  FROM documents WHERE n_chars > 0
+         round(raw * pow(10.0, 11 - floor(log10(abs(raw)))))
+           / pow(10.0, 11 - floor(log10(abs(raw)))) AS sk
+  FROM (SELECT doc_id, source, n_chars,
+               ln((({h64_sql("doc_id::VARCHAR", seed=17)}) % {1 << 20}
+                   + 0.5) / {1 << 20}) / n_chars AS raw
+        FROM documents WHERE n_chars > 0)
   ORDER BY sk DESC, doc_id LIMIT 200)
 ORDER BY doc_id
 """)

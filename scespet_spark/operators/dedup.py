@@ -219,7 +219,17 @@ def gram_digests(df: DataFrame, min_len: int = 20, text_col: str = "text",
     Cost is ``min_len`` md5-input bytes per corpus byte, map-side and
     embarrassingly parallel; at 100 TB pass ``hash_fn=F.xxhash64`` (or
     any Column->Column digest) via the production hook — md5 ``h64``
-    is the default oracle-parity choice (hashing.py)."""
+    is the default oracle-parity choice (hashing.py).
+
+    SCALE WARNING (digest width): a 64-bit digest is PAST its birthday
+    bound at 100 TB — ~2^44.5 gram occurrences give an expected
+    ``n^2 / 2^65 ~= 2^24`` colliding pairs, each a potential innocent
+    cut.  Whenever corpus gram count approaches ``2^32`` (the 64-bit
+    birthday bound), pair the ``hash_fn=F.xxhash64`` hook with
+    ``substring_dedup(..., verify=True)`` (collision-audit mode, zero
+    false cuts) or use a 128-bit digest; the md5 default's 60 bits has
+    the same bound at ~2^30 grams.  Quantified in SCALE.md (exact-
+    substring digest-width section)."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     hf = hash_fn or h64

@@ -216,17 +216,29 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     map-side key computation + a distributed TakeOrdered top-k (k rows
     to the driver, the corpus never sorts globally).
 
-    The sort key is the UNROUNDED ``ln(u)/w`` (same order as
-    ``u^(1/w)``): for weights around 1e8+ the key spread of the pow
-    form drops below any fixed rounding precision, collapsing keys into
-    id-ordered ties and deterministically biasing the sample toward low
-    ids; ``ln(u)/w`` stays numerically well-spread at any weight
-    scale."""
+    The sort key is ``ln(u)/w`` (same order as ``u^(1/w)``): for
+    weights around 1e8+ the key spread of the pow form drops below any
+    fixed *decimal-place* rounding, collapsing keys into id-ordered
+    ties and deterministically biasing the sample toward low ids;
+    ``ln(u)/w`` stays numerically well-spread at any weight scale.  The
+    key is then rounded to 12 SIGNIFICANT digits (magnitude-scaled, so
+    the precision follows the key's dynamic range instead of a fixed
+    decimal place): libm ``log`` is not correctly rounded, so a
+    last-ulp difference between engines could reorder near-tie keys at
+    the LIMIT-k boundary; 12 significant digits is far above any
+    cross-libm divergence (~1 ulp, 15-16 digits) yet fine enough that
+    distinct ids virtually never collide — and exact ties that do occur
+    break deterministically on ``id_col``."""
     from .hashing import h64
     _M = 1 << 20
     u = (F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(_M))
          + 0.5) / _M
-    key = F.log(u) / F.col(weight_col)
+    raw = F.log(u) / F.col(weight_col)
+    # 12-significant-digit rounding: scale by 10^(11 - floor(log10|x|)),
+    # round to an integer, scale back.  ln(u) < 0 and w > 0 (filtered),
+    # so the key is strictly negative and log10(|key|) is total.
+    scale = F.pow(F.lit(10.0), F.lit(11) - F.floor(F.log10(F.abs(raw))))
+    key = F.round(raw * scale) / scale
     return (df.where(F.col(weight_col) > 0)
             .withColumn("__sk", key)
             .orderBy(F.col("__sk").desc(), F.col(id_col))

@@ -143,10 +143,17 @@ def _epoch_ms(ts_val, tz: str) -> int:
     ``state.getCurrentWatermarkMs()`` (true internal epoch) is off by
     the zone offset — west of UTC, state expires hours EARLY and
     running totals silently reset while the key is still inside the
-    watermark horizon.  Localize to the session zone first."""
+    watermark horizon.  Localize to the session zone first.
+
+    DST transitions: a wall-clock value in the fall-back hour is
+    ambiguous and one in the spring-forward gap is nonexistent — both
+    would raise and kill the streaming query.  Resolve ambiguity to the
+    DST (earlier) instant and shift nonexistent times forward: the
+    result is only used for watermark/TTL comparisons, where a bounded
+    one-hour skew merely delays state expiry by at most an hour."""
     ts = pd.Timestamp(ts_val)
     if ts.tzinfo is None:
-        ts = ts.tz_localize(tz)
+        ts = ts.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
     return ts.value // 1_000_000  # tz-aware .value is UTC epoch ns
 
 
@@ -754,8 +761,11 @@ def keymap_latest(left: DataFrame, right: DataFrame, lk: str, rk: str,
         dups = [k for k, n in Counter(k for k, _ in pairs).items() if n > 1]
         if dups:
             mapped = sorted({k2 for k, k2 in pairs if k in dups})
+            # message direction matters: key_map maps LEFT -> RIGHT, and
+            # the (correct) check catches one left key bound to several
+            # right keys — same wording as the batch form (stream.py)
             raise ValueError(
-                f"key_map maps multiple right keys onto left key(s) {dups}: "
+                f"key_map binds left key(s) {dups} to multiple right keys "
                 f"{mapped} (reference multi-map error, VectorJoin.scala:38-40)")
         spark = left.sparkSession
         lk_type = left.schema[lk].dataType.simpleString()
@@ -1314,7 +1324,11 @@ def live_bind(inputs: dict[str, tuple[DataFrame, Iterable[str]]],
 
     Requires the in-order multi-batch delivery every live fold here
     assumes, plus ``cycle_col`` non-decreasing in ``t`` (any event-time
-    truncation qualifies; default = ``t`` itself).  State per key is
+    truncation qualifies; default = ``t`` itself — enforced as a
+    timestamp column, because the ``every``-slice id is derived from
+    the CYCLE value: one cycle therefore maps to exactly one slice even
+    when ``every`` is not a multiple of the cycle truncation, e.g.
+    hourly cycles with ``every='90 minutes'``).  State per key is
     one pickled bucket + ONE cycle's raw rows — bounded by cycle
     width, not stream length."""
     if emit not in ("last", "all"):
@@ -1329,6 +1343,14 @@ def live_bind(inputs: dict[str, tuple[DataFrame, Iterable[str]]],
 
     step_ms = int(pd.Timedelta(every).total_seconds() * 1000)
     cyc = cycle_col or t
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+    if not isinstance(u.schema[cyc].dataType,
+                      (TimestampType, TimestampNTZType)):
+        raise ValueError(
+            f"cycle_col {cyc!r} must be an event-time truncation "
+            f"(timestamp), got {u.schema[cyc].dataType.simpleString()} — "
+            "the slice id is derived from the cycle value so one cycle "
+            "can never straddle a slice boundary")
     last = emit == "last"
 
     def step(st, pdf):
@@ -1341,7 +1363,14 @@ def live_bind(inputs: dict[str, tuple[DataFrame, Iterable[str]]],
             # pending rows precede every batch row (in-order contract)
             pdf = pd.concat([pend, pdf], ignore_index=True)
         out = []
-        bids = pd.Series(pdf[t].values.astype("datetime64[ms]")
+        # the slice id comes from the CYCLE value, not the per-row t:
+        # all rows of one cycle share one cyc value so a cycle can never
+        # straddle a slice boundary (which would split the (bid, cyc)
+        # group and fire add_cycle twice for one cycle — breaking the
+        # fire-once rendezvous contract whenever `every` is not a
+        # multiple of the cycle truncation, e.g. hourly cycles with
+        # every='90 minutes')
+        bids = pd.Series(pdf[cyc].values.astype("datetime64[ms]")
                          .astype("int64") // step_ms, index=pdf.index)
         groups = list(pdf.groupby([bids, pdf[cyc]], sort=True))
         # the LAST (bucket, cycle) group stays pending — its rendezvous

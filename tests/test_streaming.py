@@ -917,8 +917,12 @@ def test_live_keymap_edge_semantics(spark, tmp_path):
                  .select("user_id", "event_id", "xv", "yv").collect())
     assert got == [(10, 3, 1.0, 600.0)]
 
-    # dict multi-map guard
-    with pytest.raises(ValueError, match="multi-map|multiple right"):
+    # dict multi-map guard — wording pinned: key_map maps LEFT -> RIGHT,
+    # so the message must read "binds left key(s) ... to multiple right
+    # keys" (same direction as the batch form), not the inverse
+    with pytest.raises(ValueError,
+                       match=r"binds left key\(s\) \[10\] to multiple "
+                             r"right keys \[0, 1\]"):
         keymap_latest(stream(ldir), stream(rdir), "user_id", "bucket",
                       {10: 0}.items() and [(10, 0), (10, 1)],
                       ["xv"], ["yv"], emit="right")
@@ -1326,6 +1330,17 @@ def test_epoch_ms_localizes_session_zone():
         int(pd.Timestamp("2024-06-01 07:00:00", tz="UTC").value // 1e6)
     assert _epoch_ms(wall, "UTC") == \
         int(pd.Timestamp("2024-06-01 00:00:00", tz="UTC").value // 1e6)
+    # DST fall-back: 2024-11-03 01:30 LA occurs twice; ambiguous=True
+    # resolves to the DST (earlier, UTC-7) instant instead of raising
+    # AmbiguousTimeError and killing the streaming query
+    fold = pd.Timestamp("2024-11-03 01:30:00")
+    assert _epoch_ms(fold, "America/Los_Angeles") == \
+        int(pd.Timestamp("2024-11-03 08:30:00", tz="UTC").value // 1e6)
+    # spring-forward gap: 2024-03-10 02:30 LA does not exist;
+    # shift_forward lands on 03:00 PDT (UTC-7) instead of raising
+    gap = pd.Timestamp("2024-03-10 02:30:00")
+    assert _epoch_ms(gap, "America/Los_Angeles") == \
+        int(pd.Timestamp("2024-03-10 10:00:00", tz="UTC").value // 1e6)
 
 
 def test_live_sliding_scan_ttl_parity_west_of_utc(spark, staged_events_3):
@@ -1475,6 +1490,81 @@ def test_live_bind_cycle_split_across_batches_fires_once(spark, tmp_path):
     # (click only) -> nc=2, np=1, nb=1, emitted at its last fired
     # event (event 3); day 2's single cycle closes via day 3's row
     assert got == [(7, 3, 2, 1, 1), (7, 4, 0, 1, 0)]
+
+
+def test_live_bind_slice_not_multiple_of_cycle_fires_once(spark, tmp_path):
+    """The slice id must derive from the CYCLE value, not per-row t:
+    with hourly cycles and every='90 minutes', the 01:00 cycle's rows
+    at 01:15 and 01:45 straddle the 01:30 slice boundary — a per-row-t
+    bid would split the (bid, cyc) group and fire add_cycle twice
+    (nb=0); cycle-derived bids keep it one rendezvous (nb=1)."""
+    import pandas as pd
+    from scespet_spark.streaming.live import live_bind, run_available_now
+
+    class _XY:
+        def open(self):
+            self.c = self.p = self.b = 0
+
+        def add_cycle(self, cycle):
+            hc = bool((cycle["side"] == "click").any())
+            hp = bool((cycle["side"] == "purchase").any())
+            self.c += int(hc)
+            self.p += int(hp)
+            self.b += int(hc and hp)
+
+        def value(self):
+            return {"nc": self.c, "np": self.p, "nb": self.b}
+
+        def complete(self):
+            pass
+
+    rows = [(pd.Timestamp(2024, 1, 1, 1, 15), 1, "click", 1.0),
+            (pd.Timestamp(2024, 1, 1, 1, 45), 2, "purchase", 2.0),
+            (pd.Timestamp(2024, 1, 1, 3, 10), 3, "click", 3.0),
+            (pd.Timestamp(2024, 1, 2, 9, 0), 4, "purchase", 4.0)]
+    pdf = pd.DataFrame(rows, columns=["ts", "event_id",
+                                      "event_type", "value"])
+    pdf["user_id"] = 7
+    d = tmp_path / "one"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+    stream = (spark.readStream
+              .schema("ts timestamp, event_id long, event_type string, "
+                      "value double, user_id long").parquet(str(d)))
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .withColumn("cyc", F.date_trunc("hour", "ts")))
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .withColumn("cyc", F.date_trunc("hour", "ts")))
+    out = run_available_now(live_bind(
+        {"click": (clicks, ["cyc", "value"]),
+         "purchase": (purchases, ["cyc", "value"])},
+        ["user_id"], _XY, "90 minutes", "nc long, np long, nb long",
+        cycle_col="cyc"), "append")
+    got = sorted(tuple(r) for r in
+                 out.select("user_id", "event_id", "nc", "np", "nb")
+                 .collect())
+    # slice 1: cycle 01:00 rendezvous fires ONCE with both sides
+    # (nb=1); slice 2: cycle 03:00 click-only, closed by day 2's row
+    assert got == [(7, 2, 1, 1, 1), (7, 3, 1, 0, 0)]
+
+
+def test_live_bind_rejects_non_timestamp_cycle_col(spark, tmp_path):
+    """cycle_col must be an event-time truncation (timestamp): the
+    slice id derives from it, so a non-timestamp cycle is a contract
+    error, not a silent mis-slicing."""
+    import pandas as pd
+    import pytest
+    from scespet_spark.streaming.live import live_bind
+
+    pdf = pd.DataFrame({"ts": [pd.Timestamp(2024, 1, 1)], "event_id": [1],
+                        "user_id": [1], "value": [1.0], "cyc": [5]})
+    d = tmp_path / "one"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+    stream = (spark.readStream
+              .schema("ts timestamp, event_id long, user_id long, "
+                      "value double, cyc long").parquet(str(d)))
+    with pytest.raises(ValueError, match="cycle_col"):
+        live_bind({"a": (stream, ["cyc", "value"])}, ["user_id"],
+                  object, "1 hour", "n long", cycle_col="cyc")
 
 
 def test_live_quality_classifier_across_drops_equals_batch(spark, tmp_path):
