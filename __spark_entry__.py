@@ -3732,6 +3732,89 @@ def text_lang_id(spark, sf_dir):
     return lang_id(docs).select("doc_id", "pred_lang")
 
 
+#: hashed char-3-gram language-ID classifier demo params: train split
+#: is doc_id % 3 == 0 labeled by the documents table's lang column
+_LC_B = 4096
+_LC_GRAMS = ("list_transform(range(1, greatest(1, length(text) - 1)), "
+             "g -> substring(text, g, 3))")
+
+#: oracle CTEs for the fitted multi-class NB model (per-language bucket
+#: weights over the complete observed-bucket x language grid, unseen
+#: likelihoods, class priors) and the argmax scoring; {target}
+#: restricts the apply side
+_LC_SQL = f"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+            WHERE doc_id % 3 = 0),
+g AS (SELECT lang, unnest({_LC_GRAMS}) AS gm FROM tr),
+cnt AS (SELECT ({h64_sql('gm')}) % {_LC_B} AS bucket, lang,
+               COUNT(*) AS c
+        FROM g GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY 1),
+w AS (SELECT b.bucket, t.lang,
+             ln((coalesce(c.c, 0) + 1.0) / (t.t + {_LC_B}.0)) AS w
+      FROM (SELECT DISTINCT bucket FROM cnt) b
+      CROSS JOIN tot t
+      LEFT JOIN cnt c ON c.bucket = b.bucket AND c.lang = t.lang),
+un AS (SELECT lang, ln(1.0 / (t + {_LC_B}.0)) AS w FROM tot),
+nd AS (SELECT lang, COUNT(*) AS ndocs FROM tr GROUP BY 1),
+pri AS (SELECT lang, ln((ndocs + 1.0)
+             / ((SELECT SUM(ndocs) FROM nd)
+                + (SELECT COUNT(*) FROM nd))) AS p FROM nd),
+ag AS (SELECT doc_id, ({h64_sql('gm')}) % {_LC_B} AS bucket
+       FROM (SELECT doc_id, unnest({_LC_GRAMS}) AS gm
+             FROM documents WHERE {{target}})),
+sc AS (SELECT ag.doc_id, un.lang,
+              round(avg(coalesce(w.w, un.w)) + pri.p, 6) AS score
+       FROM ag
+       CROSS JOIN un
+       JOIN pri ON pri.lang = un.lang
+       LEFT JOIN w ON w.bucket = ag.bucket AND w.lang = un.lang
+       GROUP BY ag.doc_id, un.lang, pri.p)
+SELECT doc_id, lang AS pred_lang, score FROM (
+  SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+  FROM sc) WHERE rn = 1"""
+
+
+@query("lang_id_classifier", _LC_SQL.format(target="doc_id % 3 <> 0"))
+def lang_id_classifier(spark, sf_dir):
+    """Model-based language ID (the CCNet architecture rung above the
+    marker-word heuristic `text_lang_id`): a hashed char-3-gram
+    multi-class naive-Bayes classifier fitted on the labeled train
+    split (doc_id % 3 == 0, labels = the documents table's lang
+    column) and applied to the held-out docs — prediction = argmax of
+    mean gram log-likelihood + class prior, lexicographic tie-break.
+    Fit is one map-side-combinable gram-count pass to a <= B*L-row
+    weight table (the snapshot artifact); apply is a broadcast join +
+    per-doc per-language mean.  No UDF anywhere; the closed-form fit
+    keeps both halves SQL-exact."""
+    from scespet_spark.operators.text import lang_id_apply, lang_id_fit
+    docs = load_table(spark, sf_dir, "documents")
+    model = lang_id_fit(docs.filter(F.col("doc_id") % 3 == 0),
+                        n_buckets=_LC_B)
+    return lang_id_apply(docs.filter(F.col("doc_id") % 3 != 0), model,
+                         n_buckets=_LC_B)
+
+
+@query("live_lang_id", _LC_SQL.format(target="TRUE"))
+def live_lang_id(spark, sf_dir):
+    """The persisted language classifier serving a LIVE crawl stream:
+    the per-bucket weight table (fitted once batch-side, pivoted to one
+    row per bucket — the snapshot artifact) attaches to arriving
+    documents via a broadcast stream-static join; priors and unseen
+    likelihoods are the 2L scalar model rows, read once driver-side.
+    Zero corpus passes at serve time.  Oracle = the batch apply over
+    the full table the stream replays."""
+    from scespet_spark.operators.text import lang_id_apply, lang_id_fit
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    model = lang_id_fit(docs.filter(F.col("doc_id") % 3 == 0),
+                        n_buckets=_LC_B)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(
+        lang_id_apply(stream, model, n_buckets=_LC_B), "complete")
+
+
 def _stop_list_sql():
     from scespet_spark.operators.text import LANG_MARKERS
     flat = [m for ms in LANG_MARKERS.values() for m in ms]

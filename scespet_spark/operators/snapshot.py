@@ -24,6 +24,9 @@ One snapshot =
                     table (`text.quality_classifier_fit`, needs a
                     labeled corpus), applied by
                     `text.quality_classifier_apply`;
+  * ``lang_weights`` — the hashed char-n-gram multi-class NB language
+                    model (`text.lang_id_fit`, needs a lang-labeled
+                    corpus), applied by `text.lang_id_apply`;
   * ``centroids`` + ``codes`` — the IVF coarse index
                     (`similarity.label_centroids` / `ivf_assign`),
                     served by `ivf_topk_from_index` / `ann_topk_stream`
@@ -45,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: artifact name -> builder(docs, emb) (documented above)
 _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
            "segments", "grams", "lm_bigrams", "lm_prefixes", "lm_vocab",
-           "quality_weights")
+           "quality_weights", "lang_weights")
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -90,7 +93,9 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    num_hashes: int = 16, bands: int = 4,
                    shingle_n: int = 3, lsh_bits: int = 6,
                    segment_size: int = 10, sub_min_len: int = 20,
-                   qc_buckets: int = 1024) -> list[str]:
+                   qc_buckets: int = 1024,
+                   lang_labeled: DataFrame | None = None,
+                   lang_buckets: int = 4096) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -133,13 +138,20 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         from .text import quality_classifier_fit
         _w("quality_weights",
            quality_classifier_fit(labeled, n_buckets=qc_buckets))
+    if lang_labeled is not None:
+        # the language-ID rung: a <= lang_buckets*L-row per-language
+        # weight table (prior/unseen rows included) applied map-side
+        # to every later crawl — fit requires a string `lang` column
+        from .text import lang_id_fit
+        _w("lang_weights",
+           lang_id_fit(lang_labeled, n_buckets=lang_buckets))
     if emb is not None:
         _w("blocks", embedding_block_table(emb, bits=lsh_bits))
         cents = label_centroids(emb)
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
     import json
-    spark = next(d for d in (docs, emb, labeled)
+    spark = next(d for d in (docs, emb, labeled, lang_labeled)
                  if d is not None).sparkSession
     _fs_write_text(
         spark, os.path.join(out_dir, "manifest.json"),
@@ -148,6 +160,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "segment_size": segment_size,
                     "sub_min_len": sub_min_len,
                     "qc_buckets": qc_buckets,
+                    "lang_buckets": lang_buckets,
                     "tables": written}, indent=1))
     return written
 

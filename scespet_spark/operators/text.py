@@ -668,6 +668,132 @@ def redact(df: DataFrame, text_col: str = "text",
     return df.withColumn(out, col).withColumn("n_redactions", n)
 
 
+def char_grams(col: Column, n: int = 3) -> Column:
+    """Overlapping character ``n``-grams of a string column as an array
+    — the fastText/CCNet feature family for language ID.  Pure codegen
+    (``transform`` over a position ``sequence`` + ``substring``); texts
+    shorter than ``n`` chars yield an empty array (``sequence`` with an
+    inverted range would silently count DOWN, so the short case is
+    guarded explicitly)."""
+    g = F.transform(F.sequence(F.lit(1), F.length(col) - (n - 1)),
+                    lambda i: F.substring(col, i, F.lit(n)))
+    return F.when(F.length(col) >= n, g).otherwise(
+        F.array().cast("array<string>"))
+
+
+def lang_id_fit(labeled: DataFrame, label_col: str = "lang",
+                text_col: str = "text", id_col: str = "doc_id",
+                n: int = 3, n_buckets: int = 4096,
+                alpha: float = 1.0) -> DataFrame:
+    """Fit a CCNet-style hashed char-n-gram multi-class naive-Bayes
+    language classifier (the model-based rung above the marker-word
+    heuristic ``lang_id``; fastText-family features, closed-form
+    multinomial-NB weights).  Char ``n``-grams hash into ``n_buckets``
+    buckets; for each language ``l`` a bucket's weight is the smoothed
+    log gram-likelihood
+
+        w(b, l) = ln((c(b, l) + alpha) / (T_l + alpha * n_buckets)).
+
+    Returns ONE long-format model table ``(bucket, lang, w)`` — the
+    snapshot artifact — over the COMPLETE (observed bucket x language)
+    grid (so apply-side joins never fabricate a missing language row),
+    plus two reserved bucket ids per language: bucket -1 = the class
+    prior ``ln((N_l + alpha) / (N + alpha * L))`` and bucket -2 = the
+    unseen-bucket likelihood (pure smoothing mass) for grams a later
+    crawl hashes into buckets train never saw.
+
+    The closed-form count fit keeps BOTH fit and apply plain
+    distributed aggregations (one gram-count pass, map-side combinable)
+    with an exact SQL oracle — no gradient loop, no driver-held dense
+    vector.  Scale: the model is at most ``n_buckets * L + 2L`` rows
+    regardless of corpus size, and the gram pass is map-side
+    (`_spread` for small-file parallelism)."""
+    from .dedup import _spread
+    g = (_spread(labeled.select(F.col(id_col), F.col(text_col),
+                                F.col(label_col).alias("__l")))
+         .select("__l", F.explode(char_grams(F.col(text_col), n))
+                 .alias("__g")))
+    cnt = (g.select((h64(F.col("__g")) % n_buckets).alias("bucket"), "__l")
+           .groupBy("bucket", "__l").agg(F.count("*").alias("__c")))
+    tot = cnt.groupBy("__l").agg(F.sum("__c").alias("__t"))
+    aB = alpha * n_buckets
+    grid = (cnt.select("bucket").distinct()
+            .crossJoin(F.broadcast(tot))
+            .join(cnt, ["bucket", "__l"], "left")
+            .select("bucket", "__l", "__t",
+                    F.coalesce(F.col("__c"), F.lit(0)).alias("__c")))
+    w = grid.select("bucket", F.col("__l").alias("lang"),
+                    (F.log((F.col("__c") + alpha) / (F.col("__t") + aB)))
+                    .alias("w"))
+    unseen = tot.select(F.lit(-2).cast("long").alias("bucket"),
+                        F.col("__l").alias("lang"),
+                        F.log(F.lit(alpha) / (F.col("__t") + aB)).alias("w"))
+    nd = (labeled.groupBy(F.col(label_col).alias("__l"))
+          .agg(F.count("*").alias("__n")))
+    ntot = nd.agg(F.sum("__n").alias("__ntot"),
+                  F.count("*").alias("__nlang"))
+    prior = (nd.crossJoin(F.broadcast(ntot))
+             .select(F.lit(-1).cast("long").alias("bucket"),
+                     F.col("__l").alias("lang"),
+                     F.log((F.col("__n") + alpha)
+                           / (F.col("__ntot") + alpha * F.col("__nlang")))
+                     .alias("w")))
+    return w.unionByName(unseen).unionByName(prior)
+
+
+def lang_id_apply(df: DataFrame, model: DataFrame, n: int = 3,
+                  n_buckets: int = 4096, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  out: str = "pred_lang") -> DataFrame:
+    """Classify documents under a FITTED language model (see
+    ``lang_id_fit``): per document and language, score = mean bucket
+    log-likelihood + class prior (the per-gram normalization keeps
+    scores length-comparable; argmax is unaffected because every
+    language shares the document's gram count); prediction = argmax
+    with lexicographic tie-break (deterministic, same convention as the
+    heuristic ``lang_id``).  Scores round to 6dp for cross-engine float
+    parity — the argmax compares the ROUNDED scores so both engines
+    break the same ties the same way.  Docs with zero grams (shorter
+    than ``n`` chars) drop — the no-feature-rows contract shared with
+    ``quality_classifier_apply``.
+
+    Works unchanged on a LIVE stream: the model pivots to one row per
+    bucket batch-side (at most ``n_buckets`` rows) and attaches via a
+    broadcast stream-static join; priors and unseen weights are the 2L
+    scalar rows, read once driver-side.  No UDF anywhere; zero corpus
+    passes at serve time."""
+    pr = {r["lang"]: r["w"]
+          for r in model.filter(F.col("bucket") == -1).collect()}
+    un = {r["lang"]: r["w"]
+          for r in model.filter(F.col("bucket") == -2).collect()}
+    if not pr or set(pr) != set(un):
+        raise ValueError(
+            "model table lacks matched prior (-1) / unseen (-2) rows "
+            "per language — was it written by lang_id_fit?")
+    langs = sorted(pr)
+    wide = (model.filter(F.col("bucket") >= 0)
+            .groupBy("bucket").pivot("lang", langs).agg(F.first("w")))
+    tok = (df.select(F.col(id_col), F.col(text_col))
+           .select(id_col, F.explode(char_grams(F.col(text_col), n))
+                   .alias("__g"))
+           .select(id_col, (h64(F.col("__g")) % n_buckets).alias("bucket")))
+    scored = (tok.join(F.broadcast(wide), "bucket", "left")
+              .groupBy(id_col)
+              .agg(*[F.round(F.avg(F.coalesce(F.col(f"`{l}`"),
+                                              F.lit(un[l])))
+                             + F.lit(pr[l]), 6).alias(f"__s{i}")
+                     for i, l in enumerate(langs)]))
+    best = F.array_max(F.array(*[
+        F.struct(F.col(f"__s{i}").alias("score"),
+                 # invert ordering so max picks the smaller lang on ties
+                 F.lit(-i).alias("ord"),
+                 F.lit(l).alias("lang"))
+        for i, l in enumerate(langs)]))
+    return scored.select(F.col(id_col),
+                         best.getField("lang").alias(out),
+                         best.getField("score").alias("score"))
+
+
 def quality_classifier_fit(labeled: DataFrame, label_col: str = "label",
                            text_col: str = "text", id_col: str = "doc_id",
                            n_buckets: int = 1024,

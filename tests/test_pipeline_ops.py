@@ -1358,6 +1358,61 @@ def test_quality_classifier_learns_token_signal(spark):
             held, model.filter(F.col("bucket") >= 0), n_buckets=256)
 
 
+def test_lang_id_classifier_learns_char_signal(spark):
+    """On a corpus whose languages genuinely differ in character
+    distribution, the hashed char-3-gram NB classifier must separate
+    them on held-out docs — real learning, not prior echo — break
+    score ties lexicographically, drop sub-n-char docs (no grams),
+    stay deterministic under repartitioning, and reject a model
+    missing its reserved prior/unseen rows."""
+    from scespet_spark.operators.text import lang_id_apply, lang_id_fit
+    aa = "aberdeen banner apple arable banana"
+    bb = "zyzzyva xylyl fuzzy quizzing whizzy"
+    train = spark.createDataFrame(
+        [(i, aa + f" extra{i}", "aa") for i in range(10)]
+        + [(100 + i, bb + f" extra{i}", "bb") for i in range(10)],
+        "doc_id long, text string, lang string")
+    model = lang_id_fit(train, n_buckets=256)
+    held = spark.createDataFrame([
+        (1000, "arable banner apple"),
+        (1001, "quizzing fuzzy xylyl"),
+        (1002, "ab"),                       # < 3 chars: no grams, drops
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in lang_id_apply(held, model,
+                                              n_buckets=256).collect()}
+    assert got[1000].pred_lang == "aa"
+    assert got[1001].pred_lang == "bb"
+    assert 1002 not in got
+    # deterministic under repartitioning
+    again = {r.doc_id: (r.pred_lang, r.score)
+             for r in lang_id_apply(held.repartition(7), model,
+                                    n_buckets=256).collect()}
+    assert again == {d: (r.pred_lang, r.score) for d, r in got.items()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prior"):
+        lang_id_apply(held, model.filter(F.col("bucket") >= 0),
+                      n_buckets=256)
+
+
+def test_lang_id_fit_grid_is_complete(spark):
+    """The model table must cover the COMPLETE (observed bucket x
+    language) grid — a bucket seen only under one language still gets
+    a (smoothing-mass) weight row for every other language, so the
+    apply-side join never fabricates asymmetric fallbacks."""
+    from scespet_spark.operators.text import lang_id_fit
+    train = spark.createDataFrame(
+        [(1, "aaaa", "x"), (2, "zzzz", "y")],
+        "doc_id long, text string, lang string")
+    model = lang_id_fit(train, n_buckets=64).cache()
+    per_bucket = (model.filter(F.col("bucket") >= 0)
+                  .groupBy("bucket")
+                  .agg(F.count_distinct("lang").alias("nl")).collect())
+    assert per_bucket and all(r.nl == 2 for r in per_bucket)
+    # reserved rows: one prior and one unseen weight per language
+    assert model.filter(F.col("bucket") == -1).count() == 2
+    assert model.filter(F.col("bucket") == -2).count() == 2
+
+
 def test_snapshot_quality_weights_roundtrip(spark, tmp_path):
     """write_snapshot(labeled=...) persists the classifier weight
     table; the loaded artifact scores a later crawl identically to the
@@ -1378,6 +1433,26 @@ def test_snapshot_quality_weights_roundtrip(spark, tmp_path):
     want = quality_classifier_apply(
         held, quality_classifier_fit(labeled, n_buckets=512),
         n_buckets=512)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_snapshot_lang_weights_roundtrip(spark, tmp_path):
+    """write_snapshot(lang_labeled=...) persists the language model;
+    the loaded artifact classifies a later crawl identically to the
+    inline fit."""
+    from scespet_spark.operators.snapshot import (read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.operators.text import lang_id_apply, lang_id_fit
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter(F.col("doc_id") % 3 == 0)
+    write_snapshot(str(tmp_path), lang_labeled=train, lang_buckets=512)
+    snap = read_snapshot(spark, str(tmp_path))
+    held = docs.filter(F.col("doc_id") % 3 != 0)
+    got = lang_id_apply(held, snap["lang_weights"], n_buckets=512)
+    want = lang_id_apply(held, lang_id_fit(train, n_buckets=512),
+                         n_buckets=512)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
 

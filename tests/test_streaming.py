@@ -1602,3 +1602,38 @@ def test_live_quality_classifier_across_drops_equals_batch(spark, tmp_path):
     batch = quality_classifier_apply(docs, model, n_buckets=512)
     assert sorted(map(tuple, live.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_live_lang_id_across_drops_equals_batch(spark, tmp_path):
+    """Stream-static language classification must be drop-invariant:
+    docs arriving across 3 micro-batches predict identically to the
+    batch apply (complete-mode per-doc aggregation over the broadcast
+    bucket-weight attach)."""
+    import os
+    import shutil
+    import time as _time
+    from scespet_spark.operators.text import lang_id_apply, lang_id_fit
+    from scespet_spark.sources.batch import load_table
+    from scespet_spark.streaming.live import run_available_now
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = lang_id_fit(docs.filter(F.col("doc_id") % 3 == 0),
+                        n_buckets=512)
+    src = tmp_path / "drops"
+    src.mkdir()
+    now = _time.time()
+    for i in range(3):
+        part = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        d = tmp_path / f"f{i}"
+        part.coalesce(1).write.parquet(str(d))
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"drop-{i}.parquet"
+        shutil.copy(str(d / f), str(dst))
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    live = run_available_now(
+        lang_id_apply(stream, model, n_buckets=512), "complete")
+    batch = lang_id_apply(docs, model, n_buckets=512)
+    assert sorted(map(tuple, live.collect())) == \
+        sorted(map(tuple, batch.collect()))
