@@ -3815,6 +3815,121 @@ def live_lang_id(spark, sf_dir):
         lang_id_apply(stream, model, n_buckets=_LC_B), "complete")
 
 
+#: deterministic multi-line punctuation-bearing text over `documents`
+#: for the C4/Gopher rule-filter demo (the corpus text itself has no
+#: newlines or punctuation): per-line keep/drop cases for every rule,
+#: plus bullet-heavy (doc_id % 11) and ellipsis-heavy (doc_id % 13)
+#: docs that trip the DOC-level gates
+_C4_TEXT_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    + " || chr(10) || ".join(f"'- item number {i} here.'"
+                             for i in range(10))
+    + " WHEN doc_id % 13 = 0 THEN 'first thought trails away...'"
+      " || chr(10) || 'second thought trails away...'"
+      " || chr(10) || 'third thought stays put.'"
+      " ELSE 'The corpus line number ' || (doc_id % 5)::VARCHAR"
+      " || ' reads fine.'"
+      " || chr(10) || 'too short.'"
+      " || chr(10) || 'this line has no terminal punctuation'"
+      " || chr(10) || '- bullet point item here.'"
+      " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"
+      " 'please accept our cookie policy.' ELSE '' END"
+      " || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||"
+      " 'content continues with more to come...' ELSE '' END"
+      " || chr(10) || 'the doc says ' || text || ' indeed.'"
+      " END")
+
+
+def _c4_demo_text():
+    """Spark side of _C4_TEXT_SQL (value-identical)."""
+    nl = "\n"
+    base = F.concat(
+        F.lit("The corpus line number "),
+        (F.col("doc_id") % 5).cast("string"), F.lit(" reads fine."),
+        F.lit(nl + "too short."),
+        F.lit(nl + "this line has no terminal punctuation"),
+        F.lit(nl + "- bullet point item here."),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(nl + "please accept our cookie policy."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(nl + "content continues with more to come..."))
+        .otherwise(F.lit("")),
+        F.lit(nl + "the doc says "), F.col("text"), F.lit(" indeed."))
+    bullets = nl.join(f"- item number {i} here." for i in range(10))
+    ell = ("first thought trails away..." + nl
+           + "second thought trails away..." + nl
+           + "third thought stays put.")
+    return (F.when(F.col("doc_id") % 11 == 0, F.lit(bullets))
+            .when(F.col("doc_id") % 13 == 0, F.lit(ell))
+            .otherwise(base))
+
+
+#: DuckDB mirror of text.c4_rule_filter's line-keep predicate
+_C4_LINE_OK = ("regexp_matches(x, '[.!?\"'']$')"
+               " AND len(list_filter(string_split(x, ' '),"
+               " w -> w <> '')) >= 3"
+               " AND NOT contains(lower(x), 'javascript')"
+               " AND NOT contains(lower(x), 'lorem ipsum')"
+               " AND NOT contains(lower(x), 'cookie policy')"
+               " AND NOT contains(lower(x), 'privacy policy')"
+               " AND NOT contains(lower(x), 'terms of use')"
+               " AND NOT contains(lower(x), '{')")
+
+_C4_SQL = f"""WITH d AS (SELECT doc_id, {_C4_TEXT_SQL} AS t
+           FROM documents),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+m AS (SELECT doc_id,
+             list_filter(ls, x -> {_C4_LINE_OK}) AS kept,
+             len(ls) AS nl,
+             len(list_filter(ls,
+                 x -> regexp_matches(x, '^\\s*[-*•]'))) AS nb,
+             len(list_filter(ls,
+                 x -> regexp_matches(x, '\\.\\.\\.$'))) AS ne
+      FROM l)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(nl AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       round(nb::DOUBLE / nl, 6) AS bullet_ratio,
+       round(ne::DOUBLE / nl, 6) AS ellipsis_ratio,
+       (len(kept) >= 1 AND nb <= 0.9 * nl AND ne <= 0.3 * nl)::INT
+           AS keep
+FROM m"""
+
+_C4_COLS = ["doc_id", "clean_text", "n_lines", "n_kept_lines",
+            "bullet_ratio", "ellipsis_ratio", "keep"]
+
+
+@query("c4_rule_filter", _C4_SQL)
+def c4_rule_filter(spark, sf_dir):
+    """C4/Gopher rule-based cleaning (Raffel et al. 2020 §2.2; Gopher
+    A1.1): line-level terminal-punctuation / min-words / boilerplate-
+    marker filters plus doc-level bullet-ratio and ellipsis-ratio
+    gates, over a deterministic in-query synthesized multi-line text
+    column (the corpus text carries no newlines or punctuation).  ONE
+    map-only projection of codegen array/regex expressions — no UDF,
+    no shuffle; runs at scan speed at any corpus size."""
+    from scespet_spark.operators.text import c4_rule_filter as c4
+    docs = load_table(spark, sf_dir, "documents")
+    return (c4(docs.withColumn("text", _c4_demo_text()))
+            .select(*_C4_COLS))
+
+
+@query("live_c4_filter", _C4_SQL)
+def live_c4_filter(spark, sf_dir):
+    """The C4 rule gate on a LIVE crawl: the same stateless codegen
+    projection applied per micro-batch (append mode, zero state) —
+    cleaning quality rules cost nothing extra at serve time.  Oracle =
+    the batch filter over the table the stream replays."""
+    from scespet_spark.operators.text import c4_rule_filter as c4
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    stream = (read_table_stream(spark, sf_dir, "documents")
+              .withColumn("text", _c4_demo_text()))
+    return run_available_now(c4(stream).select(*_C4_COLS), "append")
+
+
 def _stop_list_sql():
     from scespet_spark.operators.text import LANG_MARKERS
     flat = [m for ms in LANG_MARKERS.values() for m in ms]

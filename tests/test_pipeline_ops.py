@@ -1358,6 +1358,46 @@ def test_quality_classifier_learns_token_signal(spark):
             held, model.filter(F.col("bucket") >= 0), n_buckets=256)
 
 
+def test_c4_rule_filter_pins_every_rule(spark):
+    """Each C4/Gopher rule, pinned on crafted rows: terminal
+    punctuation, min line words, marker phrases, bullet-ratio and
+    ellipsis-ratio doc gates, min kept lines — and the plan is one
+    map-only projection (no Exchange)."""
+    from scespet_spark.operators.text import c4_rule_filter
+    docs = spark.createDataFrame([
+        (1, "A good first sentence here.\nshort.\nno punct at end\n"
+            "Second good sentence stays!"),
+        (2, "Please read our Cookie Policy today.\n"
+            "This one mentions javascript sadly.\n"
+            "But this clean line survives fine."),
+        (3, "- one bullet.\n- two bullet.\n- three bullet.\n"
+            "- four bullet.\n- five bullet.\n- six bullet.\n"
+            "- seven bullet.\n- eight bullet.\n- nine bullet.\n"
+            "- ten bullet."),
+        (4, "thought one drifts away...\nthought two drifts away...\n"
+            "thought three lands hard."),
+        (5, "nothing here qualifies at all"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_rule_filter(docs).collect()}
+    # line rules: short + unterminated lines drop, the rest keep
+    assert got[1].clean_text == ("A good first sentence here.\n"
+                                 "Second good sentence stays!")
+    assert (got[1].n_lines, got[1].n_kept_lines, got[1].keep) == (4, 2, 1)
+    # marker phrases drop case-insensitively
+    assert got[2].clean_text == "But this clean line survives fine."
+    assert got[2].keep == 1
+    # 100% bullets: lines individually pass but the DOC drops
+    assert got[3].n_kept_lines == 10 and got[3].keep == 0
+    assert got[3].bullet_ratio == 1.0
+    # 2/3 ellipsis lines > 0.3: doc drops
+    assert got[4].keep == 0 and got[4].ellipsis_ratio == round(2 / 3, 6)
+    # zero kept lines: doc drops
+    assert got[5].n_kept_lines == 0 and got[5].keep == 0
+    plan = (c4_rule_filter(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_lang_id_classifier_learns_char_signal(spark):
     """On a corpus whose languages genuinely differ in character
     distribution, the hashed char-3-gram NB classifier must separate
