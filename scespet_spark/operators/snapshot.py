@@ -33,11 +33,22 @@ One snapshot =
                     and appended to by `ivf_assign` on new batches.
 
 Scale notes: each table is written partitioned/sized for its probe —
-digests and band/block tables are equi-join keys (plain parquet, the
-join shuffles on the key either way; at cluster scale bucket them with
-``joins.write_bucketed`` to pre-co-locate repeat probes), centroids are
+digests and band/block tables are equi-join keys, centroids are
 model-sized.  Writing is one pass over the corpus per artifact family;
-reading is schema-on-read parquet."""
+reading is schema-on-read parquet.
+
+Pass ``bucket_probes=N`` to materialize the five probe tables
+(digests/grams/segments/bands/blocks) BUCKETED + sorted on their join
+keys instead: every later incremental probe then scans the snapshot
+side ``Bucketed: true`` with ZERO Exchange — only the (small) new
+crawl batch shuffles, into N partitions matching the buckets.  At
+100 TB the snapshot digest tables are the big side of every probe
+join, so this removes the dominant recurring shuffle of the
+continuous-build loop for one extra sort at write time.  No metastore
+is required: the tables are EXTERNAL (files live under ``out_dir``)
+and the manifest records their DDL, so ``read_snapshot`` re-registers
+them into whatever catalog the reading session has (in-memory
+included) — bucket metadata survives any session boundary."""
 
 from __future__ import annotations
 
@@ -49,6 +60,20 @@ from pyspark.sql import DataFrame, SparkSession
 _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
            "segments", "grams", "lm_bigrams", "lm_prefixes", "lm_vocab",
            "quality_weights", "lang_weights")
+
+#: probe tables eligible for bucketed materialization -> their
+#: equi-join keys (the columns every incremental probe joins on)
+_BUCKET_KEYS = {"digests": ["content_hash"], "grams": ["__g"],
+                "segments": ["__d"], "bands": ["band", "band_hash"],
+                "blocks": ["block"]}
+
+
+def _snap_table(out_dir: str, name: str) -> str:
+    """Deterministic catalog name for a snapshot's bucketed probe
+    table (unique per snapshot directory, stable across sessions)."""
+    import hashlib
+    h = hashlib.md5(out_dir.encode()).hexdigest()[:10]
+    return f"snap_{h}_{name}"
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -95,7 +120,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    segment_size: int = 10, sub_min_len: int = 20,
                    qc_buckets: int = 1024,
                    lang_labeled: DataFrame | None = None,
-                   lang_buckets: int = 4096) -> list[str]:
+                   lang_buckets: int = 4096,
+                   bucket_probes: int | None = None) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -111,9 +137,28 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
     from .similarity import ivf_assign, label_centroids
 
     written = []
+    bucket_tables: dict[str, dict] = {}
 
     def _w(name: str, df: DataFrame) -> None:
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        path = os.path.join(out_dir, name)
+        keys = _BUCKET_KEYS.get(name)
+        if bucket_probes and keys:
+            # EXTERNAL bucketed table: files under the snapshot dir,
+            # bucket metadata re-registrable from the manifest DDL in
+            # any later session (no metastore dependency) — the probe
+            # join then scans this (big) side with zero Exchange
+            t = _snap_table(out_dir, name)
+            df.sparkSession.sql(f"DROP TABLE IF EXISTS {t}")
+            (df.write.mode("overwrite")
+             .bucketBy(bucket_probes, *keys).sortBy(*keys)
+             .option("path", path).saveAsTable(t))
+            bucket_tables[name] = {
+                "table": t, "cols": keys, "n": bucket_probes,
+                "schema": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields)}
+        else:
+            df.write.mode("overwrite").parquet(path)
         written.append(name)
 
     if docs is not None:
@@ -161,6 +206,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "sub_min_len": sub_min_len,
                     "qc_buckets": qc_buckets,
                     "lang_buckets": lang_buckets,
+                    "bucket_probes": bucket_probes,
+                    "bucket_tables": bucket_tables,
                     "tables": written}, indent=1))
     return written
 
@@ -194,9 +241,26 @@ def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     manifest = json.loads(
         _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
     out = {}
+    bucketed = manifest.get("bucket_tables") or {}
     for name in manifest.get("tables", _TABLES):
         path = os.path.join(out_dir, name)
         fs, jpath = _hadoop_fs(spark, path)
-        if fs.exists(jpath):
+        if not fs.exists(jpath):
+            continue
+        meta = bucketed.get(name)
+        if meta:
+            t = meta["table"]
+            if not spark.catalog.tableExists(t):
+                # re-register the external bucketed table from the
+                # manifest DDL: bucket metadata lives in the catalog,
+                # not the files, so a fresh session must restore it or
+                # every probe join silently re-shuffles the snapshot
+                cols = ", ".join(meta["cols"])
+                spark.sql(
+                    f"CREATE TABLE {t} ({meta['schema']}) USING PARQUET "
+                    f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                    f"INTO {meta['n']} BUCKETS LOCATION '{path}'")
+            out[name] = spark.table(t)
+        else:
             out[name] = spark.read.parquet(path)
     return out

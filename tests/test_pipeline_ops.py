@@ -1497,6 +1497,52 @@ def test_snapshot_lang_weights_roundtrip(spark, tmp_path):
         sorted(map(tuple, want.collect()))
 
 
+def test_bucketed_snapshot_probe_skips_snapshot_side_exchange(
+        spark, tmp_path):
+    """write_snapshot(bucket_probes=N): the probe tables persist as
+    external BUCKETED tables, the incremental probe join scans the
+    snapshot side with ZERO Exchange (only the new batch shuffles),
+    results match the plain-parquet path, and a fresh session (catalog
+    wiped) re-registers the bucket metadata from the manifest DDL."""
+    from scespet_spark.operators.dedup import incremental_substring_dedup
+    from scespet_spark.operators.snapshot import (_snap_table,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=prior, sub_min_len=5, bucket_probes=8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        snap = read_snapshot(spark, out)
+        got = incremental_substring_dedup(new, prior_grams=snap["grams"],
+                                          min_len=5)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        want = incremental_substring_dedup(new, prior=prior, min_len=5)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+        # the probe join itself: snapshot side exchange-free
+        probe = (new.select(F.col("doc_id"))
+                 .withColumn("__g", F.col("doc_id") * 7)
+                 .join(snap["grams"], "__g", "left_anti"))
+        pplan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in pplan
+        assert pplan.count("Exchange") == 1   # the NEW side only
+        # fresh session simulation: catalog entry gone, files remain
+        spark.sql(f"DROP TABLE {_snap_table(out, 'grams')}")
+        snap2 = read_snapshot(spark, out)
+        p2 = (new.select((F.col("doc_id") * 7).alias("__g"))
+              .join(snap2["grams"], "__g", "left_anti")
+              ._jdf.queryExecution().executedPlan().toString())
+        assert "Bucketed: true" in p2 and p2.count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
 def test_canonical_url_rules(spark):
     """Every canonicalization rule, pinned: case, www, default ports,
     trailing slash, fragment, tracking params, query-order; malformed
