@@ -29,7 +29,8 @@ _ORACLES: dict[str, str] = {}
 #: justification on the query; tests/test_entry_contract.py enforces
 #: that everything else has full oracle SQL.
 ROWS_ONLY: set[str] = {"profile_lineitem_approx",
-                       "approx_distinct_users_daily"}
+                       "approx_distinct_users_daily",
+                       "pack_bestfit_sequences"}
 
 
 def query(name: str, oracle: str | None = None):
@@ -5182,6 +5183,25 @@ def pack_training_sequences(spark, sf_dir):
     from scespet_spark.operators.pipeline import pack_sequences
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=2048)
+
+
+@query("pack_bestfit_sequences")
+def pack_bestfit_sequences(spark, sf_dir):
+    """First-fit-decreasing packing WITHOUT document splitting (the
+    no-cross-doc-attention alternative to the concat-and-chunk tape):
+    budget=512 so the demo corpus genuinely multi-packs.  ROWS_ONLY
+    justification: the FFD fold is an order-dependent heuristic over
+    each group's open-bin list — inherently procedural, not
+    SQL-expressible; its guarantees are asserted instead: equality to
+    a pure-Python FFD model plus the no-overfill and one-half-empty-
+    bin-per-group waste bounds on randomized inputs
+    (test_properties.py::test_pack_bestfit_matches_ffd_model) and
+    determinism under repartitioning
+    (test_pipeline_ops.py::test_pack_bestfit_efficiency_and_determinism)."""
+    from scespet_spark.operators.pipeline import pack_sequences_bestfit
+    docs = load_table(spark, sf_dir, "documents")
+    return (pack_sequences_bestfit(docs, budget=512)
+            .orderBy("doc_id"))
 
 
 @query("shuffle_deterministic_shards", f"""

@@ -127,6 +127,80 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
             .drop("cum"))
 
 
+def pack_sequences_bestfit(df: DataFrame, budget: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           group_size: int = 2048) -> DataFrame:
+    """First-fit-decreasing (FFD) sequence packing WITHOUT document
+    splitting: each document lands whole in exactly one
+    ``budget``-token training sequence — the packing used when
+    cross-document attention contamination matters more than zero
+    padding (vs ``pack_sequences``' concat-and-chunk tape, which wastes
+    nothing but splits documents across sequence boundaries).
+
+    Documents partition into deterministic groups of at most
+    ``group_size`` ids (``id div group_size``); within a group, docs
+    are FFD-packed (descending ``n_tokens``, id tie-break; place into
+    the FIRST open sequence with room, else open a new one).  A doc
+    longer than ``budget`` gets a dedicated oversized sequence and
+    ``oversize = 1`` (truncation is the caller's policy, not silent).
+    Global sequence ids are ``group * group_size + local`` — collision
+    free (a group of g docs opens at most g sequences) and reproducible
+    across runs, partitionings and engines.
+
+    Returns ``(id_col, n_tokens, seq_id, oversize)``.
+
+    Guarantees (property-tested vs a pure-Python FFD model): no
+    sequence exceeds ``budget`` (oversized singletons excepted); FFD's
+    classic waste bound holds PER GROUP — at most one non-oversized
+    sequence is <= half full, so sequences used <= 2 * ceil(group
+    tokens / budget) + 1, and asymptotically FFD <= 11/9 OPT + 6/9.
+
+    Scale shape: token counts are a map-only projection; the Python
+    fold runs per GROUP inside ``applyInPandas`` — O(group_size) rows
+    and O(group_size^2) worst-case comparisons per group, independent
+    of corpus size, with groups packing in parallel across the
+    cluster.  Packing quality is per-group (a group boundary can waste
+    at most one sequence's tail), the price of making an inherently
+    sequential heuristic distribute."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    base = (df.select(F.col(id_col),
+                      F.size(tokens(F.col(text_col))).alias("n_tokens"))
+            .withColumn("__grp", F.expr(f"{id_col} div {group_size}")))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["__grp"].iloc[0])
+        pdf = pdf.sort_values(["n_tokens", id_col],
+                              ascending=[False, True])
+        rem: list[int] = []           # remaining capacity per open seq
+        seq = np.empty(len(pdf), dtype=np.int64)
+        over = np.zeros(len(pdf), dtype=np.int32)
+        for j, n in enumerate(pdf["n_tokens"].to_numpy()):
+            n = int(n)
+            if n > budget:
+                # dedicated oversized sequence: capacity -1 refuses
+                # every later doc (including zero-token docs, which any
+                # rem >= 0 would admit)
+                rem.append(-1)
+                seq[j] = len(rem) - 1
+                over[j] = 1
+                continue
+            for b, r in enumerate(rem):
+                if r >= n:
+                    rem[b] = r - n
+                    seq[j] = b
+                    break
+            else:
+                rem.append(budget - n)
+                seq[j] = len(rem) - 1
+        pdf = pdf.assign(seq_id=seq + grp * group_size, oversize=over)
+        return pdf[[id_col, "n_tokens", "seq_id", "oversize"]]
+
+    return base.groupBy("__grp").applyInPandas(
+        _pack, f"{id_col} long, n_tokens long, seq_id long, oversize int")
+
+
 def shuffle_deterministic(df: DataFrame, seed: str = "42",
                           n_shards: int = 64,
                           id_col: str = "doc_id") -> DataFrame:

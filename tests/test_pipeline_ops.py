@@ -1358,6 +1358,43 @@ def test_quality_classifier_learns_token_signal(spark):
             held, model.filter(F.col("bucket") >= 0), n_buckets=256)
 
 
+def test_pack_bestfit_efficiency_and_determinism(spark):
+    """FFD packing on the real corpus: deterministic under
+    repartitioning, every doc in exactly one sequence, no overfill —
+    and it uses no more sequences than the doc-preserving NEXT-FIT
+    greedy baseline (the packing-efficiency claim)."""
+    from collections import Counter
+    from scespet_spark.operators.pipeline import pack_sequences_bestfit
+    from scespet_spark.operators.text import tokens
+    from scespet_spark.sources.batch import load_table
+    budget = 512
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(map(tuple, pack_sequences_bestfit(
+        docs, budget=budget).collect()))
+    again = sorted(map(tuple, pack_sequences_bestfit(
+        docs.repartition(7), budget=budget).collect()))
+    assert got == again
+    assert len(got) == docs.count()                 # one row per doc
+    fills = Counter()
+    for _id, n, seq, over in got:
+        if not over:
+            fills[seq] += n
+    assert all(v <= budget for v in fills.values())
+    # next-fit greedy baseline (id order, close a sequence when the
+    # next doc doesn't fit): FFD must not use MORE sequences
+    ns = [r.n for r in docs.select(
+        F.size(tokens(F.col("text"))).alias("n")).orderBy("doc_id")
+        .collect()]
+    nf_bins, rem = 0, -1
+    for n in ns:
+        if n > rem:
+            nf_bins += 1
+            rem = budget
+        rem -= n
+    ffd_bins = len(set(s for _, _, s, _ in got))
+    assert ffd_bins <= nf_bins
+
+
 def test_c4_rule_filter_pins_every_rule(spark):
     """Each C4/Gopher rule, pinned on crafted rows: terminal
     punctuation, min line words, marker phrases, bullet-ratio and

@@ -163,6 +163,56 @@ def test_pack_sequences_tape_invariants(spark, ntoks, budget):
         cum += n
 
 
+@given(ntoks=st.lists(st.integers(0, 40), min_size=1, max_size=14),
+       budget=st.integers(1, 30))
+@SETTINGS
+def test_pack_bestfit_matches_ffd_model(spark, ntoks, budget):
+    """pack_sequences_bestfit == a pure-Python per-group FFD model
+    (descending size, id tie-break, first open bin with room), plus
+    the FFD waste invariants: no sequence overfills and at most one
+    non-oversized sequence per group is under half full."""
+    from collections import Counter, defaultdict
+    from scespet_spark.operators.pipeline import pack_sequences_bestfit
+    G = 5
+    rows = [(i, " ".join(["w"] * n) if n else "")
+            for i, n in enumerate(ntoks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           pack_sequences_bestfit(df, budget=budget,
+                                  group_size=G).collect()}
+    model = {}
+    for grp in sorted({i // G for i in range(len(ntoks))}):
+        items = sorted(((n, i) for i, n in enumerate(ntoks)
+                        if i // G == grp), key=lambda t: (-t[0], t[1]))
+        rem = []
+        for n, i in items:
+            if n > budget:
+                rem.append(-1)   # oversized: refuses every later doc
+                model[i] = (len(rem) - 1 + grp * G, 1)
+                continue
+            for b, r in enumerate(rem):
+                if r >= n:
+                    rem[b] = r - n
+                    model[i] = (b + grp * G, 0)
+                    break
+            else:
+                rem.append(budget - n)
+                model[i] = (len(rem) - 1 + grp * G, 0)
+    assert {i: (r.seq_id, r.oversize) for i, r in got.items()} == model
+    fills = Counter()
+    for i, n in enumerate(ntoks):
+        if not got[i].oversize:
+            fills[got[i].seq_id] += n
+    assert all(v <= budget for v in fills.values())
+    per_grp = defaultdict(list)
+    for s, v in fills.items():
+        per_grp[s // G].append(v)
+    for vals in per_grp.values():
+        # first-fit invariant: two sequences under half full would mean
+        # the later one's first doc fit in the earlier one
+        assert sum(1 for v in vals if v < budget / 2) <= 1
+
+
 @given(vals=st.lists(st.floats(-100, 100, allow_nan=False), min_size=2,
                      max_size=8))
 @SETTINGS
