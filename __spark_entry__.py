@@ -5266,47 +5266,44 @@ def entry(spark: SparkSession) -> DataFrame:
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
-    # brand-new operators this round: exact-substring (suffix-array
-    # family) dedup batch+incremental, the snapshot-persisted hashed-
-    # feature quality classifier batch+live, the live N-way bucket
-    # bind rendezvous, URL-canonical dedup batch+live
-    "dedup_substring", "dedup_incremental_substring",
-    "live_substring_probe", "cluster_balance_sample",
-    "split_train_val_test",
-    "text_quality_classifier", "live_quality_classifier",
-    "live_bind_hourly", "dedup_url_canonical", "live_dedup_url",
+    # brand-new operators this round: the CCNet-style hashed
+    # char-n-gram NB language classifier batch+live, the C4/Gopher
+    # rule-filter suite batch+live, and first-fit-decreasing packing
+    # (rows-only, justified)
+    "lang_id_classifier", "live_lang_id",
+    "c4_rule_filter", "live_c4_filter",
+    "pack_bestfit_sequences",
     # implementation changed this round: weighted_sample's sort key is
-    # now the unrounded ln(u)/w (precision fix, oracle updated), and
-    # the r7 advice fixes touched sliding_scan's state expiry,
-    # first_wins' watermark, and ann_topk_stream's duplicate-query
-    # suppression — re-verify their query representatives
-    "weighted_sample_chars", "live_sliding_scan", "live_ann_serving",
-    "live_dedup_segments", "live_incremental_segments",
+    # now rounded to 12 significant digits (cross-libm tie fix, oracle
+    # updated); live_bind derives the slice id from the cycle value;
+    # _epoch_ms gained DST ambiguous/nonexistent handling — re-verify
+    # the idle-ttl/sliding expiry representative
+    "weighted_sample_chars", "live_bind_hourly", "live_sliding_scan",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
-    # (r6 VERDICT item #5) evidence rotation: the r3-era rows are the
-    # oldest driver evidence in the repo and shared code has changed
-    # under all of them since — the full r3 cohort rotates back in
-    "at_single_key", "subset_active_users", "to_key_set",
-    "key_list_running", "collect_types_sorted", "bind_hourly_rendezvous",
-    "slice_by_purchase_trigger", "ann_batch_topk", "ann_ivf_kmeans_codes",
-    "ann_ivf_topk", "corpus_source_profile", "dedup_embedding_cosine",
-    "distinct_users_running", "filter_type_purchase", "group_count_reduce",
-    "group_time_reduce", "json_props_stats", "map_keys_user_bucket",
-    "pack_training_sequences", "quantize_embeddings_int8",
-    "shuffle_deterministic_shards", "slice_after_signup",
-    "slice_before_signup", "to_stream_mux", "value_set_types",
-    "window_gated_reduce",
-    # then the oldest r4 rows, one representative per family (the
-    # watch-listed text_bigram_lm among them)
-    "dedup_exact", "dedup_minhash_lsh",
-    "text_bigram_lm", "scan_running_sum", "map_vector_running",
-    "q1_pricing_summary", "bucket_collapse_stats", "multimodal_decode",
-    "asof_broadcast_purchase_last_click",
-    # (the entire r6 cohort — 50 fresh PASS-r6 rows — rotates out this
-    # round to make room; every rotated-out query stays covered by the
-    # full local oracle gate, tools/check_oracle.py)
+    # (r7 VERDICT item #5) evidence rotation: the r4/r5-era rows are
+    # now the oldest driver evidence — rotate the full cohort back in
+    "sample_daily_value", "key_to_stream_daily", "mode_event_type",
+    "reduce_all_global", "nested_group_reduce", "zip_click_purchase",
+    "ewma_final_per_user", "live_ewma_final_per_user",
+    "session_windows_user", "session_windows_scan",
+    "live_session_windows", "live_session_scan",
+    "sliding_window_user", "sliding_window_scan", "live_sliding_window",
+    "window_from_reduce", "live_window_from", "window_from_scan",
+    "live_window_from_scan", "window_gated_scan",
+    "live_window_gated_scan", "live_window_gated_reduce",
+    "map_stream", "filter_stream", "by_reduce_total",
+    "live_zip_click_purchase", "live_zip_typed", "zip_keymap_region_value",
+    "live_keymap_zip", "keymap_take_region_value", "live_keymap_take",
+    "live_trigger_slice", "live_trigger_stream_slice",
+    "live_count_buckets", "live_tumbling_daily", "live_value_set",
+    "live_map_keys_bucket", "live_map_vector_running",
+    "live_asof_purchase_last_click", "live_scan_running_sum",
+    "live_vwap_per_supplier", "vwap_per_supplier",
+    # (the r7 cohort — the r3-era rotation plus the r7 additions — has
+    # fresh PASS-r7 rows and rotates out; every rotated-out query stays
+    # covered by the full local oracle gate, tools/check_oracle.py)
 ]
 
 

@@ -115,7 +115,190 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
         "complete").count()
     print(f"live crawl gate: {n_novel} novel segments elected, "
           f"{kept} docs pass the snapshot perplexity gate")
+
+    # -- r8 capstone: the full continuous-crawl loop -----------------
+    crawl_capstone(spark, sf_dir, out_dir + "/capstone")
     return n_batch, n_live
+
+
+#: capstone gate parameters: substring gram length + split recipe
+_CAP_L = 15
+_CAP_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _cap_url():
+    """Deterministic crawl URL: heavy spelling-variant collisions for
+    ids < 90000 (the dedup-worthy web), unique URLs above (the slot the
+    engineered duplicate uses so it reaches the CONTENT gate)."""
+    tail = F.when(F.col("doc_id") >= 90000,
+                  F.col("doc_id").cast("string")) \
+        .otherwise((F.col("doc_id") % 50).cast("string"))
+    return F.concat(
+        F.lit("https://WWW.Example.com/"), F.col("lang"), F.lit("/p"),
+        tail,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed"))
+        .otherwise(F.lit("")))
+
+
+def _cap_stage1(spark, drops_dir: str, out: str, ckpt: str) -> None:
+    """Crawl gate stage 1: URL-canonical first-wins election.  One
+    checkpointed append query; re-running after a new drop lands
+    processes ONLY the new files, and the election state persists
+    across drops (a later spelling variant of an already-seen canonical
+    URL never re-emits)."""
+    from scespet_spark.operators.dedup import canonical_url
+    from scespet_spark.streaming.live import first_wins, write_parquet
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .option("maxFilesPerTrigger", 1).parquet(drops_dir)
+              .withColumn("canon_url", canonical_url(_cap_url()))
+              .filter(F.col("canon_url").isNotNull()))
+    survivors = first_wins(stream, keys=["canon_url"],
+                           order_cols=["doc_id"],
+                           payload_cols=["doc_id", "text", "lang",
+                                         "source"],
+                           t="doc_id")
+    write_parquet(survivors, out, ckpt)
+
+
+def _cap_stage2(spark, stage1_out: str, snap_dir: str, qc_model, thr,
+                out: str, ckpt: str, sig_out: str, sig_ckpt: str) -> None:
+    """Crawl gate stage 2, rebuilt against the CURRENT snapshot each
+    drop: exact-content anti-join vs the snapshot digest table, the
+    stateless row-wise classifier gate, deterministic split assignment,
+    then the checkpointed shard sink partitioned by split.  Side
+    output: the substring-probe signal — every (doc, pos) whose
+    passage the snapshot corpus already contains.  Everything here is
+    map-side or stream-static: per-micro-batch cost is the arriving
+    docs only, zero corpus passes."""
+    from scespet_spark.operators.dedup import gram_digests
+    from scespet_spark.operators.hashing import h64
+    from scespet_spark.operators.pipeline import split_assign
+    from scespet_spark.operators.snapshot import read_snapshot
+    from scespet_spark.operators.text import (
+        quality_classifier_apply_rowwise)
+    from scespet_spark.streaming.live import write_parquet
+    snap = read_snapshot(spark, snap_dir)
+    digests = snap["digests"].select("content_hash")
+    grams = snap["grams"]
+    stream = (spark.readStream
+              .schema("canon_url string, doc_id long, text string, "
+                      "lang string, source string")
+              .option("maxFilesPerTrigger", 1).parquet(stage1_out))
+    # side signal: known-passage coordinates (the live_substring_probe
+    # serving shape) against the refreshed snapshot
+    sig = (gram_digests(stream, min_len=_CAP_L)
+           .join(grams, "__g", "left_semi").select("doc_id", "pos"))
+    write_parquet(sig, sig_out, sig_ckpt)
+    kept = (stream
+            .withColumn("content_hash", h64(F.col("text")))
+            .join(digests, "content_hash", "left_anti"))
+    gated = (quality_classifier_apply_rowwise(kept, qc_model,
+                                              n_buckets=512,
+                                              threshold=thr)
+             .filter(F.col("pred") == 1))
+    sharded = split_assign(gated, _CAP_SPLITS).select(
+        "doc_id", "text", "lang", "source", "score", "split")
+    write_parquet(sharded, out, ckpt, partition_by=["split"])
+
+
+def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
+    """End-to-end continuous-crawl loop over TWO crawl drops with a
+    snapshot refresh in between:
+
+        url_dedup -> substring snapshot probe (signal)
+                  -> exact-content snapshot gate
+                  -> classifier gate (stateless row-wise serving form)
+                  -> split_assign -> checkpointed shard sink
+
+    Drop 2 contains an engineered exact duplicate of a drop-1 SURVIVOR
+    under a fresh id and unique URL: it sails through the URL gate but
+    the refreshed snapshot's digest table (rebuilt from prior + drop-1
+    survivors between drops) kills it at the content gate — the
+    property the refresh exists to provide."""
+    import shutil
+    import time as _time
+    from scespet_spark.operators.snapshot import write_snapshot
+    from scespet_spark.operators.text import quality_classifier_fit
+    from scespet_spark.sources.batch import load_table
+
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    qc_model = quality_classifier_fit(
+        prior.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=512).cache()
+    # calibrated gate threshold (the CCNet-style quantile gate, same
+    # move the perplexity gate makes): keep crawl docs scoring above
+    # the prior corpus's 10th percentile — one scalar per snapshot
+    from scespet_spark.operators.text import (
+        quality_classifier_apply_rowwise as _qcr)
+    thr = (_qcr(prior, qc_model, n_buckets=512)
+           .agg(F.percentile(F.col("score"), F.lit(0.1)))
+           .collect()[0][0])
+    drops = f"{work}/drops"
+    os.makedirs(drops)
+    now = _time.time()
+
+    def stage_drop(df, name, mtime):
+        d = f"{work}/_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = f"{drops}/{name}.parquet"
+        os.replace(f"{d}/{f}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (mtime, mtime))
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    s1_out, s1_ck = f"{work}/stage1", f"{work}/ck1"
+    s2_out, s2_ck = f"{work}/corpus", f"{work}/ck2"
+    sig_out, sig_ck = f"{work}/signals", f"{work}/ck_sig"
+
+    # ---- snapshot 0 (prior corpus only), drop 1 --------------------
+    write_snapshot(f"{work}/snap0", docs=prior, sub_min_len=_CAP_L)
+    stage_drop(docs.filter(F.col("doc_id") % 3 == 1).select(*cols),
+               "drop1", now - 100)
+    _cap_stage1(spark, drops, s1_out, s1_ck)
+    _cap_stage2(spark, s1_out, f"{work}/snap0", qc_model, thr,
+                s2_out, s2_ck, sig_out, sig_ck)
+    kept1 = spark.read.parquet(s2_out)
+    n1 = kept1.count()
+
+    # ---- snapshot refresh: prior + drop-1 survivors -----------------
+    dup_src = kept1.orderBy("doc_id").limit(1).collect()[0]
+    write_snapshot(f"{work}/snap1",
+                   docs=prior.select("doc_id", "text").unionByName(
+                       kept1.select("doc_id", "text")),
+                   sub_min_len=_CAP_L)
+
+    # ---- drop 2: fresh docs + an exact dup of a drop-1 survivor ----
+    drop2 = docs.filter(F.col("doc_id") % 3 == 2).select(*cols)
+    dup_row = spark.createDataFrame(
+        [(100001, dup_src["text"], dup_src["lang"], dup_src["source"],
+          len(dup_src["text"]))], ", ".join(f"{c} {t}" for c, t in
+        [("doc_id", "long"), ("text", "string"), ("lang", "string"),
+         ("source", "string"), ("n_chars", "long")]))
+    stage_drop(drop2.unionByName(dup_row), "drop2", now - 50)
+    _cap_stage1(spark, drops, s1_out, s1_ck)
+    _cap_stage2(spark, s1_out, f"{work}/snap1", qc_model, thr,
+                s2_out, s2_ck, sig_out, sig_ck)
+
+    final = spark.read.parquet(s2_out)
+    n2 = final.count()
+    ids = {r.doc_id for r in final.select("doc_id").collect()}
+    splits = {r.split for r in final.select("split").distinct().collect()}
+    n_sig = spark.read.parquet(sig_out).count()
+    res = {"drop1_kept": n1, "total_kept": n2,
+           "dup_suppressed": 100001 not in ids,
+           "dup_source_present": dup_src["doc_id"] in ids,
+           "splits": sorted(splits), "known_passage_hits": n_sig}
+    print(f"capstone: {n1} docs after drop 1, {n2} total after drop 2; "
+          f"engineered duplicate suppressed by the refreshed snapshot: "
+          f"{res['dup_suppressed']}; splits {res['splits']}; "
+          f"{n_sig} known-passage coordinates signalled")
+    return res
 
 
 if __name__ == "__main__":

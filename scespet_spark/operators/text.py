@@ -742,6 +742,43 @@ def char_grams(col: Column, n: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
+def quality_classifier_apply_rowwise(df: DataFrame, model: DataFrame,
+                                     n_buckets: int = 1024,
+                                     threshold: float = 0.0,
+                                     text_col: str = "text") -> DataFrame:
+    """STATELESS serving form of ``quality_classifier_apply``: the
+    <= ``n_buckets``+2-row model collects once driver-side into a
+    LITERAL weight array indexed by bucket (constant-folded to one
+    array object; O(1) lookups), and scoring becomes a pure codegen
+    fold over the row's own tokens — no join, no groupBy, no state.
+
+    Why it exists: the join+mean form is a streaming AGGREGATION
+    (complete output mode — memory-sink only), so it cannot sit inside
+    an append-mode chain ending in a checkpointed file sink.  This form
+    is map-only and append-legal anywhere — the shape a production
+    crawl gate wants — at the price of scores that can differ from the
+    join form in the last ulp before rounding (array-order vs
+    shuffle-order float summation; parity-tested to 1e-6).  Zero-token
+    docs score NULL here instead of dropping (a map stage cannot drop
+    its row) — a ``pred == 1`` gate treats both the same."""
+    rows = {r["bucket"]: r["w"] for r in model.collect()}
+    if -1 not in rows or -2 not in rows:
+        raise ValueError(
+            "model table lacks the reserved bias (-1) / unseen (-2) "
+            "rows — was it written by quality_classifier_fit?")
+    bias, unseen = rows.pop(-1), rows.pop(-2)
+    weights = F.lit([float(rows.get(i, unseen))
+                     for i in range(n_buckets)])
+    toks = tokens(F.col(text_col))
+    per = F.transform(toks, lambda t: F.element_at(
+        weights, (h64(t) % n_buckets + 1).cast("int")))
+    score = F.round(
+        F.try_divide(F.aggregate(per, F.lit(0.0), lambda a, x: a + x),
+                     F.size(toks)) + F.lit(bias), 6)
+    return (df.withColumn("score", score)
+            .withColumn("pred", (F.col("score") > threshold).cast("int")))
+
+
 def lang_id_fit(labeled: DataFrame, label_col: str = "lang",
                 text_col: str = "text", id_col: str = "doc_id",
                 n: int = 3, n_buckets: int = 4096,

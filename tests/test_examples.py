@@ -42,3 +42,19 @@ def test_live_pipeline_example(spark, tmp_path, capsys):
     n_batch, n_live = live_pipeline.main(SF, out_dir=str(tmp_path / "lp"))
     assert n_batch == n_live > 0
     assert "exactly-once: True" in capsys.readouterr().out
+
+
+def test_crawl_capstone_example(spark, tmp_path):
+    """The r8 continuous-crawl capstone: url_dedup -> substring
+    snapshot probe -> content gate -> classifier gate -> split_assign
+    -> checkpointed shard sink, with a snapshot refresh between drops.
+    The engineered drop-2 duplicate of a drop-1 survivor must die at
+    the refreshed snapshot's content gate while its source survives."""
+    import live_pipeline
+    res = live_pipeline.crawl_capstone(spark, SF,
+                                       str(tmp_path / "capstone"))
+    assert res["drop1_kept"] > 0
+    assert res["total_kept"] > res["drop1_kept"]
+    assert res["dup_suppressed"] and res["dup_source_present"]
+    assert res["splits"] == ["test", "train", "val"]
+    assert res["known_passage_hits"] > 0

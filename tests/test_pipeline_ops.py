@@ -1514,6 +1514,39 @@ def test_snapshot_quality_weights_roundtrip(spark, tmp_path):
         sorted(map(tuple, want.collect()))
 
 
+def test_quality_classifier_rowwise_matches_join_form(spark):
+    """The stateless row-wise serving form must score identically to
+    the join+mean form (to float-reorder tolerance), emit NULL for
+    zero-token docs instead of dropping them, and plan with no join,
+    no aggregation, no Exchange."""
+    from scespet_spark.operators.text import (
+        quality_classifier_apply, quality_classifier_apply_rowwise,
+        quality_classifier_fit)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = quality_classifier_fit(
+        docs.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=512)
+    held = docs.unionByName(
+        spark.createDataFrame([(9999, "", "en", "s", 0)], docs.schema))
+    join_form = {r.doc_id: (r.score, r.pred) for r in
+                 quality_classifier_apply(held, model,
+                                          n_buckets=512).collect()}
+    row_form = {r.doc_id: (r.score, r.pred) for r in
+                quality_classifier_apply_rowwise(
+                    held, model, n_buckets=512)
+                .select("doc_id", "score", "pred").collect()}
+    assert 9999 not in join_form           # join form drops no-token docs
+    assert row_form[9999] == (None, None)  # row form emits NULL
+    for d, (s, p) in join_form.items():
+        rs, rp = row_form[d]
+        assert abs(rs - s) <= 1.1e-6 and rp == p
+    plan = (quality_classifier_apply_rowwise(docs, model, n_buckets=512)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan \
+        and "Aggregate" not in plan
+
+
 def test_snapshot_lang_weights_roundtrip(spark, tmp_path):
     """write_snapshot(lang_labeled=...) persists the language model;
     the loaded artifact classifies a later crawl identically to the

@@ -145,6 +145,32 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
         return first_wins(canon, ["canon_url"], ["doc_id"], ["doc_id"],
                           t="doc_id")
 
+    # r8 capstone gate: the examples/live_pipeline.py stage-2 chain as
+    # ONE streaming plan — exact-content anti-join vs the snapshot
+    # digest table, stateless row-wise classifier gate, deterministic
+    # split assignment.  Everything map-side or stream-static: the
+    # per-micro-batch cost floor of the full continuous-crawl loop.
+    from scespet_spark.operators.dedup import exact_groups
+    from scespet_spark.operators.pipeline import split_assign
+    from scespet_spark.operators.text import (
+        quality_classifier_apply_rowwise)
+    digests = (exact_groups(base.filter(F.col("doc_id") % 3 == 0))
+               .select("content_hash").persist())
+    digests.count()
+    cap_thr = (quality_classifier_apply_rowwise(base, qc_model)
+               .agg(F.percentile(F.col("score"), F.lit(0.1)))
+               .collect()[0][0])
+
+    def capstone_gate(stream):
+        kept = (stream.withColumn("content_hash", h64(F.col("text")))
+                .join(digests, "content_hash", "left_anti"))
+        gated = (quality_classifier_apply_rowwise(kept, qc_model,
+                                                  threshold=cap_thr)
+                 .filter(F.col("pred") == 1))
+        return split_assign(gated, {"train": 0.8, "val": 0.1,
+                                    "test": 0.1}).select(
+            "doc_id", "score", "split")
+
     results = {}
     for label, build, mode in [("exact_dedup", exact_dedup, "append"),
                                ("segment_election", segment_election,
@@ -154,7 +180,9 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
                                 "append"),
                                ("quality_scoring", quality_scoring,
                                 "complete"),
-                               ("url_election", url_election, "append")]:
+                               ("url_election", url_election, "append"),
+                               ("capstone_gate", capstone_gate,
+                                "append")]:
         results[label] = run_stream(spark, build, src, n_rows, label, mode)
     shutil.rmtree(src, ignore_errors=True)
     return results
