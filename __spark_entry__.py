@@ -5185,6 +5185,61 @@ def pack_training_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=2048)
 
 
+#: DSIR demo params: target domain sample = doc_id % 7 == 0, raw
+#: corpus = the rest; hashed unigram+bigram features, B buckets
+_DSIR_B = 8192
+_DSIR_FEATS = (f"list_concat(t, list_transform("
+               f"range(1, greatest(1, len(t))), "
+               f"i -> t[i] || ' ' || t[i + 1]))")
+
+_DSIR_SQL = f"""WITH tgt AS (SELECT {_TOKS} AS t FROM documents
+             WHERE doc_id % 7 = 0),
+raw AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 7 <> 0),
+ct AS (SELECT ({h64_sql('f')}) % {_DSIR_B} AS bucket, COUNT(*) AS c
+       FROM (SELECT unnest({_DSIR_FEATS}) AS f FROM tgt) GROUP BY 1),
+cr AS (SELECT ({h64_sql('f')}) % {_DSIR_B} AS bucket, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest({_DSIR_FEATS}) AS f FROM raw)
+       GROUP BY 1),
+tot AS (SELECT (SELECT SUM(c) FROM ct) AS tt,
+               (SELECT SUM(c) FROM cr) AS tr),
+w AS (SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+             ln((coalesce(ct.c, 0) + 1.0) / (tt + {_DSIR_B}.0))
+           - ln((coalesce(cr.c, 0) + 1.0) / (tr + {_DSIR_B}.0)) AS w
+      FROM ct FULL JOIN cr ON ct.bucket = cr.bucket, tot),
+un AS (SELECT ln(1.0 / (tt + {_DSIR_B}.0))
+            - ln(1.0 / (tr + {_DSIR_B}.0)) AS w FROM tot),
+app AS (SELECT doc_id, ({h64_sql('f')}) % {_DSIR_B} AS bucket
+        FROM (SELECT doc_id, unnest({_DSIR_FEATS}) AS f FROM raw)),
+lw AS (SELECT app.doc_id,
+              round(SUM(coalesce(w.w, (SELECT w FROM un))), 6) AS lw,
+              COUNT(*) AS n_feats
+       FROM app LEFT JOIN w ON app.bucket = w.bucket
+       GROUP BY app.doc_id)
+SELECT doc_id, lw, n_feats, key FROM (
+  SELECT doc_id, lw, n_feats,
+         round(lw - ln(-ln((({h64_sql("doc_id::VARCHAR", seed=29)})
+                            % {1 << 20} + 0.5) / {1 << 20})), 6) AS key
+  FROM lw ORDER BY key DESC, doc_id LIMIT 150)
+ORDER BY doc_id"""
+
+
+@query("dsir_sample_topk", _DSIR_SQL)
+def dsir_sample_topk(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): score every raw-corpus
+    doc by the log importance ratio of its hashed unigram+bigram
+    features under a target domain sample vs the raw corpus, then draw
+    150 docs via deterministic Gumbel top-k — the importance-resampling
+    step that shapes a 100 TB crawl toward a target domain.  Two
+    map-combinable bucket-count passes, one broadcast log-ratio table,
+    one per-doc sum, a distributed TakeOrdered; no UDF, exact SQL
+    oracle."""
+    from scespet_spark.operators.pipeline import dsir_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_sample(docs.filter(F.col("doc_id") % 7 != 0),
+                       docs.filter(F.col("doc_id") % 7 == 0),
+                       k=150, n_buckets=_DSIR_B).orderBy("doc_id")
+
+
 @query("pack_bestfit_sequences")
 def pack_bestfit_sequences(spark, sf_dir):
     """First-fit-decreasing packing WITHOUT document splitting (the
@@ -5272,7 +5327,7 @@ _ROUND_CHANGED = [
     # (rows-only, justified)
     "lang_id_classifier", "live_lang_id",
     "c4_rule_filter", "live_c4_filter",
-    "pack_bestfit_sequences",
+    "pack_bestfit_sequences", "dsir_sample_topk",
     # implementation changed this round: weighted_sample's sort key is
     # now rounded to 12 significant digits (cross-libm tie fix, oracle
     # updated); live_bind derives the slice id from the cycle value;
@@ -5300,7 +5355,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_count_buckets", "live_tumbling_daily", "live_value_set",
     "live_map_keys_bucket", "live_map_vector_running",
     "live_asof_purchase_last_click", "live_scan_running_sum",
-    "live_vwap_per_supplier", "vwap_per_supplier",
+    "live_vwap_per_supplier",
     # (the r7 cohort — the r3-era rotation plus the r7 additions — has
     # fresh PASS-r7 rows and rotates out; every rotated-out query stays
     # covered by the full local oracle gate, tools/check_oracle.py)

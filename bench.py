@@ -97,6 +97,11 @@ HEADLINE = [
     "dedup_url_canonical",
     "cluster_balance_sample",
     "split_train_val_test",
+    # round 8 additions
+    "lang_id_classifier",
+    "c4_rule_filter",
+    "pack_bestfit_sequences",
+    "dsir_sample_topk",
 ]
 
 

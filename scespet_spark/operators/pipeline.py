@@ -127,6 +127,90 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
             .drop("cum"))
 
 
+def _hashed_ngram_feats(col: Column, n_buckets: int) -> Column:
+    """Hashed unigram+bigram feature buckets of a text column (the DSIR
+    paper's feature space) as an int array — pure codegen."""
+    from .text import tokens
+    toks = tokens(col)
+    bi = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))) \
+        .otherwise(F.array().cast("array<string>"))
+    return F.transform(F.concat(toks, bi),
+                       lambda t: h64(t) % n_buckets)
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 8192, alpha: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-corpus
+    document by how much more likely its hashed unigram+bigram features
+    are under the TARGET domain sample than under the raw corpus —
+
+        lw(doc) = sum over features  ln(p_target(b) / p_raw(b)),
+
+    with add-``alpha`` smoothing on both bucket distributions.  Returns
+    ``(id_col, lw, n_feats)`` with ``lw`` rounded to 6dp (cross-engine
+    parity); zero-feature docs drop (no feature rows — the classifier
+    contract).
+
+    Scale shape: two map-side-combinable bucket-count passes (the
+    target side is domain-sample-sized — tiny), one <= ``n_buckets``-row
+    log-ratio table broadcast onto the raw corpus's feature stream, one
+    per-doc sum.  The raw corpus is read once and never shuffled except
+    by doc id for the final sum."""
+    def counts(df):
+        return (df.select(F.explode(_hashed_ngram_feats(
+                    F.col(text_col), n_buckets)).alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").alias("c")))
+    aB = alpha * n_buckets
+    ct = counts(target)
+    cr = counts(raw)
+    tt = ct.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
+    tr = cr.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
+    w = (ct.withColumnRenamed("c", "ct")
+         .join(cr.withColumnRenamed("c", "cr"), "bucket", "full")
+         .select("bucket",
+                 (F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                        / (tt + aB))
+                  - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha)
+                          / (tr + aB))).alias("w")))
+    unseen = float(np.log(alpha / (tt + aB)) - np.log(alpha / (tr + aB)))
+    feats = (raw.select(F.col(id_col),
+                        F.explode(_hashed_ngram_feats(F.col(text_col),
+                                                      n_buckets))
+                        .alias("bucket")))
+    return (feats.join(F.broadcast(w), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.coalesce(F.col("w"), F.lit(unseen))), 6)
+                 .alias("lw"),
+                 F.count("*").cast("long").alias("n_feats")))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 8192, alpha: float = 1.0,
+                seed: int = 29) -> DataFrame:
+    """DSIR importance RESAMPLING: draw ``k`` raw docs via the Gumbel
+    top-k trick over the importance weights — ``key = lw + gumbel``
+    with the Gumbel noise derived from a hash of the id, so the sample
+    is the paper's sampling-without-replacement distribution yet
+    reproducible across runs, engines, and partitionings (the same
+    determinism contract as ``text.weighted_sample``).  Key rounds to
+    6dp with an id tie-break; top-k is a distributed TakeOrdered (k
+    rows to the driver, no global sort)."""
+    lw = dsir_weights(raw, target, text_col, id_col, n_buckets, alpha)
+    _M = 1 << 20
+    u = (F.pmod(h64(F.col(id_col).cast("string"), seed=seed),
+                F.lit(_M)) + 0.5) / _M
+    key = F.round(F.col("lw") - F.log(-F.log(u)), 6)
+    return (lw.withColumn("key", key)
+            .orderBy(F.col("key").desc(), F.col(id_col))
+            .limit(k))
+
+
 def pack_sequences_bestfit(df: DataFrame, budget: int,
                            id_col: str = "doc_id",
                            text_col: str = "text",

@@ -1358,6 +1358,36 @@ def test_quality_classifier_learns_token_signal(spark):
             held, model.filter(F.col("bucket") >= 0), n_buckets=256)
 
 
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR importance resampling must do its one job: raw docs written
+    in the TARGET domain's vocabulary outweigh and out-sample raw docs
+    from a different vocabulary; weights are deterministic under
+    repartitioning; empty docs drop."""
+    from scespet_spark.operators.pipeline import dsir_sample, dsir_weights
+    tgt_text = "the model trains on curated encyclopedia prose"
+    off_text = "buy cheap pills casino jackpot winner click"
+    target = spark.createDataFrame(
+        [(1000 + i, tgt_text + f" t{i}") for i in range(8)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, tgt_text + f" v{i}") for i in range(10)]
+        + [(100 + i, off_text + f" v{i}") for i in range(10)]
+        + [(999, "")],
+        "doc_id long, text string")
+    w = {r.doc_id: r.lw for r in dsir_weights(raw, target,
+                                              n_buckets=512).collect()}
+    assert 999 not in w                       # zero-feature doc drops
+    assert min(w[i] for i in range(10)) > \
+        max(w[100 + i] for i in range(10))    # target-like outweighs
+    got = sorted(r.doc_id for r in dsir_sample(raw, target, k=10,
+                                               n_buckets=512).collect())
+    assert got == list(range(10))             # the sample IS the
+    #                                           target-like half
+    again = {r.doc_id: r.lw for r in dsir_weights(
+        raw.repartition(7), target, n_buckets=512).collect()}
+    assert again == w
+
+
 def test_pack_bestfit_efficiency_and_determinism(spark):
     """FFD packing on the real corpus: deterministic under
     repartitioning, every doc in exactly one sequence, no overfill —
