@@ -5223,6 +5223,31 @@ SELECT doc_id, lw, n_feats, key FROM (
 ORDER BY doc_id"""
 
 
+_DSIR_LW_SQL = _DSIR_SQL[:_DSIR_SQL.index("SELECT doc_id, lw, n_feats, key")] \
+    + "SELECT doc_id, lw, n_feats FROM lw"
+
+
+@query("live_dsir_weights", _DSIR_LW_SQL)
+def live_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting on a LIVE crawl: the log-ratio bucket
+    table (fitted once batch-side from the target sample + raw-corpus
+    counts — the snapshot artifact) attaches to arriving documents via
+    a broadcast stream-static join; the unseen-bucket ratio is one
+    driver-side scalar.  Zero corpus passes at serve time; oracle = the
+    batch weights over the raw corpus the stream replays."""
+    from scespet_spark.operators.pipeline import dsir_apply, dsir_model
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    model = dsir_model(docs.filter(F.col("doc_id") % 7 != 0),
+                       docs.filter(F.col("doc_id") % 7 == 0),
+                       n_buckets=_DSIR_B)
+    stream = (read_table_stream(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") % 7 != 0))
+    return run_available_now(dsir_apply(stream, model,
+                                        n_buckets=_DSIR_B), "complete")
+
+
 @query("dsir_sample_topk", _DSIR_SQL)
 def dsir_sample_topk(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023): score every raw-corpus
@@ -5327,7 +5352,7 @@ _ROUND_CHANGED = [
     # (rows-only, justified)
     "lang_id_classifier", "live_lang_id",
     "c4_rule_filter", "live_c4_filter",
-    "pack_bestfit_sequences", "dsir_sample_topk",
+    "pack_bestfit_sequences", "dsir_sample_topk", "live_dsir_weights",
     # implementation changed this round: weighted_sample's sort key is
     # now rounded to 12 significant digits (cross-libm tie fix, oracle
     # updated); live_bind derives the slice id from the cycle value;
@@ -5348,7 +5373,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "window_from_reduce", "live_window_from", "window_from_scan",
     "live_window_from_scan", "window_gated_scan",
     "live_window_gated_scan", "live_window_gated_reduce",
-    "map_stream", "filter_stream", "by_reduce_total",
+    "filter_stream", "by_reduce_total",
     "live_zip_click_purchase", "live_zip_typed", "zip_keymap_region_value",
     "live_keymap_zip", "keymap_take_region_value", "live_keymap_take",
     "live_trigger_slice", "live_trigger_stream_slice",

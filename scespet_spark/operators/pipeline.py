@@ -141,26 +141,21 @@ def _hashed_ngram_feats(col: Column, n_buckets: int) -> Column:
                        lambda t: h64(t) % n_buckets)
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame,
-                 text_col: str = "text", id_col: str = "doc_id",
-                 n_buckets: int = 8192, alpha: float = 1.0) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): score every RAW-corpus
-    document by how much more likely its hashed unigram+bigram features
-    are under the TARGET domain sample than under the raw corpus —
+def dsir_model(raw: DataFrame, target: DataFrame,
+               text_col: str = "text",
+               n_buckets: int = 8192, alpha: float = 1.0) -> DataFrame:
+    """Fit the DSIR log-ratio table (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per hashed
+    unigram+bigram bucket, ``ln(p_target(b) / p_raw(b))`` with
+    add-``alpha`` smoothing on both distributions.  Returns ONE
+    ``(bucket, w)`` table — the snapshot artifact — over every bucket
+    either corpus observed, plus reserved bucket -2 carrying the
+    unseen-bucket ratio (pure smoothing mass on both sides).
 
-        lw(doc) = sum over features  ln(p_target(b) / p_raw(b)),
-
-    with add-``alpha`` smoothing on both bucket distributions.  Returns
-    ``(id_col, lw, n_feats)`` with ``lw`` rounded to 6dp (cross-engine
-    parity); zero-feature docs drop (no feature rows — the classifier
-    contract).
-
-    Scale shape: two map-side-combinable bucket-count passes (the
-    target side is domain-sample-sized — tiny), one <= ``n_buckets``-row
-    log-ratio table broadcast onto the raw corpus's feature stream, one
-    per-doc sum.  The raw corpus is read once and never shuffled except
-    by doc id for the final sum."""
+    Both fits are map-side-combinable bucket-count passes (the target
+    side is domain-sample-sized — tiny; the raw side is one pass over
+    the corpus snapshot); the table is at most ``n_buckets`` + 1
+    rows."""
     def counts(df):
         return (df.select(F.explode(_hashed_ngram_feats(
                     F.col(text_col), n_buckets)).alias("bucket"))
@@ -178,15 +173,49 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
                   - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha)
                           / (tr + aB))).alias("w")))
     unseen = float(np.log(alpha / (tt + aB)) - np.log(alpha / (tr + aB)))
-    feats = (raw.select(F.col(id_col),
-                        F.explode(_hashed_ngram_feats(F.col(text_col),
-                                                      n_buckets))
-                        .alias("bucket")))
+    spark = raw.sparkSession
+    return w.unionByName(spark.createDataFrame(
+        [(-2, unseen)], "bucket long, w double"))
+
+
+def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               n_buckets: int = 8192) -> DataFrame:
+    """Score documents under a FITTED DSIR model (see ``dsir_model``):
+    ``lw(doc) = sum over features w(bucket)`` — how much more likely
+    the doc's features are under the target domain than the raw corpus
+    — rounded to 6dp (cross-engine parity).  Returns ``(id_col, lw,
+    n_feats)``; zero-feature docs drop (no feature rows — the
+    classifier contract).
+
+    Works unchanged on a LIVE crawl stream: the log-ratio table
+    attaches via a broadcast stream-static join (at most n_buckets+1
+    rows) and the unseen ratio is one scalar row read driver-side —
+    zero corpus passes at serve time."""
+    un = {r["bucket"]: r["w"]
+          for r in model.filter(F.col("bucket") == -2).collect()}
+    if -2 not in un:
+        raise ValueError("model table lacks the reserved unseen (-2) "
+                         "row — was it written by dsir_model?")
+    w = model.filter(F.col("bucket") >= 0)
+    feats = (df.select(F.col(id_col),
+                       F.explode(_hashed_ngram_feats(F.col(text_col),
+                                                     n_buckets))
+                       .alias("bucket")))
     return (feats.join(F.broadcast(w), "bucket", "left")
             .groupBy(id_col)
-            .agg(F.round(F.sum(F.coalesce(F.col("w"), F.lit(unseen))), 6)
+            .agg(F.round(F.sum(F.coalesce(F.col("w"), F.lit(un[-2]))), 6)
                  .alias("lw"),
                  F.count("*").cast("long").alias("n_feats")))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 8192, alpha: float = 1.0) -> DataFrame:
+    """One-shot DSIR importance weights for a batch raw corpus:
+    ``dsir_model`` + ``dsir_apply`` (see both)."""
+    model = dsir_model(raw, target, text_col, n_buckets, alpha)
+    return dsir_apply(raw, model, text_col, id_col, n_buckets)
 
 
 def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
