@@ -30,7 +30,8 @@ _ORACLES: dict[str, str] = {}
 #: that everything else has full oracle SQL.
 ROWS_ONLY: set[str] = {"profile_lineitem_approx",
                        "approx_distinct_users_daily",
-                       "pack_bestfit_sequences"}
+                       "pack_bestfit_sequences",
+                       "bpe_fit_merges", "bpe_tokenize_docs"}
 
 
 def query(name: str, oracle: str | None = None):
@@ -5265,6 +5266,38 @@ def dsir_sample_topk(spark, sf_dir):
                        k=150, n_buckets=_DSIR_B).orderBy("doc_id")
 
 
+@query("bpe_fit_merges")
+def bpe_fit_merges(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016) on the corpus:
+    ONE distributed word-frequency pass (map-combinable, vocab-sized
+    output), then the driver-side merge loop over the collected vocab
+    — the sentencepiece/HF trainer shape; no per-merge corpus pass.
+    ROWS_ONLY justification: the merge loop is an iterative greedy
+    algorithm (each merge depends on all prior merges) — not
+    SQL-expressible; determinism under repartitioning, the classic-
+    corpus merge order, and min_count pruning are pinned in
+    tests/test_tokenizer.py instead."""
+    from scespet_spark.operators.tokenizer import bpe_fit
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fit(docs, n_merges=64, min_count=2).orderBy("rank")
+
+
+@query("bpe_tokenize_docs")
+def bpe_tokenize_docs(spark, sf_dir):
+    """Corpus tokenization under the fitted BPE model: one Arrow-
+    batched mapInPandas with a per-batch word memo (Zipf: Python cost
+    per DISTINCT word, not per token) and the merge ranking broadcast
+    as a plain dict.  ROWS_ONLY justification: encoding replays merges
+    in rank order per word (order-dependent loop, not SQL-
+    expressible); losslessness is property-tested (hypothesis) and the
+    encoding pinned in tests/test_tokenizer.py."""
+    from scespet_spark.operators.tokenizer import bpe_apply, bpe_fit
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, n_merges=64, min_count=2)
+    return (bpe_apply(docs, merges)
+            .select("doc_id", "n_bpe_tokens").orderBy("doc_id"))
+
+
 @query("pack_bestfit_sequences")
 def pack_bestfit_sequences(spark, sf_dir):
     """First-fit-decreasing packing WITHOUT document splitting (the
@@ -5353,6 +5386,7 @@ _ROUND_CHANGED = [
     "lang_id_classifier", "live_lang_id",
     "c4_rule_filter", "live_c4_filter",
     "pack_bestfit_sequences", "dsir_sample_topk", "live_dsir_weights",
+    "bpe_fit_merges", "bpe_tokenize_docs",
     # implementation changed this round: weighted_sample's sort key is
     # now rounded to 12 significant digits (cross-libm tie fix, oracle
     # updated); live_bind derives the slice id from the cycle value;
@@ -5373,11 +5407,11 @@ _PRIORITY = _ROUND_CHANGED + [
     "window_from_reduce", "live_window_from", "window_from_scan",
     "live_window_from_scan", "window_gated_scan",
     "live_window_gated_scan", "live_window_gated_reduce",
-    "filter_stream", "by_reduce_total",
+    "by_reduce_total",
     "live_zip_click_purchase", "live_zip_typed", "zip_keymap_region_value",
     "live_keymap_zip", "keymap_take_region_value", "live_keymap_take",
     "live_trigger_slice", "live_trigger_stream_slice",
-    "live_count_buckets", "live_tumbling_daily", "live_value_set",
+    "live_count_buckets", "live_value_set",
     "live_map_keys_bucket", "live_map_vector_running",
     "live_asof_purchase_last_click", "live_scan_running_sum",
     "live_vwap_per_supplier",

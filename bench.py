@@ -102,6 +102,7 @@ HEADLINE = [
     "c4_rule_filter",
     "pack_bestfit_sequences",
     "dsir_sample_topk",
+    "bpe_tokenize_docs",
 ]
 
 

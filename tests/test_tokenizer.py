@@ -1,0 +1,74 @@
+"""BPE trainer/encoder: pinned classic behavior, losslessness,
+determinism, and the distributed shapes."""
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from scespet_spark.operators.tokenizer import EOW, bpe_apply, bpe_fit
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=[
+                        HealthCheck.function_scoped_fixture])
+
+_CORPUS = ("low low low low low lower lower newest newest newest "
+           "newest newest newest widest widest widest")
+
+
+def test_bpe_fit_pins_classic_merges(spark):
+    """The Sennrich corpus: high-frequency pairs merge first and words
+    coalesce into the classic subwords (est</w>, newest</w>, low)."""
+    docs = spark.createDataFrame([(0, _CORPUS)], "doc_id long, text string")
+    merges = bpe_fit(docs, n_merges=10)
+    got = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    # ('t','</w>') and ('e','s') tie at freq 9 (newest x6 + widest x3);
+    # the documented tie-break (lexicographically largest pair) picks
+    # ('t','</w>') — pin the deterministic order
+    assert got[:3] == [("t", "</w>"), ("s", "t</w>"), ("e", "st</w>")]
+    enc = {r.doc_id: r for r in bpe_apply(docs, merges).collect()}
+    assert enc[0].bpe_tokens[:5] == ["low</w>"] * 5
+    assert "newest</w>" in enc[0].bpe_tokens
+
+
+def test_bpe_fit_deterministic_under_partitioning(spark):
+    docs = spark.createDataFrame(
+        [(i, _CORPUS) for i in range(6)], "doc_id long, text string")
+    m1 = [(r.rank, r.left, r.right)
+          for r in bpe_fit(docs, 8).orderBy("rank").collect()]
+    m2 = [(r.rank, r.left, r.right)
+          for r in bpe_fit(docs.repartition(5), 8).orderBy("rank").collect()]
+    assert m1 == m2
+
+
+def test_bpe_min_count_prunes_tail(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaa aaa aaa zq")], "doc_id long, text string")
+    merges = bpe_fit(docs, 5, min_count=2)
+    syms = {r.left for r in merges.collect()} | \
+        {r.right for r in merges.collect()}
+    assert "z" not in syms and "q" not in syms  # tail word pruned
+
+
+@given(words=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=10))
+@SETTINGS
+def test_bpe_roundtrip_lossless(spark, words):
+    """Encoding is lossless for any corpus: concatenating a doc's
+    subwords and splitting on the end marker reproduces the words."""
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = bpe_fit(docs, n_merges=6)
+    r = bpe_apply(docs, merges).collect()[0]
+    rebuilt = "".join(r.bpe_tokens).replace(EOW, " ").strip()
+    assert rebuilt == text
+    # every word ends at an EOW boundary: token count >= word count
+    assert r.n_bpe_tokens >= len(words)
+
+
+def test_bpe_apply_plan_is_one_arrow_stage(spark):
+    docs = spark.createDataFrame([(0, _CORPUS)], "doc_id long, text string")
+    merges = bpe_fit(docs, 4)
+    plan = (bpe_apply(docs, merges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # map-only: no shuffle

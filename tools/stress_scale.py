@@ -160,6 +160,25 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                         .alias("centroid"))))),
     }
 
+    # r8 additions: the language classifier (fit scales with corpus
+    # grams, model stays <= B*L rows), the map-only C4 rule filter, the
+    # DSIR fit+apply+top-k chain, and group-bounded FFD packing
+    from scespet_spark.operators.pipeline import (dsir_sample,
+                                                  pack_sequences_bestfit)
+    from scespet_spark.operators.text import (c4_rule_filter,
+                                              lang_id_apply, lang_id_fit)
+    ops.update({
+        "lang_classifier": lambda d, e: noop(lang_id_apply(
+            d.filter(F.col("doc_id") % 3 != 0),
+            lang_id_fit(d.filter(F.col("doc_id") % 3 == 0)))),
+        "c4_filter": lambda d, e: noop(c4_rule_filter(d)),
+        "dsir_topk": lambda d, e: noop(dsir_sample(
+            d.filter(F.col("doc_id") % 7 != 0),
+            d.filter(F.col("doc_id") % 7 == 0), k=150)),
+        "pack_bestfit": lambda d, e: noop(
+            pack_sequences_bestfit(d, budget=512)),
+    })
+
     if only:
         unknown = only - set(ops)
         if unknown:
