@@ -127,18 +127,28 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
             .drop("cum"))
 
 
-def _hashed_ngram_feats(col: Column, n_buckets: int) -> Column:
-    """Hashed unigram+bigram feature buckets of a text column (the DSIR
-    paper's feature space) as an int array — pure codegen."""
+def _feat_buckets(df: DataFrame, text_col: str, n_buckets: int,
+                  keep: tuple = ()) -> DataFrame:
+    """Exploded hashed unigram+bigram feature buckets (the DSIR paper's
+    feature space): one row per feature, ``(*keep, bucket)``.
+
+    The token array is STAGED as a bound column before the bigram
+    lambda touches it — Catalyst inlines a derived array expression
+    referenced inside a lambda once PER ELEMENT (quadratic in document
+    length); binding it first keeps the whole thing one linear codegen
+    projection."""
     from .text import tokens
-    toks = tokens(col)
-    bi = F.when(F.size(toks) >= 2, F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                           F.element_at(toks, i + 1)))) \
+    staged = df.select(*keep, tokens(F.col(text_col)).alias("__t"))
+    bi = F.when(F.size("__t") >= 2, F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat(F.element_at(F.col("__t"), i), F.lit(" "),
+                           F.element_at(F.col("__t"), i + 1)))) \
         .otherwise(F.array().cast("array<string>"))
-    return F.transform(F.concat(toks, bi),
-                       lambda t: h64(t) % n_buckets)
+    feats = staged.select(*keep, F.concat(F.col("__t"), bi).alias("__f"))
+    return feats.select(*keep,
+                        F.explode(F.transform(
+                            F.col("__f"), lambda t: h64(t) % n_buckets))
+                        .alias("bucket"))
 
 
 def dsir_model(raw: DataFrame, target: DataFrame,
@@ -157,25 +167,25 @@ def dsir_model(raw: DataFrame, target: DataFrame,
     the corpus snapshot); the table is at most ``n_buckets`` + 1
     rows."""
     def counts(df):
-        return (df.select(F.explode(_hashed_ngram_feats(
-                    F.col(text_col), n_buckets)).alias("bucket"))
-                .groupBy("bucket").agg(F.count("*").alias("c")))
+        return {r["bucket"]: int(r["c"]) for r in
+                (_feat_buckets(df, text_col, n_buckets)
+                 .groupBy("bucket").agg(F.count("*").alias("c"))
+                 .collect())}
+    import math
     aB = alpha * n_buckets
+    # bucket-count tables are <= n_buckets rows — model-sized, so the
+    # ratio table is assembled driver-side from ONE pass per corpus
+    # (keeping them distributed would recompute each count pass once
+    # for the totals and once for the join)
     ct = counts(target)
     cr = counts(raw)
-    tt = ct.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
-    tr = cr.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
-    w = (ct.withColumnRenamed("c", "ct")
-         .join(cr.withColumnRenamed("c", "cr"), "bucket", "full")
-         .select("bucket",
-                 (F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha)
-                        / (tt + aB))
-                  - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha)
-                          / (tr + aB))).alias("w")))
-    unseen = float(np.log(alpha / (tt + aB)) - np.log(alpha / (tr + aB)))
-    spark = raw.sparkSession
-    return w.unionByName(spark.createDataFrame(
-        [(-2, unseen)], "bucket long, w double"))
+    tt, tr = sum(ct.values()), sum(cr.values())
+    rows = [(b, math.log((ct.get(b, 0) + alpha) / (tt + aB))
+             - math.log((cr.get(b, 0) + alpha) / (tr + aB)))
+            for b in sorted(set(ct) | set(cr))]
+    rows.append((-2, math.log(alpha / (tt + aB))
+                 - math.log(alpha / (tr + aB))))
+    return raw.sparkSession.createDataFrame(rows, "bucket long, w double")
 
 
 def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
@@ -198,10 +208,7 @@ def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
         raise ValueError("model table lacks the reserved unseen (-2) "
                          "row — was it written by dsir_model?")
     w = model.filter(F.col("bucket") >= 0)
-    feats = (df.select(F.col(id_col),
-                       F.explode(_hashed_ngram_feats(F.col(text_col),
-                                                     n_buckets))
-                       .alias("bucket")))
+    feats = _feat_buckets(df, text_col, n_buckets, keep=(id_col,))
     return (feats.join(F.broadcast(w), "bucket", "left")
             .groupBy(id_col)
             .agg(F.round(F.sum(F.coalesce(F.col("w"), F.lit(un[-2]))), 6)
