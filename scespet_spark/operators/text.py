@@ -860,17 +860,25 @@ def lang_id_apply(df: DataFrame, model: DataFrame, n: int = 3,
     broadcast stream-static join; priors and unseen weights are the 2L
     scalar rows, read once driver-side.  No UDF anywhere; zero corpus
     passes at serve time."""
-    pr = {r["lang"]: r["w"]
-          for r in model.filter(F.col("bucket") == -1).collect()}
-    un = {r["lang"]: r["w"]
-          for r in model.filter(F.col("bucket") == -2).collect()}
+    # ONE collect of the <= (B+2)*L-row model: three lazy reads (two
+    # scalar filters + a pivot) would re-run the whole fit DAG three
+    # times when the model is an unmaterialized expression
+    rows = model.collect()
+    pr = {r["lang"]: r["w"] for r in rows if r["bucket"] == -1}
+    un = {r["lang"]: r["w"] for r in rows if r["bucket"] == -2}
     if not pr or set(pr) != set(un):
         raise ValueError(
             "model table lacks matched prior (-1) / unseen (-2) rows "
             "per language — was it written by lang_id_fit?")
     langs = sorted(pr)
-    wide = (model.filter(F.col("bucket") >= 0)
-            .groupBy("bucket").pivot("lang", langs).agg(F.first("w")))
+    by_bucket: dict = {}
+    for r in rows:
+        if r["bucket"] >= 0:
+            by_bucket.setdefault(r["bucket"], {})[r["lang"]] = r["w"]
+    wide = model.sparkSession.createDataFrame(
+        [(b, *[ws.get(l) for l in langs])
+         for b, ws in sorted(by_bucket.items())],
+        "bucket long, " + ", ".join(f"`{l}` double" for l in langs))
     tok = (df.select(F.col(id_col), F.col(text_col))
            .select(id_col, F.explode(char_grams(F.col(text_col), n))
                    .alias("__g"))
