@@ -7,6 +7,8 @@
       -> exact-substring dedup (suffix-array family, >= 15-token passages)
       -> decontaminate against a benchmark set
       -> quality + repetition + corpus-IDF + perplexity filters
+      -> language-ID classifier gate (hashed char-n-gram NB)
+      -> DSIR importance resampling toward a target domain
       -> per-source quota cap
       -> pack into fixed-token training sequences
       -> deterministic shuffle -> partitioned parquet
@@ -118,6 +120,26 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     train = train.localCheckpoint()   # truncate before the LM's passes
     lm_kept = perplexity_filter(train, frac=0.05)
     train = train.join(lm_kept.select("doc_id"), "doc_id")
+
+    # 4b3. language gate (r8): the CCNet-style hashed char-n-gram NB
+    #      classifier annotates every doc; keep the target language.
+    #      (On this synthetic corpus text is lang-independent, so the
+    #      classifier converges to the majority class — the gate is
+    #      exercised, not load-bearing, here.)
+    from scespet_spark.operators.text import lang_id_apply, lang_id_fit
+    lmodel = lang_id_fit(train.limit(200), n_buckets=1024)
+    preds = lang_id_apply(train, lmodel, n_buckets=1024)
+    train = train.join(preds.filter(F.col("pred_lang") == "en")
+                       .select("doc_id"), "doc_id")
+
+    # 4b4. DSIR selection (r8): resample the corpus toward a target
+    #      domain sample via hashed-n-gram importance weights +
+    #      deterministic Gumbel top-k (keep ~90%)
+    from scespet_spark.operators.pipeline import dsir_sample
+    tgt = docs.filter(F.col("doc_id") % 17 == 0)
+    keep_k = max(1, int(train.count() * 0.9))
+    train = train.join(dsir_sample(train, tgt, k=keep_k)
+                       .select("doc_id"), "doc_id")
 
     # 4c. per-source quota: cap any single source's share of the mix
     #     (deterministic hash order; prefiltered to O(quota)/source)
