@@ -137,8 +137,10 @@ def _feat_buckets(df: DataFrame, text_col: str, n_buckets: int,
     referenced inside a lambda once PER ELEMENT (quadratic in document
     length); binding it first keeps the whole thing one linear codegen
     projection."""
+    from .dedup import _spread
     from .text import tokens
-    staged = df.select(*keep, tokens(F.col(text_col)).alias("__t"))
+    staged = _spread(df.select(*keep, F.col(text_col))).select(
+        *keep, tokens(F.col(text_col)).alias("__t"))
     bi = F.when(F.size("__t") >= 2, F.transform(
         F.sequence(F.lit(1), F.size("__t") - 1),
         lambda i: F.concat(F.element_at(F.col("__t"), i), F.lit(" "),

@@ -879,7 +879,8 @@ def lang_id_apply(df: DataFrame, model: DataFrame, n: int = 3,
         [(b, *[ws.get(l) for l in langs])
          for b, ws in sorted(by_bucket.items())],
         "bucket long, " + ", ".join(f"`{l}` double" for l in langs))
-    tok = (df.select(F.col(id_col), F.col(text_col))
+    from .dedup import _spread
+    tok = (_spread(df.select(F.col(id_col), F.col(text_col)))
            .select(id_col, F.explode(char_grams(F.col(text_col), n))
                    .alias("__g"))
            .select(id_col, (h64(F.col("__g")) % n_buckets).alias("bucket")))
@@ -976,6 +977,10 @@ def quality_classifier_apply(df: DataFrame, model: DataFrame,
             "model table lacks the reserved bias (-1) / unseen (-2) "
             "rows — was it written by quality_classifier_fit?")
     weights = model.filter(F.col("bucket") >= 0)
+    # no _spread here: the token load (~1 hash per word) is light
+    # enough that the repartition shuffle costs more than single-file
+    # serialization does (A/B-measured 0.39s vs 0.70s at sf0.1); the
+    # gram-per-CHARACTER paths (lang_id_apply, _feat_buckets) do spread
     tok = (df.select(F.col(id_col), F.col(text_col))
            .select(id_col,
                    F.explode(tokens(F.col(text_col))).alias("__tk"))
