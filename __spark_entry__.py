@@ -4006,6 +4006,44 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "fingerprint")
 
 
+#: BM25 demo query terms + params (Lucene idf form)
+_BM25_TERMS = ("spark", "window", "merge")
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
+
+@query("bm25_topk_docs", f"""
+WITH st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(len({_TOKS})) AS avgdl FROM documents),
+hits AS (SELECT doc_id, len({_TOKS}) AS dl,
+                unnest(list_filter({_TOKS},
+                       x -> list_contains({_BM25_TERMS_SQL}, x))) AS t
+         FROM documents),
+tf AS (SELECT doc_id, t, dl, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+        FROM dfreq, st)
+SELECT doc_id, score, n_terms_hit FROM (
+  SELECT tf.doc_id,
+         round(SUM(idf.idf * tf.tf
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                                 / (SELECT avgdl FROM st)))), 6) AS score,
+         COUNT(*) AS n_terms_hit
+  FROM tf JOIN idf ON tf.t = idf.t
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, doc_id LIMIT 100)
+ORDER BY doc_id
+""")
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 query-relevance retrieval (Robertson/Lucene idf): top-100
+    docs for a fixed term bag — the topic-targeted data-selection step.
+    One corpus scan: term-filtered posting explode (map-side), tiny
+    broadcast idf table, per-doc sum, distributed TakeOrdered — no
+    vocabulary-sized table built."""
+    from scespet_spark.operators.text import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=100).orderBy("doc_id")
+
+
 @query("text_token_doc_freq", f"""
 SELECT token, COUNT(*) AS doc_freq
 FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents)
@@ -5386,7 +5424,7 @@ _ROUND_CHANGED = [
     "lang_id_classifier", "live_lang_id",
     "c4_rule_filter", "live_c4_filter",
     "pack_bestfit_sequences", "dsir_sample_topk", "live_dsir_weights",
-    "bpe_fit_merges", "bpe_tokenize_docs",
+    "bpe_fit_merges", "bpe_tokenize_docs", "bm25_topk_docs",
     # implementation changed this round: weighted_sample's sort key is
     # now rounded to 12 significant digits (cross-libm tie fix, oracle
     # updated); live_bind derives the slice id from the cycle value;
@@ -5411,7 +5449,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_zip_click_purchase", "live_zip_typed", "zip_keymap_region_value",
     "live_keymap_zip", "keymap_take_region_value", "live_keymap_take",
     "live_trigger_slice", "live_trigger_stream_slice",
-    "live_count_buckets", "live_value_set",
+    "live_count_buckets",
     "live_map_keys_bucket", "live_map_vector_running",
     "live_asof_purchase_last_click", "live_scan_running_sum",
     "live_vwap_per_supplier",

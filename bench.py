@@ -103,6 +103,7 @@ HEADLINE = [
     "pack_bestfit_sequences",
     "dsir_sample_topk",
     "bpe_tokenize_docs",
+    "bm25_topk_docs",
 ]
 
 

@@ -654,6 +654,60 @@ def source_quota_sample(df: DataFrame, quota: int,
             .select(*df.columns))
 
 
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance retrieval (Robertson/Lucene idf form): score every
+    document against a bag of query terms and return the top ``k`` —
+    the query-relevance data-selection step (pull the corpus subset
+    most relevant to a topic), and a retrieval surface over the corpus.
+
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        score(d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scores round to 6dp (cross-engine parity), ties break on id; docs
+    containing no query term never score (no rows).
+
+    Scale shape: N and avgdl are one aggregate (two scalars); per-term
+    document frequencies come from a map-side term-filtered explode
+    into a query-sized count table (broadcast); tf is the same filtered
+    explode grouped per (doc, term) — the corpus is scanned once,
+    only matching postings shuffle, and top-k is a distributed
+    TakeOrdered.  No full doc-frequency table is ever built."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = F.array([F.lit(t) for t in query_terms])
+    stats = df.agg(F.count("*").alias("n"),
+                   F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl")) \
+        .collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    hits = (df.select(F.col(id_col),
+                      F.size(tokens(F.col(text_col))).alias("__dl"),
+                      F.explode(F.filter(tokens(F.col(text_col)),
+                                         lambda x: F.array_contains(
+                                             terms, x))).alias("__t")))
+    tf = hits.groupBy(id_col, "__t", "__dl").agg(
+        F.count("*").alias("__tf"))
+    dfreq = (df.select(F.explode(F.array_distinct(
+                F.filter(tokens(F.col(text_col)),
+                         lambda x: F.array_contains(terms, x))))
+             .alias("__t"))
+             .groupBy("__t").agg(F.count("*").alias("__df")))
+    idf = dfreq.select(
+        "__t", F.log((n_docs - F.col("__df") + 0.5)
+                     / (F.col("__df") + 0.5) + 1).alias("__idf"))
+    scored = (tf.join(F.broadcast(idf), "__t")
+              .groupBy(id_col)
+              .agg(F.round(F.sum(
+                  F.col("__idf") * F.col("__tf")
+                  / (F.col("__tf")
+                     + k1 * (1 - b + b * F.col("__dl") / avgdl))), 6)
+                  .alias("score"),
+                  F.count("*").cast("long").alias("n_terms_hit")))
+    return (scored.orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
 def redact(df: DataFrame, text_col: str = "text",
            rules=DEFAULT_REDACTIONS, out: str = "clean_text") -> DataFrame:
     """PII-style redaction for training corpora: a chain of columnar

@@ -1358,6 +1358,30 @@ def test_quality_classifier_learns_token_signal(spark):
             held, model.filter(F.col("bucket") >= 0), n_buckets=256)
 
 
+def test_bm25_ranks_relevant_docs(spark):
+    """BM25 sanity: docs matching more (and rarer) query terms outrank
+    docs matching fewer; saturation caps repeated-term influence; no
+    query term = no row; deterministic under repartitioning."""
+    from scespet_spark.operators.text import bm25_topk
+    docs = spark.createDataFrame([
+        (1, "spark merges windows " + "filler " * 5),
+        (2, "spark spark spark spark " + "filler " * 5),
+        (3, "nothing relevant here at all"),
+        (4, "spark " + "filler " * 5),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bm25_topk(docs, ["spark", "merges", "windows"], k=10).collect()}
+    assert 3 not in got
+    # two-term+ doc beats any single-term doc, tf saturation keeps the
+    # spark-spam doc from overtaking the multi-term doc
+    assert got[1].score > got[2].score > got[4].score
+    assert got[1].n_terms_hit == 3
+    again = {r.doc_id: r.score for r in
+             bm25_topk(docs.repartition(5), ["spark", "merges",
+                                             "windows"], k=10).collect()}
+    assert again == {d: r.score for d, r in got.items()}
+
+
 def test_dsir_selects_target_like_docs(spark):
     """DSIR importance resampling must do its one job: raw docs written
     in the TARGET domain's vocabulary outweigh and out-sample raw docs
