@@ -4011,6 +4011,47 @@ _BM25_TERMS = ("spark", "window", "merge")
 _BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
 
 
+_BM25_CTES = f"""st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(len({_TOKS})) AS avgdl FROM documents),
+hits AS (SELECT doc_id, len({_TOKS}) AS dl,
+                unnest(list_filter({_TOKS},
+                       x -> list_contains({_BM25_TERMS_SQL}, x))) AS t
+         FROM documents),
+tf AS (SELECT doc_id, t, dl, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+        FROM dfreq, st),
+sc AS (SELECT tf.doc_id,
+              round(SUM(idf.idf * tf.tf
+                    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                                      / (SELECT avgdl FROM st)))), 6)
+                  AS score,
+              COUNT(*) AS n_terms_hit
+       FROM tf JOIN idf ON tf.t = idf.t
+       GROUP BY tf.doc_id)"""
+
+
+@query("live_bm25_score", f"""
+WITH {_BM25_CTES}
+SELECT doc_id, score, n_terms_hit FROM sc
+""")
+def live_bm25_score(spark, sf_dir):
+    """BM25 scoring on a LIVE crawl: the corpus constants (N, avgdl,
+    per-term document frequencies — bm25_stats, ONE aggregate pass)
+    are snapshot-artifact scalars; scoring is a stateless map-only
+    projection per micro-batch (per-term tf is a per-row array count,
+    no posting explode), append mode, zero state.  Oracle = the batch
+    scores over the table the stream replays."""
+    from scespet_spark.operators.text import bm25_score, bm25_stats
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = bm25_stats(docs, list(_BM25_TERMS))
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(
+        bm25_score(stream, list(_BM25_TERMS), stats), "append")
+
+
 @query("bm25_topk_docs", f"""
 WITH st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                    AVG(len({_TOKS})) AS avgdl FROM documents),
@@ -5425,6 +5466,7 @@ _ROUND_CHANGED = [
     "c4_rule_filter", "live_c4_filter",
     "pack_bestfit_sequences", "dsir_sample_topk", "live_dsir_weights",
     "bpe_fit_merges", "bpe_tokenize_docs", "bm25_topk_docs",
+    "live_bm25_score",
     # implementation changed this round: weighted_sample's sort key is
     # now rounded to 12 significant digits (cross-libm tie fix, oracle
     # updated); live_bind derives the slice id from the cycle value;
@@ -5449,7 +5491,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_zip_click_purchase", "live_zip_typed", "zip_keymap_region_value",
     "live_keymap_zip", "keymap_take_region_value", "live_keymap_take",
     "live_trigger_slice", "live_trigger_stream_slice",
-    "live_count_buckets",
     "live_map_keys_bucket", "live_map_vector_running",
     "live_asof_purchase_last_click", "live_scan_running_sum",
     "live_vwap_per_supplier",

@@ -654,57 +654,70 @@ def source_quota_sample(df: DataFrame, quota: int,
             .select(*df.columns))
 
 
-def bm25_topk(df: DataFrame, query_terms: list[str], k: int,
-              text_col: str = "text", id_col: str = "doc_id",
-              k1: float = 1.2, b: float = 0.75) -> DataFrame:
-    """BM25 relevance retrieval (Robertson/Lucene idf form): score every
-    document against a bag of query terms and return the top ``k`` —
-    the query-relevance data-selection step (pull the corpus subset
-    most relevant to a topic), and a retrieval surface over the corpus.
+def bm25_stats(df: DataFrame, query_terms: list[str],
+               text_col: str = "text") -> dict:
+    """ONE aggregate over the corpus yielding everything BM25 needs:
+    doc count, average doc length, and per-term document frequencies —
+    a single map-combinable pass collapsing to one row (the
+    query-sized "index" for a fixed term bag)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[F.sum(F.array_contains(toks, t).cast("int")).alias(f"df{i}")
+          for i, t in enumerate(query_terms)]).collect()[0]
+    return {"n": int(row["n"]), "avgdl": float(row["avgdl"]),
+            "df": {t: int(row[f"df{i}"])
+                   for i, t in enumerate(query_terms)}}
+
+
+def bm25_score(df: DataFrame, query_terms: list[str], stats: dict,
+               text_col: str = "text", id_col: str = "doc_id",
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 scoring (Robertson/Lucene idf) as ONE map-only projection:
 
         idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
         score(d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))
 
-    Scores round to 6dp (cross-engine parity), ties break on id; docs
-    containing no query term never score (no rows).
+    For a FIXED query bag, per-term tf is a per-row array count — no
+    posting explode, no shuffle, nothing but a scan; the corpus-level
+    constants come from ``bm25_stats`` (the snapshot-artifact scalars).
+    Stateless, so it runs unchanged on a LIVE stream in append mode.
+    Returns ``(id_col, score, n_terms_hit)`` for docs hitting >= 1
+    term; scores round to 6dp (cross-engine parity)."""
+    n, avgdl = stats["n"], stats["avgdl"]
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    dl = F.size("__t")
+    score, hits = F.lit(0.0), F.lit(0)
+    for t in query_terms:
+        import math
+        dft = stats["df"][t]
+        idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1)
+        tf = F.size(F.filter(F.col("__t"), lambda x: x == F.lit(t)))
+        score = score + F.when(
+            tf > 0, idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))) \
+            .otherwise(F.lit(0.0))
+        hits = hits + (tf > 0).cast("int")
+    return (staged.select(F.col(id_col),
+                          F.round(score, 6).alias("score"),
+                          hits.cast("long").alias("n_terms_hit"))
+            .filter(F.col("n_terms_hit") > 0))
 
-    Scale shape: N and avgdl are one aggregate (two scalars); per-term
-    document frequencies come from a map-side term-filtered explode
-    into a query-sized count table (broadcast); tf is the same filtered
-    explode grouped per (doc, term) — the corpus is scanned once,
-    only matching postings shuffle, and top-k is a distributed
-    TakeOrdered.  No full doc-frequency table is ever built."""
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
-    terms = F.array([F.lit(t) for t in query_terms])
-    stats = df.agg(F.count("*").alias("n"),
-                   F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl")) \
-        .collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-    hits = (df.select(F.col(id_col),
-                      F.size(tokens(F.col(text_col))).alias("__dl"),
-                      F.explode(F.filter(tokens(F.col(text_col)),
-                                         lambda x: F.array_contains(
-                                             terms, x))).alias("__t")))
-    tf = hits.groupBy(id_col, "__t", "__dl").agg(
-        F.count("*").alias("__tf"))
-    dfreq = (df.select(F.explode(F.array_distinct(
-                F.filter(tokens(F.col(text_col)),
-                         lambda x: F.array_contains(terms, x))))
-             .alias("__t"))
-             .groupBy("__t").agg(F.count("*").alias("__df")))
-    idf = dfreq.select(
-        "__t", F.log((n_docs - F.col("__df") + 0.5)
-                     / (F.col("__df") + 0.5) + 1).alias("__idf"))
-    scored = (tf.join(F.broadcast(idf), "__t")
-              .groupBy(id_col)
-              .agg(F.round(F.sum(
-                  F.col("__idf") * F.col("__tf")
-                  / (F.col("__tf")
-                     + k1 * (1 - b + b * F.col("__dl") / avgdl))), 6)
-                  .alias("score"),
-                  F.count("*").cast("long").alias("n_terms_hit")))
-    return (scored.orderBy(F.col("score").desc(), F.col(id_col))
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance retrieval: top ``k`` docs for a query term bag —
+    the query-relevance data-selection step (pull the corpus subset
+    most relevant to a topic).  ``bm25_stats`` (one aggregate pass) +
+    ``bm25_score`` (one map-only scan) + a distributed TakeOrdered;
+    ties break on id.  Total shuffle volume: zero — the only wide
+    operation is the k-row TakeOrdered to the driver."""
+    stats = bm25_stats(df, query_terms, text_col)
+    return (bm25_score(df, query_terms, stats, text_col, id_col, k1, b)
+            .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
 
 
