@@ -128,7 +128,7 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
 
 
 def _feat_buckets(df: DataFrame, text_col: str, n_buckets: int,
-                  keep: tuple = ()) -> DataFrame:
+                  keep: tuple = (), hash_fn=None) -> DataFrame:
     """Exploded hashed unigram+bigram feature buckets (the DSIR paper's
     feature space): one row per feature, ``(*keep, bucket)``.
 
@@ -139,6 +139,7 @@ def _feat_buckets(df: DataFrame, text_col: str, n_buckets: int,
     projection."""
     from .dedup import _spread
     from .text import tokens
+    hf = hash_fn or h64
     staged = _spread(df.select(*keep, F.col(text_col))).select(
         *keep, tokens(F.col(text_col)).alias("__t"))
     bi = F.when(F.size("__t") >= 2, F.transform(
@@ -149,13 +150,15 @@ def _feat_buckets(df: DataFrame, text_col: str, n_buckets: int,
     feats = staged.select(*keep, F.concat(F.col("__t"), bi).alias("__f"))
     return feats.select(*keep,
                         F.explode(F.transform(
-                            F.col("__f"), lambda t: h64(t) % n_buckets))
+                            F.col("__f"),
+                            lambda t: F.pmod(hf(t), F.lit(n_buckets))))
                         .alias("bucket"))
 
 
 def dsir_model(raw: DataFrame, target: DataFrame,
                text_col: str = "text",
-               n_buckets: int = 8192, alpha: float = 1.0) -> DataFrame:
+               n_buckets: int = 8192, alpha: float = 1.0,
+               hash_fn=None) -> DataFrame:
     """Fit the DSIR log-ratio table (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): per hashed
     unigram+bigram bucket, ``ln(p_target(b) / p_raw(b))`` with
@@ -170,7 +173,7 @@ def dsir_model(raw: DataFrame, target: DataFrame,
     rows."""
     def counts(df):
         return {r["bucket"]: int(r["c"]) for r in
-                (_feat_buckets(df, text_col, n_buckets)
+                (_feat_buckets(df, text_col, n_buckets, hash_fn=hash_fn)
                  .groupBy("bucket").agg(F.count("*").alias("c"))
                  .collect())}
     import math
@@ -191,8 +194,8 @@ def dsir_model(raw: DataFrame, target: DataFrame,
 
 
 def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id",
-               n_buckets: int = 8192) -> DataFrame:
+               id_col: str = "doc_id", n_buckets: int = 8192,
+               hash_fn=None) -> DataFrame:
     """Score documents under a FITTED DSIR model (see ``dsir_model``):
     ``lw(doc) = sum over features w(bucket)`` — how much more likely
     the doc's features are under the target domain than the raw corpus
@@ -210,7 +213,8 @@ def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
         raise ValueError("model table lacks the reserved unseen (-2) "
                          "row — was it written by dsir_model?")
     w = model.filter(F.col("bucket") >= 0)
-    feats = _feat_buckets(df, text_col, n_buckets, keep=(id_col,))
+    feats = _feat_buckets(df, text_col, n_buckets, keep=(id_col,),
+                          hash_fn=hash_fn)
     return (feats.join(F.broadcast(w), "bucket", "left")
             .groupBy(id_col)
             .agg(F.round(F.sum(F.coalesce(F.col("w"), F.lit(un[-2]))), 6)
@@ -220,17 +224,20 @@ def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
 
 def dsir_weights(raw: DataFrame, target: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
-                 n_buckets: int = 8192, alpha: float = 1.0) -> DataFrame:
+                 n_buckets: int = 8192, alpha: float = 1.0,
+                 hash_fn=None) -> DataFrame:
     """One-shot DSIR importance weights for a batch raw corpus:
-    ``dsir_model`` + ``dsir_apply`` (see both)."""
-    model = dsir_model(raw, target, text_col, n_buckets, alpha)
-    return dsir_apply(raw, model, text_col, id_col, n_buckets)
+    ``dsir_model`` + ``dsir_apply`` (see both).  ``hash_fn`` swaps the
+    feature digest (production: ``F.xxhash64``; md5 default is the
+    oracle-parity choice — model and apply MUST share it)."""
+    model = dsir_model(raw, target, text_col, n_buckets, alpha, hash_fn)
+    return dsir_apply(raw, model, text_col, id_col, n_buckets, hash_fn)
 
 
 def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 8192, alpha: float = 1.0,
-                seed: int = 29) -> DataFrame:
+                seed: int = 29, hash_fn=None) -> DataFrame:
     """DSIR importance RESAMPLING: draw ``k`` raw docs via the Gumbel
     top-k trick over the importance weights — ``key = lw + gumbel``
     with the Gumbel noise derived from a hash of the id, so the sample
@@ -239,7 +246,8 @@ def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
     determinism contract as ``text.weighted_sample``).  Key rounds to
     6dp with an id tie-break; top-k is a distributed TakeOrdered (k
     rows to the driver, no global sort)."""
-    lw = dsir_weights(raw, target, text_col, id_col, n_buckets, alpha)
+    lw = dsir_weights(raw, target, text_col, id_col, n_buckets, alpha,
+                      hash_fn)
     _M = 1 << 20
     u = (F.pmod(h64(F.col(id_col).cast("string"), seed=seed),
                 F.lit(_M)) + 0.5) / _M

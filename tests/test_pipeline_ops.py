@@ -1358,6 +1358,40 @@ def test_quality_classifier_learns_token_signal(spark):
             held, model.filter(F.col("bucket") >= 0), n_buckets=256)
 
 
+def test_hash_fn_hooks_lang_and_dsir(spark):
+    """The production hash hook: fit/model and apply MUST share
+    hash_fn; under F.xxhash64 (signed — exercises the pmod bucketing)
+    the lang classifier still separates the char-distinct corpus and
+    DSIR still selects the target-like half."""
+    from scespet_spark.operators.pipeline import dsir_sample
+    from scespet_spark.operators.text import lang_id_apply, lang_id_fit
+    train = spark.createDataFrame(
+        [(i, "aberdeen banner apple arable banana", "aa") for i in range(6)]
+        + [(100 + i, "zyzzyva xylyl fuzzy quizzing whizzy", "bb")
+           for i in range(6)],
+        "doc_id long, text string, lang string")
+    model = lang_id_fit(train, n_buckets=256, hash_fn=F.xxhash64)
+    held = spark.createDataFrame(
+        [(1000, "arable banner apple"), (1001, "quizzing fuzzy xylyl")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in
+           lang_id_apply(held, model, n_buckets=256,
+                         hash_fn=F.xxhash64).collect()}
+    assert got == {1000: "aa", 1001: "bb"}
+    tgt_text = "the model trains on curated encyclopedia prose"
+    off_text = "buy cheap pills casino jackpot winner click"
+    target = spark.createDataFrame(
+        [(1000 + i, tgt_text + f" t{i}") for i in range(6)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(i, tgt_text + f" v{i}") for i in range(6)]
+        + [(100 + i, off_text + f" v{i}") for i in range(6)],
+        "doc_id long, text string")
+    got = sorted(r.doc_id for r in dsir_sample(
+        raw, target, k=6, n_buckets=512, hash_fn=F.xxhash64).collect())
+    assert got == list(range(6))
+
+
 def test_bm25_ranks_relevant_docs(spark):
     """BM25 sanity: docs matching more (and rarer) query terms outrank
     docs matching fewer; saturation caps repeated-term influence; no
