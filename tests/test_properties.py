@@ -163,6 +163,69 @@ def test_pack_sequences_tape_invariants(spark, ntoks, budget):
         cum += n
 
 
+_C4_LINE = st.sampled_from([
+    "A good enough sentence here.", "short.", "no terminal punct",
+    "- bullet item stays here.", "please accept our cookie policy.",
+    "thought trails away and away...", "Sentence with JavaScript inside.",
+])
+
+
+@given(lines=st.lists(_C4_LINE, min_size=1, max_size=8))
+@SETTINGS
+def test_c4_rule_filter_matches_line_model(spark, lines):
+    """c4_rule_filter == a pure-Python model of the line rules and doc
+    gates on randomized line mixes; clean_text is always a subsequence
+    of the input lines."""
+    from scespet_spark.operators.text import C4_MARKERS, c4_rule_filter
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_rule_filter(df).collect()[0]
+
+    def ok(x):
+        words = [w for w in x.split(" ") if w]
+        return (x[-1:] in '.!?"\'' and len(words) >= 3
+                and not any(m in x.lower() for m in C4_MARKERS))
+    kept = [x for x in lines if ok(x)]
+    nb = sum(1 for x in lines if x.lstrip().startswith(("-", "*", "•")))
+    ne = sum(1 for x in lines if x.endswith("..."))
+    assert r.clean_text == "\n".join(kept)
+    assert (r.n_lines, r.n_kept_lines) == (len(lines), len(kept))
+    want_keep = int(len(kept) >= 1 and nb <= 0.9 * len(lines)
+                    and ne <= 0.3 * len(lines))
+    assert r.keep == want_keep
+
+
+@given(tf_a=st.integers(0, 6), tf_b=st.integers(0, 6),
+       filler=st.integers(0, 10))
+@SETTINGS
+def test_bm25_matches_closed_form(spark, tf_a, tf_b, filler):
+    """bm25_score == the closed-form BM25 formula computed in Python
+    for arbitrary term frequencies and doc lengths (one scored doc, one
+    background doc fixing N/avgdl/df)."""
+    import math
+    from scespet_spark.operators.text import bm25_score, bm25_stats
+    text = " ".join(["qa"] * tf_a + ["qb"] * tf_b + ["x"] * filler)
+    docs = spark.createDataFrame(
+        [(1, text), (2, "qa background doc text")],
+        "doc_id long, text string")
+    stats = bm25_stats(docs, ["qa", "qb"])
+    got = {r.doc_id: r for r in bm25_score(docs, ["qa", "qb"],
+                                           stats).collect()}
+    dl = tf_a + tf_b + filler
+    want = 0.0
+    for t, tf in (("qa", tf_a), ("qb", tf_b)):
+        if tf:
+            idf = math.log((stats["n"] - stats["df"][t] + 0.5)
+                           / (stats["df"][t] + 0.5) + 1)
+            want += idf * tf / (tf + 1.2 * (1 - 0.75
+                                            + 0.75 * dl / stats["avgdl"]))
+    if tf_a or tf_b:
+        assert abs(got[1].score - round(want, 6)) <= 1e-6
+        assert got[1].n_terms_hit == int(tf_a > 0) + int(tf_b > 0)
+    else:
+        assert 1 not in got
+
+
 @given(ntoks=st.lists(st.integers(0, 40), min_size=1, max_size=14),
        budget=st.integers(1, 30))
 @SETTINGS
