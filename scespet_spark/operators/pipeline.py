@@ -269,7 +269,10 @@ def pack_sequences_bestfit(df: DataFrame, budget: int,
     nothing but splits documents across sequence boundaries).
 
     Documents partition into deterministic groups of at most
-    ``group_size`` ids (``id div group_size``); within a group, docs
+    ``group_size`` ids (``floor(id / group_size)`` — true floor
+    division, so negative ids group correctly too; truncating ``div``
+    would fold ids -(g-1)..g-1 into one oversized group 0 and overflow
+    its local seq_id range into group 1's); within a group, docs
     are FFD-packed (descending ``n_tokens``, id tie-break; place into
     the FIRST open sequence with room, else open a new one).  A doc
     longer than ``budget`` gets a dedicated oversized sequence and
@@ -297,7 +300,8 @@ def pack_sequences_bestfit(df: DataFrame, budget: int,
         raise ValueError(f"budget must be positive, got {budget}")
     base = (df.select(F.col(id_col),
                       F.size(tokens(F.col(text_col))).alias("n_tokens"))
-            .withColumn("__grp", F.expr(f"{id_col} div {group_size}")))
+            .withColumn("__grp", F.floor(F.col(id_col) / F.lit(group_size))
+                        .cast("long")))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = int(pdf["__grp"].iloc[0])

@@ -250,6 +250,23 @@ def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         meta = bucketed.get(name)
         if meta:
             t = meta["table"]
+            if spark.catalog.tableExists(t):
+                # a pre-existing catalog entry can be STALE: if the
+                # snapshot dir was rewritten with a different
+                # bucket_probes count by another session, the old
+                # bucket metadata makes Spark skip the snapshot-side
+                # Exchange against a mismatched file-to-bucket layout —
+                # silently WRONG (missed-match) probe joins.  Compare
+                # against the manifest and drop + re-register on any
+                # mismatch.
+                desc = {r["col_name"]: r["data_type"] for r in
+                        spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+                        .collect()}
+                want = "[" + ", ".join(f"`{c}`" for c in meta["cols"]) \
+                       + "]"
+                if (desc.get("Num Buckets") != str(meta["n"])
+                        or desc.get("Bucket Columns") != want):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
             if not spark.catalog.tableExists(t):
                 # re-register the external bucketed table from the
                 # manifest DDL: bucket metadata lives in the catalog,

@@ -663,9 +663,12 @@ def bm25_stats(df: DataFrame, query_terms: list[str],
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     toks = tokens(F.col(text_col))
+    # null text must contribute dl=0 (legacy sizeOfNull would feed -1
+    # into the average, silently skewing every downstream score)
+    dl = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
     row = df.agg(
         F.count("*").alias("n"),
-        F.avg(F.size(toks)).alias("avgdl"),
+        F.avg(dl).alias("avgdl"),
         *[F.sum(F.array_contains(toks, t).cast("int")).alias(f"df{i}")
           for i, t in enumerate(query_terms)]).collect()[0]
     return {"n": int(row["n"]), "avgdl": float(row["avgdl"]),

@@ -120,10 +120,27 @@ def bpe_apply(df: DataFrame, merges: DataFrame, text_col: str = "text",
     merge RANKING broadcast as a plain dict (model-sized).  Lossless by
     construction: concatenating a word's subwords and stripping the
     end marker reproduces the word (property-tested)."""
+    clash = {out, "n_bpe_tokens"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"output column(s) {sorted(clash)} already exist on the "
+            f"input — rename them or pass a different out=")
     ranking = {(r["left"], r["right"]): int(r["rank"])
                for r in merges.collect()}
-    out_schema = f"{df.schema.simpleString()[7:-1]}," \
-                 f"{out}:array<string>,n_bpe_tokens:bigint"
+    # the output schema is built programmatically AND the Arrow stage
+    # runs under positional safe names (mapInPandas resolves output
+    # schema field names as column references, so a name needing
+    # quoting — dots, spaces — would fail analysis); toDF restores the
+    # caller's names afterwards without any resolution step
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+    safe = [f"__c{i}" for i in range(len(df.columns))]
+    text_safe = safe[df.columns.index(text_col)]
+    out_schema = StructType(
+        [StructField(s, f.dataType, f.nullable)
+         for s, f in zip(safe, df.schema.fields)]
+        + [StructField("__bpe", ArrayType(StringType())),
+           StructField("__nbpe", LongType())])
 
     def encode_batches(batches):
         memo: dict = {}
@@ -144,11 +161,11 @@ def bpe_apply(df: DataFrame, merges: DataFrame, text_col: str = "text",
             return memo[word]
 
         for pdf in batches:
-            toks = pdf[text_col].map(
+            toks = pdf[text_safe].map(
                 lambda t: [s for w in (t or "").split(" ") if w
                            for s in encode(w)])
-            pdf = pdf.assign(**{out: toks,
-                                "n_bpe_tokens": toks.str.len()})
+            pdf = pdf.assign(__bpe=toks, __nbpe=toks.str.len())
             yield pdf
 
-    return df.mapInPandas(encode_batches, out_schema)
+    return (df.toDF(*safe).mapInPandas(encode_batches, out_schema)
+            .toDF(*df.columns, out, "n_bpe_tokens"))

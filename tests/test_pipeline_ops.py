@@ -1819,3 +1819,66 @@ def test_split_assign_stable_and_partition_invariant(spark):
     # sum < 1: the tail is unassigned (NULL), not silently a split
     partial = split_assign(docs, {"train": 0.5})
     assert partial.filter(F.col("split").isNull()).count() > 0
+
+
+def test_pack_bestfit_negative_ids_group_floor(spark):
+    """Negative ids floor-divide into their own group (r9 fix):
+    truncating ``div`` folded ids -(g-1)..g-1 into one double-size
+    group 0 whose local sequence indices overflow into group 1's
+    seq_id range, breaking the collision-free guarantee."""
+    from scespet_spark.operators.pipeline import pack_sequences_bestfit
+    docs = spark.createDataFrame(
+        [(i, "w w w") for i in range(-4, 4)], "doc_id long, text string")
+    # budget == doc size: every doc needs its own sequence, so a
+    # >group_size group would overflow its seq_id block
+    got = pack_sequences_bestfit(docs, budget=3, group_size=4).collect()
+    assert len(got) == 8
+    seqs = sorted(r.seq_id for r in got)
+    assert len(set(seqs)) == 8                       # all distinct
+    neg = {r.seq_id for r in got if r.doc_id < 0}
+    pos = {r.seq_id for r in got if r.doc_id >= 0}
+    assert neg == {-4, -3, -2, -1} and pos == {0, 1, 2, 3}
+    assert not any(r.oversize for r in got)
+
+
+def test_bm25_stats_null_text_contributes_zero(spark):
+    """A NULL text row contributes dl=0 to avgdl (r9 fix: legacy
+    sizeOfNull fed -1 into the average) and never scores."""
+    from scespet_spark.operators.text import bm25_stats, bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "spark rules"), (2, None), (3, "spark spark")],
+        "doc_id long, text string")
+    s = bm25_stats(docs, ["spark"])
+    assert s["n"] == 3 and s["avgdl"] == (2 + 0 + 2) / 3
+    assert s["df"]["spark"] == 2
+    got = {r.doc_id for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    assert got == {1, 3}
+
+
+def test_read_snapshot_drops_stale_bucket_metadata(spark, tmp_path):
+    """A pre-existing catalog entry whose bucket count disagrees with
+    the manifest (the snapshot dir was rewritten by another session)
+    must be dropped and re-registered — stale bucket metadata makes
+    Spark skip the Exchange against a mismatched file layout, silently
+    missing probe matches."""
+    from scespet_spark.operators.snapshot import (_snap_table,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=prior, sub_min_len=5, bucket_probes=8)
+    t = _snap_table(out, "grams")
+    # simulate another session's stale registration: 4 buckets in the
+    # catalog, 8-bucket files on disk
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"CREATE TABLE {t} (__g bigint) USING PARQUET "
+              f"CLUSTERED BY (__g) SORTED BY (__g) INTO 4 BUCKETS "
+              f"LOCATION '{out}/grams'")
+    snap = read_snapshot(spark, out)
+    desc = {r["col_name"]: r["data_type"] for r in
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()}
+    assert desc["Num Buckets"] == "8"
+    assert snap["grams"].count() == \
+        spark.read.parquet(f"{out}/grams").count()

@@ -72,3 +72,18 @@ def test_bpe_apply_plan_is_one_arrow_stage(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "MapInPandas" in plan
     assert "Exchange" not in plan  # map-only: no shuffle
+
+
+def test_bpe_apply_guards_output_schema(spark):
+    """r9 fix: the mapInPandas schema is built programmatically — odd
+    input column names survive, and a pre-existing output column is a
+    loud error instead of a broken duplicate-field schema."""
+    import pytest
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb", "x")],
+        "doc_id long, text string, `odd.name` string")
+    merges = bpe_fit(docs.select("doc_id", "text"), 2)
+    got = bpe_apply(docs, merges).collect()[0]
+    assert got["odd.name"] == "x" and got.n_bpe_tokens > 0
+    with pytest.raises(ValueError, match="already exist"):
+        bpe_apply(docs.withColumn("bpe_tokens", F.lit(1)), merges)
