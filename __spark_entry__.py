@@ -2982,7 +2982,7 @@ def live_bucket_collapse_stats(spark, sf_dir):
 # ===========================================================================
 
 from scespet_spark.operators.dedup import sh_coeff as _shc  # noqa: E402
-from scespet_spark.operators.hashing import h64_sql  # noqa: E402
+from scespet_spark.operators.hashing import h64_sql, h64hi_sql  # noqa: E402
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -3008,6 +3008,22 @@ FROM documents GROUP BY 1
 def dedup_exact(spark, sf_dir):
     from scespet_spark.operators.dedup import exact_groups
     return exact_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_exact_wide", f"""
+SELECT {h64_sql('text')} AS content_hash,
+       {h64hi_sql('text')} AS content_hash2,
+       MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1, 2
+""")
+def dedup_exact_wide(spark, sf_dir):
+    """Exact dedup on the WIDE two-digest key (digest-width discipline
+    for corpora past the 60/64-bit birthday bound, SCALE.md r9): the
+    election groups on 120 combined bits — both halves of the same md5,
+    zero extra hash cost — so no innocent pair of distinct documents
+    can merge at any conceivable corpus size."""
+    from scespet_spark.operators.dedup import exact_groups
+    return exact_groups(load_table(spark, sf_dir, "documents"), wide=True)
 
 
 def _minhash_ctes(num_hashes=16, bands=4):

@@ -23,8 +23,34 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .hashing import h64
+from .hashing import h64, h64hi
 from .text import tokens
+
+#: digest column names for narrow / wide content elections
+DIGEST_NAMES = ("content_hash", "content_hash2")
+
+
+def digest_cols(col: Column, hash_fn=None, wide: bool = False) -> list[Column]:
+    """Digest column(s) for a content election (exact / segment /
+    URL-content gates).  Narrow (default): ONE 60-bit ``h64`` — or
+    ``hash_fn`` (production: ``F.xxhash64``).  ``wide=True``: TWO
+    independent digests, 120+ combined bits, for corpora past the
+    single-digest birthday bound (see the SCALE.md digest-width table:
+    at 100 TB a 60/64-bit digest falsely merges ~2^12 docs and ~2^19
+    segments; 120 bits stays collision-free past 2^55 keys).  With the
+    md5 default the second digest is the upper half of the SAME md5
+    (zero extra hash cost); a custom ``hash_fn`` is re-applied under a
+    domain prefix (two independent values — a first-digest collision
+    does not propagate).  An election keyed on BOTH columns has exact
+    semantics at any scale; every member of this family accepts the
+    same two hooks, so fit the digest width to the corpus, not the
+    other way around."""
+    hf = hash_fn or h64
+    if not wide:
+        return [hf(col)]
+    if hash_fn is None:
+        return [h64(col), h64hi(col)]
+    return [hf(col), hf(F.concat(F.lit("w2:"), col))]
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -46,16 +72,29 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def exact_groups(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Exact duplicate groups: one row per distinct content hash with the
-    representative (min id) and the duplicate count."""
-    return (df.groupBy(h64(F.col(text_col)).alias("content_hash"))
+                 id_col: str = "doc_id", hash_fn=None,
+                 wide: bool = False) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content digest with
+    the representative (min id) and the duplicate count.
+
+    Digest-width discipline (SCALE.md): a 60/64-bit digest falsely
+    merges DISTINCT documents once the corpus approaches the birthday
+    bound (~2^30 docs for 60 bits — expected ~2^12 innocent merges at
+    10^11 docs / 100 TB, each dropping a unique document as a "dup").
+    ``hash_fn=F.xxhash64`` is the cheap production digest;
+    ``wide=True`` keys the election on TWO independent digests
+    (adds a ``content_hash2`` column; see ``digest_cols``) — exact at
+    any conceivable corpus size, same single shuffle."""
+    ds = digest_cols(F.col(text_col), hash_fn, wide)
+    names = list(DIGEST_NAMES[:len(ds)])
+    return (df.groupBy(*[d.alias(n) for d, n in zip(ds, names)])
             .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")))
 
 
 def incremental_keep(new: DataFrame, prior: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
-                     prior_digest_col: str | None = None) -> DataFrame:
+                     prior_digest_col=None, hash_fn=None,
+                     wide: bool = False) -> DataFrame:
     """Incremental (cross-snapshot) exact dedup: which documents of a NEW
     crawl batch survive against an already-kept PRIOR corpus — the
     continuous-corpus-build step that runs once per crawl.
@@ -72,29 +111,64 @@ def incremental_keep(new: DataFrame, prior: DataFrame,
     assumed (both sides can be billions of rows).  Within-batch
     first-wins is a combinable min-aggregation (map-side partials), not
     a window sort.  Differs from ``decontaminate`` (pipeline.py), whose
-    eval side is benchmark-sized and broadcasts."""
-    newd = new.select(F.col(id_col), h64(F.col(text_col)).alias("content_hash"))
+    eval side is benchmark-sized and broadcasts.
+
+    Digest-width discipline (SCALE.md): a single-digest collision here
+    is worse than in ``exact_groups`` — an innocent NEW doc whose
+    digest happens to equal a prior doc's is silently KILLED by the
+    anti-join (~2^12 expected at 10^11 docs under 60 bits).  Pass
+    ``hash_fn=F.xxhash64`` for the cheap production digest and
+    ``wide=True`` to anti-join on TWO independent digests (exact at
+    any scale); a wide prior digest table must be built with the same
+    ``wide``/``hash_fn`` (pass both column names via
+    ``prior_digest_col``)."""
+    ds = digest_cols(F.col(text_col), hash_fn, wide)
+    names = list(DIGEST_NAMES[:len(ds)])
+    newd = new.select(F.col(id_col),
+                      *[d.alias(n) for d, n in zip(ds, names)])
     if prior_digest_col is not None:
-        pri = prior.select(F.col(prior_digest_col).alias("content_hash"))
+        cols = ([prior_digest_col] if isinstance(prior_digest_col, str)
+                else list(prior_digest_col))
+        if len(cols) != len(names):
+            raise ValueError(
+                f"wide={wide} elections need {len(names)} prior digest "
+                f"column(s), got {cols} — the prior digest table must "
+                f"be built with the same wide= setting")
+        pri = prior.select(*[F.col(c).alias(n)
+                             for c, n in zip(cols, names)])
     else:
-        pri = prior.select(h64(F.col(text_col)).alias("content_hash"))
-    return (newd.join(pri, "content_hash", "left_anti")
-            .groupBy("content_hash")
+        pds = digest_cols(F.col(text_col), hash_fn, wide)
+        pri = prior.select(*[d.alias(n) for d, n in zip(pds, names)])
+    return (newd.join(pri, names, "left_anti")
+            .groupBy(*names)
             .agg(F.min(id_col).alias(id_col))
-            .select(id_col, "content_hash"))
+            .select(id_col, *names))
 
 
 def segment_digests(df: DataFrame, size: int = 10,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """Map-side segment digest table ``(id, seg_idx, __d)``: each doc's
-    consecutive ``size``-token segments hashed in place — the text is
-    dropped before any shuffle.  Shared by batch ``segment_dedup`` and
-    the live first-wins election; works unchanged on streaming plans
-    (``_spread`` is a batch-only no-op there)."""
+                    id_col: str = "doc_id", hash_fn=None,
+                    wide: bool = False) -> DataFrame:
+    """Map-side segment digest table ``(id, seg_idx, __d[, __d2])``:
+    each doc's consecutive ``size``-token segments hashed in place —
+    the text is dropped before any shuffle.  Shared by batch
+    ``segment_dedup`` and the live first-wins election; works unchanged
+    on streaming plans (``_spread`` is a batch-only no-op there).
+
+    Digest-width discipline (SCALE.md): segment counts run ~10x doc
+    counts, so the birthday bound arrives sooner — at 100 TB (~10^12
+    segments) a 60-bit digest falsely merges ~2^19 innocent segment
+    pairs, each cutting a unique segment from its carrier doc.
+    ``hash_fn=F.xxhash64`` swaps the digest; ``wide=True`` adds a
+    second independent digest column ``__d2`` (the md5 default's upper
+    half — zero extra hash cost) so the election keys on 120 bits."""
     if size < 1:
         raise ValueError("segment size must be >= 1")
     toks = tokens(F.col(text_col))
+    seg_text = F.array_join(
+        F.slice(F.col("__t"), F.col("seg_idx") * size + 1, size), " ")
+    ds = digest_cols(seg_text, hash_fn, wide)
+    names = ["__d", "__d2"][:len(ds)]
     return (_spread(df.select(F.col(id_col), toks.alias("__t"))
                     .where(F.size("__t") > 0))
             .select(id_col, "__t",
@@ -103,14 +177,12 @@ def segment_digests(df: DataFrame, size: int = 10,
                         F.ceil(F.size("__t") / F.lit(size)).cast("int") - 1))
                      .alias("seg_idx"))
             .select(id_col, "seg_idx",
-                    h64(F.array_join(
-                        F.slice(F.col("__t"),
-                                F.col("seg_idx") * size + 1, size), " "))
-                    .alias("__d")))
+                    *[d.alias(n) for d, n in zip(ds, names)]))
 
 
 def segment_dedup(df: DataFrame, size: int = 10,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_fn=None, wide: bool = False) -> DataFrame:
     """Sub-document (C4/RefinedWeb-style "line-level") dedup: split each
     document into consecutive ``size``-token segments — the corpus
     equivalent of lines — drop every segment whose content digest
@@ -134,10 +206,18 @@ def segment_dedup(df: DataFrame, size: int = 10,
     map-side from the original document, so at 100 TB the segment
     table itself — ~1x corpus bytes — never materializes past its map
     stage.
+
+    ``hash_fn``/``wide`` follow the digest-width discipline of
+    ``segment_digests``: a narrow-digest collision cuts an innocent
+    segment, so past the birthday bound (~10^12 segments at 100 TB for
+    60/64 bits) elect on the wide two-digest key.
     """
     if size < 1:
         raise ValueError("segment size must be >= 1")
-    winners = (segment_digests(df, size, text_col, id_col).groupBy("__d")
+    dnames = ["__d", "__d2"] if wide else ["__d"]
+    winners = (segment_digests(df, size, text_col, id_col,
+                               hash_fn=hash_fn, wide=wide)
+               .groupBy(*dnames)
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                    F.col("seg_idx").alias("s"))).alias("__w"))
                .select(F.col("__w.i").alias(id_col),
@@ -172,7 +252,8 @@ def incremental_segment_dedup(new: DataFrame,
                               prior: DataFrame | None = None,
                               prior_segments: DataFrame | None = None,
                               size: int = 10, text_col: str = "text",
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id", hash_fn=None,
+                              wide: bool = False) -> DataFrame:
     """Cross-snapshot segment (line-level) dedup: clean a NEW crawl
     batch against the segments already kept in a PRIOR corpus — the
     per-crawl form of ``segment_dedup``.  A new segment survives iff
@@ -188,15 +269,30 @@ def incremental_segment_dedup(new: DataFrame,
     Scale shape: the anti-join is digest-vs-digest (shuffle hash, both
     sides int-only, neither broadcast — a billion-row crawl against a
     100 TB corpus's segment table); the within-batch election and
-    reassembly follow ``segment_dedup``'s ints-only design."""
+    reassembly follow ``segment_dedup``'s ints-only design.
+
+    ``hash_fn``/``wide``: digest-width discipline per
+    ``segment_digests`` — a narrow collision against the PRIOR table
+    silently kills an innocent new segment, so at prior-table sizes
+    past the birthday bound probe on the wide two-digest key.  A wide
+    prior_segments table must carry both ``__d`` and ``__d2`` (built
+    with the same ``wide``/``hash_fn``)."""
     if (prior is None) == (prior_segments is None):
         raise ValueError("pass exactly one of prior / prior_segments")
+    dnames = ["__d", "__d2"] if wide else ["__d"]
     if prior_segments is None:
-        prior_segments = segment_digests(prior, size, text_col, id_col)
-    pri = prior_segments.select("__d").distinct()
-    segs = segment_digests(new, size, text_col, id_col)
-    winners = (segs.join(pri, "__d", "left_anti")
-               .groupBy("__d")
+        prior_segments = segment_digests(prior, size, text_col, id_col,
+                                         hash_fn=hash_fn, wide=wide)
+    elif wide and "__d2" not in prior_segments.columns:
+        raise ValueError(
+            "wide=True probe needs a prior_segments table with both "
+            "__d and __d2 — rebuild the snapshot with the same wide= "
+            "setting")
+    pri = prior_segments.select(*dnames).distinct()
+    segs = segment_digests(new, size, text_col, id_col,
+                           hash_fn=hash_fn, wide=wide)
+    winners = (segs.join(pri, dnames, "left_anti")
+               .groupBy(*dnames)
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                    F.col("seg_idx").alias("s"))).alias("__w"))
                .select(F.col("__w.i").alias(id_col),

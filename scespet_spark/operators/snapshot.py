@@ -121,7 +121,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    qc_buckets: int = 1024,
                    lang_labeled: DataFrame | None = None,
                    lang_buckets: int = 4096,
-                   bucket_probes: int | None = None) -> list[str]:
+                   bucket_probes: int | None = None,
+                   digest_wide: bool = False) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -131,7 +132,16 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
     against artifacts built with MATCHING parameters (a band table
     built with different ``num_hashes``/``bands``/``shingle_n``
     produces silently-empty joins, not errors) — ``check_compat``
-    turns that silent corruption into a loud one."""
+    turns that silent corruption into a loud one.
+
+    ``digest_wide=True`` builds the exact-content ``digests`` and
+    ``segments`` tables with TWO independent digest columns
+    (``content_hash2`` / ``__d2`` — `dedup.digest_cols`): the
+    incremental probes then elect on 120 bits, the digest-width
+    discipline for corpora past the single-digest birthday bound
+    (~10^11 docs / 10^12 segments; SCALE.md).  Probe calls must pass
+    the matching ``wide=True`` — recorded in the manifest so
+    ``check_compat(path, digest_wide=True)`` can assert it."""
     from .dedup import (banded_signatures, embedding_block_table,
                         exact_groups)
     from .similarity import ivf_assign, label_centroids
@@ -162,12 +172,14 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         written.append(name)
 
     if docs is not None:
-        _w("digests", exact_groups(docs))
+        _w("digests", exact_groups(docs, wide=digest_wide))
         _w("bands", banded_signatures(docs, num_hashes=num_hashes,
                                       bands=bands, shingle_n=shingle_n))
         from .dedup import segment_digests
-        _w("segments", segment_digests(docs, size=segment_size)
-           .select("__d").distinct())
+        seg_cols = ["__d", "__d2"] if digest_wide else ["__d"]
+        _w("segments", segment_digests(docs, size=segment_size,
+                                       wide=digest_wide)
+           .select(*seg_cols).distinct())
         from .dedup import gram_digests
         _w("grams", gram_digests(docs, min_len=sub_min_len)
            .select("__g").distinct())
@@ -204,6 +216,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "shingle_n": shingle_n, "lsh_bits": lsh_bits,
                     "segment_size": segment_size,
                     "sub_min_len": sub_min_len,
+                    "digest_wide": digest_wide,
                     "qc_buckets": qc_buckets,
                     "lang_buckets": lang_buckets,
                     "bucket_probes": bucket_probes,

@@ -1882,3 +1882,121 @@ def test_read_snapshot_drops_stale_bucket_metadata(spark, tmp_path):
     assert desc["Num Buckets"] == "8"
     assert snap["grams"].count() == \
         spark.read.parquet(f"{out}/grams").count()
+
+
+def test_exact_groups_wide_digest_guards_collisions(spark):
+    """Digest-width discipline (exact family, r9): under a degenerate
+    all-collide hash the narrow election merges DISTINCT documents
+    into one group (innocent drop at scale); the wide two-digest
+    election keeps them apart; in the collision-free regime narrow
+    md5, the xxhash64 production hook, and wide all agree."""
+    from scespet_spark.operators.dedup import exact_groups
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")],
+        "doc_id long, text string")
+    const = lambda c: F.lit(0).cast("bigint")
+    bad = exact_groups(docs, hash_fn=const).collect()
+    assert len(bad) == 1 and bad[0].n_dups == 3       # innocent merge
+    wide = {(r.rep_id, r.n_dups)
+            for r in exact_groups(docs, wide=True).collect()}
+    assert wide == {(1, 2), (3, 1)}
+    md5 = {(r.rep_id, r.n_dups) for r in exact_groups(docs).collect()}
+    xx = {(r.rep_id, r.n_dups)
+          for r in exact_groups(docs, hash_fn=F.xxhash64).collect()}
+    assert md5 == xx == wide
+
+
+def test_incremental_keep_wide_digest_guards_collisions(spark):
+    """Digest-width discipline (content-gate family, r9): a narrow
+    digest collision with the PRIOR corpus silently KILLS an innocent
+    new doc at the anti-join; the wide election keeps it.  A wide
+    probe against a narrow prior digest table is a loud error."""
+    import pytest
+    from scespet_spark.operators.dedup import exact_groups, incremental_keep
+    prior = spark.createDataFrame([(1, "old text")],
+                                  "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "old text"), (11, "fresh text")], "doc_id long, text string")
+    const = lambda c: F.lit(0).cast("bigint")
+    assert incremental_keep(new, prior, hash_fn=const).collect() == []
+    assert [r.doc_id for r in
+            incremental_keep(new, prior, wide=True).collect()] == [11]
+    # wide probe against a wide snapshot digest table (both columns)
+    pri_d = exact_groups(prior, wide=True)
+    via = incremental_keep(new, pri_d, wide=True,
+                           prior_digest_col=("content_hash",
+                                             "content_hash2"))
+    assert [r.doc_id for r in via.collect()] == [11]
+    with pytest.raises(ValueError, match="digest column"):
+        incremental_keep(new, pri_d, wide=True,
+                         prior_digest_col="content_hash")
+
+
+def test_segment_dedup_wide_digest_guards_collisions(spark):
+    """Digest-width discipline (segment family, r9): under an
+    all-collide hash the narrow election treats every later segment as
+    a repeat and cuts innocent text; wide cuts ONLY the true repeat —
+    batch and incremental; xxhash64 hook parity in the collision-free
+    regime."""
+    import pytest
+    from scespet_spark.operators.dedup import (incremental_segment_dedup,
+                                               segment_dedup,
+                                               segment_digests)
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b x y")], "doc_id long, text string")
+    const = lambda c: F.lit(0).cast("bigint")
+    bad = {r.doc_id: r.clean_text
+           for r in segment_dedup(docs, size=2, hash_fn=const).collect()}
+    assert bad == {0: "a b"}                # doc1 fully (innocently) cut
+    good = {r.doc_id: r.clean_text
+            for r in segment_dedup(docs, size=2, wide=True).collect()}
+    assert good == {0: "a b c d", 1: "x y"}  # only the true repeat cut
+    xx = {r.doc_id: r.clean_text
+          for r in segment_dedup(docs, size=2,
+                                 hash_fn=F.xxhash64).collect()}
+    assert xx == good
+    # incremental: wide probe against a wide prior segment table
+    prior = docs.filter(F.col("doc_id") == 0)
+    new = docs.filter(F.col("doc_id") == 1)
+    pseg = (segment_digests(prior, size=2, wide=True)
+            .select("__d", "__d2").distinct())
+    inc = {r.doc_id: r.clean_text
+           for r in incremental_segment_dedup(
+               new, prior_segments=pseg, size=2, wide=True).collect()}
+    assert inc == {1: "x y"}
+    with pytest.raises(ValueError, match="__d2"):
+        incremental_segment_dedup(new, prior_segments=pseg.select("__d"),
+                                  size=2, wide=True)
+
+
+def test_snapshot_digest_wide_tables_and_probes(spark, tmp_path):
+    """write_snapshot(digest_wide=True): digests/segments carry both
+    digest columns, the manifest records it (check_compat asserts),
+    and wide incremental probes through the snapshot match the
+    in-memory wide path."""
+    from scespet_spark.operators.dedup import (incremental_keep,
+                                               incremental_segment_dedup)
+    from scespet_spark.operators.snapshot import (check_compat,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=prior, sub_min_len=5, digest_wide=True)
+    check_compat(out, digest_wide=True)
+    snap = read_snapshot(spark, out)
+    assert "content_hash2" in snap["digests"].columns
+    assert "__d2" in snap["segments"].columns
+    got = incremental_keep(new, snap["digests"], wide=True,
+                           prior_digest_col=("content_hash",
+                                             "content_hash2"))
+    want = incremental_keep(new, prior, wide=True)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    gs = incremental_segment_dedup(new, prior_segments=snap["segments"],
+                                   wide=True, size=10)
+    ws = incremental_segment_dedup(new, prior=prior, wide=True, size=10)
+    assert sorted(map(tuple, gs.collect())) == \
+        sorted(map(tuple, ws.collect()))
