@@ -3833,6 +3833,30 @@ def live_lang_id(spark, sf_dir):
         lang_id_apply(stream, model, n_buckets=_LC_B), "complete")
 
 
+@query("live_lang_id_rowwise", _LC_SQL.format(target="TRUE"))
+def live_lang_id_rowwise(spark, sf_dir):
+    """The APPEND-LEGAL language gate (r9): lang_id_apply aggregates
+    per doc (complete mode, memory-sink only), so it could not sit in
+    a checkpointed append chain; lang_id_apply_rowwise folds L literal
+    per-language weight arrays over the row's own char-gram buckets —
+    map-only, zero state, argmax in codegen — and runs here in APPEND
+    mode, the capstone crawl-gate shape.  Scores differ from the join
+    form only in float summation order (~1e-12, invisible at the 6dp
+    rounding), so the oracle is the same fitted-model SQL."""
+    from scespet_spark.operators.text import (lang_id_apply_rowwise,
+                                              lang_id_fit)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    model = lang_id_fit(docs.filter(F.col("doc_id") % 3 == 0),
+                        n_buckets=_LC_B)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    gated = (lang_id_apply_rowwise(stream, model, n_buckets=_LC_B)
+             .filter(F.col("pred_lang").isNotNull())
+             .select("doc_id", "pred_lang", "score"))
+    return run_available_now(gated, "append")
+
+
 #: deterministic multi-line punctuation-bearing text over `documents`
 #: for the C4/Gopher rule-filter demo (the corpus text itself has no
 #: newlines or punctuation): per-line keep/drop cases for every rule,

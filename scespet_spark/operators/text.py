@@ -978,6 +978,73 @@ def lang_id_apply(df: DataFrame, model: DataFrame, n: int = 3,
                          best.getField("score").alias("score"))
 
 
+def lang_id_apply_rowwise(df: DataFrame, model: DataFrame, n: int = 3,
+                          n_buckets: int = 4096, text_col: str = "text",
+                          out: str = "pred_lang",
+                          hash_fn=None) -> DataFrame:
+    """STATELESS serving form of ``lang_id_apply``: the <= (B+2)*L-row
+    model collects once driver-side into L LITERAL per-language weight
+    arrays indexed by bucket (constant-folded; O(1) lookups), and
+    scoring becomes pure codegen — the row's own char-gram buckets are
+    staged ONCE as a bound column (the Catalyst lambda-inlining trap:
+    referenced unbound inside L fold lambdas, the gram hash would
+    re-run once per language), then each language's score is one
+    ``aggregate`` fold over that column, argmax in codegen.
+
+    Why it exists (the r8 gap): ``lang_id_apply`` aggregates per doc,
+    a streaming AGGREGATION (complete output mode — memory-sink only),
+    so the language gate could not sit in an append-mode chain ending
+    in a checkpointed file sink.  This form is map-only and
+    append-legal anywhere — the capstone crawl-gate shape — at the
+    price of scores that can differ from the join form in the last ulp
+    before rounding (array-order vs shuffle-order float summation;
+    parity-tested to 1e-6).  Zero-gram docs (shorter than ``n`` chars)
+    get NULL ``out``/``score`` here instead of dropping (a map stage
+    cannot drop its row) — a lang-equality gate treats both the same.
+    ``hash_fn`` must match the fit (production: ``F.xxhash64``)."""
+    rows = model.collect()
+    pr = {r["lang"]: r["w"] for r in rows if r["bucket"] == -1}
+    un = {r["lang"]: r["w"] for r in rows if r["bucket"] == -2}
+    if not pr or set(pr) != set(un):
+        raise ValueError(
+            "model table lacks matched prior (-1) / unseen (-2) rows "
+            "per language — was it written by lang_id_fit?")
+    langs = sorted(pr)
+    by_lang: dict = {l: {} for l in langs}
+    for r in rows:
+        if r["bucket"] >= 0:
+            by_lang[r["lang"]][r["bucket"]] = r["w"]
+    hf = hash_fn or h64
+    staged = (df.withColumn("__cg", char_grams(F.col(text_col), n))
+              .withColumn("__cb", F.transform(
+                  F.col("__cg"),
+                  lambda g: (F.pmod(hf(g), F.lit(n_buckets)) + 1)
+                  .cast("int"))))
+    snames = [f"__s{i}" for i in range(len(langs))]
+    scores = {}
+    for i, l in enumerate(langs):
+        w = F.lit([float(by_lang[l].get(b, un[l]))
+                   for b in range(n_buckets)])
+        scores[snames[i]] = F.round(
+            F.try_divide(
+                F.aggregate(F.col("__cb"), F.lit(0.0),
+                            lambda a, b: a + F.element_at(w, b)),
+                F.size("__cb")) + F.lit(pr[l]), 6)
+    scored = staged.withColumns(scores)
+    best = F.array_max(F.array(*[
+        F.struct(F.col(snames[i]).alias("score"),
+                 # invert ordering so max picks the smaller lang on
+                 # ties — same convention as lang_id_apply
+                 F.lit(-i).alias("ord"),
+                 F.lit(l).alias("lang"))
+        for i, l in enumerate(langs)]))
+    valid = F.size("__cb") > 0
+    return (scored
+            .withColumn(out, F.when(valid, best.getField("lang")))
+            .withColumn("score", F.when(valid, best.getField("score")))
+            .drop("__cg", "__cb", *snames))
+
+
 def quality_classifier_fit(labeled: DataFrame, label_col: str = "label",
                            text_col: str = "text", id_col: str = "doc_id",
                            n_buckets: int = 1024,

@@ -2000,3 +2000,61 @@ def test_snapshot_digest_wide_tables_and_probes(spark, tmp_path):
     ws = incremental_segment_dedup(new, prior=prior, wide=True, size=10)
     assert sorted(map(tuple, gs.collect())) == \
         sorted(map(tuple, ws.collect()))
+
+
+def test_lang_id_rowwise_parity_and_append_shape(spark):
+    """The stateless row-wise lang serving form (r9): parity with
+    lang_id_apply to 1e-6 on every doc and the same predicted language;
+    zero-gram docs get NULL pred/score (a map stage cannot drop);
+    the plan is map-only (no Exchange, no BatchEvalPython) — the
+    append-legal capstone-gate shape; xxhash64 fit/apply hook parity;
+    and a model missing its reserved rows is a loud error."""
+    import pytest
+    from scespet_spark.operators.text import (lang_id_apply,
+                                              lang_id_apply_rowwise,
+                                              lang_id_fit)
+    from scespet_spark.sources.batch import load_table
+    aa = "aberdeen banner apple arable banana"
+    bb = "zyzzyva xylyl fuzzy quizzing whizzy"
+    train = spark.createDataFrame(
+        [(i, aa + f" extra{i}", "aa") for i in range(10)]
+        + [(100 + i, bb + f" extra{i}", "bb") for i in range(10)],
+        "doc_id long, text string, lang string")
+    model = lang_id_fit(train, n_buckets=256)
+    held = spark.createDataFrame([
+        (1000, "arable banner apple"),
+        (1001, "quizzing fuzzy xylyl"),
+        (1002, "ab"),                       # < 3 chars: no grams
+    ], "doc_id long, text string")
+    row = {r.doc_id: r for r in
+           lang_id_apply_rowwise(held, model, n_buckets=256).collect()}
+    assert row[1000].pred_lang == "aa" and row[1001].pred_lang == "bb"
+    assert row[1002].pred_lang is None and row[1002].score is None
+    joinf = {r.doc_id: r for r in
+             lang_id_apply(held, model, n_buckets=256).collect()}
+    for d, jr in joinf.items():
+        assert row[d].pred_lang == jr.pred_lang
+        assert abs(row[d].score - jr.score) <= 1e-6
+    # real-corpus parity sweep
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    m2 = lang_id_fit(docs.limit(200), n_buckets=256)
+    jf = {r.doc_id: r for r in
+          lang_id_apply(docs, m2, n_buckets=256).collect()}
+    rw = {r.doc_id: r for r in
+          lang_id_apply_rowwise(docs, m2, n_buckets=256).collect()}
+    for d, jr in jf.items():
+        assert rw[d].pred_lang == jr.pred_lang
+        assert abs(rw[d].score - jr.score) <= 1e-6
+    # append-legal plan: map-only
+    plan = (lang_id_apply_rowwise(held, model, n_buckets=256)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    # production hash hook: fit and apply share xxhash64
+    mx = lang_id_fit(train, n_buckets=256, hash_fn=F.xxhash64)
+    rx = {r.doc_id: r.pred_lang for r in
+          lang_id_apply_rowwise(held, mx, n_buckets=256,
+                                hash_fn=F.xxhash64).collect()}
+    assert rx[1000] == "aa" and rx[1001] == "bb"
+    with pytest.raises(ValueError, match="prior"):
+        lang_id_apply_rowwise(held, model.filter(F.col("bucket") >= 0),
+                              n_buckets=256)
