@@ -55,7 +55,7 @@ def _merge_word(sym: tuple, pair: tuple) -> tuple:
 
 
 def bpe_fit(df: DataFrame, n_merges: int, text_col: str = "text",
-            min_count: int = 1) -> DataFrame:
+            min_count: int = 1, max_vocab: int | None = None) -> DataFrame:
     """Train a BPE merge table: ``n_merges`` rows of ``(rank, left,
     right)`` — the tokenizer model artifact.  Deterministic: pair ties
     break on (left, right) lexicographically, so the same corpus always
@@ -65,11 +65,31 @@ def bpe_fit(df: DataFrame, n_merges: int, text_col: str = "text",
     output, ``min_count`` prunes the long tail); the merge loop is
     driver-side over the collected vocab — per merge it touches only
     the words CONTAINING the merged pair (an inverted pair->words
-    index), the standard trainer optimization."""
+    index), the standard trainer optimization.
+
+    DRIVER-MEMORY BOUND (SCALE.md): the vocabulary collect is the one
+    driver-sized structure of the trainer — standard (sentencepiece/HF
+    fit the same way) but unbounded at crawl scale, where the distinct-
+    word table of 100 TB of web text reaches 10^8+ rows (tens of GB of
+    Python dict).  Bound it EITHER by sizing ``min_count`` to the
+    corpus (Zipf: min_count ~ corpus_tokens / 10^7 keeps ~millions of
+    rows) OR with ``max_vocab=N`` — keep only the top-``N`` words by
+    (freq desc, word asc), ONE distributed TakeOrdered before the
+    collect.  Truncation drops tail words whose total frequency mass
+    is Zipf-negligible at real corpus sizes, so the learned merges are
+    driven by the head as intended (pinned by
+    ``test_bpe_max_vocab_caps_driver_collect``; a cap covering the
+    whole vocabulary is a no-op)."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
-    wf = (word_frequencies(df, text_col)
-          .filter(F.col("freq") >= min_count).collect())
+    wf = word_frequencies(df, text_col).filter(F.col("freq") >= min_count)
+    if max_vocab is not None:
+        if max_vocab <= 0:
+            raise ValueError(f"max_vocab must be positive, got {max_vocab}")
+        # distributed TakeOrdered (sort+limit -> no global sort barrier)
+        wf = wf.orderBy(F.col("freq").desc(), F.col("word")) \
+               .limit(max_vocab)
+    wf = wf.collect()
     # driver-side state: word -> (symbol tuple, freq)
     words = {r["word"]: [tuple(r["word"]) + (EOW,), int(r["freq"])]
              for r in wf}

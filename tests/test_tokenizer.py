@@ -87,3 +87,29 @@ def test_bpe_apply_guards_output_schema(spark):
     assert got["odd.name"] == "x" and got.n_bpe_tokens > 0
     with pytest.raises(ValueError, match="already exist"):
         bpe_apply(docs.withColumn("bpe_tokens", F.lit(1)), merges)
+
+
+def test_bpe_max_vocab_caps_driver_collect(spark):
+    """max_vocab bounds the trainer's one driver-sized structure (r9):
+    a cap covering the whole vocabulary changes nothing; a tail-
+    truncating cap still pins the classic head merges (Zipf: the head
+    carries the pair mass); the plan is a TakeOrdered, not a global
+    sort; and a non-positive cap is a loud error."""
+    import pytest
+    docs = spark.createDataFrame([(0, _CORPUS)], "doc_id long, text string")
+    full = [(r.rank, r.left, r.right)
+            for r in bpe_fit(docs, 6).orderBy("rank").collect()]
+    capped_all = [(r.rank, r.left, r.right)
+                  for r in bpe_fit(docs, 6, max_vocab=4)
+                  .orderBy("rank").collect()]
+    assert capped_all == full            # corpus has 4 distinct words
+    # drop the tail (widest x3, lower x2): newest(6) + low(5) remain —
+    # merges draw only on kept words (no 'i'/'d'/'r' from the tail)
+    capped = bpe_fit(docs, 6, max_vocab=2).collect()
+    syms = "".join(r.left + r.right for r in capped).replace(EOW, "")
+    assert set(syms) <= set("newstlo")
+    # deterministic under partitioning with the cap in play
+    again = bpe_fit(docs.repartition(5), 6, max_vocab=2).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe_fit(docs, 2, max_vocab=0)
