@@ -4229,6 +4229,103 @@ GROUP BY doc_id
 """
 
 
+def _trigram_lm_oracle(a=0.4):
+    from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
+    c0, c1, c2 = sh_coeff(0), sh_coeff(1), sh_coeff(2)
+    P = MH_PRIME
+    t3 = (f"((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}"
+          f" + (hs[i + 2] * {c2}) % {P}) % {P}")
+    bgp = f"((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}) % {P}"
+    bg2 = f"((hs[i + 1] * {c0}) % {P} + (hs[i + 2] * {c1}) % {P}) % {P}"
+    return f"""
+WITH hs AS (SELECT doc_id,
+                   list_transform({_TOKS},
+                                  x -> {h64_sql('x')} % {P}) AS hs
+            FROM documents),
+occ AS (SELECT doc_id, {t3} AS t3, {bgp} AS bgp, {bg2} AS bg2,
+               hs[i + 1] AS u2, hs[i + 2] AS u3
+        FROM (SELECT doc_id, hs,
+                     unnest(generate_series(1, len(hs) - 2)) AS i
+              FROM hs WHERE len(hs) >= 3)),
+tric AS (SELECT ((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}
+                 + (hs[i + 2] * {c2}) % {P}) % {P} AS t3,
+                COUNT(*) AS c3
+         FROM (SELECT hs, unnest(generate_series(1, len(hs) - 2)) AS i
+               FROM hs WHERE len(hs) >= 3) GROUP BY 1),
+bgc AS (SELECT ((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}) % {P}
+               AS bg, COUNT(*) AS c2
+        FROM (SELECT hs, unnest(generate_series(1, len(hs) - 1)) AS i
+              FROM hs WHERE len(hs) >= 2) GROUP BY 1),
+uni AS (SELECT h, COUNT(*) AS c1
+        FROM (SELECT unnest(hs) AS h FROM hs) GROUP BY h),
+tot AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni)
+SELECT doc_id, COUNT(*) AS n_trigrams,
+       round(AVG(ln(
+         CASE WHEN t.c3 IS NOT NULL AND bp.c2 IS NOT NULL
+              THEN t.c3 / bp.c2
+              ELSE {a} * (CASE WHEN b2.c2 IS NOT NULL
+                                    AND up.c1 IS NOT NULL
+                               THEN b2.c2 / up.c1
+                               ELSE {a} * ((coalesce(uw.c1, 0) + 1)
+                                           / (tot.n + tot.v)) END)
+         END)), 6) AS mean_logp
+FROM occ
+LEFT JOIN tric t ON t.t3 = occ.t3
+LEFT JOIN bgc bp ON bp.bg = occ.bgp
+LEFT JOIN bgc b2 ON b2.bg = occ.bg2
+LEFT JOIN uni up ON up.h = occ.u2
+LEFT JOIN uni uw ON uw.h = occ.u3
+CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@query("text_trigram_lm", _trigram_lm_oracle())
+def text_trigram_lm(spark, sf_dir):
+    """In-corpus TRIGRAM stupid-backoff LM score (r9 — the
+    higher-order rung above text_bigram_lm; CCNet's real filter is a
+    5-gram model, and this is the same Zipf-bounded count-table shape
+    one order up): per-doc mean ln S(w | w-2, w-1) with Brants-style
+    backoff (seen trigram ratio, else 0.4x the bigram ratio, else
+    0.4^2 x an add-1 unigram floor — SQL-exact, unlike Kneser-Ney's
+    discount recursion).  Digests end-to-end: one md5 per token, keys
+    rolled arithmetically, five Zipf-bounded count joins."""
+    from scespet_spark.operators.text import ngram_lm_score
+    return ngram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+@query("live_text_trigram_lm", _trigram_lm_oracle())
+def live_text_trigram_lm(spark, sf_dir):
+    """The snapshot trigram LM serving a LIVE crawl: the three count
+    tables + totals are fitted ONCE batch-side (the snapshot
+    artifact); arriving docs score via stream-static joins (unseen
+    n-grams fall through the backoff chain to the always-finite
+    unigram floor).  Same oracle — the stream replays the fit
+    corpus."""
+    from scespet_spark.operators.text import ngram_lm_apply, ngram_lm_model
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    model = ngram_lm_model(load_table(spark, sf_dir, "documents"))
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(ngram_lm_apply(stream, model), "complete")
+
+
+@query("perplexity_filter_trigram", f"""
+WITH scores AS ({{lm}}),
+thr AS (SELECT quantile_cont(mean_logp, 0.1) AS t FROM scores)
+SELECT doc_id, n_trigrams, mean_logp
+FROM scores, thr WHERE mean_logp >= t
+""".format(lm=_trigram_lm_oracle()))
+def perplexity_filter_trigram(spark, sf_dir):
+    """The CCNet perplexity gate on the HIGHER-ORDER model (r9):
+    perplexity_filter(order=3) drops the 10% tail of the trigram
+    stupid-backoff score — same exact-percentile threshold shape as
+    perplexity_filter_docs, one rung up the LM ladder."""
+    from scespet_spark.operators.text import perplexity_filter
+    return perplexity_filter(load_table(spark, sf_dir, "documents"),
+                             frac=0.1, order=3)
+
+
 @query("text_bigram_lm", _bigram_lm_oracle())
 def text_bigram_lm(spark, sf_dir):
     """In-corpus bigram-LM quality score (CCNet perplexity filtering

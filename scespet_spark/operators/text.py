@@ -516,6 +516,160 @@ def bigram_lm_apply(df: DataFrame, model, text_col: str = "text",
                  F.round(F.avg(logp), 6).alias("mean_logp")))
 
 
+def _ngram_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Staged per-doc n-gram key arrays ``(id, __hs, __bi, __tri)``:
+    tokens hash ONCE (one md5 per token — `dedup.token_hash_array`),
+    then bigram/trigram keys roll arithmetically from the BOUND
+    ``__hs`` column (the Catalyst lambda-inlining trap: an unbound
+    derived array referenced inside the roll lambdas would re-hash the
+    document once per position).  Shared by trigram model fitting and
+    application; same bigram roll as ``_doc_bigrams``."""
+    from .dedup import MH_PRIME, _spread, sh_coeff, token_hash_array
+    c0, c1, c2 = sh_coeff(0), sh_coeff(1), sh_coeff(2)
+    # _spread: the per-token md5 pass is CPU-bound — a single-file scan
+    # must not serialize it onto one core (batch-only no-op streaming)
+    staged = (_spread(df.select(F.col(id_col), F.col(text_col)))
+              .select(F.col(id_col),
+                      token_hash_array(F.col(text_col)).alias("__hs")))
+    n = F.size("__hs")
+
+    def el(i, off):
+        return F.element_at(F.col("__hs"), i + off)
+
+    empty = F.array().cast("array<bigint>")
+    bi = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: ((el(i, 0) * c0) % MH_PRIME
+                   + (el(i, 1) * c1) % MH_PRIME) % MH_PRIME)) \
+        .otherwise(empty)
+    tri = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: ((el(i, 0) * c0) % MH_PRIME
+                   + (el(i, 1) * c1) % MH_PRIME
+                   + (el(i, 2) * c2) % MH_PRIME) % MH_PRIME)) \
+        .otherwise(empty)
+    return staged.select(id_col, "__hs", bi.alias("__bi"),
+                         tri.alias("__tri"))
+
+
+def ngram_lm_model(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Fit the TRIGRAM stupid-backoff LM tables ONCE — the
+    higher-order rung above ``bigram_lm_model`` (CCNet's real
+    perplexity filter is a 5-gram model; this is the same count-table
+    shape one order up, with Brants et al. 2007 stupid backoff, whose
+    score is SQL-exact — unlike Kneser-Ney's discounting recursion).
+    Returns ``(tri_counts, bi_counts, uni_counts, totals)`` DataFrames
+    (trigram/bigram/unigram count tables + a 1-row (N, V) total).
+
+    Scale shape: ONE tokenize+hash pass (the map-side key arrays of
+    ``_ngram_keys``), then three map-side-combinable count shuffles
+    whose outputs are n-gram-vocabulary-sized (Zipf-bounded — the
+    trigram table is the biggest but still ~sqrt of corpus pairs, the
+    same bound the reference-grade trainers rely on); the totals row
+    rolls up from the unigram table, no extra corpus pass.  The keys
+    frame is localCheckpoint-materialized batch-side so the three
+    count branches read it once instead of re-running the md5 pass
+    per branch (the repo-wide corpus-materialization-point pattern;
+    ~1x corpus bytes of executor storage, the fit is one-shot)."""
+    k = _ngram_keys(df, text_col, id_col)
+    if not k.isStreaming:
+        k = k.localCheckpoint()
+    tri = (k.select(F.explode("__tri").alias("__t3"))
+           .groupBy("__t3").agg(F.count("*").alias("__c3")))
+    bi = (k.select(F.explode("__bi").alias("__bg"))
+          .groupBy("__bg").agg(F.count("*").alias("__c2")))
+    uni = (k.select(F.explode("__hs").alias("__u"))
+           .groupBy("__u").agg(F.count("*").alias("__c1")))
+    totals = uni.agg(F.sum("__c1").alias("__n"),
+                     F.count("*").alias("__v"))
+    return tri, bi, uni, totals
+
+
+def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   backoff: float = 0.4) -> DataFrame:
+    """Score documents under a FITTED trigram stupid-backoff model
+    (see ``ngram_lm_model``): per-doc mean ``ln S(w_i | w_{i-2},
+    w_{i-1})`` with
+
+        S3 = c3/c(prefix bigram)        if the trigram was seen
+           = backoff * S2               otherwise
+        S2 = c2/c(prefix unigram)       if the backoff bigram was seen
+           = backoff * S1               otherwise
+        S1 = (c1 + 1) / (N + V)         add-1 unigram (always finite —
+                                        unseen words score honestly)
+
+    Returns ``(id, n_trigrams, mean_logp)`` for docs with >= 3 tokens.
+    Works unchanged on a LIVE stream (stream-static joins against the
+    snapshot count tables; the 1-row totals are read driver-side —
+    a streaming plan cannot cross-join).
+
+    Every CASE guards BOTH the matched count and its denominator
+    (rolled keys can birthday-collide: a collided trigram hit whose
+    true prefix bigram is absent must fall through to backoff, not
+    divide by NULL); counts for colliding keys merge, exactly what the
+    oracle's GROUP BY computes — engine-identical at any collision
+    density.  Scale shape: the per-doc attach is five left joins
+    against Zipf-bounded count tables (AQE skew-join covers the Zipf
+    head); everything shuffled is (digest, id) ints."""
+    tri, bi, uni, totals = model
+    k = _ngram_keys(df, text_col, id_col)
+    occ = (k.where(F.size("__tri") > 0)
+           .select(F.col(id_col), "__hs", "__bi", "__tri",
+                   F.explode(F.sequence(F.lit(1), F.size("__tri")))
+                   .alias("__i"))
+           .select(F.col(id_col),
+                   F.element_at("__tri", F.col("__i")).alias("__t3"),
+                   F.element_at("__bi", F.col("__i")).alias("__bgp"),
+                   F.element_at("__bi", F.col("__i") + 1).alias("__bg2"),
+                   F.element_at("__hs", F.col("__i") + 1).alias("__u2"),
+                   F.element_at("__hs", F.col("__i") + 2).alias("__u3")))
+    if df.isStreaming:
+        r = totals.collect()[0]
+        n_col, v_col = F.lit(int(r["__n"])), F.lit(int(r["__v"]))
+        streaming = True
+    else:
+        n_col, v_col = F.col("__n"), F.col("__v")
+        streaming = False
+    joined = (occ
+              .join(tri, "__t3", "left")
+              .join(bi.select(F.col("__bg").alias("__bgp"),
+                              F.col("__c2").alias("__c2p")),
+                    "__bgp", "left")
+              .join(bi.select(F.col("__bg").alias("__bg2"),
+                              F.col("__c2").alias("__c2b")),
+                    "__bg2", "left")
+              .join(uni.select(F.col("__u").alias("__u2"),
+                               F.col("__c1").alias("__c1p")),
+                    "__u2", "left")
+              .join(uni.select(F.col("__u").alias("__u3"),
+                               F.col("__c1").alias("__c1w")),
+                    "__u3", "left"))
+    if not streaming:
+        joined = joined.crossJoin(F.broadcast(totals))
+    a = F.lit(backoff)
+    s1 = (F.coalesce(F.col("__c1w"), F.lit(0)) + 1) / (n_col + v_col)
+    s2 = F.when(F.col("__c2b").isNotNull() & F.col("__c1p").isNotNull(),
+                F.col("__c2b") / F.col("__c1p")).otherwise(a * s1)
+    s3 = F.when(F.col("__c3").isNotNull() & F.col("__c2p").isNotNull(),
+                F.col("__c3") / F.col("__c2p")).otherwise(a * s2)
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.round(F.avg(F.log(s3)), 6).alias("mean_logp")))
+
+
+def ngram_lm_score(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   backoff: float = 0.4) -> DataFrame:
+    """In-corpus trigram stupid-backoff quality score: fit
+    ``ngram_lm_model`` on the corpus itself and apply it — the
+    higher-order sibling of ``bigram_lm_score``."""
+    return ngram_lm_apply(df, ngram_lm_model(df, text_col, id_col),
+                          text_col=text_col, id_col=id_col,
+                          backoff=backoff)
+
+
 def collapse_repeats(df: DataFrame, text_col: str = "text",
                      out_col: str = "clean_text") -> DataFrame:
     """De-repetition cleaning: collapse every run of immediately
@@ -545,13 +699,17 @@ def collapse_repeats(df: DataFrame, text_col: str = "text",
 
 def perplexity_filter(df: DataFrame, frac: float = 0.1,
                       text_col: str = "text", id_col: str = "doc_id",
-                      k: float = 1.0, approx: bool = False) -> DataFrame:
+                      k: float = 1.0, approx: bool = False,
+                      order: int = 2,
+                      backoff: float = 0.4) -> DataFrame:
     """CCNet-style perplexity filtering: score every document with the
-    in-corpus bigram LM (``bigram_lm_score``) and drop the worst
-    ``frac`` tail — docs whose mean log transition probability falls
-    below the corpus ``frac``-quantile (OCR noise, shuffled text,
-    keyword spam).  Returns the survivors' ``(id, n_bigrams,
-    mean_logp)``.
+    in-corpus LM — ``order=2`` (default) the add-``k`` bigram LM
+    (``bigram_lm_score``), ``order=3`` the trigram stupid-backoff LM
+    (``ngram_lm_score``; ``backoff`` is its discount) — and drop the
+    worst ``frac`` tail: docs whose mean log transition probability
+    falls below the corpus ``frac``-quantile (OCR noise, shuffled
+    text, keyword spam).  Returns the survivors' ``(id, n_bigrams,
+    mean_logp)`` (``n_trigrams`` for order=3).
 
     The threshold is ONE number computed from the doc-level score table
     (corpus-cardinality, tiny next to the token tables) and attached as
@@ -563,7 +721,14 @@ def perplexity_filter(df: DataFrame, frac: float = 0.1,
     """
     if not 0.0 <= frac <= 1.0:
         raise ValueError("frac must be in [0, 1]")
-    scored = bigram_lm_score(df, text_col=text_col, id_col=id_col, k=k)
+    if order == 2:
+        scored = bigram_lm_score(df, text_col=text_col, id_col=id_col,
+                                 k=k)
+    elif order == 3:
+        scored = ngram_lm_score(df, text_col=text_col, id_col=id_col,
+                                backoff=backoff)
+    else:
+        raise ValueError(f"order must be 2 or 3, got {order}")
     pct = (F.approx_percentile(F.col("mean_logp"), F.lit(frac), F.lit(10000))
            if approx else F.percentile(F.col("mean_logp"), F.lit(frac)))
     thr = scored.agg(pct.alias("__thr"))

@@ -179,6 +179,16 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             pack_sequences_bestfit(d, budget=512)),
     })
 
+    # r9 addition: the trigram stupid-backoff LM — replication is
+    # adversarial-friendly here (the n-gram vocabulary is CONSTANT
+    # across multiples while counts multiply), so the count tables
+    # stay fixed-size and only the per-doc occurrence rows grow ~mult:
+    # a linear slope is the design claim
+    from scespet_spark.operators.text import ngram_lm_score
+    ops.update({
+        "trigram_lm": lambda d, e: noop(ngram_lm_score(d)),
+    })
+
     if only:
         unknown = only - set(ops)
         if unknown:
