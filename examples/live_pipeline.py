@@ -121,9 +121,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
     return n_batch, n_live
 
 
-#: capstone gate parameters: substring gram length + split recipe
+#: capstone gate parameters: substring gram length, split recipe,
+#: classifier bucket counts, snapshot probe buckets
 _CAP_L = 15
 _CAP_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_CAP_QB = 512      # quality-classifier buckets
+_CAP_LB = 512      # language-classifier buckets
+_CAP_PROBE_BUCKETS = 8
 
 
 def _cap_url():
@@ -162,82 +166,127 @@ def _cap_stage1(spark, drops_dir: str, out: str, ckpt: str) -> None:
     write_parquet(survivors, out, ckpt)
 
 
-def _cap_stage2(spark, stage1_out: str, snap_dir: str, qc_model, thr,
-                out: str, ckpt: str, sig_out: str, sig_ckpt: str) -> None:
-    """Crawl gate stage 2, rebuilt against the CURRENT snapshot each
-    drop: exact-content anti-join vs the snapshot digest table, the
-    stateless row-wise classifier gate, deterministic split assignment,
-    then the checkpointed shard sink partitioned by split.  Side
-    output: the substring-probe signal — every (doc, pos) whose
-    passage the snapshot corpus already contains.  Everything here is
-    map-side or stream-static: per-micro-batch cost is the arriving
-    docs only, zero corpus passes."""
-    from scespet_spark.operators.dedup import gram_digests
-    from scespet_spark.operators.hashing import h64
+def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
+    """The capstone's per-drop gate chain on ANY input frame — the
+    streaming stage-2 runs it per micro-batch, and the test reads the
+    identical BATCH plan to assert the bucketed snapshot sides join
+    with zero Exchange.  Stages:
+
+      * known-passage signal: substring gram probe (left-semi vs the
+        snapshot ``grams`` table);
+      * WIDE exact-content anti-join (digest-width discipline: both
+        independent digests — a narrow 60-bit collision with the prior
+        corpus would silently kill an innocent crawl doc);
+      * append-legal language gate (``lang_id_apply_rowwise`` — the
+        r9 serving form: literal weight matrix, map-only);
+      * append-legal quality gate (row-wise classifier, calibrated
+        threshold);
+      * deterministic split assignment.
+
+    Returns ``(sig, sharded)``."""
+    from scespet_spark.operators.dedup import digest_cols, gram_digests
     from scespet_spark.operators.pipeline import split_assign
-    from scespet_spark.operators.snapshot import read_snapshot
     from scespet_spark.operators.text import (
-        quality_classifier_apply_rowwise)
-    from scespet_spark.streaming.live import write_parquet
-    snap = read_snapshot(spark, snap_dir)
-    digests = snap["digests"].select("content_hash")
-    grams = snap["grams"]
-    stream = (spark.readStream
-              .schema("canon_url string, doc_id long, text string, "
-                      "lang string, source string")
-              .option("maxFilesPerTrigger", 1).parquet(stage1_out))
-    # side signal: known-passage coordinates (the live_substring_probe
-    # serving shape) against the refreshed snapshot
-    sig = (gram_digests(stream, min_len=_CAP_L)
-           .join(grams, "__g", "left_semi").select("doc_id", "pos"))
-    write_parquet(sig, sig_out, sig_ckpt)
-    kept = (stream
-            .withColumn("content_hash", h64(F.col("text")))
-            .join(digests, "content_hash", "left_anti"))
-    gated = (quality_classifier_apply_rowwise(kept, qc_model,
-                                              n_buckets=512,
+        lang_id_apply_rowwise, quality_classifier_apply_rowwise)
+    sig = (gram_digests(df, min_len=_CAP_L)
+           .join(snap["grams"], "__g", "left_semi")
+           .select("doc_id", "pos"))
+    d1, d2 = digest_cols(F.col("text"), wide=True)
+    kept = (df.withColumn("content_hash", d1)
+            .withColumn("content_hash2", d2)
+            .join(snap["digests"].select("content_hash", "content_hash2"),
+                  ["content_hash", "content_hash2"], "left_anti"))
+    langed = (lang_id_apply_rowwise(kept, lang_model, n_buckets=_CAP_LB)
+              .filter(F.col("pred_lang") == "en")
+              .drop("pred_lang", "score"))
+    gated = (quality_classifier_apply_rowwise(langed, qc_model,
+                                              n_buckets=_CAP_QB,
                                               threshold=thr)
              .filter(F.col("pred") == 1))
     sharded = split_assign(gated, _CAP_SPLITS).select(
         "doc_id", "text", "lang", "source", "score", "split")
+    return sig, sharded
+
+
+def _cap_stage2(spark, stage1_out: str, snap_dir: str, qc_model,
+                lang_model, thr, out: str, ckpt: str, sig_out: str,
+                sig_ckpt: str) -> None:
+    """Crawl gate stage 2, rebuilt against the CURRENT snapshot and
+    the CURRENT models each drop: wide exact-content anti-join vs the
+    snapshot digest table, the stateless row-wise language + quality
+    gates, deterministic split assignment, then the checkpointed shard
+    sink partitioned by split.  Side output: the substring-probe
+    signal — every (doc, pos) whose passage the snapshot corpus
+    already contains.  Everything here is map-side or stream-static
+    (per-micro-batch cost is the arriving docs only, zero corpus
+    passes), and the snapshot sides are BUCKETED probe tables — zero
+    snapshot-side Exchange per batch."""
+    from scespet_spark.operators.snapshot import check_compat, read_snapshot
+    from scespet_spark.streaming.live import write_parquet
+    check_compat(snap_dir, spark=spark, digest_wide=True,
+                 sub_min_len=_CAP_L)
+    snap = read_snapshot(spark, snap_dir)
+    stream = (spark.readStream
+              .schema("canon_url string, doc_id long, text string, "
+                      "lang string, source string")
+              .option("maxFilesPerTrigger", 1).parquet(stage1_out))
+    sig, sharded = _cap_gate_chain(stream, snap, qc_model, lang_model,
+                                   thr)
+    write_parquet(sig, sig_out, sig_ckpt)
     write_parquet(sharded, out, ckpt, partition_by=["split"])
+
+
+def _cap_models(spark, corpus):
+    """Fit the capstone's serving models + calibrated threshold from a
+    corpus snapshot — called once per snapshot REFRESH, so the gates
+    track the corpus as it grows (the r9 model-refresh step): the
+    hashed-feature quality classifier, the char-gram language model,
+    and the CCNet-style quantile threshold (keep crawl docs scoring
+    above the corpus's 10th percentile — one scalar per snapshot)."""
+    from scespet_spark.operators.text import (
+        lang_id_fit, quality_classifier_apply_rowwise as _qcr,
+        quality_classifier_fit)
+    qc_model = quality_classifier_fit(
+        corpus.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=_CAP_QB).cache()
+    lang_model = lang_id_fit(corpus, n_buckets=_CAP_LB).cache()
+    thr = (_qcr(corpus, qc_model, n_buckets=_CAP_QB)
+           .agg(F.percentile(F.col("score"), F.lit(0.1)))
+           .collect()[0][0])
+    return qc_model, lang_model, thr
 
 
 def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     """End-to-end continuous-crawl loop over TWO crawl drops with a
-    snapshot refresh in between:
+    snapshot AND model refresh in between:
 
         url_dedup -> substring snapshot probe (signal)
-                  -> exact-content snapshot gate
-                  -> classifier gate (stateless row-wise serving form)
+                  -> WIDE exact-content snapshot gate
+                  -> language gate (row-wise serving form, r9)
+                  -> quality gate (row-wise serving form)
                   -> split_assign -> checkpointed shard sink
 
     Drop 2 contains an engineered exact duplicate of a drop-1 SURVIVOR
     under a fresh id and unique URL: it sails through the URL gate but
     the refreshed snapshot's digest table (rebuilt from prior + drop-1
     survivors between drops) kills it at the content gate — the
-    property the refresh exists to provide."""
+    property the refresh exists to provide.  The refresh also RE-FITS
+    both classifier models and the threshold from the grown corpus
+    (prior + drop-1 survivors), and the result records that drop-2
+    serving picked up the refreshed weights.  Snapshots are written
+    with ``digest_wide=True`` (the content gate anti-joins on both
+    digests) and ``bucket_probes`` (zero snapshot-side Exchange per
+    micro-batch)."""
     import shutil
     import time as _time
     from scespet_spark.operators.snapshot import write_snapshot
-    from scespet_spark.operators.text import quality_classifier_fit
     from scespet_spark.sources.batch import load_table
 
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
     docs = load_table(spark, sf_dir, "documents")
     prior = docs.filter(F.col("doc_id") % 3 == 0)
-    qc_model = quality_classifier_fit(
-        prior.withColumn("label", (F.col("lang") == "en").cast("int")),
-        n_buckets=512).cache()
-    # calibrated gate threshold (the CCNet-style quantile gate, same
-    # move the perplexity gate makes): keep crawl docs scoring above
-    # the prior corpus's 10th percentile — one scalar per snapshot
-    from scespet_spark.operators.text import (
-        quality_classifier_apply_rowwise as _qcr)
-    thr = (_qcr(prior, qc_model, n_buckets=512)
-           .agg(F.percentile(F.col("score"), F.lit(0.1)))
-           .collect()[0][0])
+    qc_model, lang_model, thr = _cap_models(spark, prior)
     drops = f"{work}/drops"
     os.makedirs(drops)
     now = _time.time()
@@ -257,21 +306,33 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     sig_out, sig_ck = f"{work}/signals", f"{work}/ck_sig"
 
     # ---- snapshot 0 (prior corpus only), drop 1 --------------------
-    write_snapshot(f"{work}/snap0", docs=prior, sub_min_len=_CAP_L)
+    write_snapshot(f"{work}/snap0", docs=prior, sub_min_len=_CAP_L,
+                   digest_wide=True, bucket_probes=_CAP_PROBE_BUCKETS)
     stage_drop(docs.filter(F.col("doc_id") % 3 == 1).select(*cols),
                "drop1", now - 100)
     _cap_stage1(spark, drops, s1_out, s1_ck)
-    _cap_stage2(spark, s1_out, f"{work}/snap0", qc_model, thr,
-                s2_out, s2_ck, sig_out, sig_ck)
+    _cap_stage2(spark, s1_out, f"{work}/snap0", qc_model, lang_model,
+                thr, s2_out, s2_ck, sig_out, sig_ck)
     kept1 = spark.read.parquet(s2_out)
     n1 = kept1.count()
 
-    # ---- snapshot refresh: prior + drop-1 survivors -----------------
+    # ---- snapshot + MODEL refresh: prior + drop-1 survivors ---------
     dup_src = kept1.orderBy("doc_id").limit(1).collect()[0]
+    corpus1 = (prior.select("doc_id", "text", "lang").unionByName(
+        kept1.select("doc_id", "text", "lang")).cache())
     write_snapshot(f"{work}/snap1",
-                   docs=prior.select("doc_id", "text").unionByName(
-                       kept1.select("doc_id", "text")),
-                   sub_min_len=_CAP_L)
+                   docs=corpus1.select("doc_id", "text"),
+                   sub_min_len=_CAP_L, digest_wide=True,
+                   bucket_probes=_CAP_PROBE_BUCKETS)
+    qc_model2, lang_model2, thr2 = _cap_models(spark, corpus1)
+    # serving must pick up the refreshed weights: the same crafted doc
+    # scores differently under the refreshed quality model
+    from scespet_spark.operators.text import (
+        quality_classifier_apply_rowwise as _qcr)
+    probe = spark.createDataFrame([(0, dup_src["text"])],
+                                  "doc_id long, text string")
+    s_old = _qcr(probe, qc_model, n_buckets=_CAP_QB).collect()[0]["score"]
+    s_new = _qcr(probe, qc_model2, n_buckets=_CAP_QB).collect()[0]["score"]
 
     # ---- drop 2: fresh docs + an exact dup of a drop-1 survivor ----
     drop2 = docs.filter(F.col("doc_id") % 3 == 2).select(*cols)
@@ -282,8 +343,8 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
          ("source", "string"), ("n_chars", "long")]))
     stage_drop(drop2.unionByName(dup_row), "drop2", now - 50)
     _cap_stage1(spark, drops, s1_out, s1_ck)
-    _cap_stage2(spark, s1_out, f"{work}/snap1", qc_model, thr,
-                s2_out, s2_ck, sig_out, sig_ck)
+    _cap_stage2(spark, s1_out, f"{work}/snap1", qc_model2, lang_model2,
+                thr2, s2_out, s2_ck, sig_out, sig_ck)
 
     final = spark.read.parquet(s2_out)
     n2 = final.count()
@@ -293,11 +354,14 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     res = {"drop1_kept": n1, "total_kept": n2,
            "dup_suppressed": 100001 not in ids,
            "dup_source_present": dup_src["doc_id"] in ids,
-           "splits": sorted(splits), "known_passage_hits": n_sig}
+           "splits": sorted(splits), "known_passage_hits": n_sig,
+           "model_refreshed": s_old != s_new,
+           "probe_scores": (s_old, s_new)}
     print(f"capstone: {n1} docs after drop 1, {n2} total after drop 2; "
           f"engineered duplicate suppressed by the refreshed snapshot: "
           f"{res['dup_suppressed']}; splits {res['splits']}; "
-          f"{n_sig} known-passage coordinates signalled")
+          f"{n_sig} known-passage coordinates signalled; model refresh "
+          f"moved the probe score {s_old} -> {s_new}")
     return res
 
 

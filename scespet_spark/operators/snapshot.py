@@ -148,10 +148,16 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
 
     written = []
     bucket_tables: dict[str, dict] = {}
+    bucket_keys = dict(_BUCKET_KEYS)
+    if digest_wide:
+        # wide elections join on BOTH digest columns — bucket on the
+        # full join key set so the probe's Exchange elimination holds
+        bucket_keys["digests"] = ["content_hash", "content_hash2"]
+        bucket_keys["segments"] = ["__d", "__d2"]
 
     def _w(name: str, df: DataFrame) -> None:
         path = os.path.join(out_dir, name)
-        keys = _BUCKET_KEYS.get(name)
+        keys = bucket_keys.get(name)
         if bucket_probes and keys:
             # EXTERNAL bucketed table: files under the snapshot dir,
             # bucket metadata re-registrable from the manifest DDL in

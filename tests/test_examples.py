@@ -45,16 +45,60 @@ def test_live_pipeline_example(spark, tmp_path, capsys):
 
 
 def test_crawl_capstone_example(spark, tmp_path):
-    """The r8 continuous-crawl capstone: url_dedup -> substring
-    snapshot probe -> content gate -> classifier gate -> split_assign
-    -> checkpointed shard sink, with a snapshot refresh between drops.
-    The engineered drop-2 duplicate of a drop-1 survivor must die at
-    the refreshed snapshot's content gate while its source survives."""
+    """The continuous-crawl capstone (r9 form): url_dedup -> substring
+    snapshot probe -> WIDE content gate -> language gate -> quality
+    gate -> split_assign -> checkpointed shard sink, with a snapshot
+    AND model refresh between drops.  The engineered drop-2 duplicate
+    of a drop-1 survivor must die at the refreshed snapshot's content
+    gate while its source survives; drop-2 serving must pick up the
+    refreshed classifier weights; and the snapshot sides of the gate
+    joins must scan BUCKETED with zero snapshot-side Exchange."""
     import live_pipeline
-    res = live_pipeline.crawl_capstone(spark, SF,
-                                       str(tmp_path / "capstone"))
+    from pyspark.sql import functions as F
+    work = str(tmp_path / "capstone")
+    res = live_pipeline.crawl_capstone(spark, SF, work)
     assert res["drop1_kept"] > 0
     assert res["total_kept"] > res["drop1_kept"]
     assert res["dup_suppressed"] and res["dup_source_present"]
     assert res["splits"] == ["test", "train", "val"]
     assert res["known_passage_hits"] > 0
+    # model refresh: the crafted probe doc scores differently under
+    # the re-fitted quality model
+    assert res["model_refreshed"], res["probe_scores"]
+    # bucketed snapshot probes: the refreshed snapshot's digest/gram
+    # tables join the gate's OWN key sets with zero snapshot-side
+    # Exchange (the per-micro-batch stage-2 plan, read batch-side)
+    from scespet_spark.operators.dedup import digest_cols
+    from scespet_spark.operators.snapshot import read_snapshot
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        snap = read_snapshot(spark, f"{work}/snap1")
+        batch = spark.read.parquet(f"{work}/stage1")
+        d1, d2 = digest_cols(F.col("text"), wide=True)
+        content = (batch
+                   .withColumn("content_hash", d1)
+                   .withColumn("content_hash2", d2)
+                   .join(snap["digests"].select("content_hash",
+                                                "content_hash2"),
+                         ["content_hash", "content_hash2"],
+                         "left_anti"))
+        plan = content._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1      # the crawl side only
+        gprobe = (batch.select((F.col("doc_id") * 7).alias("__g"))
+                  .join(snap["grams"], "__g", "left_semi"))
+        gplan = gprobe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in gplan
+        assert gplan.count("Exchange") == 1
+        # and the full gate chain runs on the bucketed scans
+        qc2, lang2, thr2 = live_pipeline._cap_models(
+            spark, batch.select("doc_id", "text", "lang"))
+        sig, sharded = live_pipeline._cap_gate_chain(
+            batch, snap, qc2, lang2, thr2)
+        for df in (sig, sharded):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in p
+            assert "BatchEvalPython" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
