@@ -5595,45 +5595,45 @@ def entry(spark: SparkSession) -> DataFrame:
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
-    # brand-new operators this round: the CCNet-style hashed
-    # char-n-gram NB language classifier batch+live, the C4/Gopher
-    # rule-filter suite batch+live, and first-fit-decreasing packing
-    # (rows-only, justified)
-    "lang_id_classifier", "live_lang_id",
-    "c4_rule_filter", "live_c4_filter",
-    "pack_bestfit_sequences", "dsir_sample_topk", "live_dsir_weights",
-    "bpe_fit_merges", "bpe_tokenize_docs", "bm25_topk_docs",
-    "live_bm25_score",
-    # implementation changed this round: weighted_sample's sort key is
-    # now rounded to 12 significant digits (cross-libm tie fix, oracle
-    # updated); live_bind derives the slice id from the cycle value;
-    # _epoch_ms gained DST ambiguous/nonexistent handling — re-verify
-    # the idle-ttl/sliding expiry representative
-    "weighted_sample_chars", "live_bind_hourly", "live_sliding_scan",
+    # brand-new this round: the wide two-digest exact election
+    # (digest-width discipline), the append-legal row-wise language
+    # gate, and the trigram stupid-backoff LM rung (batch + live +
+    # the order-3 perplexity gate)
+    "dedup_exact_wide", "live_lang_id_rowwise",
+    "text_trigram_lm", "live_text_trigram_lm", "perplexity_filter_trigram",
+    # implementation changed this round: the exact/segment dedup
+    # families gained hash_fn/wide hooks (default paths re-verified),
+    # bm25_stats counts null text as dl=0, FFD packing groups by true
+    # floor division, bpe_apply builds its Arrow schema
+    # programmatically and bpe_fit gained max_vocab
+    "dedup_exact", "dedup_incremental",
+    "dedup_segments", "dedup_incremental_segments",
+    "live_incremental_segments",
+    "bm25_topk_docs", "live_bm25_score",
+    "pack_bestfit_sequences", "bpe_tokenize_docs", "bpe_fit_merges",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
-    # (r7 VERDICT item #5) evidence rotation: the r4/r5-era rows are
-    # now the oldest driver evidence — rotate the full cohort back in
-    "sample_daily_value", "key_to_stream_daily", "mode_event_type",
-    "reduce_all_global", "nested_group_reduce", "zip_click_purchase",
-    "ewma_final_per_user", "live_ewma_final_per_user",
-    "session_windows_user", "session_windows_scan",
-    "live_session_windows", "live_session_scan",
-    "sliding_window_user", "sliding_window_scan", "live_sliding_window",
-    "window_from_reduce", "live_window_from", "window_from_scan",
-    "live_window_from_scan", "window_gated_scan",
-    "live_window_gated_scan", "live_window_gated_reduce",
-    "by_reduce_total",
-    "live_zip_click_purchase", "live_zip_typed", "zip_keymap_region_value",
-    "live_keymap_zip", "keymap_take_region_value", "live_keymap_take",
-    "live_trigger_slice", "live_trigger_stream_slice",
-    "live_map_keys_bucket", "live_map_vector_running",
-    "live_asof_purchase_last_click", "live_scan_running_sum",
-    "live_vwap_per_supplier",
-    # (the r7 cohort — the r3-era rotation plus the r7 additions — has
-    # fresh PASS-r7 rows and rotates out; every rotated-out query stays
-    # covered by the full local oracle gate, tools/check_oracle.py)
+    # (r8 VERDICT item #3) evidence rotation: the r4-era rows are the
+    # oldest driver evidence — rotate the full r4 cohort back in
+    # (relational wrappers, PQ/ANN, text heuristics, multimodal)
+    "q3_order_revenue", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q13_customer_distribution", "q15_top_supplier", "q7_volume_shipping",
+    "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customers",
+    "q10_returned_items", "region_revenue", "topk_orders",
+    "rollup_order_status", "set_ops_customers", "window_rank_orders",
+    "vwap_per_supplier", "dedup_kept_corpus", "dedup_simhash",
+    "dedup_ngram_jaccard", "ann_pq_codes", "ann_pq_adc_topk",
+    "text_token_stats", "text_lang_id", "text_quality",
+    "text_repetition", "text_fingerprint", "text_token_doc_freq",
+    "text_corpus_idf", "doc_chunking", "redact_pii",
+    "stratified_sample_docs", "multimodal_frame_sample",
+    "decontaminate_eval_overlap",
+    # head of the r5 cohort (next-oldest) to fill the window
+    "map_stream", "filter_stream",
+    # (the r4/r5 stream-family cohort re-greened r8 rotates out; every
+    # rotated-out query stays covered by the full local oracle gate,
+    # tools/check_oracle.py)
 ]
 
 
