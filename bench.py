@@ -104,6 +104,9 @@ HEADLINE = [
     "dsir_sample_topk",
     "bpe_tokenize_docs",
     "bm25_topk_docs",
+    # round 9 additions
+    "text_trigram_lm",
+    "dedup_exact_wide",
 ]
 
 
