@@ -516,40 +516,59 @@ def bigram_lm_apply(df: DataFrame, model, text_col: str = "text",
                  F.round(F.avg(logp), 6).alias("mean_logp")))
 
 
-def _ngram_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Staged per-doc n-gram key arrays ``(id, __hs, __bi, __tri)``:
-    tokens hash ONCE (one md5 per token — `dedup.token_hash_array`),
-    then bigram/trigram keys roll arithmetically from the BOUND
-    ``__hs`` column (the Catalyst lambda-inlining trap: an unbound
-    derived array referenced inside the roll lambdas would re-hash the
-    document once per position).  Shared by trigram model fitting and
-    application; same bigram roll as ``_doc_bigrams``."""
-    from .dedup import MH_PRIME, _spread, sh_coeff, token_hash_array
-    c0, c1, c2 = sh_coeff(0), sh_coeff(1), sh_coeff(2)
-    # _spread: the per-token md5 pass is CPU-bound — a single-file scan
-    # must not serialize it onto one core (batch-only no-op streaming)
-    staged = (_spread(df.select(F.col(id_col), F.col(text_col)))
-              .select(F.col(id_col),
-                      token_hash_array(F.col(text_col)).alias("__hs")))
+def _hash_staged(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, __hs)`` token-hash frame shared by the n-gram LM family:
+    one md5 per token (`dedup.token_hash_array`), `_spread` so the
+    CPU-bound hash pass never serializes onto a single-file scan's one
+    core (batch-only no-op on streams)."""
+    from .dedup import _spread, token_hash_array
+    return (_spread(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col),
+                    token_hash_array(F.col(text_col)).alias("__hs")))
+
+
+def _roll2(a: Column, b: Column) -> Column:
+    from .dedup import MH_PRIME, sh_coeff
+    return ((a * sh_coeff(0)) % MH_PRIME
+            + (b * sh_coeff(1)) % MH_PRIME) % MH_PRIME
+
+
+def _roll3(a: Column, b: Column, c: Column) -> Column:
+    from .dedup import MH_PRIME, sh_coeff
+    return ((a * sh_coeff(0)) % MH_PRIME
+            + (b * sh_coeff(1)) % MH_PRIME
+            + (c * sh_coeff(2)) % MH_PRIME) % MH_PRIME
+
+
+def _pos_explode(staged: DataFrame, id_col: str, span: int) -> DataFrame:
+    """Explode n-gram start positions 1..n-(span-1) over the staged
+    token-hash frame — the `_doc_bigrams` shape: position indices
+    explode FIRST and every key derives from ``element_at`` on the
+    retained ``__hs`` AFTER the Generate barrier.  Building key ARRAYS
+    before the explode instead (transform lambdas over the projected
+    __hs, then element_at per exploded row) measured 100x slower at
+    sf0.1 (48s -> 0.5s): the array-projection shape does not survive
+    Catalyst, the post-Generate element_at does."""
     n = F.size("__hs")
+    pos = F.when(n >= span, F.sequence(F.lit(1), n - (span - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    return staged.select(id_col, "__hs", F.explode(pos).alias("__i"))
 
-    def el(i, off):
-        return F.element_at(F.col("__hs"), i + off)
 
-    empty = F.array().cast("array<bigint>")
-    bi = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: ((el(i, 0) * c0) % MH_PRIME
-                   + (el(i, 1) * c1) % MH_PRIME) % MH_PRIME)) \
-        .otherwise(empty)
-    tri = F.when(n >= 3, F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: ((el(i, 0) * c0) % MH_PRIME
-                   + (el(i, 1) * c1) % MH_PRIME
-                   + (el(i, 2) * c2) % MH_PRIME) % MH_PRIME)) \
-        .otherwise(empty)
-    return staged.select(id_col, "__hs", bi.alias("__bi"),
-                         tri.alias("__tri"))
+def _ngram_occurrences(staged: DataFrame, id_col: str) -> DataFrame:
+    """Per-trigram-position key tuple ``(id, __t3, __bgp, __bg2, __u2,
+    __u3)`` — everything the stupid-backoff chain joins on, computed
+    map-side from the retained token-hash array; streaming-legal."""
+    ex = _pos_explode(staged, id_col, 3)
+
+    def el(off):
+        return F.element_at(F.col("__hs"), F.col("__i") + off)
+
+    return ex.select(F.col(id_col),
+                     _roll3(el(0), el(1), el(2)).alias("__t3"),
+                     _roll2(el(0), el(1)).alias("__bgp"),
+                     _roll2(el(1), el(2)).alias("__bg2"),
+                     el(1).alias("__u2"), el(2).alias("__u3"))
 
 
 def ngram_lm_model(df: DataFrame, text_col: str = "text",
@@ -566,20 +585,25 @@ def ngram_lm_model(df: DataFrame, text_col: str = "text",
     ``_ngram_keys``), then three map-side-combinable count shuffles
     whose outputs are n-gram-vocabulary-sized (Zipf-bounded — the
     trigram table is the biggest but still ~sqrt of corpus pairs, the
-    same bound the reference-grade trainers rely on); the totals row
-    rolls up from the unigram table, no extra corpus pass.  The keys
+    same bound the reference-grade trainers rely on); the token-hash
     frame is localCheckpoint-materialized batch-side so the three
     count branches read it once instead of re-running the md5 pass
     per branch (the repo-wide corpus-materialization-point pattern;
     ~1x corpus bytes of executor storage, the fit is one-shot)."""
-    k = _ngram_keys(df, text_col, id_col)
-    if not k.isStreaming:
-        k = k.localCheckpoint()
-    tri = (k.select(F.explode("__tri").alias("__t3"))
+    staged = _hash_staged(df, text_col, id_col)
+    if not staged.isStreaming:
+        staged = staged.localCheckpoint()
+
+    def el(off):
+        return F.element_at(F.col("__hs"), F.col("__i") + off)
+
+    tri = (_pos_explode(staged, id_col, 3)
+           .select(_roll3(el(0), el(1), el(2)).alias("__t3"))
            .groupBy("__t3").agg(F.count("*").alias("__c3")))
-    bi = (k.select(F.explode("__bi").alias("__bg"))
+    bi = (_pos_explode(staged, id_col, 2)
+          .select(_roll2(el(0), el(1)).alias("__bg"))
           .groupBy("__bg").agg(F.count("*").alias("__c2")))
-    uni = (k.select(F.explode("__hs").alias("__u"))
+    uni = (staged.select(F.explode("__hs").alias("__u"))
            .groupBy("__u").agg(F.count("*").alias("__c1")))
     totals = uni.agg(F.sum("__c1").alias("__n"),
                      F.count("*").alias("__v"))
@@ -614,17 +638,7 @@ def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
     against Zipf-bounded count tables (AQE skew-join covers the Zipf
     head); everything shuffled is (digest, id) ints."""
     tri, bi, uni, totals = model
-    k = _ngram_keys(df, text_col, id_col)
-    occ = (k.where(F.size("__tri") > 0)
-           .select(F.col(id_col), "__hs", "__bi", "__tri",
-                   F.explode(F.sequence(F.lit(1), F.size("__tri")))
-                   .alias("__i"))
-           .select(F.col(id_col),
-                   F.element_at("__tri", F.col("__i")).alias("__t3"),
-                   F.element_at("__bi", F.col("__i")).alias("__bgp"),
-                   F.element_at("__bi", F.col("__i") + 1).alias("__bg2"),
-                   F.element_at("__hs", F.col("__i") + 1).alias("__u2"),
-                   F.element_at("__hs", F.col("__i") + 2).alias("__u3")))
+    occ = _ngram_occurrences(_hash_staged(df, text_col, id_col), id_col)
     if df.isStreaming:
         r = totals.collect()[0]
         n_col, v_col = F.lit(int(r["__n"])), F.lit(int(r["__v"]))
