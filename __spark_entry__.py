@@ -4229,58 +4229,72 @@ GROUP BY doc_id
 """
 
 
-def _trigram_lm_oracle(a=0.4):
+def _ngram_lm_oracle(order=3, a=0.4):
+    """DuckDB mirror of the order-N stupid-backoff score: identical
+    rolled keys, identical guarded CASE chain, identical add-1 unigram
+    floor — engine-identical at any rolled-key collision density."""
     from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
-    c0, c1, c2 = sh_coeff(0), sh_coeff(1), sh_coeff(2)
     P = MH_PRIME
-    t3 = (f"((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}"
-          f" + (hs[i + 2] * {c2}) % {P}) % {P}")
-    bgp = f"((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}) % {P}"
-    bg2 = f"((hs[i + 1] * {c0}) % {P} + (hs[i + 2] * {c1}) % {P}) % {P}"
+    N = order
+
+    def roll(start, k):
+        if k == 1:
+            return f"hs[{start}]"
+        terms = " + ".join(
+            f"(hs[{start} + {j}] * {sh_coeff(j)}) % {P}" for j in range(k))
+        return f"(({terms}) % {P})"
+
+    wk = ",\n               ".join(
+        f"{roll(f'i + {N - k}', k)} AS w{k}" for k in range(1, N + 1))
+    pk = ",\n               ".join(
+        f"{roll(f'i + {N - 1 - k}', k)} AS p{k}" for k in range(1, N))
+    cnts = []
+    for k in range(1, N + 1):
+        if k == 1:
+            cnts.append("cnt1 AS (SELECT h AS k1, COUNT(*) AS c\n"
+                        "         FROM (SELECT unnest(hs) AS h FROM hs)"
+                        " GROUP BY h)")
+        else:
+            cnts.append(
+                f"cnt{k} AS (SELECT {roll('i', k)} AS k{k}, "
+                f"COUNT(*) AS c\n"
+                f"         FROM (SELECT hs, unnest(generate_series(1, "
+                f"len(hs) - {k - 1})) AS i\n"
+                f"               FROM hs WHERE len(hs) >= {k}) "
+                f"GROUP BY 1)")
+    joins = []
+    for k in range(1, N + 1):
+        joins.append(f"LEFT JOIN cnt{k} w{k}_ ON w{k}_.k{k} = occ.w{k}")
+        if k < N:
+            joins.append(f"LEFT JOIN cnt{k} p{k}_ ON p{k}_.k{k} = occ.p{k}")
+    s = f"((coalesce(w1_.c, 0) + 1) / (tot.n + tot.v))"
+    for k in range(2, N + 1):
+        s = (f"CASE WHEN w{k}_.c IS NOT NULL AND p{k - 1}_.c IS NOT NULL"
+             f" THEN w{k}_.c / p{k - 1}_.c ELSE {a} * ({s}) END")
+    nl = chr(10)
     return f"""
 WITH hs AS (SELECT doc_id,
                    list_transform({_TOKS},
                                   x -> {h64_sql('x')} % {P}) AS hs
             FROM documents),
-occ AS (SELECT doc_id, {t3} AS t3, {bgp} AS bgp, {bg2} AS bg2,
-               hs[i + 1] AS u2, hs[i + 2] AS u3
+occ AS (SELECT doc_id,
+               {wk},
+               {pk}
         FROM (SELECT doc_id, hs,
-                     unnest(generate_series(1, len(hs) - 2)) AS i
-              FROM hs WHERE len(hs) >= 3)),
-tric AS (SELECT ((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}
-                 + (hs[i + 2] * {c2}) % {P}) % {P} AS t3,
-                COUNT(*) AS c3
-         FROM (SELECT hs, unnest(generate_series(1, len(hs) - 2)) AS i
-               FROM hs WHERE len(hs) >= 3) GROUP BY 1),
-bgc AS (SELECT ((hs[i] * {c0}) % {P} + (hs[i + 1] * {c1}) % {P}) % {P}
-               AS bg, COUNT(*) AS c2
-        FROM (SELECT hs, unnest(generate_series(1, len(hs) - 1)) AS i
-              FROM hs WHERE len(hs) >= 2) GROUP BY 1),
-uni AS (SELECT h, COUNT(*) AS c1
-        FROM (SELECT unnest(hs) AS h FROM hs) GROUP BY h),
-tot AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni)
-SELECT doc_id, COUNT(*) AS n_trigrams,
-       round(AVG(ln(
-         CASE WHEN t.c3 IS NOT NULL AND bp.c2 IS NOT NULL
-              THEN t.c3 / bp.c2
-              ELSE {a} * (CASE WHEN b2.c2 IS NOT NULL
-                                    AND up.c1 IS NOT NULL
-                               THEN b2.c2 / up.c1
-                               ELSE {a} * ((coalesce(uw.c1, 0) + 1)
-                                           / (tot.n + tot.v)) END)
-         END)), 6) AS mean_logp
+                     unnest(generate_series(1, len(hs) - {N - 1})) AS i
+              FROM hs WHERE len(hs) >= {N})),
+{("," + nl).join(cnts)},
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt1)
+SELECT doc_id, COUNT(*) AS n_ngrams,
+       round(AVG(ln({s})), 6) AS mean_logp
 FROM occ
-LEFT JOIN tric t ON t.t3 = occ.t3
-LEFT JOIN bgc bp ON bp.bg = occ.bgp
-LEFT JOIN bgc b2 ON b2.bg = occ.bg2
-LEFT JOIN uni up ON up.h = occ.u2
-LEFT JOIN uni uw ON uw.h = occ.u3
+{nl.join(joins)}
 CROSS JOIN tot
 GROUP BY doc_id
 """
 
 
-@query("text_trigram_lm", _trigram_lm_oracle())
+@query("text_trigram_lm", _ngram_lm_oracle(3))
 def text_trigram_lm(spark, sf_dir):
     """In-corpus TRIGRAM stupid-backoff LM score (r9 — the
     higher-order rung above text_bigram_lm; CCNet's real filter is a
@@ -4294,7 +4308,7 @@ def text_trigram_lm(spark, sf_dir):
     return ngram_lm_score(load_table(spark, sf_dir, "documents"))
 
 
-@query("live_text_trigram_lm", _trigram_lm_oracle())
+@query("live_text_trigram_lm", _ngram_lm_oracle(3))
 def live_text_trigram_lm(spark, sf_dir):
     """The snapshot trigram LM serving a LIVE crawl: the three count
     tables + totals are fitted ONCE batch-side (the snapshot
@@ -4313,9 +4327,9 @@ def live_text_trigram_lm(spark, sf_dir):
 @query("perplexity_filter_trigram", f"""
 WITH scores AS ({{lm}}),
 thr AS (SELECT quantile_cont(mean_logp, 0.1) AS t FROM scores)
-SELECT doc_id, n_trigrams, mean_logp
+SELECT doc_id, n_ngrams, mean_logp
 FROM scores, thr WHERE mean_logp >= t
-""".format(lm=_trigram_lm_oracle()))
+""".format(lm=_ngram_lm_oracle(3)))
 def perplexity_filter_trigram(spark, sf_dir):
     """The CCNet perplexity gate on the HIGHER-ORDER model (r9):
     perplexity_filter(order=3) drops the 10% tail of the trigram
@@ -4324,6 +4338,20 @@ def perplexity_filter_trigram(spark, sf_dir):
     from scespet_spark.operators.text import perplexity_filter
     return perplexity_filter(load_table(spark, sf_dir, "documents"),
                              frac=0.1, order=3)
+
+
+@query("text_ngram_lm_order5", _ngram_lm_oracle(5))
+def text_ngram_lm_order5(spark, sf_dir):
+    """The order-5 stupid-backoff LM — CCNet's PRODUCTION filter shape
+    (its perplexity model is a 5-gram LM): the same count-table fit
+    one rung up (five Zipf-bounded tables from one localCheckpointed
+    hash pass) and a 9-join apply whose guarded CASE chain backs off
+    5-gram -> 4 -> 3 -> 2 -> add-1 unigram floor.  The order
+    generalization is one code path (`ngram_lm_model(order=N)`), so
+    the oracle is generated for the same N."""
+    from scespet_spark.operators.text import ngram_lm_score
+    return ngram_lm_score(load_table(spark, sf_dir, "documents"),
+                          order=5)
 
 
 @query("text_bigram_lm", _bigram_lm_oracle())
@@ -5601,6 +5629,7 @@ _ROUND_CHANGED = [
     # the order-3 perplexity gate)
     "dedup_exact_wide", "live_lang_id_rowwise",
     "text_trigram_lm", "live_text_trigram_lm", "perplexity_filter_trigram",
+    "text_ngram_lm_order5",
     # implementation changed this round: the exact/segment dedup
     # families gained hash_fn/wide hooks (default paths re-verified),
     # bm25_stats counts null text as dl=0, FFD packing groups by true
@@ -5630,7 +5659,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "stratified_sample_docs", "multimodal_frame_sample",
     "decontaminate_eval_overlap",
     # head of the r5 cohort (next-oldest) to fill the window
-    "map_stream", "filter_stream",
+    "map_stream",
     # (the r4/r5 stream-family cohort re-greened r8 rotates out; every
     # rotated-out query stays covered by the full local oracle gate,
     # tools/check_oracle.py)

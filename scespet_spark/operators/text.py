@@ -527,17 +527,16 @@ def _hash_staged(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     token_hash_array(F.col(text_col)).alias("__hs")))
 
 
-def _roll2(a: Column, b: Column) -> Column:
+def _rollk(*cols: Column) -> Column:
+    """Rolled k-gram digest over token-hash columns: ``sum_j c_j *
+    h_j mod p`` (the ``dedup.shingle_hashes`` arithmetic — each term
+    < 2^31, so a sum of <= 6 terms never overflows int64)."""
     from .dedup import MH_PRIME, sh_coeff
-    return ((a * sh_coeff(0)) % MH_PRIME
-            + (b * sh_coeff(1)) % MH_PRIME) % MH_PRIME
-
-
-def _roll3(a: Column, b: Column, c: Column) -> Column:
-    from .dedup import MH_PRIME, sh_coeff
-    return ((a * sh_coeff(0)) % MH_PRIME
-            + (b * sh_coeff(1)) % MH_PRIME
-            + (c * sh_coeff(2)) % MH_PRIME) % MH_PRIME
+    acc = None
+    for j, c in enumerate(cols):
+        t = (c * sh_coeff(j)) % MH_PRIME
+        acc = t if acc is None else acc + t
+    return acc % MH_PRIME
 
 
 def _pos_explode(staged: DataFrame, id_col: str, span: int) -> DataFrame:
@@ -555,41 +554,37 @@ def _pos_explode(staged: DataFrame, id_col: str, span: int) -> DataFrame:
     return staged.select(id_col, "__hs", F.explode(pos).alias("__i"))
 
 
-def _ngram_occurrences(staged: DataFrame, id_col: str) -> DataFrame:
-    """Per-trigram-position key tuple ``(id, __t3, __bgp, __bg2, __u2,
-    __u3)`` — everything the stupid-backoff chain joins on, computed
-    map-side from the retained token-hash array; streaming-legal."""
-    ex = _pos_explode(staged, id_col, 3)
+#: supported stupid-backoff orders (6 keeps the rolled-key sum safely
+#: inside int64; CCNet's production filter is order 5)
+_NGRAM_MAX_ORDER = 6
 
-    def el(off):
-        return F.element_at(F.col("__hs"), F.col("__i") + off)
 
-    return ex.select(F.col(id_col),
-                     _roll3(el(0), el(1), el(2)).alias("__t3"),
-                     _roll2(el(0), el(1)).alias("__bgp"),
-                     _roll2(el(1), el(2)).alias("__bg2"),
-                     el(1).alias("__u2"), el(2).alias("__u3"))
+def _check_order(order: int) -> None:
+    if not 2 <= order <= _NGRAM_MAX_ORDER:
+        raise ValueError(
+            f"order must be in [2, {_NGRAM_MAX_ORDER}], got {order}")
 
 
 def ngram_lm_model(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id"):
-    """Fit the TRIGRAM stupid-backoff LM tables ONCE — the
-    higher-order rung above ``bigram_lm_model`` (CCNet's real
-    perplexity filter is a 5-gram model; this is the same count-table
-    shape one order up, with Brants et al. 2007 stupid backoff, whose
-    score is SQL-exact — unlike Kneser-Ney's discounting recursion).
-    Returns ``(tri_counts, bi_counts, uni_counts, totals)`` DataFrames
-    (trigram/bigram/unigram count tables + a 1-row (N, V) total).
+                   id_col: str = "doc_id", order: int = 3):
+    """Fit an order-``order`` stupid-backoff LM ONCE — the
+    higher-order rungs above ``bigram_lm_model`` (CCNet's real
+    perplexity filter is a 5-gram model: ``order=5`` IS that shape,
+    with Brants et al. 2007 stupid backoff, whose score is SQL-exact —
+    unlike Kneser-Ney's discounting recursion).  Returns
+    ``{"order": order, "counts": {k: DataFrame}, "totals": DataFrame}``
+    — one ``(__k{k}, __c{k})`` count table per n-gram order k = 1..N
+    plus a 1-row (N_tokens, V) total; the snapshot model artifact.
 
-    Scale shape: ONE tokenize+hash pass (the map-side key arrays of
-    ``_ngram_keys``), then three map-side-combinable count shuffles
-    whose outputs are n-gram-vocabulary-sized (Zipf-bounded — the
-    trigram table is the biggest but still ~sqrt of corpus pairs, the
-    same bound the reference-grade trainers rely on); the token-hash
-    frame is localCheckpoint-materialized batch-side so the three
-    count branches read it once instead of re-running the md5 pass
-    per branch (the repo-wide corpus-materialization-point pattern;
-    ~1x corpus bytes of executor storage, the fit is one-shot)."""
+    Scale shape: ONE tokenize+hash pass (localCheckpoint-materialized
+    batch-side so the N count branches read it once — the repo-wide
+    corpus-materialization-point pattern, ~1x corpus bytes one-shot),
+    then N map-side-combinable count shuffles whose outputs are
+    n-gram-vocabulary-sized (Zipf-bounded).  Every k-gram key derives
+    from ``element_at`` on the retained hash array AFTER the Generate
+    barrier — the array-projection shape measured 100x slower
+    (SCALE.md r9)."""
+    _check_order(order)
     staged = _hash_staged(df, text_col, id_col)
     if not staged.isStreaming:
         staged = staged.localCheckpoint()
@@ -597,48 +592,69 @@ def ngram_lm_model(df: DataFrame, text_col: str = "text",
     def el(off):
         return F.element_at(F.col("__hs"), F.col("__i") + off)
 
-    tri = (_pos_explode(staged, id_col, 3)
-           .select(_roll3(el(0), el(1), el(2)).alias("__t3"))
-           .groupBy("__t3").agg(F.count("*").alias("__c3")))
-    bi = (_pos_explode(staged, id_col, 2)
-          .select(_roll2(el(0), el(1)).alias("__bg"))
-          .groupBy("__bg").agg(F.count("*").alias("__c2")))
-    uni = (staged.select(F.explode("__hs").alias("__u"))
-           .groupBy("__u").agg(F.count("*").alias("__c1")))
-    totals = uni.agg(F.sum("__c1").alias("__n"),
-                     F.count("*").alias("__v"))
-    return tri, bi, uni, totals
+    counts = {}
+    for k in range(1, order + 1):
+        if k == 1:
+            occ_k = staged.select(F.explode("__hs").alias("__k1"))
+        else:
+            occ_k = (_pos_explode(staged, id_col, k)
+                     .select(_rollk(*[el(j) for j in range(k)])
+                             .alias(f"__k{k}")))
+        counts[k] = (occ_k.groupBy(f"__k{k}")
+                     .agg(F.count("*").alias(f"__c{k}")))
+    totals = counts[1].agg(F.sum("__c1").alias("__n"),
+                           F.count("*").alias("__v"))
+    return {"order": order, "counts": counts, "totals": totals}
 
 
 def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
                    id_col: str = "doc_id",
                    backoff: float = 0.4) -> DataFrame:
-    """Score documents under a FITTED trigram stupid-backoff model
-    (see ``ngram_lm_model``): per-doc mean ``ln S(w_i | w_{i-2},
-    w_{i-1})`` with
+    """Score documents under a FITTED stupid-backoff model (see
+    ``ngram_lm_model``): per-doc mean ``ln S(w | context)`` where, for
+    the k-gram ending at the scored token,
 
-        S3 = c3/c(prefix bigram)        if the trigram was seen
-           = backoff * S2               otherwise
-        S2 = c2/c(prefix unigram)       if the backoff bigram was seen
-           = backoff * S1               otherwise
-        S1 = (c1 + 1) / (N + V)         add-1 unigram (always finite —
-                                        unseen words score honestly)
+        S_k = c_k / c_{k-1}(its prefix)   if the k-gram was seen
+            = backoff * S_{k-1}           otherwise      (k = N..2)
+        S_1 = (c_1 + 1) / (N + V)         add-1 unigram (always finite
+                                          — unseen words score honestly)
 
-    Returns ``(id, n_trigrams, mean_logp)`` for docs with >= 3 tokens.
-    Works unchanged on a LIVE stream (stream-static joins against the
-    snapshot count tables; the 1-row totals are read driver-side —
-    a streaming plan cannot cross-join).
+    Returns ``(id, n_ngrams, mean_logp)`` for docs with >= ``order``
+    tokens.  Works unchanged on a LIVE stream (stream-static joins
+    against the snapshot count tables; the 1-row totals are read
+    driver-side — a streaming plan cannot cross-join).
 
     Every CASE guards BOTH the matched count and its denominator
-    (rolled keys can birthday-collide: a collided trigram hit whose
-    true prefix bigram is absent must fall through to backoff, not
-    divide by NULL); counts for colliding keys merge, exactly what the
-    oracle's GROUP BY computes — engine-identical at any collision
-    density.  Scale shape: the per-doc attach is five left joins
+    (rolled keys can birthday-collide: a collided k-gram hit whose
+    true prefix is absent must fall through to backoff, not divide by
+    NULL); counts for colliding keys merge, exactly what the oracle's
+    GROUP BY computes — engine-identical at any collision density.
+    Scale shape: the per-doc attach is ``2*order - 1`` left joins
     against Zipf-bounded count tables (AQE skew-join covers the Zipf
     head); everything shuffled is (digest, id) ints."""
-    tri, bi, uni, totals = model
-    occ = _ngram_occurrences(_hash_staged(df, text_col, id_col), id_col)
+    N, counts, totals = model["order"], model["counts"], model["totals"]
+    staged = _hash_staged(df, text_col, id_col)
+    ex = _pos_explode(staged, id_col, N)
+
+    def el(off):
+        return F.element_at(F.col("__hs"), F.col("__i") + off)
+
+    # per scored token w (window offset N-1): the k-gram ENDING at w
+    # for k=1..N, and the k-gram ending at w-1 (the backoff prefix of
+    # the (k+1)-gram) for k=1..N-1
+    def kgram(end_off, k):
+        # unigram keys are the RAW token hashes (the model's __k1 is a
+        # plain explode of __hs, not a rolled 1-gram)
+        if k == 1:
+            return el(end_off)
+        return _rollk(*[el(end_off - k + 1 + j) for j in range(k)])
+
+    keys = [F.col(id_col)]
+    for k in range(1, N + 1):
+        keys.append(kgram(N - 1, k).alias(f"__w{k}"))
+    for k in range(1, N):
+        keys.append(kgram(N - 2, k).alias(f"__p{k}"))
+    occ = ex.select(*keys)
     if df.isStreaming:
         r = totals.collect()[0]
         n_col, v_col = F.lit(int(r["__n"])), F.lit(int(r["__v"]))
@@ -646,40 +662,39 @@ def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
     else:
         n_col, v_col = F.col("__n"), F.col("__v")
         streaming = False
-    joined = (occ
-              .join(tri, "__t3", "left")
-              .join(bi.select(F.col("__bg").alias("__bgp"),
-                              F.col("__c2").alias("__c2p")),
-                    "__bgp", "left")
-              .join(bi.select(F.col("__bg").alias("__bg2"),
-                              F.col("__c2").alias("__c2b")),
-                    "__bg2", "left")
-              .join(uni.select(F.col("__u").alias("__u2"),
-                               F.col("__c1").alias("__c1p")),
-                    "__u2", "left")
-              .join(uni.select(F.col("__u").alias("__u3"),
-                               F.col("__c1").alias("__c1w")),
-                    "__u3", "left"))
+    joined = occ
+    for k in range(1, N + 1):
+        joined = joined.join(
+            counts[k].select(F.col(f"__k{k}").alias(f"__w{k}"),
+                             F.col(f"__c{k}").alias(f"__cw{k}")),
+            f"__w{k}", "left")
+        if k < N:
+            joined = joined.join(
+                counts[k].select(F.col(f"__k{k}").alias(f"__p{k}"),
+                                 F.col(f"__c{k}").alias(f"__cp{k}")),
+                f"__p{k}", "left")
     if not streaming:
         joined = joined.crossJoin(F.broadcast(totals))
     a = F.lit(backoff)
-    s1 = (F.coalesce(F.col("__c1w"), F.lit(0)) + 1) / (n_col + v_col)
-    s2 = F.when(F.col("__c2b").isNotNull() & F.col("__c1p").isNotNull(),
-                F.col("__c2b") / F.col("__c1p")).otherwise(a * s1)
-    s3 = F.when(F.col("__c3").isNotNull() & F.col("__c2p").isNotNull(),
-                F.col("__c3") / F.col("__c2p")).otherwise(a * s2)
+    s = (F.coalesce(F.col("__cw1"), F.lit(0)) + 1) / (n_col + v_col)
+    for k in range(2, N + 1):
+        s = F.when(F.col(f"__cw{k}").isNotNull()
+                   & F.col(f"__cp{k - 1}").isNotNull(),
+                   F.col(f"__cw{k}") / F.col(f"__cp{k - 1}")) \
+            .otherwise(a * s)
     return (joined.groupBy(id_col)
-            .agg(F.count("*").alias("n_trigrams"),
-                 F.round(F.avg(F.log(s3)), 6).alias("mean_logp")))
+            .agg(F.count("*").alias("n_ngrams"),
+                 F.round(F.avg(F.log(s)), 6).alias("mean_logp")))
 
 
 def ngram_lm_score(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id",
-                   backoff: float = 0.4) -> DataFrame:
-    """In-corpus trigram stupid-backoff quality score: fit
-    ``ngram_lm_model`` on the corpus itself and apply it — the
-    higher-order sibling of ``bigram_lm_score``."""
-    return ngram_lm_apply(df, ngram_lm_model(df, text_col, id_col),
+                   id_col: str = "doc_id", backoff: float = 0.4,
+                   order: int = 3) -> DataFrame:
+    """In-corpus stupid-backoff quality score: fit ``ngram_lm_model``
+    on the corpus itself and apply it — the higher-order siblings of
+    ``bigram_lm_score`` (``order=5`` is the CCNet filter shape)."""
+    return ngram_lm_apply(df, ngram_lm_model(df, text_col, id_col,
+                                             order=order),
                           text_col=text_col, id_col=id_col,
                           backoff=backoff)
 
@@ -718,12 +733,13 @@ def perplexity_filter(df: DataFrame, frac: float = 0.1,
                       backoff: float = 0.4) -> DataFrame:
     """CCNet-style perplexity filtering: score every document with the
     in-corpus LM — ``order=2`` (default) the add-``k`` bigram LM
-    (``bigram_lm_score``), ``order=3`` the trigram stupid-backoff LM
-    (``ngram_lm_score``; ``backoff`` is its discount) — and drop the
-    worst ``frac`` tail: docs whose mean log transition probability
-    falls below the corpus ``frac``-quantile (OCR noise, shuffled
-    text, keyword spam).  Returns the survivors' ``(id, n_bigrams,
-    mean_logp)`` (``n_trigrams`` for order=3).
+    (``bigram_lm_score``), ``order>=3`` the order-N stupid-backoff LM
+    (``ngram_lm_score``; ``backoff`` is its discount; ``order=5`` is
+    CCNet's production filter shape) — and drop the worst ``frac``
+    tail: docs whose mean log transition probability falls below the
+    corpus ``frac``-quantile (OCR noise, shuffled text, keyword
+    spam).  Returns the survivors' ``(id, n_bigrams, mean_logp)``
+    (``n_ngrams`` for order>=3).
 
     The threshold is ONE number computed from the doc-level score table
     (corpus-cardinality, tiny next to the token tables) and attached as
@@ -738,11 +754,10 @@ def perplexity_filter(df: DataFrame, frac: float = 0.1,
     if order == 2:
         scored = bigram_lm_score(df, text_col=text_col, id_col=id_col,
                                  k=k)
-    elif order == 3:
-        scored = ngram_lm_score(df, text_col=text_col, id_col=id_col,
-                                backoff=backoff)
     else:
-        raise ValueError(f"order must be 2 or 3, got {order}")
+        _check_order(order)
+        scored = ngram_lm_score(df, text_col=text_col, id_col=id_col,
+                                backoff=backoff, order=order)
     pct = (F.approx_percentile(F.col("mean_logp"), F.lit(frac), F.lit(10000))
            if approx else F.percentile(F.col("mean_logp"), F.lit(frac)))
     thr = scored.agg(pct.alias("__thr"))

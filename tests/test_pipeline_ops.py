@@ -2060,45 +2060,47 @@ def test_lang_id_rowwise_parity_and_append_shape(spark):
                               n_buckets=256)
 
 
-def _py_stupid_backoff(corpus, score_docs, a=0.4):
-    """Pure-Python trigram stupid-backoff reference model (actual
+def _py_stupid_backoff(corpus, score_docs, a=0.4, order=3):
+    """Pure-Python order-N stupid-backoff reference model (actual
     n-grams, no hashing — collision-free at test scale, so the rolled
     digests must reproduce it exactly)."""
     import math
     from collections import Counter
-    tri, bi, uni = Counter(), Counter(), Counter()
+    counts = {k: Counter() for k in range(1, order + 1)}
     for t in corpus:
         w = t.split()
-        uni.update(w)
-        bi.update(zip(w, w[1:]))
-        tri.update(zip(w, w[1:], w[2:]))
-    n, v = sum(uni.values()), len(uni)
+        for k in range(1, order + 1):
+            counts[k].update(tuple(w[i:i + k])
+                             for i in range(len(w) - k + 1))
+    n, v = sum(counts[1].values()), len(counts[1])
     out = {}
     for d, t in score_docs:
         w = t.split()
-        if len(w) < 3:
+        if len(w) < order:
             continue
         lps = []
-        for i in range(len(w) - 2):
-            t3 = (w[i], w[i + 1], w[i + 2])
-            bg2 = (w[i + 1], w[i + 2])
-            if tri[t3]:
-                s = tri[t3] / bi[(w[i], w[i + 1])]
-            elif bi[bg2]:
-                s = a * bi[bg2] / uni[w[i + 1]]
-            else:
-                s = a * a * (uni[w[i + 2]] + 1) / (n + v)
+        for i in range(len(w) - order + 1):
+            win = w[i:i + order]
+            s = (counts[1][(win[-1],)] + 1) / (n + v)
+            for k in range(2, order + 1):
+                g, p = tuple(win[-k:]), tuple(win[-k:-1])
+                if counts[k][g] and counts[k - 1][p]:
+                    s = counts[k][g] / counts[k - 1][p]
+                else:
+                    s = a * s
             lps.append(math.log(s))
         out[d] = (len(lps), sum(lps) / len(lps))
     return out
 
 
 def test_trigram_lm_matches_python_model(spark):
-    """The trigram stupid-backoff LM (r9): exact agreement with a
-    pure-Python reference on a corpus exercising all three backoff
-    rungs; <3-token docs drop; unseen-word docs score finite;
-    deterministic under repartitioning."""
-    from scespet_spark.operators.text import ngram_lm_apply, ngram_lm_model
+    """The stupid-backoff LM (r9): exact agreement with a pure-Python
+    reference at order 3 AND order 5 on a corpus exercising all
+    backoff rungs; <order-token docs drop; unseen-word docs score
+    finite; deterministic under repartitioning."""
+    from scespet_spark.operators.text import (ngram_lm_apply,
+                                              ngram_lm_model,
+                                              ngram_lm_score)
     corpus = [
         "the cat sat on the mat",
         "the cat sat on the rug",
@@ -2108,24 +2110,24 @@ def test_trigram_lm_matches_python_model(spark):
     rows = [(i, t) for i, t in enumerate(corpus)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     held = [
-        (100, "the cat sat on a log"),      # seen trigrams + backoffs
-        (101, "mat rug dog unseenword"),    # unigram-floor rung
+        (100, "the cat sat on a log"),      # seen n-grams + backoffs
+        (101, "mat rug dog unseenword cat mat"),  # unigram-floor rung
         (102, "on the"),                    # < 3 tokens: drops
     ]
     hdf = spark.createDataFrame(held, "doc_id long, text string")
-    model = ngram_lm_model(docs)
-    got = {r.doc_id: (r.n_trigrams, r.mean_logp)
-           for r in ngram_lm_apply(hdf, model).collect()}
-    want = _py_stupid_backoff(corpus, held)
-    assert set(got) == set(want) and 102 not in got
-    for d, (nt, lp) in want.items():
-        assert got[d][0] == nt
-        assert abs(got[d][1] - lp) <= 1e-6
-    # in-corpus score path + partitioning determinism
-    from scespet_spark.operators.text import ngram_lm_score
-    s1 = {r.doc_id: (r.n_trigrams, r.mean_logp)
+    for order in (3, 5):
+        model = ngram_lm_model(docs, order=order)
+        got = {r.doc_id: (r.n_ngrams, r.mean_logp)
+               for r in ngram_lm_apply(hdf, model).collect()}
+        want = _py_stupid_backoff(corpus, held, order=order)
+        assert set(got) == set(want) and 102 not in got
+        for d, (nt, lp) in want.items():
+            assert got[d][0] == nt
+            assert abs(got[d][1] - lp) <= 1e-6
+    # in-corpus score path + partitioning determinism (order 3)
+    s1 = {r.doc_id: (r.n_ngrams, r.mean_logp)
           for r in ngram_lm_score(docs).collect()}
-    s2 = {r.doc_id: (r.n_trigrams, r.mean_logp)
+    s2 = {r.doc_id: (r.n_ngrams, r.mean_logp)
           for r in ngram_lm_score(docs.repartition(7)).collect()}
     assert s1 == s2
     winc = _py_stupid_backoff(corpus, rows)
@@ -2135,15 +2137,16 @@ def test_trigram_lm_matches_python_model(spark):
     probe = spark.createDataFrame(
         [(200, "the cat sat on the mat"), (201, "mat the on sat cat the")],
         "doc_id long, text string")
+    model3 = ngram_lm_model(docs)
     p = {r.doc_id: r.mean_logp
-         for r in ngram_lm_apply(probe, model).collect()}
+         for r in ngram_lm_apply(probe, model3).collect()}
     assert p[200] > p[201]
 
 
 def test_perplexity_filter_trigram_order(spark):
     """perplexity_filter(order=3) gates on the trigram stupid-backoff
     score: survivors are exactly the docs at/above the frac-quantile
-    of the trigram mean_logp; order=4 is a loud error."""
+    of the trigram mean_logp; out-of-range order is a loud error."""
     import pytest
     from scespet_spark.operators.text import (ngram_lm_score,
                                               perplexity_filter)
@@ -2158,7 +2161,8 @@ def test_perplexity_filter_trigram_order(spark):
            perplexity_filter(docs, frac=0.2, order=3).collect()}
     want = {d for d, s in scored.items() if s >= thr - 1e-12}
     assert got == want
-    assert "n_trigrams" in perplexity_filter(docs, frac=0.2,
-                                             order=3).columns
+    assert "n_ngrams" in perplexity_filter(docs, frac=0.2,
+                                           order=3).columns
     with pytest.raises(ValueError, match="order"):
-        perplexity_filter(docs, order=4)
+        perplexity_filter(docs, order=7)
+
