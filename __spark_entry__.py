@@ -4892,6 +4892,29 @@ def live_dedup_exact(spark, sf_dir):
     return run_available_now(dd, "append")
 
 
+@query("live_dedup_exact_wide", f"""
+SELECT DISTINCT {h64_sql('text')} AS content_hash,
+                {h64hi_sql('text')} AS content_hash2
+FROM documents
+""")
+def live_dedup_exact_wide(spark, sf_dir):
+    """Streaming exact dedup on the WIDE two-digest key (r9
+    digest-width discipline): the election state keys on BOTH
+    independent digests — the live counterpart of dedup_exact_wide,
+    and the reason the live election APIs are key-arity agnostic.  At
+    100 TB the state store holds (2x64-bit, flag) entries; a narrow
+    60-bit key would silently suppress ~2^12 innocent first
+    occurrences (SCALE.md birthday table)."""
+    from scespet_spark.operators.dedup import digest_cols
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    src = read_table_stream(spark, sf_dir, "documents")
+    d1, d2 = digest_cols(F.col("text"), wide=True)
+    dd = (src.select(d1.alias("content_hash"), d2.alias("content_hash2"))
+          .dropDuplicates(["content_hash", "content_hash2"]))
+    return run_available_now(dd, "append")
+
+
 @query("dedup_incremental_near", f"""
 WITH {{ctes}}
 SELECT n.doc_id, COUNT(DISTINCT n.band) AS n_hit_bands
@@ -5627,7 +5650,7 @@ _ROUND_CHANGED = [
     # (digest-width discipline), the append-legal row-wise language
     # gate, and the trigram stupid-backoff LM rung (batch + live +
     # the order-3 perplexity gate)
-    "dedup_exact_wide", "live_lang_id_rowwise",
+    "dedup_exact_wide", "live_dedup_exact_wide", "live_lang_id_rowwise",
     "text_trigram_lm", "live_text_trigram_lm", "perplexity_filter_trigram",
     "text_ngram_lm_order5",
     # implementation changed this round: the exact/segment dedup
@@ -5658,8 +5681,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "text_corpus_idf", "doc_chunking", "redact_pii",
     "stratified_sample_docs", "multimodal_frame_sample",
     "decontaminate_eval_overlap",
-    # head of the r5 cohort (next-oldest) to fill the window
-    "map_stream",
     # (the r4/r5 stream-family cohort re-greened r8 rotates out; every
     # rotated-out query stays covered by the full local oracle gate,
     # tools/check_oracle.py)

@@ -27,6 +27,11 @@ One snapshot =
   * ``lang_weights`` — the hashed char-n-gram multi-class NB language
                     model (`text.lang_id_fit`, needs a lang-labeled
                     corpus), applied by `text.lang_id_apply`;
+  * ``bpe_merges`` — the fitted BPE tokenizer merge table
+                    (`tokenizer.bpe_fit`, pass ``bpe_merges=N``),
+                    applied by `tokenizer.bpe_apply` — train once per
+                    snapshot so later crawls tokenize under the SAME
+                    vocabulary;
   * ``centroids`` + ``codes`` — the IVF coarse index
                     (`similarity.label_centroids` / `ivf_assign`),
                     served by `ivf_topk_from_index` / `ann_topk_stream`
@@ -59,7 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: artifact name -> builder(docs, emb) (documented above)
 _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
            "segments", "grams", "lm_bigrams", "lm_prefixes", "lm_vocab",
-           "quality_weights", "lang_weights")
+           "quality_weights", "lang_weights", "bpe_merges")
 
 #: probe tables eligible for bucketed materialization -> their
 #: equi-join keys (the columns every incremental probe joins on)
@@ -122,7 +127,10 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    lang_labeled: DataFrame | None = None,
                    lang_buckets: int = 4096,
                    bucket_probes: int | None = None,
-                   digest_wide: bool = False) -> list[str]:
+                   digest_wide: bool = False,
+                   bpe_merges: int | None = None,
+                   bpe_min_count: int = 1,
+                   bpe_max_vocab: int | None = None) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -201,6 +209,19 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         from .text import quality_classifier_fit
         _w("quality_weights",
            quality_classifier_fit(labeled, n_buckets=qc_buckets))
+    if bpe_merges is not None:
+        # the tokenizer model artifact: a fitted BPE merge table
+        # (rank, left, right) — train once per snapshot, every later
+        # crawl/batch encodes under the SAME vocabulary (tokenizer
+        # drift between snapshots silently changes every token count
+        # downstream; the manifest params make a mismatched re-fit
+        # loud via check_compat)
+        if docs is None:
+            raise ValueError("bpe_merges needs docs")
+        from .tokenizer import bpe_fit
+        _w("bpe_merges", bpe_fit(docs, n_merges=bpe_merges,
+                                 min_count=bpe_min_count,
+                                 max_vocab=bpe_max_vocab))
     if lang_labeled is not None:
         # the language-ID rung: a <= lang_buckets*L-row per-language
         # weight table (prior/unseen rows included) applied map-side
@@ -223,6 +244,9 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "segment_size": segment_size,
                     "sub_min_len": sub_min_len,
                     "digest_wide": digest_wide,
+                    "bpe_merges": bpe_merges,
+                    "bpe_min_count": bpe_min_count,
+                    "bpe_max_vocab": bpe_max_vocab,
                     "qc_buckets": qc_buckets,
                     "lang_buckets": lang_buckets,
                     "bucket_probes": bucket_probes,

@@ -113,3 +113,33 @@ def test_bpe_max_vocab_caps_driver_collect(spark):
     assert sorted(map(tuple, capped)) == sorted(map(tuple, again))
     with pytest.raises(ValueError, match="max_vocab"):
         bpe_fit(docs, 2, max_vocab=0)
+
+
+def test_bpe_merges_snapshot_artifact(spark, tmp_path):
+    """The tokenizer model persists as a snapshot artifact (r9):
+    encoding under the LOADED merge table is row-identical to encoding
+    under a fresh fit, the manifest records the trainer params
+    (check_compat catches a drifted re-fit), and the artifact
+    round-trips through read_snapshot."""
+    import pytest
+    from pyspark.sql import functions as F
+    from scespet_spark.operators.snapshot import (check_compat,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=docs, sub_min_len=5, bpe_merges=32)
+    check_compat(out, bpe_merges=32, bpe_max_vocab=None)
+    with pytest.raises(ValueError, match="bpe_merges"):
+        check_compat(out, bpe_merges=64)
+    merges = read_snapshot(spark, out)["bpe_merges"]
+    fresh = bpe_fit(docs, 32)
+    assert sorted(map(tuple, merges.collect())) == \
+        sorted(map(tuple, fresh.collect()))
+    got = bpe_apply(docs, merges).select("doc_id", "n_bpe_tokens")
+    want = bpe_apply(docs, fresh).select("doc_id", "n_bpe_tokens")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="needs docs"):
+        write_snapshot(str(tmp_path / "s2"), bpe_merges=8)
