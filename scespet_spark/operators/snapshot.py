@@ -20,6 +20,11 @@ One snapshot =
                     bigram-LM model tables (`text.bigram_lm_model`),
                     applied to later crawls (batch or live stream) by
                     `text.bigram_lm_apply`;
+  * ``lm_k1`` .. ``lm_k{N}`` + ``lm_totals`` — the order-``N``
+                    stupid-backoff LM count tables
+                    (`text.ngram_lm_model`, pass ``ngram_order=N``),
+                    reassembled by `read_ngram_lm` and applied by
+                    `text.ngram_lm_apply` (batch or live stream);
   * ``quality_weights`` — the hashed-feature quality-classifier weight
                     table (`text.quality_classifier_fit`, needs a
                     labeled corpus), applied by
@@ -130,7 +135,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    digest_wide: bool = False,
                    bpe_merges: int | None = None,
                    bpe_min_count: int = 1,
-                   bpe_max_vocab: int | None = None) -> list[str]:
+                   bpe_max_vocab: int | None = None,
+                   ngram_order: int | None = None) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -209,6 +215,18 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         from .text import quality_classifier_fit
         _w("quality_weights",
            quality_classifier_fit(labeled, n_buckets=qc_buckets))
+    if ngram_order is not None:
+        # the order-N stupid-backoff LM artifact family: one count
+        # table per n-gram order + the 1-row totals — refit per
+        # snapshot, served to every later crawl (batch or live) by
+        # ngram_lm_apply via read_ngram_lm
+        if docs is None:
+            raise ValueError("ngram_order needs docs")
+        from .text import ngram_lm_model
+        m = ngram_lm_model(docs, order=ngram_order)
+        for k, cdf in m["counts"].items():
+            _w(f"lm_k{k}", cdf)
+        _w("lm_totals", m["totals"])
     if bpe_merges is not None:
         # the tokenizer model artifact: a fitted BPE merge table
         # (rank, left, right) — train once per snapshot, every later
@@ -247,6 +265,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "bpe_merges": bpe_merges,
                     "bpe_min_count": bpe_min_count,
                     "bpe_max_vocab": bpe_max_vocab,
+                    "ngram_order": ngram_order,
                     "qc_buckets": qc_buckets,
                     "lang_buckets": lang_buckets,
                     "bucket_probes": bucket_probes,
@@ -273,6 +292,27 @@ def check_compat(out_dir: str, spark: SparkSession | None = None,
             f"snapshot {out_dir} was built with different parameters "
             f"(manifest vs probe): {bad}")
     return manifest
+
+
+def read_ngram_lm(spark: SparkSession, out_dir: str) -> dict:
+    """Reassemble the order-N stupid-backoff LM from a snapshot
+    written with ``ngram_order=N`` — the model dict shape
+    ``text.ngram_lm_apply`` expects ({"order", "counts", "totals"}).
+    Raises on snapshots without the artifact (a missing model must not
+    silently score everything at the unigram floor)."""
+    import json
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    order = manifest.get("ngram_order")
+    if not order:
+        raise ValueError(
+            f"snapshot {out_dir} has no n-gram LM artifact — write it "
+            f"with write_snapshot(..., ngram_order=N)")
+    tables = read_snapshot(spark, out_dir)
+    return {"order": order,
+            "counts": {k: tables[f"lm_k{k}"]
+                       for k in range(1, order + 1)},
+            "totals": tables["lm_totals"]}
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

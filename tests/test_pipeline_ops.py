@@ -2166,3 +2166,34 @@ def test_perplexity_filter_trigram_order(spark):
     with pytest.raises(ValueError, match="order"):
         perplexity_filter(docs, order=7)
 
+
+
+def test_ngram_lm_snapshot_artifact(spark, tmp_path):
+    """The order-N LM persists as a snapshot artifact family (r9):
+    applying the LOADED model is row-identical to the in-memory fit,
+    batch AND streaming (stream-static joins against the loaded count
+    tables); a snapshot without the artifact raises."""
+    import pytest
+    from scespet_spark.operators.snapshot import (read_ngram_lm,
+                                                  write_snapshot)
+    from scespet_spark.operators.text import (ngram_lm_apply,
+                                              ngram_lm_score)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=docs, sub_min_len=5, ngram_order=3)
+    model = read_ngram_lm(spark, out)
+    got = sorted(map(tuple, ngram_lm_apply(docs, model).collect()))
+    want = sorted(map(tuple, ngram_lm_score(docs).collect()))
+    assert got == want
+    # live serving from the loaded artifact
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    stream = read_table_stream(spark, "/root/testdata/sf0.001",
+                               "documents")
+    live = run_available_now(ngram_lm_apply(stream, model), "complete")
+    assert sorted(map(tuple, live.collect())) == want
+    bare = str(tmp_path / "bare")
+    write_snapshot(bare, docs=docs.limit(5), sub_min_len=5)
+    with pytest.raises(ValueError, match="ngram_order"):
+        read_ngram_lm(spark, bare)
