@@ -1039,8 +1039,16 @@ def quality_classifier_apply_rowwise(df: DataFrame, model: DataFrame,
     score = F.round(
         F.try_divide(F.aggregate(per, F.lit(0.0), lambda a, x: a + x),
                      F.size(toks)) + F.lit(bias), 6)
-    return (df.withColumn("score", score)
-            .withColumn("pred", (F.col("score") > threshold).cast("int")))
+    # GENERATE BARRIER (r9): emit through explode(array(struct)) so a
+    # downstream gate filter (pred == 1) cannot push below the
+    # projection — alias substitution would re-expand the whole
+    # token-fold inside the filter (the 80x trap measured on the lang
+    # gate; see lang_id_apply_rowwise)
+    packed = F.explode(F.array(F.struct(score.alias("score"))))
+    return (df.select("*", packed.alias("__r"))
+            .withColumn("score", F.col("__r.score"))
+            .withColumn("pred", (F.col("score") > threshold).cast("int"))
+            .drop("__r"))
 
 
 def lang_id_fit(labeled: DataFrame, label_col: str = "lang",
@@ -1233,10 +1241,21 @@ def lang_id_apply_rowwise(df: DataFrame, model: DataFrame, n: int = 3,
                  F.lit(l).alias("lang"))
         for i, l in enumerate(langs)]))
     valid = F.size("__cb") > 0
+    # GENERATE BARRIER: emit the result through explode(array(struct))
+    # so a downstream filter on the computed columns (the gate shape:
+    # pred_lang == 'en') CANNOT push below the projection — predicate
+    # pushdown substitutes the alias, re-expanding the entire scoring
+    # expression (grams + hashes + L folds) inside the filter AND
+    # defeating the staging (measured 80x on a streamed gate: 56s vs
+    # 0.7s per micro-batch).  Filters stop at a Generate.
+    packed = F.explode(F.array(F.struct(
+        F.when(valid, best.getField("lang")).alias("lang"),
+        F.when(valid, best.getField("score")).alias("score"))))
     return (scored
-            .withColumn(out, F.when(valid, best.getField("lang")))
-            .withColumn("score", F.when(valid, best.getField("score")))
-            .drop("__cg", "__cb", *snames))
+            .select("*", packed.alias("__r"))
+            .withColumn(out, F.col("__r.lang"))
+            .withColumn("score", F.col("__r.score"))
+            .drop("__cg", "__cb", "__r", *snames))
 
 
 def quality_classifier_fit(labeled: DataFrame, label_col: str = "label",

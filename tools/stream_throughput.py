@@ -136,6 +136,27 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
     def quality_scoring(stream):
         return quality_classifier_apply(stream, qc_model)
 
+    # r9 live additions: the append-legal row-wise language gate
+    # (literal weight matrix, map-only, zero state) and the snapshot
+    # trigram LM scorer (stream-static joins, complete like the bigram)
+    from scespet_spark.operators.text import (lang_id_apply_rowwise,
+                                              lang_id_fit,
+                                              ngram_lm_apply,
+                                              ngram_lm_model)
+    lang_model = lang_id_fit(base, n_buckets=512).persist()
+    lang_model.count()
+    tri_model = ngram_lm_model(base, order=3)
+    for t in list(tri_model["counts"].values()) + [tri_model["totals"]]:
+        t.persist().count()
+
+    def lang_gate_rowwise(stream):
+        return (lang_id_apply_rowwise(stream, lang_model, n_buckets=512)
+                .filter(F.col("pred_lang").isNotNull())
+                .select("doc_id", "pred_lang", "score"))
+
+    def trigram_scoring(stream):
+        return ngram_lm_apply(stream, tri_model)
+
     def url_election(stream):
         canon = (stream.withColumn(
             "url", F.concat(F.lit("https://WWW.Example.com/"), F.col("lang"),
@@ -182,7 +203,11 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
                                 "complete"),
                                ("url_election", url_election, "append"),
                                ("capstone_gate", capstone_gate,
-                                "append")]:
+                                "append"),
+                               ("lang_gate_rowwise", lang_gate_rowwise,
+                                "append"),
+                               ("trigram_scoring", trigram_scoring,
+                                "complete")]:
         results[label] = run_stream(spark, build, src, n_rows, label, mode)
     shutil.rmtree(src, ignore_errors=True)
     return results
