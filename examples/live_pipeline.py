@@ -188,8 +188,8 @@ def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
     from scespet_spark.operators.pipeline import split_assign
     from scespet_spark.operators.text import (
         lang_id_apply_rowwise, quality_classifier_apply_rowwise)
-    sig = (gram_digests(df, min_len=_CAP_L)
-           .join(snap["grams"], "__g", "left_semi")
+    sig = (gram_digests(df, min_len=_CAP_L, wide=True)
+           .join(snap["grams"], ["__g", "__g2"], "left_semi")
            .select("doc_id", "pos"))
     d1, d2 = digest_cols(F.col("text"), wide=True)
     kept = (df.withColumn("content_hash", d1)

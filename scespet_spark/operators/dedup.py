@@ -304,28 +304,32 @@ def incremental_segment_dedup(new: DataFrame,
 
 
 def gram_digests(df: DataFrame, min_len: int = 20, text_col: str = "text",
-                 id_col: str = "doc_id", hash_fn=None) -> DataFrame:
+                 id_col: str = "doc_id", hash_fn=None,
+                 wide: bool = False) -> DataFrame:
     """Positional overlapping ``min_len``-token-gram digest table:
-    ``(id_col, pos, __g)`` with one row per token position (docs
-    shorter than ``min_len`` tokens produce none).  The digest is the
-    full 60-bit ``h64`` of the joined gram text — NOT the 31-bit rolled
-    shingle family (`_positional_shingles`): exact-substring removal
-    acts directly on digest equality with no later verification step,
-    so birthday collisions at 2^15.5 grams would cut innocent text.
-    Cost is ``min_len`` md5-input bytes per corpus byte, map-side and
-    embarrassingly parallel; at 100 TB pass ``hash_fn=F.xxhash64`` (or
-    any Column->Column digest) via the production hook — md5 ``h64``
-    is the default oracle-parity choice (hashing.py).
+    ``(id_col, pos, __g[, __g2])`` with one row per token position
+    (docs shorter than ``min_len`` tokens produce none).  The digest
+    is the full 60-bit ``h64`` of the joined gram text — NOT the
+    31-bit rolled shingle family (`_positional_shingles`):
+    exact-substring removal acts directly on digest equality with no
+    later verification step, so birthday collisions at 2^15.5 grams
+    would cut innocent text.  Cost is ``min_len`` md5-input bytes per
+    corpus byte, map-side and embarrassingly parallel; at 100 TB pass
+    ``hash_fn=F.xxhash64`` (or any Column->Column digest) via the
+    production hook — md5 ``h64`` is the default oracle-parity choice
+    (hashing.py).
 
     SCALE WARNING (digest width): a 64-bit digest is PAST its birthday
     bound at 100 TB — ~2^44.5 gram occurrences give an expected
     ``n^2 / 2^65 ~= 2^24`` colliding pairs, each a potential innocent
     cut.  Whenever corpus gram count approaches ``2^32`` (the 64-bit
-    birthday bound), pair the ``hash_fn=F.xxhash64`` hook with
+    birthday bound), either pair the ``hash_fn=F.xxhash64`` hook with
     ``substring_dedup(..., verify=True)`` (collision-audit mode, zero
-    false cuts) or use a 128-bit digest; the md5 default's 60 bits has
-    the same bound at ~2^30 grams.  Quantified in SCALE.md (exact-
-    substring digest-width section)."""
+    false cuts) or pass ``wide=True`` — a second independent digest
+    column ``__g2`` (`digest_cols`) so every election/probe keys on
+    120 bits; the incremental probe, which CANNOT verify (the prior
+    side is a digest table, its text long gone), has only the wide
+    rung.  Quantified in SCALE.md (digest-width sections)."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     hf = hash_fn or h64
@@ -334,9 +338,21 @@ def gram_digests(df: DataFrame, min_len: int = 20, text_col: str = "text",
     # rows first would materialize the O(n^2) per-doc array copies
     staged = (_spread(df.select(F.col(id_col), F.col(text_col)))
               .select(id_col, tokens(F.col(text_col)).alias("__t")))
-    g = F.transform(
-        F.sequence(F.lit(1), F.size("__t") - (min_len - 1)),
-        lambda i: hf(F.array_join(F.slice(F.col("__t"), i, min_len), " ")))
+    seq = F.sequence(F.lit(1), F.size("__t") - (min_len - 1))
+
+    def gtxt(i):
+        return F.array_join(F.slice(F.col("__t"), i, min_len), " ")
+
+    if wide:
+        g = F.transform(seq, lambda i: F.struct(
+            *[d.alias(n) for d, n in
+              zip(digest_cols(gtxt(i), hash_fn, True), ("g", "g2"))]))
+        return (staged.filter(F.size("__t") >= min_len)
+                .select(id_col, F.posexplode(g).alias("__p0", "__s"))
+                .select(id_col, (F.col("__p0") + 1).alias("pos"),
+                        F.col("__s.g").alias("__g"),
+                        F.col("__s.g2").alias("__g2")))
+    g = F.transform(seq, lambda i: hf(gtxt(i)))
     return (staged.filter(F.size("__t") >= min_len)
             .select(id_col, F.posexplode(g).alias("__p0", "__g"))
             .select(id_col, (F.col("__p0") + 1).alias("pos"), "__g"))
@@ -391,7 +407,8 @@ def _cut_and_rebuild(docs: DataFrame, dup_occ: DataFrame, min_len: int,
 def substring_dedup(df: DataFrame, min_len: int = 20,
                     text_col: str = "text",
                     id_col: str = "doc_id", hash_fn=None,
-                    verify: bool = False) -> DataFrame:
+                    verify: bool = False,
+                    wide: bool = False) -> DataFrame:
     """Exact-substring dedup (the suffix-array family of "Deduplicating
     Training Data Makes Language Models Better", Lee et al. 2021):
     remove every ARBITRARY-OFFSET substring of >= ``min_len`` tokens
@@ -425,15 +442,20 @@ def substring_dedup(df: DataFrame, min_len: int = 20,
     text.  Verification is CONSERVATIVE under collisions: an occurrence
     whose true first occurrence lost the collided group's election is
     kept rather than cut — the audit mode trades a vanishing miss rate
-    for a zero false-cut rate."""
-    occ = gram_digests(df, min_len, text_col, id_col, hash_fn=hash_fn)
-    dup_g = (occ.groupBy("__g")
+    for a zero false-cut rate.  ``wide=True`` elects on the two-digest
+    120-bit key instead (`digest_cols`) — the verification-free
+    alternative, and the ONLY rung available to the incremental probe
+    (see ``incremental_substring_dedup``)."""
+    gnames = ["__g", "__g2"] if wide else ["__g"]
+    occ = gram_digests(df, min_len, text_col, id_col, hash_fn=hash_fn,
+                       wide=wide)
+    dup_g = (occ.groupBy(*gnames)
              .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                  F.col("pos").alias("p"))).alias("__w"),
                   F.count("*").alias("__c"))
              .filter(F.col("__c") > 1)
-             .select("__g", "__w"))
-    dup_occ = (occ.join(dup_g, "__g")
+             .select(*gnames, "__w"))
+    dup_occ = (occ.join(dup_g, gnames)
                .filter((F.col(id_col) != F.col("__w.i"))
                        | (F.col("pos") != F.col("__w.p")))
                .select(id_col, "pos", "__w"))
@@ -456,7 +478,8 @@ def incremental_substring_dedup(new: DataFrame,
                                 prior: DataFrame | None = None,
                                 prior_grams: DataFrame | None = None,
                                 min_len: int = 20, text_col: str = "text",
-                                id_col: str = "doc_id") -> DataFrame:
+                                id_col: str = "doc_id", hash_fn=None,
+                                wide: bool = False) -> DataFrame:
     """Cross-snapshot exact-substring dedup: clean a NEW crawl batch
     against a PRIOR corpus — a new-batch token is cut iff covered by a
     gram that occurs in the prior corpus OR earlier in the new batch
@@ -465,22 +488,37 @@ def incremental_substring_dedup(new: DataFrame,
 
     Scale shape: the prior probe is a digest-vs-digest semi-join (ints
     both sides, neither broadcast); the within-batch election follows
-    ``substring_dedup``."""
+    ``substring_dedup``.
+
+    Digest-width discipline: the batch form's ``verify=True`` audit is
+    IMPOSSIBLE here — the prior side is a digest table whose text is
+    long gone — so past the birthday bound (~2^30 grams for 60 bits)
+    the ONLY safe rung is ``wide=True``: probe and elect on the
+    two-digest key (a wide ``prior_grams`` table carries ``__g2``;
+    build the snapshot with the same ``wide``/``hash_fn``)."""
     if (prior is None) == (prior_grams is None):
         raise ValueError("pass exactly one of prior / prior_grams")
+    gnames = ["__g", "__g2"] if wide else ["__g"]
     if prior_grams is None:
-        prior_grams = gram_digests(prior, min_len, text_col, id_col)
-    pri = prior_grams.select("__g").distinct()
-    occ = gram_digests(new, min_len, text_col, id_col)
-    hit_prior = occ.join(pri, "__g", "left_semi").select(id_col, "pos")
-    fresh = occ.join(pri, "__g", "left_anti")
-    dup_g = (fresh.groupBy("__g")
+        prior_grams = gram_digests(prior, min_len, text_col, id_col,
+                                   hash_fn=hash_fn, wide=wide)
+    elif wide and "__g2" not in prior_grams.columns:
+        raise ValueError(
+            "wide=True probe needs a prior_grams table with both __g "
+            "and __g2 — rebuild the snapshot with the same wide= "
+            "setting")
+    pri = prior_grams.select(*gnames).distinct()
+    occ = gram_digests(new, min_len, text_col, id_col, hash_fn=hash_fn,
+                       wide=wide)
+    hit_prior = occ.join(pri, gnames, "left_semi").select(id_col, "pos")
+    fresh = occ.join(pri, gnames, "left_anti")
+    dup_g = (fresh.groupBy(*gnames)
              .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                  F.col("pos").alias("p"))).alias("__w"),
                   F.count("*").alias("__c"))
              .filter(F.col("__c") > 1)
-             .select("__g", "__w"))
-    dup_batch = (fresh.join(dup_g, "__g")
+             .select(*gnames, "__w"))
+    dup_batch = (fresh.join(dup_g, gnames)
                  .filter((F.col(id_col) != F.col("__w.i"))
                          | (F.col("pos") != F.col("__w.p")))
                  .select(id_col, "pos"))

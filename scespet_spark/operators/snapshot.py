@@ -168,6 +168,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         # full join key set so the probe's Exchange elimination holds
         bucket_keys["digests"] = ["content_hash", "content_hash2"]
         bucket_keys["segments"] = ["__d", "__d2"]
+        bucket_keys["grams"] = ["__g", "__g2"]
 
     def _w(name: str, df: DataFrame) -> None:
         path = os.path.join(out_dir, name)
@@ -201,8 +202,10 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                                        wide=digest_wide)
            .select(*seg_cols).distinct())
         from .dedup import gram_digests
-        _w("grams", gram_digests(docs, min_len=sub_min_len)
-           .select("__g").distinct())
+        gram_cols = ["__g", "__g2"] if digest_wide else ["__g"]
+        _w("grams", gram_digests(docs, min_len=sub_min_len,
+                                 wide=digest_wide)
+           .select(*gram_cols).distinct())
         from .text import bigram_lm_model
         bgc, prec, vocab = bigram_lm_model(docs)
         _w("lm_bigrams", bgc)

@@ -86,8 +86,9 @@ def test_crawl_capstone_example(spark, tmp_path):
         plan = content._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan
         assert plan.count("Exchange") == 1      # the crawl side only
-        gprobe = (batch.select((F.col("doc_id") * 7).alias("__g"))
-                  .join(snap["grams"], "__g", "left_semi"))
+        gprobe = (batch.select((F.col("doc_id") * 7).alias("__g"),
+                               (F.col("doc_id") * 11).alias("__g2"))
+                  .join(snap["grams"], ["__g", "__g2"], "left_semi"))
         gplan = gprobe._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in gplan
         assert gplan.count("Exchange") == 1

@@ -2197,3 +2197,48 @@ def test_ngram_lm_snapshot_artifact(spark, tmp_path):
     write_snapshot(bare, docs=docs.limit(5), sub_min_len=5)
     with pytest.raises(ValueError, match="ngram_order"):
         read_ngram_lm(spark, bare)
+
+
+def test_substring_wide_digest_guards_collisions(spark):
+    """Digest-width discipline (substring family, r9): under an
+    all-collide hash the narrow election cuts innocent text; wide
+    elects on the two-digest key and cuts only true repeats — batch
+    AND incremental (where verify= is impossible: the prior side is a
+    digest table); wide prior_grams required loudly; xxhash/narrow/
+    wide parity in the collision-free regime."""
+    import pytest
+    from scespet_spark.operators.dedup import (gram_digests,
+                                               incremental_substring_dedup,
+                                               substring_dedup)
+    docs = spark.createDataFrame([
+        (0, "a b c x y z"),
+        (1, "a b c q r s"),
+    ], "doc_id long, text string")
+    const = lambda c: F.lit(0).cast("bigint")
+    bad = {r.doc_id: r.clean_text for r in substring_dedup(
+        docs, min_len=3, hash_fn=const).collect()}
+    assert bad[0] != "a b c x y z" or bad[1] != "a b c q r s"
+    good = {r.doc_id: r.clean_text for r in substring_dedup(
+        docs, min_len=3, wide=True).collect()}
+    assert good == {0: "a b c x y z", 1: "q r s"}
+    xx = {r.doc_id: r.clean_text for r in substring_dedup(
+        docs, min_len=3, hash_fn=F.xxhash64, wide=True).collect()}
+    assert xx == good
+    # incremental: wide probe vs a wide prior gram table
+    prior = docs.filter(F.col("doc_id") == 0)
+    new = docs.filter(F.col("doc_id") == 1)
+    pg = (gram_digests(prior, min_len=3, wide=True)
+          .select("__g", "__g2").distinct())
+    inc = {r.doc_id: r.clean_text for r in incremental_substring_dedup(
+        new, prior_grams=pg, min_len=3, wide=True).collect()}
+    assert inc == {1: "q r s"}
+    with pytest.raises(ValueError, match="__g2"):
+        incremental_substring_dedup(new, prior_grams=pg.select("__g"),
+                                    min_len=3, wide=True)
+    # full-corpus parity: wide == narrow in the collision-free regime
+    from scespet_spark.sources.batch import load_table
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = sorted(map(tuple, substring_dedup(corpus, min_len=15).collect()))
+    w = sorted(map(tuple, substring_dedup(corpus, min_len=15,
+                                          wide=True).collect()))
+    assert n == w
