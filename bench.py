@@ -106,6 +106,7 @@ HEADLINE = [
     "bm25_topk_docs",
     # round 9 additions
     "text_trigram_lm",
+    "text_ngram_lm_order5",
     "dedup_exact_wide",
 ]
 
