@@ -5380,6 +5380,34 @@ WHERE ({hh}) % 1048576 < cut
 """
 
 
+_TEMP_ALPHA, _TEMP_N = 0.5, 300
+
+
+@query("temperature_mixture_docs", f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+z AS (SELECT SUM(pow(n, {_TEMP_ALPHA})) AS z FROM c),
+cut AS (SELECT source,
+               floor(round(least(1.0, pow(n, {_TEMP_ALPHA}) / z
+                                      * {_TEMP_N} / n), 12)
+                     * 1048576) AS cut
+        FROM c, z)
+SELECT doc_id, text, lang, source, n_chars
+FROM documents JOIN cut USING (source)
+WHERE ({h64_sql("doc_id::VARCHAR", seed=11)}) % 1048576 < cut
+""")
+def temperature_mixture_docs(spark, sf_dir):
+    """Temperature-sampled training mix (r9): the declared recipe is
+    DERIVED from per-source availability — p_s proportional to
+    n_s^alpha (Arivazhagan et al. 2019; alpha<1 upweights scarce
+    sources) — then applied with the same deterministic hash filter as
+    mixture_sample.  One #sources-row count agg + a 1-row normalizer,
+    broadcast; keep probabilities rounded to 12 digits before the
+    integer cutoff so cross-libm pow ulps cannot flip the floor."""
+    from scespet_spark.operators.text import temperature_mixture_sample
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(docs, _TEMP_ALPHA, _TEMP_N)
+
+
 @query("mixture_sample_sources", _mixture_oracle())
 def mixture_sample_sources(spark, sf_dir):
     """Training-mix resampling: deterministic hash sampling toward
@@ -5663,6 +5691,7 @@ _ROUND_CHANGED = [
     "live_incremental_segments",
     "bm25_topk_docs", "live_bm25_score",
     "pack_bestfit_sequences", "bpe_tokenize_docs", "bpe_fit_merges",
+    "temperature_mixture_docs",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -5680,7 +5709,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "text_repetition", "text_fingerprint", "text_token_doc_freq",
     "text_corpus_idf", "doc_chunking", "redact_pii",
     "stratified_sample_docs", "multimodal_frame_sample",
-    "decontaminate_eval_overlap",
     # (the r4/r5 stream-family cohort re-greened r8 rotates out; every
     # rotated-out query stays covered by the full local oracle gate,
     # tools/check_oracle.py)

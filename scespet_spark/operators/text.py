@@ -288,6 +288,48 @@ def mixture_cutoffs(df: DataFrame, weights: dict, total: int,
                 * _M).alias("__cut"))
 
 
+def temperature_cutoffs(df: DataFrame, alpha: float, total: int,
+                        source_col: str = "source") -> DataFrame:
+    """Temperature-sampled mixture recipe: target share ``p_s
+    proportional to n_s^alpha`` (the multilingual-LM sampling standard,
+    Arivazhagan et al. 2019 — ``alpha=1`` keeps natural proportions,
+    ``alpha=0`` is uniform over sources, ``0 < alpha < 1`` upweights
+    scarce sources), rendered as the same #sources-row cutoff table
+    ``mixture_apply`` consumes — so the declared recipe comes from the
+    DATA, not a hand-written weights dict.
+
+    The keep probability is rounded to 12 decimal digits before the
+    integer cutoff floor (the ``weighted_sample`` lesson: ``pow`` can
+    differ across libm implementations in the last ulps, and an
+    unrounded floor would flip the cutoff by 1 between engines).
+    Scale shape: one tiny per-source count aggregation + a 1-row
+    normalizer, broadcast; the corpus never shuffles."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    _M = 1 << 20
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    z = counts.agg(F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__z"))
+    p = F.round(F.least(
+        F.lit(1.0),
+        F.pow("__n", F.lit(float(alpha))) / F.col("__z")
+        * total / F.col("__n")), 12)
+    return (counts.crossJoin(F.broadcast(z))
+            .select(source_col, F.floor(p * _M).alias("__cut")))
+
+
+def temperature_mixture_sample(df: DataFrame, alpha: float, total: int,
+                               source_col: str = "source",
+                               id_col: str = "doc_id",
+                               seed: int = 11) -> DataFrame:
+    """Deterministic temperature mixture resampling: derive the recipe
+    from per-source availability (``temperature_cutoffs``) and apply it
+    with the reproducible hash filter (``mixture_apply``) — one tiny
+    aggregation + a broadcast + a map-side filter at any scale."""
+    return mixture_apply(df, temperature_cutoffs(df, alpha, total,
+                                                 source_col),
+                         source_col, id_col, seed)
+
+
 def mixture_apply(df: DataFrame, cutoffs: DataFrame,
                   source_col: str = "source", id_col: str = "doc_id",
                   seed: int = 11) -> DataFrame:

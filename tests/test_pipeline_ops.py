@@ -2242,3 +2242,36 @@ def test_substring_wide_digest_guards_collisions(spark):
     w = sorted(map(tuple, substring_dedup(corpus, min_len=15,
                                           wide=True).collect()))
     assert n == w
+
+
+def test_temperature_mixture_upweights_scarce_sources(spark):
+    """Temperature sampling (r9): alpha=1 reproduces natural
+    proportions, alpha=0 is uniform over sources, 0<alpha<1 moves the
+    scarce source's share UP relative to natural; deterministic under
+    repartitioning; negative alpha is a loud error."""
+    import pytest
+    from scespet_spark.operators.text import temperature_mixture_sample
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def shares(alpha, total):
+        got = temperature_mixture_sample(df, alpha, total,
+                                         id_col="doc_id").collect()
+        n = len(got)
+        small = sum(1 for r in got if r.source == "small")
+        return n, small / n
+
+    n1, s1 = shares(1.0, 400)       # natural: ~10% small
+    n0, s0 = shares(0.0, 400)       # uniform: ~50% small (capped)
+    nh, sh = shares(0.5, 400)       # temperature: in between
+    assert 0.05 < s1 < 0.18
+    assert s0 > sh > s1
+    # determinism
+    a = sorted(r.doc_id for r in temperature_mixture_sample(
+        df, 0.5, 400).collect())
+    b = sorted(r.doc_id for r in temperature_mixture_sample(
+        df.repartition(7), 0.5, 400).collect())
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_sample(df, -0.5, 100)
