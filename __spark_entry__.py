@@ -3703,6 +3703,42 @@ def ann_ivf_kmeans_codes(spark, sf_dir):
     return kmeans_codes(emb, k=8, iters=3)
 
 
+@query("gopher_quality_docs", f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, len(toks) AS n_words,
+        round(list_sum(list_transform(toks, x -> strlen(x)))::DOUBLE
+              / len(toks), 6) AS mean_word_len,
+        round((len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+              / len(toks), 6) AS symbol_word_ratio,
+        round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              ::DOUBLE / len(toks), 6) AS alpha_word_ratio,
+        (list_contains(toks, 'the')::INT + list_contains(toks, 'be')::INT + list_contains(toks, 'to')::INT + list_contains(toks, 'of')::INT + list_contains(toks, 'and')::INT + list_contains(toks, 'that')::INT + list_contains(toks, 'have')::INT + list_contains(toks, 'with')::INT) AS n_stop_hits
+      FROM t)
+SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len,
+       symbol_word_ratio, alpha_word_ratio,
+       n_stop_hits::BIGINT AS n_stop_hits,
+       (n_words >= 30 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND n_stop_hits >= 2)::INT AS keep
+FROM s
+""")
+def gopher_quality_docs(spark, sf_dir):
+    """Gopher's DOC-level quality rules (r9 — the companion to the
+    line-level c4_rule_filter): word-count and mean-word-length
+    bounds, symbol-to-word ratio, alpha-word fraction, required stop
+    words — ONE map-only codegen projection emitting audit columns +
+    the keep flag, Generate-barrier-protected against the keep-gate
+    pushdown trap.  min_words tuned to the synthetic corpus (~49-word
+    docs)."""
+    from scespet_spark.operators.text import gopher_quality_filter
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs, min_words=30).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "n_stop_hits", "keep")
+
+
 @query("text_token_stats", f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, len(toks) AS n_ws_tokens,
@@ -5691,7 +5727,7 @@ _ROUND_CHANGED = [
     "live_incremental_segments",
     "bm25_topk_docs", "live_bm25_score",
     "pack_bestfit_sequences", "bpe_tokenize_docs", "bpe_fit_merges",
-    "temperature_mixture_docs",
+    "temperature_mixture_docs", "gopher_quality_docs",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -5708,7 +5744,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "text_token_stats", "text_lang_id", "text_quality",
     "text_repetition", "text_fingerprint", "text_token_doc_freq",
     "text_corpus_idf", "doc_chunking", "redact_pii",
-    "stratified_sample_docs", "multimodal_frame_sample",
+    "stratified_sample_docs",
     # (the r4/r5 stream-family cohort re-greened r8 rotates out; every
     # rotated-out query stays covered by the full local oracle gate,
     # tools/check_oracle.py)

@@ -960,6 +960,70 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int,
             .limit(k))
 
 
+#: Gopher A1.1's required stop words: a natural-language document
+#: contains at least ``min_stop_hits`` of these (Rae et al. 2021)
+GOPHER_STOPS: tuple[str, ...] = ("the", "be", "to", "of", "and",
+                                 "that", "have", "with")
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          min_words: int = 50, max_words: int = 100000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          max_symbol_ratio: float = 0.1,
+                          min_alpha_ratio: float = 0.8,
+                          min_stop_hits: int = 2) -> DataFrame:
+    """Gopher's DOC-level quality rules (Rae et al. 2021 A1.1) — the
+    companion to ``c4_rule_filter``'s line-level rules: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (``#`` and
+    ``...``), fraction of words containing an alphabetic character,
+    and the required-stop-word count (>= ``min_stop_hits`` of
+    `GOPHER_STOPS`).  Appends the audit columns (``n_words``,
+    ``mean_word_len``, ``symbol_word_ratio``, ``alpha_word_ratio``,
+    ``n_stop_hits``) plus ``keep``; ratios round to 6dp for
+    cross-engine parity; empty docs get null ratios and ``keep = 0``.
+
+    ONE map-only codegen projection (token array staged as a bound
+    column — every stat references it), emitted through the GENERATE
+    BARRIER so a gate filter on ``keep`` cannot re-expand the stats
+    below the projection (the 80x pushdown trap, SCALE.md r9).  At
+    100 TB this is scan-speed, like the C4 rules."""
+    staged = df.withColumn("__gt", tokens(F.col(text_col)))
+    n = F.size("__gt")
+    mean_wl = F.round(F.try_divide(
+        F.aggregate("__gt", F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).cast("double"), n), 6)
+    n_sym = (F.size(F.regexp_extract_all(F.col(text_col),
+                                         F.lit("#"), F.lit(0)))
+             + F.size(F.regexp_extract_all(F.col(text_col),
+                                           F.lit(r"\.\.\."), F.lit(0))))
+    sym_ratio = F.round(F.try_divide(n_sym.cast("double"), n), 6)
+    n_alpha = F.size(F.filter("__gt", lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(F.try_divide(n_alpha.cast("double"), n), 6)
+    stop_hits = None
+    for s in GOPHER_STOPS:
+        hit = F.array_contains("__gt", s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = ((n >= min_words) & (n <= max_words)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (sym_ratio <= max_symbol_ratio)
+            & (alpha_ratio >= min_alpha_ratio)
+            & (stop_hits >= min_stop_hits))
+    packed = F.explode(F.array(F.struct(
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        F.coalesce(keep, F.lit(False)).cast("int").alias("keep"))))
+    out = ["n_words", "mean_word_len", "symbol_word_ratio",
+           "alpha_word_ratio", "n_stop_hits", "keep"]
+    return (staged.select("*", packed.alias("__r"))
+            .withColumns({c: F.col(f"__r.{c}") for c in out})
+            .drop("__gt", "__r"))
+
+
 def redact(df: DataFrame, text_col: str = "text",
            rules=DEFAULT_REDACTIONS, out: str = "clean_text") -> DataFrame:
     """PII-style redaction for training corpora: a chain of columnar

@@ -2275,3 +2275,36 @@ def test_temperature_mixture_upweights_scarce_sources(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture_sample(df, -0.5, 100)
+
+
+def test_gopher_quality_filter_pins_every_rule(spark):
+    """Each Gopher doc-level rule pinned on crafted docs: word-count
+    bounds, mean-word-length bounds, symbol ratio, alpha-word ratio,
+    required stop words; empty docs keep=0 with null ratios; the plan
+    is map-only and a keep-gate filter is barrier-protected."""
+    from scespet_spark.operators.text import gopher_quality_filter
+    good = ("the cat and the dog have come to the house of friends "
+            "with many fine things that stay good ") * 3
+    docs = spark.createDataFrame([
+        (1, good),                                    # passes all
+        (2, "the cat and of that have with be"),      # too few words
+        (3, ("extraordinarily " * 40) + "the of and that have"),  # wl>10
+        (4, good + " ###### ##### #### ### ## # ... ... ... ... ..."),
+        (5, " ".join(str(i) for i in range(60))
+            + " the of and"),                          # alpha ratio
+        (6, "zq " * 60),                               # no stop words
+        (7, ""),                                       # empty
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_filter(
+        docs, min_words=30, max_symbol_ratio=0.05).collect()}
+    assert got[1].keep == 1
+    assert got[2].keep == 0 and got[2].n_words == 8
+    assert got[3].keep == 0 and got[3].mean_word_len > 10
+    assert got[4].keep == 0 and got[4].symbol_word_ratio > 0.05
+    assert got[5].keep == 0 and got[5].alpha_word_ratio < 0.8
+    assert got[6].keep == 0 and got[6].n_stop_hits == 0
+    assert got[7].keep == 0 and got[7].mean_word_len is None
+    assert got[1].n_stop_hits >= 2
+    plan = (gopher_quality_filter(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
