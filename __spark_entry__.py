@@ -3739,6 +3739,22 @@ def gopher_quality_docs(spark, sf_dir):
         "alpha_word_ratio", "n_stop_hits", "keep")
 
 
+@query("live_gopher_filter", _ORACLES["gopher_quality_docs"])
+def live_gopher_filter(spark, sf_dir):
+    """The Gopher doc-level rules on a LIVE crawl: the same stateless
+    map-only projection per micro-batch (append mode, zero state,
+    Generate-barrier-protected keep gate).  Oracle = the batch rules
+    over the table the stream replays."""
+    from scespet_spark.operators.text import gopher_quality_filter
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    out = gopher_quality_filter(stream, min_words=30).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "n_stop_hits", "keep")
+    return run_available_now(out, "append")
+
+
 @query("text_token_stats", f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, len(toks) AS n_ws_tokens,
@@ -5728,6 +5744,7 @@ _ROUND_CHANGED = [
     "bm25_topk_docs", "live_bm25_score",
     "pack_bestfit_sequences", "bpe_tokenize_docs", "bpe_fit_merges",
     "temperature_mixture_docs", "gopher_quality_docs",
+    "live_gopher_filter",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -5741,7 +5758,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "rollup_order_status", "set_ops_customers", "window_rank_orders",
     "vwap_per_supplier", "dedup_kept_corpus", "dedup_simhash",
     "dedup_ngram_jaccard", "ann_pq_codes", "ann_pq_adc_topk",
-    "text_token_stats", "text_lang_id", "text_quality",
+    "text_token_stats", "text_lang_id",
     "text_repetition", "text_fingerprint", "text_token_doc_freq",
     "text_corpus_idf", "doc_chunking", "redact_pii",
     "stratified_sample_docs",
