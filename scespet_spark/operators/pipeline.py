@@ -406,6 +406,76 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                      _quant(v).alias("q"))
 
 
+def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank",
+                num_partitions: int | None = None) -> DataFrame:
+    """Exact 1-based global rank under a TOTAL order — distributed,
+    with no single-partition window.  ``order_cols`` is a list of
+    ordering expressions (e.g. ``[F.col("score").desc(),
+    F.col("doc_id").asc()]``) that must define a total order (include
+    a unique tiebreak key; ties would make the rank partitioning-
+    dependent and the oracle comparison meaningless).
+
+    Scale shape — the classic two-phase rank: (1) range-partition by
+    the sort key and sort within partitions (one Exchange; Spark's
+    range partitioner samples boundaries, AQE balances them); the
+    partitioned result is localCheckpoint-materialized so phases see
+    ONE consistent partitioning; (2) count each partition (a
+    #partitions-row collect), cumulative-sum the counts driver-side,
+    and add each partition's offset to its local ``row_number`` — a
+    per-partition window (already sorted: no extra shuffle).  The
+    driver holds #partitions integers, never data.  This is how a
+    100 TB corpus gets a curriculum position without
+    ``Window.orderBy`` collapsing it onto one task."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(n, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())
+    counts = {r["__pid"]: r["cnt"]
+              for r in part.groupBy("__pid").agg(
+                  F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    from pyspark.sql import Window
+    pairs = []
+    for pid, off in offsets.items():
+        pairs += [F.lit(pid), F.lit(off)]
+    off_map = F.create_map(*pairs) if pairs else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (part.withColumn(
+                rank_col,
+                (F.row_number().over(w)
+                 + F.element_at(off_map, F.col("__pid"))).cast("long"))
+            .drop("__pid"))
+
+
+def curriculum_order(df: DataFrame, score_col: str,
+                     shard_size: int, id_col: str = "doc_id",
+                     ascending: bool = False) -> DataFrame:
+    """Curriculum data ordering: assign every document a deterministic
+    ``(shard, pos)`` training position by sorting the corpus on a
+    difficulty/quality score (descending by default — easiest/cleanest
+    first; ``ascending=True`` flips the curriculum) with ``id_col`` as
+    the unique tiebreak.  ``shard = (rank-1) div shard_size``,
+    ``pos = (rank-1) mod shard_size`` — the layout a sharded training
+    loader consumes in order.
+
+    Built on ``global_rank`` (two-phase distributed rank — see its
+    scale note); writing the result partitioned by ``shard`` and
+    sorted by ``pos`` yields ordered training shards with one range
+    Exchange total."""
+    if shard_size < 1:
+        raise ValueError("need shard_size >= 1")
+    sc = (F.col(score_col).asc() if ascending else F.col(score_col).desc())
+    ranked = global_rank(df, [sc, F.col(id_col).asc()], rank_col="rank")
+    r0 = F.col("rank") - 1
+    return (ranked.withColumn("shard",
+                              F.floor(r0 / shard_size).cast("long"))
+            .withColumn("pos", F.pmod(r0, F.lit(shard_size)).cast("long")))
+
+
 def split_assign(df: DataFrame, fractions: dict[str, float],
                  id_col: str = "doc_id", seed: int = 23) -> DataFrame:
     """Deterministic dataset split assignment (train/val/test): each

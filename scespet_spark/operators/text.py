@@ -808,6 +808,132 @@ def perplexity_filter(df: DataFrame, frac: float = 0.1,
             .drop("__thr"))
 
 
+def ccnet_bucket_cutoffs(scored: DataFrame, group_col: str = "lang",
+                         score_col: str = "mean_logp",
+                         approx: bool = False) -> DataFrame:
+    """Per-group perplexity tercile cutoffs — the tiny model artifact
+    of CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: CCNet
+    partitions each language's documents into three equal perplexity
+    buckets; downstream training samples mostly from *head*).  One row
+    per group with the 1/3 and 2/3 score quantiles.
+
+    Scale shape: ONE combinable aggregate over the doc-level score
+    table (corpus-cardinality, tiny next to the token tables) whose
+    output is |groups| rows — the snapshot artifact the live gate
+    broadcasts.  ``F.percentile`` buffers each group's doc scores in
+    one aggregate (fine into the billions of docs; a 100-language
+    crawl is <=100 groups); ``approx=True`` swaps in
+    ``approx_percentile`` (combinable sketch, bounded memory) for the
+    100 TB path at the cost of oracle exactness — the same election as
+    ``perplexity_filter``."""
+    if approx:
+        pcts = F.approx_percentile(
+            F.col(score_col),
+            F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)), F.lit(10000))
+    else:
+        pcts = F.percentile(F.col(score_col),
+                            F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)))
+    return scored.groupBy(group_col).agg(
+        pcts[0].alias("p33"), pcts[1].alias("p67"))
+
+
+def ccnet_bucket_apply(scored: DataFrame, cutoffs: DataFrame,
+                       group_col: str = "lang",
+                       score_col: str = "mean_logp") -> DataFrame:
+    """Label scored documents head/middle/tail against fitted
+    ``ccnet_bucket_cutoffs``: *head* scores at or above the 2/3
+    quantile (higher mean log-prob = lower perplexity = cleaner text),
+    *tail* strictly below the 1/3 quantile, *middle* between.  A group
+    absent from the cutoff table (unseen language at serving time)
+    labels NULL — an honest "no calibration" signal, never a silent
+    head.
+
+    Map-only after a broadcast join against the |groups|-row cutoff
+    table — append-legal on a live stream, zero state, zero shuffle of
+    the doc rows."""
+    j = scored.join(F.broadcast(cutoffs), group_col, "left")
+    bucket = (F.when(F.col("p33").isNull(), F.lit(None).cast("string"))
+              .when(F.col(score_col) >= F.col("p67"), F.lit("head"))
+              .when(F.col(score_col) >= F.col("p33"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return j.withColumn("bucket", bucket).drop("p33", "p67")
+
+
+def ccnet_buckets(df: DataFrame, group_col: str = "lang",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  order: int = 2, k: float = 1.0, backoff: float = 0.4,
+                  approx: bool = False) -> DataFrame:
+    """The full CCNet head/middle/tail pipeline on one corpus: score
+    every document with the in-corpus LM (``order=2`` the add-``k``
+    bigram LM; ``order>=3`` the stupid-backoff rung; ``order=5`` is
+    CCNet's production 5-gram shape), attach the grouping column, fit
+    per-group tercile cutoffs, and label each doc's bucket.
+
+    Returns ``(id, group, n_bigrams|n_ngrams, mean_logp, bucket)``.
+    The doc-cardinality score table shuffles once to re-attach the
+    group column (an id-keyed join of two corpus-sized int tables) and
+    once into the |groups|-row cutoff aggregate; the labeling itself
+    is a broadcast map."""
+    if order == 2:
+        scored = bigram_lm_score(df, text_col=text_col, id_col=id_col, k=k)
+    else:
+        _check_order(order)
+        scored = ngram_lm_score(df, text_col=text_col, id_col=id_col,
+                                backoff=backoff, order=order)
+    scored = scored.join(df.select(id_col, group_col), id_col)
+    cuts = ccnet_bucket_cutoffs(scored, group_col=group_col,
+                                approx=approx)
+    return ccnet_bucket_apply(scored, cuts, group_col=group_col)
+
+
+def token_budget_sample(df: DataFrame, budget: int,
+                        source_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        priority_col: str | None = None) -> DataFrame:
+    """Exact per-source TOKEN budget: keep documents in priority order
+    until each source's cumulative token count reaches ``budget`` —
+    the unit a training mix actually budgets in (a source's epoch
+    share is tokens, not documents; cf. the temperature/mixture
+    recipes).  A document is kept iff it *starts* within the budget
+    (its predecessors' tokens total < ``budget``), so the kept set
+    always includes the first document even if it alone exceeds the
+    budget, and is a deterministic prefix of the priority order.
+
+    Priority: ``priority_col`` descending when given (e.g. a quality
+    score — spend the budget on the best docs first), else the
+    reproducible hash order of ``source_quota_sample``; ties break on
+    ``id_col`` ascending.  Returns the kept rows plus ``n_tokens`` and
+    the 1-based ``budget_rank`` within the source.
+
+    Scale shape: one per-source running-sum window (ints only — the
+    window input carries (source, priority, id, n_tokens), never the
+    text).  A pathologically dominant source sorts its full doc list
+    on one partition pair; for that skew the ``source_quota_sample``
+    cutoff prefilter composes in front (cap docs ~2x the worst-case
+    budget/min_doc_tokens first), which this function deliberately
+    leaves to the caller — the budget election itself must see the
+    true prefix."""
+    from pyspark.sql import Window
+    if budget < 1:
+        raise ValueError("need budget >= 1")
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    if priority_col is None:
+        prio = F.pmod(h64(F.col(id_col).cast("string"), seed=7),
+                      F.lit(1 << 20)).asc()
+    else:
+        prio = F.col(priority_col).desc()
+    w = Window.partitionBy(source_col).orderBy(prio, F.col(id_col).asc())
+    staged = df.withColumn("n_tokens", n_tok)
+    cum = F.sum("n_tokens").over(w)
+    return (staged
+            .withColumn("__cum", cum)
+            .withColumn("budget_rank",
+                        F.row_number().over(w).cast("long"))
+            .filter(F.col("__cum") - F.col("n_tokens") < budget)
+            .drop("__cum"))
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 5,
                text_col: str = "text", group_col: str = "source") -> DataFrame:
     """Corpus reporting: the ``k`` most frequent token ``n``-grams per

@@ -2308,3 +2308,134 @@ def test_gopher_quality_filter_pins_every_rule(spark):
     plan = (gopher_quality_filter(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# r9 late additions: global rank / curriculum, token budgets, URL rules,
+# CCNet buckets
+# --------------------------------------------------------------------------
+
+
+def test_global_rank_matches_single_window(spark):
+    from pyspark.sql import Window
+    from scespet_spark.operators.pipeline import global_rank
+    df = spark.range(0, 257).withColumn(
+        "score", (F.col("id") * 37) % 101)
+    got = {r.id: r.rank for r in global_rank(
+        df, [F.col("score").desc(), F.col("id").asc()],
+        num_partitions=7).collect()}
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {r.id: r.rank for r in df.withColumn(
+        "rank", F.row_number().over(w).cast("long")).collect()}
+    assert got == want
+    # total order, dense, 1-based
+    assert sorted(got.values()) == list(range(1, 258))
+
+
+def test_curriculum_order_shard_layout(spark):
+    from scespet_spark.operators.pipeline import curriculum_order
+    df = spark.range(0, 100).withColumn("doc_id", F.col("id")) \
+        .withColumn("score", 100 - F.col("id"))
+    out = curriculum_order(df, "score", shard_size=16).collect()
+    by_id = {r.doc_id: r for r in out}
+    # score desc == id asc here, so rank == doc_id + 1
+    for r in out:
+        assert r.rank == r.doc_id + 1
+        assert r.shard == (r.rank - 1) // 16
+        assert r.pos == (r.rank - 1) % 16
+    assert by_id[0].shard == 0 and by_id[0].pos == 0
+    assert by_id[99].shard == 6 and by_id[99].pos == 3
+
+
+def test_token_budget_sample_prefix_property(spark):
+    from scespet_spark.operators.text import token_budget_sample
+    rows = [(i, "s" + str(i % 2), "w " * (10 * (i % 5 + 1)), i % 5 + 1)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, prio long")
+    out = token_budget_sample(df, budget=100, priority_col="prio",
+                              source_col="source").collect()
+    assert all(r.n_tokens == 10 * ((r.doc_id % 5) + 1) for r in out)
+    for src in ("s0", "s1"):
+        kept = sorted((r for r in out if r.source == src),
+                      key=lambda r: r.budget_rank)
+        # kept set is a contiguous 1-based rank prefix
+        assert [r.budget_rank for r in kept] == list(
+            range(1, len(kept) + 1))
+        # every kept doc STARTS within budget; predecessors' total < 100
+        cum = 0
+        for r in kept:
+            assert cum < 100
+            cum += r.n_tokens
+        # and the next doc would not have started within budget
+        assert cum >= 100
+
+
+def test_token_budget_first_doc_always_kept(spark):
+    from scespet_spark.operators.text import token_budget_sample
+    df = spark.createDataFrame(
+        [(1, "s", "w " * 500)], "doc_id long, source string, text string")
+    out = token_budget_sample(df, budget=10).collect()
+    assert len(out) == 1 and out[0].n_tokens == 500
+
+
+def test_url_rule_filter_reasons(spark):
+    from scespet_spark.operators.dedup import url_rule_filter
+    rows = [
+        (0, "https://ads.bad.net/x"),            # blocked domain (suffix)
+        (1, "https://bad.net/x"),                # blocked domain (exact)
+        (2, "https://fun.example.xxx/x"),        # blocked tld
+        (3, "https://ok.org/casino/page"),       # blocked term
+        (4, "https://ok.org" + "/d" * 20),       # deep path
+        (5, "https://ok.org/" + "a" * 3000),     # too long
+        (6, "no-scheme-here"),                   # malformed
+        (7, None),                               # null url
+        (8, "https://Docs.OK.org:8080/fine"),    # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in url_rule_filter(
+        df, blocked_domains=("bad.net",)).collect()}
+    assert got[0].url_reason == "blocked_domain"
+    assert got[1].url_reason == "blocked_domain"
+    assert got[2].url_reason == "blocked_tld"
+    assert got[3].url_reason == "blocked_term"
+    assert got[4].url_reason == "deep_path"
+    assert got[5].url_reason == "too_long"
+    assert got[6].url_reason == "malformed"
+    assert got[7].url_reason == "malformed"
+    assert got[8].url_reason is None
+    assert got[8].host == "docs.ok.org"  # lowercased, port stripped
+    plan = (url_rule_filter(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ccnet_buckets_terciles(spark):
+    from scespet_spark.operators.text import (ccnet_bucket_apply,
+                                              ccnet_bucket_cutoffs,
+                                              ccnet_buckets)
+    # synthetic scored table: two groups with known score ladders
+    scored = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i)) for i in range(30)],
+        "doc_id long, lang string, mean_logp double")
+    cuts = ccnet_bucket_cutoffs(scored)
+    assert cuts.count() == 2
+    out = ccnet_bucket_apply(scored, cuts).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r.lang, r.bucket), []).append(r.mean_logp)
+    for g in ("g0", "g1"):
+        # head scores all above tail scores within the group
+        assert min(per[(g, "head")]) > max(per[(g, "middle")])
+        assert min(per[(g, "middle")]) > max(per[(g, "tail")])
+        assert len(per[(g, "head")]) == 5  # 15 docs -> 3 terciles of 5
+    # unseen group at serving time labels NULL, never a silent head
+    novel = spark.createDataFrame([(99, "new", 3.0)],
+                                  "doc_id long, lang string, mean_logp double")
+    assert ccnet_bucket_apply(novel, cuts).collect()[0].bucket is None
+    # end-to-end over real text: every doc with >= 2 tokens is labeled
+    docs = spark.createDataFrame(
+        [(i, "w" + str(i) + " common tail words here", "en")
+         for i in range(9)],
+        "doc_id long, text string, lang string")
+    assert ccnet_buckets(docs).where(F.col("bucket").isNull()).count() == 0
