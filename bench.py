@@ -108,6 +108,10 @@ HEADLINE = [
     "text_trigram_lm",
     "text_ngram_lm_order5",
     "dedup_exact_wide",
+    "ccnet_perplexity_buckets",
+    "url_rule_filter_docs",
+    "curriculum_order_docs",
+    "token_budget_docs",
 ]
 
 

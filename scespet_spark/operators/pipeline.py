@@ -416,39 +416,45 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank",
     dependent and the oracle comparison meaningless).
 
     Scale shape — the classic two-phase rank: (1) range-partition by
-    the sort key and sort within partitions (one Exchange; Spark's
-    range partitioner samples boundaries, AQE balances them); the
-    partitioned result is localCheckpoint-materialized so phases see
-    ONE consistent partitioning; (2) count each partition (a
-    #partitions-row collect), cumulative-sum the counts driver-side,
-    and add each partition's offset to its local ``row_number`` — a
-    per-partition window (already sorted: no extra shuffle).  The
-    driver holds #partitions integers, never data.  This is how a
-    100 TB corpus gets a curriculum position without
-    ``Window.orderBy`` collapsing it onto one task."""
+    the sort key and sort within partitions (ONE Exchange; Spark's
+    range partitioner samples boundaries, AQE balances them), stamp
+    each row's ``monotonically_increasing_id`` — partition id in the
+    high bits, the row's IN-SORT-ORDER index within its partition in
+    the low 33 — and localCheckpoint-materialize, freezing the
+    nondeterministic ids; (2) count each partition (map-combinable to
+    a #partitions-row collect), cumulative-sum driver-side, and add
+    each partition's offset to its decoded local index — a pure
+    map-side projection over the checkpoint, NO second Exchange (the
+    naive ``Window.partitionBy(pid)`` alternative re-shuffles the full
+    corpus by pid because Spark cannot see the checkpoint's physical
+    distribution — measured and rejected).  The driver holds
+    #partitions integers, never data.  Per-partition row count must
+    stay under 2^33 (~8.6B — sizing ``num_partitions`` for memory
+    gets there orders of magnitude first).  This is how a 100 TB
+    corpus gets a curriculum position without ``Window.orderBy``
+    collapsing it onto one task."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = (df.repartitionByRange(n, *order_cols)
             .sortWithinPartitions(*order_cols)
-            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
             .localCheckpoint())
-    counts = {r["__pid"]: r["cnt"]
-              for r in part.groupBy("__pid").agg(
+    pid = F.shiftright(F.col("__mid"), 33).cast("int")
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = {r["p"]: r["cnt"]
+              for r in part.select(pid.alias("p")).groupBy("p").agg(
                   F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    from pyspark.sql import Window
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
     pairs = []
-    for pid, off in offsets.items():
-        pairs += [F.lit(pid), F.lit(off)]
+    for p, off in offsets.items():
+        pairs += [F.lit(p), F.lit(off)]
     off_map = F.create_map(*pairs) if pairs else F.create_map()
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
     return (part.withColumn(
                 rank_col,
-                (F.row_number().over(w)
-                 + F.element_at(off_map, F.col("__pid"))).cast("long"))
-            .drop("__pid"))
+                (F.element_at(off_map, pid) + local + 1).cast("long"))
+            .drop("__mid"))
 
 
 def curriculum_order(df: DataFrame, score_col: str,

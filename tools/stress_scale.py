@@ -189,6 +189,29 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         "trigram_lm": lambda d, e: noop(ngram_lm_score(d)),
     })
 
+    # late-r9 additions.  ccnet_buckets: LM occurrence rows grow ~mult
+    # while count tables and the |langs|-row cutoff stay constant.
+    # curriculum: two-phase rank — one range Exchange + #partitions-row
+    # driver collect, both ~mult.  token_budget: replicate_docs gives
+    # each replica its own source, so per-source window input is
+    # CONSTANT while source count grows ~mult (the production shape: a
+    # training mix has bounded docs per source).  url_filter: map-only.
+    from scespet_spark.operators.dedup import url_rule_filter
+    from scespet_spark.operators.pipeline import curriculum_order
+    from scespet_spark.operators.text import ccnet_buckets, token_budget_sample
+    ops.update({
+        "ccnet_buckets": lambda d, e: noop(ccnet_buckets(d)),
+        "curriculum": lambda d, e: noop(
+            curriculum_order(d, "n_chars", shard_size=4096)),
+        "token_budget": lambda d, e: noop(
+            token_budget_sample(d, budget=700, priority_col="n_chars")),
+        "url_filter": lambda d, e: noop(url_rule_filter(
+            d.withColumn("url", F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+                F.lit(".example.org/p"), F.col("doc_id").cast("string"))),
+            blocked_domains=("bad.net",))),
+    })
+
     if only:
         unknown = only - set(ops)
         if unknown:
