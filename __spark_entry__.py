@@ -5919,6 +5919,87 @@ def token_budget_docs(spark, sf_dir):
             .select("doc_id", "source", "n_tokens", "budget_rank"))
 
 
+@query("epoch_schedule_sources", f"""
+WITH t AS (SELECT source,
+                  CAST(SUM(len(list_filter(
+                      string_split(coalesce(text, ''), ' '),
+                      x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+z AS (SELECT SUM(pow(n_tokens, 0.5)) AS zz FROM t)
+SELECT source, n_tokens,
+       round(pow(n_tokens, 0.5) / zz, 12) AS share,
+       round(least(2.3, round(pow(n_tokens, 0.5) / zz, 12)
+                        * 60000 / n_tokens), 6) AS epochs,
+       CAST(floor(round(least(2.3, round(pow(n_tokens, 0.5) / zz, 12)
+                              * 60000 / n_tokens), 6) * n_tokens)
+            AS BIGINT) AS realized_tokens
+FROM t CROSS JOIN z
+""")
+def epoch_schedule_sources(spark, sf_dir):
+    """Data-constrained epoch schedule (Muennighoff et al. 2023): how
+    many EPOCHS of each source a 60k-token budget buys under an
+    alpha=0.5 temperature share, capped at 2.3 epochs (the cap binds
+    for the scarcer sources here — both branches exercised).  One tiny
+    per-source token aggregate + a 1-row normalizer; |sources| rows
+    end to end."""
+    from scespet_spark.operators.text import epoch_schedule
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_schedule(docs, total_tokens=60000, alpha=0.5,
+                          max_epochs=2.3)
+
+
+_FILTER_STACK_ORACLE = f"""
+SELECT d.doc_id,
+       c4.keep AS c4_keep,
+       g.keep AS gopher_keep,
+       CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS ppl_keep,
+       CASE WHEN c4.keep = 0 THEN 'c4'
+            WHEN g.keep = 0 THEN 'gopher'
+            WHEN p.doc_id IS NULL THEN 'perplexity'
+            ELSE NULL END AS dropped_by
+FROM documents d
+JOIN ({{c4}}) c4 USING (doc_id)
+JOIN ({{g}}) g USING (doc_id)
+LEFT JOIN ({{p}}) p USING (doc_id)
+"""
+
+
+@query("filter_stack_docs", _FILTER_STACK_ORACLE.format(
+    c4=_C4_SQL, g=_ORACLES["gopher_quality_docs"],
+    p=_ORACLES["perplexity_filter_docs"]))
+def filter_stack_docs(spark, sf_dir):
+    """The full batch cleaning recipe in ONE call — the C4 line rules
+    (over the synthesized multi-line text), the Gopher doc rules (over
+    the raw text), and the CCNet perplexity gate — with a per-doc
+    ``dropped_by`` audit column naming the FIRST stage that rejected
+    it (NULL = survives the stack).  The two rule gates are map-only
+    projections CHAINED in one pass over the doc row (no join between
+    them — flags accumulate in the same projection); only the
+    perplexity signal, which needs its own LM aggregation pass, joins
+    back (a doc-id equi-join against the survivor id set).  This is
+    the recipe shape a production pipeline runs: rules first (cheap,
+    scan-speed), model gates after."""
+    from scespet_spark.operators.text import (c4_rule_filter,
+                                              gopher_quality_filter,
+                                              perplexity_filter)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn("c4_text", _c4_demo_text())
+    flags = (gopher_quality_filter(
+                 c4_rule_filter(staged, text_col="c4_text")
+                 .withColumnRenamed("keep", "c4_keep"),
+                 min_words=30)
+             .withColumnRenamed("keep", "gopher_keep")
+             .select("doc_id", "c4_keep", "gopher_keep"))
+    ppl = perplexity_filter(docs, frac=0.1).select(
+        "doc_id", F.lit(1).alias("ppl_keep"))
+    return (flags.join(ppl, "doc_id", "left")
+            .withColumn("ppl_keep", F.coalesce("ppl_keep", F.lit(0)))
+            .withColumn("dropped_by",
+                        F.when(F.col("c4_keep") == 0, "c4")
+                        .when(F.col("gopher_keep") == 0, "gopher")
+                        .when(F.col("ppl_keep") == 0, "perplexity")))
+
+
 #: Registration-order override.  The driver's correctness gate evaluates
 #: the FIRST 50 entries of ``queries()``; round 1 checked definition order
 #: and left every training-pipeline operator (registered last) without a
@@ -5958,6 +6039,7 @@ _ROUND_CHANGED = [
     "ccnet_perplexity_buckets", "live_ccnet_bucket",
     "url_rule_filter_docs", "live_url_filter",
     "curriculum_order_docs", "token_budget_docs",
+    "epoch_schedule_sources", "filter_stack_docs",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -5971,8 +6053,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "rollup_order_status", "set_ops_customers", "window_rank_orders",
     "vwap_per_supplier", "dedup_kept_corpus", "dedup_simhash",
     "dedup_ngram_jaccard", "ann_pq_codes", "ann_pq_adc_topk",
-    "text_token_stats", "text_lang_id",
-    "text_repetition",
+    "text_token_stats",
     # (the r4/r5 stream-family cohort re-greened r8 rotates out, as do
     # text_fingerprint/text_token_doc_freq/text_corpus_idf/doc_chunking/
     # redact_pii/stratified_sample_docs to make room for the late-r9

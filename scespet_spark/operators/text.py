@@ -317,6 +317,51 @@ def temperature_cutoffs(df: DataFrame, alpha: float, total: int,
             .select(source_col, F.floor(p * _M).alias("__cut")))
 
 
+def epoch_schedule(df: DataFrame, total_tokens: int, alpha: float = 0.5,
+                   max_epochs: float = 4.0, source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Data-constrained epoch schedule (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": repeating a source up
+    to ~4 epochs is near-free; value decays past that): given a total
+    token budget and per-source availability, derive how many EPOCHS
+    of each source to train on —
+
+        n_s      = source token count (one combinable aggregate)
+        p_s      ~ n_s^alpha   (temperature share, 12-digit-rounded —
+                                the ``temperature_cutoffs`` parity rule)
+        epochs_s = min(max_epochs, p_s * total_tokens / n_s)  (6dp)
+        realized = floor(epochs_s * n_s)
+
+    Returns ``(source, n_tokens, share, epochs, realized_tokens)`` —
+    the recipe table a training loader consumes (epochs > 1 = repeat
+    the source, < 1 = subsample via ``mixture_apply``); the capped
+    sources' undershoot (sum(realized) < total_tokens) is the honest
+    signal that the budget exceeds what ``max_epochs`` allows.
+
+    Scale shape: one tiny per-source aggregation + a 1-row normalizer
+    broadcast — |sources| rows end to end; the corpus never
+    shuffles."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    n_tok = F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+    counts = df.groupBy(source_col).agg(
+        F.sum(n_tok).cast("long").alias("n_tokens"))
+    z = counts.agg(
+        F.sum(F.pow("n_tokens", F.lit(float(alpha)))).alias("__z"))
+    share = F.round(
+        F.pow("n_tokens", F.lit(float(alpha))) / F.col("__z"), 12)
+    epochs = F.round(
+        F.least(F.lit(float(max_epochs)),
+                share * total_tokens / F.col("n_tokens")), 6)
+    return (counts.crossJoin(F.broadcast(z))
+            .select(source_col, "n_tokens", share.alias("share"),
+                    epochs.alias("epochs"),
+                    F.floor(epochs * F.col("n_tokens"))
+                    .cast("long").alias("realized_tokens")))
+
+
 def temperature_mixture_sample(df: DataFrame, alpha: float, total: int,
                                source_col: str = "source",
                                id_col: str = "doc_id",

@@ -2439,3 +2439,29 @@ def test_ccnet_buckets_terciles(spark):
          for i in range(9)],
         "doc_id long, text string, lang string")
     assert ccnet_buckets(docs).where(F.col("bucket").isNull()).count() == 0
+
+
+def test_epoch_schedule_caps_and_shares(spark):
+    from scespet_spark.operators.text import epoch_schedule
+    rows = [(i, "big" if i < 30 else "small", "w " * 20)
+            for i in range(40)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+    # big: 600 tokens, small: 200 tokens; alpha=1 -> natural shares
+    out = {r.source: r for r in epoch_schedule(
+        df, total_tokens=1600, alpha=1.0, max_epochs=1.5).collect()}
+    assert out["big"].n_tokens == 600 and out["small"].n_tokens == 200
+    assert abs(out["big"].share - 0.75) < 1e-9
+    # big requests 1200 tokens = 2.0 epochs -> capped at 1.5
+    assert out["big"].epochs == 1.5
+    assert out["big"].realized_tokens == 900
+    # small requests 400 = 2.0 epochs -> also capped
+    assert out["small"].epochs == 1.5
+    assert out["small"].realized_tokens == 300
+    # uncapped branch: generous cap keeps the exact request
+    out2 = {r.source: r for r in epoch_schedule(
+        df, total_tokens=800, alpha=1.0, max_epochs=10.0).collect()}
+    assert abs(out2["big"].epochs - 1.0) < 1e-6
+    assert out2["small"].realized_tokens == 200
+    with pytest.raises(ValueError):
+        epoch_schedule(df, 100, alpha=-1)
