@@ -6000,6 +6000,70 @@ def filter_stack_docs(spark, sf_dir):
                         .when(F.col("ppl_keep") == 0, "perplexity")))
 
 
+_GOPHER_REP_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+s AS (SELECT doc_id, len(tk) AS nt, tk,
+        CASE WHEN len(string_split(text, chr(10))) > 0
+             THEN round(1 - len(list_distinct(
+                        string_split(text, chr(10))))::DOUBLE
+                        / len(string_split(text, chr(10))), 6)
+             ELSE 0.0 END AS dup_line_frac
+      FROM t),
+g AS (SELECT doc_id, dup_line_frac,
+        CASE WHEN nt >= 2 THEN round(1 - len(list_distinct(
+               list_transform(generate_series(1, nt - 1),
+                 i -> array_to_string(tk[i:i+1], ' '))))::DOUBLE
+               / (nt - 1), 6) ELSE 0.0 END AS dup_2gram_frac,
+        CASE WHEN nt >= 3 THEN round(1 - len(list_distinct(
+               list_transform(generate_series(1, nt - 2),
+                 i -> array_to_string(tk[i:i+2], ' '))))::DOUBLE
+               / (nt - 2), 6) ELSE 0.0 END AS dup_3gram_frac,
+        CASE WHEN nt >= 4 THEN round(1 - len(list_distinct(
+               list_transform(generate_series(1, nt - 3),
+                 i -> array_to_string(tk[i:i+3], ' '))))::DOUBLE
+               / (nt - 3), 6) ELSE 0.0 END AS dup_4gram_frac
+      FROM s)
+SELECT doc_id, dup_line_frac, dup_2gram_frac, dup_3gram_frac,
+       dup_4gram_frac,
+       (dup_line_frac <= 0.30 AND dup_2gram_frac <= 0.20
+        AND dup_3gram_frac <= 0.18 AND dup_4gram_frac <= 0.16)::INT
+       AS keep
+FROM g
+"""
+
+_GOPHER_REP_COLS = ["doc_id", "dup_line_frac", "dup_2gram_frac",
+                    "dup_3gram_frac", "dup_4gram_frac", "keep"]
+
+
+@query("gopher_repetition_docs", _GOPHER_REP_ORACLE)
+def gopher_repetition_docs(spark, sf_dir):
+    """Gopher's within-document REPETITION rules (Rae et al. 2021
+    A1.1): duplicate-line fraction and duplicate 2/3/4-gram fractions
+    with Gopher's 0.30/0.20/0.18/0.16 thresholds — the third sibling
+    completing the rule suite (C4 line rules, Gopher doc-shape rules,
+    Gopher repetition rules).  ONE map-only projection
+    (`array_distinct` over per-row gram arrays — no explode, no
+    shuffle); the synthetic corpus's small vocabulary makes the
+    n-gram thresholds genuinely fire."""
+    from scespet_spark.operators.text import gopher_repetition_filter
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition_filter(docs).select(*_GOPHER_REP_COLS)
+
+
+@query("live_gopher_repetition", _GOPHER_REP_ORACLE)
+def live_gopher_repetition(spark, sf_dir):
+    """The repetition rules on a LIVE crawl: stateless map-only
+    projection per micro-batch, append mode, zero state — same oracle
+    as the batch rules over the replayed table."""
+    from scespet_spark.operators.text import gopher_repetition_filter
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(
+        gopher_repetition_filter(stream).select(*_GOPHER_REP_COLS),
+        "append")
+
+
 #: Registration-order override.  The driver's correctness gate evaluates
 #: the FIRST 50 entries of ``queries()``; round 1 checked definition order
 #: and left every training-pipeline operator (registered last) without a
@@ -6040,6 +6104,7 @@ _ROUND_CHANGED = [
     "url_rule_filter_docs", "live_url_filter",
     "curriculum_order_docs", "token_budget_docs",
     "epoch_schedule_sources", "filter_stack_docs",
+    "gopher_repetition_docs", "live_gopher_repetition",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -6052,8 +6117,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "q10_returned_items", "region_revenue", "topk_orders",
     "rollup_order_status", "set_ops_customers", "window_rank_orders",
     "vwap_per_supplier", "dedup_kept_corpus", "dedup_simhash",
-    "dedup_ngram_jaccard", "ann_pq_codes", "ann_pq_adc_topk",
-    "text_token_stats",
+    "dedup_ngram_jaccard", "ann_pq_codes",
     # (the r4/r5 stream-family cohort re-greened r8 rotates out, as do
     # text_fingerprint/text_token_doc_freq/text_corpus_idf/doc_chunking/
     # redact_pii/stratified_sample_docs to make room for the late-r9

@@ -1195,6 +1195,60 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
             .drop("__gt", "__r"))
 
 
+def gopher_repetition_filter(
+        df: DataFrame, text_col: str = "text",
+        max_dup_line_frac: float = 0.30,
+        max_dup_ngram_frac: tuple[float, ...] = (0.20, 0.18, 0.16),
+) -> DataFrame:
+    """Gopher's REPETITION rules (Rae et al. 2021 A1.1, the
+    within-document repetition table): drop a document whose content
+    is mostly self-copies — duplicate-line fraction over
+    ``max_dup_line_frac``, or duplicate word-n-gram fraction over the
+    per-order thresholds (``max_dup_ngram_frac[i]`` bounds the
+    (i+2)-gram order; Gopher's 0.20/0.18/0.16 for n = 2/3/4).  The
+    n-gram fraction here is count-weighted (1 - distinct/total), the
+    token-count proxy of Gopher's character-fraction — same monotone
+    signal, exactly mirrorable in SQL.  The third sibling of
+    ``c4_rule_filter`` (line rules) and ``gopher_quality_filter``
+    (doc-shape rules): together the full rule suite.
+
+    Returns every input row plus the fractions (6dp) and an integer
+    ``keep`` flag — the filter-audit shape.  Docs with fewer than n
+    tokens score 0 for that order (nothing to repeat).
+
+    Scale shape: ONE map-only projection — ``array_distinct`` over
+    per-row gram arrays, no explode, no shuffle, no aggregation; runs
+    at scan speed over 100 TB and append-legal on a live stream."""
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.size(lines)
+    dup_line = F.when(
+        nl > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
+                .cast("double") / nl.cast("double"), 6)).otherwise(0.0)
+    toks = tokens(F.col(text_col))
+    nt = F.size(toks)
+    out_cols: dict[str, Column] = {"dup_line_frac": dup_line}
+    keep = dup_line <= max_dup_line_frac
+    def _gram_of(order: int):
+        # ONE-arg lambda: a second parameter would make F.transform
+        # pass the 0-based array index into it, silently overriding
+        # the captured n-gram order
+        return lambda idx: F.array_join(F.slice(toks, idx, order), " ")
+
+    for i, thr in enumerate(max_dup_ngram_frac):
+        n = i + 2
+        ng = F.transform(F.sequence(F.lit(1), nt - (n - 1)), _gram_of(n))
+        frac = F.when(
+            nt >= n,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(ng))
+                    .cast("double") / (nt - (n - 1)).cast("double"), 6)
+        ).otherwise(0.0)
+        out_cols[f"dup_{n}gram_frac"] = frac
+        keep = keep & (frac <= thr)
+    out_cols["keep"] = keep.cast("int")
+    return df.withColumns(out_cols)
+
+
 def redact(df: DataFrame, text_col: str = "text",
            rules=DEFAULT_REDACTIONS, out: str = "clean_text") -> DataFrame:
     """PII-style redaction for training corpora: a chain of columnar

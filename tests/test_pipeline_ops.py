@@ -2465,3 +2465,25 @@ def test_epoch_schedule_caps_and_shares(spark):
     assert out2["small"].realized_tokens == 200
     with pytest.raises(ValueError):
         epoch_schedule(df, 100, alpha=-1)
+
+
+def test_gopher_repetition_rules(spark):
+    from scespet_spark.operators.text import gopher_repetition_filter
+    docs = spark.createDataFrame([
+        (0, "all words here are fully distinct tokens friend"),
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "copy line\ncopy line\ncopy line\nunique line"),
+        (3, "a b " * 30),                     # dup 2-grams dominate
+        (4, "one two"),                       # shorter than 3/4-grams
+        (5, ""),                              # empty
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition_filter(docs).collect()}
+    assert got[0].keep == 1 and got[0].dup_2gram_frac == 0.0
+    assert got[1].keep == 0 and got[1].dup_2gram_frac > 0.8
+    assert got[2].keep == 0 and abs(got[2].dup_line_frac - 0.5) < 1e-9
+    assert got[3].keep == 0 and got[3].dup_3gram_frac > 0.9
+    assert got[4].dup_3gram_frac == 0.0 and got[4].dup_4gram_frac == 0.0
+    assert got[5].dup_2gram_frac == 0.0 and got[5].keep == 1
+    plan = (gopher_repetition_filter(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
