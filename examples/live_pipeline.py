@@ -128,35 +128,50 @@ _CAP_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _CAP_QB = 512      # quality-classifier buckets
 _CAP_LB = 512      # language-classifier buckets
 _CAP_PROBE_BUCKETS = 8
+#: engineered drop-1 rows: one doc whose URL the pre-fetch rule gate
+#: must block, one repetition-spam doc the Gopher repetition gate must
+#: kill after it clears the URL and content gates
+_CAP_BLOCKED_ID = 95002
+_CAP_SPAM_ID = 95003
 
 
 def _cap_url():
     """Deterministic crawl URL: heavy spelling-variant collisions for
     ids < 90000 (the dedup-worthy web), unique URLs above (the slot the
-    engineered duplicate uses so it reaches the CONTENT gate)."""
+    engineered duplicate uses so it reaches the CONTENT gate); the
+    engineered blocked row carries a URL-keyword hit."""
     tail = F.when(F.col("doc_id") >= 90000,
                   F.col("doc_id").cast("string")) \
         .otherwise((F.col("doc_id") % 50).cast("string"))
-    return F.concat(
+    return F.when(
+        F.col("doc_id") == _CAP_BLOCKED_ID,
+        F.lit(f"https://WWW.Example.com/en/casino/p{_CAP_BLOCKED_ID}")
+    ).otherwise(F.concat(
         F.lit("https://WWW.Example.com/"), F.col("lang"), F.lit("/p"),
         tail,
         F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed"))
-        .otherwise(F.lit("")))
+        .otherwise(F.lit(""))))
 
 
 def _cap_stage1(spark, drops_dir: str, out: str, ckpt: str) -> None:
-    """Crawl gate stage 1: URL-canonical first-wins election.  One
-    checkpointed append query; re-running after a new drop lands
-    processes ONLY the new files, and the election state persists
-    across drops (a later spelling variant of an already-seen canonical
-    URL never re-emits)."""
-    from scespet_spark.operators.dedup import canonical_url
+    """Crawl gate stage 1: pre-fetch URL RULE gate (FineWeb-style —
+    blocked before any content cost; stateless map-only), then the
+    URL-canonical first-wins election.  One checkpointed append query;
+    re-running after a new drop lands processes ONLY the new files,
+    and the election state persists across drops (a later spelling
+    variant of an already-seen canonical URL never re-emits)."""
+    from scespet_spark.operators.dedup import canonical_url, url_rule_filter
     from scespet_spark.streaming.live import first_wins, write_parquet
     stream = (spark.readStream
               .schema("doc_id long, text string, lang string, "
                       "source string, n_chars long")
               .option("maxFilesPerTrigger", 1).parquet(drops_dir)
-              .withColumn("canon_url", canonical_url(_cap_url()))
+              .withColumn("url", _cap_url()))
+    stream = (url_rule_filter(stream)
+              .filter(F.col("url_reason").isNull())
+              .drop("host", "url_reason")
+              .withColumn("canon_url", canonical_url(F.col("url")))
+              .drop("url")
               .filter(F.col("canon_url").isNotNull()))
     survivors = first_wins(stream, keys=["canon_url"],
                            order_cols=["doc_id"],
@@ -177,6 +192,8 @@ def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
       * WIDE exact-content anti-join (digest-width discipline: both
         independent digests — a narrow 60-bit collision with the prior
         corpus would silently kill an innocent crawl doc);
+      * Gopher repetition gate (map-only ``array_distinct`` rules —
+        repetition spam dies before any model scoring);
       * append-legal language gate (``lang_id_apply_rowwise`` — the
         r9 serving form: literal weight matrix, map-only);
       * append-legal quality gate (row-wise classifier, calibrated
@@ -187,7 +204,8 @@ def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
     from scespet_spark.operators.dedup import digest_cols, gram_digests
     from scespet_spark.operators.pipeline import split_assign
     from scespet_spark.operators.text import (
-        lang_id_apply_rowwise, quality_classifier_apply_rowwise)
+        gopher_repetition_filter, lang_id_apply_rowwise,
+        quality_classifier_apply_rowwise)
     sig = (gram_digests(df, min_len=_CAP_L, wide=True)
            .join(snap["grams"], ["__g", "__g2"], "left_semi")
            .select("doc_id", "pos"))
@@ -196,6 +214,9 @@ def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
             .withColumn("content_hash2", d2)
             .join(snap["digests"].select("content_hash", "content_hash2"),
                   ["content_hash", "content_hash2"], "left_anti"))
+    kept = (gopher_repetition_filter(kept).filter(F.col("keep") == 1)
+            .drop("dup_line_frac", "dup_2gram_frac", "dup_3gram_frac",
+                  "dup_4gram_frac", "keep"))
     langed = (lang_id_apply_rowwise(kept, lang_model, n_buckets=_CAP_LB)
               .filter(F.col("pred_lang") == "en")
               .drop("pred_lang", "score"))
@@ -260,8 +281,10 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     """End-to-end continuous-crawl loop over TWO crawl drops with a
     snapshot AND model refresh in between:
 
-        url_dedup -> substring snapshot probe (signal)
+        url_rule_filter (pre-fetch gate, r9)
+                  -> url_dedup -> substring snapshot probe (signal)
                   -> WIDE exact-content snapshot gate
+                  -> Gopher repetition gate (r9)
                   -> language gate (row-wise serving form, r9)
                   -> quality gate (row-wise serving form)
                   -> split_assign -> checkpointed shard sink
@@ -308,7 +331,22 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     # ---- snapshot 0 (prior corpus only), drop 1 --------------------
     write_snapshot(f"{work}/snap0", docs=prior, sub_min_len=_CAP_L,
                    digest_wide=True, bucket_probes=_CAP_PROBE_BUCKETS)
-    stage_drop(docs.filter(F.col("doc_id") % 3 == 1).select(*cols),
+    # drop 1 carries two engineered rows: a blocked-URL doc (unique
+    # URL, but the pre-fetch rule gate must kill it on the keyword)
+    # and a repetition-spam doc (clean unique URL, novel content — it
+    # must reach and die at the Gopher repetition gate)
+    schema = ", ".join(f"{c} {t}" for c, t in
+                       [("doc_id", "long"), ("text", "string"),
+                        ("lang", "string"), ("source", "string"),
+                        ("n_chars", "long")])
+    spam_text = "win big now " * 40
+    engineered = spark.createDataFrame(
+        [(_CAP_BLOCKED_ID, "an ordinary page that never gets fetched",
+          "en", "src0", 41),
+         (_CAP_SPAM_ID, spam_text, "en", "src0", len(spam_text))],
+        schema)
+    stage_drop(docs.filter(F.col("doc_id") % 3 == 1).select(*cols)
+               .unionByName(engineered),
                "drop1", now - 100)
     _cap_stage1(spark, drops, s1_out, s1_ck)
     _cap_stage2(spark, s1_out, f"{work}/snap0", qc_model, lang_model,
@@ -349,6 +387,8 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     final = spark.read.parquet(s2_out)
     n2 = final.count()
     ids = {r.doc_id for r in final.select("doc_id").collect()}
+    s1_ids = {r.doc_id
+              for r in spark.read.parquet(s1_out).select("doc_id").collect()}
     splits = {r.split for r in final.select("split").distinct().collect()}
     n_sig = spark.read.parquet(sig_out).count()
     res = {"drop1_kept": n1, "total_kept": n2,
@@ -356,7 +396,13 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
            "dup_source_present": dup_src["doc_id"] in ids,
            "splits": sorted(splits), "known_passage_hits": n_sig,
            "model_refreshed": s_old != s_new,
-           "probe_scores": (s_old, s_new)}
+           "probe_scores": (s_old, s_new),
+           # the blocked-URL doc dies BEFORE the election (pre-fetch);
+           # the spam doc clears the URL gates, then dies at the
+           # repetition gate before any model scoring
+           "url_blocked_suppressed": _CAP_BLOCKED_ID not in s1_ids,
+           "repetition_suppressed": (_CAP_SPAM_ID in s1_ids
+                                     and _CAP_SPAM_ID not in ids)}
     print(f"capstone: {n1} docs after drop 1, {n2} total after drop 2; "
           f"engineered duplicate suppressed by the refreshed snapshot: "
           f"{res['dup_suppressed']}; splits {res['splits']}; "

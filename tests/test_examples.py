@@ -65,6 +65,11 @@ def test_crawl_capstone_example(spark, tmp_path):
     # model refresh: the crafted probe doc scores differently under
     # the re-fitted quality model
     assert res["model_refreshed"], res["probe_scores"]
+    # r9 gates: the blocked-URL doc dies at the pre-fetch rule gate
+    # (never reaches the election), the repetition-spam doc clears the
+    # URL gates and dies at the Gopher repetition gate
+    assert res["url_blocked_suppressed"]
+    assert res["repetition_suppressed"]
     # bucketed snapshot probes: the refreshed snapshot's digest/gram
     # tables join the gate's OWN key sets with zero snapshot-side
     # Exchange (the per-micro-batch stage-2 plan, read batch-side)
