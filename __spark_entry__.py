@@ -6000,9 +6000,14 @@ def filter_stack_docs(spark, sf_dir):
                         .when(F.col("ppl_keep") == 0, "perplexity")))
 
 
+from scespet_spark.operators.dedup import MH_PRIME  # noqa: E402
+
 _GOPHER_REP_ORACLE = f"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
-s AS (SELECT doc_id, len(tk) AS nt, tk,
+WITH t AS (SELECT doc_id, text,
+                  list_transform({_TOKS},
+                                 x -> {h64_sql('x')} % {MH_PRIME}) AS hs
+           FROM documents),
+s AS (SELECT doc_id, len(hs) AS nt, hs,
         CASE WHEN len(string_split(text, chr(10))) > 0
              THEN round(1 - len(list_distinct(
                         string_split(text, chr(10))))::DOUBLE
@@ -6010,17 +6015,14 @@ s AS (SELECT doc_id, len(tk) AS nt, tk,
              ELSE 0.0 END AS dup_line_frac
       FROM t),
 g AS (SELECT doc_id, dup_line_frac,
-        CASE WHEN nt >= 2 THEN round(1 - len(list_distinct(
-               list_transform(generate_series(1, nt - 1),
-                 i -> array_to_string(tk[i:i+1], ' '))))::DOUBLE
+        CASE WHEN nt >= 2 THEN round(1 -
+               len({_shingle_hash_sql(2)})::DOUBLE
                / (nt - 1), 6) ELSE 0.0 END AS dup_2gram_frac,
-        CASE WHEN nt >= 3 THEN round(1 - len(list_distinct(
-               list_transform(generate_series(1, nt - 2),
-                 i -> array_to_string(tk[i:i+2], ' '))))::DOUBLE
+        CASE WHEN nt >= 3 THEN round(1 -
+               len({_shingle_hash_sql(3)})::DOUBLE
                / (nt - 2), 6) ELSE 0.0 END AS dup_3gram_frac,
-        CASE WHEN nt >= 4 THEN round(1 - len(list_distinct(
-               list_transform(generate_series(1, nt - 3),
-                 i -> array_to_string(tk[i:i+3], ' '))))::DOUBLE
+        CASE WHEN nt >= 4 THEN round(1 -
+               len({_shingle_hash_sql(4)})::DOUBLE
                / (nt - 3), 6) ELSE 0.0 END AS dup_4gram_frac
       FROM s)
 SELECT doc_id, dup_line_frac, dup_2gram_frac, dup_3gram_frac,

@@ -112,6 +112,8 @@ HEADLINE = [
     "url_rule_filter_docs",
     "curriculum_order_docs",
     "token_budget_docs",
+    "gopher_repetition_docs",
+    "filter_stack_docs",
 ]
 
 

@@ -1216,37 +1216,37 @@ def gopher_repetition_filter(
     ``keep`` flag — the filter-audit shape.  Docs with fewer than n
     tokens score 0 for that order (nothing to repeat).
 
-    Scale shape: ONE map-only projection — ``array_distinct`` over
-    per-row gram arrays, no explode, no shuffle, no aggregation; runs
-    at scan speed over 100 TB and append-legal on a live stream."""
+    Scale shape: ONE map-only projection, no explode, no shuffle, no
+    aggregation.  Distinct n-grams count over ROLLED DIGESTS of a
+    once-materialized token-hash array (the ``repetition_stats``
+    pattern: one md5 per token, pure arithmetic per gram order —
+    building the gram STRINGS instead measured ~4x slower at 30x
+    data); per-doc digest collisions (~n²/2^32) are identical in the
+    oracle.  Runs at scan speed over 100 TB and append-legal on a
+    live stream."""
+    from .dedup import shingle_hashes, token_hash_array
     lines = F.split(F.col(text_col), "\n")
     nl = F.size(lines)
     dup_line = F.when(
         nl > 0,
         F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
                 .cast("double") / nl.cast("double"), 6)).otherwise(0.0)
-    toks = tokens(F.col(text_col))
-    nt = F.size(toks)
+    hs = F.col("__hs")
+    nt = F.size(hs)
     out_cols: dict[str, Column] = {"dup_line_frac": dup_line}
     keep = dup_line <= max_dup_line_frac
-    def _gram_of(order: int):
-        # ONE-arg lambda: a second parameter would make F.transform
-        # pass the 0-based array index into it, silently overriding
-        # the captured n-gram order
-        return lambda idx: F.array_join(F.slice(toks, idx, order), " ")
-
     for i, thr in enumerate(max_dup_ngram_frac):
         n = i + 2
-        ng = F.transform(F.sequence(F.lit(1), nt - (n - 1)), _gram_of(n))
         frac = F.when(
             nt >= n,
-            F.round(F.lit(1.0) - F.size(F.array_distinct(ng))
+            F.round(F.lit(1.0) - F.size(shingle_hashes(hs, n))
                     .cast("double") / (nt - (n - 1)).cast("double"), 6)
         ).otherwise(0.0)
         out_cols[f"dup_{n}gram_frac"] = frac
         keep = keep & (frac <= thr)
     out_cols["keep"] = keep.cast("int")
-    return df.withColumns(out_cols)
+    return (df.withColumn("__hs", token_hash_array(F.col(text_col)))
+            .withColumns(out_cols).drop("__hs"))
 
 
 def redact(df: DataFrame, text_col: str = "text",

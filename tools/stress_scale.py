@@ -212,6 +212,11 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             blocked_domains=("bad.net",))),
     })
 
+    from scespet_spark.operators.text import gopher_repetition_filter
+    ops.update({
+        "gopher_repetition": lambda d, e: noop(gopher_repetition_filter(d)),
+    })
+
     if only:
         unknown = only - set(ops)
         if unknown:
