@@ -576,3 +576,75 @@ def test_live_bind_matches_model_at_random_drop_boundaries(spark, tmp_path_facto
             for (k, ts, seq, c, p, b) in _bind_model(
                 [(t, s, k, side) for t, s, k, side in rows], 5)]
     assert got == sorted(want)
+
+
+@given(scores=st.lists(st.integers(-20, 20), min_size=0, max_size=24),
+       nparts=st.integers(1, 6))
+@SETTINGS
+def test_global_rank_matches_sort_model(spark, scores, nparts):
+    """global_rank == a pure-Python argsort on randomized scores (with
+    duplicate score values — the id tiebreak must produce the exact
+    total order) at every partition count, including partitions > rows
+    and empty input."""
+    from scespet_spark.operators.pipeline import global_rank
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    got = {r.doc_id: r.rank for r in global_rank(
+        df, [F.col("score").desc(), F.col("doc_id").asc()],
+        num_partitions=nparts).collect()}
+    order = sorted(range(len(scores)), key=lambda i: (-scores[i], i))
+    want = {doc: pos + 1 for pos, doc in enumerate(order)}
+    assert got == want
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abc"), min_size=0,
+                              max_size=12), min_size=1, max_size=6))
+@SETTINGS
+def test_gopher_repetition_matches_distinct_model(spark, docs):
+    """gopher_repetition_filter's n-gram fractions == a pure-Python
+    distinct-count model over the same rolled digests (tiny alphabet =
+    heavy duplication, the adversarial case); short docs score 0."""
+    from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
+    from scespet_spark.operators.text import gopher_repetition_filter
+    import hashlib
+
+    def h64(s):
+        # first 15 hex chars of md5 (hashing.h64), then % MH_PRIME
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MH_PRIME
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition_filter(df).collect()}
+    for i, toks in enumerate(docs):
+        hs = [h64(t) for t in toks if t]
+        nt = len(hs)
+        for n in (2, 3, 4):
+            if nt >= n:
+                grams = [sum(hs[p + j] * sh_coeff(j) for j in range(n))
+                         % MH_PRIME for p in range(nt - n + 1)]
+                want = round(1.0 - len(set(grams)) / (nt - n + 1), 6)
+            else:
+                want = 0.0
+            assert got[i][f"dup_{n}gram_frac"] == want, (i, n)
+
+
+@given(ntoks=st.lists(st.integers(1, 30), min_size=1, max_size=12),
+       budget=st.integers(1, 120))
+@SETTINGS
+def test_token_budget_is_exact_prefix(spark, ntoks, budget):
+    """token_budget_sample keeps EXACTLY the docs that start within
+    the budget under the priority order — a deterministic prefix,
+    never one doc more or fewer."""
+    from scespet_spark.operators.text import token_budget_sample
+    rows = [(i, "s", "w " * n, n) for i, n in enumerate(ntoks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, prio long")
+    got = sorted(r.doc_id for r in token_budget_sample(
+        df, budget=budget, priority_col="prio").collect())
+    order = sorted(range(len(ntoks)), key=lambda i: (-ntoks[i], i))
+    want, cum = [], 0
+    for i in order:
+        if cum < budget:
+            want.append(i)
+        cum += ntoks[i]
+    assert got == sorted(want)
