@@ -9,7 +9,8 @@
       -> quality + repetition + corpus-IDF + perplexity filters
       -> language-ID classifier gate (hashed char-n-gram NB)
       -> DSIR importance resampling toward a target domain
-      -> per-source quota cap
+      -> Gopher doc-shape + repetition rule gates
+      -> per-source quota cap -> per-source token budget
       -> pack into fixed-token training sequences
       -> deterministic shuffle -> partitioned parquet
 
@@ -141,9 +142,30 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
     train = train.join(dsir_sample(train, tgt, k=keep_k)
                        .select("doc_id"), "doc_id")
 
+    # 4b5. Gopher rule gates (r9): doc-shape rules + within-doc
+    #      repetition rules — two map-only codegen projections; audit
+    #      columns dropped once the gate has fired
+    from scespet_spark.operators.text import (gopher_quality_filter,
+                                              gopher_repetition_filter)
+    # min_stop_hits=0: the synthetic vocabulary carries no English
+    # stop words, so Gopher's required-stop-words rule would empty the
+    # corpus here; the shape rules stay load-bearing
+    train = (gopher_quality_filter(train, min_words=10, min_stop_hits=0)
+             .filter(F.col("keep") == 1).select(*docs.columns))
+    train = (gopher_repetition_filter(train)
+             .filter(F.col("keep") == 1).select(*docs.columns))
+
     # 4c. per-source quota: cap any single source's share of the mix
     #     (deterministic hash order; prefiltered to O(quota)/source)
     train = source_quota_sample(train, quota=200)
+
+    # 4c2. per-source TOKEN budget (r9): spend each source's epoch
+    #      budget on its best docs first — the unit training mixes
+    #      actually allocate
+    from scespet_spark.operators.text import token_budget_sample
+    train = (token_budget_sample(train, budget=150,
+                                 priority_col="n_chars")
+             .select(*docs.columns))
 
     # the kept corpus feeds packing (3 references in the final plan) and
     # the step-7 snapshot builds: checkpoint it so the dedup/filter
