@@ -5924,7 +5924,8 @@ WITH t AS (SELECT source,
                   CAST(SUM(len(list_filter(
                       string_split(coalesce(text, ''), ' '),
                       x -> x <> ''))) AS BIGINT) AS n_tokens
-           FROM documents GROUP BY source),
+           FROM documents GROUP BY source
+           HAVING n_tokens > 0),
 z AS (SELECT SUM(pow(n_tokens, 0.5)) AS zz FROM t)
 SELECT source, n_tokens,
        round(pow(n_tokens, 0.5) / zz, 12) AS share,

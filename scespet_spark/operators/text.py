@@ -340,14 +340,17 @@ def epoch_schedule(df: DataFrame, total_tokens: int, alpha: float = 0.5,
 
     Scale shape: one tiny per-source aggregation + a 1-row normalizer
     broadcast — |sources| rows end to end; the corpus never
-    shuffles."""
+    shuffles.  A source whose docs hold zero tokens is excluded from
+    the schedule (it cannot contribute, and its epochs ratio would be
+    0/0 — an ANSI-mode crash, not a number)."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
     n_tok = F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
     counts = df.groupBy(source_col).agg(
-        F.sum(n_tok).cast("long").alias("n_tokens"))
+        F.sum(n_tok).cast("long").alias("n_tokens")) \
+        .filter(F.col("n_tokens") > 0)
     z = counts.agg(
         F.sum(F.pow("n_tokens", F.lit(float(alpha)))).alias("__z"))
     share = F.round(
