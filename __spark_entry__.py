@@ -5893,7 +5893,9 @@ _TOKEN_BUDGET = 700
 
 @query("token_budget_docs", f"""
 WITH t AS (SELECT doc_id, source, n_chars,
-                  len({_TOKS}) AS n_tokens FROM documents),
+                  len(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS n_tokens
+           FROM documents),
 w AS (SELECT doc_id, source, n_tokens,
              SUM(n_tokens) OVER (PARTITION BY source
                                  ORDER BY n_chars DESC, doc_id) AS cum,

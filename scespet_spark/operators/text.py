@@ -965,7 +965,10 @@ def token_budget_sample(df: DataFrame, budget: int,
     from pyspark.sql import Window
     if budget < 1:
         raise ValueError("need budget >= 1")
-    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    # coalesce: a NULL text must count 0 tokens, not poison the
+    # running sum with a NULL (the bm25_stats lesson)
+    n_tok = F.size(tokens(F.coalesce(F.col(text_col),
+                                     F.lit("")))).cast("long")
     if priority_col is None:
         prio = F.pmod(h64(F.col(id_col).cast("string"), seed=7),
                       F.lit(1 << 20)).asc()
