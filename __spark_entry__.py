@@ -31,7 +31,8 @@ _ORACLES: dict[str, str] = {}
 ROWS_ONLY: set[str] = {"profile_lineitem_approx",
                        "approx_distinct_users_daily",
                        "pack_bestfit_sequences",
-                       "bpe_fit_merges", "bpe_tokenize_docs"}
+                       "bpe_fit_merges", "bpe_tokenize_docs",
+                       "unigram_fit_pieces", "unigram_tokenize_docs"}
 
 
 def query(name: str, oracle: str | None = None):
@@ -6069,6 +6070,146 @@ def live_gopher_repetition(spark, sf_dir):
         "append")
 
 
+# ---------------------------------------------------------------------------
+# late-r9 batch 2: per-host domain caps (batch + live), exact
+# distributed quantiles, unigram-LM tokenizer
+# ---------------------------------------------------------------------------
+
+#: demo host column for the domain-cap queries: 37 ordinary hosts plus
+#: one deliberate WHALE host holding a third of the corpus — the skew
+#: shape the salted two-phase cap exists for
+_HOST_SQL = """CASE WHEN doc_id % 3 = 0 THEN 'whale.example.org'
+       ELSE 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.org' END"""
+
+
+def _host_col():
+    return (F.when(F.col("doc_id") % 3 == 0, F.lit("whale.example.org"))
+            .otherwise(F.concat(F.lit("h"),
+                                (F.col("doc_id") % 37).cast("string"),
+                                F.lit(".example.org"))))
+
+
+@query("host_cap_docs", f"""
+WITH h AS (SELECT doc_id, n_chars, {_HOST_SQL} AS host FROM documents),
+r AS (SELECT doc_id, host, n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM h)
+SELECT doc_id, host, n_chars FROM r WHERE rk <= 5
+""")
+def host_cap_docs(spark, sf_dir):
+    """FineWeb-style per-host domain cap: keep at most 5 docs per host
+    (highest n_chars as the demo quality proxy, doc_id tiebreak) so no
+    single domain dominates the training mix.  Runs the SALTED
+    two-phase form (salt=8): phase 1 ranks within (host, salt-of-id)
+    so the whale host spreads over 8 tasks, phase 2 ranks the <= 40
+    survivors per host — exactly the same rows as the plain window
+    (oracle is the plain rank definition), with no single-task whale
+    sort at 100 TB.  Contrast source_quota_sample, whose driver-side
+    cutoffs need a broadcastable per-key count table: hosts are
+    millions of keys, so everything here stays distributed."""
+    from scespet_spark.operators.pipeline import cap_per_key
+    docs = load_table(spark, sf_dir, "documents")
+    hosted = docs.withColumn("host", _host_col())
+    return (cap_per_key(hosted, 5, "host",
+                        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+                        salt=8)
+            .select("doc_id", "host", "n_chars"))
+
+
+@query("live_host_cap", f"""
+WITH h AS (SELECT doc_id, n_chars, {_HOST_SQL} AS host FROM documents),
+r AS (SELECT doc_id, host, n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM h)
+SELECT doc_id, host, n_chars FROM r WHERE rk <= 5
+""")
+def live_host_cap(spark, sf_dir):
+    """The per-host domain cap on a LIVE crawl: once a host has
+    contributed 5 pages, later drops of that host emit nothing —
+    state per key is ONE counter (an int per host, not per page).
+    Arrival order decides across drops, (n_chars desc, doc_id) within
+    a drop; on the single-drop replay this equals the batch cap under
+    the same total order (the first_wins contract, k generalized)."""
+    from scespet_spark.streaming.live import (cap_first_k,
+                                              read_table_stream,
+                                              run_available_now)
+    stream = (read_table_stream(spark, sf_dir, "documents")
+              .withColumn("host", _host_col())
+              .withColumn("__negq", -F.col("n_chars")))
+    out = cap_first_k(stream, 5, keys=["host"],
+                      order_cols=["__negq", "doc_id"],
+                      payload_cols=["doc_id", "n_chars"], t="doc_id")
+    return (run_available_now(out, "append")
+            .select("doc_id", "host", "n_chars"))
+
+
+@query("exact_quantiles_price", """
+WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT COUNT(*) AS cnt FROM v),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+qs AS (SELECT * FROM (VALUES (0.01),(0.25),(0.50),(0.75),(0.99)) AS t(q))
+SELECT CAST(q AS DOUBLE) AS q, MIN(x) AS value
+FROM qs JOIN n ON TRUE
+JOIN r ON r.rn = CAST(CEIL(q * n.cnt) AS BIGINT)
+GROUP BY q
+""")
+def exact_quantiles_price(spark, sf_dir):
+    """EXACT distributed quantiles (ceil(q*n)-th smallest — order
+    statistics, not a sketch) by iterative histogram selection:
+    per level ONE combinable histogram aggregate, the driver walks
+    <=256 bucket counts to the bin holding the residual rank, recurses
+    into that bin, and finishes with a TakeOrdered over <= 2048 rows.
+    Neither F.percentile's buffer-everything aggregate nor a global
+    sort ever runs — memory is O(buckets) everywhere at any corpus
+    size.  The demo thresholds force a real refinement level at
+    sf 0.01; the oracle is the plain rank definition."""
+    from scespet_spark.operators.pipeline import exact_quantiles
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice",
+                           [0.01, 0.25, 0.50, 0.75, 0.99],
+                           buckets=256, threshold=2048)
+
+
+@query("unigram_fit_pieces")
+def unigram_fit_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer training (the sentencepiece algorithm,
+    Kudo 2018; Viterbi-EM): seed with frequent substrings, alternate
+    distributed E-steps (Viterbi-segment every DISTINCT word — one
+    Arrow pass over the Zipf-bounded word table per iteration) with
+    driver M-steps over exact integer counts, pruning low-count
+    multi-char pieces to the target vocab.  ROWS_ONLY justification:
+    the EM fixed point is an iterative optimum, not SQL-expressible;
+    its guarantees are property-tested instead — lossless roundtrip on
+    arbitrary input (OOV chars pass through), bit-identical models
+    under repartitioning, non-decreasing Viterbi likelihood across an
+    EM step, and piece-learning pinned on a crafted corpus
+    (tests/test_tokenizer.py)."""
+    from scespet_spark.operators.tokenizer import unigram_fit
+    docs = load_table(spark, sf_dir, "documents")
+    return (unigram_fit(docs, vocab_size=44, em_iters=3)
+            .orderBy("piece"))
+
+
+@query("unigram_tokenize_docs")
+def unigram_tokenize_docs(spark, sf_dir):
+    """Corpus tokenization under the fitted unigram model: Viterbi
+    decoding per word, one Arrow-batched mapInPandas with a per-batch
+    word memo and the (model-sized) piece table broadcast as a dict —
+    the bpe_apply execution shape with a different per-word decoder.
+    ROWS_ONLY justification: Viterbi DP per word is not
+    SQL-expressible; losslessness and determinism are property-tested
+    (tests/test_tokenizer.py)."""
+    from scespet_spark.operators.tokenizer import (unigram_apply,
+                                                   unigram_fit)
+    docs = load_table(spark, sf_dir, "documents")
+    m = unigram_fit(docs, vocab_size=44, em_iters=3)
+    return (unigram_apply(docs, m)
+            .select("doc_id", "n_unigram_tokens").orderBy("doc_id"))
+
+
 #: Registration-order override.  The driver's correctness gate evaluates
 #: the FIRST 50 entries of ``queries()``; round 1 checked definition order
 #: and left every training-pipeline operator (registered last) without a
@@ -6110,6 +6251,11 @@ _ROUND_CHANGED = [
     "curriculum_order_docs", "token_budget_docs",
     "epoch_schedule_sources", "filter_stack_docs",
     "gopher_repetition_docs", "live_gopher_repetition",
+    # late-r9 batch 2: per-host domain caps (whale-safe salted
+    # two-phase + one-counter-per-key live), exact distributed
+    # quantiles by histogram selection, unigram-LM tokenizer
+    "host_cap_docs", "live_host_cap", "exact_quantiles_price",
+    "unigram_fit_pieces", "unigram_tokenize_docs",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -6119,10 +6265,12 @@ _PRIORITY = _ROUND_CHANGED + [
     "q3_order_revenue", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q13_customer_distribution", "q15_top_supplier", "q7_volume_shipping",
     "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customers",
-    "q10_returned_items", "region_revenue", "topk_orders",
-    "rollup_order_status", "set_ops_customers", "window_rank_orders",
-    "vwap_per_supplier", "dedup_kept_corpus", "dedup_simhash",
-    "dedup_ngram_jaccard", "ann_pq_codes",
+    "q10_returned_items", "vwap_per_supplier", "dedup_kept_corpus",
+    "dedup_simhash", "dedup_ngram_jaccard", "ann_pq_codes",
+    # (region_revenue/topk_orders/rollup_order_status/set_ops_customers/
+    # window_rank_orders yield their slots to the late-r9 batch-2
+    # additions — first candidates for the r10 rotation; window stays
+    # exactly 50 = the driver's sample)
     # (the r4/r5 stream-family cohort re-greened r8 rotates out, as do
     # text_fingerprint/text_token_doc_freq/text_corpus_idf/doc_chunking/
     # redact_pii/stratified_sample_docs to make room for the late-r9

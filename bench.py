@@ -114,6 +114,10 @@ HEADLINE = [
     "token_budget_docs",
     "gopher_repetition_docs",
     "filter_stack_docs",
+    # round 9 batch-2 additions
+    "host_cap_docs",
+    "exact_quantiles_price",
+    "unigram_tokenize_docs",
 ]
 
 

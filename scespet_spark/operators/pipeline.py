@@ -510,3 +510,148 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
                   else expr.when(b < cut, F.lit(name)))
         expr = branch
     return df.withColumn("split", expr)
+
+
+def cap_per_key(df: DataFrame, k: int, key_col: str,
+                order_cols: list, salt: int | None = None,
+                salt_col: str = "doc_id") -> DataFrame:
+    """Per-key document cap: keep at most ``k`` rows per ``key_col``,
+    the ``order_cols``-minimal ones — the FineWeb/RefinedWeb domain-
+    diversity step (cap every host's contribution so no single domain
+    dominates the mix; Penedo et al. 2023 apply the same idea as
+    per-domain limits).  ``order_cols`` is a list of ordering
+    expressions that must define a TOTAL order (include a unique
+    tiebreak key — e.g. ``[F.col("quality").desc(),
+    F.col("doc_id").asc()]`` keeps the k highest-quality docs);
+    ties would make the kept set partitioning-dependent.
+
+    Unlike ``source_quota_sample`` (whose per-SOURCE count table is
+    small enough to broadcast and whose cutoffs are driver-derived),
+    the key space here is host-cardinality — millions of keys at crawl
+    scale — so everything stays distributed: the default plan is ONE
+    hash Exchange on ``key_col`` + a per-key ``row_number`` (sort is
+    per-partition, never global; the state per key the aggregate holds
+    is the k-row heap Spark's window operator streams through).
+
+    WHALE KEYS: one giant host (10^8 pages on a single key) lands on a
+    single task under the plain window.  ``salt=S`` switches to the
+    two-phase exact form: phase 1 ranks within ``(key, salt)`` where
+    the salt is a hash of ``salt_col`` (any unique row id) — the whale
+    spreads over S tasks — and keeps k per salted group; phase 2 ranks
+    the <= k*S survivors per key.  Both phases are windows over bounded
+    groups and the result is EXACTLY the same k rows (every one of the
+    true per-key top-k survives its own salted group's top-k), so the
+    oracle stays the plain rank definition regardless of ``salt``."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    from pyspark.sql import Window
+    pre = df
+    if salt is not None:
+        if salt < 2:
+            raise ValueError(f"salt must be >= 2 (got {salt})")
+        w1 = Window.partitionBy(key_col, "__salt").orderBy(*order_cols)
+        pre = (df.withColumn(
+                   "__salt",
+                   F.pmod(h64(F.col(salt_col).cast("string"), seed=13),
+                          F.lit(salt)))
+               .withColumn("__rk1", F.row_number().over(w1))
+               .filter(F.col("__rk1") <= k)
+               .drop("__salt", "__rk1"))
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (pre.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select(*df.columns))
+
+
+def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
+                    buckets: int = 4096,
+                    threshold: int = 65536) -> DataFrame:
+    """EXACT distributed quantiles with bounded memory everywhere —
+    the classic iterative histogram-selection algorithm.  Returns a
+    DataFrame ``(q double, value double)`` where ``value`` is the
+    ``ceil(q*n)``-th smallest non-null value (lower discrete quantile:
+    q=1.0 is the max, q→0 the min) — exact order statistics, not an
+    approximation.
+
+    Why not the built-ins: ``F.percentile`` buffers EVERY value of the
+    group in one aggregation buffer (OOM at 100 TB), and
+    ``approx_percentile``/KLL is a sketch — bounded error, not exact.
+    ``Window.orderBy`` ranks would need a global sort.  This computes
+    exact ranks with:
+
+    * one (count, min, max) aggregate;
+    * per refinement level, ONE histogram aggregate — ``buckets``
+      equal-width bins over the current range; the driver walks the
+      cumulative counts (``buckets`` ints, never data) to find the bin
+      containing the residual rank and recurses INTO that bin;
+    * when the candidate bin holds <= ``threshold`` rows, one
+      ``TakeOrdered(r)`` + max — never more than ``threshold`` rows
+      leave the executors.
+
+    Passes are O(log_buckets(n/threshold)) full scans (1 level covers
+    n <= 2.7e8 at the defaults; 2 levels 1.1e13), each map-side
+    combinable; driver memory is O(buckets); no shuffle of data rows
+    at all — the histogram is the only Exchange and it carries
+    ``buckets`` partial rows per task.  Massive tie clusters are
+    handled by the equal-value early exit (a bin that cannot shrink
+    because min==max IS the answer)."""
+    if not qs:
+        raise ValueError("need at least one quantile in qs")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    if buckets < 2:
+        raise ValueError(f"need buckets >= 2, got {buckets}")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("__v"))
+
+    def stats(sub):
+        r = sub.agg(F.count("*").alias("n"), F.min("__v").alias("mn"),
+                    F.max("__v").alias("mx")).collect()[0]
+        return int(r["n"]), r["mn"], r["mx"]
+
+    def bin_expr(lo: float, w: float):
+        return F.least(F.lit(buckets - 1),
+                       F.floor((F.col("__v") - F.lit(lo)) / F.lit(w))
+                       .cast("long"))
+
+    n, mn, mx = stats(base)
+    if n == 0:
+        raise ValueError(f"{value_col} has no non-null values")
+
+    # level-0 histogram is shared by every quantile
+    def histogram(sub, lo, w):
+        rows = (sub.groupBy(bin_expr(lo, w).alias("__b"))
+                .agg(F.count("*").alias("__c")).collect())
+        return {int(r["__b"]): int(r["__c"]) for r in rows}
+
+    hist0 = None if mn == mx else histogram(base, mn, (mx - mn) / buckets)
+
+    def kth_smallest(sub, r: int) -> float:
+        got = (sub.orderBy(F.col("__v").asc()).limit(r)
+               .agg(F.max("__v").alias("v")).collect()[0]["v"])
+        return float(got)
+
+    import math
+    out = []
+    for q in sorted(qs):
+        # IEEE-double ceil(q*n), the same arithmetic an ANSI oracle's
+        # CEIL(q * n) performs — boundary cases agree bit-for-bit
+        r = min(n, max(1, math.ceil(q * n)))
+        sub, cnt, lo, hi, hist = base, n, mn, mx, hist0
+        while cnt > threshold and lo < hi:
+            w = (hi - lo) / buckets
+            if hist is None:
+                hist = histogram(sub, lo, w)
+            cum = 0
+            for b in range(buckets):
+                c = hist.get(b, 0)
+                if cum + c >= r:
+                    sub = sub.filter(bin_expr(lo, w) == b)
+                    r -= cum
+                    break
+                cum += c
+            cnt, lo, hi = stats(sub)
+            hist = None
+        out.append((float(q), lo if lo == hi else kth_smallest(sub, r)))
+    return df.sparkSession.createDataFrame(out, "q double, value double")

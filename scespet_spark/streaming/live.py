@@ -135,6 +135,44 @@ def first_wins(df: DataFrame, keys: list[str], order_cols: list[str],
                          order_cols=list(order_cols), idle_ttl=idle_ttl)
 
 
+def cap_first_k(df: DataFrame, k: int, keys: list[str],
+                order_cols: list[str], payload_cols: list[str],
+                t: str = "ts", idle_ttl: str | None = None) -> DataFrame:
+    """Streaming per-key cap: emit each key's first ``k`` rows (arrival
+    order across micro-batches, ``order_cols`` tie-break within a
+    batch), then suppress the key forever — the LIVE form of the
+    FineWeb per-host domain cap (``pipeline.cap_per_key``): once a host
+    has contributed k pages to the mix, later crawl drops of that host
+    cost one state lookup and emit nothing.  ``first_wins`` is the
+    k=1 special case.
+
+    State per key is ONE counter in the state store — at crawl scale
+    the store holds an int per host, not per page — and a single-drop
+    source is row-identical to the batch ``row_number() <= k``
+    election under the same total order.  ``idle_ttl`` bounds state on
+    unbounded key spaces at the documented re-emergence cost."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    overlap = set(keys) & set(payload_cols)
+    if overlap:
+        raise ValueError(f"payload_cols duplicate key columns: {overlap}")
+    if idle_ttl is not None:
+        df = df.withWatermark(t, idle_ttl)
+
+    def step(st, pdf):
+        take = k - int(st["n"])
+        if take <= 0:
+            return []
+        got = pdf.head(take)[list(payload_cols)]
+        st["n"] = float(int(st["n"]) + len(got))
+        return got
+
+    out_schema = _key_ddl(df, [*payload_cols, *keys])
+    return stateful_scan(df, list(keys), {"n": 0.0}, step,
+                         out_schema=out_schema, t=t,
+                         order_cols=list(order_cols), idle_ttl=idle_ttl)
+
+
 def _epoch_ms(ts_val, tz: str) -> int:
     """True epoch millis of a timestamp Arrow handed a Python worker.
     Arrow strips the zone and delivers WALL-CLOCK values in

@@ -2487,3 +2487,76 @@ def test_gopher_repetition_rules(spark):
     plan = (gopher_repetition_filter(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# per-key domain cap + exact distributed quantiles (late r9)
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_key_keeps_topk_and_salt_is_exact(spark):
+    from scespet_spark.operators.pipeline import cap_per_key
+    rows = [(i, f"h{i % 3}", float((i * 37) % 100)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, q double")
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    plain = cap_per_key(df, 4, "host", order)
+    got = {}
+    for r in plain.collect():
+        got.setdefault(r.host, []).append((r.q, r.doc_id))
+    import itertools
+    for h in ("h0", "h1", "h2"):
+        expect = sorted(((q, d) for d, hh, q in rows if hh == h),
+                        key=lambda t: (-t[0], t[1]))[:4]
+        assert sorted(got[h], key=lambda t: (-t[0], t[1])) == expect
+    # the salted two-phase form returns EXACTLY the same rows
+    salted = cap_per_key(df, 4, "host", order, salt=5)
+    assert (sorted(r.doc_id for r in salted.collect())
+            == sorted(r.doc_id for r in plain.collect()))
+
+
+def test_cap_per_key_validates(spark):
+    from scespet_spark.operators.pipeline import cap_per_key
+    df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        cap_per_key(df, 0, "host", [F.col("doc_id")])
+    with pytest.raises(ValueError, match="salt must be >= 2"):
+        cap_per_key(df, 1, "host", [F.col("doc_id")], salt=1)
+
+
+def test_exact_quantiles_matches_sorted_ranks(spark):
+    import math
+    from scespet_spark.operators.pipeline import exact_quantiles
+    vals = [((i * 337) % 991) * 0.5 for i in range(2000)] + [None] * 25
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = [0.01, 0.1, 0.5, 0.9, 1.0]
+    # tiny threshold/buckets force several refinement levels
+    got = {r.q: r.value for r in
+           exact_quantiles(df, "x", qs, buckets=8, threshold=50).collect()}
+    clean = sorted(v for v in vals if v is not None)
+    for q in qs:
+        r = min(len(clean), max(1, math.ceil(q * len(clean))))
+        assert got[q] == clean[r - 1], q
+
+
+def test_exact_quantiles_tie_cluster_early_exit(spark):
+    """A massive equal-value cluster cannot shrink by bucketing; the
+    min==max early exit must return it exactly."""
+    from scespet_spark.operators.pipeline import exact_quantiles
+    vals = [7.5] * 500 + [1.0, 99.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.q: r.value for r in
+           exact_quantiles(df, "x", [0.5], buckets=4,
+                           threshold=10).collect()}
+    assert got[0.5] == 7.5
+
+
+def test_exact_quantiles_validates(spark):
+    from scespet_spark.operators.pipeline import exact_quantiles
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        exact_quantiles(df, "x", [0.0])
+    with pytest.raises(ValueError, match="at least one"):
+        exact_quantiles(df, "x", [])
+    empty = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_quantiles(empty, "x", [0.5])

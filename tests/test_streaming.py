@@ -1637,3 +1637,48 @@ def test_live_lang_id_across_drops_equals_batch(spark, tmp_path):
     batch = lang_id_apply(docs, model, n_buckets=512)
     assert sorted(map(tuple, live.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_cap_first_k_across_micro_batches(spark, tmp_path):
+    """cap_first_k: per key, the first k rows in ARRIVAL order win —
+    drop 1 fills 2 of host A's 3 slots, drop 2 contributes exactly one
+    more (its order_cols-minimal row) and everything later is
+    suppressed; a key at quota emits nothing ever again."""
+    from scespet_spark.streaming.live import cap_first_k, run_available_now
+    import os
+    import shutil
+    import time
+    d = tmp_path / "drops"
+    d.mkdir()
+    spark.createDataFrame([(1, "A"), (2, "A"), (3, "B")],
+                          "doc_id long, k string") \
+        .coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame([(0, "A"), (4, "A"), (5, "A"), (6, "B")],
+                          "doc_id long, k string") \
+        .coalesce(1).write.parquet(str(d / "f2"))
+    src = tmp_path / "src"
+    src.mkdir()
+    files = sorted(p for sub in ("f1", "f2")
+                   for p in (d / sub).glob("*.parquet"))
+    now = time.time()
+    for i, p in enumerate(files):
+        dst = src / f"drop_{i}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+    stream = (spark.readStream.schema("doc_id long, k string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = run_available_now(
+        cap_first_k(stream, 3, keys=["k"], order_cols=["doc_id"],
+                    payload_cols=["doc_id"]), "append")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append(r.doc_id)
+    # A: drop 1 gives {1,2}; drop 2's minimal row (0) takes the last
+    # slot — 4 and 5 are suppressed.  B: 3 then 6, under quota.
+    assert sorted(got["A"]) == [0, 1, 2]
+    assert sorted(got["B"]) == [3, 6]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k >= 1"):
+        cap_first_k(stream, 0, keys=["k"], order_cols=["doc_id"],
+                    payload_cols=["doc_id"])

@@ -143,3 +143,126 @@ def test_bpe_merges_snapshot_artifact(spark, tmp_path):
         sorted(map(tuple, want.collect()))
     with pytest.raises(ValueError, match="needs docs"):
         write_snapshot(str(tmp_path / "s2"), bpe_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (Kudo 2018 Viterbi-EM variant)
+# ---------------------------------------------------------------------------
+
+from scespet_spark.operators.tokenizer import (_em_counts, _unk_logp,
+                                               _viterbi, unigram_apply,
+                                               unigram_fit, unigram_seed)
+
+
+def test_unigram_learns_whole_word_piece(spark):
+    """A word dominating the corpus becomes a single piece and the
+    encoder emits it as ONE token."""
+    docs = spark.createDataFrame(
+        [(0, "hello hello hello hello hello hello world")],
+        "doc_id long, text string")
+    m = unigram_fit(docs, vocab_size=24, em_iters=3)
+    pieces = {r.piece for r in m.collect()}
+    assert "hello" in pieces
+    enc = unigram_apply(docs, m).head()
+    assert enc.unigram_tokens.count("hello") == 6
+
+
+def test_unigram_viterbi_prefers_probable_segmentation():
+    import math
+    # 'ab' as one piece beats a+b when its prob dominates
+    logp = {"a": math.log(0.1), "b": math.log(0.1), "ab": math.log(0.5)}
+    assert _viterbi("ab", logp, _unk_logp(logp), 8) == ["ab"]
+    # ...and loses when the single chars dominate
+    logp = {"a": math.log(0.45), "b": math.log(0.45), "ab": math.log(0.01)}
+    assert _viterbi("ab", logp, _unk_logp(logp), 8) == ["a", "b"]
+
+
+def test_unigram_oov_chars_pass_through():
+    import math
+    logp = {"a": math.log(0.5), "b": math.log(0.5)}
+    assert _viterbi("axb", logp, _unk_logp(logp), 8) == ["a", "x", "b"]
+
+
+def test_unigram_deterministic_under_partitioning(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark stream table spark stream spark") for i in range(8)],
+        "doc_id long, text string")
+    a = sorted((r.piece, r.logprob)
+               for r in unigram_fit(docs, 32, em_iters=2).collect())
+    b = sorted((r.piece, r.logprob)
+               for r in unigram_fit(docs.repartition(7), 32,
+                                    em_iters=2).collect())
+    assert a == b
+
+
+@SETTINGS
+@given(st.lists(st.text(alphabet="abcxyz é", min_size=0, max_size=12),
+                min_size=1, max_size=6))
+def test_unigram_roundtrip_lossless(spark, texts):
+    """Concatenating each word's pieces reproduces the word — for ANY
+    input, including characters the model never saw (OOV fallback)."""
+    train = spark.createDataFrame(
+        [(0, "abc abc xyz xyz abc")], "doc_id long, text string")
+    m = unigram_fit(train, vocab_size=16, em_iters=2)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for row in unigram_apply(df, m).collect():
+        words = [w for w in (row.text or "").split(" ") if w]
+        toks = list(row.unigram_tokens)
+        i = 0
+        for w in words:
+            acc = ""
+            while acc != w:
+                assert i < len(toks) and len(acc) < len(w)
+                acc += toks[i]
+                i += 1
+        assert i == len(toks)
+
+
+def test_unigram_em_step_non_decreasing_likelihood(spark):
+    """Hard-EM invariant: re-estimating probabilities from the Viterbi
+    segmentation never lowers the total Viterbi log-likelihood (before
+    any pruning)."""
+    import math
+    docs = spark.createDataFrame(
+        [(0, "abab abab ab cd cdcd abcd abcd abab")],
+        "doc_id long, text string")
+    wf, logp = unigram_seed(docs, seed_size=64, text_col="text",
+                            max_piece_len=4, min_count=1)
+    wf_rows = [(r.word, int(r.freq)) for r in wf.collect()]
+
+    def total_ll(model):
+        unk = _unk_logp(model)
+        return sum(freq * sum(model.get(p, unk)
+                              for p in _viterbi(w, model, unk, 4))
+                   for w, freq in wf_rows)
+
+    before = total_ll(logp)
+    counts = _em_counts(wf, logp, 4)
+    total = sum(counts.values())
+    new_logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+    for p in {q for q in logp if len(q) == 1}:
+        new_logp.setdefault(p, math.log(0.5 / total))
+    assert total_ll(new_logp) >= before - 1e-9
+
+
+def test_unigram_prunes_to_vocab_and_keeps_chars(spark):
+    docs = spark.createDataFrame(
+        [(0, "stream stream stream table table spark")],
+        "doc_id long, text string")
+    chars = {c for c in "streamblpk" if c != " "}
+    m = unigram_fit(docs, vocab_size=len(chars) + 2, em_iters=4)
+    pieces = {r.piece for r in m.collect()}
+    assert len(pieces) <= len(chars) + 2
+    # every corpus character survives pruning (losslessness anchor)
+    assert chars <= pieces
+
+
+def test_unigram_apply_rejects_column_clash(spark):
+    docs = spark.createDataFrame(
+        [(0, "a", ["x"])],
+        "doc_id long, text string, unigram_tokens array<string>")
+    m = unigram_fit(docs.select("doc_id", "text"), 8, em_iters=1)
+    import pytest
+    with pytest.raises(ValueError, match="already exist"):
+        unigram_apply(docs, m)

@@ -217,6 +217,29 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         "gopher_repetition": lambda d, e: noop(gopher_repetition_filter(d)),
     })
 
+    # late-r9 batch 2.  host_cap: replication grows the WHALE host
+    # linearly (a third of every replica shares one key) — the salted
+    # two-phase form must stay ~linear where the plain window would
+    # single-task the whale.  exact_quantiles: histogram passes are
+    # scans; levels grow logarithmically.  unigram_encode: the model
+    # is a fitted artifact (built outside the timing, like the other
+    # snapshot serving shapes); encode is one Arrow pass whose Python
+    # cost is per distinct word (constant under replication).
+    from scespet_spark.operators.pipeline import cap_per_key, exact_quantiles
+    from scespet_spark.operators.tokenizer import unigram_apply
+    ops.update({
+        "host_cap": lambda d, e: noop(cap_per_key(
+            d.withColumn("host", F.when(
+                F.col("doc_id") % 3 == 0, F.lit("whale.example.org"))
+                .otherwise((F.col("doc_id") % 9973).cast("string"))),
+            5, "host", [F.col("n_chars").desc(), F.col("doc_id").asc()],
+            salt=16)),
+        "exact_quantiles": lambda d, e: noop(exact_quantiles(
+            d, "n_chars", [0.5, 0.99], buckets=256, threshold=4096)),
+        "unigram_encode": lambda d, e, x=None: noop(
+            unigram_apply(d, x["unigram_model"])),
+    })
+
     if only:
         unknown = only - set(ops)
         if unknown:
@@ -232,8 +255,16 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         # snapshot artifacts for the incremental probes: built from the
         # prior third of the corpus, persisted like a real snapshot table
         prior = docs.filter(F.col("doc_id") % 3 == 0)
+        from scespet_spark.operators.tokenizer import unigram_fit
         extras = {"prior_digests": exact_groups(prior).persist(),
-                  "prior_bands": banded_signatures(prior).persist()}
+                  "prior_bands": banded_signatures(prior).persist(),
+                  # fitted tokenizer model: a snapshot artifact (model-
+                  # sized), built from the base corpus outside the
+                  # timings — encode serving is what runs per crawl
+                  "unigram_model": unigram_fit(
+                      spark.read.parquet(f"{sf_dir}/documents.parquet")
+                      .limit(2000), vocab_size=64,
+                      em_iters=2).persist()}
         for x in extras.values():
             x.count()
         print(f"== {mult}x: {n} docs ==", flush=True)
