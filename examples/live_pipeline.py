@@ -133,22 +133,35 @@ _CAP_PROBE_BUCKETS = 8
 #: kill after it clears the URL and content gates
 _CAP_BLOCKED_ID = 95002
 _CAP_SPAM_ID = 95003
+#: per-host domain cap (stage 1b): normal hosts sit well under this,
+#: the engineered whale host exceeds it
+_CAP_HOST_K = 60
+_CAP_WHALE_N = 80          # drop-1 whale pages (> _CAP_HOST_K)
+_CAP_WHALE_BASE = 300000   # whale doc_id range (unique URLs)
 
 
 def _cap_url():
     """Deterministic crawl URL: heavy spelling-variant collisions for
     ids < 90000 (the dedup-worthy web), unique URLs above (the slot the
     engineered duplicate uses so it reaches the CONTENT gate); the
-    engineered blocked row carries a URL-keyword hit."""
+    engineered blocked row carries a URL-keyword hit.  Hosts are
+    per-language subdomains (a handful of ordinary hosts, each far
+    below the domain cap) except the engineered WHALE host, whose
+    unique-URL pages exceed ``_CAP_HOST_K`` and must be capped at
+    stage 1b."""
     tail = F.when(F.col("doc_id") >= 90000,
                   F.col("doc_id").cast("string")) \
         .otherwise((F.col("doc_id") % 50).cast("string"))
     return F.when(
         F.col("doc_id") == _CAP_BLOCKED_ID,
-        F.lit(f"https://WWW.Example.com/en/casino/p{_CAP_BLOCKED_ID}")
+        F.lit(f"https://WWW.en.Example.com/en/casino/p{_CAP_BLOCKED_ID}")
+    ).when(
+        F.col("doc_id") >= _CAP_WHALE_BASE,
+        F.concat(F.lit("https://whale.example.com/p"),
+                 F.col("doc_id").cast("string"))
     ).otherwise(F.concat(
-        F.lit("https://WWW.Example.com/"), F.col("lang"), F.lit("/p"),
-        tail,
+        F.lit("https://WWW."), F.col("lang"), F.lit(".Example.com/"),
+        F.col("lang"), F.lit("/p"), tail,
         F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed"))
         .otherwise(F.lit(""))))
 
@@ -179,6 +192,31 @@ def _cap_stage1(spark, drops_dir: str, out: str, ckpt: str) -> None:
                                          "source"],
                            t="doc_id")
     write_parquet(survivors, out, ckpt)
+
+
+def _cap_stage1b(spark, stage1_out: str, out: str, ckpt: str) -> None:
+    """Crawl gate stage 1b: the per-host DOMAIN CAP (FineWeb-style
+    diversity limit) as its own checkpointed election — once a host
+    has contributed ``_CAP_HOST_K`` pages, every later page of that
+    host, in this drop or any future one, is suppressed for the cost
+    of one state lookup (state per key is ONE counter).  Stateful
+    elections each get their own stage: chaining two
+    applyInPandasWithState operators inside one streaming query is the
+    unsupported shape, and separate checkpoints let each election
+    resume independently."""
+    from scespet_spark.streaming.live import cap_first_k, write_parquet
+    stream = (spark.readStream
+              .schema("canon_url string, doc_id long, text string, "
+                      "lang string, source string")
+              .option("maxFilesPerTrigger", 1).parquet(stage1_out)
+              .withColumn("host", F.regexp_extract(
+                  F.col("canon_url"), r"^[a-z0-9+.-]+://([^/]+)", 1)))
+    capped = cap_first_k(stream, _CAP_HOST_K, keys=["host"],
+                         order_cols=["doc_id"],
+                         payload_cols=["canon_url", "doc_id", "text",
+                                       "lang", "source"],
+                         t="doc_id")
+    write_parquet(capped, out, ckpt)
 
 
 def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
@@ -282,7 +320,8 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     snapshot AND model refresh in between:
 
         url_rule_filter (pre-fetch gate, r9)
-                  -> url_dedup -> substring snapshot probe (signal)
+                  -> url_dedup -> per-host domain cap (late r9)
+                  -> substring snapshot probe (signal)
                   -> WIDE exact-content snapshot gate
                   -> Gopher repetition gate (r9)
                   -> language gate (row-wise serving form, r9)
@@ -325,6 +364,7 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     s1_out, s1_ck = f"{work}/stage1", f"{work}/ck1"
+    s1b_out, s1b_ck = f"{work}/stage1b", f"{work}/ck1b"
     s2_out, s2_ck = f"{work}/corpus", f"{work}/ck2"
     sig_out, sig_ck = f"{work}/signals", f"{work}/ck_sig"
 
@@ -345,11 +385,25 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
           "en", "src0", 41),
          (_CAP_SPAM_ID, spam_text, "en", "src0", len(spam_text))],
         schema)
+    # the WHALE host: _CAP_WHALE_N unique pages on one domain — every
+    # one clears the URL gates (unique URLs, clean host), stage 1b
+    # must admit exactly _CAP_HOST_K of them
+    whale = (spark.range(_CAP_WHALE_N)
+             .select((F.lit(_CAP_WHALE_BASE) + F.col("id"))
+                     .alias("doc_id"),
+                     F.concat(F.lit("whale landing page number "),
+                              F.col("id").cast("string"),
+                              F.lit(" alpha beta gamma delta"))
+                     .alias("text"),
+                     F.lit("en").alias("lang"),
+                     F.lit("src0").alias("source"),
+                     F.lit(50).alias("n_chars")))
     stage_drop(docs.filter(F.col("doc_id") % 3 == 1).select(*cols)
-               .unionByName(engineered),
+               .unionByName(engineered).unionByName(whale),
                "drop1", now - 100)
     _cap_stage1(spark, drops, s1_out, s1_ck)
-    _cap_stage2(spark, s1_out, f"{work}/snap0", qc_model, lang_model,
+    _cap_stage1b(spark, s1_out, s1b_out, s1b_ck)
+    _cap_stage2(spark, s1b_out, f"{work}/snap0", qc_model, lang_model,
                 thr, s2_out, s2_ck, sig_out, sig_ck)
     kept1 = spark.read.parquet(s2_out)
     n1 = kept1.count()
@@ -379,9 +433,22 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
           len(dup_src["text"]))], ", ".join(f"{c} {t}" for c, t in
         [("doc_id", "long"), ("text", "string"), ("lang", "string"),
          ("source", "string"), ("n_chars", "long")]))
-    stage_drop(drop2.unionByName(dup_row), "drop2", now - 50)
+    # ...plus three MORE whale pages: their host filled its quota in
+    # drop 1, so the cap's counter state must suppress them across the
+    # drop boundary for the cost of a state lookup each
+    whale2 = (spark.range(3)
+              .select((F.lit(_CAP_WHALE_BASE + 100000) + F.col("id"))
+                      .alias("doc_id"),
+                      F.concat(F.lit("late whale page "),
+                               F.col("id").cast("string")).alias("text"),
+                      F.lit("en").alias("lang"),
+                      F.lit("src0").alias("source"),
+                      F.lit(20).alias("n_chars")))
+    stage_drop(drop2.unionByName(dup_row).unionByName(whale2),
+               "drop2", now - 50)
     _cap_stage1(spark, drops, s1_out, s1_ck)
-    _cap_stage2(spark, s1_out, f"{work}/snap1", qc_model2, lang_model2,
+    _cap_stage1b(spark, s1_out, s1b_out, s1b_ck)
+    _cap_stage2(spark, s1b_out, f"{work}/snap1", qc_model2, lang_model2,
                 thr2, s2_out, s2_ck, sig_out, sig_ck)
 
     final = spark.read.parquet(s2_out)
@@ -389,6 +456,10 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     ids = {r.doc_id for r in final.select("doc_id").collect()}
     s1_ids = {r.doc_id
               for r in spark.read.parquet(s1_out).select("doc_id").collect()}
+    s1b_ids = {r.doc_id for r in
+               spark.read.parquet(s1b_out).select("doc_id").collect()}
+    n_whale_kept = sum(_CAP_WHALE_BASE <= i < _CAP_WHALE_BASE + 100000
+                       for i in s1b_ids)
     splits = {r.split for r in final.select("split").distinct().collect()}
     n_sig = spark.read.parquet(sig_out).count()
     res = {"drop1_kept": n1, "total_kept": n2,
@@ -402,12 +473,21 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
            # repetition gate before any model scoring
            "url_blocked_suppressed": _CAP_BLOCKED_ID not in s1_ids,
            "repetition_suppressed": (_CAP_SPAM_ID in s1_ids
-                                     and _CAP_SPAM_ID not in ids)}
+                                     and _CAP_SPAM_ID not in ids),
+           # the domain cap: all whale pages clear the URL election
+           # (unique URLs), stage 1b admits exactly _CAP_HOST_K and
+           # the drop-2 stragglers are suppressed by counter state
+           "whale_elected": sum(i >= _CAP_WHALE_BASE for i in s1_ids),
+           "whale_capped": n_whale_kept,
+           "whale_drop2_suppressed": not any(
+               i >= _CAP_WHALE_BASE + 100000 for i in s1b_ids)}
     print(f"capstone: {n1} docs after drop 1, {n2} total after drop 2; "
           f"engineered duplicate suppressed by the refreshed snapshot: "
           f"{res['dup_suppressed']}; splits {res['splits']}; "
           f"{n_sig} known-passage coordinates signalled; model refresh "
-          f"moved the probe score {s_old} -> {s_new}")
+          f"moved the probe score {s_old} -> {s_new}; whale host "
+          f"{res['whale_elected']} elected -> {res['whale_capped']} "
+          f"capped")
     return res
 
 

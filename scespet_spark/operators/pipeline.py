@@ -549,6 +549,10 @@ def cap_per_key(df: DataFrame, k: int, key_col: str,
     if salt is not None:
         if salt < 2:
             raise ValueError(f"salt must be >= 2 (got {salt})")
+        if salt_col not in df.columns:
+            raise ValueError(
+                f"salt_col {salt_col!r} not in input columns "
+                f"{df.columns} — pass any unique row id as salt_col=")
         w1 = Window.partitionBy(key_col, "__salt").orderBy(*order_cols)
         pre = (df.withColumn(
                    "__salt",
@@ -641,6 +645,11 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
         sub, cnt, lo, hi, hist = base, n, mn, mx, hist0
         while cnt > threshold and lo < hi:
             w = (hi - lo) / buckets
+            if w <= 0.0:
+                # (hi-lo) underflowed: the remaining values are within
+                # one ulp of each other — selection over this cluster
+                # is the exact answer and cannot be narrowed further
+                break
             if hist is None:
                 hist = histogram(sub, lo, w)
             cum = 0

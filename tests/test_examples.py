@@ -70,6 +70,12 @@ def test_crawl_capstone_example(spark, tmp_path):
     # URL gates and dies at the Gopher repetition gate
     assert res["url_blocked_suppressed"]
     assert res["repetition_suppressed"]
+    # late-r9 domain cap: every whale page clears the URL election
+    # (unique URLs), stage 1b admits exactly _CAP_HOST_K, and drop-2
+    # whale pages are suppressed by the cap's cross-drop counter state
+    assert res["whale_elected"] == (live_pipeline._CAP_WHALE_N + 3)
+    assert res["whale_capped"] == live_pipeline._CAP_HOST_K
+    assert res["whale_drop2_suppressed"]
     # bucketed snapshot probes: the refreshed snapshot's digest/gram
     # tables join the gate's OWN key sets with zero snapshot-side
     # Exchange (the per-micro-batch stage-2 plan, read batch-side)
