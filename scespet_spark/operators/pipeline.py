@@ -533,15 +533,23 @@ def cap_per_key(df: DataFrame, k: int, key_col: str,
     per-partition, never global; the state per key the aggregate holds
     is the k-row heap Spark's window operator streams through).
 
-    WHALE KEYS: one giant host (10^8 pages on a single key) lands on a
-    single task under the plain window.  ``salt=S`` switches to the
-    two-phase exact form: phase 1 ranks within ``(key, salt)`` where
-    the salt is a hash of ``salt_col`` (any unique row id) — the whale
-    spreads over S tasks — and keeps k per salted group; phase 2 ranks
-    the <= k*S survivors per key.  Both phases are windows over bounded
-    groups and the result is EXACTLY the same k rows (every one of the
-    true per-key top-k survives its own salted group's top-k), so the
-    oracle stays the plain rank definition regardless of ``salt``."""
+    WHALE KEYS: one giant host (10^8 pages on a single key) would land
+    on a single task under a naive window.  Two defenses stack here:
+
+    * Spark >= 3.5 plans ``row_number() <= k`` filters as
+      ``WindowGroupLimit(Partial)`` BEFORE the Exchange (verified in
+      the executed plan): every map task pre-prunes to its local
+      top-k per key, so at most k rows per key per input partition
+      ever ship — the whale arrives at its reducer as <= k*P rows,
+      not 10^8.
+    * ``salt=S`` adds the explicit two-phase exact form for engines or
+      shapes without that rewrite: phase 1 ranks within ``(key,
+      salt-of-salt_col)`` — the whale's residual k*P rows spread over
+      S tasks — and phase 2 ranks the <= k*S survivors per key.
+
+    Both forms return EXACTLY the same k rows (every true top-k row
+    survives its own salted group's top-k), so the oracle stays the
+    plain rank definition regardless of ``salt``."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     from pyspark.sql import Window
@@ -629,7 +637,8 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
                 .agg(F.count("*").alias("__c")).collect())
         return {int(r["__b"]): int(r["__c"]) for r in rows}
 
-    hist0 = None if mn == mx else histogram(base, mn, (mx - mn) / buckets)
+    hist0 = (histogram(base, mn, (mx - mn) / buckets)
+             if n > threshold and mn < mx else None)
 
     def kth_smallest(sub, r: int) -> float:
         got = (sub.orderBy(F.col("__v").asc()).limit(r)
