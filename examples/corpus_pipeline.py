@@ -10,7 +10,8 @@
       -> language-ID classifier gate (hashed char-n-gram NB)
       -> DSIR importance resampling toward a target domain
       -> Gopher doc-shape + repetition rule gates
-      -> per-source quota cap -> per-source token budget
+      -> per-host domain cap -> per-source quota cap
+      -> per-source token budget
       -> pack into fixed-token training sequences
       -> deterministic shuffle -> partitioned parquet
 
@@ -154,6 +155,18 @@ def main(sf_dir="/root/testdata/sf0.001", out_dir=None):
              .filter(F.col("keep") == 1).select(*docs.columns))
     train = (gopher_repetition_filter(train)
              .filter(F.col("keep") == 1).select(*docs.columns))
+
+    # 4b3. per-host domain cap (late r9): FineWeb-style diversity —
+    #      at most 40 docs per (synthetic) host, best-first; the salted
+    #      two-phase form is the whale-safe plan (see cap_per_key)
+    from scespet_spark.operators.pipeline import cap_per_key
+    train = (cap_per_key(
+        train.withColumn("host", F.concat(
+            F.lit("h"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.org"))),
+        40, "host", [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        salt=4)
+        .select(*docs.columns))
 
     # 4c. per-source quota: cap any single source's share of the mix
     #     (deterministic hash order; prefiltered to O(quota)/source)

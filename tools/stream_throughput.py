@@ -166,6 +166,19 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
         return first_wins(canon, ["canon_url"], ["doc_id"], ["doc_id"],
                           t="doc_id")
 
+    # late-r9: the per-host domain cap (capstone stage 1b) — the
+    # cheapest stateful election (one counter per key; groups at
+    # quota emit nothing, so per-batch work DECREASES as state fills)
+    from scespet_spark.streaming.live import cap_first_k
+
+    def host_cap(stream):
+        hosted = stream.withColumn(
+            "host", F.concat(F.lit("h"),
+                             (F.col("doc_id") % 997).cast("string")))
+        return cap_first_k(hosted, 20, keys=["host"],
+                           order_cols=["doc_id"],
+                           payload_cols=["doc_id"], t="doc_id")
+
     # r8 capstone gate: the examples/live_pipeline.py stage-2 chain as
     # ONE streaming plan — exact-content anti-join vs the snapshot
     # digest table, stateless row-wise classifier gate, deterministic
@@ -207,7 +220,8 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
                                ("lang_gate_rowwise", lang_gate_rowwise,
                                 "append"),
                                ("trigram_scoring", trigram_scoring,
-                                "complete")]:
+                                "complete"),
+                               ("host_cap", host_cap, "append")]:
         results[label] = run_stream(spark, build, src, n_rows, label, mode)
     shutil.rmtree(src, ignore_errors=True)
     return results
