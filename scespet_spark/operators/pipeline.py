@@ -579,8 +579,8 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
                     buckets: int = 4096,
                     threshold: int = 65536) -> DataFrame:
     """EXACT distributed quantiles with bounded memory everywhere —
-    the classic iterative histogram-selection algorithm.  Returns a
-    DataFrame ``(q double, value double)`` where ``value`` is the
+    multi-level histogram selection.  Returns a DataFrame
+    ``(q double, value double)`` where ``value`` is the
     ``ceil(q*n)``-th smallest non-null value (lower discrete quantile:
     q=1.0 is the max, q→0 the min) — exact order statistics, not an
     approximation.
@@ -592,21 +592,23 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
     exact ranks with:
 
     * one (count, min, max) aggregate;
-    * per refinement level, ONE histogram aggregate — ``buckets``
-      equal-width bins over the current range; the driver walks the
-      cumulative counts (``buckets`` ints, never data) to find the bin
-      containing the residual rank and recurses INTO that bin;
-    * when the candidate bin holds <= ``threshold`` rows, one
+    * per refinement level, ONE histogram aggregate FOR ALL QUANTILES
+      JOINTLY: nested equal-width bins (level k splits every level-k-1
+      bin into ``buckets`` sub-bins — bin ids are pure arithmetic on
+      the value, so one ``groupBy`` per level covers every quantile's
+      current search path); the driver walks O(len(qs) * buckets)
+      counts, never data;
+    * a quantile whose bin holds <= ``threshold`` rows finishes with
       ``TakeOrdered(r)`` + max — never more than ``threshold`` rows
       leave the executors.
 
-    Passes are O(log_buckets(n/threshold)) full scans (1 level covers
-    n <= 2.7e8 at the defaults; 2 levels 1.1e13), each map-side
-    combinable; driver memory is O(buckets); no shuffle of data rows
-    at all — the histogram is the only Exchange and it carries
-    ``buckets`` partial rows per task.  Massive tie clusters are
-    handled by the equal-value early exit (a bin that cannot shrink
-    because min==max IS the answer)."""
+    Total cost is (levels + 2) full scans REGARDLESS of how many
+    quantiles are requested — 1 level covers n <= 2.7e8 at the
+    defaults, 2 levels 1.1e13 — each map-side combinable; driver
+    memory is O(len(qs) * buckets); the only Exchange carries
+    histogram partials, never rows.  Massive tie clusters are handled
+    by the single-bin degenerate check (one extra stats pass detects
+    min==max — the cluster IS the answer)."""
     if not qs:
         raise ValueError("need at least one quantile in qs")
     for q in qs:
@@ -614,6 +616,7 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
     if buckets < 2:
         raise ValueError(f"need buckets >= 2, got {buckets}")
+    import math
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull()).select(v.alias("__v"))
 
@@ -622,54 +625,92 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
                     F.max("__v").alias("mx")).collect()[0]
         return int(r["n"]), r["mn"], r["mx"]
 
-    def bin_expr(lo: float, w: float):
-        return F.least(F.lit(buckets - 1),
-                       F.floor((F.col("__v") - F.lit(lo)) / F.lit(w))
-                       .cast("long"))
-
     n, mn, mx = stats(base)
     if n == 0:
         raise ValueError(f"{value_col} has no non-null values")
 
-    # level-0 histogram is shared by every quantile
-    def histogram(sub, lo, w):
-        rows = (sub.groupBy(bin_expr(lo, w).alias("__b"))
-                .agg(F.count("*").alias("__c")).collect())
-        return {int(r["__b"]): int(r["__c"]) for r in rows}
+    def widths(k):
+        # uniform level widths: level j splits the range by buckets^j
+        return [(mx - mn) / (buckets ** (j + 1)) for j in range(k + 1)]
 
-    hist0 = (histogram(base, mn, (mx - mn) / buckets)
-             if n > threshold and mn < mx else None)
+    def bin_cols(k):
+        """Nested bin ids b0..bk as pure column arithmetic: the level-j
+        offset subtracts the enclosing bins' origins, so the same
+        expressions reproduce the same partition of rows in the
+        histogram, the path filters, and the final selection."""
+        ws = widths(k)
+        cols, off = [], F.col("__v") - F.lit(mn)
+        for j in range(k + 1):
+            b = F.least(F.lit(buckets - 1),
+                        F.floor(off / F.lit(ws[j])).cast("long"))
+            b = F.greatest(F.lit(0), b)
+            cols.append(b)
+            off = off - b.cast("double") * F.lit(ws[j])
+        return cols
+
+    def path_filter(cols, path):
+        pred = F.lit(True)
+        for c, p in zip(cols, path):
+            pred = pred & (c == p)
+        return pred
 
     def kth_smallest(sub, r: int) -> float:
         got = (sub.orderBy(F.col("__v").asc()).limit(r)
                .agg(F.max("__v").alias("v")).collect()[0]["v"])
         return float(got)
 
-    import math
-    out = []
-    for q in sorted(qs):
-        # IEEE-double ceil(q*n), the same arithmetic an ANSI oracle's
-        # CEIL(q * n) performs — boundary cases agree bit-for-bit
-        r = min(n, max(1, math.ceil(q * n)))
-        sub, cnt, lo, hi, hist = base, n, mn, mx, hist0
-        while cnt > threshold and lo < hi:
-            w = (hi - lo) / buckets
-            if w <= 0.0:
-                # (hi-lo) underflowed: the remaining values are within
-                # one ulp of each other — selection over this cluster
-                # is the exact answer and cannot be narrowed further
-                break
-            if hist is None:
-                hist = histogram(sub, lo, w)
-            cum = 0
+    # state per quantile: residual rank, search path (bin ids), count
+    ranks = {q: min(n, max(1, math.ceil(q * n))) for q in qs}
+    paths = {q: () for q in qs}
+    counts = {q: n for q in qs}
+    resolved: dict = {}
+    level = 0
+    while True:
+        active = [q for q in qs if q not in resolved
+                  and counts[q] > threshold]
+        if not active or mn == mx or widths(level)[level] <= 0.0:
+            break
+        cols = bin_cols(level)
+        named = [c.alias(f"__b{j}") for j, c in enumerate(cols)]
+        need = {paths[q] for q in active}
+        pred = F.lit(False)
+        for p in need:
+            pred = pred | path_filter(cols[:level], p)
+        hist_rows = (base.filter(pred).groupBy(*named)
+                     .agg(F.count("*").alias("__c")).collect())
+        # {parent_path: {bin: count}}
+        hist: dict = {}
+        for row in hist_rows:
+            key = tuple(row[f"__b{j}"] for j in range(level))
+            hist.setdefault(key, {})[int(row[f"__b{level}"])] = \
+                int(row["__c"])
+        for q in active:
+            bins = hist.get(paths[q], {})
+            cum, r = 0, ranks[q]
             for b in range(buckets):
-                c = hist.get(b, 0)
+                c = bins.get(b, 0)
                 if cum + c >= r:
-                    sub = sub.filter(bin_expr(lo, w) == b)
-                    r -= cum
+                    ranks[q] = r - cum
+                    paths[q] = paths[q] + (b,)
+                    counts[q] = c
                     break
                 cum += c
-            cnt, lo, hi = stats(sub)
-            hist = None
-        out.append((float(q), lo if lo == hi else kth_smallest(sub, r)))
+            if sum(1 for c in bins.values() if c > 0) == 1:
+                # single-bin degenerate (tie cluster or ulp-narrow
+                # range): one stats pass over this path resolves it
+                sub = base.filter(path_filter(bin_cols(level), paths[q]))
+                cnt, lo2, hi2 = stats(sub)
+                counts[q] = cnt
+                if lo2 == hi2:
+                    resolved[q] = lo2
+        level += 1
+    for q in qs:
+        if q in resolved:
+            continue
+        sub = base
+        if paths[q]:
+            k = len(paths[q]) - 1
+            sub = base.filter(path_filter(bin_cols(k), paths[q]))
+        resolved[q] = kth_smallest(sub, ranks[q])
+    out = [(float(q), float(resolved[q])) for q in sorted(qs)]
     return df.sparkSession.createDataFrame(out, "q double, value double")
