@@ -81,8 +81,14 @@ def run_stream(spark, build, src, n_rows, label, mode="append"):
     return wall, per_batch
 
 
-def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
-    mult, n_drops = int(mult), int(n_drops)
+def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8, *rest):
+    only = None
+    for a in (str(mult), str(n_drops), *map(str, rest)):
+        if a.startswith("--ops="):
+            only = set(a[6:].split(","))
+    args = [a for a in (str(mult), str(n_drops)) if not a.startswith("--ops=")]
+    mult = int(args[0]) if args else 4
+    n_drops = int(args[1]) if len(args) > 1 else 8
     spark = get_spark(app_name="stream-throughput")
     spark.sparkContext.setLogLevel("ERROR")
     src, n_rows = stage_drops(spark, sf_dir, mult, n_drops)
@@ -222,6 +228,8 @@ def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8):
                                ("trigram_scoring", trigram_scoring,
                                 "complete"),
                                ("host_cap", host_cap, "append")]:
+        if only is not None and label not in only:
+            continue
         results[label] = run_stream(spark, build, src, n_rows, label, mode)
     shutil.rmtree(src, ignore_errors=True)
     return results
