@@ -6173,6 +6173,41 @@ def exact_quantiles_price(spark, sf_dir):
                            buckets=256, threshold=2048)
 
 
+@query("range_join_price_bands", """
+WITH b AS (SELECT i AS band, i*5000.0 AS lo, i*5000.0+7500.0 AS hi
+           FROM range(24) t(i))
+SELECT band,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM b JOIN lineitem f
+  ON f.l_extendedprice >= b.lo AND f.l_extendedprice < b.hi
+GROUP BY band
+""")
+def range_join_price_bands(spark, sf_dir):
+    """Interval/band join at fact scale via BUCKET EXPANSION: revenue
+    per (overlapping) price band.  A raw BETWEEN join plans as
+    BroadcastNestedLoopJoin in open-source Spark — O(|fact|x|bands|)
+    comparisons; ``range_join`` explodes each band to its w-aligned
+    buckets and equi-joins the fact's single bucket, so the plan is a
+    plain HASH join (asserted: no BNLJ/Cartesian in
+    tests/test_joins.py) and each fact row is compared only against
+    the bands overlapping its bucket.  Overlapping bands are the
+    point: a fact row legitimately lands in up to two bands here."""
+    from scespet_spark.operators.joins import range_join
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.range(24).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 5000.0).alias("lo"),
+        (F.col("id") * 5000.0 + 7500.0).alias("hi"))
+    return (range_join(li.select("l_orderkey", "l_linenumber",
+                                 "l_extendedprice"), bands,
+                       "l_extendedprice")
+            .groupBy("band")
+            .agg(F.count("*").alias("n_items"),
+                 _dsum("l_extendedprice").alias("revenue")))
+
+
 @query("unigram_fit_pieces")
 def unigram_fit_pieces(spark, sf_dir):
     """Unigram-LM tokenizer training (the sentencepiece algorithm,
@@ -6256,6 +6291,7 @@ _ROUND_CHANGED = [
     # quantiles by histogram selection, unigram-LM tokenizer
     "host_cap_docs", "live_host_cap", "exact_quantiles_price",
     "unigram_fit_pieces", "unigram_tokenize_docs",
+    "range_join_price_bands",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -6265,11 +6301,12 @@ _PRIORITY = _ROUND_CHANGED + [
     "q3_order_revenue", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q13_customer_distribution", "q15_top_supplier", "q7_volume_shipping",
     "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customers",
-    "q10_returned_items", "vwap_per_supplier", "dedup_kept_corpus",
+    "q10_returned_items", "dedup_kept_corpus",
     "dedup_simhash", "dedup_ngram_jaccard", "ann_pq_codes",
     # (region_revenue/topk_orders/rollup_order_status/set_ops_customers/
-    # window_rank_orders yield their slots to the late-r9 batch-2
-    # additions — first candidates for the r10 rotation; window stays
+    # window_rank_orders/vwap_per_supplier yield their slots to the
+    # late-r9 batch-2 additions — first candidates for the r10
+    # rotation; vwap's LIVE form has fresh r8 evidence; window stays
     # exactly 50 = the driver's sample)
     # (the r4/r5 stream-family cohort re-greened r8 rotates out, as do
     # text_fingerprint/text_token_doc_freq/text_corpus_idf/doc_chunking/

@@ -118,6 +118,7 @@ HEADLINE = [
     "host_cap_docs",
     "exact_quantiles_price",
     "unigram_tokenize_docs",
+    "range_join_price_bands",
 ]
 
 

@@ -91,3 +91,69 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def range_join(fact: DataFrame, dim: DataFrame, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi",
+               bucket_width: float | None = None,
+               how: str = "inner") -> DataFrame:
+    """Interval/band join at fact scale: match each fact row to every
+    dim interval with ``lo <= value < hi`` — WITHOUT the
+    nested-loop plan Spark gives a raw BETWEEN join.
+
+    Open-source Spark plans a non-equi join as
+    BroadcastNestedLoopJoin (every fact row tests every interval:
+    O(|fact|·|dim|) comparisons — 10^11 rows × 10^4 bands is 10^15
+    comparison ops) or, worse, a cartesian product.  The classic fix
+    is BUCKET EXPANSION: pick a ``bucket_width`` w, explode each dim
+    interval to one row per w-aligned bucket it overlaps, give each
+    fact row its single bucket ``floor(value/w)``, and equi-join on
+    the bucket before re-checking the exact predicate.  The plan
+    becomes a plain (broadcast- or shuffle-) HASH join: each fact row
+    is compared only against intervals overlapping ITS bucket.
+
+    A (fact, dim) pair matches in exactly one bucket — the fact's own
+    — so no dedup is needed.  Expansion factor is
+    ``avg_interval_width / w`` (choose w near the typical interval
+    width: expansion stays O(1)-few rows per interval and each bucket
+    sees only local intervals).  ``bucket_width`` defaults to the
+    dims' average interval width (one tiny aggregate over the dim
+    side).  Overlapping intervals are fine (a fact row emits one row
+    per matching interval); ``how='left_semi'`` gives the band-filter
+    form without emitting dim columns."""
+    if how.lower() not in {"inner", "left_semi", "leftsemi", "semi"}:
+        raise ValueError(
+            f"range_join how={how!r} unsupported: bucket expansion "
+            f"replicates dim intervals, so outer joins would emit "
+            f"expanded unmatched rows; use inner or left_semi")
+    v = F.col(value_col).cast("double")
+    lo = F.col(lo_col).cast("double")
+    hi = F.col(hi_col).cast("double")
+    if bucket_width is None:
+        got = dim.agg(F.avg(hi - lo).alias("w")).collect()[0]["w"]
+        if got is None or got <= 0:
+            raise ValueError(
+                f"cannot infer bucket_width from {lo_col}/{hi_col} "
+                f"(empty dim or non-positive average width) — pass "
+                f"bucket_width= explicitly")
+        bucket_width = float(got)
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    w = F.lit(float(bucket_width))
+    # one row per w-aligned bucket the interval [lo, hi) overlaps;
+    # empty intervals (hi <= lo) cover no bucket and drop out here.
+    # hi is EXCLUSIVE: an interval ending exactly on a bucket boundary
+    # does not cover the bucket starting there
+    fb_hi = F.floor(hi / w)
+    last = (fb_hi - F.when(hi == fb_hi * w, F.lit(1))
+            .otherwise(F.lit(0))).cast("long")
+    xdim = (dim.filter(hi > lo)
+            .withColumn("__b", F.explode(F.sequence(
+                F.floor(lo / w).cast("long"), last))))
+    xfact = fact.withColumn("__b", F.floor(v / w).cast("long"))
+    cond = ((xfact["__b"] == xdim["__b"])
+            & (v >= lo) & (v < hi))
+    if how.lower() in {"left_semi", "leftsemi", "semi"}:
+        return xfact.join(xdim, cond, "left_semi").drop("__b")
+    return (xfact.join(xdim, cond, "inner")
+            .drop(xfact["__b"]).drop(xdim["__b"]))

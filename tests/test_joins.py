@@ -83,3 +83,68 @@ def test_salted_join_rejects_dim_preserving_how(skewed):
     for how in ("right", "full", "outer", "full_outer", "rightouter"):
         with pytest.raises(ValueError, match="unsupported"):
             salted_join(fact, dim, ["k"], salt=4, how=how)
+
+
+# ---------------------------------------------------------------------------
+# range/interval join via bucket expansion (late r9)
+# ---------------------------------------------------------------------------
+
+from scespet_spark.operators.joins import range_join
+
+
+def _bands(spark):
+    # overlapping bands: [0,15), [10,25), [20,35), [30,45)
+    return spark.createDataFrame(
+        [(i, i * 10.0, i * 10.0 + 15.0) for i in range(4)],
+        "band long, lo double, hi double")
+
+
+def test_range_join_matches_between_semantics(spark):
+    facts = spark.createDataFrame([(i, float(i)) for i in range(45)],
+                                  "fid long, v double")
+    got = {(r.fid, r.band)
+           for r in range_join(facts, _bands(spark), "v",
+                               bucket_width=7.0).collect()}
+    exp = {(i, b) for i in range(45) for b in range(4)
+           if b * 10.0 <= i < b * 10.0 + 15.0}
+    assert got == exp
+    # inferred bucket_width gives the same rows
+    got2 = {(r.fid, r.band)
+            for r in range_join(facts, _bands(spark), "v").collect()}
+    assert got2 == exp
+
+
+def test_range_join_hi_exclusive_on_bucket_boundary(spark):
+    # interval ending exactly on a bucket edge must not admit hi
+    dim = spark.createDataFrame([(0, 0.0, 10.0)],
+                                "band long, lo double, hi double")
+    facts = spark.createDataFrame(
+        [(0, 10.0), (1, 9.999), (2, 0.0), (3, -0.001)],
+        "fid long, v double")
+    got = sorted(r.fid for r in
+                 range_join(facts, dim, "v", bucket_width=10.0).collect())
+    assert got == [1, 2]
+
+
+def test_range_join_plans_hash_join_not_bnlj(spark):
+    facts = spark.range(200).select(F.col("id").cast("double").alias("v"))
+    out = range_join(facts, _bands(spark), "v", bucket_width=10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "ShuffledHashJoin",
+                                   "SortMergeJoin"))
+
+
+def test_range_join_semi_and_validation(spark):
+    facts = spark.createDataFrame([(0, 5.0), (1, 100.0)],
+                                  "fid long, v double")
+    kept = range_join(facts, _bands(spark), "v", bucket_width=10.0,
+                      how="left_semi")
+    assert sorted(r.fid for r in kept.collect()) == [0]
+    assert kept.columns == ["fid", "v"]
+    with pytest.raises(ValueError, match="unsupported"):
+        range_join(facts, _bands(spark), "v", how="left")
+    empty = spark.createDataFrame([], "band long, lo double, hi double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(facts, empty, "v")
