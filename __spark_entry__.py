@@ -6208,6 +6208,38 @@ def range_join_price_bands(spark, sf_dir):
                  _dsum("l_extendedprice").alias("revenue")))
 
 
+@query("live_range_join", """
+WITH b AS (SELECT i AS band, i*5000.0 AS lo, i*5000.0+7500.0 AS hi
+           FROM range(24) t(i))
+SELECT f.l_orderkey, f.l_linenumber, b.band,
+       CAST(f.l_extendedprice AS DOUBLE) AS price
+FROM b JOIN lineitem f
+  ON f.l_extendedprice >= b.lo AND f.l_extendedprice < b.hi
+""")
+def live_range_join(spark, sf_dir):
+    """The band join on a LIVE fact stream: the dim side's bucket
+    expansion is static (broadcast), the fact's bucket id is map-only,
+    so the whole range join is a stateless stream-static hash join —
+    append mode, zero state, per-micro-batch cost = the arriving rows
+    only.  The shape a live enrichment pipeline needs (price bands,
+    latency SLO buckets, geo boxes) without a nested-loop plan."""
+    from scespet_spark.operators.joins import range_join
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    bands = spark.range(24).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 5000.0).alias("lo"),
+        (F.col("id") * 5000.0 + 7500.0).alias("hi"))
+    stream = read_table_stream(spark, sf_dir, "lineitem")
+    out = range_join(stream.select("l_orderkey", "l_linenumber",
+                                   "l_extendedprice"), bands,
+                     "l_extendedprice")
+    return (run_available_now(out, "append")
+            .select("l_orderkey", "l_linenumber", "band",
+                    F.col("l_extendedprice").cast("double")
+                    .alias("price")))
+
+
 @query("unigram_fit_pieces")
 def unigram_fit_pieces(spark, sf_dir):
     """Unigram-LM tokenizer training (the sentencepiece algorithm,
@@ -6291,7 +6323,7 @@ _ROUND_CHANGED = [
     # quantiles by histogram selection, unigram-LM tokenizer
     "host_cap_docs", "live_host_cap", "exact_quantiles_price",
     "unigram_fit_pieces", "unigram_tokenize_docs",
-    "range_join_price_bands",
+    "range_join_price_bands", "live_range_join",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -6301,13 +6333,13 @@ _PRIORITY = _ROUND_CHANGED + [
     "q3_order_revenue", "q5_local_supplier_volume", "q6_forecast_revenue",
     "q13_customer_distribution", "q15_top_supplier", "q7_volume_shipping",
     "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customers",
-    "q10_returned_items", "dedup_kept_corpus",
+    "dedup_kept_corpus",
     "dedup_simhash", "dedup_ngram_jaccard", "ann_pq_codes",
     # (region_revenue/topk_orders/rollup_order_status/set_ops_customers/
-    # window_rank_orders/vwap_per_supplier yield their slots to the
-    # late-r9 batch-2 additions — first candidates for the r10
-    # rotation; vwap's LIVE form has fresh r8 evidence; window stays
-    # exactly 50 = the driver's sample)
+    # window_rank_orders/vwap_per_supplier/q10_returned_items yield
+    # their slots to the late-r9 batch-2 additions — first candidates
+    # for the r10 rotation; vwap's LIVE form has fresh r8 evidence;
+    # window stays exactly 50 = the driver's sample)
     # (the r4/r5 stream-family cohort re-greened r8 rotates out, as do
     # text_fingerprint/text_token_doc_freq/text_corpus_idf/doc_chunking/
     # redact_pii/stratified_sample_docs to make room for the late-r9

@@ -148,3 +148,37 @@ def test_range_join_semi_and_validation(spark):
     empty = spark.createDataFrame([], "band long, lo double, hi double")
     with pytest.raises(ValueError, match="bucket_width"):
         range_join(facts, empty, "v")
+
+
+def test_range_join_property_matches_python_model(spark):
+    """Randomized intervals (overlapping, adjacent, empty, negative)
+    against a brute-force model, across bucket widths."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.tuples(st.integers(-30, 30), st.integers(0, 20)),
+                    min_size=1, max_size=8),
+           st.lists(st.integers(-40, 60), min_size=1, max_size=30),
+           st.sampled_from([1.0, 3.0, 7.5, 25.0]))
+    def check(intervals, values, w):
+        dim = spark.createDataFrame(
+            [(i, float(lo), float(lo + width))
+             for i, (lo, width) in enumerate(intervals)],
+            "band long, lo double, hi double")
+        fact = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(values)],
+            "fid long, v double")
+        try:
+            got = {(r.fid, r.band) for r in
+                   range_join(fact, dim, "v", bucket_width=w).collect()}
+        except ValueError:
+            # all intervals empty -> bucket_width inference impossible;
+            # explicit w given, so only reachable when dim is empty
+            raise
+        exp = {(fi, bi) for fi, v in enumerate(values)
+               for bi, (lo, width) in enumerate(intervals)
+               if lo <= v < lo + width}
+        assert got == exp
+
+    check()
