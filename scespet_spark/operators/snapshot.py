@@ -37,6 +37,11 @@ One snapshot =
                     applied by `tokenizer.bpe_apply` — train once per
                     snapshot so later crawls tokenize under the SAME
                     vocabulary;
+  * ``unigram_pieces`` — the fitted unigram-LM tokenizer piece table
+                    (`tokenizer.unigram_fit`, pass ``unigram_vocab=N``),
+                    applied by `tokenizer.unigram_apply` — the same
+                    train-once-per-snapshot contract as BPE, for the
+                    sentencepiece-family vocabulary;
   * ``centroids`` + ``codes`` — the IVF coarse index
                     (`similarity.label_centroids` / `ivf_assign`),
                     served by `ivf_topk_from_index` / `ann_topk_stream`
@@ -69,7 +74,8 @@ from pyspark.sql import DataFrame, SparkSession
 #: artifact name -> builder(docs, emb) (documented above)
 _TABLES = ("digests", "bands", "blocks", "centroids", "codes",
            "segments", "grams", "lm_bigrams", "lm_prefixes", "lm_vocab",
-           "quality_weights", "lang_weights", "bpe_merges")
+           "quality_weights", "lang_weights", "bpe_merges",
+           "unigram_pieces")
 
 #: probe tables eligible for bucketed materialization -> their
 #: equi-join keys (the columns every incremental probe joins on)
@@ -136,6 +142,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    bpe_merges: int | None = None,
                    bpe_min_count: int = 1,
                    bpe_max_vocab: int | None = None,
+                   unigram_vocab: int | None = None,
+                   unigram_em_iters: int = 4,
                    ngram_order: int | None = None) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
@@ -243,6 +251,15 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("bpe_merges", bpe_fit(docs, n_merges=bpe_merges,
                                  min_count=bpe_min_count,
                                  max_vocab=bpe_max_vocab))
+    if unigram_vocab is not None:
+        # the OTHER tokenizer family (sentencepiece unigram-LM): the
+        # piece/logprob table under the same train-once-per-snapshot
+        # contract as bpe_merges
+        if docs is None:
+            raise ValueError("unigram_vocab needs docs")
+        from .tokenizer import unigram_fit
+        _w("unigram_pieces", unigram_fit(docs, vocab_size=unigram_vocab,
+                                         em_iters=unigram_em_iters))
     if lang_labeled is not None:
         # the language-ID rung: a <= lang_buckets*L-row per-language
         # weight table (prior/unseen rows included) applied map-side
@@ -268,6 +285,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "bpe_merges": bpe_merges,
                     "bpe_min_count": bpe_min_count,
                     "bpe_max_vocab": bpe_max_vocab,
+                    "unigram_vocab": unigram_vocab,
+                    "unigram_em_iters": unigram_em_iters,
                     "ngram_order": ngram_order,
                     "qc_buckets": qc_buckets,
                     "lang_buckets": lang_buckets,

@@ -266,3 +266,32 @@ def test_unigram_apply_rejects_column_clash(spark):
     import pytest
     with pytest.raises(ValueError, match="already exist"):
         unigram_apply(docs, m)
+
+
+def test_unigram_pieces_snapshot_artifact(spark, tmp_path):
+    """The unigram model persists as a snapshot artifact under the same
+    train-once-per-snapshot contract as bpe_merges: encoding under the
+    LOADED piece table is row-identical to a fresh fit, and the
+    manifest records the trainer params."""
+    import pytest
+    from scespet_spark.operators.snapshot import (check_compat,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=docs, sub_min_len=5, unigram_vocab=44,
+                   unigram_em_iters=2)
+    check_compat(out, unigram_vocab=44, unigram_em_iters=2)
+    with pytest.raises(ValueError, match="unigram_vocab"):
+        check_compat(out, unigram_vocab=64)
+    pieces = read_snapshot(spark, out)["unigram_pieces"]
+    fresh = unigram_fit(docs, vocab_size=44, em_iters=2)
+    assert sorted(map(tuple, pieces.collect())) == \
+        sorted(map(tuple, fresh.collect()))
+    got = unigram_apply(docs, pieces).select("doc_id", "n_unigram_tokens")
+    want = unigram_apply(docs, fresh).select("doc_id", "n_unigram_tokens")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="needs docs"):
+        write_snapshot(str(tmp_path / "s2"), unigram_vocab=8)
