@@ -6240,6 +6240,35 @@ def live_range_join(spark, sf_dir):
                     .alias("price")))
 
 
+@query("exact_quantiles_by_source", """
+WITH r AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS cnt
+           FROM documents WHERE n_chars IS NOT NULL),
+qs AS (SELECT * FROM (VALUES (0.25),(0.5),(0.9)) t(q))
+SELECT r.source, CAST(qs.q AS DOUBLE) AS q,
+       CAST(MIN(r.n_chars) AS DOUBLE) AS value
+FROM r JOIN qs ON r.rn = CAST(CEIL(qs.q * r.cnt) AS BIGINT)
+GROUP BY r.source, qs.q
+""")
+def exact_quantiles_by_source(spark, sf_dir):
+    """EXACT per-source quantiles (doc-length quartiles/p90 per
+    source — the per-source calibration statistic) with bounded
+    memory: every group's values normalize to [0,1] so ALL groups and
+    quantiles share one histogram job per level (the level-k search
+    position is one integer digit column); driver walks counts, never
+    data; finals are TakeOrdered over <= threshold rows.  Contrast
+    ``F.percentile`` per group, which buffers each group's full value
+    set in the aggregation buffer.  Demo thresholds force real
+    refinement levels at sf 0.01; oracle is the per-group rank
+    definition."""
+    from scespet_spark.operators.pipeline import exact_quantiles_by
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_quantiles_by(docs, "n_chars", [0.25, 0.5, 0.9],
+                              "source", buckets=16, threshold=20)
+
+
 @query("unigram_fit_pieces")
 def unigram_fit_pieces(spark, sf_dir):
     """Unigram-LM tokenizer training (the sentencepiece algorithm,
@@ -6324,6 +6353,7 @@ _ROUND_CHANGED = [
     "host_cap_docs", "live_host_cap", "exact_quantiles_price",
     "unigram_fit_pieces", "unigram_tokenize_docs",
     "range_join_price_bands", "live_range_join",
+    "exact_quantiles_by_source",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -6334,9 +6364,9 @@ _PRIORITY = _ROUND_CHANGED + [
     "q13_customer_distribution", "q15_top_supplier", "q7_volume_shipping",
     "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customers",
     "dedup_kept_corpus",
-    "dedup_simhash", "dedup_ngram_jaccard", "ann_pq_codes",
+    "dedup_simhash", "dedup_ngram_jaccard",
     # (region_revenue/topk_orders/rollup_order_status/set_ops_customers/
-    # window_rank_orders/vwap_per_supplier/q10_returned_items yield
+    # window_rank_orders/vwap_per_supplier/q10_returned_items/ann_pq_codes yield
     # their slots to the late-r9 batch-2 additions — first candidates
     # for the r10 rotation; vwap's LIVE form has fresh r8 evidence;
     # window stays exactly 50 = the driver's sample)

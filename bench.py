@@ -119,6 +119,7 @@ HEADLINE = [
     "exact_quantiles_price",
     "unigram_tokenize_docs",
     "range_join_price_bands",
+    "exact_quantiles_by_source",
 ]
 
 

@@ -714,3 +714,175 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
         resolved[q] = kth_smallest(sub, ranks[q])
     out = [(float(q), float(resolved[q])) for q in sorted(qs)]
     return df.sparkSession.createDataFrame(out, "q double, value double")
+
+
+def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
+                       by: str, buckets: int = 1024,
+                       threshold: int = 65536) -> DataFrame:
+    """EXACT per-group quantiles with bounded memory — the grouped form
+    of ``exact_quantiles``.  Returns ``(by, q double, value double)``
+    where ``value`` is the group's ``ceil(q*n_g)``-th smallest non-null
+    value.  The per-group exact alternative to
+    ``F.percentile(...).over(groupBy)`` — which buffers every group
+    value in one aggregation buffer — and to ``approx_percentile`` —
+    which is a sketch.
+
+    One histogram job per level covers EVERY group and quantile
+    jointly: each group's values normalize to ``u = (v - mn_g) /
+    (mx_g - mn_g)`` (group stats broadcast — one tiny join), so all
+    groups share the same bucket geometry and the level-k search
+    position is ONE integer digit column ``d_k = floor(u *
+    buckets^(k+1))`` (its base-``buckets`` digits are the search
+    path).  Per level: one combinable ``groupBy(group, d_k)``
+    aggregate filtered to the active search paths; the driver walks
+    O(pairs x buckets) counts.  Groups at or below ``threshold`` rows
+    (and every quantile's final candidate bin) finish with
+    ``TakeOrdered`` over <= threshold rows.
+
+    Driver holds O(|groups| x |qs| x buckets) ints per level and the
+    group-stats table — GROUP CARDINALITY MUST BE BOUNDED (sources,
+    languages, shards: thousands, not millions).  For unbounded
+    groups use ``approx_percentile``; for the global case use
+    ``exact_quantiles``.  Massive per-group tie clusters resolve via
+    the single-child degenerate check (batched min==max probe)."""
+    if not qs:
+        raise ValueError("need at least one quantile in qs")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    if buckets < 2:
+        raise ValueError(f"need buckets >= 2, got {buckets}")
+    import math
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    v = F.col(value_col).cast("double")
+    base = (df.filter(v.isNotNull() & F.col(by).isNotNull())
+            .select(F.col(by).alias("__g"), v.alias("__v")))
+    grows = (base.groupBy("__g")
+             .agg(F.count("*").alias("n"), F.min("__v").alias("mn"),
+                  F.max("__v").alias("mx")).collect())
+    if not grows:
+        raise ValueError(f"{value_col} has no non-null values")
+
+    spark = df.sparkSession
+    gstats = spark.createDataFrame(
+        [(r["__g"], r["mn"], r["mx"]) for r in grows],
+        StructType([base.schema["__g"],
+                    StructField("__mn", DoubleType()),
+                    StructField("__mx", DoubleType())]))
+    joined = base.join(F.broadcast(gstats), "__g")
+    u = (F.col("__v") - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+
+    def digit_col(k):
+        m = buckets ** (k + 1)
+        return (F.least(F.lit(m - 1), F.floor(u * F.lit(float(m))))
+                .cast("long"))
+
+    resolved: dict = {}      # (g, q) -> value
+    pending: dict = {}       # (g, q) -> {"r": rank, "P": path int, "cnt"}
+    for row in grows:
+        g, n_g, mn_g, mx_g = row["__g"], int(row["n"]), row["mn"], row["mx"]
+        for q in qs:
+            r = min(n_g, max(1, math.ceil(q * n_g)))
+            if mn_g == mx_g:
+                resolved[(g, q)] = mn_g
+            else:
+                pending[(g, q)] = {"r": r, "P": None, "cnt": n_g,
+                                   "k": -1}
+
+    k = 0
+    while buckets ** (k + 1) <= (1 << 53):
+        active = [(g, q) for (g, q), st in pending.items()
+                  if (g, q) not in resolved and st["cnt"] > threshold]
+        if not active:
+            break
+        d = digit_col(k)
+        if k == 0:
+            gs = {g for g, _ in active}
+            pred = F.col("__g").isin(list(gs))
+        else:
+            dprev = digit_col(k - 1)
+            pred = F.lit(False)
+            for g, p in {(g, pending[(g, q)]["P"]) for g, q in active}:
+                pred = pred | ((F.col("__g") == g) & (dprev == p))
+        hist_rows = (joined.filter(pred)
+                     .groupBy("__g", d.alias("__d"))
+                     .agg(F.count("*").alias("__c")).collect())
+        counts: dict = {}
+        for row in hist_rows:
+            counts.setdefault(row["__g"], {})[int(row["__d"])] = \
+                int(row["__c"])
+        degenerate = []
+        for g, q in active:
+            st = pending[(g, q)]
+            first = 0 if st["P"] is None else st["P"] * buckets
+            bins = counts.get(g, {})
+            cum, r = 0, st["r"]
+            children = [dd for dd in range(first, first + buckets)
+                        if bins.get(dd, 0) > 0]
+            for dd in range(first, first + buckets):
+                c = bins.get(dd, 0)
+                if cum + c >= r:
+                    st.update(r=r - cum, P=dd, cnt=c, k=k)
+                    break
+                cum += c
+            if len(children) == 1 and st["cnt"] > threshold:
+                degenerate.append((g, q))
+        if degenerate:
+            # tie clusters: everything in one child bin — one batched
+            # min/max probe resolves (or proves the range is real)
+            dnow = digit_col(k)
+            pred = F.lit(False)
+            for g, p in {(g, pending[(g, q)]["P"]) for g, q in degenerate}:
+                pred = pred | ((F.col("__g") == g) & (dnow == p))
+            probe = (joined.filter(pred)
+                     .groupBy("__g", dnow.alias("__d"))
+                     .agg(F.min("__v").alias("mn"),
+                          F.max("__v").alias("mx")).collect())
+            span = {(r["__g"], int(r["__d"])): (r["mn"], r["mx"])
+                    for r in probe}
+            for g, q in degenerate:
+                mn2, mx2 = span[(g, pending[(g, q)]["P"])]
+                if mn2 == mx2:
+                    resolved[(g, q)] = mn2
+        k += 1
+    # finals: ONE window job per distinct search level — every pending
+    # pair's candidate bin ranks in the same pass (each window
+    # partition holds <= threshold rows by construction), instead of
+    # one TakeOrdered job per (group, quantile)
+    from collections import defaultdict
+    from pyspark.sql import Window
+    by_level = defaultdict(list)
+    for (g, q), st in pending.items():
+        if (g, q) not in resolved:
+            by_level[st["k"]].append((g, q))
+    for lvl, prs in by_level.items():
+        if lvl == -1:
+            pred = F.col("__g").isin([g for g, _ in prs])
+            dcol = F.lit(-1)
+        else:
+            dcol = digit_col(lvl)
+            pred = F.lit(False)
+            for g, p in {(g, pending[(g, q)]["P"]) for g, q in prs}:
+                pred = pred | ((F.col("__g") == g) & (dcol == p))
+        w = Window.partitionBy("__g", dcol).orderBy(F.col("__v").asc())
+        ranked = (joined.filter(pred)
+                  .withColumn("__rn", F.row_number().over(w)))
+        want = defaultdict(list)   # two qs can share (path, rank)
+        for g, q in prs:
+            want[(g, -1 if lvl == -1 else pending[(g, q)]["P"],
+                  pending[(g, q)]["r"])].append((g, q))
+        rows = (ranked.withColumn("__d", dcol)
+                .filter(F.col("__rn").isin(
+                    list({r for _, _, r in want})))
+                .select("__g", "__d", "__rn", "__v").collect())
+        for row in rows:
+            key = (row["__g"], int(row["__d"]), int(row["__rn"]))
+            for pair in want.get(key, ()):
+                resolved[pair] = float(row["__v"])
+    out = [(g, float(q), float(val))
+           for (g, q), val in sorted(resolved.items(),
+                                     key=lambda t: (str(t[0][0]), t[0][1]))]
+    return spark.createDataFrame(
+        out, StructType([df.schema[by],
+                         StructField("q", DoubleType()),
+                         StructField("value", DoubleType())]))

@@ -2560,3 +2560,48 @@ def test_exact_quantiles_validates(spark):
     empty = spark.createDataFrame([(None,)], "x double")
     with pytest.raises(ValueError, match="no non-null"):
         exact_quantiles(empty, "x", [0.5])
+
+
+def test_exact_quantiles_by_matches_per_group_ranks(spark):
+    import math
+    from scespet_spark.operators.pipeline import exact_quantiles_by
+    rows = []
+    for gi, size in (("a", 400), ("b", 37), ("c", 3)):
+        rows += [(gi, float((i * 173) % 211)) for i in range(size)]
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.1, 0.5, 0.99, 1.0]
+    got = {(r.g, r.q): r.value for r in
+           exact_quantiles_by(df, "v", qs, "g", buckets=4,
+                              threshold=8).collect()}
+    for gi, size in (("a", 400), ("b", 37), ("c", 3)):
+        vals = sorted(v for g2, v in rows if g2 == gi and v is not None)
+        for q in qs:
+            r = min(len(vals), max(1, math.ceil(q * len(vals))))
+            assert got[(gi, q)] == vals[r - 1], (gi, q)
+    assert len(got) == 12
+
+
+def test_exact_quantiles_by_tie_cluster_and_shared_rank(spark):
+    from scespet_spark.operators.pipeline import exact_quantiles_by
+    # group 'a': massive tie cluster; group 'b': two quantiles land on
+    # the SAME row (rank collision must resolve both)
+    rows = ([("a", 7.5)] * 200 + [("a", 1.0)]
+            + [("b", float(i)) for i in range(3)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.g, r.q): r.value for r in
+           exact_quantiles_by(df, "v", [0.9, 1.0], "g", buckets=4,
+                              threshold=10).collect()}
+    assert got[("a", 0.9)] == 7.5 and got[("a", 1.0)] == 7.5
+    assert got[("b", 0.9)] == 2.0 and got[("b", 1.0)] == 2.0
+    assert len(got) == 4
+
+
+def test_exact_quantiles_by_validates(spark):
+    from scespet_spark.operators.pipeline import exact_quantiles_by
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        exact_quantiles_by(df, "v", [1.5], "g")
+    empty = spark.createDataFrame([("a", None)], "g string, v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_quantiles_by(empty, "v", [0.5], "g")
