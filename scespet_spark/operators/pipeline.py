@@ -628,6 +628,7 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
     n, mn, mx = stats(base)
     if n == 0:
         raise ValueError(f"{value_col} has no non-null values")
+    _check_finite(value_col, mn, mx)
 
     def widths(k):
         # uniform level widths: level j splits the range by buckets^j
@@ -762,6 +763,9 @@ def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
                   F.max("__v").alias("mx")).collect())
     if not grows:
         raise ValueError(f"{value_col} has no non-null values")
+    for row in grows:
+        _check_finite(f"{value_col} (group {row['__g']!r})",
+                      row["mn"], row["mx"])
 
     spark = df.sparkSession
     gstats = spark.createDataFrame(
@@ -886,3 +890,16 @@ def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
         out, StructType([df.schema[by],
                          StructField("q", DoubleType()),
                          StructField("value", DoubleType())]))
+
+
+def _check_finite(what: str, mn: float, mx: float) -> None:
+    """Histogram selection needs a finite range: an inf/NaN value makes
+    the bin arithmetic produce null bins and SILENTLY drops rows from
+    the rank accounting — raise instead (filter or clamp non-finite
+    scores upstream; they have no meaningful quantile anyway)."""
+    import math
+    if not (math.isfinite(mn) and math.isfinite(mx)):
+        raise ValueError(
+            f"{what} contains non-finite values (min={mn}, max={mx}) — "
+            f"exact quantile selection needs a finite range; filter or "
+            f"clamp inf/NaN upstream")

@@ -376,7 +376,7 @@ def unigram_fit(df: DataFrame, vocab_size: int, text_col: str = "text",
 def unigram_apply(df: DataFrame, pieces: DataFrame,
                   text_col: str = "text",
                   out: str = "unigram_tokens",
-                  max_piece_len: int = 8) -> DataFrame:
+                  max_piece_len: int | None = None) -> DataFrame:
     """Tokenize documents under a FITTED unigram model: per word, the
     Viterbi-best segmentation (ties toward the longer last piece);
     characters outside the vocabulary pass through as single-char
@@ -384,7 +384,9 @@ def unigram_apply(df: DataFrame, pieces: DataFrame,
     ANY input, in or out of corpus (property-tested).  Returns the
     input plus ``out`` (the piece array) and ``n_unigram_tokens``.
 
-    Same execution shape as ``bpe_apply``: ONE Arrow-batched
+    ``max_piece_len`` defaults to the longest piece in the model (a
+    smaller caller value would silently make longer pieces
+    unreachable).  Same execution shape as ``bpe_apply``: ONE Arrow-batched
     ``mapInPandas`` with a per-batch word memo (Zipf: cost per
     distinct word, not per token) and the model broadcast as a plain
     dict; output schema built programmatically under positional safe
@@ -395,6 +397,12 @@ def unigram_apply(df: DataFrame, pieces: DataFrame,
             f"output column(s) {sorted(clash)} already exist on the "
             f"input — rename them or pass a different out=")
     logp = {r["piece"]: float(r["logprob"]) for r in pieces.collect()}
+    if not logp:
+        raise ValueError("pieces model is empty")
+    if max_piece_len is None:
+        # derive from the model: a caller-repeated value smaller than
+        # the longest piece would silently make that piece unreachable
+        max_piece_len = max(len(p) for p in logp)
     unk = _unk_logp(logp)
     from pyspark.sql.types import (ArrayType, LongType, StringType,
                                    StructField, StructType)

@@ -2605,3 +2605,15 @@ def test_exact_quantiles_by_validates(spark):
     empty = spark.createDataFrame([("a", None)], "g string, v double")
     with pytest.raises(ValueError, match="no non-null"):
         exact_quantiles_by(empty, "v", [0.5], "g")
+
+
+def test_exact_quantiles_rejects_non_finite(spark):
+    from scespet_spark.operators.pipeline import (exact_quantiles,
+                                                  exact_quantiles_by)
+    df = spark.createDataFrame([(1.0,), (float("inf"),)], "x double")
+    with pytest.raises(ValueError, match="non-finite"):
+        exact_quantiles(df, "x", [0.5])
+    df2 = spark.createDataFrame([("a", 1.0), ("a", float("nan"))],
+                                "g string, x double")
+    with pytest.raises(ValueError, match="non-finite"):
+        exact_quantiles_by(df2, "x", [0.5], "g")
