@@ -32,7 +32,8 @@ ROWS_ONLY: set[str] = {"profile_lineitem_approx",
                        "approx_distinct_users_daily",
                        "pack_bestfit_sequences",
                        "bpe_fit_merges", "bpe_tokenize_docs",
-                       "unigram_fit_pieces", "unigram_tokenize_docs"}
+                       "unigram_fit_pieces", "unigram_tokenize_docs",
+                       "live_unigram_tokenize"}
 
 
 def query(name: str, oracle: str | None = None):
@@ -6306,6 +6307,29 @@ def unigram_tokenize_docs(spark, sf_dir):
             .select("doc_id", "n_unigram_tokens").orderBy("doc_id"))
 
 
+@query("live_unigram_tokenize")
+def live_unigram_tokenize(spark, sf_dir):
+    """Tokenization on a LIVE crawl under the snapshot's unigram
+    vocabulary: the fitted piece table (the ``unigram_pieces``
+    snapshot artifact — train once per snapshot) broadcasts into a
+    stateless Arrow encode per micro-batch, append mode, zero state —
+    arriving docs tokenize under the SAME vocabulary as the training
+    corpus, the contract that keeps token counts comparable across
+    crawl drops.  ROWS_ONLY justification: Viterbi decoding per word
+    is not SQL-expressible (same declaration as the batch encode);
+    parity with batch is structural — the identical broadcast model
+    and mapInPandas encoder run per batch."""
+    from scespet_spark.operators.tokenizer import (unigram_apply,
+                                                   unigram_fit)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    m = unigram_fit(docs, vocab_size=44, em_iters=3)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return (run_available_now(unigram_apply(stream, m), "append")
+            .select("doc_id", "n_unigram_tokens").orderBy("doc_id"))
+
+
 #: Registration-order override.  The driver's correctness gate evaluates
 #: the FIRST 50 entries of ``queries()``; round 1 checked definition order
 #: and left every training-pipeline operator (registered last) without a
@@ -6351,7 +6375,7 @@ _ROUND_CHANGED = [
     # two-phase + one-counter-per-key live), exact distributed
     # quantiles by histogram selection, unigram-LM tokenizer
     "host_cap_docs", "live_host_cap", "exact_quantiles_price",
-    "unigram_fit_pieces", "unigram_tokenize_docs",
+    "unigram_fit_pieces", "unigram_tokenize_docs", "live_unigram_tokenize",
     "range_join_price_bands", "live_range_join",
     "exact_quantiles_by_source",
 ]
@@ -6364,9 +6388,10 @@ _PRIORITY = _ROUND_CHANGED + [
     "q13_customer_distribution", "q15_top_supplier", "q7_volume_shipping",
     "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customers",
     "dedup_kept_corpus",
-    "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_simhash",
     # (region_revenue/topk_orders/rollup_order_status/set_ops_customers/
-    # window_rank_orders/vwap_per_supplier/q10_returned_items/ann_pq_codes yield
+    # window_rank_orders/vwap_per_supplier/q10_returned_items/ann_pq_codes/
+    # dedup_ngram_jaccard yield
     # their slots to the late-r9 batch-2 additions — first candidates
     # for the r10 rotation; vwap's LIVE form has fresh r8 evidence;
     # window stays exactly 50 = the driver's sample)
