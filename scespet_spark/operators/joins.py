@@ -142,14 +142,17 @@ def range_join(fact: DataFrame, dim: DataFrame, value_col: str,
     w = F.lit(float(bucket_width))
     # one row per w-aligned bucket the interval [lo, hi) overlaps;
     # empty intervals (hi <= lo) cover no bucket and drop out here.
-    # hi is EXCLUSIVE: an interval ending exactly on a bucket boundary
-    # does not cover the bucket starting there
-    fb_hi = F.floor(hi / w)
-    last = (fb_hi - F.when(hi == fb_hi * w, F.lit(1))
-            .otherwise(F.lit(0))).cast("long")
+    # hi is EXCLUSIVE, but we still expand THROUGH bucket floor(hi/w):
+    # under IEEE rounding a fact value just below hi can have
+    # floor(v/w) land in that final bucket even though v < hi holds,
+    # so trimming it (hi == floor(hi/w)*w → last bucket - 1) can
+    # silently drop a true match.  The exact predicate re-check below
+    # removes the extra bucket's false positives, so the cost is at
+    # most one expanded row per boundary-aligned interval.
     xdim = (dim.filter(hi > lo)
             .withColumn("__b", F.explode(F.sequence(
-                F.floor(lo / w).cast("long"), last))))
+                F.floor(lo / w).cast("long"),
+                F.floor(hi / w).cast("long")))))
     xfact = fact.withColumn("__b", F.floor(v / w).cast("long"))
     cond = ((xfact["__b"] == xdim["__b"])
             & (v >= lo) & (v < hi))

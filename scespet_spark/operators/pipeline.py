@@ -629,6 +629,13 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
     if n == 0:
         raise ValueError(f"{value_col} has no non-null values")
     _check_finite(value_col, mn, mx)
+    if mn == mx:
+        # all-equal corpus: every quantile IS that value — resolving
+        # here keeps the "<= threshold rows leave the executors" bound
+        # (falling through would TakeOrdered up to n rows)
+        out = [(float(q), float(mn)) for q in sorted(qs)]
+        return df.sparkSession.createDataFrame(
+            out, "q double, value double")
 
     def widths(k):
         # uniform level widths: level j splits the range by buckets^j
@@ -660,6 +667,22 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
                .agg(F.max("__v").alias("v")).collect()[0]["v"])
         return float(got)
 
+    def distinct_walk(sub, r: int) -> float:
+        """Rank selection when refinement width underflowed to 0.0 with
+        > threshold rows still in the bin: the bin spans at most
+        ~buckets adjacent representable doubles, so a distinct-value
+        count histogram is driver-bounded — never a TakeOrdered(r)
+        funnel over a huge tie cluster."""
+        pairs = sorted((row["__v"], int(row["c"])) for row in
+                       sub.groupBy("__v").agg(F.count("*").alias("c"))
+                       .collect())
+        cum = 0
+        for val, c in pairs:
+            cum += c
+            if cum >= r:
+                return float(val)
+        return float(pairs[-1][0])
+
     # state per quantile: residual rank, search path (bin ids), count
     ranks = {q: min(n, max(1, math.ceil(q * n))) for q in qs}
     paths = {q: () for q in qs}
@@ -669,7 +692,7 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
     while True:
         active = [q for q in qs if q not in resolved
                   and counts[q] > threshold]
-        if not active or mn == mx or widths(level)[level] <= 0.0:
+        if not active or widths(level)[level] <= 0.0:
             break
         cols = bin_cols(level)
         named = [c.alias(f"__b{j}") for j, c in enumerate(cols)]
@@ -712,14 +735,19 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
         if paths[q]:
             k = len(paths[q]) - 1
             sub = base.filter(path_filter(bin_cols(k), paths[q]))
-        resolved[q] = kth_smallest(sub, ranks[q])
+        if counts[q] > threshold:
+            # only reachable via the width-underflow exit above
+            resolved[q] = distinct_walk(sub, ranks[q])
+        else:
+            resolved[q] = kth_smallest(sub, ranks[q])
     out = [(float(q), float(resolved[q])) for q in sorted(qs)]
     return df.sparkSession.createDataFrame(out, "q double, value double")
 
 
 def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
                        by: str, buckets: int = 1024,
-                       threshold: int = 65536) -> DataFrame:
+                       threshold: int = 65536, approx: bool = False,
+                       relative_error: float = 1e-4) -> DataFrame:
     """EXACT per-group quantiles with bounded memory — the grouped form
     of ``exact_quantiles``.  Returns ``(by, q double, value double)``
     where ``value`` is the group's ``ceil(q*n_g)``-th smallest non-null
@@ -742,10 +770,21 @@ def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
 
     Driver holds O(|groups| x |qs| x buckets) ints per level and the
     group-stats table — GROUP CARDINALITY MUST BE BOUNDED (sources,
-    languages, shards: thousands, not millions).  For unbounded
-    groups use ``approx_percentile``; for the global case use
+    languages, shards: thousands, not millions).  When group
+    cardinality is unbounded, pass ``approx=True``: a single
+    combinable ``percentile_approx`` (KLL-style sketch) per group,
+    with rank error <= ``relative_error * n_g`` — graceful
+    degradation instead of a driver OOM; exactness is traded away and
+    the declared bound is the sketch's.  For the global case use
     ``exact_quantiles``.  Massive per-group tie clusters resolve via
-    the single-child degenerate check (batched min==max probe)."""
+    the single-child degenerate check (batched min==max probe).
+
+    ``buckets`` is rounded UP to a power of two: digit consistency
+    across levels — ``floor(u*B^k) == floor(u*B^(k+1)) div B`` —
+    holds exactly in IEEE arithmetic only when scaling by B is exact
+    (B = 2^m).  A non-power-of-two B lets a row's level-(k+1) digit
+    drift outside its level-k parent's child range, silently dropping
+    it from the cumulative walk."""
     if not qs:
         raise ValueError("need at least one quantile in qs")
     for q in qs:
@@ -753,11 +792,27 @@ def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
     if buckets < 2:
         raise ValueError(f"need buckets >= 2, got {buckets}")
+    if buckets & (buckets - 1):
+        buckets = 1 << buckets.bit_length()
     import math
     from pyspark.sql.types import DoubleType, StructField, StructType
     v = F.col(value_col).cast("double")
     base = (df.filter(v.isNotNull() & F.col(by).isNotNull())
             .select(F.col(by).alias("__g"), v.alias("__v")))
+    if approx:
+        if not (0.0 < relative_error <= 0.5):
+            raise ValueError(
+                f"relative_error must be in (0, 0.5], got {relative_error}")
+        acc = max(2, math.ceil(1.0 / relative_error))
+        sq = [float(q) for q in sorted(qs)]
+        qarr = F.array(*[F.lit(q) for q in sq])
+        return (base.groupBy("__g")
+                .agg(F.percentile_approx("__v", qarr, F.lit(acc))
+                     .alias("__vals"))
+                .select(F.col("__g").alias(by),
+                        F.posexplode("__vals").alias("__i", "value"))
+                .select(by, qarr[F.col("__i")].alias("q"), "value")
+                .orderBy(by, "q"))
     grows = (base.groupBy("__g")
              .agg(F.count("*").alias("n"), F.min("__v").alias("mn"),
                   F.max("__v").alias("mx")).collect())

@@ -894,13 +894,16 @@ def ccnet_bucket_apply(scored: DataFrame, cutoffs: DataFrame,
     *tail* strictly below the 1/3 quantile, *middle* between.  A group
     absent from the cutoff table (unseen language at serving time)
     labels NULL — an honest "no calibration" signal, never a silent
-    head.
+    head.  A NULL *score* (unscorable doc) likewise labels NULL: the
+    threshold comparisons are NULL, and letting control fall through
+    to ``otherwise('tail')`` would silently brand it lowest-quality.
 
     Map-only after a broadcast join against the |groups|-row cutoff
     table — append-legal on a live stream, zero state, zero shuffle of
     the doc rows."""
     j = scored.join(F.broadcast(cutoffs), group_col, "left")
-    bucket = (F.when(F.col("p33").isNull(), F.lit(None).cast("string"))
+    bucket = (F.when(F.col("p33").isNull() | F.col(score_col).isNull(),
+                     F.lit(None).cast("string"))
               .when(F.col(score_col) >= F.col("p67"), F.lit("head"))
               .when(F.col(score_col) >= F.col("p33"), F.lit("middle"))
               .otherwise(F.lit("tail")))

@@ -126,6 +126,24 @@ def test_range_join_hi_exclusive_on_bucket_boundary(spark):
     assert got == [1, 2]
 
 
+def test_range_join_ieee_boundary_value_not_dropped(spark):
+    """A fact value just below hi can have floor(v/w) round UP into
+    bucket floor(hi/w) under IEEE arithmetic even though v < hi holds
+    (here v/w rounds to exactly 9299.0), so the expansion must include
+    that bucket — the exact predicate re-check removes v == hi."""
+    import math
+    w, k = 0.2, 9299
+    hi = k * w                       # 1859.8000000000002; floor(hi/w)*w == hi
+    v = math.nextafter(hi, -math.inf)  # 1859.8 < hi, floor(v/w) == 9299
+    assert v < hi and math.floor(v / w) == math.floor(hi / w)
+    dim = spark.createDataFrame([(0, 0.0, hi)],
+                                "band long, lo double, hi double")
+    facts = spark.createDataFrame([(0, v), (1, hi)], "fid long, v double")
+    got = sorted(r.fid for r in
+                 range_join(facts, dim, "v", bucket_width=w).collect())
+    assert got == [0]
+
+
 def test_range_join_plans_hash_join_not_bnlj(spark):
     facts = spark.range(200).select(F.col("id").cast("double").alias("v"))
     out = range_join(facts, _bands(spark), "v", bucket_width=10.0)

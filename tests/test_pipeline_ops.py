@@ -2433,6 +2433,11 @@ def test_ccnet_buckets_terciles(spark):
     novel = spark.createDataFrame([(99, "new", 3.0)],
                                   "doc_id long, lang string, mean_logp double")
     assert ccnet_bucket_apply(novel, cuts).collect()[0].bucket is None
+    # a NULL score (unscorable doc) also labels NULL — not a silent
+    # fall-through to 'tail'
+    unscored = spark.createDataFrame([(98, "g0", None)],
+                                     "doc_id long, lang string, mean_logp double")
+    assert ccnet_bucket_apply(unscored, cuts).collect()[0].bucket is None
     # end-to-end over real text: every doc with >= 2 tokens is labeled
     docs = spark.createDataFrame(
         [(i, "w" + str(i) + " common tail words here", "en")
@@ -2605,6 +2610,79 @@ def test_exact_quantiles_by_validates(spark):
     empty = spark.createDataFrame([("a", None)], "g string, v double")
     with pytest.raises(ValueError, match="no non-null"):
         exact_quantiles_by(empty, "v", [0.5], "g")
+
+
+def test_exact_quantiles_all_equal_resolves_without_funnel(spark):
+    """mn == mx over the whole corpus must resolve every quantile to
+    that value directly — never fall through to a TakeOrdered(r)
+    funnel with rank up to n."""
+    from scespet_spark.operators.pipeline import exact_quantiles
+    df = spark.createDataFrame([(42.0,)] * 500, "x double")
+    got = {r.q: r.value for r in
+           exact_quantiles(df, "x", [0.1, 0.5, 1.0],
+                           threshold=10).collect()}
+    assert got == {0.1: 42.0, 0.5: 42.0, 1.0: 42.0}
+
+
+def test_exact_quantiles_width_underflow_distinct_walk(spark):
+    """An ulp/denormal-narrow range makes the refinement width
+    underflow to 0.0 with > threshold rows left; the bounded
+    distinct-value walk must still select exact ranks."""
+    from scespet_spark.operators.pipeline import exact_quantiles
+    tiny = 5e-324  # smallest positive denormal: (tiny-0)/buckets == 0.0
+    vals = [0.0] * 300 + [tiny] * 300
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.q: r.value for r in
+           exact_quantiles(df, "x", [0.5, 1.0], buckets=4,
+                           threshold=10).collect()}
+    assert got[0.5] == 0.0 and got[1.0] == tiny
+
+
+def test_exact_quantiles_by_non_pow2_buckets_rounded_exact(spark):
+    """Non-power-of-two buckets are rounded up to 2^m (digit
+    consistency across levels holds only for exact power-of-two
+    scaling) — results stay exact."""
+    import math
+    from scespet_spark.operators.pipeline import exact_quantiles_by
+    rows = [("a", float((i * 173) % 211)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.q: r.value for r in
+           exact_quantiles_by(df, "v", [0.25, 0.75], "g", buckets=5,
+                              threshold=8).collect()}
+    vals = sorted(v for _, v in rows)
+    for q in (0.25, 0.75):
+        r = min(len(vals), max(1, math.ceil(q * len(vals))))
+        assert got[q] == vals[r - 1], q
+
+
+def test_exact_quantiles_by_approx_sketch_bound(spark):
+    """approx=True degrades to a per-group percentile_approx sketch:
+    the returned value's rank must sit within relative_error * n_g of
+    the target rank (here accuracy >> n so the sketch is exact)."""
+    import math
+    from scespet_spark.operators.pipeline import exact_quantiles_by
+    rows = ([("a", float((i * 37) % 101)) for i in range(300)]
+            + [("b", float(i)) for i in range(50)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.1, 0.5, 0.9]
+    out = exact_quantiles_by(df, "v", qs, "g", approx=True,
+                             relative_error=1e-4)
+    assert out.columns == ["g", "q", "value"]
+    got = {(r.g, r.q): r.value for r in out.collect()}
+    assert len(got) == 6
+    for gi in ("a", "b"):
+        vals = sorted(v for g2, v in rows if g2 == gi)
+        n = len(vals)
+        tol = max(1, math.ceil(1e-4 * n))
+        for q in qs:
+            target = min(n, max(1, math.ceil(q * n)))
+            # a duplicated value occupies a rank RANGE [lo, hi]
+            lo = vals.index(got[(gi, q)]) + 1
+            hi = n - vals[::-1].index(got[(gi, q)])
+            assert lo - tol <= target <= hi + tol, (gi, q)
+    with pytest.raises(ValueError, match="relative_error"):
+        exact_quantiles_by(df, "v", qs, "g", approx=True,
+                           relative_error=0.9)
 
 
 def test_exact_quantiles_rejects_non_finite(spark):

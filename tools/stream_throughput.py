@@ -81,14 +81,19 @@ def run_stream(spark, build, src, n_rows, label, mode="append"):
     return wall, per_batch
 
 
-def main(sf_dir="/root/testdata/sf0.1", mult=4, n_drops=8, *rest):
+def main(sf_dir="/root/testdata/sf0.1", *rest):
+    # split flags from positionals FIRST, then map positionals in
+    # order — otherwise a flag in the mult slot shifts the n_drops
+    # default into mult (main(sf, '--ops=x') silently ran mult=8)
     only = None
-    for a in (str(mult), str(n_drops), *map(str, rest)):
+    positional = []
+    for a in map(str, rest):
         if a.startswith("--ops="):
             only = set(a[6:].split(","))
-    args = [a for a in (str(mult), str(n_drops)) if not a.startswith("--ops=")]
-    mult = int(args[0]) if args else 4
-    n_drops = int(args[1]) if len(args) > 1 else 8
+        else:
+            positional.append(a)
+    mult = int(positional[0]) if positional else 4
+    n_drops = int(positional[1]) if len(positional) > 1 else 8
     spark = get_spark(app_name="stream-throughput")
     spark.sparkContext.setLogLevel("ERROR")
     src, n_rows = stage_drops(spark, sf_dir, mult, n_drops)
