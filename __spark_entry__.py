@@ -6330,6 +6330,88 @@ def live_unigram_tokenize(spark, sf_dir):
             .select("doc_id", "n_unigram_tokens").orderBy("doc_id"))
 
 
+# ===========================================================================
+# r10 extensions: Bloom pre-filter snapshot artifacts for the incremental
+# dedup probes (r9 verdict item #1)
+# ===========================================================================
+
+#: the bloom-probed incremental election is row-identical to the plain
+#: anti-join at ANY fpp (false positives resolve through the exact
+#: join; false negatives are impossible for inserted keys — bloom.py),
+#: so both forms share dedup_incremental's oracle.
+_INC_BLOOM_ORACLE = f"""
+WITH newd AS (SELECT doc_id, {h64_sql('text')} AS content_hash
+              FROM documents WHERE doc_id % 3 <> 0),
+prior AS (SELECT DISTINCT {h64_sql('text')} AS content_hash
+          FROM documents WHERE doc_id % 3 = 0)
+SELECT MIN(doc_id) AS doc_id, content_hash
+FROM newd WHERE content_hash NOT IN (SELECT content_hash FROM prior)
+GROUP BY content_hash
+"""
+
+
+@query("dedup_incremental_bloom", _INC_BLOOM_ORACLE)
+def dedup_incremental_bloom(spark, sf_dir):
+    """Incremental exact dedup through the snapshot Bloom pre-filter:
+    the prior corpus's digest set also materializes a Bloom word table
+    (one combinable bit_or aggregate — the ``bloom_digests`` snapshot
+    artifact), and the crawl drop probes it MAP-SIDE: digests the
+    sketch rules out of the prior skip the anti-join entirely, so the
+    per-drop Exchange carries only the sketch-positive residue
+    (~fpp x drop + true dups) instead of the whole drop — at a
+    10^12-digest prior, the difference between a shuffle that scales
+    with the DROP and one that re-processes the crawl against the
+    corpus every day.  Output row-identical to dedup_incremental
+    (same oracle)."""
+    from scespet_spark.operators.bloom import bloom_build, bloom_dense
+    from scespet_spark.operators.dedup import exact_groups, incremental_keep
+    docs = load_table(spark, sf_dir, "documents")
+    pri_dig = (exact_groups(docs.filter(F.col("doc_id") % 3 == 0))
+               .select("content_hash"))
+    words, m, k = bloom_build(pri_dig, "content_hash",
+                              n_items=max(1, pri_dig.count()), fpp=0.01)
+    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    return incremental_keep(docs.filter(F.col("doc_id") % 3 != 0),
+                            pri_dig, prior_digest_col="content_hash",
+                            prior_bloom=bloom)
+
+
+@query("live_dedup_bloom", _INC_BLOOM_ORACLE)
+def live_dedup_bloom(spark, sf_dir):
+    """The Bloom gate on a LIVE crawl: the snapshot's Bloom word table
+    broadcasts into every micro-batch as a pure-codegen membership
+    test (xxhash64 + bit_get on a literal array — zero state, zero
+    join, streaming-legal), splitting arrivals into definitely-novel
+    rows that bypass the stream-static anti-join and a maybe residue
+    that still resolves exactly against the digest table;
+    ``first_wins`` then elects each surviving digest's winner across
+    micro-batches.  Single-drop source = row-identical to the batch
+    election (the shared oracle)."""
+    from scespet_spark.operators.bloom import (bloom_build, bloom_dense,
+                                               bloom_filter_col)
+    from scespet_spark.operators.dedup import exact_groups
+    from scespet_spark.operators.hashing import h64
+    from scespet_spark.streaming.live import (first_wins,
+                                              read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    pri_dig = (exact_groups(docs.filter(F.col("doc_id") % 3 == 0))
+               .select("content_hash"))
+    words, m, k = bloom_build(pri_dig, "content_hash",
+                              n_items=max(1, pri_dig.count()), fpp=0.01)
+    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    stream = read_table_stream(spark, sf_dir, "documents")
+    newd = (stream.filter(F.col("doc_id") % 3 != 0)
+            .select("doc_id", h64(F.col("text")).alias("content_hash")))
+    test = bloom_filter_col(bloom, "content_hash")
+    maybe = (newd.filter(test)
+             .join(pri_dig, "content_hash", "left_anti"))
+    survivors = maybe.unionByName(newd.filter(~test))
+    out = first_wins(survivors, keys=["content_hash"],
+                     order_cols=["doc_id"], payload_cols=["doc_id"])
+    return run_available_now(out, "append").select("doc_id", "content_hash")
+
+
 #: Registration-order override.  The driver's correctness gate evaluates
 #: the FIRST 50 entries of ``queries()``; round 1 checked definition order
 #: and left every training-pipeline operator (registered last) without a

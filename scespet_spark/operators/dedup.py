@@ -91,10 +91,29 @@ def exact_groups(df: DataFrame, text_col: str = "text",
             .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")))
 
 
+def _bloom_split(df: DataFrame, prior_bloom: dict | None,
+                 probe_col: str):
+    """Split a digest frame on the snapshot Bloom pre-filter:
+    ``(maybe, novel)`` where ``novel`` rows are DEFINITELY absent from
+    the prior (no false negatives for inserted keys — bloom.py) and
+    skip the exact join entirely; ``maybe`` rows (true dups + ~fpp
+    false positives) carry on to the exact anti-join, which resolves
+    every false positive — output is row-identical to the plain path
+    at ANY fpp.  The filter probes the FIRST digest column only (a
+    60-bit pre-filter in front of a wide election is still exact: the
+    anti-join keys on both digests).  Map-only, streaming-legal."""
+    if prior_bloom is None:
+        return df, None
+    from .bloom import bloom_filter_col
+    test = bloom_filter_col(prior_bloom, F.col(probe_col))
+    return df.filter(test), df.filter(~test)
+
+
 def incremental_keep(new: DataFrame, prior: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      prior_digest_col=None, hash_fn=None,
-                     wide: bool = False) -> DataFrame:
+                     wide: bool = False,
+                     prior_bloom: dict | None = None) -> DataFrame:
     """Incremental (cross-snapshot) exact dedup: which documents of a NEW
     crawl batch survive against an already-kept PRIOR corpus — the
     continuous-corpus-build step that runs once per crawl.
@@ -121,7 +140,15 @@ def incremental_keep(new: DataFrame, prior: DataFrame,
     ``wide=True`` to anti-join on TWO independent digests (exact at
     any scale); a wide prior digest table must be built with the same
     ``wide``/``hash_fn`` (pass both column names via
-    ``prior_digest_col``)."""
+    ``prior_digest_col``).
+
+    ``prior_bloom`` (the snapshot Bloom artifact —
+    ``snapshot.read_bloom``) suppresses definitely-novel digests
+    MAP-SIDE before the Exchange: only the sketch-positive residue
+    (~fpp * |drop| + true dups) enters the anti-join, so the per-drop
+    shuffle scales with the DROP, not the 10^12-digest prior; a false
+    positive still resolves through the exact join, so the output is
+    row-identical at any fpp (bloom.py)."""
     ds = digest_cols(F.col(text_col), hash_fn, wide)
     names = list(DIGEST_NAMES[:len(ds)])
     newd = new.select(F.col(id_col),
@@ -139,8 +166,11 @@ def incremental_keep(new: DataFrame, prior: DataFrame,
     else:
         pds = digest_cols(F.col(text_col), hash_fn, wide)
         pri = prior.select(*[d.alias(n) for d, n in zip(pds, names)])
-    return (newd.join(pri, names, "left_anti")
-            .groupBy(*names)
+    maybe, novel = _bloom_split(newd, prior_bloom, names[0])
+    kept = maybe.join(pri, names, "left_anti")
+    if novel is not None:
+        kept = kept.unionByName(novel)
+    return (kept.groupBy(*names)
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, *names))
 
@@ -253,7 +283,8 @@ def incremental_segment_dedup(new: DataFrame,
                               prior_segments: DataFrame | None = None,
                               size: int = 10, text_col: str = "text",
                               id_col: str = "doc_id", hash_fn=None,
-                              wide: bool = False) -> DataFrame:
+                              wide: bool = False,
+                              prior_bloom: dict | None = None) -> DataFrame:
     """Cross-snapshot segment (line-level) dedup: clean a NEW crawl
     batch against the segments already kept in a PRIOR corpus — the
     per-crawl form of ``segment_dedup``.  A new segment survives iff
@@ -276,7 +307,12 @@ def incremental_segment_dedup(new: DataFrame,
     silently kills an innocent new segment, so at prior-table sizes
     past the birthday bound probe on the wide two-digest key.  A wide
     prior_segments table must carry both ``__d`` and ``__d2`` (built
-    with the same ``wide``/``hash_fn``)."""
+    with the same ``wide``/``hash_fn``).
+
+    ``prior_bloom`` (snapshot artifact, ``snapshot.read_bloom``):
+    map-side pre-filter on ``__d`` — only sketch-positive segments
+    enter the anti-join; output row-identical at any fpp
+    (`_bloom_split`)."""
     if (prior is None) == (prior_segments is None):
         raise ValueError("pass exactly one of prior / prior_segments")
     dnames = ["__d", "__d2"] if wide else ["__d"]
@@ -291,7 +327,11 @@ def incremental_segment_dedup(new: DataFrame,
     pri = prior_segments.select(*dnames).distinct()
     segs = segment_digests(new, size, text_col, id_col,
                            hash_fn=hash_fn, wide=wide)
-    winners = (segs.join(pri, dnames, "left_anti")
+    maybe, novel = _bloom_split(segs, prior_bloom, "__d")
+    fresh = maybe.join(pri, dnames, "left_anti")
+    if novel is not None:
+        fresh = fresh.unionByName(novel)
+    winners = (fresh
                .groupBy(*dnames)
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                    F.col("seg_idx").alias("s"))).alias("__w"))
@@ -479,7 +519,8 @@ def incremental_substring_dedup(new: DataFrame,
                                 prior_grams: DataFrame | None = None,
                                 min_len: int = 20, text_col: str = "text",
                                 id_col: str = "doc_id", hash_fn=None,
-                                wide: bool = False) -> DataFrame:
+                                wide: bool = False,
+                                prior_bloom: dict | None = None) -> DataFrame:
     """Cross-snapshot exact-substring dedup: clean a NEW crawl batch
     against a PRIOR corpus — a new-batch token is cut iff covered by a
     gram that occurs in the prior corpus OR earlier in the new batch
@@ -495,7 +536,14 @@ def incremental_substring_dedup(new: DataFrame,
     long gone — so past the birthday bound (~2^30 grams for 60 bits)
     the ONLY safe rung is ``wide=True``: probe and elect on the
     two-digest key (a wide ``prior_grams`` table carries ``__g2``;
-    build the snapshot with the same ``wide``/``hash_fn``)."""
+    build the snapshot with the same ``wide``/``hash_fn``).
+
+    ``prior_bloom`` (snapshot artifact, ``snapshot.read_bloom``):
+    gram occurrences the sketch rules out of the prior skip BOTH prior
+    joins (the semi for cut positions and the anti feeding the
+    within-batch election) — the gram table runs ~min_len x corpus
+    rows, so this is the family's biggest shuffle saving; output
+    row-identical at any fpp (`_bloom_split`)."""
     if (prior is None) == (prior_grams is None):
         raise ValueError("pass exactly one of prior / prior_grams")
     gnames = ["__g", "__g2"] if wide else ["__g"]
@@ -510,8 +558,11 @@ def incremental_substring_dedup(new: DataFrame,
     pri = prior_grams.select(*gnames).distinct()
     occ = gram_digests(new, min_len, text_col, id_col, hash_fn=hash_fn,
                        wide=wide)
-    hit_prior = occ.join(pri, gnames, "left_semi").select(id_col, "pos")
-    fresh = occ.join(pri, gnames, "left_anti")
+    maybe, novel = _bloom_split(occ, prior_bloom, "__g")
+    hit_prior = maybe.join(pri, gnames, "left_semi").select(id_col, "pos")
+    fresh = maybe.join(pri, gnames, "left_anti")
+    if novel is not None:
+        fresh = fresh.unionByName(novel)
     dup_g = (fresh.groupBy(*gnames)
              .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                  F.col("pos").alias("p"))).alias("__w"),

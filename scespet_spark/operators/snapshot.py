@@ -144,7 +144,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    bpe_max_vocab: int | None = None,
                    unigram_vocab: int | None = None,
                    unigram_em_iters: int = 4,
-                   ngram_order: int | None = None) -> list[str]:
+                   ngram_order: int | None = None,
+                   bloom_fpp: float | None = None) -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -163,7 +164,16 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
     discipline for corpora past the single-digest birthday bound
     (~10^11 docs / 10^12 segments; SCALE.md).  Probe calls must pass
     the matching ``wide=True`` — recorded in the manifest so
-    ``check_compat(path, digest_wide=True)`` can assert it."""
+    ``check_compat(path, digest_wide=True)`` can assert it.
+
+    ``bloom_fpp`` (e.g. 0.01) additionally writes a Bloom pre-filter
+    word table per exact-probe family (``bloom_digests`` /
+    ``bloom_segments`` / ``bloom_grams`` — bloom.py): the map-side
+    membership sketch the incremental probes take as ``prior_bloom=``
+    so a crawl drop's definitely-novel digests never enter the
+    anti-join Exchange.  Sized from each family's actual distinct-key
+    count at the given fpp; geometry (m, k, n) is pinned in the
+    manifest and rehydrated by ``read_bloom``."""
     from .dedup import (banded_signatures, embedding_block_table,
                         exact_groups)
     from .similarity import ivf_assign, label_centroids
@@ -200,8 +210,34 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
             df.write.mode("overwrite").parquet(path)
         written.append(name)
 
+    bloom_meta: dict[str, dict] = {}
+
+    def _bloom_w(name: str, probe_col: str) -> None:
+        """Write the family's Bloom pre-filter word table, sized from
+        the JUST-WRITTEN artifact (read back — one cheap scan of one
+        int column; re-deriving the digests would redo the family's
+        shuffle)."""
+        if not bloom_fpp:
+            return
+        from .bloom import bloom_build
+        path = os.path.join(out_dir, name)
+        src = spark_of.read.parquet(path).select(probe_col)
+        n = max(1, src.count())
+        words, m_bits, k = bloom_build(src, probe_col, n_items=n,
+                                       fpp=bloom_fpp)
+        bname = f"bloom_{name}"
+        words.write.mode("overwrite").parquet(
+            os.path.join(out_dir, bname))
+        bloom_meta[name] = {"m": m_bits, "k": k, "n": n,
+                            "col": probe_col}
+        written.append(bname)
+
+    spark_of = next(d for d in (docs, emb, labeled, lang_labeled)
+                    if d is not None).sparkSession
+
     if docs is not None:
         _w("digests", exact_groups(docs, wide=digest_wide))
+        _bloom_w("digests", "content_hash")
         _w("bands", banded_signatures(docs, num_hashes=num_hashes,
                                       bands=bands, shingle_n=shingle_n))
         from .dedup import segment_digests
@@ -209,11 +245,13 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("segments", segment_digests(docs, size=segment_size,
                                        wide=digest_wide)
            .select(*seg_cols).distinct())
+        _bloom_w("segments", "__d")
         from .dedup import gram_digests
         gram_cols = ["__g", "__g2"] if digest_wide else ["__g"]
         _w("grams", gram_digests(docs, min_len=sub_min_len,
                                  wide=digest_wide)
            .select(*gram_cols).distinct())
+        _bloom_w("grams", "__g")
         from .text import bigram_lm_model
         bgc, prec, vocab = bigram_lm_model(docs)
         _w("lm_bigrams", bgc)
@@ -273,10 +311,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
     import json
-    spark = next(d for d in (docs, emb, labeled, lang_labeled)
-                 if d is not None).sparkSession
     _fs_write_text(
-        spark, os.path.join(out_dir, "manifest.json"),
+        spark_of, os.path.join(out_dir, "manifest.json"),
         json.dumps({"num_hashes": num_hashes, "bands": bands,
                     "shingle_n": shingle_n, "lsh_bits": lsh_bits,
                     "segment_size": segment_size,
@@ -292,6 +328,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "lang_buckets": lang_buckets,
                     "bucket_probes": bucket_probes,
                     "bucket_tables": bucket_tables,
+                    "bloom_fpp": bloom_fpp,
+                    "blooms": bloom_meta,
                     "tables": written}, indent=1))
     return written
 
@@ -335,6 +373,31 @@ def read_ngram_lm(spark: SparkSession, out_dir: str) -> dict:
             "counts": {k: tables[f"lm_k{k}"]
                        for k in range(1, order + 1)},
             "totals": tables["lm_totals"]}
+
+
+def read_bloom(spark: SparkSession, out_dir: str, name: str) -> dict:
+    """Rehydrate a probe family's Bloom pre-filter ("digests" /
+    "segments" / "grams") into the dict `dedup` probes take as
+    ``prior_bloom=``: ``{"m", "k", "n", "words"}`` with ``words`` the
+    dense driver-side word list (m/64 longs — the documented
+    driver/plan bound, ~1.2 bytes per prior key at fpp=1%).  Geometry
+    comes from the manifest, so a probe can never pair a filter with
+    mismatched (m, k) arithmetic.  Raises on snapshots written without
+    ``bloom_fpp`` — a missing pre-filter must not silently degrade to
+    "everything is maybe-prior" (correct but a silent full-cost
+    probe) or, worse, be hand-built with different geometry."""
+    import json
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    meta = (manifest.get("blooms") or {}).get(name)
+    if not meta:
+        raise ValueError(
+            f"snapshot {out_dir} has no Bloom artifact for {name!r} — "
+            f"write it with write_snapshot(..., bloom_fpp=0.01)")
+    from .bloom import bloom_dense
+    words = spark.read.parquet(os.path.join(out_dir, f"bloom_{name}"))
+    return {"m": meta["m"], "k": meta["k"], "n": meta["n"],
+            "words": bloom_dense(words, meta["m"])}
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,170 @@
+"""Bloom pre-filter artifact (bloom.py + snapshot read_bloom + the
+dedup prior_bloom= fast paths): geometry, no-false-negative guarantee,
+merge = whole-build, and — the contract that matters — row-identity of
+every bloom-probed incremental dedup against its plain path, including
+under a deliberately tiny filter where false positives are common."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scespet_spark.operators.bloom import (bloom_build, bloom_dense,
+                                           bloom_filter_col, bloom_merge,
+                                           bloom_params)
+
+
+def test_bloom_params_shapes_and_validation():
+    m, k = bloom_params(10_000, 0.01)
+    assert m % 64 == 0 and m > 10_000  # ~9.6 bits/key at 1%
+    assert 1 <= k <= 16
+    m2, _ = bloom_params(10_000, 0.10)
+    assert m2 < m  # looser fpp -> smaller filter
+    with pytest.raises(ValueError, match="n_items"):
+        bloom_params(0)
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_params(10, 1.5)
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    keys = spark.range(4000).select((F.col("id") * 2654435761).alias("d"))
+    words, m, k = bloom_build(keys, "d", n_items=4000, fpp=0.01)
+    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    # every inserted key tests positive — the correctness half
+    assert keys.filter(~bloom_filter_col(bloom, "d")).count() == 0
+    # disjoint keys test positive at ~fpp — the efficiency half
+    other = spark.range(20000).select(
+        (F.col("id") * 2654435761 + 1).alias("d"))
+    fp = other.filter(bloom_filter_col(bloom, "d")).count()
+    assert fp / 20000 < 0.03  # 3x headroom over the 1% target
+
+
+def test_bloom_merge_equals_whole_build(spark):
+    keys = spark.range(1000).select((F.col("id") * 7919).alias("d"))
+    whole, m, k = bloom_build(keys, "d", n_items=1000, fpp=0.01)
+    a, _, _ = bloom_build(keys.filter(F.col("d") % 2 == 0), "d", 1000, 0.01)
+    b, _, _ = bloom_build(keys.filter(F.col("d") % 2 != 0), "d", 1000, 0.01)
+    assert bloom_dense(bloom_merge(a, b), m) == bloom_dense(whole, m)
+
+
+def test_bloom_filter_col_rejects_wrong_geometry(spark):
+    with pytest.raises(ValueError, match="dense word list"):
+        bloom_filter_col({"m": 128, "k": 2, "words": [0]}, F.lit(1))
+
+
+def _tiny_bloom(spark, prior_digests):
+    """A deliberately UNDERSIZED filter (m=64 words regardless of n):
+    false positives are common, so parity tests exercise the
+    FP-resolution path, not just the happy path."""
+    words, m, k = bloom_build(prior_digests, prior_digests.columns[0],
+                              n_items=1, fpp=0.5)
+    return {"m": m, "k": k, "words": bloom_dense(words, m)}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows or [], "doc_id long, text string")
+
+
+@pytest.mark.parametrize("fpp", [0.01, None])  # None -> tiny/overloaded
+def test_incremental_keep_bloom_row_identical(spark, fpp):
+    from scespet_spark.operators.dedup import exact_groups, incremental_keep
+    new = _docs(spark, [(i, f"t{i % 7}") for i in range(20)])
+    prior = _docs(spark, [(100 + i, f"t{i % 3}") for i in range(6)])
+    pri_dig = exact_groups(prior).select("content_hash")
+    if fpp:
+        words, m, k = bloom_build(pri_dig, "content_hash",
+                                  n_items=6, fpp=fpp)
+        bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    else:
+        bloom = _tiny_bloom(spark, pri_dig)
+    plain = sorted(map(tuple, incremental_keep(new, prior).collect()))
+    fast = sorted(map(tuple, incremental_keep(
+        new, pri_dig, prior_digest_col="content_hash",
+        prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+
+
+def test_incremental_segment_dedup_bloom_row_identical(spark):
+    from scespet_spark.operators.dedup import (incremental_segment_dedup,
+                                               segment_digests)
+    new = _docs(spark, [
+        (1, "a b c d e f g h"), (2, "a b c d x y z w"),
+        (3, "p q r s t u v w"), (4, "a b c d e f g h")])
+    prior = _docs(spark, [(100, "a b c d q q q q")])
+    pri_segs = segment_digests(prior, size=4).select("__d").distinct()
+    bloom = _tiny_bloom(spark, pri_segs)
+    plain = sorted(map(tuple, incremental_segment_dedup(
+        new, prior_segments=pri_segs, size=4).collect()))
+    fast = sorted(map(tuple, incremental_segment_dedup(
+        new, prior_segments=pri_segs, size=4,
+        prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+
+
+def test_incremental_substring_dedup_bloom_row_identical(spark):
+    from scespet_spark.operators.dedup import (gram_digests,
+                                               incremental_substring_dedup)
+    new = _docs(spark, [
+        (1, "one two three four five six seven"),
+        (2, "one two three four nine ten eleven"),
+        (3, "alpha beta gamma delta epsilon zeta eta")])
+    prior = _docs(spark, [(100, "one two three four five noise noise")])
+    pri_g = gram_digests(prior, min_len=4).select("__g").distinct()
+    bloom = _tiny_bloom(spark, pri_g)
+    plain = sorted(map(tuple, incremental_substring_dedup(
+        new, prior_grams=pri_g, min_len=4).collect()))
+    fast = sorted(map(tuple, incremental_substring_dedup(
+        new, prior_grams=pri_g, min_len=4,
+        prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+
+
+def test_snapshot_bloom_roundtrip_and_probe(spark, tmp_path):
+    """write_snapshot(bloom_fpp=...) -> read_bloom -> probe: the
+    rehydrated artifact drives a row-identical incremental probe, and
+    reading a missing bloom raises instead of silently degrading."""
+    from scespet_spark.operators.dedup import incremental_keep
+    from scespet_spark.operators.snapshot import (read_bloom,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    prior = _docs(spark, [(100 + i, f"prior doc {i % 4} body text here")
+                          for i in range(8)])
+    new = _docs(spark, [(i, f"prior doc {i % 6} body text here")
+                        for i in range(12)])
+    written = write_snapshot(str(tmp_path), docs=prior, bloom_fpp=0.01)
+    assert {"bloom_digests", "bloom_segments", "bloom_grams"} <= set(written)
+    tables = read_snapshot(spark, str(tmp_path))
+    bloom = read_bloom(spark, str(tmp_path), "digests")
+    assert bloom["n"] == tables["digests"].count()
+    plain = sorted(map(tuple, incremental_keep(
+        new, tables["digests"], prior_digest_col="content_hash")
+        .collect()))
+    fast = sorted(map(tuple, incremental_keep(
+        new, tables["digests"], prior_digest_col="content_hash",
+        prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+    # prior keys all bloom-positive through the parquet roundtrip
+    assert (tables["digests"]
+            .filter(~bloom_filter_col(bloom, "content_hash")).count() == 0)
+    # missing-family read is loud
+    with pytest.raises(ValueError, match="no Bloom artifact"):
+        read_bloom(spark, str(tmp_path), "bands")
+
+
+def test_snapshot_without_bloom_raises_on_read_bloom(spark, tmp_path):
+    from scespet_spark.operators.snapshot import read_bloom, write_snapshot
+    docs = _docs(spark, [(1, "some text here for the corpus")])
+    write_snapshot(str(tmp_path), docs=docs)
+    with pytest.raises(ValueError, match="bloom_fpp"):
+        read_bloom(spark, str(tmp_path), "digests")
+
+
+def test_bloom_probe_plan_is_map_only(spark):
+    """The bloom membership test itself must add NO join/Exchange —
+    pure codegen arithmetic over the literal word array."""
+    keys = spark.range(100).select((F.col("id") * 31).alias("d"))
+    words, m, k = bloom_build(keys, "d", n_items=100, fpp=0.01)
+    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    probe = spark.range(1000).select(F.col("id").alias("d")) \
+        .filter(bloom_filter_col(bloom, "d"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -312,6 +312,33 @@ def test_incremental_keep_matches_set_model(spark, new_texts, prior_texts):
     assert got == sorted(firsts.values())
 
 
+@given(new_texts=st.lists(st.sampled_from("abcd"), min_size=1, max_size=8),
+       prior_texts=st.lists(st.sampled_from("abcd"), min_size=1, max_size=4))
+@SETTINGS
+def test_incremental_keep_bloom_parity(spark, new_texts, prior_texts):
+    """The prior_bloom= fast path is row-identical to the plain
+    anti-join on randomized overlapping corpora — under a deliberately
+    UNDERSIZED filter (m=64, fpp~0.5) so Bloom false positives are
+    routine and must resolve through the exact join, never drop or
+    keep a wrong doc."""
+    from scespet_spark.operators.bloom import bloom_build, bloom_dense
+    from scespet_spark.operators.dedup import exact_groups, incremental_keep
+    new = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string")
+    prior = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(prior_texts)],
+        "doc_id long, text string")
+    pri_dig = exact_groups(prior).select("content_hash")
+    words, m, k = bloom_build(pri_dig, "content_hash", n_items=1, fpp=0.5)
+    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    plain = sorted(map(tuple, incremental_keep(new, prior).collect()))
+    fast = sorted(map(tuple, incremental_keep(
+        new, pri_dig, prior_digest_col="content_hash",
+        prior_bloom=bloom).collect()))
+    assert plain == fast
+
+
 @given(lev=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3),
                               st.integers(-5, 5)), max_size=8),
        rev=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 1),
