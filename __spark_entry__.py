@@ -6363,14 +6363,14 @@ def dedup_incremental_bloom(spark, sf_dir):
     with the DROP and one that re-processes the crawl against the
     corpus every day.  Output row-identical to dedup_incremental
     (same oracle)."""
-    from scespet_spark.operators.bloom import bloom_build, bloom_dense
+    from scespet_spark.operators.bloom import bloom_build, bloom_row
     from scespet_spark.operators.dedup import exact_groups, incremental_keep
     docs = load_table(spark, sf_dir, "documents")
     pri_dig = (exact_groups(docs.filter(F.col("doc_id") % 3 == 0))
                .select("content_hash"))
     words, m, k = bloom_build(pri_dig, "content_hash",
                               n_items=max(1, pri_dig.count()), fpp=0.01)
-    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    bloom = {"m": m, "k": k, "row": bloom_row(words, m)}
     return incremental_keep(docs.filter(F.col("doc_id") % 3 != 0),
                             pri_dig, prior_digest_col="content_hash",
                             prior_bloom=bloom)
@@ -6387,8 +6387,8 @@ def live_dedup_bloom(spark, sf_dir):
     ``first_wins`` then elects each surviving digest's winner across
     micro-batches.  Single-drop source = row-identical to the batch
     election (the shared oracle)."""
-    from scespet_spark.operators.bloom import (bloom_build, bloom_dense,
-                                               bloom_filter_col)
+    from scespet_spark.operators.bloom import (bloom_attach, bloom_build,
+                                               bloom_row)
     from scespet_spark.operators.dedup import exact_groups
     from scespet_spark.operators.hashing import h64
     from scespet_spark.streaming.live import (first_wins,
@@ -6399,14 +6399,15 @@ def live_dedup_bloom(spark, sf_dir):
                .select("content_hash"))
     words, m, k = bloom_build(pri_dig, "content_hash",
                               n_items=max(1, pri_dig.count()), fpp=0.01)
-    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    bloom = {"m": m, "k": k, "row": bloom_row(words, m).persist()}
     stream = read_table_stream(spark, sf_dir, "documents")
     newd = (stream.filter(F.col("doc_id") % 3 != 0)
             .select("doc_id", h64(F.col("text")).alias("content_hash")))
-    test = bloom_filter_col(bloom, "content_hash")
-    maybe = (newd.filter(test)
+    att = bloom_attach(newd, bloom, "content_hash")
+    test = F.col("__bloom_maybe")
+    maybe = (att.filter(test).drop("__bloom_maybe")
              .join(pri_dig, "content_hash", "left_anti"))
-    survivors = maybe.unionByName(newd.filter(~test))
+    survivors = maybe.unionByName(att.filter(~test).drop("__bloom_maybe"))
     out = first_wins(survivors, keys=["content_hash"],
                      order_cols=["doc_id"], payload_cols=["doc_id"])
     return run_available_now(out, "append").select("doc_id", "content_hash")

@@ -133,8 +133,9 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def bloom_dense(words: DataFrame | list, m_bits: int) -> list[int]:
     """Collect a sparse word table into the dense driver-side word list
-    the probe embeds (length m_bits/64; documented driver/plan bound —
-    1.2 bytes/key at fpp=1%)."""
+    (length m_bits/64).  Driver-bound convenience for SMALL filters and
+    tests — the scale probe path is `bloom_row`/`bloom_attach`, which
+    never collects."""
     rows = words.collect() if isinstance(words, DataFrame) else words
     dense = [0] * (m_bits // 64)
     for r in rows:
@@ -142,23 +143,85 @@ def bloom_dense(words: DataFrame | list, m_bits: int) -> list[int]:
     return dense
 
 
+def bloom_row(words: DataFrame, m_bits: int) -> DataFrame:
+    """Densify a sparse word table into a ONE-row DataFrame
+    ``(__bloom array<bigint>)`` of length m_bits/64 — entirely
+    JVM-side (range + left join + sorted collect_list), so the filter
+    bytes never pass through the driver and the probe ships them as
+    ONE broadcast value.  A literal array is NOT an alternative at
+    scale: ``F.lit(list)`` plans a CreateArray with one child per
+    element, which breaks analysis/codegen past ~10^5 elements
+    (measured: 10^6 hangs the analyzer) — the broadcast row is the
+    only representation that survives production filter sizes."""
+    spark = words.sparkSession
+    dense = (spark.range(m_bits // 64).select(F.col("id").alias("word"))
+             .join(words, "word", "left")
+             .select("word", F.coalesce("bits", F.lit(0)).alias("bits")))
+    row = (dense
+           .agg(F.array_sort(F.collect_list(F.struct("word", "bits")))
+                .alias("__s"))
+           .select(F.transform("__s", lambda s: s["bits"])
+                   .alias("__bloom")))
+    # materialize eagerly: the row is a snapshot ARTIFACT probed many
+    # times — without the checkpoint every probe plan re-runs the
+    # densify join+agg, and its Exchange would masquerade as probe cost
+    return row.localCheckpoint()
+
+
+def bloom_test(words_arr: Column, m_bits: int, k: int,
+               col: Column | str) -> Column:
+    """The membership-test expression against a dense word array
+    Column: True iff ``col`` MAY be in the set (false positives at
+    ~fpp; false negatives impossible for inserted keys).  Pure codegen
+    (xxhash64 + element_at + bit_get) — the shared core of
+    `bloom_filter_col` (literal array, small filters) and
+    `bloom_attach` (broadcast row, any size)."""
+    c = F.col(col) if isinstance(col, str) else col
+    test = None
+    for p in bloom_positions(c, int(m_bits), int(k)):
+        word = F.element_at(words_arr, (F.shiftright(p, 6) + 1).cast("int"))
+        t = F.bit_get(word, p.bitwiseAND(F.lit(63)).cast("int")) == 1
+        test = t if test is None else (test & t)
+    return test
+
+
 def bloom_filter_col(bloom: dict, col: Column | str) -> Column:
-    """Membership-test Column: True iff ``col`` MAY be in the filtered
-    set (false positives at ~fpp; false negatives impossible for
-    inserted keys).  ``bloom`` is the dict `read_bloom` returns
-    ({"m": m_bits, "k": k, "words": dense list}).  Pure codegen
-    (xxhash64 + element_at + bit_get on a literal array) — map-only,
-    streaming-legal, no state, no join."""
+    """Membership-test Column over a DRIVER-SIDE dense word list
+    (``bloom = {"m", "k", "words"}``): map-only, zero join — but the
+    words become a plan literal, so this form is for tests and small
+    filters (<= ~10^4 words).  Production probes use `bloom_attach`."""
     m_bits, k, words = int(bloom["m"]), int(bloom["k"]), bloom["words"]
     if len(words) != m_bits // 64:
         raise ValueError(
             f"dense word list has {len(words)} words, m={m_bits} needs "
             f"{m_bits // 64} — was it built with different params?")
-    c = F.col(col) if isinstance(col, str) else col
-    arr = F.lit(words)
-    test = None
-    for p in bloom_positions(c, m_bits, k):
-        word = F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
-        t = F.bit_get(word, p.bitwiseAND(F.lit(63)).cast("int")) == 1
-        test = t if test is None else (test & t)
-    return test
+    return bloom_test(F.lit(words), m_bits, k, col)
+
+
+def bloom_attach(df: DataFrame, bloom: dict, col: Column | str,
+                 test_name: str = "__bloom_maybe") -> DataFrame:
+    """Attach the membership-test column ``test_name`` to every row of
+    ``df`` via a ONE-row broadcast equi-join carrying the dense word
+    array (`bloom_row`): the filter ships as one broadcast value —
+    never a plan literal — and the join is a constant-key
+    BroadcastHashJoin (stream-static legal: append mode, zero state).
+    ``bloom`` is ``{"m", "k", "row"}`` (`read_bloom`) or
+    ``{"m", "k", "words"}`` (small/driver-side form, auto-lifted)."""
+    m_bits, k = int(bloom["m"]), int(bloom["k"])
+    if "row" in bloom:
+        row = bloom["row"]
+    else:
+        spark = df.sparkSession
+        words = bloom["words"]
+        if len(words) != m_bits // 64:
+            raise ValueError(
+                f"dense word list has {len(words)} words, m={m_bits} "
+                f"needs {m_bits // 64}")
+        row = spark.createDataFrame([(words,)], "__bloom array<bigint>")
+    row = row.withColumn("__bj", F.lit(1))
+    out = (df.withColumn("__bj", F.lit(1))
+           .join(F.broadcast(row), "__bj")
+           .withColumn(test_name,
+                       bloom_test(F.col("__bloom"), m_bits, k, col))
+           .drop("__bj", "__bloom"))
+    return out

@@ -104,9 +104,11 @@ def _bloom_split(df: DataFrame, prior_bloom: dict | None,
     anti-join keys on both digests).  Map-only, streaming-legal."""
     if prior_bloom is None:
         return df, None
-    from .bloom import bloom_filter_col
-    test = bloom_filter_col(prior_bloom, F.col(probe_col))
-    return df.filter(test), df.filter(~test)
+    from .bloom import bloom_attach
+    att = bloom_attach(df, prior_bloom, probe_col)
+    t = F.col("__bloom_maybe")
+    return (att.filter(t).drop("__bloom_maybe"),
+            att.filter(~t).drop("__bloom_maybe"))
 
 
 def incremental_keep(new: DataFrame, prior: DataFrame,

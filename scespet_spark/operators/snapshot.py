@@ -375,17 +375,21 @@ def read_ngram_lm(spark: SparkSession, out_dir: str) -> dict:
             "totals": tables["lm_totals"]}
 
 
-def read_bloom(spark: SparkSession, out_dir: str, name: str) -> dict:
+def read_bloom(spark: SparkSession, out_dir: str, name: str,
+               dense: bool = False) -> dict:
     """Rehydrate a probe family's Bloom pre-filter ("digests" /
     "segments" / "grams") into the dict `dedup` probes take as
-    ``prior_bloom=``: ``{"m", "k", "n", "words"}`` with ``words`` the
-    dense driver-side word list (m/64 longs — the documented
-    driver/plan bound, ~1.2 bytes per prior key at fpp=1%).  Geometry
-    comes from the manifest, so a probe can never pair a filter with
-    mismatched (m, k) arithmetic.  Raises on snapshots written without
-    ``bloom_fpp`` — a missing pre-filter must not silently degrade to
-    "everything is maybe-prior" (correct but a silent full-cost
-    probe) or, worse, be hand-built with different geometry."""
+    ``prior_bloom=``: ``{"m", "k", "n", "row"}`` where ``row`` is the
+    one-row dense word-array DataFrame `bloom.bloom_attach` broadcasts
+    — densified JVM-side, the filter bytes never pass through the
+    driver.  ``dense=True`` additionally collects the driver-side
+    ``words`` list for the literal-array form (small filters/tests
+    only).  Geometry comes from the manifest, so a probe can never
+    pair a filter with mismatched (m, k) arithmetic.  Raises on
+    snapshots written without ``bloom_fpp`` — a missing pre-filter
+    must not silently degrade to "everything is maybe-prior" (correct
+    but a silent full-cost probe) or, worse, be hand-built with
+    different geometry."""
     import json
     manifest = json.loads(
         _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
@@ -394,10 +398,13 @@ def read_bloom(spark: SparkSession, out_dir: str, name: str) -> dict:
         raise ValueError(
             f"snapshot {out_dir} has no Bloom artifact for {name!r} — "
             f"write it with write_snapshot(..., bloom_fpp=0.01)")
-    from .bloom import bloom_dense
+    from .bloom import bloom_dense, bloom_row
     words = spark.read.parquet(os.path.join(out_dir, f"bloom_{name}"))
-    return {"m": meta["m"], "k": meta["k"], "n": meta["n"],
-            "words": bloom_dense(words, meta["m"])}
+    out = {"m": meta["m"], "k": meta["k"], "n": meta["n"],
+           "row": bloom_row(words, meta["m"])}
+    if dense:
+        out["words"] = bloom_dense(words, meta["m"])
+    return out
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

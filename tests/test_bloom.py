@@ -132,8 +132,10 @@ def test_snapshot_bloom_roundtrip_and_probe(spark, tmp_path):
     written = write_snapshot(str(tmp_path), docs=prior, bloom_fpp=0.01)
     assert {"bloom_digests", "bloom_segments", "bloom_grams"} <= set(written)
     tables = read_snapshot(spark, str(tmp_path))
-    bloom = read_bloom(spark, str(tmp_path), "digests")
+    bloom = read_bloom(spark, str(tmp_path), "digests", dense=True)
     assert bloom["n"] == tables["digests"].count()
+    # the broadcast row and the driver-side list agree
+    assert bloom["row"].collect()[0]["__bloom"] == bloom["words"]
     plain = sorted(map(tuple, incremental_keep(
         new, tables["digests"], prior_digest_col="content_hash")
         .collect()))
@@ -158,8 +160,8 @@ def test_snapshot_without_bloom_raises_on_read_bloom(spark, tmp_path):
 
 
 def test_bloom_probe_plan_is_map_only(spark):
-    """The bloom membership test itself must add NO join/Exchange —
-    pure codegen arithmetic over the literal word array."""
+    """The literal-array bloom membership test must add NO
+    join/Exchange — pure codegen arithmetic."""
     keys = spark.range(100).select((F.col("id") * 31).alias("d"))
     words, m, k = bloom_build(keys, "d", n_items=100, fpp=0.01)
     bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
@@ -168,3 +170,31 @@ def test_bloom_probe_plan_is_map_only(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_attach_broadcasts_and_never_shuffles_probe_side(spark):
+    """The scale form (bloom_attach): the word array rides ONE
+    BroadcastHashJoin — no shuffle Exchange of the probed rows, no
+    plan literal (a 10^6-element array literal hangs the analyzer),
+    and the test column agrees with the literal form."""
+    from scespet_spark.operators.bloom import bloom_attach, bloom_row
+    keys = spark.range(500).select((F.col("id") * 131).alias("d"))
+    words, m, k = bloom_build(keys, "d", n_items=500, fpp=0.01)
+    bloom = {"m": m, "k": k, "row": bloom_row(words, m)}
+    probe = spark.range(2000).select((F.col("id") * 131).alias("d"))
+    att = bloom_attach(probe, bloom, "d")
+    plan = att._jdf.queryExecution().executedPlan().toString()
+    # constant-key 1-row attach: Catalyst folds the key and plans a
+    # 1-row-build-side broadcast join (hash or nested-loop — both are
+    # a map over the probe side); what matters is NO shuffle Exchange
+    assert "Broadcast" in plan and "CartesianProduct" not in plan
+    import re
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
+    # inserted keys all positive (ids 0..499 overlap), novel half mixed
+    got = {r.d: r["__bloom_maybe"] for r in att.collect()}
+    lit_bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    exp = {r.d: r.t for r in
+           probe.select("d", bloom_filter_col(lit_bloom, "d").alias("t"))
+           .collect()}
+    assert got == exp
+    assert all(got[i * 131] for i in range(500))
