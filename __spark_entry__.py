@@ -29,11 +29,14 @@ _ORACLES: dict[str, str] = {}
 #: justification on the query; tests/test_entry_contract.py enforces
 #: that everything else has full oracle SQL.
 ROWS_ONLY: set[str] = {"profile_lineitem_approx",
-                       "approx_distinct_users_daily",
-                       "pack_bestfit_sequences",
-                       "bpe_fit_merges", "bpe_tokenize_docs",
-                       "unigram_fit_pieces", "unigram_tokenize_docs",
-                       "live_unigram_tokenize"}
+                       "approx_distinct_users_daily"}
+# r10: the tokenizer/packing family left this set — their outputs stay
+# heuristic (merge order, Viterbi segmentations, FFD bin choice are
+# not SQL-expressible; exact behavior pinned in pytest), but each
+# query now EMITS its invariants (losslessness, conservation,
+# feasibility, model structure) computed from the real operator
+# output, which DuckDB predicts from the source tables — full
+# hash-checked driver rows instead of rows-only.
 
 
 def query(name: str, oracle: str | None = None):
@@ -5615,54 +5618,132 @@ def dsir_sample_topk(spark, sf_dir):
                        k=150, n_buckets=_DSIR_B).orderBy("doc_id")
 
 
-@query("bpe_fit_merges")
+#: DuckDB whitespace-word mirror of text.tokens() (split on ' ',
+#: empties removed) — the shared front half of the tokenizer/packing
+#: invariant oracles.
+_WORDS_CTE = ("SELECT doc_id, list_filter(string_split("
+              "coalesce(text, ''), ' '), x -> x <> '') AS ws "
+              "FROM documents")
+
+
+@query("bpe_fit_merges", """
+SELECT TRUE AS ranks_contiguous, TRUE AS parts_derivable,
+       TRUE AS pairs_in_corpus, TRUE AS n_le_target
+""")
 def bpe_fit_merges(spark, sf_dir):
     """BPE tokenizer training (Sennrich et al. 2016) on the corpus:
     ONE distributed word-frequency pass (map-combinable, vocab-sized
     output), then the driver-side merge loop over the collected vocab
     — the sentencepiece/HF trainer shape; no per-merge corpus pass.
-    ROWS_ONLY justification: the merge loop is an iterative greedy
-    algorithm (each merge depends on all prior merges) — not
-    SQL-expressible; determinism under repartitioning, the classic-
-    corpus merge order, and min_count pruning are pinned in
-    tests/test_tokenizer.py instead."""
-    from scespet_spark.operators.tokenizer import bpe_fit
+
+    INVARIANT oracle (the merge SEQUENCE is an iterative greedy
+    optimum, not SQL-expressible — the exact classic-corpus order is
+    pinned in tests/test_tokenizer.py): the fitted model's structural
+    guarantees, each computed from the real model and emitted for the
+    hash check — ranks contiguous from 0; every merge operand is a
+    base symbol (single char / end-of-word) or the output of an
+    EARLIER merge (the defining BPE property); every merged token
+    occurs inside some corpus word (nothing hallucinated); merge count
+    within the requested budget."""
+    from scespet_spark.operators.tokenizer import EOW, bpe_fit
+    from scespet_spark.operators.tokenizer import word_frequencies
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_fit(docs, n_merges=64, min_count=2).orderBy("rank")
+    rows = sorted((int(r["rank"]), r["left"], r["right"]) for r in
+                  bpe_fit(docs, n_merges=64, min_count=2).collect())
+    ranks_ok = [r for r, _, _ in rows] == list(range(len(rows)))
+    known: set = set()
+    derivable = True
+    for _, lft, rgt in rows:
+        for part in (lft, rgt):
+            if not (len(part) == 1 or part == EOW or part in known):
+                derivable = False
+        known.add(lft + rgt)
+    # the vocab collect is bounded exactly like bpe_fit's own driver
+    # loop (Zipf word table)
+    words = [r["word"] for r in word_frequencies(docs).collect()]
+    toks = [(lft + rgt).replace(EOW, "") for _, lft, rgt in rows]
+    grounded = all(any(t in w for w in words) for t in toks if t)
+    return spark.createDataFrame(
+        [(ranks_ok, derivable, grounded, len(rows) <= 64)],
+        "ranks_contiguous boolean, parts_derivable boolean, "
+        "pairs_in_corpus boolean, n_le_target boolean")
 
 
-@query("bpe_tokenize_docs")
+@query("bpe_tokenize_docs", f"""
+WITH w AS ({_WORDS_CTE})
+SELECT doc_id, TRUE AS lossless, len(ws)::BIGINT AS n_words,
+       length(array_to_string(ws, ''))::BIGINT AS n_token_chars
+FROM w
+""")
 def bpe_tokenize_docs(spark, sf_dir):
     """Corpus tokenization under the fitted BPE model: one Arrow-
     batched mapInPandas with a per-batch word memo (Zipf: Python cost
     per DISTINCT word, not per token) and the merge ranking broadcast
-    as a plain dict.  ROWS_ONLY justification: encoding replays merges
-    in rank order per word (order-dependent loop, not SQL-
-    expressible); losslessness is property-tested (hypothesis) and the
-    encoding pinned in tests/test_tokenizer.py."""
-    from scespet_spark.operators.tokenizer import bpe_apply, bpe_fit
+    as a plain dict.
+
+    INVARIANT oracle (the token SEQUENCE replays merges in rank order
+    — not SQL-expressible; the exact encoding is pinned in
+    tests/test_tokenizer.py): per doc, derived from the REAL piece
+    arrays — ``lossless`` (concatenating the pieces and turning each
+    end-of-word marker back into a space reproduces the normalized
+    source text), ``n_words`` (pieces carrying the end-of-word marker
+    — exactly one per word), and ``n_token_chars`` (total piece chars
+    net of markers == source word chars: conservation).  DuckDB
+    predicts all three from the source table alone."""
+    from scespet_spark.operators.tokenizer import EOW, bpe_apply, bpe_fit
+    from scespet_spark.operators.text import tokens
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_fit(docs, n_merges=64, min_count=2)
-    return (bpe_apply(docs, merges)
-            .select("doc_id", "n_bpe_tokens").orderBy("doc_id"))
+    out = bpe_apply(docs, merges)
+    toks = F.col("bpe_tokens")
+    recon = F.rtrim(F.replace(F.array_join(toks, ""), F.lit(EOW),
+                              F.lit(" ")))
+    norm = F.array_join(tokens(F.coalesce(F.col("text"), F.lit(""))), " ")
+    n_words = F.size(F.filter(toks, lambda p: F.endswith(p, F.lit(EOW))))
+    n_chars = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, p: acc + F.length(p)
+        - F.when(F.endswith(p, F.lit(EOW)), F.lit(len(EOW)))
+           .otherwise(F.lit(0)))
+    return (out.select("doc_id", (recon == norm).alias("lossless"),
+                       n_words.cast("long").alias("n_words"),
+                       n_chars.alias("n_token_chars"))
+            .orderBy("doc_id"))
 
 
-@query("pack_bestfit_sequences")
+@query("pack_bestfit_sequences", f"""
+WITH w AS ({_WORDS_CTE})
+SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+       CASE WHEN len(ws) > 512 THEN 1 ELSE 0 END::INTEGER AS oversize,
+       TRUE AS seq_ok
+FROM w
+""")
 def pack_bestfit_sequences(spark, sf_dir):
     """First-fit-decreasing packing WITHOUT document splitting (the
     no-cross-doc-attention alternative to the concat-and-chunk tape):
-    budget=512 so the demo corpus genuinely multi-packs.  ROWS_ONLY
-    justification: the FFD fold is an order-dependent heuristic over
-    each group's open-bin list — inherently procedural, not
-    SQL-expressible; its guarantees are asserted instead: equality to
-    a pure-Python FFD model plus the no-overfill and one-half-empty-
-    bin-per-group waste bounds on randomized inputs
-    (test_properties.py::test_pack_bestfit_matches_ffd_model) and
-    determinism under repartitioning
-    (test_pipeline_ops.py::test_pack_bestfit_efficiency_and_determinism)."""
+    budget=512 so the demo corpus genuinely multi-packs.
+
+    INVARIANT oracle (which bin each doc lands in is an
+    order-dependent FFD fold — not SQL-expressible; bin equality to a
+    pure-Python model plus the waste bounds are property-tested in
+    tests/test_properties.py): per doc, derived from the REAL packing
+    — ``n_tokens`` (token conservation: the packing carries every
+    doc's true count), ``oversize`` (flagged exactly when the doc
+    exceeds the budget), and ``seq_ok`` (the doc's assigned sequence
+    totals within budget, or is a dedicated oversized singleton).
+    DuckDB predicts all three from the source table alone."""
     from scespet_spark.operators.pipeline import pack_sequences_bestfit
     docs = load_table(spark, sf_dir, "documents")
-    return (pack_sequences_bestfit(docs, budget=512)
+    out = pack_sequences_bestfit(docs, budget=512)
+    seqs = out.groupBy("seq_id").agg(F.sum("n_tokens").alias("__tot"),
+                                     F.count("*").alias("__cnt"))
+    ok = (((F.col("oversize") == 0) & (F.col("__tot") <= 512))
+          | ((F.col("oversize") == 1) & (F.col("__cnt") == 1)
+             & (F.col("n_tokens") > 512)))
+    return (out.join(seqs, "seq_id")
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("oversize").cast("int").alias("oversize"),
+                    ok.alias("seq_ok"))
             .orderBy("doc_id"))
 
 
@@ -6270,44 +6351,89 @@ def exact_quantiles_by_source(spark, sf_dir):
                               "source", buckets=16, threshold=20)
 
 
-@query("unigram_fit_pieces")
+@query("unigram_fit_pieces", """
+SELECT TRUE AS chars_covered, TRUE AS logps_negative,
+       TRUE AS has_multi_char
+""")
 def unigram_fit_pieces(spark, sf_dir):
     """Unigram-LM tokenizer training (the sentencepiece algorithm,
     Kudo 2018; Viterbi-EM): seed with frequent substrings, alternate
     distributed E-steps (Viterbi-segment every DISTINCT word — one
     Arrow pass over the Zipf-bounded word table per iteration) with
     driver M-steps over exact integer counts, pruning low-count
-    multi-char pieces to the target vocab.  ROWS_ONLY justification:
-    the EM fixed point is an iterative optimum, not SQL-expressible;
-    its guarantees are property-tested instead — lossless roundtrip on
-    arbitrary input (OOV chars pass through), bit-identical models
-    under repartitioning, non-decreasing Viterbi likelihood across an
-    EM step, and piece-learning pinned on a crafted corpus
-    (tests/test_tokenizer.py)."""
+    multi-char pieces to the target vocab.
+
+    INVARIANT oracle (the EM fixed point is an iterative optimum, not
+    SQL-expressible — likelihood monotonicity, determinism under
+    repartitioning, and piece-learning are pinned in
+    tests/test_tokenizer.py): structural guarantees computed from the
+    REAL fitted model — every character of the corpus is a piece (the
+    losslessness anchor: single chars are never pruned), every
+    logprob is strictly negative (a normalized distribution over >1
+    piece), and the model learned at least one multi-char piece (the
+    training did something)."""
+    from scespet_spark.operators.text import tokens
     from scespet_spark.operators.tokenizer import unigram_fit
     docs = load_table(spark, sf_dir, "documents")
-    return (unigram_fit(docs, vocab_size=44, em_iters=3)
-            .orderBy("piece"))
+    m = unigram_fit(docs, vocab_size=44, em_iters=3)
+    pieces = m.collect()  # model-sized (<= vocab_size rows)
+    vocab = {r["piece"] for r in pieces}
+    corpus_chars = {r["c"] for r in docs.select(
+        F.explode(F.filter(
+            F.split(F.array_join(tokens(F.coalesce(F.col("text"),
+                                                   F.lit(""))), ""), ""),
+            lambda x: x != "")).alias("c")).distinct().collect()}
+    covered = corpus_chars <= vocab
+    negative = all(float(r["logprob"]) < 0 for r in pieces)
+    multi = any(len(r["piece"]) > 1 for r in pieces)
+    return spark.createDataFrame(
+        [(covered, negative, multi)],
+        "chars_covered boolean, logps_negative boolean, "
+        "has_multi_char boolean")
 
 
-@query("unigram_tokenize_docs")
+#: invariant oracle for the unigram encode (batch AND live): per doc,
+#: concatenating the pieces reproduces the source's concatenated words
+#: exactly (losslessness — no end-of-word markers in this family), and
+#: total piece chars equal source word chars (conservation).
+_UNIGRAM_TOK_ORACLE = f"""
+WITH w AS ({_WORDS_CTE})
+SELECT doc_id, TRUE AS lossless,
+       length(array_to_string(ws, ''))::BIGINT AS n_token_chars
+FROM w
+"""
+
+
+def _unigram_invariants(out):
+    """(doc_id, lossless, n_token_chars) from a unigram_apply output —
+    map-only column derivations, legal on batch and streaming plans."""
+    from scespet_spark.operators.text import tokens
+    recon = F.array_join("unigram_tokens", "")
+    src = F.array_join(tokens(F.coalesce(F.col("text"), F.lit(""))), "")
+    return out.select("doc_id", (recon == src).alias("lossless"),
+                      F.length(recon).cast("long").alias("n_token_chars"))
+
+
+@query("unigram_tokenize_docs", _UNIGRAM_TOK_ORACLE)
 def unigram_tokenize_docs(spark, sf_dir):
     """Corpus tokenization under the fitted unigram model: Viterbi
     decoding per word, one Arrow-batched mapInPandas with a per-batch
     word memo and the (model-sized) piece table broadcast as a dict —
     the bpe_apply execution shape with a different per-word decoder.
-    ROWS_ONLY justification: Viterbi DP per word is not
-    SQL-expressible; losslessness and determinism are property-tested
-    (tests/test_tokenizer.py)."""
+
+    INVARIANT oracle (the piece SEQUENCE is a Viterbi DP optimum, not
+    SQL-expressible — exact segmentations are pinned in
+    tests/test_tokenizer.py): per doc, from the REAL piece arrays —
+    losslessness and character conservation, both predicted by DuckDB
+    from the source table alone."""
     from scespet_spark.operators.tokenizer import (unigram_apply,
                                                    unigram_fit)
     docs = load_table(spark, sf_dir, "documents")
     m = unigram_fit(docs, vocab_size=44, em_iters=3)
-    return (unigram_apply(docs, m)
-            .select("doc_id", "n_unigram_tokens").orderBy("doc_id"))
+    return _unigram_invariants(unigram_apply(docs, m)).orderBy("doc_id")
 
 
-@query("live_unigram_tokenize")
+@query("live_unigram_tokenize", _UNIGRAM_TOK_ORACLE)
 def live_unigram_tokenize(spark, sf_dir):
     """Tokenization on a LIVE crawl under the snapshot's unigram
     vocabulary: the fitted piece table (the ``unigram_pieces``
@@ -6315,10 +6441,9 @@ def live_unigram_tokenize(spark, sf_dir):
     stateless Arrow encode per micro-batch, append mode, zero state —
     arriving docs tokenize under the SAME vocabulary as the training
     corpus, the contract that keeps token counts comparable across
-    crawl drops.  ROWS_ONLY justification: Viterbi decoding per word
-    is not SQL-expressible (same declaration as the batch encode);
-    parity with batch is structural — the identical broadcast model
-    and mapInPandas encoder run per batch."""
+    crawl drops.  Same INVARIANT oracle as the batch encode
+    (losslessness + char conservation per doc), computed inside the
+    streaming plan."""
     from scespet_spark.operators.tokenizer import (unigram_apply,
                                                    unigram_fit)
     from scespet_spark.streaming.live import (read_table_stream,
@@ -6326,8 +6451,9 @@ def live_unigram_tokenize(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     m = unigram_fit(docs, vocab_size=44, em_iters=3)
     stream = read_table_stream(spark, sf_dir, "documents")
-    return (run_available_now(unigram_apply(stream, m), "append")
-            .select("doc_id", "n_unigram_tokens").orderBy("doc_id"))
+    return (run_available_now(
+        _unigram_invariants(unigram_apply(stream, m)), "append")
+        .orderBy("doc_id"))
 
 
 # ===========================================================================

@@ -91,24 +91,62 @@ def exact_groups(df: DataFrame, text_col: str = "text",
             .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")))
 
 
-def _bloom_split(df: DataFrame, prior_bloom: dict | None,
-                 probe_col: str):
-    """Split a digest frame on the snapshot Bloom pre-filter:
-    ``(maybe, novel)`` where ``novel`` rows are DEFINITELY absent from
-    the prior (no false negatives for inserted keys — bloom.py) and
-    skip the exact join entirely; ``maybe`` rows (true dups + ~fpp
-    false positives) carry on to the exact anti-join, which resolves
-    every false positive — output is row-identical to the plain path
-    at ANY fpp.  The filter probes the FIRST digest column only (a
-    60-bit pre-filter in front of a wide election is still exact: the
-    anti-join keys on both digests).  Map-only, streaming-legal."""
+def _bloom_probe(df: DataFrame, pri: DataFrame, keys: list[str],
+                 prior_bloom: dict | None, want_hits: bool = False):
+    """The prior-membership probe of every incremental dedup: returns
+    ``(kept, hits)`` — rows of ``df`` whose key set is absent from /
+    present in ``pri`` (``hits`` only when ``want_hits``).  Output is
+    row-identical to the plain anti/semi joins at ANY fpp.
+
+    Plain path (no ``prior_bloom``): shuffle-hash anti/semi joins —
+    correct, but BOTH sides Exchange, and the prior side is the
+    10^12-digest corpus table, re-shuffled per crawl drop.
+
+    Bloom path: the snapshot filter answers "definitely not prior"
+    MAP-SIDE (no false negatives for inserted keys — bloom.py), so
+
+    * definitely-novel rows skip the prior entirely;
+    * the sketch-positive RESIDUE (~fpp x drop + true dups — bounded
+      by the drop, which is small by definition of incremental
+      processing) is distinct-collected and BROADCAST into the prior
+      scan: the prior resolves exact membership via a broadcast-hash
+      semi-join — a map-only columnar scan of its digest column with
+      ZERO prior-side Exchange;
+    * the surviving hit set (true dup digests only — false positives
+      die here) is itself residue-sized, and broadcasts back against
+      the drop for the final anti/semi.
+
+    Net per-drop Exchange: the residue's distinct (tiny).  The prior's
+    only touch is a sequential shuffle-free scan.  A false positive
+    costs one broadcast lookup, never a wrong row.
+
+    The filter probes the FIRST digest column only (a 60-bit
+    pre-filter in front of a wide election stays exact: the residue
+    joins key on ALL digest columns).  On a STREAMING ``df`` the
+    residue flip is illegal (a stream side cannot re-broadcast), so
+    the bloom split composes with plain stream-static joins — the
+    map-side suppression still shrinks the per-batch join input."""
     if prior_bloom is None:
-        return df, None
+        kept = df.join(pri, keys, "left_anti")
+        hits = df.join(pri, keys, "left_semi") if want_hits else None
+        return kept, hits
     from .bloom import bloom_attach
-    att = bloom_attach(df, prior_bloom, probe_col)
+    att = bloom_attach(df, prior_bloom, keys[0])
     t = F.col("__bloom_maybe")
-    return (att.filter(t).drop("__bloom_maybe"),
-            att.filter(~t).drop("__bloom_maybe"))
+    maybe = att.filter(t).drop("__bloom_maybe")
+    novel = att.filter(~t).drop("__bloom_maybe")
+    if df.isStreaming:
+        kept = maybe.join(pri, keys, "left_anti").unionByName(novel)
+        hits = maybe.join(pri, keys, "left_semi") if want_hits else None
+        return kept, hits
+    residue = maybe.select(*keys).distinct()
+    dup_keys = (pri.join(F.broadcast(residue), keys, "left_semi")
+                .select(*keys).distinct())
+    kept = (maybe.join(F.broadcast(dup_keys), keys, "left_anti")
+            .unionByName(novel))
+    hits = (maybe.join(F.broadcast(dup_keys), keys, "left_semi")
+            if want_hits else None)
+    return kept, hits
 
 
 def incremental_keep(new: DataFrame, prior: DataFrame,
@@ -168,10 +206,7 @@ def incremental_keep(new: DataFrame, prior: DataFrame,
     else:
         pds = digest_cols(F.col(text_col), hash_fn, wide)
         pri = prior.select(*[d.alias(n) for d, n in zip(pds, names)])
-    maybe, novel = _bloom_split(newd, prior_bloom, names[0])
-    kept = maybe.join(pri, names, "left_anti")
-    if novel is not None:
-        kept = kept.unionByName(novel)
+    kept, _ = _bloom_probe(newd, pri, names, prior_bloom)
     return (kept.groupBy(*names)
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, *names))
@@ -329,10 +364,7 @@ def incremental_segment_dedup(new: DataFrame,
     pri = prior_segments.select(*dnames).distinct()
     segs = segment_digests(new, size, text_col, id_col,
                            hash_fn=hash_fn, wide=wide)
-    maybe, novel = _bloom_split(segs, prior_bloom, "__d")
-    fresh = maybe.join(pri, dnames, "left_anti")
-    if novel is not None:
-        fresh = fresh.unionByName(novel)
+    fresh, _ = _bloom_probe(segs, pri, dnames, prior_bloom)
     winners = (fresh
                .groupBy(*dnames)
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
@@ -560,11 +592,9 @@ def incremental_substring_dedup(new: DataFrame,
     pri = prior_grams.select(*gnames).distinct()
     occ = gram_digests(new, min_len, text_col, id_col, hash_fn=hash_fn,
                        wide=wide)
-    maybe, novel = _bloom_split(occ, prior_bloom, "__g")
-    hit_prior = maybe.join(pri, gnames, "left_semi").select(id_col, "pos")
-    fresh = maybe.join(pri, gnames, "left_anti")
-    if novel is not None:
-        fresh = fresh.unionByName(novel)
+    fresh, hits = _bloom_probe(occ, pri, gnames, prior_bloom,
+                               want_hits=True)
+    hit_prior = hits.select(id_col, "pos")
     dup_g = (fresh.groupBy(*gnames)
              .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                  F.col("pos").alias("p"))).alias("__w"),
