@@ -5465,6 +5465,31 @@ def temperature_mixture_docs(spark, sf_dir):
     return temperature_mixture_sample(docs, _TEMP_ALPHA, _TEMP_N)
 
 
+_TEMP_ORACLE = _ORACLES["temperature_mixture_docs"]
+
+
+@query("live_temperature_mixture", _TEMP_ORACLE)
+def live_temperature_mixture(spark, sf_dir):
+    """The temperature recipe applied to a LIVE ingest stream (r10 —
+    the one r9 batch addition that lacked its serving form): the
+    #sources-row ``temperature_cutoffs`` table is fitted ONCE
+    batch-side from per-source availability (the snapshot artifact —
+    a stream cannot count its own future), then arriving documents
+    sample against it via the same ``mixture_apply`` stream-static
+    broadcast join + deterministic map-side hash filter as
+    live_mixture_sample.  Append mode, zero state.  Same oracle as
+    temperature_mixture_docs: the stream replays the corpus the
+    cutoffs were fitted on."""
+    from scespet_spark.operators.text import (mixture_apply,
+                                              temperature_cutoffs)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    cut = temperature_cutoffs(docs, _TEMP_ALPHA, _TEMP_N)
+    stream = read_table_stream(spark, sf_dir, "documents")
+    return run_available_now(mixture_apply(stream, cut), "append")
+
+
 @query("mixture_sample_sources", _mixture_oracle())
 def mixture_sample_sources(spark, sf_dir):
     """Training-mix resampling: deterministic hash sampling toward
@@ -6553,62 +6578,52 @@ def live_dedup_bloom(spark, sf_dir):
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
-    # brand-new this round: the wide two-digest exact election
-    # (digest-width discipline), the append-legal row-wise language
-    # gate, and the trigram stupid-backoff LM rung (batch + live +
-    # the order-3 perplexity gate)
-    "dedup_exact_wide", "live_dedup_exact_wide", "live_lang_id_rowwise",
-    "text_trigram_lm", "live_text_trigram_lm", "perplexity_filter_trigram",
-    "text_ngram_lm_order5",
-    # implementation changed this round: the exact/segment dedup
-    # families gained hash_fn/wide hooks (default paths re-verified),
-    # bm25_stats counts null text as dl=0, FFD packing groups by true
-    # floor division, bpe_apply builds its Arrow schema
-    # programmatically and bpe_fit gained max_vocab
-    "dedup_exact", "dedup_incremental",
-    "dedup_segments", "dedup_incremental_segments",
-    "live_incremental_segments",
-    "bm25_topk_docs", "live_bm25_score",
-    "pack_bestfit_sequences", "bpe_tokenize_docs", "bpe_fit_merges",
-    "temperature_mixture_docs", "gopher_quality_docs",
-    "live_gopher_filter",
-    # late-r9 additions: CCNet head/middle/tail bucketing (batch +
-    # live), FineWeb URL rule filtering (batch + live), two-phase
-    # distributed curriculum ordering, per-source token budgets
-    "ccnet_perplexity_buckets", "live_ccnet_bucket",
-    "url_rule_filter_docs", "live_url_filter",
-    "curriculum_order_docs", "token_budget_docs",
-    "epoch_schedule_sources", "filter_stack_docs",
-    "gopher_repetition_docs", "live_gopher_repetition",
-    # late-r9 batch 2: per-host domain caps (whale-safe salted
-    # two-phase + one-counter-per-key live), exact distributed
-    # quantiles by histogram selection, unigram-LM tokenizer
-    "host_cap_docs", "live_host_cap", "exact_quantiles_price",
-    "unigram_fit_pieces", "unigram_tokenize_docs", "live_unigram_tokenize",
+    # brand-new this round (r10): the Bloom pre-filter snapshot
+    # artifact probes (batch residue-broadcast form + live map-side
+    # suppression form) and the temperature mixture's live serving form
+    "dedup_incremental_bloom", "live_dedup_bloom",
+    "live_temperature_mixture",
+    # semantically changed this round: the tokenizer/packing family
+    # left ROWS_ONLY — each query now emits its invariants
+    # (losslessness, conservation, feasibility, model structure) for a
+    # full hash-checked oracle
+    "bpe_fit_merges", "bpe_tokenize_docs",
+    "unigram_fit_pieces", "unigram_tokenize_docs",
+    "live_unigram_tokenize", "pack_bestfit_sequences",
+    # implementation changed this round: range_join expands through
+    # the boundary bucket (IEEE miss fix), exact quantiles gained the
+    # all-equal/width-underflow resolutions + power-of-two buckets +
+    # approx fallback, ccnet NULL scores label NULL, the incremental
+    # dedup probes route through _bloom_probe, and the n-gram LM
+    # attach loop gained the head_k split (default path re-verified)
     "range_join_price_bands", "live_range_join",
-    "exact_quantiles_by_source",
+    "exact_quantiles_price", "exact_quantiles_by_source",
+    "ccnet_perplexity_buckets", "live_ccnet_bucket",
+    "dedup_incremental", "dedup_incremental_segments",
+    "dedup_incremental_substring", "live_incremental_segments",
+    "text_trigram_lm", "text_ngram_lm_order5",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
-    # (r8 VERDICT item #3) evidence rotation: the r4-era rows are the
-    # oldest driver evidence — rotate the full r4 cohort back in
-    # (relational wrappers, PQ/ANN, text heuristics, multimodal)
-    "q3_order_revenue", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q13_customer_distribution", "q15_top_supplier", "q7_volume_shipping",
-    "q4_order_priority", "q14_promo_revenue", "q18_large_volume_customers",
-    "dedup_kept_corpus",
-    "dedup_simhash",
-    # (region_revenue/topk_orders/rollup_order_status/set_ops_customers/
-    # window_rank_orders/vwap_per_supplier/q10_returned_items/ann_pq_codes/
-    # dedup_ngram_jaccard yield
-    # their slots to the late-r9 batch-2 additions — first candidates
-    # for the r10 rotation; vwap's LIVE form has fresh r8 evidence;
-    # window stays exactly 50 = the driver's sample)
-    # (the r4/r5 stream-family cohort re-greened r8 rotates out, as do
-    # text_fingerprint/text_token_doc_freq/text_corpus_idf/doc_chunking/
-    # redact_pii/stratified_sample_docs to make room for the late-r9
-    # additions; every rotated-out query stays covered by the full
-    # local oracle gate, tools/check_oracle.py)
+    # (r9 VERDICT item #3) evidence rotation: the queries that yielded
+    # their slots to the late-r9 batch-2 additions are the oldest
+    # driver evidence — rotate them back in...
+    "region_revenue", "topk_orders", "rollup_order_status",
+    "set_ops_customers", "window_rank_orders", "vwap_per_supplier",
+    "q10_returned_items", "ann_pq_codes", "dedup_ngram_jaccard",
+    # ...plus the r5/r6 live stream-operator cohort last re-greened r8
+    "live_tumbling_daily", "live_value_set", "live_sliding_scan",
+    "live_bucket_collapse_stats", "live_zip_click_purchase",
+    "live_scan_running_sum",
+    "live_map_vector_running", "live_map_keys_bucket",
+    "live_bind_hourly", "live_vwap_per_supplier",
+    # ...and the r4-era text/multimodal heuristics rotated out in r9
+    "text_fingerprint", "text_token_doc_freq", "text_corpus_idf",
+    "doc_chunking", "redact_pii", "stratified_sample_docs",
+    # (window stays exactly 50 = the driver's sample; everything
+    # rotated out — the r9 cohort incl. the TPC-H wrappers re-greened
+    # last round — stays covered by the full local oracle gate,
+    # tools/check_oracle.py)
 ]
 
 

@@ -330,9 +330,11 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
 
     Drop 2 contains an engineered exact duplicate of a drop-1 SURVIVOR
     under a fresh id and unique URL: it sails through the URL gate but
-    the refreshed snapshot's digest table (rebuilt from prior + drop-1
-    survivors between drops) kills it at the content gate — the
-    property the refresh exists to provide.  The refresh also RE-FITS
+    the refreshed snapshot's digest table (drop-1 survivors APPENDED
+    into the standing artifact between drops — write_snapshot
+    mode="append", generation lineage in the manifest, cost ∝ the
+    drop) kills it at the content gate — the property the refresh
+    exists to provide.  The refresh also RE-FITS
     both classifier models and the threshold from the grown corpus
     (prior + drop-1 survivors), and the result records that drop-2
     serving picked up the refreshed weights.  Snapshots are written
@@ -409,13 +411,17 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     n1 = kept1.count()
 
     # ---- snapshot + MODEL refresh: prior + drop-1 survivors ---------
+    # r10: the probe artifacts refresh by GENERATION APPEND — only the
+    # drop-1 survivors' digests are hashed and appended into snap0's
+    # standing bucketed tables (cost ∝ the drop, not the corpus; the
+    # r9 form rewrote the whole snapshot per drop).  The serving
+    # MODELS still refit from the grown corpus — they are optimization
+    # artifacts, not digest sets, and refitting is the contract.
     dup_src = kept1.orderBy("doc_id").limit(1).collect()[0]
     corpus1 = (prior.select("doc_id", "text", "lang").unionByName(
         kept1.select("doc_id", "text", "lang")).cache())
-    write_snapshot(f"{work}/snap1",
-                   docs=corpus1.select("doc_id", "text"),
-                   sub_min_len=_CAP_L, digest_wide=True,
-                   bucket_probes=_CAP_PROBE_BUCKETS)
+    write_snapshot(f"{work}/snap0", docs=kept1.select("doc_id", "text"),
+                   mode="append")
     qc_model2, lang_model2, thr2 = _cap_models(spark, corpus1)
     # serving must pick up the refreshed weights: the same crafted doc
     # scores differently under the refreshed quality model
@@ -448,7 +454,9 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
                "drop2", now - 50)
     _cap_stage1(spark, drops, s1_out, s1_ck)
     _cap_stage1b(spark, s1_out, s1b_out, s1b_ck)
-    _cap_stage2(spark, s1b_out, f"{work}/snap1", qc_model2, lang_model2,
+    # drop 2 probes snap0 AGAIN — now carrying the appended drop-1
+    # generation, which is what kills the engineered duplicate below
+    _cap_stage2(spark, s1b_out, f"{work}/snap0", qc_model2, lang_model2,
                 thr2, s2_out, s2_ck, sig_out, sig_ck)
 
     final = spark.read.parquet(s2_out)

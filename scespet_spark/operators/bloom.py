@@ -96,8 +96,9 @@ def bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
     return [F.pmod(h1 + F.lit(j) * h2, m) for j in range(k)]
 
 
-def bloom_build(df: DataFrame, col: Column | str, n_items: int,
-                fpp: float = 0.01) -> tuple[DataFrame, int, int]:
+def bloom_build(df: DataFrame, col: Column | str, n_items: int | None = None,
+                fpp: float = 0.01, m_bits: int | None = None,
+                k: int | None = None) -> tuple[DataFrame, int, int]:
     """Build the sparse Bloom word table for ``col`` over ``df``:
     returns ``(words_df, m_bits, k)`` where ``words_df`` is
     ``(word bigint, bits bigint)`` with one row per NON-ZERO 64-bit
@@ -108,8 +109,19 @@ def bloom_build(df: DataFrame, col: Column | str, n_items: int,
     One combinable aggregate: k positions explode map-side, partial
     bit_or per partition, final merge shuffles <= min(k*n, m/64)
     (word, bits) int pairs.  Mergeable: union two word tables and
-    re-``bit_or`` per word (`bloom_merge`) — the snapshot-append path."""
-    m_bits, k = bloom_params(n_items, fpp)
+    re-``bit_or`` per word (`bloom_merge`) — the snapshot-append path,
+    which passes explicit ``m_bits``/``k`` instead of ``n_items`` so a
+    drop's words land in the EXISTING filter's geometry (a merge of
+    mismatched geometries would be meaningless)."""
+    if (m_bits is None) != (k is None):
+        raise ValueError("pass m_bits and k together (or neither)")
+    if m_bits is None:
+        if n_items is None:
+            raise ValueError("pass n_items (+fpp) or explicit m_bits/k")
+        m_bits, k = bloom_params(n_items, fpp)
+    elif m_bits < 64 or m_bits % 64 or k < 1:
+        raise ValueError(f"need m_bits a positive multiple of 64 and "
+                         f"k >= 1, got m_bits={m_bits}, k={k}")
     c = F.col(col) if isinstance(col, str) else col
     pos = F.explode(F.array(*bloom_positions(c, m_bits, k))).alias("__p")
     words = (df.select(pos)

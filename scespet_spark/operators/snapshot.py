@@ -145,7 +145,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    unigram_vocab: int | None = None,
                    unigram_em_iters: int = 4,
                    ngram_order: int | None = None,
-                   bloom_fpp: float | None = None) -> list[str]:
+                   bloom_fpp: float | None = None,
+                   mode: str = "overwrite") -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
     vice versa).  Returns the artifact names written.
@@ -173,10 +174,52 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
     so a crawl drop's definitely-novel digests never enter the
     anti-join Exchange.  Sized from each family's actual distinct-key
     count at the given fpp; geometry (m, k, n) is pinned in the
-    manifest and rehydrated by ``read_bloom``."""
+    manifest and rehydrated by ``read_bloom``.
+
+    ``mode="append"`` is the incremental refresh (generation append):
+    instead of rewriting the whole snapshot per crawl drop — 100 TB x
+    N generations of churn at daily cadence — the DROP's probe rows
+    (digests / bands / segments / grams; blocks + codes for an ``emb``
+    drop, assigned against the EXISTING centroids) append into the
+    standing artifact tables (bucket-spec-preserving writes), the
+    Bloom word tables fold the drop in under their pinned geometry
+    (one union + bit_or — a filter-sized rewrite, never a corpus one),
+    and the manifest records generation lineage.  Hashing parameters
+    come from the MANIFEST (a drop hashed differently would probe as
+    silently novel), so the only accepted arguments are the data
+    frames — passing model-fit or hashing params with mode="append"
+    raises (models are refit artifacts: re-fit and overwrite those
+    deliberately).  Refresh cost is proportional to the DROP (plus the
+    filter-sized bloom rewrite), measured in SCALE.md."""
     from .dedup import (banded_signatures, embedding_block_table,
                         exact_groups)
     from .similarity import ivf_assign, label_centroids
+
+    if mode == "append":
+        defaults = {"labeled": (labeled, None), "num_hashes": (num_hashes, 16),
+                    "bands": (bands, 4), "shingle_n": (shingle_n, 3),
+                    "lsh_bits": (lsh_bits, 6), "segment_size": (segment_size, 10),
+                    "sub_min_len": (sub_min_len, 20), "qc_buckets": (qc_buckets, 1024),
+                    "lang_labeled": (lang_labeled, None),
+                    "lang_buckets": (lang_buckets, 4096),
+                    "bucket_probes": (bucket_probes, None),
+                    "digest_wide": (digest_wide, False),
+                    "bpe_merges": (bpe_merges, None),
+                    "bpe_min_count": (bpe_min_count, 1),
+                    "bpe_max_vocab": (bpe_max_vocab, None),
+                    "unigram_vocab": (unigram_vocab, None),
+                    "unigram_em_iters": (unigram_em_iters, 4),
+                    "ngram_order": (ngram_order, None),
+                    "bloom_fpp": (bloom_fpp, None)}
+        extra = sorted(k2 for k2, (v, d) in defaults.items() if v != d)
+        if extra:
+            raise ValueError(
+                f"mode='append' takes only docs/emb — hashing params come "
+                f"from the manifest and model artifacts are refit, not "
+                f"appended; got {extra}")
+        return _append_snapshot(out_dir, docs=docs, emb=emb)
+    if mode != "overwrite":
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
 
     written = []
     bucket_tables: dict[str, dict] = {}
@@ -221,7 +264,12 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
             return
         from .bloom import bloom_build
         path = os.path.join(out_dir, name)
-        src = spark_of.read.parquet(path).select(probe_col)
+        meta = bucket_tables.get(name)
+        # an EMPTY family (e.g. no doc reaches min_len grams) writes no
+        # part files under bucketing, so parquet schema inference would
+        # fail — the catalog entry still knows the schema
+        src = (spark_of.table(meta["table"]) if meta
+               else spark_of.read.parquet(path)).select(probe_col)
         n = max(1, src.count())
         words, m_bits, k = bloom_build(src, probe_col, n_items=n,
                                        fpp=bloom_fpp)
@@ -332,6 +380,103 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "blooms": bloom_meta,
                     "tables": written}, indent=1))
     return written
+
+
+def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
+                     emb: DataFrame | None = None) -> list[str]:
+    """Generation append (see ``write_snapshot(mode="append")``): the
+    drop's probe rows land in the standing artifact tables under the
+    manifest's own hashing parameters.  Returns the artifact names
+    appended to.  Probe semantics are unchanged — every incremental
+    probe treats the tables as digest SETS (distinct/semi/anti), so
+    generation-wise rows never need compaction for correctness; the
+    manifest's ``generations`` list records the lineage."""
+    import json
+    if docs is None and emb is None:
+        raise ValueError("mode='append' needs docs and/or emb")
+    spark = (docs or emb).sparkSession
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    tables = set(manifest.get("tables") or ())
+    bucket_tables = manifest.get("bucket_tables") or {}
+    blooms = manifest.get("blooms") or {}
+    wide = bool(manifest.get("digest_wide"))
+    # ensure any bucketed tables are (re-)registered with the right
+    # spec before appending: saveAsTable(mode=append) validates the
+    # bucket spec against the catalog entry, never the files
+    read_snapshot(spark, out_dir)
+    appended = []
+
+    def _a(name: str, df: DataFrame) -> None:
+        if name not in tables:
+            return  # family absent from this snapshot — nothing to extend
+        meta = bucket_tables.get(name)
+        if meta:
+            (df.write.mode("append")
+             .bucketBy(meta["n"], *meta["cols"]).sortBy(*meta["cols"])
+             .option("path", os.path.join(out_dir, name))
+             .saveAsTable(meta["table"]))
+        else:
+            df.write.mode("append").parquet(os.path.join(out_dir, name))
+        appended.append(name)
+        _bloom_a(name, df)
+
+    def _bloom_a(name: str, df: DataFrame) -> None:
+        """Fold the drop's keys into the family's standing Bloom under
+        its PINNED geometry (one union + bit_or — a filter-sized
+        rewrite).  The realized fpp drifts up as n grows past the
+        sizing; the manifest's running ``n`` makes that drift visible
+        (rebuild the filter when n outgrows the sizing — fpp only
+        moves residue size, never correctness)."""
+        meta = blooms.get(name)
+        if not meta:
+            return
+        from .bloom import bloom_build, bloom_merge
+        col = meta["col"]
+        keys = df.select(col)
+        new_words, _, _ = bloom_build(keys, col, m_bits=meta["m"],
+                                      k=meta["k"])
+        path = os.path.join(out_dir, f"bloom_{name}")
+        merged = bloom_merge(spark.read.parquet(path), new_words)
+        # localCheckpoint cuts the self-referential read->overwrite
+        # lineage (writing a path from a plan that reads it fails)
+        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+        meta["n"] = int(meta.get("n", 0)) + max(1, keys.count())
+        appended.append(f"bloom_{name}")
+
+    if docs is not None:
+        from .dedup import (banded_signatures, exact_groups,
+                            gram_digests, segment_digests)
+        _a("digests", exact_groups(docs, wide=wide))
+        _a("bands", banded_signatures(
+            docs, num_hashes=manifest["num_hashes"],
+            bands=manifest["bands"], shingle_n=manifest["shingle_n"]))
+        seg_cols = ["__d", "__d2"] if wide else ["__d"]
+        _a("segments", segment_digests(
+            docs, size=manifest["segment_size"], wide=wide)
+            .select(*seg_cols).distinct())
+        gram_cols = ["__g", "__g2"] if wide else ["__g"]
+        _a("grams", gram_digests(
+            docs, min_len=manifest["sub_min_len"], wide=wide)
+            .select(*gram_cols).distinct())
+    if emb is not None:
+        from .dedup import embedding_block_table
+        from .similarity import ivf_assign
+        _a("blocks", embedding_block_table(emb,
+                                           bits=manifest["lsh_bits"]))
+        if "codes" in tables:
+            # assign against the EXISTING centroids (the incremental
+            # IVF contract): the coarse index stays stable across
+            # generations so served neighbors remain comparable
+            cents = spark.read.parquet(os.path.join(out_dir, "centroids"))
+            _a("codes", ivf_assign(emb, cents))
+    gens = manifest.get("generations") or []
+    gens.append({"gen": len(gens) + 1, "appended": appended})
+    manifest["generations"] = gens
+    manifest["blooms"] = blooms
+    _fs_write_text(spark, os.path.join(out_dir, "manifest.json"),
+                   json.dumps(manifest, indent=1))
+    return appended
 
 
 def check_compat(out_dir: str, spark: SparkSession | None = None,

@@ -699,7 +699,8 @@ def ngram_lm_model(df: DataFrame, text_col: str = "text",
 
 def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
                    id_col: str = "doc_id",
-                   backoff: float = 0.4) -> DataFrame:
+                   backoff: float = 0.4,
+                   head_k: int | None = None) -> DataFrame:
     """Score documents under a FITTED stupid-backoff model (see
     ``ngram_lm_model``): per-doc mean ``ln S(w | context)`` where, for
     the k-gram ending at the scored token,
@@ -721,7 +722,23 @@ def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
     GROUP BY computes — engine-identical at any collision density.
     Scale shape: the per-doc attach is ``2*order - 1`` left joins
     against Zipf-bounded count tables (AQE skew-join covers the Zipf
-    head); everything shuffled is (digest, id) ints."""
+    head); everything shuffled is (digest, id) ints.
+
+    ``head_k`` (e.g. 256) is the explicit Zipf-head split for the
+    UNIGRAM joins — the one place AQE's skew handling is load-bearing
+    at 100 TB: at web scale the unigram table outgrows the broadcast
+    threshold (vocab ~10^8+), the occurrence table shuffles on raw
+    token hashes, and the head tokens ("the", "of", ...) are whale
+    keys.  With ``head_k`` set, the top-K unigram counts (one
+    distributed TakeOrdered, K literals) become a literal lookup map:
+    occurrences whose scored token AND backoff prefix both sit in the
+    head resolve ENTIRELY map-side and never enter the unigram
+    Exchanges; the rest join the tail-only count table (near-uniform
+    keys) with the head map coalesced over misses — bit-identical to
+    the plain path (head ∪ tail partition the count table).  Batch
+    only (a streaming plan takes the stream-static joins; its
+    micro-batches are small enough that skew is not the binding
+    constraint)."""
     N, counts, totals = model["order"], model["counts"], model["totals"]
     staged = _hash_staged(df, text_col, id_col)
     ex = _pos_explode(staged, id_col, N)
@@ -752,8 +769,18 @@ def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
     else:
         n_col, v_col = F.col("__n"), F.col("__v")
         streaming = False
+    use_head = head_k is not None and not streaming
+    if use_head and head_k < 1:
+        raise ValueError(f"head_k must be >= 1, got {head_k}")
+    head: dict = {}
+    if use_head:
+        head = {int(r["__k1"]): int(r["__c1"]) for r in
+                counts[1].orderBy(F.col("__c1").desc(), F.col("__k1"))
+                .limit(int(head_k)).collect()}
     joined = occ
     for k in range(1, N + 1):
+        if k == 1 and head:
+            continue  # unigram attach handled by the head split below
         joined = joined.join(
             counts[k].select(F.col(f"__k{k}").alias(f"__w{k}"),
                              F.col(f"__c{k}").alias(f"__cw{k}")),
@@ -763,6 +790,25 @@ def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
                 counts[k].select(F.col(f"__k{k}").alias(f"__p{k}"),
                                  F.col(f"__c{k}").alias(f"__cp{k}")),
                 f"__p{k}", "left")
+    if head:
+        hmap = F.create_map(*[F.lit(x) for kv in head.items() for x in kv])
+        cw1h, cp1h = hmap[F.col("__w1")], hmap[F.col("__p1")]
+        fully_head = cw1h.isNotNull() & cp1h.isNotNull()
+        # head-resolved occurrences never enter the unigram Exchanges
+        resolved = (joined.filter(fully_head)
+                    .withColumn("__cw1", cw1h).withColumn("__cp1", cp1h))
+        tail = counts[1].filter(~F.col("__k1").isin(list(head)))
+        rest = (joined.filter(~fully_head)
+                .join(tail.select(F.col("__k1").alias("__w1"),
+                                  F.col("__c1").alias("__cwt")),
+                      "__w1", "left")
+                .join(tail.select(F.col("__k1").alias("__p1"),
+                                  F.col("__c1").alias("__cpt")),
+                      "__p1", "left")
+                .withColumn("__cw1", F.coalesce(cw1h, F.col("__cwt")))
+                .withColumn("__cp1", F.coalesce(cp1h, F.col("__cpt")))
+                .drop("__cwt", "__cpt"))
+        joined = resolved.unionByName(rest)
     if not streaming:
         joined = joined.crossJoin(F.broadcast(totals))
     a = F.lit(backoff)
@@ -779,14 +825,15 @@ def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
 
 def ngram_lm_score(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", backoff: float = 0.4,
-                   order: int = 3) -> DataFrame:
+                   order: int = 3, head_k: int | None = None) -> DataFrame:
     """In-corpus stupid-backoff quality score: fit ``ngram_lm_model``
     on the corpus itself and apply it — the higher-order siblings of
-    ``bigram_lm_score`` (``order=5`` is the CCNet filter shape)."""
+    ``bigram_lm_score`` (``order=5`` is the CCNet filter shape).
+    ``head_k`` forwards to ``ngram_lm_apply``'s Zipf-head split."""
     return ngram_lm_apply(df, ngram_lm_model(df, text_col, id_col,
                                              order=order),
                           text_col=text_col, id_col=id_col,
-                          backoff=backoff)
+                          backoff=backoff, head_k=head_k)
 
 
 def collapse_repeats(df: DataFrame, text_col: str = "text",

@@ -159,6 +159,65 @@ def test_snapshot_without_bloom_raises_on_read_bloom(spark, tmp_path):
         read_bloom(spark, str(tmp_path), "digests")
 
 
+def test_snapshot_append_generation(spark, tmp_path):
+    """write_snapshot(mode='append'): drop rows land in the standing
+    probe tables (bucket-spec preserved), the blooms fold the drop in
+    under pinned geometry, the manifest records lineage — and every
+    probe against the appended snapshot is ROW-IDENTICAL to one
+    against a from-scratch rebuild over prior UNION drop (the check
+    that catches a silently mis-bucketed append)."""
+    from scespet_spark.operators.dedup import (incremental_keep,
+                                               incremental_segment_dedup)
+    from scespet_spark.operators.snapshot import (read_bloom,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    prior = _docs(spark, [(100 + i, f"prior doc {i} body text content")
+                          for i in range(6)])
+    drop1 = _docs(spark, [(200 + i, f"gen one doc {i} fresh text body")
+                          for i in range(5)])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, bloom_fpp=0.01, bucket_probes=4)
+    appended = write_snapshot(snap, docs=drop1, mode="append")
+    assert {"digests", "segments", "grams", "bands",
+            "bloom_digests"} <= set(appended)
+    # probe drop2 against the appended snapshot vs a scratch rebuild
+    drop2 = _docs(spark, [(300, "prior doc 2 body text content"),   # gen-0 dup
+                          (301, "gen one doc 3 fresh text body"),   # gen-1 dup
+                          (302, "genuinely novel text never seen")])
+    tables = read_snapshot(spark, snap)
+    scratch = str(tmp_path / "scratch")
+    write_snapshot(scratch, docs=prior.unionByName(drop1),
+                   bucket_probes=4)
+    ref = read_snapshot(spark, scratch)
+    got = sorted(map(tuple, incremental_keep(
+        drop2, tables["digests"],
+        prior_digest_col="content_hash").collect()))
+    exp = sorted(map(tuple, incremental_keep(
+        drop2, ref["digests"], prior_digest_col="content_hash").collect()))
+    assert got == exp and len(got) == 1 and got[0][0] == 302
+    got_seg = sorted(map(tuple, incremental_segment_dedup(
+        drop2, prior_segments=tables["segments"]).collect()))
+    exp_seg = sorted(map(tuple, incremental_segment_dedup(
+        drop2, prior_segments=ref["segments"]).collect()))
+    assert got_seg == exp_seg
+    # the folded bloom sees BOTH generations' digests
+    bloom = read_bloom(spark, snap, "digests")
+    both = tables["digests"].select("content_hash")
+    att = __import__("scespet_spark.operators.bloom",
+                     fromlist=["bloom_attach"]).bloom_attach(
+        both, bloom, "content_hash")
+    assert att.filter(~F.col("__bloom_maybe")).count() == 0
+    # lineage recorded; params with append raise
+    import json
+    manifest = json.loads((tmp_path / "snap" / "manifest.json").read_text())
+    assert [g["gen"] for g in manifest["generations"]] == [1]
+    assert manifest["blooms"]["digests"]["n"] > 6
+    with pytest.raises(ValueError, match="append"):
+        write_snapshot(snap, docs=drop1, mode="append", digest_wide=True)
+    with pytest.raises(ValueError, match="needs docs"):
+        write_snapshot(snap, mode="append")
+
+
 def test_bloom_probe_plan_is_map_only(spark):
     """The literal-array bloom membership test must add NO
     join/Exchange — pure codegen arithmetic."""

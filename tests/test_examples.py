@@ -45,14 +45,18 @@ def test_live_pipeline_example(spark, tmp_path, capsys):
 
 
 def test_crawl_capstone_example(spark, tmp_path):
-    """The continuous-crawl capstone (r9 form): url_dedup -> substring
+    """The continuous-crawl capstone (r10 form): url_dedup -> substring
     snapshot probe -> WIDE content gate -> language gate -> quality
     gate -> split_assign -> checkpointed shard sink, with a snapshot
-    AND model refresh between drops.  The engineered drop-2 duplicate
-    of a drop-1 survivor must die at the refreshed snapshot's content
-    gate while its source survives; drop-2 serving must pick up the
-    refreshed classifier weights; and the snapshot sides of the gate
-    joins must scan BUCKETED with zero snapshot-side Exchange."""
+    AND model refresh between drops.  The refresh is now a GENERATION
+    APPEND (write_snapshot mode="append"): drop-1 survivors' digests
+    land in snap0's standing bucketed tables (cost ∝ the drop, no
+    snapshot rewrite) and the engineered drop-2 duplicate of a drop-1
+    survivor must die through that APPENDED artifact while its source
+    survives; drop-2 serving must pick up the refreshed classifier
+    weights; and the snapshot sides of the gate joins must scan
+    BUCKETED with zero snapshot-side Exchange — appended files
+    included."""
     import live_pipeline
     from pyspark.sql import functions as F
     work = str(tmp_path / "capstone")
@@ -84,7 +88,13 @@ def test_crawl_capstone_example(spark, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        snap = read_snapshot(spark, f"{work}/snap1")
+        # snap0 now carries the appended drop-1 generation
+        import json
+        manifest = json.loads(
+            open(f"{work}/snap0/manifest.json").read())
+        assert [g["gen"] for g in manifest["generations"]] == [1]
+        assert "digests" in manifest["generations"][0]["appended"]
+        snap = read_snapshot(spark, f"{work}/snap0")
         batch = spark.read.parquet(f"{work}/stage1")
         d1, d2 = digest_cols(F.col("text"), wide=True)
         content = (batch

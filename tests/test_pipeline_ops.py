@@ -2143,6 +2143,61 @@ def test_trigram_lm_matches_python_model(spark):
     assert p[200] > p[201]
 
 
+def test_trigram_lm_head_split_bit_identical(spark):
+    """head_k (the explicit Zipf-head split of the unigram joins,
+    r10): bit-identical to the plain path at every split point —
+    head covering nothing useful, part of the vocab, and the WHOLE
+    vocab (tail empty) — and still exact when the head map must
+    coalesce over mixed head/tail (scored-token, backoff-prefix)
+    pairs."""
+    from scespet_spark.operators.text import ngram_lm_score
+    corpus = [
+        "the cat sat on the mat",
+        "the cat sat on the rug",
+        "a dog sat on a log",
+        "the dog ran to the log",
+        "zz qq ww ee rr tt yy",       # all-tail doc
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                 "doc_id long, text string")
+    plain = {r.doc_id: (r.n_ngrams, r.mean_logp)
+             for r in ngram_lm_score(docs).collect()}
+    for hk in (1, 3, 1000):
+        got = {r.doc_id: (r.n_ngrams, r.mean_logp)
+               for r in ngram_lm_score(docs, head_k=hk).collect()}
+        assert got == plain, hk
+    with pytest.raises(ValueError, match="head_k"):
+        ngram_lm_score(docs, head_k=0)
+
+
+def test_trigram_lm_head_split_reuses_exchanges_when_shuffling(spark):
+    """The head split's cost model at the design point: when the count
+    tables exceed the broadcast threshold (forced here by disabling
+    auto-broadcast), the two branches REUSE the k>=2 join Exchanges —
+    the hash-explode pipeline is not recomputed — and the plan carries
+    the head literal map, so head-resolved occurrences skip the
+    unigram join entirely.  (Below the threshold everything
+    broadcasts, no Exchange exists to save, and head_k only adds map
+    work — measured in SCALE.md; head_k is a past-broadcast-scale
+    knob.)"""
+    from scespet_spark.operators.text import ngram_lm_score
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat plus word%d tail" % i)
+         for i in range(40)], "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ngram_lm_score(docs, head_k=4)
+        plain = ngram_lm_score(docs)
+        got = sorted(map(tuple, out.collect()))
+        assert got == sorted(map(tuple, plain.collect()))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+        assert "keys: [" in plan or "map(" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_perplexity_filter_trigram_order(spark):
     """perplexity_filter(order=3) gates on the trigram stupid-backoff
     score: survivors are exactly the docs at/above the frac-quantile

@@ -187,6 +187,10 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
     from scespet_spark.operators.text import ngram_lm_score
     ops.update({
         "trigram_lm": lambda d, e: noop(ngram_lm_score(d)),
+        # r10 A/B: the explicit Zipf-head split of the unigram joins —
+        # head-resolved occurrences never enter the unigram Exchange
+        "trigram_lm_head": lambda d, e: noop(
+            ngram_lm_score(d, head_k=256)),
     })
 
     # late-r9 additions.  ccnet_buckets: LM occurrence rows grow ~mult
