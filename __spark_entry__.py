@@ -4993,6 +4993,29 @@ def dedup_incremental_near(spark, sf_dir):
                                 docs.filter(F.col("doc_id") % 3 == 0))
 
 
+@query("dedup_incremental_near_bloom", _ORACLES["dedup_incremental_near"])
+def dedup_incremental_near_bloom(spark, sf_dir):
+    """dedup_incremental_near through the snapshot's band Bloom (r10):
+    the filter keys on the derived single-column band key
+    (`dedup.band_bloom_key` — the same expression builds and probes),
+    new band rows the sketch rules out of the prior never enter the
+    probe join, and the residue broadcasts into the prior band table.
+    Row-identical to the plain probe at any fpp (a false-positive band
+    row joins and finds nothing) — same oracle."""
+    from scespet_spark.operators.bloom import bloom_build, bloom_row
+    from scespet_spark.operators.dedup import (band_bloom_key,
+                                               banded_signatures,
+                                               incremental_near_dup)
+    docs = load_table(spark, sf_dir, "documents")
+    pb = banded_signatures(docs.filter(F.col("doc_id") % 3 == 0))
+    keys = pb.select(band_bloom_key().alias("__bk"))
+    words, m, k = bloom_build(keys, "__bk",
+                              n_items=max(1, keys.count()), fpp=0.01)
+    bloom = {"m": m, "k": k, "row": bloom_row(words, m)}
+    return incremental_near_dup(docs.filter(F.col("doc_id") % 3 != 0),
+                                prior_bands=pb, prior_bloom=bloom)
+
+
 def _winnow_ctes(n=3, w=4):
     from scespet_spark.operators.dedup import MH_PRIME, sh_coeff
     terms = " + ".join(

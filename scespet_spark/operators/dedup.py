@@ -92,7 +92,8 @@ def exact_groups(df: DataFrame, text_col: str = "text",
 
 
 def _bloom_probe(df: DataFrame, pri: DataFrame, keys: list[str],
-                 prior_bloom: dict | None, want_hits: bool = False):
+                 prior_bloom: dict | None, want_hits: bool = False,
+                 probe_col=None):
     """The prior-membership probe of every incremental dedup: returns
     ``(kept, hits)`` — rows of ``df`` whose key set is absent from /
     present in ``pri`` (``hits`` only when ``want_hits``).  Output is
@@ -122,16 +123,19 @@ def _bloom_probe(df: DataFrame, pri: DataFrame, keys: list[str],
 
     The filter probes the FIRST digest column only (a 60-bit
     pre-filter in front of a wide election stays exact: the residue
-    joins key on ALL digest columns).  On a STREAMING ``df`` the
-    residue flip is illegal (a stream side cannot re-broadcast), so
-    the bloom split composes with plain stream-static joins — the
-    map-side suppression still shrinks the per-batch join input."""
+    joins key on ALL digest columns); ``probe_col`` overrides it for
+    composite keys whose Bloom was built on a derived expression
+    (`band_bloom_key`).  On a STREAMING ``df`` the residue flip is
+    illegal (a stream side cannot re-broadcast), so the bloom split
+    composes with plain stream-static joins — the map-side suppression
+    still shrinks the per-batch join input."""
     if prior_bloom is None:
         kept = df.join(pri, keys, "left_anti")
         hits = df.join(pri, keys, "left_semi") if want_hits else None
         return kept, hits
     from .bloom import bloom_attach
-    att = bloom_attach(df, prior_bloom, keys[0])
+    att = bloom_attach(df, prior_bloom,
+                       keys[0] if probe_col is None else probe_col)
     t = F.col("__bloom_maybe")
     maybe = att.filter(t).drop("__bloom_maybe")
     novel = att.filter(~t).drop("__bloom_maybe")
@@ -937,11 +941,20 @@ def banded_signatures(df: DataFrame, id_col: str = "doc_id",
     ).select(id_col, "bb.band", "bb.band_hash")
 
 
+def band_bloom_key() -> Column:
+    """The single-column Bloom key for the (band, band_hash) composite
+    probe — the identical expression must derive it on the snapshot
+    build side and the crawl probe side, or inserted keys could test
+    negative (bloom.py's no-false-negative contract)."""
+    return F.xxhash64(F.col("band"), F.col("band_hash"))
+
+
 def incremental_near_dup(new: DataFrame, prior: DataFrame | None = None,
                          id_col: str = "doc_id", text_col: str = "text",
                          num_hashes: int = 16, bands: int = 4,
                          shingle_n: int = 3,
-                         prior_bands: DataFrame | None = None) -> DataFrame:
+                         prior_bands: DataFrame | None = None,
+                         prior_bloom: dict | None = None) -> DataFrame:
     """Near-duplicate counterpart of ``incremental_keep``: flag NEW
     documents that LSH-collide with the PRIOR corpus — i.e. share at
     least one minhash band bucket — returning ``(id_col, n_hit_bands)``
@@ -955,7 +968,14 @@ def incremental_near_dup(new: DataFrame, prior: DataFrame | None = None,
     ``bands`` rows each, the join key (band, band_hash) is uniformly
     distributed, and neither side's text or vectors move.  The
     within-batch near-dup pass stays ``lsh_candidate_pairs`` on the
-    batch alone."""
+    batch alone.
+
+    ``prior_bloom`` (the snapshot's ``bloom_bands`` artifact, keyed on
+    `band_bloom_key` — snapshot.read_bloom): band rows the sketch
+    rules out of the prior never enter the probe join; the residue
+    broadcasts into the prior band table (`_bloom_probe`).  Output
+    row-identical at any fpp (a false-positive band row joins and
+    finds nothing)."""
     if prior is None and prior_bands is None:
         raise ValueError("incremental_near_dup needs the prior corpus: "
                          "pass prior= (text) or prior_bands= (the "
@@ -969,8 +989,9 @@ def incremental_near_dup(new: DataFrame, prior: DataFrame | None = None,
                                         num_hashes=num_hashes, bands=bands,
                                         shingle_n=shingle_n)
     pb = prior_bands.select("band", "band_hash").distinct()
-    return (nb.join(pb, ["band", "band_hash"])
-            .groupBy(id_col)
+    _, hits = _bloom_probe(nb, pb, ["band", "band_hash"], prior_bloom,
+                           want_hits=True, probe_col=band_bloom_key())
+    return (hits.groupBy(id_col)
             .agg(F.count_distinct("band").alias("n_hit_bands")))
 
 
@@ -1138,7 +1159,8 @@ def incremental_embedding_near_dup(new: DataFrame,
                                    vec_col: str = "embedding",
                                    block_code: Column | None = None,
                                    dim: int = 64, bits: int = 6,
-                                   threshold: float = 0.99) -> DataFrame:
+                                   threshold: float = 0.99,
+                                   prior_bloom: dict | None = None) -> DataFrame:
     """Embedding-cosine counterpart of ``incremental_near_dup``: flag
     NEW vectors whose cosine against ANY prior-snapshot vector in their
     sign-LSH block reaches ``threshold`` — returning ``(id, prior_id,
@@ -1150,12 +1172,22 @@ def incremental_embedding_near_dup(new: DataFrame,
     re-read the corpus); the probe is a block-key equi-join, so each
     new vector meets only its block's prior members (bounded by LSH
     collision density, never all-pairs), and verification cosines are
-    computed only on those candidates."""
+    computed only on those candidates.
+
+    ``prior_bloom`` (the snapshot's ``bloom_blocks`` artifact): new
+    vectors whose block the sketch rules out of the prior drop
+    MAP-SIDE before the block Exchange — the vector payload (the heavy
+    column here) never shuffles for them.  A false positive joins an
+    absent block and finds nothing: output row-identical at any fpp."""
     from .similarity import cosine, sign_lsh_code
     blk = (block_code if block_code is not None
            else sign_lsh_code(F.col(vec_col), dim=dim, bits=bits))
     n = new.select(F.col(id_col), blk.alias("block"),
                    F.col(vec_col).cast("array<double>").alias("__nv"))
+    if prior_bloom is not None:
+        from .bloom import bloom_attach
+        n = (bloom_attach(n, prior_bloom, "block")
+             .filter(F.col("__bloom_maybe")).drop("__bloom_maybe"))
     p = prior_blocks.select(F.col(id_col).alias("prior_id"), "block",
                             F.col("vec").alias("__pv"))
     cos = F.round(cosine(F.col("__nv"), F.col("__pv")), 6)

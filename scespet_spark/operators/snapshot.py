@@ -84,6 +84,21 @@ _BUCKET_KEYS = {"digests": ["content_hash"], "grams": ["__g"],
                 "blocks": ["block"]}
 
 
+def _bloom_probe_key(name: str):
+    """(key Column aliased ``__bk``, manifest description) for a probe
+    family's Bloom — ONE place defines each family's key derivation so
+    build (write/append) and probe sides can never drift.  The bands
+    family keys on a derived single column over its composite
+    (band, band_hash) key (`dedup.band_bloom_key`)."""
+    from pyspark.sql import functions as F
+    if name == "bands":
+        from .dedup import band_bloom_key
+        return band_bloom_key().alias("__bk"), "xxhash64(band, band_hash)"
+    col = {"digests": "content_hash", "segments": "__d",
+           "grams": "__g", "blocks": "block"}[name]
+    return F.col(col).alias("__bk"), col
+
+
 def _snap_table(out_dir: str, name: str) -> str:
     """Deterministic catalog name for a snapshot's bucketed probe
     table (unique per snapshot directory, stable across sessions)."""
@@ -255,29 +270,31 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
 
     bloom_meta: dict[str, dict] = {}
 
-    def _bloom_w(name: str, probe_col: str) -> None:
+    def _bloom_w(name: str) -> None:
         """Write the family's Bloom pre-filter word table, sized from
-        the JUST-WRITTEN artifact (read back — one cheap scan of one
-        int column; re-deriving the digests would redo the family's
-        shuffle)."""
+        the JUST-WRITTEN artifact (read back — one cheap scan of the
+        key column(s); re-deriving the digests would redo the family's
+        shuffle).  Key derivation is `_bloom_probe_key` — the single
+        definition the probes share."""
         if not bloom_fpp:
             return
         from .bloom import bloom_build
+        key, desc = _bloom_probe_key(name)
         path = os.path.join(out_dir, name)
         meta = bucket_tables.get(name)
         # an EMPTY family (e.g. no doc reaches min_len grams) writes no
         # part files under bucketing, so parquet schema inference would
         # fail — the catalog entry still knows the schema
         src = (spark_of.table(meta["table"]) if meta
-               else spark_of.read.parquet(path)).select(probe_col)
+               else spark_of.read.parquet(path)).select(key)
         n = max(1, src.count())
-        words, m_bits, k = bloom_build(src, probe_col, n_items=n,
+        words, m_bits, k = bloom_build(src, "__bk", n_items=n,
                                        fpp=bloom_fpp)
         bname = f"bloom_{name}"
         words.write.mode("overwrite").parquet(
             os.path.join(out_dir, bname))
         bloom_meta[name] = {"m": m_bits, "k": k, "n": n,
-                            "col": probe_col}
+                            "col": desc}
         written.append(bname)
 
     spark_of = next(d for d in (docs, emb, labeled, lang_labeled)
@@ -285,21 +302,22 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
 
     if docs is not None:
         _w("digests", exact_groups(docs, wide=digest_wide))
-        _bloom_w("digests", "content_hash")
+        _bloom_w("digests")
         _w("bands", banded_signatures(docs, num_hashes=num_hashes,
                                       bands=bands, shingle_n=shingle_n))
+        _bloom_w("bands")
         from .dedup import segment_digests
         seg_cols = ["__d", "__d2"] if digest_wide else ["__d"]
         _w("segments", segment_digests(docs, size=segment_size,
                                        wide=digest_wide)
            .select(*seg_cols).distinct())
-        _bloom_w("segments", "__d")
+        _bloom_w("segments")
         from .dedup import gram_digests
         gram_cols = ["__g", "__g2"] if digest_wide else ["__g"]
         _w("grams", gram_digests(docs, min_len=sub_min_len,
                                  wide=digest_wide)
            .select(*gram_cols).distinct())
-        _bloom_w("grams", "__g")
+        _bloom_w("grams")
         from .text import bigram_lm_model
         bgc, prec, vocab = bigram_lm_model(docs)
         _w("lm_bigrams", bgc)
@@ -355,6 +373,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
            lang_id_fit(lang_labeled, n_buckets=lang_buckets))
     if emb is not None:
         _w("blocks", embedding_block_table(emb, bits=lsh_bits))
+        _bloom_w("blocks")
         cents = label_centroids(emb)
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
@@ -432,9 +451,9 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
         if not meta:
             return
         from .bloom import bloom_build, bloom_merge
-        col = meta["col"]
-        keys = df.select(col)
-        new_words, _, _ = bloom_build(keys, col, m_bits=meta["m"],
+        key, _desc = _bloom_probe_key(name)
+        keys = df.select(key)
+        new_words, _, _ = bloom_build(keys, "__bk", m_bits=meta["m"],
                                       k=meta["k"])
         path = os.path.join(out_dir, f"bloom_{name}")
         merged = bloom_merge(spark.read.parquet(path), new_words)

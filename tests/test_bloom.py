@@ -117,6 +117,48 @@ def test_incremental_substring_dedup_bloom_row_identical(spark):
     assert plain == fast and len(plain) > 0
 
 
+def test_incremental_near_dup_bloom_row_identical(spark):
+    """The LSH band probe through a deliberately undersized bloom over
+    the derived band key: identical (id, n_hit_bands) to the plain
+    path — a false-positive band row joins and finds nothing."""
+    from scespet_spark.operators.dedup import (band_bloom_key,
+                                               banded_signatures,
+                                               incremental_near_dup)
+    new = _docs(spark, [(i, f"shared shingle text body {i % 4} tail")
+                        for i in range(12)])
+    prior = _docs(spark, [(100 + i, f"shared shingle text body {i} tail")
+                          for i in range(2)])
+    pb = banded_signatures(prior)
+    words, m, k = bloom_build(pb.select(band_bloom_key().alias("__bk")),
+                              "__bk", n_items=1, fpp=0.5)
+    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    plain = sorted(map(tuple, incremental_near_dup(
+        new, prior_bands=pb).collect()))
+    fast = sorted(map(tuple, incremental_near_dup(
+        new, prior_bands=pb, prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+
+
+def test_incremental_embedding_near_dup_bloom_row_identical(spark):
+    from scespet_spark.operators.dedup import (embedding_block_table,
+                                               incremental_embedding_near_dup)
+    vecs = [(i, [1.0, 0.0, float(i % 3)]) for i in range(9)]
+    new = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    prior = spark.createDataFrame(
+        [(100 + i, [1.0, 0.0, float(i)]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    blocks = embedding_block_table(prior, dim=3, bits=4)
+    words, m, k = bloom_build(blocks.select("block"), "block",
+                              n_items=1, fpp=0.5)
+    bloom = {"m": m, "k": k, "words": bloom_dense(words, m)}
+    plain = sorted(map(tuple, incremental_embedding_near_dup(
+        new, blocks, dim=3, bits=4, threshold=0.9).collect()))
+    fast = sorted(map(tuple, incremental_embedding_near_dup(
+        new, blocks, dim=3, bits=4, threshold=0.9,
+        prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+
+
 def test_snapshot_bloom_roundtrip_and_probe(spark, tmp_path):
     """write_snapshot(bloom_fpp=...) -> read_bloom -> probe: the
     rehydrated artifact drives a row-identical incremental probe, and
@@ -130,7 +172,8 @@ def test_snapshot_bloom_roundtrip_and_probe(spark, tmp_path):
     new = _docs(spark, [(i, f"prior doc {i % 6} body text here")
                         for i in range(12)])
     written = write_snapshot(str(tmp_path), docs=prior, bloom_fpp=0.01)
-    assert {"bloom_digests", "bloom_segments", "bloom_grams"} <= set(written)
+    assert {"bloom_digests", "bloom_segments", "bloom_grams",
+            "bloom_bands"} <= set(written)
     tables = read_snapshot(spark, str(tmp_path))
     bloom = read_bloom(spark, str(tmp_path), "digests", dense=True)
     assert bloom["n"] == tables["digests"].count()
@@ -146,9 +189,9 @@ def test_snapshot_bloom_roundtrip_and_probe(spark, tmp_path):
     # prior keys all bloom-positive through the parquet roundtrip
     assert (tables["digests"]
             .filter(~bloom_filter_col(bloom, "content_hash")).count() == 0)
-    # missing-family read is loud
+    # missing-family read is loud (centroids never get a bloom)
     with pytest.raises(ValueError, match="no Bloom artifact"):
-        read_bloom(spark, str(tmp_path), "bands")
+        read_bloom(spark, str(tmp_path), "centroids")
 
 
 def test_snapshot_without_bloom_raises_on_read_bloom(spark, tmp_path):
