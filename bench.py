@@ -120,6 +120,10 @@ HEADLINE = [
     "unigram_tokenize_docs",
     "range_join_price_bands",
     "exact_quantiles_by_source",
+    # round 10 additions
+    "dedup_incremental_bloom",
+    "dedup_incremental_near_bloom",
+    "temperature_mixture_docs",
 ]
 
 
