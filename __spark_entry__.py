@@ -6134,6 +6134,35 @@ def filter_stack_docs(spark, sf_dir):
                         .when(F.col("ppl_keep") == 0, "perplexity")))
 
 
+@query("filter_funnel_report", """
+WITH base AS ({stack}),
+c AS (SELECT dropped_by, COUNT(*) AS n FROM base
+      WHERE dropped_by IS NOT NULL GROUP BY dropped_by),
+t AS (SELECT COUNT(*) AS total FROM base),
+o AS (SELECT * FROM (VALUES ('c4', 1), ('gopher', 2),
+                            ('perplexity', 3)) AS v(stage, ord))
+SELECT stage, coalesce(n, 0)::BIGINT AS n_dropped,
+       (total - SUM(coalesce(n, 0)) OVER (ORDER BY ord))::BIGINT
+         AS survivors_after
+FROM o LEFT JOIN c ON c.dropped_by = o.stage, t
+ORDER BY stage
+""".format(stack=_FILTER_STACK_ORACLE.format(
+    c4=_C4_SQL, g=_ORACLES["gopher_quality_docs"],
+    p=_ORACLES["perplexity_filter_docs"])))
+def filter_funnel_report(spark, sf_dir):
+    """The cleaning-pipeline FUNNEL report (r10): per-gate drop counts
+    and cumulative survivors over the filter_stack_docs chain — the
+    accounting table a production pipeline publishes with every drop
+    (which gate is doing the work; an unexpected shift is the first
+    sign of crawl drift).  ONE combinable count aggregate over the
+    corpus; the cumulative walk is a window over the <= |stages|+1
+    aggregated rows, never data; unknown audit values raise rather
+    than overstate survivors."""
+    from scespet_spark.operators.pipeline import gate_funnel
+    return gate_funnel(filter_stack_docs(spark, sf_dir),
+                       ["c4", "gopher", "perplexity"])
+
+
 from scespet_spark.operators.dedup import MH_PRIME  # noqa: E402
 
 _GOPHER_REP_ORACLE = f"""

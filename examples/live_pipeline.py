@@ -219,7 +219,7 @@ def _cap_stage1b(spark, stage1_out: str, out: str, ckpt: str) -> None:
     write_parquet(capped, out, ckpt)
 
 
-def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
+def _cap_gate_chain(df, snap, qc_model, lang_model, thr, blooms=None):
     """The capstone's per-drop gate chain on ANY input frame — the
     streaming stage-2 runs it per micro-batch, and the test reads the
     identical BATCH plan to assert the bucketed snapshot sides join
@@ -238,20 +238,42 @@ def _cap_gate_chain(df, snap, qc_model, lang_model, thr):
         threshold);
       * deterministic split assignment.
 
+    ``blooms`` (r10: the snapshot's ``read_bloom`` dicts for "grams" /
+    "digests") front-loads both snapshot probes with the map-side
+    membership test: gram occurrences the sketch rules out of the
+    corpus skip the semi-join (definitely not known passages), and
+    definitely-novel content digests bypass the anti-join — the
+    stream-static joins then carry only the residue per micro-batch.
+    Output row-identical at any fpp (no false negatives; positives
+    resolve exactly).
+
     Returns ``(sig, sharded)``."""
+    from scespet_spark.operators.bloom import bloom_attach
     from scespet_spark.operators.dedup import digest_cols, gram_digests
     from scespet_spark.operators.pipeline import split_assign
     from scespet_spark.operators.text import (
         gopher_repetition_filter, lang_id_apply_rowwise,
         quality_classifier_apply_rowwise)
-    sig = (gram_digests(df, min_len=_CAP_L, wide=True)
-           .join(snap["grams"], ["__g", "__g2"], "left_semi")
+    occ = gram_digests(df, min_len=_CAP_L, wide=True)
+    if blooms and "grams" in blooms:
+        occ = (bloom_attach(occ, blooms["grams"], "__g")
+               .filter(F.col("__bloom_maybe")).drop("__bloom_maybe"))
+    sig = (occ.join(snap["grams"], ["__g", "__g2"], "left_semi")
            .select("doc_id", "pos"))
     d1, d2 = digest_cols(F.col("text"), wide=True)
-    kept = (df.withColumn("content_hash", d1)
-            .withColumn("content_hash2", d2)
-            .join(snap["digests"].select("content_hash", "content_hash2"),
-                  ["content_hash", "content_hash2"], "left_anti"))
+    hashed = (df.withColumn("content_hash", d1)
+              .withColumn("content_hash2", d2))
+    pri = snap["digests"].select("content_hash", "content_hash2")
+    if blooms and "digests" in blooms:
+        att = bloom_attach(hashed, blooms["digests"], "content_hash")
+        maybe = att.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
+        novel = att.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
+        kept = (maybe.join(pri, ["content_hash", "content_hash2"],
+                           "left_anti")
+                .unionByName(novel))
+    else:
+        kept = hashed.join(pri, ["content_hash", "content_hash2"],
+                           "left_anti")
     kept = (gopher_repetition_filter(kept).filter(F.col("keep") == 1)
             .drop("dup_line_frac", "dup_2gram_frac", "dup_3gram_frac",
                   "dup_4gram_frac", "keep"))
@@ -280,17 +302,28 @@ def _cap_stage2(spark, stage1_out: str, snap_dir: str, qc_model,
     (per-micro-batch cost is the arriving docs only, zero corpus
     passes), and the snapshot sides are BUCKETED probe tables — zero
     snapshot-side Exchange per batch."""
-    from scespet_spark.operators.snapshot import check_compat, read_snapshot
+    from scespet_spark.operators.snapshot import (check_compat,
+                                                  read_bloom,
+                                                  read_snapshot)
     from scespet_spark.streaming.live import write_parquet
     check_compat(snap_dir, spark=spark, digest_wide=True,
                  sub_min_len=_CAP_L)
     snap = read_snapshot(spark, snap_dir)
+    # r10: rehydrate the snapshot Blooms (written with bloom_fpp=,
+    # folded by every generation append) — absent on older snapshots,
+    # in which case the gates run plain
+    blooms = {}
+    for fam in ("digests", "grams"):
+        try:
+            blooms[fam] = read_bloom(spark, snap_dir, fam)
+        except ValueError:
+            pass
     stream = (spark.readStream
               .schema("canon_url string, doc_id long, text string, "
                       "lang string, source string")
               .option("maxFilesPerTrigger", 1).parquet(stage1_out))
     sig, sharded = _cap_gate_chain(stream, snap, qc_model, lang_model,
-                                   thr)
+                                   thr, blooms=blooms or None)
     write_parquet(sig, sig_out, sig_ckpt)
     write_parquet(sharded, out, ckpt, partition_by=["split"])
 
@@ -371,8 +404,11 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
     sig_out, sig_ck = f"{work}/signals", f"{work}/ck_sig"
 
     # ---- snapshot 0 (prior corpus only), drop 1 --------------------
+    # bloom_fpp: the probe pre-filter artifacts (r10) — the live gates
+    # suppress definitely-novel digests/grams map-side per micro-batch
     write_snapshot(f"{work}/snap0", docs=prior, sub_min_len=_CAP_L,
-                   digest_wide=True, bucket_probes=_CAP_PROBE_BUCKETS)
+                   digest_wide=True, bucket_probes=_CAP_PROBE_BUCKETS,
+                   bloom_fpp=0.01)
     # drop 1 carries two engineered rows: a blocked-URL doc (unique
     # URL, but the pre-fetch rule gate must kill it on the keyword)
     # and a repetition-spam doc (clean unique URL, novel content — it

@@ -335,6 +335,55 @@ def pack_sequences_bestfit(df: DataFrame, budget: int,
         _pack, f"{id_col} long, n_tokens long, seq_id long, oversize int")
 
 
+def gate_funnel(df: DataFrame, stages: list[str],
+                stage_col: str = "dropped_by") -> DataFrame:
+    """Per-gate drop accounting — the funnel report every production
+    cleaning pipeline publishes alongside its output: given a frame
+    with a first-failing-stage audit column (``filter_stack``'s
+    ``dropped_by``; NULL = survived), return one row per stage IN
+    PIPELINE ORDER with ``(stage, n_dropped, survivors_after)``.
+
+    A value in ``stage_col`` outside ``stages`` raises ON THE DATA
+    (count check): a silently ignored stage would overstate survivors.
+
+    Scale shape: ONE map-side-combinable count aggregate over the
+    corpus (output <= len(stages)+1 rows); the cumulative walk runs as
+    a window over that tiny aggregate — the single-partition window is
+    over |stages| rows, never data."""
+    if not stages:
+        raise ValueError("need at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"duplicate stage names: {stages}")
+    ordmap = F.when(F.col(stage_col).isNull(), F.lit(len(stages)))
+    for i, s in enumerate(stages):
+        ordmap = ordmap.when(F.col(stage_col) == s, F.lit(i))
+    counts = (df.select(ordmap.alias("__ord"))
+              .groupBy("__ord").agg(F.count("*").alias("__n")))
+    bad = counts.filter(F.col("__ord").isNull()).count()
+    if bad:
+        raise ValueError(
+            f"{stage_col} holds values outside stages={stages} — a "
+            f"silently ignored stage would overstate survivors")
+    from pyspark.sql import Window
+    spark = df.sparkSession
+    order = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stages)], "__ord int, stage string")
+    # the window runs over <= len(stages)+1 aggregated rows
+    w = Window.orderBy("__ord").rowsBetween(Window.unboundedPreceding, 0)
+    full = (order.join(counts, "__ord", "left")
+            .select("__ord", "stage",
+                    F.coalesce("__n", F.lit(0)).alias("n_dropped")))
+    total = (counts.agg(F.sum("__n").alias("t"))
+             .select(F.coalesce("t", F.lit(0)).alias("t")))
+    return (full.crossJoin(F.broadcast(total))
+            .withColumn("survivors_after",
+                        (F.col("t") - F.sum("n_dropped").over(w))
+                        .cast("long"))
+            .select("stage", F.col("n_dropped").cast("long")
+                    .alias("n_dropped"), "survivors_after")
+            .orderBy("stage"))
+
+
 def shuffle_deterministic(df: DataFrame, seed: str = "42",
                           n_shards: int = 64,
                           id_col: str = "doc_id") -> DataFrame:

@@ -2667,6 +2667,26 @@ def test_exact_quantiles_by_validates(spark):
         exact_quantiles_by(empty, "v", [0.5], "g")
 
 
+def test_gate_funnel_counts_and_order(spark):
+    """gate_funnel: per-stage drops in PIPELINE order with cumulative
+    survivors; zero-drop stages appear with 0; unknown audit values
+    raise instead of overstating survivors."""
+    from scespet_spark.operators.pipeline import gate_funnel
+    rows = ([(i, "c4") for i in range(3)]
+            + [(10 + i, "perplexity") for i in range(2)]
+            + [(20 + i, None) for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, dropped_by string")
+    got = {r.stage: (r.n_dropped, r.survivors_after) for r in
+           gate_funnel(df, ["c4", "gopher", "perplexity"]).collect()}
+    assert got == {"c4": (3, 7), "gopher": (0, 7), "perplexity": (2, 5)}
+    with pytest.raises(ValueError, match="outside stages"):
+        gate_funnel(df, ["c4", "gopher"]).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        gate_funnel(df, ["c4", "c4"])
+    with pytest.raises(ValueError, match="at least one"):
+        gate_funnel(df, [])
+
+
 def test_exact_quantiles_all_equal_resolves_without_funnel(spark):
     """mn == mx over the whole corpus must resolve every quantile to
     that value directly — never fall through to a TakeOrdered(r)
