@@ -112,7 +112,11 @@ def _bloom_probe(df: DataFrame, pri: DataFrame, keys: list[str],
       processing) is distinct-collected and BROADCAST into the prior
       scan: the prior resolves exact membership via a broadcast-hash
       semi-join — a map-only columnar scan of its digest column with
-      ZERO prior-side Exchange;
+      ZERO prior-side Exchange (set ``residue_broadcast: False`` on
+      the bloom dict for adversarial near-all-duplicate drops, whose
+      residue approaches the drop and would broadcast heavy — the
+      probe then keeps the map-side suppression but runs the exact
+      join shuffle-hash);
     * the surviving hit set (true dup digests only — false positives
       die here) is itself residue-sized, and broadcasts back against
       the drop for the final anti/semi.
@@ -139,7 +143,13 @@ def _bloom_probe(df: DataFrame, pri: DataFrame, keys: list[str],
     t = F.col("__bloom_maybe")
     maybe = att.filter(t).drop("__bloom_maybe")
     novel = att.filter(~t).drop("__bloom_maybe")
-    if df.isStreaming:
+    if df.isStreaming or not prior_bloom.get("residue_broadcast", True):
+        # streaming: a stream side cannot re-broadcast.  Batch with
+        # residue_broadcast=False (set it on the read_bloom dict): the
+        # escape hatch for an adversarial near-all-duplicate drop,
+        # whose residue approaches the drop itself and would broadcast
+        # heavy — the map-side suppression still shrinks the join
+        # input; the exact join runs shuffle-hash as in the plain path.
         kept = maybe.join(pri, keys, "left_anti").unionByName(novel)
         hits = maybe.join(pri, keys, "left_semi") if want_hits else None
         return kept, hits

@@ -80,6 +80,12 @@ def test_incremental_keep_bloom_row_identical(spark, fpp):
         new, pri_dig, prior_digest_col="content_hash",
         prior_bloom=bloom).collect()))
     assert plain == fast and len(plain) > 0
+    # the all-dups escape hatch (no residue broadcast) is row-identical
+    nb = dict(bloom, residue_broadcast=False)
+    hatch = sorted(map(tuple, incremental_keep(
+        new, pri_dig, prior_digest_col="content_hash",
+        prior_bloom=nb).collect()))
+    assert hatch == plain
 
 
 def test_incremental_segment_dedup_bloom_row_identical(spark):
