@@ -297,8 +297,12 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                             "col": desc}
         written.append(bname)
 
-    spark_of = next(d for d in (docs, emb, labeled, lang_labeled)
-                    if d is not None).sparkSession
+    # None when no source frame was passed: the per-family checks
+    # below raise their specific errors (e.g. "bpe_merges needs docs")
+    # before anything touches the session
+    _src = next((d for d in (docs, emb, labeled, lang_labeled)
+                 if d is not None), None)
+    spark_of = _src.sparkSession if _src is not None else None
 
     if docs is not None:
         _w("digests", exact_groups(docs, wide=digest_wide))
@@ -378,6 +382,10 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
     import json
+    if spark_of is None:
+        raise ValueError(
+            "write_snapshot needs at least one of docs/emb/labeled/"
+            "lang_labeled")
     _fs_write_text(
         spark_of, os.path.join(out_dir, "manifest.json"),
         json.dumps({"num_hashes": num_hashes, "bands": bands,
