@@ -6163,6 +6163,88 @@ def filter_funnel_report(spark, sf_dir):
                        ["c4", "gopher", "perplexity"])
 
 
+_PR_THRESHOLDS = (-1.0, -0.5, 0.0, 0.5, 1.0)
+
+
+@query("quality_pr_curve", """
+WITH lab AS (SELECT s.doc_id, s.score, (d.lang = 'en')::INT AS y
+             FROM ({qc}) s JOIN documents d USING (doc_id)),
+thr AS (SELECT CAST(t AS DOUBLE) AS threshold
+        FROM (VALUES {vals}) AS v(t)),
+agg AS (SELECT threshold,
+               SUM((score >= threshold AND y = 1)::INT)::BIGINT AS tp,
+               SUM((score >= threshold AND y = 0)::INT)::BIGINT AS fp,
+               SUM((score <  threshold AND y = 1)::INT)::BIGINT AS fn,
+               SUM((score <  threshold AND y = 0)::INT)::BIGINT AS tn
+        FROM lab, thr GROUP BY threshold)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN round(tp / (tp + fp + 0.0), 6) END AS "precision",
+       CASE WHEN tp + fn > 0
+            THEN round(tp / (tp + fn + 0.0), 6) END AS recall,
+       CASE WHEN 2*tp + fp + fn > 0
+            THEN round(2.0 * tp / (2*tp + fp + fn), 6) END AS f1
+FROM agg ORDER BY threshold
+""".format(qc=_QC_SQL.format(target="doc_id % 3 <> 0"),
+           vals=", ".join(f"({t})" for t in _PR_THRESHOLDS)))
+def quality_pr_curve(spark, sf_dir):
+    """Classifier calibration sweep (r10): the quality classifier's
+    confusion counts + precision/recall/F1 at each candidate keep
+    threshold over the held-out split — the table a pipeline publishes
+    BEFORE wiring a score into a keep-gate (eyeballing one operating
+    point is how a quality filter silently eats half a corpus).  ONE
+    combinable aggregate pass computes all thresholds jointly; f1 uses
+    the integer-derived closed form 2tp/(2tp+fp+fn) so both engines
+    round the same division once."""
+    from scespet_spark.operators.text import (classifier_pr_curve,
+                                              quality_classifier_apply,
+                                              quality_classifier_fit)
+    docs = load_table(spark, sf_dir, "documents")
+    model = quality_classifier_fit(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=_QC_B)
+    held = docs.filter(F.col("doc_id") % 3 != 0)
+    scored = (quality_classifier_apply(held, model, n_buckets=_QC_B)
+              .join(held.select("doc_id",
+                                (F.col("lang") == "en").cast("int")
+                                .alias("label")), "doc_id"))
+    return classifier_pr_curve(scored, thresholds=_PR_THRESHOLDS)
+
+
+@query("split_leakage_report", """
+WITH {ctes},
+sp AS (SELECT doc_id,
+              CASE {case} END AS split
+       FROM (SELECT doc_id,
+                    ({h}) % {m} AS h FROM documents)),
+x AS (SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b
+      FROM pairs p
+      JOIN sp a ON p.id_a = a.doc_id
+      JOIN sp b ON p.id_b = b.doc_id
+      WHERE a.split <> b.split)
+SELECT split_a, split_b, COUNT(*)::BIGINT AS n_pairs
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+""".format(ctes=_minhash_ctes(),
+           case=" ".join(f"WHEN h < {cut} THEN '{name}'"
+                         for name, cut in _split_cuts()),
+           h=h64_sql("doc_id::VARCHAR", seed=23), m=1 << 20))
+def split_leakage_report(spark, sf_dir):
+    """Cross-split contamination check (r10): LSH near-duplicate
+    candidate pairs whose members landed in DIFFERENT train/val/test
+    splits — a frozen eval doc with a near-duplicate in train is a
+    leaked answer (Lee et al. 2021 found >1% of standard benchmark
+    splits leaked this way).  Pair generation is the band-bucket
+    equi-join (never all-pairs); the report is one count aggregate of
+    <= |splits|^2 rows.  A nonzero row means: re-split by duplicate
+    CLUSTER (connected_components), not by document."""
+    from scespet_spark.operators.dedup import split_leakage
+    from scespet_spark.operators.pipeline import split_assign
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage(split_assign(docs, _SPLIT_FRACS))
+
+
 from scespet_spark.operators.dedup import MH_PRIME  # noqa: E402
 
 _GOPHER_REP_ORACLE = f"""
@@ -6632,9 +6714,13 @@ def live_dedup_bloom(spark, sf_dir):
 _ROUND_CHANGED = [
     # brand-new this round (r10): the Bloom pre-filter snapshot
     # artifact probes (batch residue-broadcast form + live map-side
-    # suppression form) and the temperature mixture's live serving form
+    # suppression form + the band-key form), the temperature mixture's
+    # live serving form, and the pipeline-accounting trio (gate
+    # funnel, classifier PR sweep, cross-split leakage)
     "dedup_incremental_bloom", "live_dedup_bloom",
-    "live_temperature_mixture",
+    "dedup_incremental_near_bloom",
+    "live_temperature_mixture", "filter_funnel_report",
+    "quality_pr_curve", "split_leakage_report",
     # semantically changed this round: the tokenizer/packing family
     # left ROWS_ONLY — each query now emits its invariants
     # (losslessness, conservation, feasibility, model structure) for a

@@ -1032,6 +1032,41 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+def split_leakage(df: DataFrame, split_col: str = "split",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_hashes: int = 16, bands: int = 4,
+                  shingle_n: int = 3) -> DataFrame:
+    """Cross-split contamination report: MinHash-LSH near-duplicate
+    candidate pairs whose members landed in DIFFERENT dataset splits —
+    the check that a frozen eval split actually measures
+    generalization (a val doc with a near-duplicate in train is a
+    leaked answer; Lee et al. 2021 found >1% of standard benchmark
+    splits leaked this way).  Returns one row per unordered split pair
+    ``(split_a < split_b, n_pairs)`` — a nonzero row is the actionable
+    signal: re-split by duplicate CLUSTER (connected_components), not
+    by document.
+
+    Scale shape: pair generation is `lsh_candidate_pairs` (band-bucket
+    equi-join, never all-pairs); the split attach is two id-equi-joins
+    against the (id, split) projection — ints only; the report is one
+    combinable count aggregate of <= |splits|^2 rows."""
+    pairs = lsh_candidate_pairs(df, id_col=id_col, text_col=text_col,
+                                num_hashes=num_hashes, bands=bands,
+                                shingle_n=shingle_n)
+    s = df.select(F.col(id_col), F.col(split_col))
+    j = (pairs
+         .join(s.select(F.col(id_col).alias("id_a"),
+                        F.col(split_col).alias("__sa")), "id_a")
+         .join(s.select(F.col(id_col).alias("id_b"),
+                        F.col(split_col).alias("__sb")), "id_b")
+         .filter(F.col("__sa") != F.col("__sb")))
+    return (j.select(F.least("__sa", "__sb").alias("split_a"),
+                     F.greatest("__sa", "__sb").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("split_a", "split_b"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
             out: str = "simhash") -> DataFrame:
     """SimHash document signature: per-bit majority vote over the token

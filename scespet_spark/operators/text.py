@@ -1735,3 +1735,63 @@ def quality_classifier_apply(df: DataFrame, model: DataFrame,
                          + F.lit(scal[-1]), 6).alias("score"),
                  F.count("*").cast("long").alias("n_tokens"))
             .withColumn("pred", (F.col("score") > threshold).cast("int")))
+
+
+def classifier_pr_curve(scored: DataFrame, label_col: str = "label",
+                        score_col: str = "score",
+                        thresholds=(-1.0, -0.5, 0.0, 0.5, 1.0)) -> DataFrame:
+    """Threshold sweep for ANY scored + labeled frame — the
+    calibration table a pipeline publishes before wiring a score into
+    a keep-gate (choosing the cut by eyeballing one operating point is
+    how quality filters silently eat half a corpus): one row per
+    threshold with the confusion counts and
+    ``precision = tp/(tp+fp)``, ``recall = tp/(tp+fn)``,
+    ``f1 = 2*tp/(2*tp+fp+fn)`` (the integer-derived closed form — no
+    compounded rounding), all 6dp-rounded for cross-engine parity;
+    zero denominators yield NULL, never a silent 0 or 1.  Rows with a
+    NULL score or label are excluded (they have no side of the
+    confusion matrix to land on).
+
+    Scale shape: ONE map-side-combinable aggregate pass computes all
+    4 x |thresholds| conditional sums (prediction = score >= t); the
+    1-row result reshapes to |thresholds| rows via a posexploded
+    struct array — the corpus is scanned once regardless of how many
+    thresholds are swept."""
+    ts = [float(t) for t in thresholds]
+    if not ts:
+        raise ValueError("need at least one threshold")
+    if len(set(ts)) != len(ts):
+        raise ValueError(f"duplicate thresholds: {thresholds}")
+    base = scored.filter(F.col(score_col).isNotNull()
+                         & F.col(label_col).isNotNull())
+    y = F.col(label_col).cast("int") == 1
+    aggs = []
+    for i, t in enumerate(ts):
+        p = F.col(score_col) >= F.lit(t)
+        aggs += [
+            F.coalesce(F.sum((p & y).cast("long")), F.lit(0))
+             .alias(f"__tp{i}"),
+            F.coalesce(F.sum((p & ~y).cast("long")), F.lit(0))
+             .alias(f"__fp{i}"),
+            F.coalesce(F.sum(((~p) & y).cast("long")), F.lit(0))
+             .alias(f"__fn{i}"),
+            F.coalesce(F.sum(((~p) & ~y).cast("long")), F.lit(0))
+             .alias(f"__tn{i}")]
+    row = base.agg(*aggs)
+    cells = F.array(*[
+        F.struct(F.lit(t).alias("threshold"),
+                 F.col(f"__tp{i}").alias("tp"),
+                 F.col(f"__fp{i}").alias("fp"),
+                 F.col(f"__fn{i}").alias("fn"),
+                 F.col(f"__tn{i}").alias("tn"))
+        for i, t in enumerate(ts)])
+    out = (row.select(F.explode(cells).alias("c")).select("c.*"))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, F.round(tp / (tp + fp), 6))
+    rec = F.when(tp + fn > 0, F.round(tp / (tp + fn), 6))
+    f1 = F.when(2 * tp + fp + fn > 0,
+                F.round(2 * tp / (2 * tp + fp + fn), 6))
+    return (out.withColumn("precision", prec)
+            .withColumn("recall", rec)
+            .withColumn("f1", f1)
+            .orderBy("threshold"))

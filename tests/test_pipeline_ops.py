@@ -2667,6 +2667,44 @@ def test_exact_quantiles_by_validates(spark):
         exact_quantiles_by(empty, "v", [0.5], "g")
 
 
+def test_classifier_pr_curve_confusion_and_edges(spark):
+    """pr-curve: exact confusion counts at each threshold; NULL
+    precision/recall on empty denominators; NULL score/label rows
+    excluded; duplicate thresholds rejected."""
+    from scespet_spark.operators.text import classifier_pr_curve
+    rows = [(1, 0.9, 1), (2, 0.8, 0), (3, 0.4, 1), (4, 0.1, 0),
+            (5, None, 1), (6, 0.5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    got = {r.threshold: r for r in
+           classifier_pr_curve(df, thresholds=(0.5, 0.95)).collect()}
+    r5 = got[0.5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (1, 1, 1, 1)
+    assert r5.precision == 0.5 and r5.recall == 0.5 and r5.f1 == 0.5
+    r95 = got[0.95]
+    assert (r95.tp, r95.fp, r95.fn, r95.tn) == (0, 0, 2, 2)
+    assert r95.precision is None and r95.recall == 0.0 and r95.f1 == 0.0
+    with pytest.raises(ValueError, match="duplicate"):
+        classifier_pr_curve(df, thresholds=(0.5, 0.5))
+    with pytest.raises(ValueError, match="at least one"):
+        classifier_pr_curve(df, thresholds=())
+
+
+def test_split_leakage_finds_cross_split_pairs(spark):
+    """split_leakage: near-identical docs in different splits surface
+    as one (split_a < split_b, n_pairs) row; same-split dup pairs do
+    not count; disjoint docs produce nothing."""
+    from scespet_spark.operators.dedup import split_leakage
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, text, "train"), (2, text, "val"),      # cross-split dup
+            (3, text, "train"),                        # same-split dup
+            (4, "one two three four five six seven eight nine ten",
+             "test")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {(r.split_a, r.split_b): r.n_pairs
+           for r in split_leakage(df).collect()}
+    assert got == {("train", "val"): 2}  # docs 1&3 each pair with 2
+
+
 def test_gate_funnel_counts_and_order(spark):
     """gate_funnel: per-stage drops in PIPELINE order with cumulative
     survivors; zero-drop stages appear with 0; unknown audit values
