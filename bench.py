@@ -124,6 +124,9 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "dedup_incremental_near_bloom",
     "temperature_mixture_docs",
+    "filter_funnel_report",
+    "quality_pr_curve",
+    "split_leakage_report",
 ]
 
 

@@ -570,9 +570,19 @@ def read_bloom(spark: SparkSession, out_dir: str, name: str,
         raise ValueError(
             f"snapshot {out_dir} has no Bloom artifact for {name!r} — "
             f"write it with write_snapshot(..., bloom_fpp=0.01)")
+    from pyspark.sql import functions as F
     from .bloom import bloom_dense, bloom_row
     words = spark.read.parquet(os.path.join(out_dir, f"bloom_{name}"))
+    # realized-fpp estimate from the ACTUAL fill ratio, (set_bits/m)^k
+    # — the observability a generation-appended filter needs: appends
+    # fold keys into a fixed geometry, so fill (and fpp) drifts up
+    # with every drop; rebuild the filter when est_fpp outgrows the
+    # residue budget (fpp moves residue size, never correctness)
+    set_bits = int(words.agg(F.sum(F.bit_count("bits"))).collect()[0][0]
+                   or 0)
+    fill = set_bits / meta["m"]
     out = {"m": meta["m"], "k": meta["k"], "n": meta["n"],
+           "fill": fill, "est_fpp": fill ** meta["k"],
            "row": bloom_row(words, meta["m"])}
     if dense:
         out["words"] = bloom_dense(words, meta["m"])

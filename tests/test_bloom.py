@@ -183,6 +183,10 @@ def test_snapshot_bloom_roundtrip_and_probe(spark, tmp_path):
     tables = read_snapshot(spark, str(tmp_path))
     bloom = read_bloom(spark, str(tmp_path), "digests", dense=True)
     assert bloom["n"] == tables["digests"].count()
+    # fill/est_fpp observability: a fresh right-sized filter sits near
+    # its design point (fill ~0.5 at optimal k; est_fpp ~ fpp)
+    assert 0.0 < bloom["fill"] < 1.0
+    assert bloom["est_fpp"] < 0.2
     # the broadcast row and the driver-side list agree
     assert bloom["row"].collect()[0]["__bloom"] == bloom["words"]
     plain = sorted(map(tuple, incremental_keep(

@@ -125,6 +125,15 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             incremental_keep(d.filter(F.col("doc_id") % 3 != 0),
                              x["prior_digests"],
                              prior_digest_col="content_hash")),
+        # r10: the same probe through the snapshot Bloom (artifact
+        # built outside the timing; the replicated corpus is the
+        # ADVERSARIAL all-dups case — every drop digest is sketch-
+        # positive, so this measures the bloom path's worst case)
+        "incremental_keep_bloom": lambda d, e, x=None: noop(
+            incremental_keep(d.filter(F.col("doc_id") % 3 != 0),
+                             x["prior_digests"],
+                             prior_digest_col="content_hash",
+                             prior_bloom=x["prior_bloom"])),
         "incremental_near_probe": lambda d, e, x=None: noop(
             incremental_near_dup(d.filter(F.col("doc_id") % 3 != 0),
                                  prior_bands=x["prior_bands"])),
@@ -260,7 +269,13 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         # prior third of the corpus, persisted like a real snapshot table
         prior = docs.filter(F.col("doc_id") % 3 == 0)
         from scespet_spark.operators.tokenizer import unigram_fit
-        extras = {"prior_digests": exact_groups(prior).persist(),
+        from scespet_spark.operators.bloom import bloom_build, bloom_row
+        pd_tbl = exact_groups(prior).persist()
+        pd_n = max(1, pd_tbl.count())
+        bw, bm, bk = bloom_build(pd_tbl, "content_hash", n_items=pd_n)
+        extras = {"prior_digests": pd_tbl,
+                  "prior_bloom": {"m": bm, "k": bk,
+                                  "row": bloom_row(bw, bm)},
                   "prior_bands": banded_signatures(prior).persist(),
                   # fitted tokenizer model: a snapshot artifact (model-
                   # sized), built from the base corpus outside the
@@ -270,7 +285,8 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                       .limit(2000), vocab_size=64,
                       em_iters=2).persist()}
         for x in extras.values():
-            x.count()
+            if hasattr(x, "count"):  # the bloom entry is a plain dict
+                x.count()
         print(f"== {mult}x: {n} docs ==", flush=True)
         import inspect
         for name, fn in ops.items():
@@ -280,7 +296,8 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             results[name][mult] = dt
             print(f"  {name}: {dt:.2f}s", flush=True)
         for x in extras.values():
-            x.unpersist()
+            if hasattr(x, "unpersist"):
+                x.unpersist()
         docs.unpersist()
         emb.unpersist()
         from scespet_spark.operators.dedup import release_cached
