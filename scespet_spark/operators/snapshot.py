@@ -506,6 +506,72 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
     return appended
 
 
+def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
+                     families: list[str] | None = None) -> dict[str, int]:
+    """Collapse a generation-appended snapshot's file sets: each append
+    writes its own file-per-bucket set, so N generations = N x files
+    per bucket — correct (bucketed reads merge file sets) but
+    scan/open cost grows with generation count.  Compaction rewrites
+    each probe family ONCE (bucket spec preserved; distinct rows — the
+    probes are set-semantics, so generation-duplicate digests collapse
+    too), swaps the directory atomically-per-family via FS rename, and
+    stamps the manifest generation list with a compaction marker.
+    Returns {family: n_files_after}.
+
+    Cost is one read+write of each PROBE table (digest-sized ints —
+    NOT the corpus); run it when generation count, not data size,
+    dominates open/planning cost.  Blooms need no compaction (a word
+    table is one fixed-size bitmap regardless of generations)."""
+    import json
+    spark = spark or SparkSession.getActiveSession()
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    bucket_tables = manifest.get("bucket_tables") or {}
+    tables = manifest.get("tables") or []
+    fams = families or [f for f in ("digests", "bands", "segments",
+                                    "grams", "blocks", "codes")
+                        if f in tables]
+    read_snapshot(spark, out_dir)  # (re-)register bucketed tables
+    out: dict[str, int] = {}
+    for name in fams:
+        if name not in tables:
+            raise ValueError(f"snapshot has no {name!r} table")
+        path = os.path.join(out_dir, name)
+        tmp = os.path.join(out_dir, f"__compact_{name}")
+        meta = bucket_tables.get(name)
+        if meta:
+            df = spark.table(meta["table"]).distinct()
+            t2 = meta["table"] + "_c"
+            spark.sql(f"DROP TABLE IF EXISTS {t2}")
+            (df.write.mode("overwrite")
+             .bucketBy(meta["n"], *meta["cols"]).sortBy(*meta["cols"])
+             .option("path", tmp).saveAsTable(t2))
+            spark.sql(f"DROP TABLE IF EXISTS {t2}")
+            spark.sql(f"DROP TABLE IF EXISTS {meta['table']}")
+        else:
+            (spark.read.parquet(path).distinct()
+             .write.mode("overwrite").parquet(tmp))
+        fs, jold = _hadoop_fs(spark, path)
+        _, jtmp = _hadoop_fs(spark, tmp)
+        fs.delete(jold, True)
+        fs.rename(jtmp, jold)
+        # re-register the bucketed table at the original path
+        if meta:
+            cols = ", ".join(meta["cols"])
+            spark.sql(
+                f"CREATE TABLE {meta['table']} ({meta['schema']}) "
+                f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {meta['n']} BUCKETS LOCATION '{path}'")
+        out[name] = sum(1 for st in fs.listStatus(jold)
+                        if st.getPath().getName().endswith(".parquet"))
+    gens = manifest.get("generations") or []
+    gens.append({"gen": len(gens) + 1, "compacted": sorted(out)})
+    manifest["generations"] = gens
+    _fs_write_text(spark, os.path.join(out_dir, "manifest.json"),
+                   json.dumps(manifest, indent=1))
+    return out
+
+
 def check_compat(out_dir: str, spark: SparkSession | None = None,
                  **params) -> dict:
     """Assert the probe-side parameters match the snapshot's manifest

