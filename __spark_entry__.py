@@ -5402,6 +5402,34 @@ def dedup_incremental_substring(spark, sf_dir):
         prior=docs.filter(F.col("doc_id") % 3 == 0), min_len=_SUB_L)
 
 
+@query("doc_novelty_vs_prior", f"""
+WITH {_GRAM_CTES},
+pri AS (SELECT DISTINCT d FROM g WHERE doc_id % 3 = 0),
+newg AS (SELECT * FROM g WHERE doc_id % 3 <> 0),
+per AS (SELECT doc_id, COUNT(*) AS n_grams,
+               SUM((d IN (SELECT d FROM pri))::INT) AS n_known
+        FROM newg GROUP BY doc_id)
+SELECT doc_id, n_grams::BIGINT AS n_grams, n_known::BIGINT AS n_known,
+       round(1 - n_known / (n_grams + 0.0), 6) AS novelty
+FROM per
+""")
+def doc_novelty_vs_prior(spark, sf_dir):
+    """Per-doc novelty vs the prior snapshot (r10): the fraction of a
+    new-batch doc's {_SUB_L}-token grams absent from the prior
+    corpus's gram-digest table — the analysis dual of exact-substring
+    dedup (dedup CUTS known spans, novelty MEASURES them): syndication
+    and templated spam score low even when no single run is long
+    enough to cut; the per-source aggregate drives crawl
+    prioritization.  Same probe shape as the substring dedup (map-side
+    gram digests, digest semi-join, two combinable per-doc counts;
+    accepts the snapshot's prior_bloom)."""
+    from scespet_spark.operators.dedup import novelty_score
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_score(docs.filter(F.col("doc_id") % 3 != 0),
+                         prior=docs.filter(F.col("doc_id") % 3 == 0),
+                         min_len=_SUB_L)
+
+
 @query("live_incremental_segments", f"""
 WITH {_SEG_CTES},
 h AS (SELECT doc_id, seg_idx, {h64_sql('seg')} AS segment_hash FROM seg),
@@ -6721,6 +6749,7 @@ _ROUND_CHANGED = [
     "dedup_incremental_near_bloom",
     "live_temperature_mixture", "filter_funnel_report",
     "quality_pr_curve", "split_leakage_report",
+    "doc_novelty_vs_prior",
     # semantically changed this round: the tokenizer/packing family
     # left ROWS_ONLY — each query now emits its invariants
     # (losslessness, conservation, feasibility, model structure) for a

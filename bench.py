@@ -127,6 +127,7 @@ HEADLINE = [
     "filter_funnel_report",
     "quality_pr_curve",
     "split_leakage_report",
+    "doc_novelty_vs_prior",
 ]
 
 

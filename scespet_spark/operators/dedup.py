@@ -623,6 +623,55 @@ def incremental_substring_dedup(new: DataFrame,
                             min_len, text_col, id_col)
 
 
+def novelty_score(new: DataFrame, prior: DataFrame | None = None,
+                  prior_grams: DataFrame | None = None,
+                  min_len: int = 20, text_col: str = "text",
+                  id_col: str = "doc_id", hash_fn=None,
+                  wide: bool = False,
+                  prior_bloom: dict | None = None) -> DataFrame:
+    """Per-document NOVELTY against the prior snapshot: the fraction
+    of a doc's overlapping ``min_len``-token grams absent from the
+    prior corpus — the "how much of this page is new text" metric
+    (the analysis dual of exact-substring dedup: dedup CUTS known
+    spans, novelty MEASURES them).  Low-novelty docs are syndication,
+    mirrors, and templated spam even when no single gram run is long
+    enough to kill them; the score also drives crawl prioritization
+    (re-crawl sources whose drops keep arriving novel).  Returns
+    ``(id, n_grams, n_known, novelty)`` for docs with >= ``min_len``
+    tokens, ``novelty = round(1 - n_known/n_grams, 6)``.
+
+    Scale shape: identical to the ``incremental_substring_dedup``
+    probe — map-side gram digests, a digest-keyed semi-join against
+    the snapshot gram table (pass ``prior_grams``; ``prior``
+    re-derives it from text), two combinable per-doc counts; text
+    never shuffles.  ``prior_bloom`` / ``hash_fn`` / ``wide`` follow
+    the family's hooks (the bloom suppresses definitely-novel grams
+    map-side — for a mostly-novel crawl that is MOST grams)."""
+    if (prior is None) == (prior_grams is None):
+        raise ValueError("pass exactly one of prior / prior_grams")
+    gnames = ["__g", "__g2"] if wide else ["__g"]
+    if prior_grams is None:
+        prior_grams = gram_digests(prior, min_len, text_col, id_col,
+                                   hash_fn=hash_fn, wide=wide)
+    elif wide and "__g2" not in prior_grams.columns:
+        raise ValueError(
+            "wide=True probe needs a prior_grams table with both __g "
+            "and __g2")
+    pri = prior_grams.select(*gnames).distinct()
+    occ = gram_digests(new, min_len, text_col, id_col, hash_fn=hash_fn,
+                       wide=wide)
+    _, hits = _bloom_probe(occ, pri, gnames, prior_bloom,
+                           want_hits=True)
+    per_doc = occ.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    known = hits.groupBy(id_col).agg(F.count("*").alias("n_known"))
+    return (per_doc.join(known, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.coalesce("n_known", F.lit(0)).alias("n_known"))
+            .withColumn("novelty",
+                        F.round(1 - F.col("n_known") / F.col("n_grams"),
+                                6)))
+
+
 #: query-string parameters that never identify content — the standard
 #: tracking params crawl pipelines strip before URL-keyed dedup
 TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)="

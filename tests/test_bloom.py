@@ -105,6 +105,30 @@ def test_incremental_segment_dedup_bloom_row_identical(spark):
     assert plain == fast and len(plain) > 0
 
 
+def test_novelty_score_fractions_and_bloom_parity(spark):
+    """novelty_score: exact known-gram fractions on crafted docs;
+    bloom-probed form row-identical under an undersized filter."""
+    from scespet_spark.operators.dedup import gram_digests, novelty_score
+    prior = _docs(spark, [(100, "one two three four five six")])
+    new = _docs(spark, [
+        (1, "one two three four five six"),        # fully known
+        (2, "one two three four nine ten eleven"), # 1 of 4 grams known
+        (3, "a b c d e f")])                       # fully novel
+    plain = {r.doc_id: (r.n_grams, r.n_known, r.novelty) for r in
+             novelty_score(new, prior=prior, min_len=4).collect()}
+    assert plain[1] == (3, 3, 0.0)
+    assert plain[2] == (4, 1, 0.75)
+    assert plain[3] == (3, 0, 1.0)
+    pri_g = gram_digests(prior, min_len=4).select("__g").distinct()
+    bloom = _tiny_bloom(spark, pri_g)
+    fast = {r.doc_id: (r.n_grams, r.n_known, r.novelty) for r in
+            novelty_score(new, prior_grams=pri_g, min_len=4,
+                          prior_bloom=bloom).collect()}
+    assert fast == plain
+    with pytest.raises(ValueError, match="exactly one"):
+        novelty_score(new)
+
+
 def test_incremental_substring_dedup_bloom_row_identical(spark):
     from scespet_spark.operators.dedup import (gram_digests,
                                                incremental_substring_dedup)
