@@ -5430,6 +5430,37 @@ def doc_novelty_vs_prior(spark, sf_dir):
                          min_len=_SUB_L)
 
 
+@query("live_doc_novelty", _ORACLES["doc_novelty_vs_prior"])
+def live_doc_novelty(spark, sf_dir):
+    """Novelty scoring on a LIVE crawl: arriving docs explode to gram
+    digests map-side, a stream-static LEFT join against the snapshot's
+    gram table marks known grams, and the per-doc (n_grams, n_known)
+    pair is a streaming aggregate (complete mode — the score is a
+    per-doc aggregate, like the live LM scorers).  The per-drop
+    novelty trend is the crawl-health signal a scheduler watches.
+    Same oracle as doc_novelty_vs_prior: the stream replays the
+    new batch against the same prior."""
+    from scespet_spark.operators.dedup import gram_digests
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    pri = (gram_digests(docs.filter(F.col("doc_id") % 3 == 0),
+                        min_len=_SUB_L)
+           .select("__g").distinct().withColumn("__k", F.lit(1)))
+    stream = read_table_stream(spark, sf_dir, "documents")
+    occ = gram_digests(stream.filter(F.col("doc_id") % 3 != 0),
+                       min_len=_SUB_L)
+    per = (occ.join(pri, "__g", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_grams"),
+                F.sum(F.coalesce("__k", F.lit(0))).alias("n_known")))
+    out = run_available_now(per, "complete")
+    return out.select("doc_id", "n_grams",
+                      F.col("n_known").cast("long").alias("n_known"),
+                      F.round(1 - F.col("n_known") / F.col("n_grams"), 6)
+                      .alias("novelty"))
+
+
 @query("live_incremental_segments", f"""
 WITH {_SEG_CTES},
 h AS (SELECT doc_id, seg_idx, {h64_sql('seg')} AS segment_hash FROM seg),
@@ -6749,7 +6780,7 @@ _ROUND_CHANGED = [
     "dedup_incremental_near_bloom",
     "live_temperature_mixture", "filter_funnel_report",
     "quality_pr_curve", "split_leakage_report",
-    "doc_novelty_vs_prior",
+    "doc_novelty_vs_prior", "live_doc_novelty",
     # semantically changed this round: the tokenizer/packing family
     # left ROWS_ONLY — each query now emits its invariants
     # (losslessness, conservation, feasibility, model structure) for a
