@@ -6815,9 +6815,12 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_scan_running_sum",
     "live_map_vector_running", "live_map_keys_bucket",
     "live_bind_hourly", "live_vwap_per_supplier",
-    # ...and the r4-era text/multimodal heuristics rotated out in r9
+    # ...and the r4-era text heuristics rotated out in r9
+    # (redact_pii / stratified_sample_docs yield their slots to the
+    # late-r10 novelty pair — next rotation candidates; both stay
+    # covered by the full local oracle sweep + bench)
     "text_fingerprint", "text_token_doc_freq", "text_corpus_idf",
-    "doc_chunking", "redact_pii", "stratified_sample_docs",
+    "doc_chunking",
     # (window stays exactly 50 = the driver's sample; everything
     # rotated out — the r9 cohort incl. the TPC-H wrappers re-greened
     # last round — stays covered by the full local oracle gate,
