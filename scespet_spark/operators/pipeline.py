@@ -343,13 +343,14 @@ def gate_funnel(df: DataFrame, stages: list[str],
     ``dropped_by``; NULL = survived), return one row per stage IN
     PIPELINE ORDER with ``(stage, n_dropped, survivors_after)``.
 
-    A value in ``stage_col`` outside ``stages`` raises ON THE DATA
-    (count check): a silently ignored stage would overstate survivors.
+    A value in ``stage_col`` outside ``stages`` raises: a silently
+    ignored stage would overstate survivors.
 
     Scale shape: ONE map-side-combinable count aggregate over the
-    corpus (output <= len(stages)+1 rows); the cumulative walk runs as
-    a window over that tiny aggregate — the single-partition window is
-    over |stages| rows, never data."""
+    corpus, whose <= len(stages)+2-row result collects to the driver
+    (a handful of ints — the report IS driver-sized); validation and
+    the cumulative walk run on those ints, so the corpus is scanned
+    exactly once no matter how the result is consumed."""
     if not stages:
         raise ValueError("need at least one stage")
     if len(set(stages)) != len(stages):
@@ -357,31 +358,21 @@ def gate_funnel(df: DataFrame, stages: list[str],
     ordmap = F.when(F.col(stage_col).isNull(), F.lit(len(stages)))
     for i, s in enumerate(stages):
         ordmap = ordmap.when(F.col(stage_col) == s, F.lit(i))
-    counts = (df.select(ordmap.alias("__ord"))
-              .groupBy("__ord").agg(F.count("*").alias("__n")))
-    bad = counts.filter(F.col("__ord").isNull()).count()
-    if bad:
+    rows = (df.select(ordmap.alias("__ord"))
+            .groupBy("__ord").agg(F.count("*").alias("__n")).collect())
+    got = {r["__ord"]: int(r["__n"]) for r in rows}
+    if None in got:
         raise ValueError(
             f"{stage_col} holds values outside stages={stages} — a "
             f"silently ignored stage would overstate survivors")
-    from pyspark.sql import Window
-    spark = df.sparkSession
-    order = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(stages)], "__ord int, stage string")
-    # the window runs over <= len(stages)+1 aggregated rows
-    w = Window.orderBy("__ord").rowsBetween(Window.unboundedPreceding, 0)
-    full = (order.join(counts, "__ord", "left")
-            .select("__ord", "stage",
-                    F.coalesce("__n", F.lit(0)).alias("n_dropped")))
-    total = (counts.agg(F.sum("__n").alias("t"))
-             .select(F.coalesce("t", F.lit(0)).alias("t")))
-    return (full.crossJoin(F.broadcast(total))
-            .withColumn("survivors_after",
-                        (F.col("t") - F.sum("n_dropped").over(w))
-                        .cast("long"))
-            .select("stage", F.col("n_dropped").cast("long")
-                    .alias("n_dropped"), "survivors_after")
-            .orderBy("stage"))
+    total = sum(got.values())
+    out, cum = [], 0
+    for i, s in enumerate(stages):
+        cum += got.get(i, 0)
+        out.append((s, got.get(i, 0), total - cum))
+    return (df.sparkSession.createDataFrame(
+        out, "stage string, n_dropped long, survivors_after long")
+        .orderBy("stage"))
 
 
 def shuffle_deterministic(df: DataFrame, seed: str = "42",
