@@ -5430,6 +5430,45 @@ def doc_novelty_vs_prior(spark, sf_dir):
                          min_len=_SUB_L)
 
 
+@query("vocab_drift_drop", f"""
+WITH nt AS (SELECT {h64_sql('tk')} AS h, COUNT(*) AS cn
+            FROM (SELECT unnest({_TOKS}) AS tk FROM documents
+                  WHERE doc_id % 3 <> 0) GROUP BY 1),
+pt AS (SELECT {h64_sql('tk')} AS h, COUNT(*) AS cp
+       FROM (SELECT unnest({_TOKS}) AS tk FROM documents
+             WHERE doc_id % 3 = 0) GROUP BY 1),
+j AS (SELECT coalesce(cn, 0) AS cn, coalesce(cp, 0) AS cp
+      FROM nt FULL OUTER JOIN pt USING (h)),
+t AS (SELECT SUM(cn) AS n_new, SUM(cp) AS n_prior, COUNT(*) AS v,
+             SUM((cn > 0)::INT) AS v_new,
+             SUM(CASE WHEN cn > 0 AND cp = 0 THEN cn ELSE 0 END) AS oov
+      FROM j)
+SELECT n_new::BIGINT AS n_tokens, v_new::BIGINT AS n_distinct,
+       round(oov / (n_new + 0.0), 6) AS oov_frac,
+       (SELECT round(SUM((cn / (n_new + 0.0))
+                * ln((cn / (n_new + 0.0))
+                     / ((cp + 1.0) / (n_prior + v)))), 6)
+        FROM j, t WHERE cn > 0) AS kl
+FROM t
+""")
+def vocab_drift_drop(spark, sf_dir):
+    """Distribution-level crawl drift (r10): KL(drop || prior) between
+    the new batch's unigram distribution and the prior corpus's
+    (add-1-smoothed over the union vocabulary) plus the drop's OOV
+    token mass — the page a crawl operator watches next to the
+    content-level novelty score: a spam wave, an encoding break, or a
+    domain-mix shift moves this before any model metric does.  One
+    combinable count aggregate per side, one digest-keyed outer join
+    of two vocabulary-sized tables, one scalar aggregate.  (Live
+    monitoring runs this batch op per materialized drop — the
+    foreachBatch pattern; a streaming plan cannot chain the
+    per-digest and global aggregations.)"""
+    from scespet_spark.operators.text import vocab_drift
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_drift(docs.filter(F.col("doc_id") % 3 != 0),
+                       prior=docs.filter(F.col("doc_id") % 3 == 0))
+
+
 @query("live_doc_novelty", _ORACLES["doc_novelty_vs_prior"])
 def live_doc_novelty(spark, sf_dir):
     """Novelty scoring on a LIVE crawl: arriving docs explode to gram
@@ -6781,6 +6820,7 @@ _ROUND_CHANGED = [
     "live_temperature_mixture", "filter_funnel_report",
     "quality_pr_curve", "split_leakage_report",
     "doc_novelty_vs_prior", "live_doc_novelty",
+    "vocab_drift_drop",
     # semantically changed this round: the tokenizer/packing family
     # left ROWS_ONLY — each query now emits its invariants
     # (losslessness, conservation, feasibility, model structure) for a
@@ -6816,11 +6856,11 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_map_vector_running", "live_map_keys_bucket",
     "live_bind_hourly", "live_vwap_per_supplier",
     # ...and the r4-era text heuristics rotated out in r9
-    # (redact_pii / stratified_sample_docs yield their slots to the
-    # late-r10 novelty pair — next rotation candidates; both stay
-    # covered by the full local oracle sweep + bench)
+    # (redact_pii / stratified_sample_docs / doc_chunking yield their
+    # slots to the late-r10 novelty + drift additions — next rotation
+    # candidates; all stay covered by the full local oracle sweep +
+    # bench)
     "text_fingerprint", "text_token_doc_freq", "text_corpus_idf",
-    "doc_chunking",
     # (window stays exactly 50 = the driver's sample; everything
     # rotated out — the r9 cohort incl. the TPC-H wrappers re-greened
     # last round — stays covered by the full local oracle gate,

@@ -128,6 +128,7 @@ HEADLINE = [
     "quality_pr_curve",
     "split_leakage_report",
     "doc_novelty_vs_prior",
+    "vocab_drift_drop",
 ]
 
 

@@ -404,6 +404,67 @@ DEFAULT_REDACTIONS = (
 )
 
 
+def vocab_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram digest-count table ``(__h, __c)`` — one md5 per token,
+    ONE map-side-combinable aggregate, Zipf-bounded output; the
+    snapshot artifact `vocab_drift` compares drops against."""
+    from .hashing import h64
+    return (df.select(F.explode(tokens(F.coalesce(F.col(text_col),
+                                                  F.lit("")))).alias("__t"))
+            .select(h64(F.col("__t")).alias("__h"))
+            .groupBy("__h").agg(F.count("*").alias("__c")))
+
+
+def vocab_drift(new: DataFrame, prior: DataFrame | None = None,
+                prior_counts: DataFrame | None = None,
+                text_col: str = "text") -> DataFrame:
+    """Distribution-level crawl drift: KL(drop || prior) between the
+    drop's unigram distribution and the prior snapshot's, plus the
+    drop's out-of-vocabulary token mass — the page a crawl operator
+    watches next to `novelty_score`'s content-level signal (novelty
+    says "these pages repeat known text"; drift says "this drop's
+    LANGUAGE changed" — a spam wave, an encoding break, a new domain
+    mix, all before any model quality moves).  Returns ONE row
+    ``(n_tokens, n_distinct, oov_frac, kl)``:
+
+        p(w) = c_new(w) / N_new                 (the drop)
+        q(w) = (c_prior(w) + 1) / (N_prior + V) (add-1 over the UNION
+                                                 vocabulary V — OOV
+                                                 tokens get the floor,
+                                                 never a zero divide)
+        kl   = sum_w p(w) * ln(p(w) / q(w))     (6dp-rounded)
+
+    Pass ``prior_counts`` (the `vocab_counts` snapshot artifact) to
+    skip re-counting the prior corpus.  Scale shape: one combinable
+    count aggregate per side (vocabulary-sized outputs), one
+    digest-keyed outer join of the two count tables, one scalar
+    aggregate — the corpora never shuffle and nothing is
+    driver-collected but the single result row."""
+    if (prior is None) == (prior_counts is None):
+        raise ValueError("pass exactly one of prior / prior_counts")
+    if prior_counts is None:
+        prior_counts = vocab_counts(prior, text_col)
+    nc = vocab_counts(new, text_col)
+    pc = prior_counts.select(F.col("__h"), F.col("__c").alias("__cp"))
+    j = nc.join(pc, "__h", "full_outer").select(
+        F.coalesce("__c", F.lit(0)).alias("cn"),
+        F.coalesce("__cp", F.lit(0)).alias("cp"))
+    totals = j.agg(
+        F.sum("cn").alias("n_new"), F.sum("cp").alias("n_prior"),
+        F.count("*").alias("v"),
+        F.sum((F.col("cn") > 0).cast("long")).alias("v_new"),
+        F.sum(F.when((F.col("cn") > 0) & (F.col("cp") == 0),
+                     F.col("cn")).otherwise(F.lit(0))).alias("oov"))
+    stats = j.crossJoin(F.broadcast(totals)).filter(F.col("cn") > 0)
+    p = F.col("cn") / F.col("n_new")
+    q = (F.col("cp") + 1) / (F.col("n_prior") + F.col("v"))
+    return (stats.agg(
+        F.max("n_new").cast("long").alias("n_tokens"),
+        F.max("v_new").cast("long").alias("n_distinct"),
+        F.round(F.max("oov") / F.max("n_new"), 6).alias("oov_frac"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl")))
+
+
 def token_doc_freq(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Corpus token document-frequency table: one row per distinct token

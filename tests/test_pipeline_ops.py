@@ -2667,6 +2667,44 @@ def test_exact_quantiles_by_validates(spark):
         exact_quantiles_by(empty, "v", [0.5], "g")
 
 
+def test_vocab_drift_matches_python_model(spark):
+    """vocab_drift: exact KL/OOV against a pure-Python model on a
+    crafted drop; identical corpora drift ~0 with oov 0; prior_counts
+    reuse gives the same row."""
+    import math
+    from collections import Counter
+    from scespet_spark.operators.text import vocab_counts, vocab_drift
+    prior_texts = ["the cat sat", "the dog sat", "the cat ran"]
+    new_texts = ["the cat flew", "zz qq the the"]
+    prior = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(prior_texts)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string")
+    r = vocab_drift(new, prior=prior).collect()[0]
+    cn = Counter(w for t in new_texts for w in t.split())
+    cp = Counter(w for t in prior_texts for w in t.split())
+    n_new, n_prior = sum(cn.values()), sum(cp.values())
+    v = len(set(cn) | set(cp))
+    kl = sum((c / n_new) * math.log((c / n_new)
+                                    / ((cp.get(w, 0) + 1) / (n_prior + v)))
+             for w, c in cn.items())
+    oov = sum(c for w, c in cn.items() if w not in cp)
+    assert r.n_tokens == n_new and r.n_distinct == len(cn)
+    assert r.oov_frac == round(oov / n_new, 6)
+    assert abs(r.kl - kl) <= 2e-6
+    # identical corpora: kl ~ 0 (smoothing keeps it tiny, not exact 0)
+    same = vocab_drift(prior, prior=prior).collect()[0]
+    assert same.oov_frac == 0.0 and abs(same.kl) < 0.05
+    # snapshot-artifact path is row-identical
+    viacounts = vocab_drift(new,
+                            prior_counts=vocab_counts(prior)).collect()[0]
+    assert tuple(viacounts) == tuple(r)
+    with pytest.raises(ValueError, match="exactly one"):
+        vocab_drift(new)
+
+
 def test_classifier_pr_curve_confusion_and_edges(spark):
     """pr-curve: exact confusion counts at each threshold; NULL
     precision/recall on empty denominators; NULL score/label rows
