@@ -3359,6 +3359,57 @@ def cluster_balance_sample(spark, sf_dir):
     return out.select("vec_id", "label", "cell")
 
 
+@query("embedding_drift_drop", f"""
+WITH cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i),
+         cut
+    WHERE vec_id <= cut.c
+    GROUP BY label, i) GROUP BY label),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_cosine_sql('n.v', 'cent.centroid')}, 6) DESC,
+                      cent.label) AS rn
+    FROM n CROSS JOIN cent) WHERE rn = 1),
+pa AS (SELECT cell, COUNT(*) AS np FROM assign, cut
+       WHERE vec_id <= cut.c GROUP BY cell),
+na AS (SELECT cell, COUNT(*) AS nn FROM assign, cut
+       WHERE vec_id > cut.c GROUP BY cell),
+j AS (SELECT cell, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
+      FROM pa FULL OUTER JOIN na USING (cell)),
+t AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM j)
+SELECT cell, round(np / (tp + 0.0), 6) AS prior_frac,
+       round(nn / (tn + 0.0), 6) AS new_frac,
+       round(nn / (tn + 0.0) - np / (tp + 0.0), 6) AS delta
+FROM j, t ORDER BY cell
+""")
+def embedding_drift_drop(spark, sf_dir):
+    """Embedding-space drift (r10): the coarse-cell occupancy
+    distribution of a new embedding batch (assigned to the prior
+    snapshot's FIXED centroids — the incremental-IVF contract) vs the
+    prior corpus's codes table — the modality sibling of
+    vocab_drift_drop: a topic shift, a new content farm, or an encoder
+    regression moves cell occupancy before any downstream metric.
+    Map-only broadcast-centroid assignment, two model-sized count
+    tables, one outer join."""
+    from scespet_spark.operators.similarity import (embedding_drift,
+                                                    ivf_assign,
+                                                    label_centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    prior = emb.filter(F.col("vec_id") <= cut)
+    cents = label_centroids(prior)            # snapshot model artifact
+    prior_codes = ivf_assign(prior, cents)    # snapshot codes artifact
+    return embedding_drift(emb.filter(F.col("vec_id") > cut), cents,
+                           prior_codes)
+
+
 @query("ann_ivf_incremental_topk", f"""
 WITH cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
 cent AS (

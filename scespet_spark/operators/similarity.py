@@ -699,3 +699,42 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
             new.setdefault(r.code, [0.0] * dim)[r.pos] = r.m
         cent_list = [new]
     return assign_df().select(F.col("id").alias(id_col), "code")
+
+
+def embedding_drift(new: DataFrame, centroids: DataFrame,
+                    prior_codes: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    cell_col: str = "cell") -> DataFrame:
+    """Embedding-space crawl drift: the coarse-cell occupancy
+    distribution of a NEW embedding batch (assigned map-side to the
+    SNAPSHOT centroids — `ivf_assign`, the fixed coarse index) against
+    the prior corpus's codes table — the modality sibling of
+    `text.vocab_drift` (text drift watches the unigram distribution;
+    this watches where new content lands in embedding space: a topic
+    shift, a new content farm, or an encoder regression moves cells
+    before any downstream metric).  Returns one row per occupied cell
+    ``(cell, prior_frac, new_frac, delta)`` (6dp; delta from the raw
+    fractions, not the rounded ones).
+
+    Scale shape: assignment is the map-only broadcast-centroid argmax
+    (zero Exchange over the new batch); each side reduces to a
+    |cells|-row count table (map-side combinable); the report is a
+    full outer join of two model-sized tables."""
+    new_codes = ivf_assign(new, centroids, id_col=id_col,
+                           vec_col=vec_col, cell_col=cell_col)
+    nf = new_codes.groupBy(cell_col).agg(F.count("*").alias("__nn"))
+    pf = prior_codes.groupBy(cell_col).agg(F.count("*").alias("__np"))
+    j = (pf.join(nf, cell_col, "full_outer")
+         .select(cell_col,
+                 F.coalesce("__np", F.lit(0)).alias("__np"),
+                 F.coalesce("__nn", F.lit(0)).alias("__nn")))
+    totals = j.agg(F.sum("__np").alias("__tp"),
+                   F.sum("__nn").alias("__tn"))
+    pfrac = F.col("__np") / F.col("__tp")
+    nfrac = F.col("__nn") / F.col("__tn")
+    return (j.crossJoin(F.broadcast(totals))
+            .select(cell_col,
+                    F.round(pfrac, 6).alias("prior_frac"),
+                    F.round(nfrac, 6).alias("new_frac"),
+                    F.round(nfrac - pfrac, 6).alias("delta"))
+            .orderBy(cell_col))
