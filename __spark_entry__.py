@@ -6871,7 +6871,7 @@ _ROUND_CHANGED = [
     "live_temperature_mixture", "filter_funnel_report",
     "quality_pr_curve", "split_leakage_report",
     "doc_novelty_vs_prior", "live_doc_novelty",
-    "vocab_drift_drop",
+    "vocab_drift_drop", "embedding_drift_drop",
     # semantically changed this round: the tokenizer/packing family
     # left ROWS_ONLY — each query now emits its invariants
     # (losslessness, conservation, feasibility, model structure) for a
@@ -6907,11 +6907,11 @@ _PRIORITY = _ROUND_CHANGED + [
     "live_map_vector_running", "live_map_keys_bucket",
     "live_bind_hourly", "live_vwap_per_supplier",
     # ...and the r4-era text heuristics rotated out in r9
-    # (redact_pii / stratified_sample_docs / doc_chunking yield their
-    # slots to the late-r10 novelty + drift additions — next rotation
-    # candidates; all stay covered by the full local oracle sweep +
-    # bench)
-    "text_fingerprint", "text_token_doc_freq", "text_corpus_idf",
+    # (redact_pii / stratified_sample_docs / doc_chunking /
+    # text_corpus_idf yield their slots to the late-r10 novelty + drift
+    # additions — next rotation candidates; all stay covered by the
+    # full local oracle sweep + bench)
+    "text_fingerprint", "text_token_doc_freq",
     # (window stays exactly 50 = the driver's sample; everything
     # rotated out — the r9 cohort incl. the TPC-H wrappers re-greened
     # last round — stays covered by the full local oracle gate,

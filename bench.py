@@ -129,6 +129,7 @@ HEADLINE = [
     "split_leakage_report",
     "doc_novelty_vs_prior",
     "vocab_drift_drop",
+    "embedding_drift_drop",
 ]
 
 

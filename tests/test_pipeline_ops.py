@@ -2667,6 +2667,31 @@ def test_exact_quantiles_by_validates(spark):
         exact_quantiles_by(empty, "v", [0.5], "g")
 
 
+def test_embedding_drift_fractions_and_shift(spark):
+    """embedding_drift: fractions sum to 1 per side; an engineered
+    occupancy shift (new batch concentrated in one cell) shows as a
+    positive delta there and negatives elsewhere; a cell absent from
+    one side still appears with frac 0."""
+    from scespet_spark.operators.similarity import (embedding_drift,
+                                                    ivf_assign,
+                                                    label_centroids)
+    prior = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0], i % 2)
+         for i in range(20)],
+        "vec_id long, embedding array<double>, label int")
+    cents = label_centroids(prior)
+    prior_codes = ivf_assign(prior, cents)
+    new = spark.createDataFrame(
+        [(100 + i, [1.0, 0.01 * i]) for i in range(10)],  # all cell 0
+        "vec_id long, embedding array<double>")
+    got = {r.cell: r for r in
+           embedding_drift(new, cents, prior_codes).collect()}
+    assert abs(sum(r.prior_frac for r in got.values()) - 1.0) < 1e-6
+    assert abs(sum(r.new_frac for r in got.values()) - 1.0) < 1e-6
+    assert got[0].new_frac == 1.0 and got[0].delta == 0.5
+    assert got[1].new_frac == 0.0 and got[1].delta == -0.5
+
+
 def test_vocab_drift_matches_python_model(spark):
     """vocab_drift: exact KL/OOV against a pure-Python model on a
     crafted drop; identical corpora drift ~0 with oov 0; prior_counts
