@@ -219,6 +219,11 @@ def bloom_attach(df: DataFrame, bloom: dict, col: Column | str,
     BroadcastHashJoin (stream-static legal: append mode, zero state).
     ``bloom`` is ``{"m", "k", "row"}`` (`read_bloom`) or
     ``{"m", "k", "words"}`` (small/driver-side form, auto-lifted)."""
+    clash = {test_name, "__bj", "__bloom"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename "
+            f"them or pass a different test_name=")
     m_bits, k = int(bloom["m"]), int(bloom["k"])
     if "row" in bloom:
         row = bloom["row"]

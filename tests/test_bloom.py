@@ -50,6 +50,15 @@ def test_bloom_filter_col_rejects_wrong_geometry(spark):
         bloom_filter_col({"m": 128, "k": 2, "words": [0]}, F.lit(1))
 
 
+def test_bloom_attach_rejects_column_collisions(spark):
+    from scespet_spark.operators.bloom import bloom_attach
+    df = spark.range(3).select(F.col("id").alias("d"),
+                               F.lit(True).alias("__bloom_maybe"))
+    bloom = {"m": 128, "k": 2, "words": [0, 0]}
+    with pytest.raises(ValueError, match="already has column"):
+        bloom_attach(df, bloom, "d")
+
+
 def _tiny_bloom(spark, prior_digests):
     """A deliberately UNDERSIZED filter (m=64 words regardless of n):
     false positives are common, so parity tests exercise the
