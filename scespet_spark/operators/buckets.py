@@ -18,12 +18,15 @@ Spark translation:
   * rendezvous = group by (key, cycle_time) *before* aggregating —
     "fires once per cycle after all inputs" becomes one row/group per
     cycle.
-  * lifecycle buckets = ``applyInPandas`` over (key, bucket): Arrow
-    batches, one Python object per bucket, cycles replayed in (t, seq)
-    order.  Each bucket's rows are one group — at 100TB the parallelism
-    is the number of (key, bucket) groups, which is exactly the
-    reference's own state granularity; standard aggs should use the
-    pure-columnar path instead (GroupedStream.reduce).
+  * lifecycle buckets = ``mapInPandas`` over (key, bucket)-partitioned,
+    (t, seq)-sorted data: one Python object per bucket, cycles replayed
+    in order, the open bucket carried across Arrow batches.  Parallelism
+    is the number of (key, bucket) groups — exactly the reference's own
+    state granularity — but peak memory is ONE CYCLE, not one group
+    (the earlier applyInPandas form materialized each group and paid
+    ~3ms of pandas overhead per tiny group: 22s -> ~3s at sf0.01).
+    Standard aggs should use the pure-columnar path instead
+    (GroupedStream.reduce).
 """
 
 from __future__ import annotations
@@ -79,29 +82,93 @@ def collapse(grouped: GroupedStream, bucket_factory, schema,
     ``schema`` is the output schema (DDL string or StructType) and must
     contain the stream's key columns, ``t``/``seq``, and every field of
     ``bucket.value()``.  ``cycle_col`` defaults to the event-time column
-    (each distinct timestamp is one atomic cycle)."""
+    (each distinct timestamp is one atomic cycle); cycle values must be
+    non-null.
+
+    Execution shape: hash-repartition on (keys, bucket) — the same
+    shuffle the previous applyInPandas form paid — then sort within
+    partitions by (keys, bucket, t, seq) and stream the sorted rows
+    through ``mapInPandas``.  Bucket/cycle boundaries are found with
+    numpy on each Arrow batch; the open bucket object and the final
+    (possibly batch-spanning) cycle's rows carry across batches, so
+    peak Python memory is one cycle + one bucket object regardless of
+    group size."""
+    if emit not in ("last", "all"):
+        raise ValueError(f"emit must be 'last' or 'all', got {emit!r}")
     s = grouped._with_bucket()
     from ..core.stream import _BUCKET  # internal bucket-id column
 
     t, seq, keys = s.t, s.seq, list(s.keys)
     cyc = cycle_col or t
+    gcols = [*keys, _BUCKET]
+    last = emit == "last"
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([t, seq], kind="mergesort")
-        bucket = bucket_factory()
-        bucket.open()
-        out_rows = []
-        key_vals = {k: pdf.iloc[0][k] for k in keys}
-        for _, cycle in pdf.groupby(cyc, sort=True):
-            bucket.add_cycle(cycle)
-            if emit == "all":
-                out_rows.append({**key_vals, t: cycle[t].iloc[-1],
-                                 seq: cycle[seq].iloc[-1], **bucket.value()})
-        bucket.complete()
-        if emit == "last":
-            out_rows.append({**key_vals, t: pdf[t].iloc[-1],
-                             seq: pdf[seq].iloc[-1], **bucket.value()})
-        return pd.DataFrame(out_rows)
+    def run_partition(batches):
+        import numpy as np
 
-    return (s.df.groupBy(*keys, _BUCKET)
-            .applyInPandas(run, schema))
+        bucket = None          # the open bucket object
+        gid = None             # (keys..., bucket) identity it belongs to
+        key_vals = None        # its output key columns
+        last_t = last_seq = None  # its last cycle's (t, seq)
+        leftover = None        # rows of a cycle that may continue
+
+        def boundaries(pdf):
+            cols = {c: pdf[c].to_numpy()
+                    for c in dict.fromkeys([*gcols, cyc, t, seq])}
+            n = len(pdf)
+            chg = np.zeros(max(n - 1, 0), dtype=bool)
+            for c in gcols:
+                v = cols[c]
+                chg |= v[1:] != v[:-1]
+            v = cols[cyc]
+            chg |= v[1:] != v[:-1]
+            return np.concatenate(([0], np.flatnonzero(chg) + 1)), cols
+
+        def do_cycle(pdf, cols, a, b, out):
+            nonlocal bucket, gid, key_vals, last_t, last_seq
+            g = tuple(cols[c][a] for c in gcols)
+            if bucket is not None and g != gid:
+                bucket.complete()
+                if last:
+                    out.append({**key_vals, t: last_t, seq: last_seq,
+                                **bucket.value()})
+                bucket = None
+            if bucket is None:
+                bucket = bucket_factory()
+                bucket.open()
+                gid = g
+                key_vals = {k: cols[k][a] for k in keys}
+            bucket.add_cycle(pdf.iloc[a:b])
+            last_t, last_seq = cols[t][b - 1], cols[seq][b - 1]
+            if not last:
+                out.append({**key_vals, t: last_t, seq: last_seq,
+                            **bucket.value()})
+
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if not len(pdf):
+                continue
+            out = []
+            starts, cols = boundaries(pdf)
+            for i in range(len(starts) - 1):
+                do_cycle(pdf, cols, starts[i], starts[i + 1], out)
+            leftover = pdf.iloc[starts[-1]:].reset_index(drop=True)
+            if out:
+                yield pd.DataFrame(out)
+        out = []
+        if leftover is not None and len(leftover):
+            _, cols = boundaries(leftover)
+            do_cycle(leftover, cols, 0, len(leftover), out)
+        if bucket is not None:
+            bucket.complete()
+            if last:
+                out.append({**key_vals, t: last_t, seq: last_seq,
+                            **bucket.value()})
+        if out:
+            yield pd.DataFrame(out)
+
+    return (s.df.repartition(*gcols)
+            .sortWithinPartitions(*gcols, t, seq)
+            .mapInPandas(run_partition, schema))
