@@ -1454,6 +1454,18 @@ def char_grams(col: Column, n: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
+def _double_array_lit(values) -> Column:
+    """A large array<double> literal, built cheaply: one string literal
+    over py4j + a JVM-side split/cast that Catalyst constant-folds back
+    to the identical array.  ``F.lit(list)`` converts element-by-element
+    over py4j (~0.7ms/element: 2.9s for a 4096-float array, measured),
+    which dominated rowwise-gate plan builds.  repr() is the shortest
+    round-trip form and Double.parseDouble is correctly rounded, so the
+    decoded doubles are bit-identical."""
+    packed = ",".join(repr(float(v)) for v in values)
+    return F.split(F.lit(packed), ",").cast("array<double>")
+
+
 def quality_classifier_apply_rowwise(df: DataFrame, model: DataFrame,
                                      n_buckets: int = 1024,
                                      threshold: float = 0.0,
@@ -1479,8 +1491,8 @@ def quality_classifier_apply_rowwise(df: DataFrame, model: DataFrame,
             "model table lacks the reserved bias (-1) / unseen (-2) "
             "rows — was it written by quality_classifier_fit?")
     bias, unseen = rows.pop(-1), rows.pop(-2)
-    weights = F.lit([float(rows.get(i, unseen))
-                     for i in range(n_buckets)])
+    weights = _double_array_lit(rows.get(i, unseen)
+                                for i in range(n_buckets))
     toks = tokens(F.col(text_col))
     per = F.transform(toks, lambda t: F.element_at(
         weights, (h64(t) % n_buckets + 1).cast("int")))
@@ -1673,8 +1685,12 @@ def lang_id_apply_rowwise(df: DataFrame, model: DataFrame, n: int = 3,
     snames = [f"__s{i}" for i in range(len(langs))]
     scores = {}
     for i, l in enumerate(langs):
-        w = F.lit([float(by_lang[l].get(b, un[l]))
-                   for b in range(n_buckets)])
+        # F.lit(list) converted element-by-element over py4j (~2.9s per
+        # 4096-float array -> 10.4s of DRIVER time per plan build at
+        # L=3); the packed-string literal builds in ~9ms (bit-identical
+        # after constant folding — see _double_array_lit)
+        w = _double_array_lit(by_lang[l].get(b, un[l])
+                              for b in range(n_buckets))
         scores[snames[i]] = F.round(
             F.try_divide(
                 F.aggregate(F.col("__cb"), F.lit(0.0),
