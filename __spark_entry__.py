@@ -3410,6 +3410,74 @@ def embedding_drift_drop(spark, sf_dir):
                            prior_codes)
 
 
+@query("embedding_pca_project", """
+SELECT vec_id, 64 AS proj_dim, TRUE AS parseval_ok, TRUE AS contract_ok
+FROM embeddings ORDER BY vec_id
+""")
+def embedding_pca_project(spark, sf_dir):
+    """Distributed PCA over the embedding corpus (r10): fit = one
+    map-side-combined pass producing per-partition (n, sum, outer-sum)
+    partials (d^2 doubles each, ~#partitions rows to the driver — never
+    O(rows)), eigh on the 64x64 covariance driver-side; project =
+    broadcast the tiny component matrix into one Arrow-vectorized
+    mapInPandas matmul (map-only, append-legal).  The 100 TB pattern:
+    reduce dims BEFORE IVF-PQ indexing / semantic dedup.
+
+    INVARIANT oracle (eigenvectors aren't SQL-expressible; the exact
+    linear algebra is pinned against numpy in tests/test_similarity
+    _pca): per vector, derived from the REAL projections —
+    ``parseval_ok`` (the full-rank k=d rotation preserves the centered
+    L2 norm to 1e-6 relative) and ``contract_ok`` (the lossy k=16
+    projection can only shrink it).  DuckDB predicts both plus the
+    projection arity from the source table alone."""
+    from scespet_spark.operators.similarity import pca_fit, pca_project
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb)
+    mean = next(r["w"] for r in model.collect() if r["idx"] == -1)
+    full = pca_project(emb, model, out="pca64")
+    both = pca_project(full, model, k=16, out="pca16")
+    v = F.col("embedding").cast("array<double>")
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    cn2 = F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(float(m)) for m in mean]),
+                   lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0), lambda a, x: a + x)
+    pn64, pn16 = sq(F.col("pca64")), sq(F.col("pca16"))
+    return (both.select(
+        "vec_id", F.size("pca64").alias("proj_dim"),
+        (F.abs(pn64 - cn2) <= F.lit(1e-6) * F.greatest(cn2, F.lit(1.0)))
+        .alias("parseval_ok"),
+        (pn16 <= cn2 * F.lit(1.0 + 1e-9) + F.lit(1e-9))
+        .alias("contract_ok"))
+        .orderBy("vec_id"))
+
+
+@query("key_skew_sources", """
+WITH c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c),
+top AS (SELECT source, n_rows FROM c ORDER BY n_rows DESC, source LIMIT 20)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, source) AS INTEGER)
+         AS rank,
+       source, n_rows, n_keys,
+       round(n_rows / (total + 0.0), 6) AS share,
+       round(SUM(n_rows / (total + 0.0)) OVER (
+             ORDER BY n_rows DESC, source ROWS UNBOUNDED PRECEDING), 6)
+         AS cum_share,
+       round(n_rows / (total + 0.0) * n_keys, 6) AS skew_ratio
+FROM top, t ORDER BY rank
+""")
+def key_skew_sources(spark, sf_dir):
+    """Key-skew diagnostics (r10): the top-20 heaviest ``source`` keys
+    with share, cumulative share, and skew ratio (count / mean rows per
+    key) — the report you run before choosing a partition/salt strategy
+    for a 100 TB join or agg.  One combinable groupBy(count) is the
+    only corpus shuffle; totals are a 1-row broadcast attach; the rank
+    window runs over the 20-row result only."""
+    from scespet_spark.operators.pipeline import key_skew_report
+    docs = load_table(spark, sf_dir, "documents")
+    return key_skew_report(docs, ["source"], top_n=20)
+
+
 @query("ann_ivf_incremental_topk", f"""
 WITH cut AS (SELECT MAX(vec_id) // 2 AS c FROM embeddings),
 cent AS (
@@ -4231,6 +4299,62 @@ def bm25_topk_docs(spark, sf_dir):
     from scespet_spark.operators.text import bm25_topk
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_BM25_TERMS), k=100).orderBy("doc_id")
+
+
+@query("hybrid_search_rrf", f"""
+WITH st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   AVG(len({_TOKS})) AS avgdl FROM documents),
+hits AS (SELECT doc_id, len({_TOKS}) AS dl,
+                unnest(list_filter({_TOKS},
+                       x -> list_contains({_BM25_TERMS_SQL}, x))) AS t
+         FROM documents),
+tf AS (SELECT doc_id, t, dl, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+        FROM dfreq, st),
+lex AS (SELECT doc_id, score FROM (
+  SELECT tf.doc_id,
+         round(SUM(idf.idf * tf.tf
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                                 / (SELECT avgdl FROM st)))), 6) AS score
+  FROM tf JOIN idf ON tf.t = idf.t
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, doc_id LIMIT 100)),
+lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY score DESC, doc_id) AS INTEGER) AS rank_0 FROM lex),
+sem AS (SELECT vec_id AS doc_id, round({_cosine_sql('v', 'qv')}, 6) AS score
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) n,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0) q
+        ORDER BY score DESC, vec_id LIMIT 100),
+semr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY score DESC, doc_id) AS INTEGER) AS rank_1 FROM sem)
+SELECT doc_id,
+       round(coalesce(1.0 / (60 + rank_0), 0)
+             + coalesce(1.0 / (60 + rank_1), 0), 6) AS rrf_score,
+       rank_0, rank_1
+FROM lexr FULL OUTER JOIN semr USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+""")
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (r10): reciprocal-rank fusion of the lexical
+    BM25 top-100 over `documents` and the embedding-cosine top-100
+    around a query vector — the calibration-free way to combine the
+    two retrievers (Cormack et al. 2009; vec_id doubles as doc_id —
+    the doc's embedding row).  Each candidate list is TakeOrdered-
+    bounded before fusion, so the rank windows and the full outer join
+    run over 100-row tables, never the corpus; contributions sum in
+    fixed list order and round to 6dp for the oracle."""
+    from scespet_spark.operators.similarity import (brute_force_topk,
+                                                    rrf_fuse)
+    from scespet_spark.operators.text import bm25_topk
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=100).select("doc_id", "score")
+    sem = (brute_force_topk(emb, qvec, k=100)
+           .select(F.col("vec_id").alias("doc_id"), "score"))
+    return rrf_fuse([lex, sem], ["doc_id"], k=60)
 
 
 @query("text_token_doc_freq", f"""
@@ -6891,6 +7015,13 @@ _ROUND_CHANGED = [
     "dedup_incremental", "dedup_incremental_segments",
     "dedup_incremental_substring", "live_incremental_segments",
     "text_trigram_lm", "text_ngram_lm_order5",
+    # brand-new late-r10: hybrid RRF retrieval, distributed PCA
+    # (invariant oracle), key-skew diagnostics
+    "hybrid_search_rrf", "embedding_pca_project", "key_skew_sources",
+    # implementation changed late-r10: collapse rewritten from
+    # per-group applyInPandas to streamed mapInPandas (22.5s -> 1.05s);
+    # the rowwise gates build weight literals as packed strings
+    "bucket_collapse_stats", "live_lang_id_rowwise",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -6903,15 +7034,12 @@ _PRIORITY = _ROUND_CHANGED + [
     # ...plus the r5/r6 live stream-operator cohort last re-greened r8
     "live_tumbling_daily", "live_value_set", "live_sliding_scan",
     "live_bucket_collapse_stats", "live_zip_click_purchase",
-    "live_scan_running_sum",
-    "live_map_vector_running", "live_map_keys_bucket",
-    "live_bind_hourly", "live_vwap_per_supplier",
-    # ...and the r4-era text heuristics rotated out in r9
-    # (redact_pii / stratified_sample_docs / doc_chunking /
-    # text_corpus_idf yield their slots to the late-r10 novelty + drift
-    # additions — next rotation candidates; all stay covered by the
-    # full local oracle sweep + bench)
-    "text_fingerprint", "text_token_doc_freq",
+    "live_scan_running_sum", "live_map_vector_running",
+    # (late-r10 trim: live_map_keys_bucket /
+    # live_bind_hourly / live_vwap_per_supplier / text_fingerprint /
+    # text_token_doc_freq yielded their slots to the late-r10 new +
+    # implementation-changed queries — next rotation candidates; all
+    # stay covered by the full local oracle sweep + bench)
     # (window stays exactly 50 = the driver's sample; everything
     # rotated out — the r9 cohort incl. the TPC-H wrappers re-greened
     # last round — stays covered by the full local oracle gate,

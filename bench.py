@@ -130,6 +130,13 @@ HEADLINE = [
     "doc_novelty_vs_prior",
     "vocab_drift_drop",
     "embedding_drift_drop",
+    # round 10 batch-2: the lifecycle-bucket family after the
+    # mapInPandas rewrite (22.5s -> 1.05s at sf0.01), hybrid RRF
+    # retrieval, distributed PCA, key-skew diagnostics
+    "bucket_collapse_stats",
+    "hybrid_search_rrf",
+    "embedding_pca_project",
+    "key_skew_sources",
 ]
 
 

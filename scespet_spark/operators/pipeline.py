@@ -998,3 +998,43 @@ def _check_finite(what: str, mn: float, mx: float) -> None:
             f"{what} contains non-finite values (min={mn}, max={mx}) — "
             f"exact quantile selection needs a finite range; filter or "
             f"clamp inf/NaN upstream")
+
+
+def key_skew_report(df: DataFrame, key_cols, top_n: int = 20,
+                    round_to: int = 6) -> DataFrame:
+    """Key-distribution diagnostics for shuffle planning: the top-N
+    heaviest keys with each key's row count, share of all rows,
+    cumulative share, and skew ratio (count / mean-rows-per-key).  This
+    is the report you run BEFORE picking a join/agg partition strategy
+    at 100 TB — a skew ratio in the hundreds says "salt this key or
+    rely on AQE skew-join"; a top-1 share near 1.0 says "broadcast the
+    rest and special-case the whale" (the engineered whale in
+    ``host_cap`` is exactly what this surfaces).
+
+    Scale shape: ONE combinable groupBy(count) over the key columns —
+    the only corpus-sized shuffle, map-side partial counts; the
+    global (total rows, key count) pair is a 1-row broadcast attach;
+    top-N is a distributed TakeOrdered of N rows; the rank/cumulative
+    window runs over those N rows only.  Ties break by key value, so
+    the report is deterministic."""
+    from pyspark.sql import Window
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(F.sum("n_rows").alias("__total"),
+                        F.count("*").alias("n_keys"))
+    top = (counts.orderBy(F.desc("n_rows"), *keys).limit(top_n)
+           .crossJoin(F.broadcast(totals)))
+    w = (Window.orderBy(F.desc("n_rows"), *keys)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    share = F.col("n_rows") / F.col("__total")
+    return (top.select(
+        F.row_number().over(Window.orderBy(F.desc("n_rows"), *keys))
+        .alias("rank"),
+        *keys, "n_rows", "n_keys",
+        F.round(share, round_to).alias("share"),
+        F.round(F.sum(share).over(w), round_to).alias("cum_share"),
+        # share * n_keys, not n_rows * n_keys / total: the long*long
+        # product overflows int64 at corpus scale (10^12 rows x 10^6
+        # keys); the double form is the same value
+        F.round(share * F.col("n_keys"), round_to).alias("skew_ratio"))
+        .orderBy("rank"))

@@ -738,3 +738,168 @@ def embedding_drift(new: DataFrame, centroids: DataFrame,
                     F.round(nfrac, 6).alias("new_frac"),
                     F.round(nfrac - pfrac, 6).alias("delta"))
             .orderBy(cell_col))
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], id_cols: Sequence[str],
+             score_col: str = "score", k: int = 60,
+             out: str = "rrf_score") -> DataFrame:
+    """Reciprocal-rank fusion of N candidate lists (Cormack/Clarke/
+    Buettcher 2009): each list is ranked by (``score_col`` DESC,
+    ``id_cols`` ASC — deterministic tie-break), an item contributes
+    ``1/(k + rank)`` per list it appears in, and the fused table is the
+    UNION of the candidate lists (an item missing from a list simply
+    contributes nothing for it — standard RRF).  The hybrid-retrieval
+    primitive: fuse a lexical BM25 list with an embedding-cosine list
+    without score calibration.
+
+    Scale shape: rankings are CANDIDATE lists — each already top-K
+    bounded by its retriever (``bm25_topk`` / ``brute_force_topk`` /
+    ``ivf_topk`` end in a TakeOrdered of K rows) — so the unpartitioned
+    rank window and the N-way full outer join run over K-row tables,
+    never the corpus.  Contributions are summed in list order
+    (coalesce-chain, fixed expression order), so the fused score is
+    bit-reproducible and 6dp-rounded for oracle comparison."""
+    ids = list(id_cols)
+    fused = None
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), *ids)
+        contrib = (r.select(*ids, F.row_number().over(w).alias("__rk"))
+                   .select(*ids,
+                           (F.lit(1.0) / (F.lit(float(k)) + F.col("__rk")))
+                           .alias(f"__c{i}"),
+                           F.col("__rk").alias(f"rank_{i}")))
+        fused = contrib if fused is None else fused.join(contrib, ids, "full")
+    total = None
+    for i in range(len(rankings)):
+        c = F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    return (fused.select(*ids, F.round(total, 6).alias(out),
+                         *[F.col(f"rank_{i}")
+                           for i in range(len(rankings))])
+            .orderBy(F.desc(out), *ids))
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding",
+            k: int | None = None) -> DataFrame:
+    """Distributed PCA fit over an embedding column: returns a model
+    table with one ``idx = -1`` row carrying the per-dimension MEAN and
+    one row per principal component (``idx`` 0.. in DESCENDING
+    eigenvalue order, ``w`` the unit eigenvector, ``eigval`` the
+    variance it explains).  ``k`` limits how many components are kept
+    (default: all).
+
+    Scale shape: ONE corpus pass — each input partition folds its rows
+    into (n, sum, sum-of-outer-products) partials in float64 numpy and
+    emits a single (d + d^2)-double row; the driver combines the
+    ~#partitions partials IN PARTITION ORDER (deterministic float
+    summation), forms the d x d covariance, and runs numpy ``eigh`` on
+    it — O(d^2) driver memory, never O(rows).  Eigenvector sign is
+    fixed by making each vector's largest-|coordinate| entry positive,
+    so the model is reproducible across runs and partitionings up to
+    float addition order.  At 100 TB this is a map-side-combined scan
+    of the vector column only (column pruning keeps text/payload out)."""
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pca_fit needs at least one non-null vector")
+    d = len(first[0])
+
+    def partials(batches):
+        from pyspark import TaskContext
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        ss = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            arr = np.stack(pdf[vec_col].dropna().to_numpy()).astype(
+                np.float64, copy=False)
+            if not len(arr):
+                continue
+            if arr.shape[1] != d:
+                raise ValueError(
+                    f"ragged vectors: expected dim {d}, got {arr.shape[1]}")
+            n += arr.shape[0]
+            s += arr.sum(axis=0)
+            ss += arr.T @ arr
+        if n:
+            yield pd.DataFrame([{
+                "pid": TaskContext.get().partitionId(), "n": n,
+                "s": s.tolist(), "ss": ss.reshape(-1).tolist()}])
+
+    rows = sorted(
+        df.select(vec_col).mapInPandas(
+            partials, "pid int, n long, s array<double>, ss array<double>")
+        .collect(), key=lambda r: r["pid"])
+    if not rows:
+        raise ValueError("pca_fit needs at least one non-null vector")
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_fit needs at least two vectors")
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:  # partition order: deterministic summation
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    if k is not None:
+        order = order[:k]
+    model = [{"idx": -1, "w": mean.tolist(), "eigval": 0.0}]
+    for rank, j in enumerate(order):
+        v = vecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # sign convention
+            v = -v
+        model.append({"idx": rank, "w": v.tolist(),
+                      "eigval": float(vals[j])})
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame(model), "idx int, w array<double>, eigval double")
+
+
+def pca_project(df: DataFrame, model: DataFrame, k: int | None = None,
+                vec_col: str = "embedding", out: str = "pca") -> DataFrame:
+    """Project vectors onto the top-``k`` principal components of a
+    ``pca_fit`` model: ``out`` = W (x - mean) as ``array<double>``.
+    Map-only — the (k+1) x d model collects once driver-side (tiny) and
+    rides into an Arrow-vectorized ``mapInPandas`` closure; each batch
+    is one numpy matmul.  No join, no shuffle, append-legal in a live
+    chain.  With ``k = d`` the projection is a pure rotation and
+    preserves centered L2 norms (Parseval) — the invariant the oracle
+    checks; with ``k < d`` it is the usual lossy reduction (norms can
+    only contract)."""
+    rows = model.collect()
+    mean = None
+    comps = []
+    for r in rows:
+        if r["idx"] == -1:
+            mean = np.asarray(r["w"], dtype=np.float64)
+        else:
+            comps.append((r["idx"], np.asarray(r["w"], dtype=np.float64)))
+    if mean is None or not comps:
+        raise ValueError("model lacks the mean (-1) or component rows — "
+                         "was it written by pca_fit?")
+    comps.sort(key=lambda c: c[0])
+    w = np.stack([v for _, v in comps])
+    if k is not None:
+        if k > len(comps):
+            raise ValueError(f"k={k} > {len(comps)} fitted components")
+        w = w[:k]
+    wt = w.T.copy()  # d x k, contiguous for the batch matmul
+
+    in_fields = df.schema.fieldNames()
+    if out in in_fields:
+        raise ValueError(f"output column {out!r} already exists")
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema]
+        + [f"`{out}` array<double>"])
+
+    def project(batches):
+        for pdf in batches:
+            arr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
+                                                           copy=False)
+            proj = (arr - mean) @ wt
+            pdf = pdf.copy()
+            pdf[out] = list(proj)
+            yield pdf
+
+    return df.mapInPandas(project, out_schema)

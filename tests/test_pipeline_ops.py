@@ -2871,3 +2871,136 @@ def test_exact_quantiles_rejects_non_finite(spark):
                                 "g string, x double")
     with pytest.raises(ValueError, match="non-finite"):
         exact_quantiles_by(df2, "x", [0.5], "g")
+
+
+# ---------------------------------------------------------------------------
+# late-r10: RRF fusion, key-skew report, distributed PCA
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from scespet_spark.operators.similarity import rrf_fuse
+    lex = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double")
+    sem = spark.createDataFrame(
+        [(2, 0.95), (4, 0.5)], "doc_id long, score double")
+    rows = {r.doc_id: r for r in rrf_fuse([lex, sem], ["doc_id"]).collect()}
+    assert rows[2].rank_0 == 2 and rows[2].rank_1 == 1
+    assert rows[2].rrf_score == round(1 / 62 + 1 / 61, 6)   # both lists
+    assert rows[1].rrf_score == round(1 / 61, 6)            # lex only
+    assert rows[4].rrf_score == round(1 / 62, 6)            # sem only
+    assert rows[4].rank_0 is None and rows[4].rank_1 == 2
+    assert len(rows) == 4                                   # union of lists
+
+
+def test_rrf_fuse_tie_break_deterministic(spark):
+    from scespet_spark.operators.similarity import rrf_fuse
+    # equal scores -> rank by id ascending, stable across runs
+    a = spark.createDataFrame([(7, 0.5), (3, 0.5)], "id long, score double")
+    got = {r.id: r.rank_0 for r in rrf_fuse([a], ["id"]).collect()}
+    assert got == {3: 1, 7: 2}
+
+
+def test_key_skew_report_hand_computed(spark):
+    from scespet_spark.operators.pipeline import key_skew_report
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string")
+    rows = key_skew_report(df, ["k"], top_n=2).collect()
+    assert [(r.rank, r.k, r.n_rows, r.n_keys) for r in rows] == [
+        (1, "a", 6, 3), (2, "b", 3, 3)]
+    assert rows[0].share == 0.6 and rows[0].cum_share == 0.6
+    assert rows[1].share == 0.3 and rows[1].cum_share == 0.9
+    # skew ratio vs mean group size (10/3): a holds 1.8x the mean
+    assert rows[0].skew_ratio == 1.8 and rows[1].skew_ratio == 0.9
+
+
+def test_key_skew_report_tie_break_by_key(spark):
+    from scespet_spark.operators.pipeline import key_skew_report
+    df = spark.createDataFrame([("z",), ("y",)], "k string")
+    rows = key_skew_report(df, ["k"], top_n=2).collect()
+    assert [r.k for r in rows] == ["y", "z"]
+
+
+def _pca_fixture(spark, n=200, d=8, seed=7):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    # anisotropic cloud: distinct spectrum so eigenvector order is stable
+    scales = np.linspace(5.0, 0.5, d)
+    x = (rng.standard_normal((n, d)) * scales + rng.uniform(-1, 1, d))
+    x = x.astype(np.float32)  # match the parquet float[] input type
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>")
+    return x.astype(np.float64), df
+
+
+def test_pca_fit_matches_numpy(spark):
+    import numpy as np
+    from scespet_spark.operators.similarity import pca_fit
+    x, df = _pca_fixture(spark)
+    model = {r["idx"]: r for r in pca_fit(df).collect()}
+    mean = np.asarray(model[-1]["w"])
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    for rank, j in enumerate(order):
+        got = np.asarray(model[rank]["w"])
+        want = vecs[:, j]
+        if want[np.argmax(np.abs(want))] < 0:
+            want = -want
+        assert np.allclose(got, want, atol=1e-7), rank
+        assert abs(model[rank]["eigval"] - vals[j]) < 1e-7
+    # eigenvalues descending
+    evs = [model[r]["eigval"] for r in range(len(model) - 1)]
+    assert evs == sorted(evs, reverse=True)
+
+
+def test_pca_fit_deterministic_across_partitionings(spark):
+    import numpy as np
+    from scespet_spark.operators.similarity import pca_fit
+    _, df = _pca_fixture(spark)
+    a = {r["idx"]: r["w"] for r in pca_fit(df.repartition(13)).collect()}
+    b = {r["idx"]: r["w"] for r in pca_fit(df.repartition(13)).collect()}
+    for k in a:  # same partitioning -> bit-identical model
+        assert a[k] == b[k], k
+    c = {r["idx"]: r["w"] for r in pca_fit(df.coalesce(1)).collect()}
+    for k in a:  # different partitioning -> equal up to float addition
+        assert np.allclose(a[k], c[k], atol=1e-9), k
+
+
+def test_pca_project_matches_numpy_and_parseval(spark):
+    import numpy as np
+    from scespet_spark.operators.similarity import pca_fit, pca_project
+    x, df = _pca_fixture(spark)
+    model = pca_fit(df)
+    rows = {r["idx"]: np.asarray(r["w"])
+            for r in model.collect()}
+    k = 3
+    out = {r.vec_id: np.asarray(r.pca)
+           for r in pca_project(df, model, k=k).collect()}
+    w = np.stack([rows[i] for i in range(k)])
+    want = (x - rows[-1]) @ w.T
+    for i in range(len(x)):
+        assert np.allclose(out[i], want[i], atol=1e-9), i
+    # full-rank rotation preserves centered norms (Parseval)
+    full = {r.vec_id: np.asarray(r.pca)
+            for r in pca_project(df, model).collect()}
+    cent = x - rows[-1]
+    for i in range(len(x)):
+        assert abs((full[i] ** 2).sum() - (cent[i] ** 2).sum()) < 1e-8
+        # lossy projection only contracts
+        assert (out[i] ** 2).sum() <= (cent[i] ** 2).sum() + 1e-9
+
+
+def test_pca_project_rejects_bad_args(spark):
+    import pytest
+    from scespet_spark.operators.similarity import pca_fit, pca_project
+    _, df = _pca_fixture(spark, n=20)
+    model = pca_fit(df, k=4)
+    with pytest.raises(ValueError, match="fitted components"):
+        pca_project(df, model, k=9)
+    with pytest.raises(ValueError, match="already exists"):
+        pca_project(df, model, k=2, out="embedding")
+    with pytest.raises(ValueError, match="mean"):
+        pca_project(df, model.filter("idx >= 0"), k=2)
