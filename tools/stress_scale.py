@@ -84,8 +84,14 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                                                segment_dedup, simhash,
                                                substring_dedup,
                                                winnow_overlap_pairs)
-    from scespet_spark.operators.pipeline import decontaminate
-    from scespet_spark.operators.similarity import pq_train, semantic_dedup
+    from scespet_spark.operators.pipeline import (decontaminate,
+                                                  key_skew_report)
+    from scespet_spark.operators.similarity import (pca_fit, pca_project,
+                                                    pq_train, semantic_dedup)
+
+    def _pca_fit_project(e):
+        # fit + k=16 projection: the full PCA path per run
+        return pca_project(e, pca_fit(e), k=16, out="__pca")
     from scespet_spark.operators.text import (bigram_lm_score,
                                               corpus_idf_quality,
                                               profile_columns,
@@ -251,6 +257,10 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             d, "n_chars", [0.5, 0.99], buckets=256, threshold=4096)),
         "unigram_encode": lambda d, e, x=None: noop(
             unigram_apply(d, x["unigram_model"])),
+        "pca_fit_project": lambda d, e: noop(
+            _pca_fit_project(e)),
+        "key_skew": lambda d, e: noop(
+            key_skew_report(d, ["source"], top_n=20)),
     })
 
     if only:
