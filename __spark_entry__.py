@@ -3452,6 +3452,43 @@ def embedding_pca_project(spark, sf_dir):
         .orderBy("vec_id"))
 
 
+@query("live_pca_project", """
+SELECT vec_id, 64 AS proj_dim, TRUE AS parseval_ok, TRUE AS contract_ok
+FROM embeddings ORDER BY vec_id
+""")
+def live_pca_project(spark, sf_dir):
+    """PCA projection on a LIVE embedding stream: the model is fitted
+    ONCE batch-side (a stream cannot see its own covariance — the same
+    train-once-per-snapshot contract as the tokenizers/classifiers)
+    and broadcasts into a stateless Arrow matmul per micro-batch —
+    map-only, append mode, zero state.  The reduce-dims-before-index
+    step running at ingest.  Same invariant oracle as the batch form,
+    computed inside the streaming plan."""
+    from scespet_spark.operators.similarity import pca_fit, pca_project
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb)                       # snapshot model artifact
+    mean = next(r["w"] for r in model.collect() if r["idx"] == -1)
+    stream = read_table_stream(spark, sf_dir, "embeddings")
+    both = pca_project(pca_project(stream, model, out="pca64"),
+                       model, k=16, out="pca16")
+    v = F.col("embedding").cast("array<double>")
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    cn2 = F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(float(m)) for m in mean]),
+                   lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0), lambda a, x: a + x)
+    out = both.select(
+        "vec_id", F.size("pca64").alias("proj_dim"),
+        (F.abs(sq(F.col("pca64")) - cn2)
+         <= F.lit(1e-6) * F.greatest(cn2, F.lit(1.0)))
+        .alias("parseval_ok"),
+        (sq(F.col("pca16")) <= cn2 * F.lit(1.0 + 1e-9) + F.lit(1e-9))
+        .alias("contract_ok"))
+    return run_available_now(out, "append").orderBy("vec_id")
+
+
 @query("key_skew_sources", """
 WITH c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
 t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c),
@@ -7017,7 +7054,8 @@ _ROUND_CHANGED = [
     "text_trigram_lm", "text_ngram_lm_order5",
     # brand-new late-r10: hybrid RRF retrieval, distributed PCA
     # (invariant oracle), key-skew diagnostics
-    "hybrid_search_rrf", "embedding_pca_project", "key_skew_sources",
+    "hybrid_search_rrf", "embedding_pca_project", "live_pca_project",
+    "key_skew_sources",
     # implementation changed late-r10: collapse rewritten from
     # per-group applyInPandas to streamed mapInPandas (22.5s -> 1.05s);
     # the rowwise gates build weight literals as packed strings
@@ -7034,7 +7072,7 @@ _PRIORITY = _ROUND_CHANGED + [
     # ...plus the r5/r6 live stream-operator cohort last re-greened r8
     "live_tumbling_daily", "live_value_set", "live_sliding_scan",
     "live_bucket_collapse_stats", "live_zip_click_purchase",
-    "live_scan_running_sum", "live_map_vector_running",
+    "live_scan_running_sum",
     # (late-r10 trim: live_map_keys_bucket /
     # live_bind_hourly / live_vwap_per_supplier / text_fingerprint /
     # text_token_doc_freq yielded their slots to the late-r10 new +
