@@ -176,3 +176,41 @@ def test_window_from_keyed_gate_streams(spark):
     red = data.window_from(gate, "g").reduce(vs=F.collect_list("v"))
     got = {r.k: sorted(r.vs) for r in red.df.collect()}
     assert got == {"a": [1, 2, 3, 4]}
+
+
+def test_collapse_carries_buckets_and_cycles_across_arrow_batches(spark):
+    # force 3-row Arrow batches so buckets AND cycles span batch
+    # boundaries inside mapInPandas — exercises the leftover-cycle
+    # carry and the open-bucket carry, which full-size batches never hit
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        # one key, Count(5) slices, a 4-event cycle at ts=7 that spans
+        # the 3-row batch edge, interleaved second key
+        rows = []
+        seq = 0
+        for k in ("x", "y"):
+            for ts, n in [(1, 1), (3, 2), (7, 4), (9, 1), (11, 2), (12, 1)]:
+                for _ in range(n):
+                    rows.append((k, ts, seq, ts))
+                    seq += 1
+        s = _keyed(spark, rows)
+        got = (collapse(s.group(Count(5)), make_probe(), SCHEMA, emit="last")
+               .orderBy("k", "ts").collect())
+        # per key: 11 events -> slices of 5/5/1 by (ts, seq) order
+        for k in ("x", "y"):
+            mine = [(r.n_cycles, r.n_events, r.total)
+                    for r in got if r.k == k]
+            # slice 1: ts 1,3,3,7,7 -> cycles {1},{3,3},{7,7} = 3 cycles
+            # slice 2: ts 7,7,9,11,11 -> cycles {7,7},{9},{11,11}
+            # slice 3: ts 12 -> 1 cycle
+            assert mine == [(3, 5, 21), (3, 5, 45), (1, 1, 12)], (k, mine)
+        # emit='all' cumulative across the same forced boundaries
+        all_rows = (collapse(s.group(Count(5)), make_probe(), SCHEMA,
+                             emit="all").orderBy("k", "ts", "seq").collect())
+        x = [(r.ts, r.n_cycles, r.n_events) for r in all_rows if r.k == "x"]
+        assert x == [(1, 1, 1), (3, 2, 3), (7, 3, 5),
+                     (7, 1, 2), (9, 2, 3), (11, 3, 5),
+                     (12, 1, 1)], x
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
