@@ -857,7 +857,8 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
 
 
 def pca_project(df: DataFrame, model: DataFrame, k: int | None = None,
-                vec_col: str = "embedding", out: str = "pca") -> DataFrame:
+                vec_col: str = "embedding", out: str = "pca",
+                whiten: bool = False) -> DataFrame:
     """Project vectors onto the top-``k`` principal components of a
     ``pca_fit`` model: ``out`` = W (x - mean) as ``array<double>``.
     Map-only — the (k+1) x d model collects once driver-side (tiny) and
@@ -866,7 +867,14 @@ def pca_project(df: DataFrame, model: DataFrame, k: int | None = None,
     chain.  With ``k = d`` the projection is a pure rotation and
     preserves centered L2 norms (Parseval) — the invariant the oracle
     checks; with ``k < d`` it is the usual lossy reduction (norms can
-    only contract)."""
+    only contract).
+
+    ``whiten=True`` additionally divides coordinate *i* by
+    sqrt(eigval_i), giving each kept dimension unit variance over the
+    FIT corpus (the preprocessing cosine/L2 indexes want when leading
+    components would otherwise dominate the metric).  Whitening a
+    near-zero-variance component just amplifies float noise, so it
+    raises — drop such dims by lowering ``k``."""
     rows = model.collect()
     mean = None
     comps = []
@@ -874,16 +882,26 @@ def pca_project(df: DataFrame, model: DataFrame, k: int | None = None,
         if r["idx"] == -1:
             mean = np.asarray(r["w"], dtype=np.float64)
         else:
-            comps.append((r["idx"], np.asarray(r["w"], dtype=np.float64)))
+            comps.append((r["idx"], np.asarray(r["w"], dtype=np.float64),
+                          r["eigval"]))
     if mean is None or not comps:
         raise ValueError("model lacks the mean (-1) or component rows — "
                          "was it written by pca_fit?")
     comps.sort(key=lambda c: c[0])
-    w = np.stack([v for _, v in comps])
+    w = np.stack([v for _, v, _ in comps])
+    evs = np.asarray([e for _, _, e in comps], dtype=np.float64)
     if k is not None:
         if k > len(comps):
             raise ValueError(f"k={k} > {len(comps)} fitted components")
         w = w[:k]
+        evs = evs[:k]
+    if whiten:
+        if (evs < 1e-12).any():
+            bad = int(np.argmax(evs < 1e-12))
+            raise ValueError(
+                f"whiten=True with near-zero eigenvalue at component "
+                f"{bad} ({evs[bad]:.3e}) — reduce k below it")
+        w = w / np.sqrt(evs)[:, None]
     wt = w.T.copy()  # d x k, contiguous for the batch matmul
 
     in_fields = df.schema.fieldNames()

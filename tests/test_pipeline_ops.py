@@ -3004,3 +3004,23 @@ def test_pca_project_rejects_bad_args(spark):
         pca_project(df, model, k=2, out="embedding")
     with pytest.raises(ValueError, match="mean"):
         pca_project(df, model.filter("idx >= 0"), k=2)
+
+
+def test_pca_project_whiten_unit_variance(spark):
+    import numpy as np
+    import pytest
+    from scespet_spark.operators.similarity import pca_fit, pca_project
+    x, df = _pca_fixture(spark, n=400)
+    model = pca_fit(df)
+    k = 4
+    out = np.stack([np.asarray(r.pca) for r in
+                    pca_project(df, model, k=k, whiten=True)
+                    .orderBy("vec_id").collect()])
+    # each whitened dim has unit variance over the fit corpus
+    assert np.allclose(out.var(axis=0, ddof=1), np.ones(k), atol=1e-9)
+    # degenerate spectrum refuses to whiten
+    z = df.select("vec_id",
+                  F.transform("embedding", lambda v: v * 0).alias("embedding"))
+    zero_model = pca_fit(z)
+    with pytest.raises(ValueError, match="near-zero eigenvalue"):
+        pca_project(z, zero_model, whiten=True)
