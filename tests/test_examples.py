@@ -28,6 +28,8 @@ def test_ann_search_example(spark, capsys):
     ann_search.main(SF)
     out = capsys.readouterr().out
     assert "recall@10" in out
+    assert "pca16: recall@10" in out
+    assert "hybrid top-5 (rrf):" in out
 
 
 def test_trades_example(spark, capsys):
