@@ -3511,6 +3511,50 @@ def live_pca_project(spark, sf_dir):
     return run_available_now(out, "append").orderBy("vec_id")
 
 
+def _zorder_oracle(cols=("l_extendedprice", "l_quantity"), bits=8):
+    top = (1 << bits) - 1
+    stats = ", ".join(
+        f"MIN({c}::DOUBLE) AS mn_{i}, MAX({c}::DOUBLE) AS mx_{i}"
+        for i, c in enumerate(cols))
+    ranks = ", ".join(
+        f"CAST(CASE WHEN {c} IS NOT NULL AND mx_{i} > mn_{i} "
+        f"THEN floor(({c}::DOUBLE - mn_{i}) / (mx_{i} - mn_{i}) "
+        f"* {top}.0 + 0.5) ELSE 0 END AS BIGINT) AS r_{i}"
+        for i, c in enumerate(cols))
+    n = len(cols)
+    terms = []
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            pos = bits * n - 1 - ((bits - 1 - b) * n + i)
+            # fully parenthesized: SQL's << binds LOOSER than +, so an
+            # unwrapped "a << p1 + b << p2" chain nests the shifts
+            terms.append(f"(((r_{i} >> {b}) & 1) << {pos})")
+    return f"""
+WITH st AS (SELECT {stats} FROM lineitem),
+rk AS (SELECT l_orderkey, l_linenumber, {ranks} FROM lineitem, st)
+SELECT l_orderkey, l_linenumber,
+       CAST({" + ".join(terms)} AS BIGINT) AS zkey
+FROM rk ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("zorder_key_lineitem", _zorder_oracle())
+def zorder_key_lineitem(spark, sf_dir):
+    """Z-order (Morton) clustering key over (price, quantity) — the
+    lakehouse multi-column data-skipping layout (Delta/Iceberg
+    OPTIMIZE ZORDER BY) as plain codegen bit arithmetic: one tiny
+    min/max broadcast attach + a map-only interleave, bit-exact in
+    both engines.  ``zorder_layout`` composes it with ONE
+    range-partition shuffle for the write; per-file min/max footers
+    then prune selective scans on EITHER column (measured A/B in
+    SCALE.md)."""
+    from scespet_spark.operators.layout import zorder_key
+    li = load_table(spark, sf_dir, "lineitem")
+    return (zorder_key(li, ["l_extendedprice", "l_quantity"], bits=8)
+            .select("l_orderkey", "l_linenumber", "zkey")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
 @query("key_skew_sources", """
 WITH c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
 t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c),
@@ -7128,6 +7172,8 @@ _ROUND_CHANGED = [
     # ROWS_ONLY — exact halves + sketch-error-bound booleans make a
     # full hash-checked oracle (ROWS_ONLY is now empty)
     "approx_distinct_users_daily", "profile_lineitem_approx",
+    # brand-new late-r10: Z-order clustering keys (bit-exact oracle)
+    "zorder_key_lineitem",
     # implementation changed late-r10: collapse rewritten from
     # per-group applyInPandas to streamed mapInPandas (22.5s -> 1.05s);
     # the rowwise gates build weight literals as packed strings
@@ -7140,10 +7186,11 @@ _PRIORITY = _ROUND_CHANGED + [
     # driver evidence — rotate them back in...
     "region_revenue", "topk_orders", "rollup_order_status",
     "set_ops_customers", "window_rank_orders", "vwap_per_supplier",
-    "q10_returned_items", "ann_pq_codes", "dedup_ngram_jaccard",
+    "q10_returned_items", "dedup_ngram_jaccard",
     # ...plus the r5/r6 live stream-operator cohort last re-greened r8
     "live_tumbling_daily", "live_value_set", "live_sliding_scan",
     "live_bucket_collapse_stats",
+
     # (late-r10 trim: live_map_keys_bucket /
     # live_bind_hourly / live_vwap_per_supplier / text_fingerprint /
     # text_token_doc_freq yielded their slots to the late-r10 new +

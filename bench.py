@@ -137,6 +137,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "embedding_pca_project",
     "key_skew_sources",
+    "zorder_key_lineitem",
 ]
 
 

@@ -3024,3 +3024,58 @@ def test_pca_project_whiten_unit_variance(spark):
     zero_model = pca_fit(z)
     with pytest.raises(ValueError, match="near-zero eigenvalue"):
         pca_project(z, zero_model, whiten=True)
+
+
+def test_zorder_key_hand_computed(spark):
+    from scespet_spark.operators.layout import zorder_key
+    # 2 cols, 2 bits: ranks span 0..3; interleave MSB-first, col order
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 3.0, 0.0), (2, 0.0, 3.0), (3, 3.0, 3.0),
+         (4, 1.0, 2.0), (5, None, 3.0)],
+        "id long, x double, y double")
+    got = {r.id: r.zkey for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+    # x=3->rank3 (11), y=0->rank0 (00): bits x1 y1 x0 y0 = 1010 = 10
+    assert got[0] == 0 and got[1] == 0b1010 and got[2] == 0b0101
+    assert got[3] == 0b1111
+    # x=1->rank1 (01), y=2->rank2 (10): 0 1 1 0 = 6
+    assert got[4] == 0b0110
+    # null x ranks 0
+    assert got[5] == 0b0101
+
+
+def test_zorder_key_constant_and_errors(spark):
+    import pytest
+    from scespet_spark.operators.layout import zorder_key
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, x double")
+    got = {r.id: r.zkey for r in zorder_key(df, ["x"], bits=4).collect()}
+    assert got == {1: 0, 2: 0}          # constant column drops out
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, ["x"] * 8, bits=8)
+    with pytest.raises(ValueError, match="already exists"):
+        zorder_key(df, ["x"], out="id")
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
+
+
+def test_zorder_layout_clusters_both_columns(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from scespet_spark.operators.layout import zorder_layout
+    rng = np.random.default_rng(3)
+    rows = [(i, float(x), float(y))
+            for i, (x, y) in enumerate(rng.uniform(0, 100, (4000, 2)))]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    laid = zorder_layout(df, ["x", "y"], bits=8, n_files=16)
+    # per-partition min/max boxes must be tight on BOTH columns: the
+    # mean box side is far below the full range (a single-column sort
+    # gives ~full-range boxes on the other column)
+    spans = (laid.withColumn("p", F.spark_partition_id())
+             .groupBy("p")
+             .agg((F.max("x") - F.min("x")).alias("sx"),
+                  (F.max("y") - F.min("y")).alias("sy"),
+                  F.count("*").alias("n"))
+             .collect())
+    mean_sx = sum(r.sx for r in spans) / len(spans)
+    mean_sy = sum(r.sy for r in spans) / len(spans)
+    assert mean_sx < 60 and mean_sy < 60, (mean_sx, mean_sy)
+    assert sum(r.n for r in spans) == 4000
