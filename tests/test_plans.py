@@ -361,3 +361,44 @@ def test_quality_classifier_apply_broadcasts_weights(spark, entry):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pca_project_is_map_only(spark, entry):
+    """pca_project: the component matrix rides the Arrow closure
+    (driver-held model), so the vector side never shuffles — no
+    Exchange, no join, one MapInPandas."""
+    from scespet_spark.operators.similarity import pca_fit, pca_project
+    from scespet_spark.sources.batch import load_table
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(pca_project(emb, pca_fit(emb), k=8))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_key_skew_top_n_is_take_ordered(spark, entry):
+    """key_skew_report: the only corpus shuffle is the count aggregate
+    (map-side partials), the top-N is a distributed TakeOrdered (never
+    a global sort of the key table), and the totals attach broadcasts."""
+    plan = _plan(entry.queries()["key_skew_sources"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_key_is_map_side_codegen(spark, entry):
+    """zorder_key: min/max stats broadcast-attach, the interleave is
+    pure codegen — no hash Exchange of the data rows, no UDF of any
+    kind."""
+    from scespet_spark.operators.layout import zorder_key
+    from scespet_spark.sources.batch import load_table
+    li = load_table(spark, SF, "lineitem")
+    plan = _plan(zorder_key(li, ["l_extendedprice", "l_quantity"], bits=8))
+    assert "hashpartitioning" not in plan, plan
+    for udf in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert udf not in plan, udf
+    # the stats attach is the 1-row broadcast cross join; the interleave
+    # itself is a plain Project over the scan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "shiftleft" in plan
