@@ -3514,10 +3514,13 @@ def live_pca_project(spark, sf_dir):
 def _zorder_oracle(cols=("l_extendedprice", "l_quantity"), bits=8):
     top = (1 << bits) - 1
     stats = ", ".join(
-        f"MIN({c}::DOUBLE) AS mn_{i}, MAX({c}::DOUBLE) AS mx_{i}"
+        f"MIN(CASE WHEN isfinite({c}::DOUBLE) THEN {c}::DOUBLE END) "
+        f"AS mn_{i}, "
+        f"MAX(CASE WHEN isfinite({c}::DOUBLE) THEN {c}::DOUBLE END) "
+        f"AS mx_{i}"
         for i, c in enumerate(cols))
     ranks = ", ".join(
-        f"CAST(CASE WHEN {c} IS NOT NULL AND mx_{i} > mn_{i} "
+        f"CAST(CASE WHEN isfinite({c}::DOUBLE) AND mx_{i} > mn_{i} "
         f"THEN floor(({c}::DOUBLE - mn_{i}) / (mx_{i} - mn_{i}) "
         f"* {top}.0 + 0.5) ELSE 0 END AS BIGINT) AS r_{i}"
         for i, c in enumerate(cols))

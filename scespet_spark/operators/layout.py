@@ -35,7 +35,11 @@ def zorder_key(df: DataFrame, cols, bits: int = 16,
     ``floor(x + 0.5)`` half-up rounding on doubles (every engine agrees)
     and the interleave is pure integer bit arithmetic — the oracle
     reproduces the key bit-for-bit in SQL.  Constant columns (max ==
-    min) rank 0 everywhere and simply drop out of the ordering."""
+    min) rank 0 everywhere and simply drop out of the ordering.
+    Null and NON-FINITE values rank 0 (sort to the low corner) and are
+    EXCLUDED from the min/max stats — without the exclusion a single
+    NaN poisons ``max()`` (NaN sorts greatest) and silently zeroes
+    every row's key."""
     cols = list(cols)
     total = len(cols) * bits
     if not cols:
@@ -46,10 +50,16 @@ def zorder_key(df: DataFrame, cols, bits: int = 16,
             f"lower bits (pruning needs only coarse ranks)")
     if out in df.columns:
         raise ValueError(f"output column {out!r} already exists")
+    inf = F.lit(float("inf"))
+
+    def finite(d: Column) -> Column:
+        return d.isNotNull() & ~F.isnan(d) & (F.abs(d) != inf)
+
     aggs = []
     for c in cols:
         d = F.col(c).cast("double")
-        aggs += [F.min(d).alias(f"__mn_{c}"), F.max(d).alias(f"__mx_{c}")]
+        fin = F.when(finite(d), d)
+        aggs += [F.min(fin).alias(f"__mn_{c}"), F.max(fin).alias(f"__mx_{c}")]
     j = df.crossJoin(F.broadcast(df.agg(*aggs)))
     top = (1 << bits) - 1
     ranks: list[Column] = []
@@ -57,7 +67,7 @@ def zorder_key(df: DataFrame, cols, bits: int = 16,
         v = F.col(c).cast("double")
         mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
         r = F.when(
-            v.isNotNull() & (mx > mn),
+            finite(v) & (mx > mn),
             F.floor((v - mn) / (mx - mn) * F.lit(float(top)) + F.lit(0.5)))
         ranks.append(F.coalesce(r, F.lit(0)).cast("long"))
     z: Column = F.lit(0).cast("long")

@@ -3049,6 +3049,12 @@ def test_zorder_key_constant_and_errors(spark):
     df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, x double")
     got = {r.id: r.zkey for r in zorder_key(df, ["x"], bits=4).collect()}
     assert got == {1: 0, 2: 0}          # constant column drops out
+    # a NaN/inf row ranks 0 and must NOT poison the other rows' stats
+    nf = spark.createDataFrame(
+        [(1, 0.0), (2, float("nan")), (3, 15.0), (4, float("inf"))],
+        "id long, x double")
+    got = {r.id: r.zkey for r in zorder_key(nf, ["x"], bits=4).collect()}
+    assert got == {1: 0, 2: 0, 3: 15, 4: 0}
     with pytest.raises(ValueError, match="63"):
         zorder_key(df, ["x"] * 8, bits=8)
     with pytest.raises(ValueError, match="already exists"):
