@@ -816,6 +816,10 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
             if arr.shape[1] != d:
                 raise ValueError(
                     f"ragged vectors: expected dim {d}, got {arr.shape[1]}")
+            if not np.isfinite(arr).all():
+                raise ValueError(
+                    "non-finite embedding values — a NaN/inf silently "
+                    "poisons the covariance; filter or clamp upstream")
             n += arr.shape[0]
             s += arr.sum(axis=0)
             ss += arr.T @ arr

@@ -3085,3 +3085,13 @@ def test_zorder_layout_clusters_both_columns(spark):
     mean_sy = sum(r.sy for r in spans) / len(spans)
     assert mean_sx < 60 and mean_sy < 60, (mean_sx, mean_sy)
     assert sum(r.n for r in spans) == 4000
+
+
+def test_pca_fit_rejects_non_finite(spark):
+    import pytest
+    from scespet_spark.operators.similarity import pca_fit
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [float("nan"), 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="non-finite"):
+        pca_fit(df)
