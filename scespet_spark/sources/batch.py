@@ -230,7 +230,8 @@ def show(stream: Stream, n: int = 20, prefix: str = "") -> None:
 
 def write_partitioned(df: DataFrame, path: str, partition_cols=(),
                       sort_within=(), max_records_per_file: int = 2_000_000,
-                      mode: str = "overwrite", fmt: str = "parquet") -> None:
+                      mode: str = "overwrite", fmt: str = "parquet",
+                      zorder_by=(), zorder_bits: int = 16) -> None:
     """Columnar sink for pipeline outputs at scale: hive-partition by
     the given columns, cluster writes so each task writes few files per
     partition value (repartition on the partition key avoids the
@@ -238,11 +239,30 @@ def write_partitioned(df: DataFrame, path: str, partition_cols=(),
     files for row-group pruning on later scans, and cap records per
     file so downstream readers get balanced splits.  ``fmt`` selects
     any columnar format Spark writes natively (parquet, orc) — both
-    carry the same partition/sort/size clustering."""
+    carry the same partition/sort/size clustering.
+
+    ``zorder_by`` clusters files on the MORTON key of several columns
+    instead of a plain sort: per-file min/max stats then prune
+    selective scans on ANY of the interleaved columns (measured in
+    SCALE.md: 100% -> 11% of rows visited for the second column).
+    Mutually exclusive with ``sort_within`` (one clustering order per
+    write); composes with hive partitioning — the Z-key orders rows
+    WITHIN each partition value."""
     if fmt not in ("parquet", "orc"):
         raise ValueError(f"unsupported columnar sink format: {fmt}")
+    if zorder_by and sort_within:
+        raise ValueError("zorder_by and sort_within are mutually "
+                         "exclusive — one clustering order per write")
     w = df
-    if partition_cols:
+    if zorder_by:
+        from ..operators.layout import zorder_key
+        w = zorder_key(w, list(zorder_by), bits=zorder_bits, out="__z")
+        w = (w.repartitionByRange(*[F.col(c) for c in partition_cols],
+                                  F.col("__z"))
+             .sortWithinPartitions(*[F.col(c) for c in partition_cols],
+                                   "__z")
+             .drop("__z"))
+    elif partition_cols:
         w = w.repartition(*[F.col(c) for c in partition_cols])
     if sort_within:
         w = w.sortWithinPartitions(*[F.col(c) for c in

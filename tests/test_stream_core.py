@@ -646,3 +646,20 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
     assert back.df.count() == 12
     assert {r.text for r in back.df.select("text").collect()} == \
         {f"doc {i}" for i in range(12)}
+
+
+def test_write_partitioned_zorder_roundtrip(spark, tmp_path):
+    import pytest as _pytest
+    from scespet_spark.sources.batch import write_partitioned
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i % 7), float(i % 11)) for i in range(200)],
+        "id long, p long, x double, y double")
+    out = str(tmp_path / "zout")
+    write_partitioned(df, out, partition_cols=("p",),
+                      zorder_by=("x", "y"), zorder_bits=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert "__z" not in back.columns        # layout key never persisted
+    assert sorted(back.columns) == ["id", "p", "x", "y"]
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        write_partitioned(df, out, sort_within=("id",), zorder_by=("x",))
