@@ -809,10 +809,10 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
         s = np.zeros(d, dtype=np.float64)
         ss = np.zeros((d, d), dtype=np.float64)
         for pdf in batches:
-            arr = np.stack(pdf[vec_col].dropna().to_numpy()).astype(
-                np.float64, copy=False)
-            if not len(arr):
-                continue
+            vals = pdf[vec_col].dropna().to_numpy()
+            if not len(vals):
+                continue  # np.stack([]) would raise, not return empty
+            arr = np.stack(vals).astype(np.float64, copy=False)
             if arr.shape[1] != d:
                 raise ValueError(
                     f"ragged vectors: expected dim {d}, got {arr.shape[1]}")
@@ -917,11 +917,19 @@ def pca_project(df: DataFrame, model: DataFrame, k: int | None = None,
 
     def project(batches):
         for pdf in batches:
-            arr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64,
-                                                           copy=False)
-            proj = (arr - mean) @ wt
             pdf = pdf.copy()
-            pdf[out] = list(proj)
+            vals = pdf[vec_col].to_numpy()
+            valid = np.fromiter((v is not None for v in vals), dtype=bool,
+                                count=len(vals))
+            res = [None] * len(vals)
+            if valid.any():
+                arr = np.stack(vals[valid]).astype(np.float64, copy=False)
+                proj = (arr - mean) @ wt
+                for i, j in enumerate(np.flatnonzero(valid)):
+                    res[j] = proj[i]
+            # null vector -> null projection (a map stage cannot drop
+            # its row)
+            pdf[out] = res
             yield pdf
 
     return df.mapInPandas(project, out_schema)

@@ -3095,3 +3095,15 @@ def test_pca_fit_rejects_non_finite(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="non-finite"):
         pca_fit(df)
+
+
+def test_pca_null_vectors(spark):
+    from scespet_spark.operators.similarity import pca_fit, pca_project
+    _, df = _pca_fixture(spark, n=30, d=4)
+    withnull = df.unionByName(spark.createDataFrame(
+        [(999, None)], "vec_id long, embedding array<float>"))
+    model = pca_fit(withnull)          # null rows ignored in the fit
+    rows = {r.vec_id: r.pca
+            for r in pca_project(withnull, model, k=2).collect()}
+    assert rows[999] is None           # null in -> null out
+    assert len(rows) == 31 and rows[0] is not None
