@@ -4572,21 +4572,31 @@ def profile_lineitem_approx(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     approx = profile_columns(li, approx=True)
     eps = 2e-4
-    br = profile_columns(li, percentiles=(
-        0.25 - eps, 0.25 + eps, 0.5 - eps, 0.5 + eps,
-        0.75 - eps, 0.75 + eps))
-    lo25, hi25, lo50, hi50, lo75, hi75 = br.columns[-6:]
-    j = approx.join(
-        br.select("column", lo25, hi25, lo50, hi50, lo75, hi75), "column")
+    pcts = [0.25 - eps, 0.25 + eps, 0.5 - eps, 0.5 + eps,
+            0.75 - eps, 0.75 + eps]
+    # ONE percentile-only aggregate for the brackets (array form: one
+    # sort buffer per column) — a full second profile_columns pass
+    # would re-pay the multi-count_distinct Expand for stats this
+    # harness never reads (measured: 14.5s -> ~9s for the query)
+    brk = li.agg(*[
+        F.percentile(F.col(c).cast("double"), F.lit(pcts))
+        .alias(f"__bk_{c}") for c in _LI_NUM])
+    j = approx.crossJoin(F.broadcast(brk))
 
-    def ok(p, lo, hi):
-        return ((F.col(f"`{lo}`") <= F.col(p))
-                & (F.col(p) <= F.col(f"`{hi}`"))).alias(f"{p}_ok")
+    def ok(p, i):
+        expr = F.lit(None).cast("boolean")
+        for c in reversed(_LI_NUM):
+            bk = F.col(f"__bk_{c}")
+            expr = F.when(
+                F.col("column") == c,
+                (F.element_at(bk, 2 * i + 1) <= F.col(p))
+                & (F.col(p) <= F.element_at(bk, 2 * i + 2))).otherwise(expr)
+        return expr.alias(f"{p}_ok")
 
     return j.select("column", "n_rows", "n_nulls", "n_distinct",
                     "vmin", "vmax", "vmean",
-                    ok("p25", lo25, hi25), ok("p50", lo50, hi50),
-                    ok("p75", lo75, hi75)).orderBy("column")
+                    ok("p25", 0), ok("p50", 1), ok("p75", 2)
+                    ).orderBy("column")
 
 
 def _bigram_lm_oracle(k=1.0):
