@@ -176,7 +176,12 @@ def bloom_row(words: DataFrame, m_bits: int) -> DataFrame:
                    .alias("__bloom")))
     # materialize eagerly: the row is a snapshot ARTIFACT probed many
     # times — without the checkpoint every probe plan re-runs the
-    # densify join+agg, and its Exchange would masquerade as probe cost
+    # densify join+agg, and its Exchange would masquerade as probe cost.
+    # CAVEAT: localCheckpoint blocks are executor-local and NOT
+    # recomputable — under dynamic allocation / executor loss a later
+    # probe fails with a missing-block error instead of silently
+    # recomputing; the recovery is one read_bloom call (the durable
+    # artifact is the parquet word table, this row is session state)
     return row.localCheckpoint()
 
 

@@ -51,6 +51,9 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str],
             f"salted_join how={how!r} unsupported: dim-side replication "
             f"makes right/full outer joins emit up to salt x unmatched "
             f"dim rows; use one of {sorted(safe)}")
+    if "__salt" in (*fact.columns, *dim.columns):
+        raise ValueError("input already has a '__salt' column — rename "
+                         "it (the join would silently clobber it)")
     row_cols = list(fact_row_cols) if fact_row_cols else list(fact.columns)
     sdim = (dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
@@ -149,7 +152,22 @@ def range_join(fact: DataFrame, dim: DataFrame, value_col: str,
     # silently drop a true match.  The exact predicate re-check below
     # removes the extra bucket's false positives, so the cost is at
     # most one expanded row per boundary-aligned interval.
-    xdim = (dim.filter(hi > lo)
+    if "__b" in (*fact.columns, *dim.columns):
+        raise ValueError("input already has a '__b' column — rename it "
+                         "(the join would silently clobber it)")
+    # refuse pathological expansion instead of dying deep in the
+    # executor: one outlier interval 10^6 buckets wide (w tuned to the
+    # TYPICAL band) would explode into a Spark max-array-length error
+    # or an OOM with no hint that bucket_width is the knob
+    n_buckets = F.floor(hi / w).cast("long") - F.floor(lo / w).cast("long")
+    guard = F.when(
+        n_buckets <= F.lit(1_000_000), F.lit(True)).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"range_join: interval [{lo_col}, {hi_col}) spans "),
+            n_buckets.cast("string"),
+            F.lit(f" buckets at bucket_width={bucket_width!r} — raise "
+                  f"bucket_width or split outlier intervals"))))
+    xdim = (dim.filter(hi > lo).filter(guard)
             .withColumn("__b", F.explode(F.sequence(
                 F.floor(lo / w).cast("long"),
                 F.floor(hi / w).cast("long")))))

@@ -44,12 +44,22 @@ def zorder_key(df: DataFrame, cols, bits: int = 16,
     total = len(cols) * bits
     if not cols:
         raise ValueError("zorder_key needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols}")
+    if bits < 1:
+        raise ValueError(
+            f"bits={bits}: a <1-bit rank is a constant key — every row "
+            f"would land in one range partition")
     if total > 63:
         raise ValueError(
             f"{len(cols)} cols x {bits} bits = {total} > 63 key bits — "
             f"lower bits (pruning needs only coarse ranks)")
-    if out in df.columns:
-        raise ValueError(f"output column {out!r} already exists")
+    clashes = [n for c in cols
+               for n in (f"__mn_{c}", f"__mx_{c}") if n in df.columns]
+    if out in df.columns or clashes:
+        raise ValueError(
+            f"output/stat column name already exists in the input: "
+            f"{[out] if out in df.columns else clashes}")
     inf = F.lit(float("inf"))
 
     def finite(d: Column) -> Column:

@@ -109,9 +109,14 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
     The global prefix sum uses the two-phase bucketed scan (buckets of
     ``bucket_size`` ids): per-bucket running sums in parallel + a tiny
     prefix over bucket totals — no single-partition window."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     from ..core.stream import Stream
+    # NULL text counts 0 tokens (the token_budget convention) — a NULL
+    # size would otherwise poison the prefix sums / crash the packer
     base = df.select(F.col(id_col),
-                     F.size(tokens(F.col(text_col))).alias("n_tokens"))
+                     F.coalesce(F.size(tokens(F.col(text_col))),
+                                F.lit(0)).alias("n_tokens"))
     s = Stream(base, t=id_col, seq=id_col)
     run = s.scan(buckets=(F.col(id_col) / F.lit(bucket_size)).cast("long"),
                  cum=F.sum("n_tokens"))
@@ -138,7 +143,6 @@ def _feat_buckets(df: DataFrame, text_col: str, n_buckets: int,
     length); binding it first keeps the whole thing one linear codegen
     projection."""
     from .dedup import _spread
-    from .text import tokens
     hf = hash_fn or h64
     staged = _spread(df.select(*keep, F.col(text_col))).select(
         *keep, tokens(F.col(text_col)).alias("__t"))
@@ -299,7 +303,8 @@ def pack_sequences_bestfit(df: DataFrame, budget: int,
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     base = (df.select(F.col(id_col),
-                      F.size(tokens(F.col(text_col))).alias("n_tokens"))
+                      F.coalesce(F.size(tokens(F.col(text_col))),
+                                 F.lit(0)).alias("n_tokens"))
             .withColumn("__grp", F.floor(F.col(id_col) / F.lit(group_size))
                         .cast("long")))
 
@@ -370,9 +375,13 @@ def gate_funnel(df: DataFrame, stages: list[str],
     for i, s in enumerate(stages):
         cum += got.get(i, 0)
         out.append((s, got.get(i, 0), total - cum))
+    # order by PIPELINE position, as documented — orderBy("stage")
+    # would return gates alphabetically (masked whenever the stage
+    # list happens to be alphabetical, as the r10 demo's was)
     return (df.sparkSession.createDataFrame(
-        out, "stage string, n_dropped long, survivors_after long")
-        .orderBy("stage"))
+        [(i, *r) for i, r in enumerate(out)],
+        "__idx long, stage string, n_dropped long, survivors_after long")
+        .orderBy("__idx").drop("__idx"))
 
 
 def shuffle_deterministic(df: DataFrame, seed: str = "42",
@@ -417,6 +426,11 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
         sub = v.to_numpy()[valid]
         if len(np.unique(lens[valid])) == 1:  # uniform dims: one 2-D pass
             m = np.stack(sub).astype(np.float64)
+            if not np.isfinite(m).all():
+                raise ValueError(
+                    "non-finite embedding values — np.floor(NaN)"
+                    ".astype(int32) is platform-defined garbage; filter "
+                    "or clamp upstream")
             mn = m.min(axis=1, keepdims=True)
             mx = m.max(axis=1, keepdims=True)
             # guard on the STEP, not the range: a subnormal range (e.g.
@@ -430,6 +444,11 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
             qs = []
             for a in sub:
                 a = np.asarray(a, dtype=np.float64)
+                if not np.isfinite(a).all():
+                    raise ValueError(
+                        "non-finite embedding values — np.floor(NaN)"
+                        ".astype(int32) is platform-defined garbage; "
+                        "filter or clamp upstream")
                 mn, mx = a.min(), a.max()
                 step = (mx - mn) / levels
                 qs.append(np.zeros(len(a), dtype=np.int32) if step == 0 else
@@ -539,7 +558,6 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
-    from .hashing import h64
     _M = 1 << 20
     b = F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(_M))
     expr, cum = None, 0.0
@@ -592,6 +610,11 @@ def cap_per_key(df: DataFrame, k: int, key_col: str,
     plain rank definition regardless of ``salt``."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
+    clash = [c for c in ("__rk", "__rk1", "__salt") if c in df.columns]
+    if clash:
+        raise ValueError(f"input already has internal column(s) {clash} "
+                         f"— rename them (the cap would silently "
+                         f"clobber and re-emit them)")
     from pyspark.sql import Window
     pre = df
     if salt is not None:
@@ -767,6 +790,13 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
                 counts[q] = cnt
                 if lo2 == hi2:
                     resolved[q] = lo2
+                elif cnt > threshold:
+                    # a real range still > threshold: re-anchored rank
+                    # selection jumps to [lo2, hi2] directly instead of
+                    # grinding the global range down by B per level
+                    # (~260 levels on a 1e300-range/1e-16-cluster mix)
+                    resolved[q] = _select_rank(sub, ranks[q], buckets,
+                                               threshold)
         level += 1
     for q in qs:
         if q in resolved:
@@ -782,6 +812,65 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
             resolved[q] = kth_smallest(sub, ranks[q])
     out = [(float(q), float(resolved[q])) for q in sorted(qs)]
     return df.sparkSession.createDataFrame(out, "q double, value double")
+
+
+def _select_rank(base: DataFrame, r: int, buckets: int,
+                 threshold: int) -> float:
+    """Exact r-th smallest of ``base.__v`` with bounded memory and
+    RE-ANCHORED refinement: each iteration recomputes the candidate
+    set's true (count, min, max) and histograms against THAT range, so
+    a stall in a single bin jumps straight to the data's extremes
+    instead of grinding the global range down by fixed B factors
+    (a 1e300-range corpus with the answer in a 1e-16-wide cluster
+    resolves in a couple of iterations, not ~260 levels).  Finishes
+    via TakeOrdered at <= threshold rows or a distinct-value walk on
+    ulp-narrow ranges.  Iterations are capped: every step either drops
+    the count below threshold, shrinks the range by ~buckets x, or
+    re-anchors onto strictly fewer rows, so hitting the cap means
+    adversarial fractal data — raise loudly rather than silently
+    funnel millions of rows through one task."""
+    import math
+    sub = base
+    for _ in range(128):
+        row = sub.agg(F.count("*").alias("c"), F.min("__v").alias("mn"),
+                      F.max("__v").alias("mx")).collect()[0]
+        cnt, mn, mx = int(row["c"]), row["mn"], row["mx"]
+        if cnt <= threshold:
+            got = (sub.orderBy(F.col("__v").asc()).limit(r)
+                   .agg(F.max("__v").alias("v")).collect()[0]["v"])
+            return float(got)
+        if mn == mx:
+            return float(mn)
+        width = (mx - mn) / buckets
+        if width <= 0.0 or not math.isfinite(width):
+            # ulp-narrow range: spans a handful of representable
+            # doubles — the distinct histogram is driver-bounded
+            pairs = sorted((rw["__v"], int(rw["c"])) for rw in
+                           sub.groupBy("__v").agg(F.count("*").alias("c"))
+                           .collect())
+            cum = 0
+            for val, c in pairs:
+                cum += c
+                if cum >= r:
+                    return float(val)
+            return float(pairs[-1][0])
+        b = F.least(F.lit(buckets - 1), F.greatest(F.lit(0), F.floor(
+            (F.col("__v") - F.lit(mn)) / F.lit(width)))).cast("long")
+        hist = {int(rw["__b"]): int(rw["c"]) for rw in
+                sub.groupBy(b.alias("__b")).agg(F.count("*").alias("c"))
+                .collect()}
+        cum = 0
+        for bb in range(buckets):
+            c = hist.get(bb, 0)
+            if cum + c >= r:
+                r -= cum
+                sub = sub.filter(b == bb)
+                break
+            cum += c
+    raise ValueError(
+        "rank selection did not converge in 128 re-anchored refinements "
+        "— adversarial value distribution; raise threshold= or "
+        "pre-bucket the data")
 
 
 def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
@@ -944,6 +1033,25 @@ def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
                 if mn2 == mx2:
                     resolved[(g, q)] = mn2
         k += 1
+    stuck = [(g, q) for (g, q), st in pending.items()
+             if (g, q) not in resolved and st["cnt"] > threshold]
+    for g, q in stuck:
+        # digit-precision exhaustion with the bin still > threshold:
+        # the grouped search uses ABSOLUTE digits u*B^k capped at 2^53,
+        # so an ulp-narrow u (or a dense cluster at u ~ 0 under extreme
+        # in-group skew) can stop splitting while the bin still holds
+        # millions of rows — the final window would then sort the whole
+        # bin in ONE partition, the exact bound this function promises
+        # not to break.  Recurse into the bin with the GLOBAL
+        # exact_quantiles instead: its subtractive refinement
+        # renormalizes inside the bin (and its distinct-walk handles
+        # true tie clusters), so the bound holds all the way down.
+        st = pending[(g, q)]
+        cond = F.col("__g") == F.lit(g)
+        if st["P"] is not None:
+            cond = cond & (digit_col(st["k"]) == st["P"])
+        sub = joined.filter(cond).select("__v")
+        resolved[(g, q)] = _select_rank(sub, st["r"], buckets, threshold)
     # finals: ONE window job per distinct search level — every pending
     # pair's candidate bin ranks in the same pass (each window
     # partition holds <= threshold rows by construction), instead of

@@ -99,6 +99,18 @@ def _bloom_probe_key(name: str):
     return F.col(col).alias("__bk"), col
 
 
+def _register_bucketed(spark: SparkSession, meta: dict,
+                       path: str) -> None:
+    """Register (CREATE) the external bucketed table a manifest entry
+    describes — the ONE definition of the DDL, shared by read_snapshot
+    and compact_snapshot so the registration forms can never drift."""
+    cols = ", ".join(meta["cols"])
+    spark.sql(
+        f"CREATE TABLE {meta['table']} ({meta['schema']}) USING PARQUET "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+        f"INTO {meta['n']} BUCKETS LOCATION '{path}'")
+
+
 def _snap_table(out_dir: str, name: str) -> str:
     """Deterministic catalog name for a snapshot's bucketed probe
     table (unique per snapshot directory, stable across sessions)."""
@@ -119,12 +131,43 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    fs, jpath = _hadoop_fs(spark, path)
-    out = fs.create(jpath, True)
+    """Atomic-ish text write: create a sibling tmp file, then swap it
+    into place with checked renames — a crash mid-write leaves either
+    the old file or the new one, never a truncated half."""
+    tmp = path + ".__tmp"
+    fs, jtmp = _hadoop_fs(spark, tmp)
+    out = fs.create(jtmp, True)
     try:
         out.write(bytearray(text, "utf-8"))
     finally:
         out.close()
+    _swap_path(spark, tmp, path)
+
+
+def _swap_path(spark: SparkSession, tmp: str, dst: str) -> None:
+    """Replace ``dst`` (file or directory) with ``tmp`` via CHECKED
+    renames: the old dst is moved aside first and deleted only after
+    the new one is in place, so a crash leaves either the old or the
+    new — never neither, and never a half-deleted mix.  Hadoop
+    FileSystem signals failure by RETURNING FALSE (not raising), so
+    every return value is checked."""
+    fs, jdst = _hadoop_fs(spark, dst)
+    _, jtmp = _hadoop_fs(spark, tmp)
+    bak = dst.rstrip("/") + ".__bak"
+    _, jbak = _hadoop_fs(spark, bak)
+    if not fs.exists(jtmp):
+        raise IOError(f"swap source missing: {tmp}")
+    if fs.exists(jbak) and not fs.delete(jbak, True):
+        raise IOError(f"could not clear stale backup {bak}")
+    had_old = fs.exists(jdst)
+    if had_old and not fs.rename(jdst, jbak):
+        raise IOError(f"could not move {dst} aside to {bak}")
+    if not fs.rename(jtmp, jdst):
+        if had_old:
+            fs.rename(jbak, jdst)  # restore before failing
+        raise IOError(f"could not move {tmp} into place at {dst}")
+    if had_old and not fs.delete(jbak, True):
+        raise IOError(f"replaced {dst} but could not delete backup {bak}")
 
 
 def _fs_read_text(spark: SparkSession, path: str) -> str:
@@ -239,6 +282,18 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
     written = []
     bucket_tables: dict[str, dict] = {}
     bucket_keys = dict(_BUCKET_KEYS)
+    # invalidate any EXISTING snapshot before rewriting its artifacts:
+    # a crash mid-rewrite must leave "no manifest" (read_snapshot and
+    # every probe then fail loudly) rather than the OLD manifest
+    # describing NEW files — stale Bloom geometry / bucket counts served
+    # silently are exactly the corruptions check_compat exists to stop
+    _stale = next((d for d in (docs, emb, labeled, lang_labeled)
+                   if d is not None), None)
+    if _stale is not None:
+        mpath = os.path.join(out_dir, "manifest.json")
+        fs, jm = _hadoop_fs(_stale.sparkSession, mpath)
+        if fs.exists(jm) and not fs.delete(jm, False):
+            raise IOError(f"could not invalidate stale manifest {mpath}")
     if digest_wide:
         # wide elections join on BOTH digest columns — bucket on the
         # full join key set so the probe's Exchange elimination holds
@@ -286,7 +341,11 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         # part files under bucketing, so parquet schema inference would
         # fail — the catalog entry still knows the schema
         src = (spark_of.table(meta["table"]) if meta
-               else spark_of.read.parquet(path)).select(key)
+               else spark_of.read.parquet(path)).select(key).distinct()
+        # DISTINCT keys, as documented: bands keys on xxhash64(band,
+        # band_hash) over a docs x bands table and blocks on 2^lsh_bits
+        # values — sizing from raw rows would build a filter orders of
+        # magnitude larger than the key set it holds
         n = max(1, src.count())
         words, m_bits, k = bloom_build(src, "__bk", n_items=n,
                                        fpp=bloom_fpp)
@@ -437,16 +496,24 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
     def _a(name: str, df: DataFrame) -> None:
         if name not in tables:
             return  # family absent from this snapshot — nothing to extend
-        meta = bucket_tables.get(name)
-        if meta:
-            (df.write.mode("append")
-             .bucketBy(meta["n"], *meta["cols"]).sortBy(*meta["cols"])
-             .option("path", os.path.join(out_dir, name))
-             .saveAsTable(meta["table"]))
-        else:
-            df.write.mode("append").parquet(os.path.join(out_dir, name))
-        appended.append(name)
-        _bloom_a(name, df)
+        # the drop's derivation (a full shuffle of the drop) feeds the
+        # table append AND the Bloom fold AND its key count — persist so
+        # it runs once per family, not three times per daily append
+        df = df.persist()
+        try:
+            meta = bucket_tables.get(name)
+            if meta:
+                (df.write.mode("append")
+                 .bucketBy(meta["n"], *meta["cols"]).sortBy(*meta["cols"])
+                 .option("path", os.path.join(out_dir, name))
+                 .saveAsTable(meta["table"]))
+            else:
+                df.write.mode("append").parquet(
+                    os.path.join(out_dir, name))
+            appended.append(name)
+            _bloom_a(name, df)
+        finally:
+            df.unpersist()
 
     def _bloom_a(name: str, df: DataFrame) -> None:
         """Fold the drop's keys into the family's standing Bloom under
@@ -460,14 +527,20 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
             return
         from .bloom import bloom_build, bloom_merge
         key, _desc = _bloom_probe_key(name)
-        keys = df.select(key)
+        keys = df.select(key).distinct()
         new_words, _, _ = bloom_build(keys, "__bk", m_bits=meta["m"],
                                       k=meta["k"])
         path = os.path.join(out_dir, f"bloom_{name}")
         merged = bloom_merge(spark.read.parquet(path), new_words)
-        # localCheckpoint cuts the self-referential read->overwrite
-        # lineage (writing a path from a plan that reads it fails)
-        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+        # write the merged filter BESIDE the standing one and swap with
+        # checked renames: an in-place overwrite both fails on the
+        # self-referential read->write lineage and, worse, loses set
+        # bits on a mid-write crash — a Bloom missing bits produces
+        # FALSE NEGATIVES (silently retained duplicates), the one
+        # failure mode the sketch contract forbids
+        tmp = path + ".__new"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_path(spark, tmp, path)
         meta["n"] = int(meta.get("n", 0)) + max(1, keys.count())
         appended.append(f"bloom_{name}")
 
@@ -551,17 +624,14 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
         else:
             (spark.read.parquet(path).distinct()
              .write.mode("overwrite").parquet(tmp))
-        fs, jold = _hadoop_fs(spark, path)
-        _, jtmp = _hadoop_fs(spark, tmp)
-        fs.delete(jold, True)
-        fs.rename(jtmp, jold)
+        # checked-rename swap: old moved aside, new moved in, backup
+        # deleted last — a crash leaves old or new, never neither
+        # (fs.delete/rename signal failure by returning False)
+        _swap_path(spark, tmp, path)
         # re-register the bucketed table at the original path
         if meta:
-            cols = ", ".join(meta["cols"])
-            spark.sql(
-                f"CREATE TABLE {meta['table']} ({meta['schema']}) "
-                f"USING PARQUET CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-                f"INTO {meta['n']} BUCKETS LOCATION '{path}'")
+            _register_bucketed(spark, meta, path)
+        fs, jold = _hadoop_fs(spark, path)
         out[name] = sum(1 for st in fs.listStatus(jold)
                         if st.getPath().getName().endswith(".parquet"))
     gens = manifest.get("generations") or []
@@ -669,7 +739,17 @@ def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
         path = os.path.join(out_dir, name)
         fs, jpath = _hadoop_fs(spark, path)
         if not fs.exists(jpath):
-            continue
+            # the manifest lists every family write_snapshot actually
+            # wrote, so a missing directory means the snapshot LOST
+            # data (crashed compaction, partial copy between stores).
+            # Silently skipping would make every incremental probe
+            # treat the lost family's corpus as novel — and a later
+            # append would quietly recreate the table holding only the
+            # drop.  Fail loudly instead.
+            raise FileNotFoundError(
+                f"snapshot {out_dir} manifest lists table {name!r} but "
+                f"{path} is missing — the snapshot is damaged; rebuild "
+                f"it (write_snapshot) or restore the directory")
         meta = bucketed.get(name)
         if meta:
             t = meta["table"]
@@ -695,11 +775,7 @@ def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
                 # manifest DDL: bucket metadata lives in the catalog,
                 # not the files, so a fresh session must restore it or
                 # every probe join silently re-shuffles the snapshot
-                cols = ", ".join(meta["cols"])
-                spark.sql(
-                    f"CREATE TABLE {t} ({meta['schema']}) USING PARQUET "
-                    f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
-                    f"INTO {meta['n']} BUCKETS LOCATION '{path}'")
+                _register_bucketed(spark, meta, path)
             out[name] = spark.table(t)
         else:
             out[name] = spark.read.parquet(path)

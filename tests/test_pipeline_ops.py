@@ -3056,7 +3056,11 @@ def test_zorder_key_constant_and_errors(spark):
     got = {r.id: r.zkey for r in zorder_key(nf, ["x"], bits=4).collect()}
     assert got == {1: 0, 2: 0, 3: 15, 4: 0}
     with pytest.raises(ValueError, match="63"):
-        zorder_key(df, ["x"] * 8, bits=8)
+        zorder_key(df, [f"c{i}" for i in range(8)], bits=8)
+    with pytest.raises(ValueError, match="duplicate"):
+        zorder_key(df, ["x", "x"], bits=4)
+    with pytest.raises(ValueError, match="bits=0"):
+        zorder_key(df, ["x"], bits=0)
     with pytest.raises(ValueError, match="already exists"):
         zorder_key(df, ["x"], out="id")
     with pytest.raises(ValueError, match="at least one"):
@@ -3107,3 +3111,23 @@ def test_pca_null_vectors(spark):
             for r in pca_project(withnull, model, k=2).collect()}
     assert rows[999] is None           # null in -> null out
     assert len(rows) == 31 and rows[0] is not None
+
+
+def test_exact_quantiles_by_skewed_underflow_bin(spark):
+    # extreme in-group skew: a dense near-tie cluster at u ~ 1e-300
+    # never splits under the absolute-digit search (u * 2^53 < 1), so
+    # the k-loop exhausts with the bin still > threshold — the recursion
+    # into the global exact_quantiles must resolve it without a
+    # >threshold single-partition window
+    from scespet_spark.operators.pipeline import exact_quantiles_by
+    vals = [0.0] + [1.0] * 10 + [1.0 + 2.2e-16] * 10 + [1e300]
+    rows = [("a", v) for v in vals] + [("b", float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["q"]): r["value"]
+           for r in exact_quantiles_by(df, "v", [0.5, 1.0], "g",
+                                       buckets=16, threshold=4).collect()}
+    import math
+    sa = sorted(vals)
+    assert out[("a", 0.5)] == sa[math.ceil(0.5 * len(sa)) - 1] == 1.0
+    assert out[("a", 1.0)] == 1e300
+    assert out[("b", 0.5)] == 4.0 and out[("b", 1.0)] == 8.0
