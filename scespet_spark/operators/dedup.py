@@ -928,6 +928,12 @@ def winnow_overlap_pairs(df: DataFrame, min_shared: int = 2,
     boilerplate would otherwise quadratically explode the hot digests;
     the same cap MOSS applies).  Returns (id_a, id_b, n_shared)."""
     fp = winnow_fingerprints(df, shingle_n, window, text_col, id_col)
+    # the fingerprint pipeline (per-token md5 + positional shingles +
+    # window-min) feeds the rare filter AND both self-join sides —
+    # persist so it runs once, not ~3x (same shape as
+    # lsh_candidate_pairs / ngram_jaccard_pairs)
+    from ._cache import persist
+    fp = persist(fp, "dedup")
     rare = (fp.groupBy("fingerprint")
             .agg(F.count_distinct(id_col).alias("__df"))
             .filter(F.col("__df") <= max_df)
@@ -1408,8 +1414,18 @@ def _cc_star(pairs: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
         if (new_edges.exceptAll(edges).limit(1).count() == 0
                 and edges.exceptAll(new_edges).limit(1).count() == 0):
             edges = new_edges
+            converged = True
             break
         edges = new_edges
+    else:
+        converged = False
+    if not converged:
+        # same contract as the label branch: partial flattening hands
+        # callers silently WRONG clusters (ids not labeled with their
+        # min reachable id) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components (star) did not converge in "
+            f"{max_iters} large/small-star rounds; raise max_iters")
     roots = edges.groupBy("u").agg(F.min("v").alias("cluster")) \
                  .select(F.col("u").alias("id"), "cluster")
     return (nodes.join(roots, "id", "left")

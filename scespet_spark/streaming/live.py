@@ -199,6 +199,15 @@ def _key_ddl(df: DataFrame, keys: Iterable[str]) -> str:
     """Key columns typed from the INPUT schema — hardcoding ``long``
     would crash (Arrow cast) any stream keyed on a string/other column,
     which batch mode supports."""
+    keys = list(keys)
+    if not keys:
+        # an empty key list would render a DDL starting with ", " and
+        # die in a cryptic ParseException deep inside
+        # applyInPandasWithState — the real mistake is an unkeyed
+        # stream reaching a stateful verb
+        raise ValueError(
+            "live stateful operators need a keyed stream — call "
+            ".by(<key>) (state lives per key in the state store)")
     return ", ".join(f"{k} {df.schema[k].dataType.simpleString()}"
                      for k in keys)
 
@@ -360,6 +369,11 @@ def count_reduce(df: DataFrame, keys: list[str], n: int, value_col: str,
     (a live stream has no termination event — batch mode is where the
     termination flush exists, SimpleEnv.scala:93).  ``quantize`` as in
     trigger_reduce: exact integer accumulation for decimal columns."""
+    if n < 1:
+        # the batch Count(n) spec validates this; n=0 here would only
+        # surface as NaN/inf bucket ids from a float division-by-zero
+        # RuntimeWarning in the executor
+        raise ValueError(f"need n >= 1 events per bucket, got {n}")
     q = quantize
 
     def step(st, pdf):
@@ -923,12 +937,26 @@ def gated_reduce(df: DataFrame, keys: list[str], gate: Column, value_col: str,
 
 def _gated_edge_step(st, g, sq, v, q):
     """Shared core of the gated-window steps: vectorized edge detection
-    over one key's sorted rows.  Window number = cumulative count of
+    over one key's sorted rows.  KNOWN LIMIT: ``sq`` travels as float64
+    (the state tuple stores doubles), so emitted ``win_seq`` values are
+    exact only up to 2^53 — snowflake-style 63-bit event ids would
+    round (the bigint-as-string discipline used for join keys, line
+    ~483, applies if that ever matters; the synthetic and typical
+    monotonically-assigned ids are far below the limit).  Window number = cumulative count of
     rising edges (0 = the carried-open window); a window closes when any
     gate-false row follows it, so only the window holding a gated final
     row stays open as the carry.  ``g`` is the per-row boolean gate,
     ``sq`` the seq values, ``v`` the raw values, ``q`` the quantizer."""
     import numpy as np
+    if not len(g):
+        # no DATA rows in this batch (a gate-only micro-batch from the
+        # window_from union): window state must not move — batch
+        # closed-ness depends exclusively on data-row forward-filled
+        # gates (core.WindowedStream.reduce's __last_gate windows over
+        # data rows), so a gate heartbeat must not force-emit the
+        # carried window and a trailing gate-false must not close it
+        # ahead of the data row that would observe it
+        return []
     vals = np.round(v * q) if q else v
     prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
     wn = np.cumsum(g & ~prev)
@@ -996,6 +1024,11 @@ def _gated_scan_core(st, g, tv, sq, v, q, t, seq):
     edges over one key's sorted rows (0 = the carried-open window);
     per-window running sums via groupby cumsum, carry seeds window 0."""
     import numpy as np
+    if not len(g):
+        # gate-only micro-batch: leave the open window's running state
+        # alone (see _gated_edge_step — the batch engine derives window
+        # life from data-row gates only)
+        return []
     vals = np.round(v * q) if q else v
     prev = np.concatenate(([st["in_win"] == 1.0], g[:-1]))
     wn = np.cumsum(g & ~prev)

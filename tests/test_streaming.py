@@ -1682,3 +1682,57 @@ def test_streaming_cap_first_k_across_micro_batches(spark, tmp_path):
     with _pytest.raises(ValueError, match="k >= 1"):
         cap_first_k(stream, 0, keys=["k"], order_cols=["doc_id"],
                     payload_cols=["doc_id"])
+
+
+def test_gated_from_gate_only_batch_preserves_open_window(spark, tmp_path):
+    """A micro-batch carrying ONLY gate rows for a key must not touch
+    the open window: batch closed-ness depends exclusively on DATA-row
+    forward-filled gates (core.WindowedStream.reduce derives
+    __last_gate over data rows), so a gate=True heartbeat in its own
+    batch must neither force-emit (reduce) nor reset (scan) the carried
+    window."""
+    import os
+    from scespet_spark.streaming.live import (gated_reduce_from,
+                                              gated_scan_from,
+                                              run_available_now)
+    dschema = "user_id long, ts long, event_id long, value double"
+    gschema = "user_id long, ts long, event_id long, g boolean"
+    data_batches = [[(1, 1, 10, 10.0), (1, 2, 11, 20.0)],
+                    [],                              # gate-only batch
+                    [(1, 6, 12, 40.0), (1, 8, 13, 5.0)]]
+    gate_batches = [[(1, 0, 100, True)],
+                    [(1, 3, 101, True)],             # heartbeat
+                    [(1, 7, 102, False)]]            # closes before t=8
+
+    def stage(batches, schema, name):
+        raw = tmp_path / name
+        st = tmp_path / f"{name}_stage"
+        os.makedirs(st)
+        for i, rows in enumerate(batches):
+            (spark.createDataFrame(rows, schema).coalesce(1)
+             .write.mode("overwrite").parquet(str(raw / f"f{i}")))
+            part = next(p for p in os.listdir(raw / f"f{i}")
+                        if p.endswith(".parquet"))
+            os.symlink(str(raw / f"f{i}" / part),
+                       str(st / f"batch-{i}.parquet"))
+        from pyspark.sql.types import _parse_datatype_string
+        return lambda: (spark.readStream
+                        .schema(_parse_datatype_string(schema))
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(str(st)))
+
+    dmk = stage(data_batches, dschema, "d")
+    gmk = stage(gate_batches, gschema, "g")
+
+    red = run_available_now(
+        gated_reduce_from(dmk(), gmk(), ["user_id"], "g", "value"),
+        "append").collect()
+    # ONE window spanning the heartbeat batch: 10+20+40, closed by the
+    # t=8 data row whose filled gate is false
+    assert [(r.win_seq, r.total, r.n) for r in red] == [(10, 70.0, 3)]
+
+    sc = run_available_now(
+        gated_scan_from(dmk(), gmk(), ["user_id"], "g", "value"),
+        "append").orderBy("event_id").collect()
+    assert [(r.event_id, r.total, r.n) for r in sc] == [
+        (10, 10.0, 1), (11, 30.0, 2), (12, 70.0, 3)]
