@@ -83,7 +83,11 @@ def collapse(grouped: GroupedStream, bucket_factory, schema,
     contain the stream's key columns, ``t``/``seq``, and every field of
     ``bucket.value()``.  ``cycle_col`` defaults to the event-time column
     (each distinct timestamp is one atomic cycle); cycle values must be
-    non-null.
+    non-null, non-NaN, and NON-DECREASING within a (key, bucket) group
+    in (t, seq) order — boundaries are detected by ADJACENT change in
+    the sorted partition, so a recurring non-adjacent cycle value would
+    silently split into separate cycles, and NaN != NaN would split
+    every row (validated: a decreasing or NaN cycle value raises).
 
     Execution shape: hash-repartition on (keys, bucket) — the same
     shuffle the previous applyInPandas form paid — then sort within
@@ -121,6 +125,26 @@ def collapse(grouped: GroupedStream, bucket_factory, schema,
                 v = cols[c]
                 chg |= v[1:] != v[:-1]
             v = cols[cyc]
+            # boundary detection is ADJACENT-change, so the documented
+            # contract (non-NaN, non-decreasing per group) must hold or
+            # cycles silently split — validate loudly instead
+            if v.dtype.kind == "f" and np.isnan(v).any():
+                raise ValueError(
+                    f"collapse: NaN in cycle column {cyc!r} — NaN != "
+                    f"NaN would split every row into its own cycle; "
+                    f"cycle values must be non-null and non-NaN")
+            if n > 1:
+                try:
+                    dec = ~chg & np.less(v[1:], v[:-1])
+                except TypeError:
+                    dec = None  # incomparable dtype: skip the check
+                if dec is not None and dec.any():
+                    raise ValueError(
+                        f"collapse: cycle column {cyc!r} decreases "
+                        f"within a (key, bucket) group in (t, seq) "
+                        f"order — a recurring cycle value would be "
+                        f"silently split; cycle values must be "
+                        f"non-decreasing per group")
             chg |= v[1:] != v[:-1]
             return np.concatenate(([0], np.flatnonzero(chg) + 1)), cols
 

@@ -1127,16 +1127,21 @@ def key_skew_report(df: DataFrame, key_cols, top_n: int = 20,
     the report is deterministic."""
     from pyspark.sql import Window
     keys = list(key_cols)
+    # tie-break NULLS LAST explicitly: Spark's ascending default is
+    # NULLS FIRST but SQL oracles (DuckDB/Postgres) default NULLS LAST
+    # — a NULL key tying at the top_n boundary would otherwise produce
+    # divergent top-N sets between engines (r10 advice)
+    tiebreak = [F.asc_nulls_last(k) for k in keys]
     counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
     totals = counts.agg(F.sum("n_rows").alias("__total"),
                         F.count("*").alias("n_keys"))
-    top = (counts.orderBy(F.desc("n_rows"), *keys).limit(top_n)
+    top = (counts.orderBy(F.desc("n_rows"), *tiebreak).limit(top_n)
            .crossJoin(F.broadcast(totals)))
-    w = (Window.orderBy(F.desc("n_rows"), *keys)
+    w = (Window.orderBy(F.desc("n_rows"), *tiebreak)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     share = F.col("n_rows") / F.col("__total")
     return (top.select(
-        F.row_number().over(Window.orderBy(F.desc("n_rows"), *keys))
+        F.row_number().over(Window.orderBy(F.desc("n_rows"), *tiebreak))
         .alias("rank"),
         *keys, "n_rows", "n_keys",
         F.round(share, round_to).alias("share"),

@@ -798,7 +798,10 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding",
     so the model is reproducible across runs and partitionings up to
     float addition order.  At 100 TB this is a map-side-combined scan
     of the vector column only (column pruning keeps text/payload out)."""
-    first = df.select(vec_col).first()
+    # probe the FIRST NON-NULL vector for the dimension — a null in
+    # row 0 is legal input (nulls are dropped in the fold below), so
+    # the dim probe must skip it rather than error
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     if first is None or first[0] is None:
         raise ValueError("pca_fit needs at least one non-null vector")
     d = len(first[0])

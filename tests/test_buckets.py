@@ -214,3 +214,30 @@ def test_collapse_carries_buckets_and_cycles_across_arrow_batches(spark):
                      (12, 1, 1)], x
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_collapse_rejects_decreasing_cycle_col(spark):
+    # boundary detection is adjacent-change in (t, seq) order: a custom
+    # cycle value that DECREASES (and so could recur non-adjacently)
+    # must raise, not silently split one logical cycle into several
+    import pytest
+    s = Stream(spark.createDataFrame(
+        [("x", 1, 0, 10, 5), ("x", 2, 1, 20, 3)],
+        "k string, ts long, seq long, val long, cyc long"),
+        t="ts", seq="seq", keys=("k",))
+    df = collapse(s.group(Termination()), make_probe(), SCHEMA,
+                  emit="last", cycle_col="cyc")
+    with pytest.raises(Exception, match="decreases"):
+        df.collect()
+
+
+def test_collapse_rejects_nan_cycle_col(spark):
+    import pytest
+    s = Stream(spark.createDataFrame(
+        [("x", 1, 0, 10, 1.0), ("x", 2, 1, 20, float("nan"))],
+        "k string, ts long, seq long, val long, cyc double"),
+        t="ts", seq="seq", keys=("k",))
+    df = collapse(s.group(Termination()), make_probe(), SCHEMA,
+                  emit="last", cycle_col="cyc")
+    with pytest.raises(Exception, match="NaN"):
+        df.collect()

@@ -3131,3 +3131,15 @@ def test_exact_quantiles_by_skewed_underflow_bin(spark):
     assert out[("a", 0.5)] == sa[math.ceil(0.5 * len(sa)) - 1] == 1.0
     assert out[("a", 1.0)] == 1e300
     assert out[("b", 0.5)] == 4.0 and out[("b", 1.0)] == 8.0
+
+
+def test_pca_fit_null_in_first_row(spark):
+    # the dim probe must come from the first NON-NULL vector — a null
+    # in row 0 is legal input (r10 advice: similarity.py pca_fit probe)
+    from scespet_spark.operators.similarity import pca_fit
+    _, df = _pca_fixture(spark, n=30, d=4)
+    withnull = spark.createDataFrame(
+        [(-1, None)], "vec_id long, embedding array<float>"
+    ).unionByName(df).coalesce(1)  # null sorts into the first position
+    model = pca_fit(withnull)
+    assert model.count() == 5  # mean row + 4 components
