@@ -3119,6 +3119,41 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(pairs).select("id", "cluster")
 
 
+@query("dedup_incremental_clusters", f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+cc(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, c.label
+  FROM edges e JOIN cc c ON e.dst = c.id
+  WHERE c.label < e.src)
+SELECT id, MIN(label) AS cluster FROM cc GROUP BY id
+""")
+def dedup_incremental_clusters(spark, sf_dir):
+    """Generational cluster maintenance (r11): the prior generation
+    (doc_id % 3 == 0) is clustered from scratch ONCE (the snapshot
+    artifact); the drop's pairs (any pair touching a new doc — incl.
+    prior-prior bridges surfaced by the drop's bands) then fold in via
+    `incremental_components`, which relabels only affected components
+    with the prior label table never shuffling.  The oracle is the
+    FROM-SCRATCH recursive-CTE closure over ALL pairs — row-identical
+    output is the whole correctness claim of the generational path."""
+    from scespet_spark.operators.dedup import (connected_components,
+                                               incremental_components,
+                                               lsh_candidate_pairs)
+    from scespet_spark.operators._cache import persist as _persist
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _persist(lsh_candidate_pairs(docs), "incremental_components")
+    prior_pairs = pairs.filter((F.col("id_a") % 3 == 0)
+                               & (F.col("id_b") % 3 == 0))
+    new_pairs = pairs.filter((F.col("id_a") % 3 != 0)
+                             | (F.col("id_b") % 3 != 0))
+    prior_labels = connected_components(prior_pairs)
+    return incremental_components(prior_labels, new_pairs)
+
+
 @query("dedup_kept_corpus", f"""
 WITH RECURSIVE {{ctes}},
 exact_reps AS (SELECT MIN(doc_id) AS doc_id

@@ -3143,3 +3143,79 @@ def test_pca_fit_null_in_first_row(spark):
     ).unionByName(df).coalesce(1)  # null sorts into the first position
     model = pca_fit(withnull)
     assert model.count() == 5  # mean row + 4 components
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(rows, "id long, cluster long")
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_incremental_components_bridges_two_prior_clusters(spark):
+    # prior: {1,2} labeled 1 and {5,6} labeled 5, singleton 9;
+    # the drop bridges 2-6 and attaches new id 100 to 6
+    from scespet_spark.operators.dedup import incremental_components
+    prior = _labels(spark, [(1, 1), (2, 1), (5, 5), (6, 5), (9, 9)])
+    new = _pairs(spark, [(2, 6), (100, 6)])
+    got = {r.id: r.cluster
+           for r in incremental_components(prior, new).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 100: 1, 9: 9}
+
+
+def test_incremental_components_delta_only_changed(spark):
+    from scespet_spark.operators.dedup import incremental_components
+    prior = _labels(spark, [(1, 1), (2, 1), (5, 5), (6, 5), (9, 9)])
+    new = _pairs(spark, [(2, 6), (100, 6), (200, 201)])
+    got = {r.id: r.cluster
+           for r in incremental_components(prior, new, full=False).collect()}
+    # cluster {1,2} keeps label 1 (it is the min) -> NOT in the delta;
+    # {5,6} relabels; new ids appear; 9 untouched -> absent
+    assert got == {5: 1, 6: 1, 100: 1, 200: 200, 201: 200}
+
+
+def test_incremental_components_empty_new_pairs(spark):
+    from scespet_spark.operators.dedup import incremental_components
+    prior = _labels(spark, [(1, 1), (2, 1), (9, 9)])
+    new = _pairs(spark, [])
+    got = {r.id: r.cluster
+           for r in incremental_components(prior, new).collect()}
+    assert got == {1: 1, 2: 1, 9: 9}
+    assert incremental_components(prior, new, full=False).count() == 0
+
+
+def test_incremental_components_matches_from_scratch_random(spark):
+    # randomized equivalence: split a random edge set into prior/new,
+    # cluster the prior from scratch, fold the new pairs in
+    # incrementally, compare against from-scratch over ALL edges
+    import random
+    from scespet_spark.operators.dedup import (connected_components,
+                                               incremental_components)
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n_prior, n_new = 40, 15
+        prior_edges = [(rng.randrange(n_prior), rng.randrange(n_prior))
+                       for _ in range(30)]
+        prior_edges = [(x, y) for x, y in prior_edges if x != y]
+        # new ids live in a disjoint range; new pairs mix new-new,
+        # new-prior, and prior-prior bridges
+        new_edges = []
+        for _ in range(20):
+            kind = rng.randrange(3)
+            if kind == 0:
+                e = (100 + rng.randrange(n_new), 100 + rng.randrange(n_new))
+            elif kind == 1:
+                e = (100 + rng.randrange(n_new), rng.randrange(n_prior))
+            else:
+                e = (rng.randrange(n_prior), rng.randrange(n_prior))
+            if e[0] != e[1]:
+                new_edges.append(e)
+        prior = connected_components(_pairs(spark, prior_edges))
+        inc = {r.id: r.cluster
+               for r in incremental_components(
+                   prior, _pairs(spark, new_edges)).collect()}
+        scratch = {r.id: r.cluster
+                   for r in connected_components(
+                       _pairs(spark, prior_edges + new_edges)).collect()}
+        assert inc == scratch, f"trial {trial}"

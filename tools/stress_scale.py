@@ -236,6 +236,34 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         "gopher_repetition": lambda d, e: noop(gopher_repetition_filter(d)),
     })
 
+    # r11: generational cluster maintenance.  The prior label table is
+    # a synthetic snapshot artifact (clusters of 4 consecutive ids —
+    # valid min-label form) that grows with the corpus; the DROP is
+    # FIXED (1000 new-id attachments + 500 prior-prior bridges), so the
+    # design claim is a ~flat slope: the prior table is touched only by
+    # two map-only broadcast passes (semi-join + relabel), the super-CC
+    # runs on the drop-sized graph, and the full=False delta output is
+    # constant-size regardless of corpus multiple.
+    from scespet_spark.operators.dedup import incremental_components
+
+    def _inc_clusters(d):
+        sp = d.sparkSession
+        prior = d.select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") - F.col("doc_id") % 4).alias("cluster"))
+        drop = sp.range(1000).select(
+            (-F.col("id") - 1).alias("id_a"),
+            (F.col("id") * 8).alias("id_b"))
+        bridges = sp.range(500).select(
+            (F.col("id") * 16).alias("id_a"),
+            (F.col("id") * 16 + 4).alias("id_b"))
+        return incremental_components(prior, drop.unionByName(bridges),
+                                      full=False)
+
+    ops.update({
+        "incremental_clusters": lambda d, e: noop(_inc_clusters(d)),
+    })
+
     # late-r9 batch 2.  host_cap: replication grows the WHALE host
     # linearly (a third of every replica shares one key) — the salted
     # two-phase form must stay ~linear where the plain window would
