@@ -42,8 +42,10 @@ bits, i.e. ~1.2 bytes/key at fpp=1% (0.9 GB per 10^9 prior digests).
 That serves priors to ~10^10 digests per filter at single-digit GB;
 past that, raise fpp (the filter is only a PRE-filter — every positive
 still resolves through the exact join, so fpp only moves the residue
-size, never correctness) or shard the filter by digest range and probe
-each drop partition against its shard.  What the Bloom rung changes at
+size, never correctness) or use the SHARDED form (`bloom_build_sharded`
+/ `bloom_attach_sharded`, r11): hash-routed independent sub-filters,
+probed via a shard-id join so each task holds m_total/shards bits —
+per-shard memory arithmetic at 10^11 keys in SCALE.md.  What the Bloom rung changes at
 100 TB: per-drop cost goes from "shuffle O(drop) + scan O(prior)" to
 "map-only O(drop) + shuffle O(fpp*drop + true dups) + scan O(prior,
 shuffle-free, one int column)" — the memory-bound Exchange now scales
@@ -223,7 +225,11 @@ def bloom_attach(df: DataFrame, bloom: dict, col: Column | str,
     never a plan literal — and the join is a constant-key
     BroadcastHashJoin (stream-static legal: append mode, zero state).
     ``bloom`` is ``{"m", "k", "row"}`` (`read_bloom`) or
-    ``{"m", "k", "words"}`` (small/driver-side form, auto-lifted)."""
+    ``{"m", "k", "words"}`` (small/driver-side form, auto-lifted);
+    a sharded dict (``"shards" > 1`` + ``"rows"``) dispatches to
+    `bloom_attach_sharded` so every probe site takes either form."""
+    if int(bloom.get("shards", 1)) > 1:
+        return bloom_attach_sharded(df, bloom, col, test_name)
     clash = {test_name, "__bj", "__bloom"} & set(df.columns)
     if clash:
         raise ValueError(
@@ -246,4 +252,120 @@ def bloom_attach(df: DataFrame, bloom: dict, col: Column | str,
            .withColumn(test_name,
                        bloom_test(F.col("__bloom"), m_bits, k, col))
            .drop("__bj", "__bloom"))
+    return out
+
+
+#: shard-routing seed — independent of both probe hashes, so shard
+#: assignment never correlates with bit positions
+_SHARD_SEED = 1013904223
+
+
+def bloom_shard_col(col: Column | str, shards: int) -> Column:
+    """The shard route for a key: ``pmod(xxhash64(key, seed), shards)``
+    — THE shared expression of sharded build and probe (a key must
+    land in the same shard both times or inserted keys could test
+    negative against the wrong shard's bits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c, F.lit(_SHARD_SEED)),
+                  F.lit(int(shards))).cast("int")
+
+
+def bloom_build_sharded(df: DataFrame, col: Column | str,
+                        n_items: int | None = None, fpp: float = 0.01,
+                        shards: int = 16) -> tuple[DataFrame, int, int]:
+    """Range-sharded Bloom build: ``shards`` INDEPENDENT filters, each
+    sized for ``n_items/shards`` keys at ``fpp``, keys routed by
+    `bloom_shard_col`.  Returns ``(words_df, m_bits, k)`` where
+    ``words_df`` is ``(shard int, word bigint, bits bigint)`` (non-zero
+    words only) and ``m_bits``/``k`` are PER-SHARD geometry.
+
+    Why shard (bloom.py header, scale bounds): a single filter's dense
+    word array tops out around ~10^10 keys (one ~14 GB array at 10^11
+    keys breaks broadcast and the 2^31 array-length ceiling long
+    before).  Sharding divides the key space so each probe task holds
+    ONE shard of m_total/shards bits — at 10^11 keys / fpp=1% / 256
+    shards that is ~470 MB per shard (arithmetic in SCALE.md), executor
+    -sized.  Same one combinable groupBy(bit_or) build; hash routing
+    keeps shard fill uniform (digest keys are already uniform), and an
+    under-filled sizing only raises realized fpp, never correctness."""
+    if shards < 1:
+        raise ValueError(f"need shards >= 1, got {shards}")
+    if n_items is None:
+        raise ValueError("pass n_items to size the per-shard filters")
+    m_bits, k = bloom_params(max(1, -(-n_items // shards)), fpp)
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.explode(F.array(*bloom_positions(c, m_bits, k))).alias("__p")
+    words = (df.select(bloom_shard_col(c, shards).alias("shard"), pos)
+             .select("shard",
+                     F.shiftright("__p", 6).alias("word"),
+                     F.col("__p").bitwiseAND(F.lit(63)).cast("int")
+                      .alias("__b"))
+             .groupBy("shard", "word")
+             .agg(F.bit_or(F.expr("shiftleft(1L, __b)")).alias("bits")))
+    return words, m_bits, k
+
+
+def bloom_rows_sharded(words: DataFrame, m_bits: int,
+                       shards: int) -> DataFrame:
+    """Densify a sharded sparse word table into ``shards`` rows of
+    ``(shard int, __bloom array<bigint>)`` — the probe-side artifact.
+    JVM-side like `bloom_row` (grid left-join + sorted collect_list per
+    shard); materialized eagerly for the same reread-artifact reason
+    (and with the same executor-loss caveat: recover via re-read of
+    the durable parquet word table)."""
+    spark = words.sparkSession
+    grid = (spark.range(int(shards)).select(F.col("id").cast("int")
+                                            .alias("shard"))
+            .crossJoin(spark.range(m_bits // 64)
+                       .select(F.col("id").alias("word"))))
+    dense = (grid.join(words, ["shard", "word"], "left")
+             .select("shard", "word",
+                     F.coalesce("bits", F.lit(0)).alias("bits")))
+    rows = (dense.groupBy("shard")
+            .agg(F.array_sort(F.collect_list(F.struct("word", "bits")))
+                 .alias("__s"))
+            .select("shard",
+                    F.transform("__s", lambda s: s["bits"])
+                    .alias("__bloom")))
+    return rows.localCheckpoint()
+
+
+def bloom_attach_sharded(df: DataFrame, bloom: dict, col: Column | str,
+                         test_name: str = "__bloom_maybe") -> DataFrame:
+    """Sharded counterpart of `bloom_attach`: route each row to its
+    shard (`bloom_shard_col`) and join the shard's dense word row,
+    then run the identical `bloom_test` arithmetic.  ``bloom`` is
+    ``{"m", "k", "shards", "rows"}`` (per-shard geometry; ``rows`` from
+    `bloom_rows_sharded`).
+
+    Join strategy: with ``bloom.get("broadcast", True)`` the N shard
+    rows broadcast (fine while total filter bytes fit the driver/plan
+    — small-to-mid filters); ``broadcast: False`` is the 10^11-key
+    path — a shuffle-hash join on the shard id, so each reducer task
+    builds from exactly ONE shard row and per-task filter memory is
+    m_total/shards, not m_total.  Either way the probe arithmetic is
+    the same codegen `bloom_test`, and a row can never consult the
+    wrong shard (route expression shared with the build)."""
+    clash = {test_name, "__shard", "__bloom"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename "
+            f"them or pass a different test_name=")
+    m_bits, k = int(bloom["m"]), int(bloom["k"])
+    shards = int(bloom["shards"])
+    rows = bloom["rows"]
+    routed = df.withColumn("__shard", bloom_shard_col(col, shards))
+    side = (F.broadcast(rows) if bloom.get("broadcast", True)
+            else rows.hint("shuffle_hash"))
+    out = (routed.join(side, routed["__shard"] == rows["shard"], "left")
+           .drop("shard")
+           .withColumn(test_name,
+                       # a shard with zero non-zero words still joins
+                       # (grid densify emits every shard); a missing
+                       # row would mean a geometry mismatch — treat as
+                       # maybe (safe: resolves through the exact join)
+                       F.when(F.col("__bloom").isNull(), F.lit(True))
+                       .otherwise(bloom_test(F.col("__bloom"), m_bits,
+                                             k, col)))
+           .drop("__shard", "__bloom"))
     return out

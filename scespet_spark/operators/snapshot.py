@@ -204,6 +204,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    unigram_em_iters: int = 4,
                    ngram_order: int | None = None,
                    bloom_fpp: float | None = None,
+                   bloom_shards: int = 1,
                    mode: str = "overwrite") -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
@@ -347,13 +348,21 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         # values — sizing from raw rows would build a filter orders of
         # magnitude larger than the key set it holds
         n = max(1, src.count())
-        words, m_bits, k = bloom_build(src, "__bk", n_items=n,
-                                       fpp=bloom_fpp)
+        if bloom_shards > 1:
+            # range-sharded filter (bloom.py): per-shard geometry in
+            # the manifest; the durable artifact gains a shard column
+            from .bloom import bloom_build_sharded
+            words, m_bits, k = bloom_build_sharded(
+                src, "__bk", n_items=n, fpp=bloom_fpp,
+                shards=bloom_shards)
+        else:
+            words, m_bits, k = bloom_build(src, "__bk", n_items=n,
+                                           fpp=bloom_fpp)
         bname = f"bloom_{name}"
         words.write.mode("overwrite").parquet(
             os.path.join(out_dir, bname))
         bloom_meta[name] = {"m": m_bits, "k": k, "n": n,
-                            "col": desc}
+                            "shards": bloom_shards, "col": desc}
         written.append(bname)
 
     # None when no source frame was passed: the per-family checks
@@ -716,10 +725,20 @@ def read_bloom(spark: SparkSession, out_dir: str, name: str,
     # residue budget (fpp moves residue size, never correctness)
     set_bits = int(words.agg(F.sum(F.bit_count("bits"))).collect()[0][0]
                    or 0)
-    fill = set_bits / meta["m"]
+    shards = int(meta.get("shards", 1))
+    fill = set_bits / (meta["m"] * shards)
     out = {"m": meta["m"], "k": meta["k"], "n": meta["n"],
-           "fill": fill, "est_fpp": fill ** meta["k"],
-           "row": bloom_row(words, meta["m"])}
+           "fill": fill, "est_fpp": fill ** meta["k"]}
+    if shards > 1:
+        from .bloom import bloom_rows_sharded
+        out["shards"] = shards
+        out["rows"] = bloom_rows_sharded(words, meta["m"], shards)
+        if dense:
+            raise ValueError("dense=True is the single-filter "
+                             "driver-side form; sharded filters probe "
+                             "via the rows table")
+        return out
+    out["row"] = bloom_row(words, meta["m"])
     if dense:
         out["words"] = bloom_dense(words, meta["m"])
     return out

@@ -396,3 +396,81 @@ def test_bloom_attach_broadcasts_and_never_shuffles_probe_side(spark):
            .collect()}
     assert got == exp
     assert all(got[i * 131] for i in range(500))
+
+
+def _sharded(spark, keys, n_items, fpp=0.01, shards=4, broadcast=True):
+    from scespet_spark.operators.bloom import (bloom_build_sharded,
+                                               bloom_rows_sharded)
+    words, m, k = bloom_build_sharded(keys, keys.columns[0],
+                                      n_items=n_items, fpp=fpp,
+                                      shards=shards)
+    return {"m": m, "k": k, "shards": shards,
+            "rows": bloom_rows_sharded(words, m, shards),
+            "broadcast": broadcast}
+
+
+def test_sharded_bloom_no_false_negatives_and_fpp(spark):
+    from scespet_spark.operators.bloom import bloom_attach
+    keys = spark.range(4000).select((F.col("id") * 2654435761).alias("d"))
+    bloom = _sharded(spark, keys, 4000, shards=8)
+    att = bloom_attach(keys, bloom, "d")
+    assert att.filter(~F.col("__bloom_maybe")).count() == 0
+    other = spark.range(20000).select(
+        (F.col("id") * 2654435761 + 1).alias("d"))
+    fp = (bloom_attach(other, bloom, "d")
+          .filter(F.col("__bloom_maybe")).count())
+    assert fp / 20000 < 0.03
+
+
+def test_sharded_bloom_shuffle_hash_path_same_answers(spark):
+    from scespet_spark.operators.bloom import bloom_attach
+    keys = spark.range(2000).select((F.col("id") * 7919).alias("d"))
+    probe = spark.range(6000).select((F.col("id") * 104729).alias("d"))
+    bc = _sharded(spark, keys, 2000, shards=4, broadcast=True)
+    sh = dict(bc, broadcast=False)
+    a = sorted(r.d for r in bloom_attach(probe, bc, "d")
+               .filter("__bloom_maybe").collect())
+    b = sorted(r.d for r in bloom_attach(probe, sh, "d")
+               .filter("__bloom_maybe").collect())
+    assert a == b
+    # inserted keys positive through the shuffle-hash route too
+    assert (bloom_attach(keys, sh, "d")
+            .filter(~F.col("__bloom_maybe")).count() == 0)
+
+
+@pytest.mark.parametrize("shards,fpp", [(4, 0.01), (3, 0.5)])
+def test_incremental_keep_sharded_bloom_row_identical(spark, shards, fpp):
+    # fpp=0.5 with tiny shards -> heavy false positives: the parity
+    # claim (row-identical at ANY fpp) must hold through FP resolution
+    from scespet_spark.operators.dedup import exact_groups, incremental_keep
+    new = _docs(spark, [(i, f"t{i % 7}") for i in range(20)])
+    prior = _docs(spark, [(100 + i, f"t{i % 3}") for i in range(6)])
+    pri_dig = exact_groups(prior).select("content_hash")
+    bloom = _sharded(spark, pri_dig, 6, fpp=fpp, shards=shards)
+    plain = sorted(map(tuple, incremental_keep(new, prior).collect()))
+    fast = sorted(map(tuple, incremental_keep(
+        new, pri_dig, prior_digest_col="content_hash",
+        prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+
+
+def test_snapshot_sharded_bloom_roundtrip(spark, tmp_path):
+    from scespet_spark.operators.dedup import incremental_keep
+    from scespet_spark.operators.snapshot import read_bloom, write_snapshot
+    docs = _docs(spark, [(i, f"body {i % 5}") for i in range(30)])
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=docs, bloom_fpp=0.05, bloom_shards=4)
+    bloom = read_bloom(spark, out, "digests")
+    assert bloom["shards"] == 4 and "rows" in bloom
+    assert 0.0 < bloom["fill"] < 1.0
+    new = _docs(spark, [(100 + i, f"body {i % 9}") for i in range(18)])
+    from scespet_spark.operators.snapshot import read_snapshot
+    pri = read_snapshot(spark, out)["digests"].select("content_hash")
+    plain = sorted(map(tuple, incremental_keep(
+        new, pri, prior_digest_col="content_hash").collect()))
+    fast = sorted(map(tuple, incremental_keep(
+        new, pri, prior_digest_col="content_hash",
+        prior_bloom=bloom).collect()))
+    assert plain == fast and len(plain) > 0
+    with pytest.raises(ValueError, match="dense"):
+        read_bloom(spark, out, "digests", dense=True)
