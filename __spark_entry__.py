@@ -4579,6 +4579,90 @@ def hybrid_search_rrf(spark, sf_dir):
     return rrf_fuse([lex, sem], ["doc_id"], k=60)
 
 
+@query("live_hybrid_search_rrf", f"""
+WITH {_BM25_CTES},
+lex AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 100),
+lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY score DESC, doc_id) AS BIGINT) AS rank_0 FROM lex),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM (
+    SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i) GROUP BY label),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, cent.label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_cosine_sql('n.v', 'cent.centroid')}, 6) DESC,
+                      cent.label) AS rn
+    FROM n CROSS JOIN cent) WHERE rn = 1),
+qv AS (SELECT v AS qvec FROM n WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM (
+    SELECT cent.label AS cell,
+           ROW_NUMBER() OVER (
+             ORDER BY round({_cosine_sql('cent.centroid', 'qv.qvec')}, 6)
+                      DESC, cent.label) AS rn
+    FROM cent CROSS JOIN qv) WHERE rn <= 2),
+sem AS (SELECT n.vec_id AS doc_id,
+               round({_cosine_sql('n.v', 'qv.qvec')}, 6) AS score
+        FROM n JOIN assign USING (vec_id)
+               JOIN probe ON probe.cell = assign.cell
+               CROSS JOIN qv
+        ORDER BY score DESC, doc_id LIMIT 100),
+semr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY score DESC, doc_id) AS BIGINT) AS rank_1 FROM sem)
+SELECT CAST(0 AS BIGINT) AS q_id, doc_id,
+       round(coalesce(1.0 / (60 + rank_0), 0)
+             + coalesce(1.0 / (60 + rank_1), 0), 6) AS rrf_score,
+       rank_0, rank_1
+FROM lexr FULL OUTER JOIN semr USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+""")
+def live_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval on a LIVE query stream (r11): per-micro-batch
+    reciprocal-rank fusion of the static BM25 top-100 artifact with
+    the ANN shortlist served from the static IVF index — the live
+    counterpart of `hybrid_search_rrf`, completing the retrieval
+    family's batch+live matrix.  Append-mode end to end: lexical side
+    is a stream-static equi-join on q_id, semantic side the map-only
+    centroid probe + stream-static cell join, fusion inside one
+    stateful step per query (state = one dedup flag).  The oracle
+    replays both lists and the fusion in SQL; the semantic list is
+    the PROBED-CELLS top-100 (nprobe=2), not brute force — exactly
+    what the serving path scans."""
+    from scespet_spark.operators.similarity import (ivf_assign,
+                                                    label_centroids,
+                                                    rrf_fuse_stream)
+    from scespet_spark.operators.text import bm25_topk
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    from scespet_spark.operators._cache import persist as _persist_
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # snapshot artifacts (persisted = the local stand-in for the index
+    # tables a snapshot job writes): IVF index + per-query BM25 lists
+    cents = _persist_(label_centroids(emb), "similarity")
+    codes = _persist_(ivf_assign(emb, cents), "similarity")
+    lexical = _persist_(
+        bm25_topk(docs, list(_BM25_TERMS), k=100)
+        .select(F.lit(0).cast("long").alias("q_id"),
+                F.col("doc_id").alias("vec_id"), "score"),
+        "similarity")
+    qs = (read_table_stream(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    out = rrf_fuse_stream(qs, lexical, emb, cents, codes,
+                          k=60, topk_each=100, nprobe=2)
+    return (run_available_now(out, "append")
+            .select("q_id", F.col("vec_id").alias("doc_id"),
+                    "rrf_score", "rank_0", "rank_1")
+            .orderBy(F.desc("rrf_score"), "doc_id"))
+
+
 @query("text_token_doc_freq", f"""
 SELECT token, COUNT(*) AS doc_freq
 FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents)

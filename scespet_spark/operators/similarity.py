@@ -17,6 +17,8 @@ bit-for-bit (scores are additionally rounded before ranking).
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 import numpy as np
@@ -323,33 +325,18 @@ def ivf_topk_from_index(df: DataFrame, codes: DataFrame,
             .limit(k))
 
 
-def ann_topk_stream(queries: DataFrame, df: DataFrame,
-                    centroids: DataFrame, codes: DataFrame,
-                    k: int = 5, nprobe: int = 2,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    label_col: str = "label", cell_col: str = "cell",
-                    q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
-    """ANN serving over a LIVE query stream against a static IVF index —
-    the online half of the index `ivf_assign` maintains.
-
-    Plan shape (every stage streaming-legal and scale-shaped):
-      1. probe: an Arrow pandas_udf ranks the driver-held centroid
-         matrix per query (vectorized matmul, map-only — same trick as
-         ``ivf_assign``) and attaches the nprobe best cells;
-      2. candidates: explode cells -> stream-static equi-join against
-         the cell-keyed codes table joined to its vectors — each query
-         touches nprobe/K of the index, the corpus never shuffles;
-      3. rank: exact cosine per candidate, then per-query top-k inside
-         a stateful step.  A query's candidates all land in its own
-         micro-batch (they derive from that one query row joined to the
-         static index), so the FIRST batch seen for a q_id emits its
-         complete top-k; the ``seen`` flag then suppresses any later
-         batch for the same q_id — a duplicated/retried query event
-         would otherwise re-emit an overlapping result set with ``rnk``
-         restarting at 1.
-
-    Emits ``(q_id, vec_id, score, rnk)`` rows per query as its
-    micro-batch lands."""
+def _ann_candidate_stream(queries: DataFrame, df: DataFrame,
+                          centroids: DataFrame, codes: DataFrame,
+                          nprobe: int, id_col: str, vec_col: str,
+                          label_col: str, cell_col: str,
+                          q_id: str, q_vec: str) -> DataFrame:
+    """The streaming-legal IVF candidate builder `ann_topk_stream` and
+    `rrf_fuse_stream` share: probe the nprobe best cells per query via
+    the driver-held centroid matrix (Arrow pandas_udf, map-only), then
+    stream-static equi-join the probed cells' code rows to their
+    vectors and score exact cosine.  Emits (q_id, id, score) candidate
+    rows — each query touches nprobe/K of the index, corpus never
+    shuffles."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -380,11 +367,43 @@ def ann_topk_stream(queries: DataFrame, df: DataFrame,
     index = codes.join(
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>")
                   .alias("__v")), id_col)
-    cand = (qx.join(index, cell_col)
+    return (qx.join(index, cell_col)
             .select(q_id, F.col(id_col),
                     F.round(cosine(F.col("__v"),
                                    F.col(q_vec).cast("array<double>")), 6)
                     .alias("score")))
+
+
+def ann_topk_stream(queries: DataFrame, df: DataFrame,
+                    centroids: DataFrame, codes: DataFrame,
+                    k: int = 5, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label", cell_col: str = "cell",
+                    q_id: str = "q_id", q_vec: str = "q_vec") -> DataFrame:
+    """ANN serving over a LIVE query stream against a static IVF index —
+    the online half of the index `ivf_assign` maintains.
+
+    Plan shape (every stage streaming-legal and scale-shaped):
+      1. probe: an Arrow pandas_udf ranks the driver-held centroid
+         matrix per query (vectorized matmul, map-only — same trick as
+         ``ivf_assign``) and attaches the nprobe best cells;
+      2. candidates: explode cells -> stream-static equi-join against
+         the cell-keyed codes table joined to its vectors — each query
+         touches nprobe/K of the index, the corpus never shuffles;
+      3. rank: exact cosine per candidate, then per-query top-k inside
+         a stateful step.  A query's candidates all land in its own
+         micro-batch (they derive from that one query row joined to the
+         static index), so the FIRST batch seen for a q_id emits its
+         complete top-k; the ``seen`` flag then suppresses any later
+         batch for the same q_id — a duplicated/retried query event
+         would otherwise re-emit an overlapping result set with ``rnk``
+         restarting at 1.
+
+    Emits ``(q_id, vec_id, score, rnk)`` rows per query as its
+    micro-batch lands."""
+    cand = _ann_candidate_stream(queries, df, centroids, codes, nprobe,
+                                 id_col, vec_col, label_col, cell_col,
+                                 q_id, q_vec)
 
     def step(st, pdf):
         if st["seen"]:  # duplicate/retried query event: already answered
@@ -401,6 +420,85 @@ def ann_topk_stream(queries: DataFrame, df: DataFrame,
     return stateful_scan(
         cand, [q_id], {"seen": 0.0}, step,
         f"{q_id} {qid_ddl}, {id_col} {id_ddl}, score double, rnk long",
+        t="score", order_cols=[id_col])
+
+
+def rrf_fuse_stream(queries: DataFrame, lexical: DataFrame,
+                    df: DataFrame, centroids: DataFrame, codes: DataFrame,
+                    k: int = 60, topk_each: int = 100, nprobe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label", cell_col: str = "cell",
+                    q_id: str = "q_id", q_vec: str = "q_vec",
+                    out: str = "rrf_score") -> DataFrame:
+    """Hybrid retrieval on a LIVE query stream: per-micro-batch
+    reciprocal-rank fusion of the static per-query LEXICAL candidate
+    lists (``lexical``: (q_id, id, score) — the BM25 snapshot artifact,
+    bounded top-K per query) with the SEMANTIC IVF shortlist served
+    from the static index (`_ann_candidate_stream` — the same probe +
+    stream-static join as `ann_topk_stream`).  Completes the retrieval
+    family's batch+live matrix (`rrf_fuse` is the batch form).
+
+    Plan shape — append-mode legal end to end: the lexical side is a
+    stream-static equi-join on ``q_id``; the semantic side is the
+    map-only probe + stream-static cell join; their UNION carries a
+    source tag, and the fusion itself (rank each list, contribute
+    1/(k + rank), outer-merge, sum) runs inside one stateful step per
+    query — both candidate lists derive from the query's OWN row, so
+    its first micro-batch holds everything and emits the complete
+    fused list; the ``seen`` flag suppresses duplicate/retried query
+    events exactly like `ann_topk_stream`.  State is one flag per
+    query; all per-batch work is bounded by topk_each + the probed
+    cells, never the corpus.
+
+    Emits ``(q_id, id, rrf_score, rank_0, rank_1)`` — rank_0 lexical,
+    rank_1 semantic, null where a list misses the item (standard RRF;
+    contributions sum in fixed list order and round to 6dp, matching
+    `rrf_fuse` and the SQL oracle)."""
+    sem = (_ann_candidate_stream(queries, df, centroids, codes, nprobe,
+                                 id_col, vec_col, label_col, cell_col,
+                                 q_id, q_vec)
+           .select(q_id, id_col, "score", F.lit("sem").alias("__src")))
+    lex = (queries.select(q_id)
+           .join(lexical.select(q_id, id_col, "score"), q_id)
+           .select(q_id, id_col, "score", F.lit("lex").alias("__src")))
+    cand = lex.unionByName(sem)
+
+    def step(st, pdf):
+        if st["seen"]:  # duplicate/retried query event: already fused
+            return []
+        st["seen"] = 1.0
+        ranks: dict = {}
+        for i, s in enumerate(("lex", "sem")):
+            sub = (pdf[pdf["__src"] == s]
+                   .sort_values(["score", id_col],
+                                ascending=[False, True])
+                   .head(topk_each))
+            for r, did in enumerate(sub[id_col], 1):
+                ranks.setdefault(did, {})[i] = r
+        if not ranks:
+            return []
+        def _r6(x):
+            # HALF-UP at 6dp like F.round / DuckDB round — Python's
+            # round() is banker's and flips exact ties like 1/(60+68)
+            # = 0.0078125 the other way
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        rows = [{id_col: did,
+                 out: _r6(sum(1.0 / (k + rk[i]) for i in sorted(rk))),
+                 "rank_0": rk.get(0), "rank_1": rk.get(1)}
+                for did, rk in ranks.items()]
+        rows.sort(key=lambda r: (-r[out], r[id_col]))
+        return (pd.DataFrame(rows, columns=[id_col, out,
+                                            "rank_0", "rank_1"])
+                .astype({"rank_0": "Int64", "rank_1": "Int64"}))
+
+    from ..streaming.live import stateful_scan
+    qid_ddl = queries.schema[q_id].dataType.simpleString()
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return stateful_scan(
+        cand, [q_id], {"seen": 0.0}, step,
+        f"{q_id} {qid_ddl}, {id_col} {id_ddl}, {out} double, "
+        f"rank_0 long, rank_1 long",
         t="score", order_cols=[id_col])
 
 

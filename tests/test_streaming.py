@@ -1736,3 +1736,60 @@ def test_gated_from_gate_only_batch_preserves_open_window(spark, tmp_path):
         "append").orderBy("event_id").collect()
     assert [(r.event_id, r.total, r.n) for r in sc] == [
         (10, 10.0, 1), (11, 30.0, 2), (12, 70.0, 3)]
+
+
+def test_live_rrf_fuse_matches_batch_rrf(spark, tmp_path):
+    """Streaming hybrid fusion equals batch rrf_fuse over the same two
+    candidate lists, per query, across separate micro-batches."""
+    import os
+    from scespet_spark.operators.similarity import (ivf_assign,
+                                                    label_centroids,
+                                                    rrf_fuse,
+                                                    rrf_fuse_stream)
+    emb = load_table(spark, SF, "embeddings")
+    cents = label_centroids(emb).persist()
+    codes = ivf_assign(emb, cents).persist()
+
+    # synthetic static lexical lists per query: deterministic scores
+    lexical = (emb.select("vec_id").crossJoin(
+        spark.range(3).select(F.col("id").alias("q_id")))
+        .filter((F.col("vec_id") + F.col("q_id")) % 7 < 3)
+        .select("q_id", "vec_id",
+                F.round((F.col("vec_id") * 37 % 101) / 101.0, 6)
+                .alias("score"))).persist()
+
+    qb = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    stage = tmp_path / "qstream"
+    stage.mkdir()
+    for i, cond in enumerate([F.col("q_id") < 2, F.col("q_id") >= 2]):
+        d = tmp_path / f"qf{i}"
+        qb.filter(cond).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.symlink(str(d / part), str(stage / f"b{i}.parquet"))
+    qs = (spark.readStream.schema(qb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+
+    got = run_available_now(
+        rrf_fuse_stream(qs, lexical, emb, cents, codes,
+                        topk_each=20, nprobe=2), "append")
+    got_rows = _sorted_rows(got, ["q_id", "vec_id", "rrf_score",
+                                  "rank_0", "rank_1"])
+
+    # batch expectation: per query, rrf_fuse of (lexical list, IVF
+    # candidate list) each truncated to topk_each
+    from scespet_spark.operators.similarity import ivf_topk_from_index
+    want = []
+    for r in qb.collect():
+        lex_q = (lexical.filter(F.col("q_id") == r.q_id)
+                 .select("vec_id", "score")
+                 .orderBy(F.desc("score"), "vec_id").limit(20))
+        sem_q = ivf_topk_from_index(emb, codes, cents, r.q_vec,
+                                    k=20, nprobe=2).select("vec_id",
+                                                           "score")
+        fused = rrf_fuse([lex_q, sem_q], ["vec_id"], k=60)
+        want += [(r.q_id, x.vec_id, x.rrf_score, x.rank_0, x.rank_1)
+                 for x in fused.collect()]
+    assert got_rows == sorted(want)
+    cents.unpersist(); codes.unpersist(); lexical.unpersist()
