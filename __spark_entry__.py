@@ -7347,72 +7347,51 @@ def live_dedup_bloom(spark, sf_dir):
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
-    # brand-new this round (r10): the Bloom pre-filter snapshot
-    # artifact probes (batch residue-broadcast form + live map-side
-    # suppression form + the band-key form), the temperature mixture's
-    # live serving form, and the pipeline-accounting trio (gate
-    # funnel, classifier PR sweep, cross-split leakage)
+    # brand-new this round (r11): generational cluster maintenance
+    # (incremental_components), the PCA -> IVF-PQ composed serving
+    # chain, and the live hybrid RRF retrieval form
+    "dedup_incremental_clusters", "ann_pca_ivfpq_topk",
+    "live_hybrid_search_rrf",
+    # semantically changed this round: live_collapse now buffers the
+    # OPEN cycle in state and fires add_cycle exactly once per
+    # (key, cycle) — a cycle split across micro-batches previously
+    # double-counted (red-tested, fixed via the shared
+    # _lifecycle_step); emit='all' emits only CLOSED cycles now
+    "live_bucket_collapse_stats", "bucket_collapse_stats",
+    # implementation changed this round: bloom_attach dispatches on
+    # the sharded-dict form (every probe site accepts range-sharded
+    # filters), key_skew tie-breaks NULLS LAST on both sides,
+    # pca_fit probes the first NON-NULL vector, and the live ANN
+    # serving path moved onto the shared candidate builder
     "dedup_incremental_bloom", "live_dedup_bloom",
-    "dedup_incremental_near_bloom",
-    "live_temperature_mixture", "filter_funnel_report",
-    "quality_pr_curve", "split_leakage_report",
-    "doc_novelty_vs_prior", "live_doc_novelty",
-    "vocab_drift_drop", "embedding_drift_drop",
-    # semantically changed this round: the tokenizer/packing family
-    # left ROWS_ONLY — each query now emits its invariants
-    # (losslessness, conservation, feasibility, model structure) for a
-    # full hash-checked oracle
-    "bpe_fit_merges", "bpe_tokenize_docs",
-    "unigram_fit_pieces", "unigram_tokenize_docs",
-    "live_unigram_tokenize", "pack_bestfit_sequences",
-    # implementation changed this round: range_join expands through
-    # the boundary bucket (IEEE miss fix), exact quantiles gained the
-    # all-equal/width-underflow resolutions + power-of-two buckets +
-    # approx fallback, ccnet NULL scores label NULL, the incremental
-    # dedup probes route through _bloom_probe, and the n-gram LM
-    # attach loop gained the head_k split (default path re-verified)
-    "range_join_price_bands", "live_range_join",
-    "exact_quantiles_price", "exact_quantiles_by_source",
-    "ccnet_perplexity_buckets", "live_ccnet_bucket",
-    "dedup_incremental", "dedup_incremental_segments",
-    "dedup_incremental_substring", "live_incremental_segments",
-    "text_trigram_lm", "text_ngram_lm_order5",
-    # brand-new late-r10: hybrid RRF retrieval, distributed PCA
-    # (invariant oracle), key-skew diagnostics
-    "hybrid_search_rrf", "embedding_pca_project", "live_pca_project",
-    "key_skew_sources",
-    # semantically changed late-r10: the two approx sketches left
-    # ROWS_ONLY — exact halves + sketch-error-bound booleans make a
-    # full hash-checked oracle (ROWS_ONLY is now empty)
-    "approx_distinct_users_daily", "profile_lineitem_approx",
-    # brand-new late-r10: Z-order clustering keys (bit-exact oracle)
-    "zorder_key_lineitem",
-    # implementation changed late-r10: collapse rewritten from
-    # per-group applyInPandas to streamed mapInPandas (22.5s -> 1.05s);
-    # the rowwise gates build weight literals as packed strings
-    "bucket_collapse_stats", "live_lang_id_rowwise",
+    "dedup_incremental_near_bloom", "key_skew_sources",
+    "embedding_pca_project", "live_pca_project", "live_ann_serving",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
-    # (r9 VERDICT item #3) evidence rotation: the queries that yielded
-    # their slots to the late-r9 batch-2 additions are the oldest
-    # driver evidence — rotate them back in...
-    "region_revenue", "topk_orders", "rollup_order_status",
-    "set_ops_customers", "window_rank_orders", "vwap_per_supplier",
-    "q10_returned_items", "dedup_ngram_jaccard",
-    # ...plus the r5/r6 live stream-operator cohort last re-greened r8
-    "live_tumbling_daily", "live_value_set", "live_sliding_scan",
-    "live_bucket_collapse_stats",
-
-    # (late-r10 trim: live_map_keys_bucket /
-    # live_bind_hourly / live_vwap_per_supplier / text_fingerprint /
-    # text_token_doc_freq yielded their slots to the late-r10 new +
-    # implementation-changed queries — next rotation candidates; all
-    # stay covered by the full local oracle sweep + bench)
+    # (r10 verdict item #3) evidence rotation: the r4-last-green
+    # cohort (oldest driver evidence, recomputed from
+    # CORRECTNESS_r1..r10) ...
+    "ann_pq_adc_topk", "ann_pq_codes", "decontaminate_eval_overlap",
+    "doc_chunking", "multimodal_frame_sample", "redact_pii",
+    "stratified_sample_docs", "text_corpus_idf", "text_fingerprint",
+    "text_lang_id", "text_quality", "text_repetition",
+    "text_token_doc_freq", "text_token_stats",
+    # ... then the r5-last-green cohort (24 of its 25 fit the window;
+    # sample_source_quota rotates next round)
+    "ann_brute_force_topk", "ann_hard_negatives",
+    "asof_purchase_last_click", "daily_revenue_delta",
+    "dedup_clusters", "filter_stream", "funnel_view_to_purchase",
+    "live_count_buckets", "map_stream", "multimodal_audio_features",
+    "multimodal_resize", "pivot_user_event_values", "profile_lineitem",
+    "q11_important_stock", "q12_late_shipments", "q16_supplier_count",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q8_market_share", "q9_product_profit",
     # (window stays exactly 50 = the driver's sample; everything
-    # rotated out — the r9 cohort incl. the TPC-H wrappers re-greened
-    # last round — stays covered by the full local oracle gate,
-    # tools/check_oracle.py)
+    # rotated out — the r10 cohort re-greened last round — stays
+    # covered by the full local oracle gate, tools/check_oracle.py)
 ]
 
 

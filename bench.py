@@ -138,6 +138,10 @@ HEADLINE = [
     "embedding_pca_project",
     "key_skew_sources",
     "zorder_key_lineitem",
+    # round 11 additions: generational cluster maintenance and the
+    # PCA -> IVF-PQ composed serving chain
+    "dedup_incremental_clusters",
+    "ann_pca_ivfpq_topk",
 ]
 
 
@@ -170,6 +174,21 @@ def main():
     from scespet_spark.operators import dedup, similarity
     timings: dict[str, float] = {}
     spreads: list[float] = []
+    # sibling artifact (r10 verdict item #8): BENCH_r*.json tails have
+    # truncated in past rounds, losing the head of the timing dict and
+    # making round-over-round comparison depend on tail luck.  Flush
+    # the complete per-query dict to its own file AFTER EVERY QUERY so
+    # the artifact is whole even if this process dies mid-run.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL_latest.json")
+
+    def flush():
+        with open(full_path, "w") as f:
+            json.dump({"sf": sf, "queries": timings,
+                       "n_queries": len(timings),
+                       "complete": len(timings) == len(HEADLINE)}, f,
+                      indent=0, sort_keys=True)
+
     for name in HEADLINE:
         samples = []
         for _ in range(3):
@@ -185,6 +204,7 @@ def main():
         timings[name] = round(min(samples), 3)
         if min(samples) > 0:
             spreads.append(max(samples) / min(samples))
+        flush()
 
     # same-build repeat spread: max/min ratio of the 3 identical samples
     # per query.  This quantifies this box's co-tenant noise so round-

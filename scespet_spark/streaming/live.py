@@ -1291,6 +1291,79 @@ def sliding_scan(df: DataFrame, keys: list[str], duration: str, slide: str,
         t=t, order_cols=[t, seq], timeout_ts=timeout_ts)
 
 
+def _lifecycle_step(bucket_factory, step_ms: int, cyc: str, t: str,
+                    seq: str, last: bool):
+    """The shared cross-micro-batch lifecycle fold of `live_collapse`
+    and `live_bind`: the mutable bucket object AND the open cycle's
+    raw rows live in the state store; ``add_cycle`` fires exactly ONCE
+    per (key, cycle) — when a later cycle value proves the cycle
+    complete — so the rendezvous contract holds even when one cycle's
+    rows land in different micro-batches (red-tested: the eager
+    per-batch fold double-counted split cycles).
+
+    The slice id comes from the CYCLE value, not the per-row t: all
+    rows of one cycle share one cyc value so a cycle can never
+    straddle a slice boundary (which would split the (bid, cyc) group
+    and fire add_cycle twice whenever `every` is not a multiple of
+    the cycle truncation, e.g. hourly cycles with every='90
+    minutes')."""
+    def step(st, pdf):
+        from pyspark import cloudpickle
+        bucket = (cloudpickle.loads(bytes(st["blob"]))
+                  if st["blob"] is not None else None)
+        pend = (cloudpickle.loads(bytes(st["pend"]))
+                if st["pend"] is not None else None)
+        if pend is not None:
+            # pending rows precede every batch row (in-order contract)
+            pdf = pd.concat([pend, pdf], ignore_index=True)
+        out = []
+        bids = pd.Series(pdf[cyc].values.astype("datetime64[ms]")
+                         .astype("int64") // step_ms, index=pdf.index)
+        groups = list(pdf.groupby([bids, pdf[cyc]], sort=True))
+        # the LAST (bucket, cycle) group stays pending — its rendezvous
+        # is only proven complete by a later cycle's arrival
+        for (bid, _cval), grp in groups[:-1]:
+            if bucket is not None and bid > st["bucket"]:
+                bucket.complete()
+                if last:
+                    out.append({t: pd.Timestamp(int(st["last_t"]),
+                                                unit="us"),
+                                seq: int(st["last_seq"]),
+                                **bucket.value()})
+                bucket = None
+            if bucket is None:
+                bucket = bucket_factory()
+                bucket.open()
+                st["bucket"] = float(bid)
+            bucket.add_cycle(grp)
+            if not last:
+                out.append({t: grp[t].iloc[-1],
+                            seq: int(grp[seq].iloc[-1]),
+                            **bucket.value()})
+            st["last_t"] = float(grp[t].values[-1]
+                                 .astype("datetime64[us]").astype("int64"))
+            st["last_seq"] = float(grp[seq].iloc[-1])
+        if groups:
+            # a pending row in a LATER bucket already proves the open
+            # bucket complete (cycles are time-ordered): close and emit
+            # it now — otherwise a key whose final slice holds a single
+            # cycle would never close its previous slice
+            pend_bid = groups[-1][0][0]
+            if bucket is not None and pend_bid > st["bucket"]:
+                bucket.complete()
+                if last:
+                    out.append({t: pd.Timestamp(int(st["last_t"]),
+                                                unit="us"),
+                                seq: int(st["last_seq"]),
+                                **bucket.value()})
+                bucket = None
+            st["pend"] = bytearray(cloudpickle.dumps(groups[-1][1]))
+        st["blob"] = (bytearray(cloudpickle.dumps(bucket))
+                      if bucket is not None else None)
+        return out
+    return step
+
+
 def live_collapse(df: DataFrame, keys: list[str], bucket_factory,
                   every: str, value_ddl: str, t: str = "ts",
                   seq: str = "event_id", emit: str = "last",
@@ -1303,69 +1376,55 @@ def live_collapse(df: DataFrame, keys: list[str], bucket_factory,
 
     The mutable bucket OBJECT is the per-key state: cloudpickled into
     the state store between micro-batches (the reference holds exactly
-    this object in its graph node).  Rows are folded cycle-at-a-time
-    (all rows sharing one ``cycle_col`` value fire the bucket once —
-    the rendezvous contract); a row landing in a LATER ``every``-slice
-    completes the open bucket, and:
+    this object in its graph node), alongside the OPEN cycle's raw
+    rows — one (key, cycle) may span micro-batches, and the rendezvous
+    contract (all rows sharing one ``cycle_col`` value fire the bucket
+    ONCE) only holds if ``add_cycle`` waits until a later cycle value
+    proves the cycle complete (r11 fix, red-tested: the previous eager
+    per-batch fold double-counted split cycles; `live_bind` always
+    buffered — `_lifecycle_step` is now shared).  Hence only CLOSED
+    cycles fire, and:
 
       * ``emit="last"``: the completed bucket emits one row at its last
         event's (t, seq) — only CLOSED buckets emit (live streams have
         no termination event; batch mode owns the termination flush,
         SimpleEnv.scala:93, same contract as count_reduce).
-      * ``emit="all"``: every cycle emits the bucket's running value
-        (CUMULATIVE).
+      * ``emit="all"``: every CLOSED cycle emits the bucket's running
+        value (CUMULATIVE) at the cycle's own (t, seq); per key the
+        final pending cycle never emits.
 
-    State size is one pickled bucket + 3 doubles per key, independent
-    of bucket length.  ``every`` must be a fixed-width duration (epoch
-    alignment matches batch ``F.window``)."""
+    State size is one pickled bucket + one cycle's raw rows per key —
+    bounded by cycle width, not stream length.  ``every`` must be a
+    fixed-width duration (epoch alignment matches batch ``F.window``);
+    ``cycle_col`` must be an event-time truncation (timestamp), because
+    the ``every``-slice id derives from the CYCLE value (one cycle can
+    never straddle a slice boundary)."""
     if emit not in ("last", "all"):
         raise ValueError(f"emit must be 'last' or 'all', got {emit!r}")
     step_ms = int(pd.Timedelta(every).total_seconds() * 1000)
     cyc = cycle_col or t
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+    if not isinstance(df.schema[cyc].dataType,
+                      (TimestampType, TimestampNTZType)):
+        raise ValueError(
+            f"cycle_col {cyc!r} must be an event-time truncation "
+            f"(timestamp), got {df.schema[cyc].dataType.simpleString()} — "
+            "the slice id is derived from the cycle value so one cycle "
+            "can never straddle a slice boundary")
     last = emit == "last"
-
-    def step(st, pdf):
-        from pyspark import cloudpickle
-        bucket = (cloudpickle.loads(bytes(st["blob"]))
-                  if st["blob"] is not None else None)
-        out = []
-        # resolution-proof epoch math: Arrow may hand datetime64[ns] or
-        # [us] depending on the column's parquet type
-        bids = pd.Series(pdf[t].values.astype("datetime64[ms]")
-                         .astype("int64") // step_ms, index=pdf.index)
-        for bid, grp in pdf.groupby(bids, sort=True):
-            if bucket is not None and bid > st["bucket"]:
-                bucket.complete()
-                if last:
-                    out.append({t: pd.Timestamp(int(st["last_t"]), unit="us"),
-                                seq: int(st["last_seq"]), **bucket.value()})
-                bucket = None
-            if bucket is None:
-                bucket = bucket_factory()
-                bucket.open()
-                st["bucket"] = float(bid)
-            for _, cycle in grp.groupby(cyc, sort=True):
-                bucket.add_cycle(cycle)
-                if not last:
-                    out.append({t: cycle[t].iloc[-1],
-                                seq: int(cycle[seq].iloc[-1]),
-                                **bucket.value()})
-            st["last_t"] = float(grp[t].values[-1]
-                                 .astype("datetime64[us]").astype("int64"))
-            st["last_seq"] = float(grp[seq].iloc[-1])
-        st["blob"] = bytearray(cloudpickle.dumps(bucket))
-        return out
+    step = _lifecycle_step(bucket_factory, step_ms, cyc, t, seq, last)
 
     key_ddl = _key_ddl(df, keys)
     tddl = df.schema[t].dataType.simpleString()
     return stateful_scan(
         df, keys,
-        {"bucket": -1.0, "last_t": 0.0, "last_seq": 0.0, "blob": None},
+        {"bucket": -1.0, "last_t": 0.0, "last_seq": 0.0,
+         "blob": None, "pend": None},
         step,
         f"{key_ddl}, {t} {tddl}, {seq} long, {value_ddl}",
         t=t, order_cols=[t, seq],
         state_schema="bucket double, last_t double, last_seq double, "
-                     "blob binary")
+                     "blob binary, pend binary")
 
 
 def live_bind(inputs: dict[str, tuple[DataFrame, Iterable[str]]],
@@ -1424,67 +1483,7 @@ def live_bind(inputs: dict[str, tuple[DataFrame, Iterable[str]]],
             "can never straddle a slice boundary")
     last = emit == "last"
 
-    def step(st, pdf):
-        from pyspark import cloudpickle
-        bucket = (cloudpickle.loads(bytes(st["blob"]))
-                  if st["blob"] is not None else None)
-        pend = (cloudpickle.loads(bytes(st["pend"]))
-                if st["pend"] is not None else None)
-        if pend is not None:
-            # pending rows precede every batch row (in-order contract)
-            pdf = pd.concat([pend, pdf], ignore_index=True)
-        out = []
-        # the slice id comes from the CYCLE value, not the per-row t:
-        # all rows of one cycle share one cyc value so a cycle can never
-        # straddle a slice boundary (which would split the (bid, cyc)
-        # group and fire add_cycle twice for one cycle — breaking the
-        # fire-once rendezvous contract whenever `every` is not a
-        # multiple of the cycle truncation, e.g. hourly cycles with
-        # every='90 minutes')
-        bids = pd.Series(pdf[cyc].values.astype("datetime64[ms]")
-                         .astype("int64") // step_ms, index=pdf.index)
-        groups = list(pdf.groupby([bids, pdf[cyc]], sort=True))
-        # the LAST (bucket, cycle) group stays pending — its rendezvous
-        # is only proven complete by a later cycle's arrival
-        for (bid, _cval), grp in groups[:-1]:
-            if bucket is not None and bid > st["bucket"]:
-                bucket.complete()
-                if last:
-                    out.append({t: pd.Timestamp(int(st["last_t"]),
-                                                unit="us"),
-                                seq: int(st["last_seq"]),
-                                **bucket.value()})
-                bucket = None
-            if bucket is None:
-                bucket = bucket_factory()
-                bucket.open()
-                st["bucket"] = float(bid)
-            bucket.add_cycle(grp)
-            if not last:
-                out.append({t: grp[t].iloc[-1],
-                            seq: int(grp[seq].iloc[-1]),
-                            **bucket.value()})
-            st["last_t"] = float(grp[t].values[-1]
-                                 .astype("datetime64[us]").astype("int64"))
-            st["last_seq"] = float(grp[seq].iloc[-1])
-        if groups:
-            # a pending row in a LATER bucket already proves the open
-            # bucket complete (cycles are time-ordered): close and emit
-            # it now — otherwise a key whose final slice holds a single
-            # cycle would never close its previous slice
-            pend_bid = groups[-1][0][0]
-            if bucket is not None and pend_bid > st["bucket"]:
-                bucket.complete()
-                if last:
-                    out.append({t: pd.Timestamp(int(st["last_t"]),
-                                                unit="us"),
-                                seq: int(st["last_seq"]),
-                                **bucket.value()})
-                bucket = None
-            st["pend"] = bytearray(cloudpickle.dumps(groups[-1][1]))
-        st["blob"] = (bytearray(cloudpickle.dumps(bucket))
-                      if bucket is not None else None)
-        return out
+    step = _lifecycle_step(bucket_factory, step_ms, cyc, t, seq, last)
 
     key_ddl = _key_ddl(u, keys)
     tddl = u.schema[t].dataType.simpleString()

@@ -1036,13 +1036,21 @@ def test_live_collapse_bucket_state_survives_batches(spark, batch_events,
     want_r = [(u, e, n, round(t_, 6)) for u, e, n, t_ in _sorted_rows(want, cols)]
     assert got_r == want_r
 
-    # CUMULATIVE: every cycle emits the running value
+    # CUMULATIVE: every CLOSED cycle emits the running value; the
+    # final pending cycle per key never emits (r11: the open cycle is
+    # buffered until a later cycle proves it complete — the rendezvous
+    # fix; live_bind contract)
     got_all = run_available_now(
         live_collapse(staged_events_3(), ["user_id"], Stats, "1 day",
                       "n long, total double", emit="all"), "append")
     want_cum = collapse(s.group(Every("1 day")), Stats,
                         "user_id long, ts timestamp, event_id long, "
                         "n long, total double", emit="all")
+    last_cycle = (want_cum.groupBy("user_id")
+                  .agg(F.max("ts").alias("__maxts")))
+    want_cum = (want_cum.join(last_cycle, "user_id")
+                .filter(F.col("ts") < F.col("__maxts"))
+                .drop("__maxts"))
     got_r = [(u, e, n, round(t_, 6)) for u, e, n, t_
              in _sorted_rows(got_all, cols)]
     want_r = [(u, e, n, round(t_, 6)) for u, e, n, t_
@@ -1793,3 +1801,203 @@ def test_live_rrf_fuse_matches_batch_rrf(spark, tmp_path):
                  for x in fused.collect()]
     assert got_rows == sorted(want)
     cents.unpersist(); codes.unpersist(); lexical.unpersist()
+
+
+def test_live_collapse_cycle_split_across_batches_fires_once(spark,
+                                                             tmp_path):
+    """Rendezvous across micro-batches: one cycle (two rows at the SAME
+    ts) split across two drops must fire add_cycle ONCE with both rows
+    — the eager per-batch fold would count it twice (live_bind already
+    buffers the open cycle; collapse must too)."""
+    import os
+    import shutil
+    import time
+    import pandas as pd
+    from scespet_spark.operators.buckets import CycleBucket
+    from scespet_spark.streaming.live import (live_collapse,
+                                              run_available_now)
+
+    class Probe(CycleBucket):
+        def open(self):
+            self.n_cycles = 0
+            self.n_events = 0
+
+        def add_cycle(self, cycle):
+            self.n_cycles += 1
+            self.n_events += len(cycle)
+
+        def value(self):
+            return {"n_cycles": self.n_cycles, "n_events": self.n_events}
+
+    drops = [
+        [(pd.Timestamp(2024, 1, 1, 10, 0, 5), 1, 1.0)],
+        # second row of the SAME 10:00:05 cycle lands in drop 2,
+        # plus a later cycle that closes it
+        [(pd.Timestamp(2024, 1, 1, 10, 0, 5), 2, 2.0),
+         (pd.Timestamp(2024, 1, 1, 12, 0, 0), 3, 3.0)],
+        # a next-day row closes the day-1 bucket
+        [(pd.Timestamp(2024, 1, 2, 9, 0, 0), 4, 4.0),
+         (pd.Timestamp(2024, 1, 3, 9, 0, 0), 5, 5.0)],
+    ]
+    src = tmp_path / "drops"
+    src.mkdir()
+    now = time.time()
+    for i, drop in enumerate(drops):
+        pdf = pd.DataFrame(drop, columns=["ts", "event_id", "value"])
+        pdf["user_id"] = 7
+        d = tmp_path / f"f{i}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"drop-{i}.parquet"
+        shutil.copy(str(d / part), str(dst))
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    stream = (spark.readStream
+              .schema("ts timestamp, event_id long, value double, "
+                      "user_id long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = run_available_now(
+        live_collapse(stream, ["user_id"], Probe, "1 day",
+                      "n_cycles long, n_events long"), "append")
+    got = sorted(tuple(r) for r in
+                 out.select("user_id", "event_id", "n_cycles",
+                            "n_events").collect())
+    # day 1: cycle 10:00:05 (2 rows, split across drops) + cycle 12:00
+    # -> n_cycles=2, n_events=3, emitted at event 3; day 2's single
+    # cycle closes via day 3's row
+    assert got == [(7, 3, 2, 3), (7, 4, 1, 1)]
+
+    # emit='all': one emission per CLOSED cycle, running values; the
+    # final pending cycle (day 3) defers until a later cycle proves it
+    # complete — which never comes, so it does not emit
+    out_all = run_available_now(
+        live_collapse(stream, ["user_id"], Probe, "1 day",
+                      "n_cycles long, n_events long", emit="all"),
+        "append")
+    got_all = sorted(tuple(r) for r in
+                     out_all.select("user_id", "event_id", "n_cycles",
+                                    "n_events").collect())
+    assert got_all == [(7, 2, 1, 2), (7, 3, 2, 3), (7, 4, 1, 1)]
+
+
+def _staged_drops(spark, base, name, schema, batches):
+    """Write one parquet file per batch (empty batches allowed) with
+    ascending mtimes; read back with maxFilesPerTrigger=1 so batch i
+    is exactly ``batches[i]``."""
+    import os
+    import shutil
+    import time
+    src = base / name
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = base / f"{name}_f{i}"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"drop-{i}.parquet"
+        shutil.copy(str(d / part), str(dst))
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+
+def test_live_zip_single_side_and_duplicate_t_across_batches(spark,
+                                                             tmp_path):
+    """Boundary battery for zip_latest (r10 verdict item #7): empty-
+    side batches, single-side batches, and a duplicate timestamp
+    split across the batch boundary must fold exactly like the
+    sequential arrival order."""
+    from datetime import datetime
+    from scespet_spark.streaming.live import run_available_now, zip_latest
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    sl = "user_id long, ts timestamp, event_id long, lv double"
+    sr = "user_id long, ts timestamp, event_id long, rv double"
+    left = _staged_drops(spark, tmp_path, "zl", sl, [
+        [(1, ts(1), 1, 10.0)],
+        [],                                   # left empty in batch 2
+        [(1, ts(3), 3, 11.0)],                # duplicate t=3 (vs e4)
+    ])
+    right = _staged_drops(spark, tmp_path, "zr", sr, [
+        [],                                   # right empty in batch 1
+        [(1, ts(1), 2, 100.0), (1, ts(3), 4, 101.0)],
+        [],
+    ])
+    out = run_available_now(
+        zip_latest(left, right, ["user_id"], "lv", "rv"), "append")
+    got = {r.event_id: (r.lv, r.rv) for r in out.collect()}
+    assert got == {1: (10.0, None), 2: (10.0, 100.0),
+                   4: (10.0, 101.0), 3: (11.0, 101.0)}
+
+
+def test_live_asof_equal_t_across_batch_boundary(spark, tmp_path):
+    """A right trigger at the SAME event time as a left update from an
+    EARLIER batch must see that left value (arrival order = fold
+    order across batches); a right-only first batch emits null left."""
+    from datetime import datetime
+    from scespet_spark.streaming.live import asof_latest, run_available_now
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    sl = "user_id long, ts timestamp, event_id long, lv double"
+    sr = "user_id long, ts timestamp, event_id long, rv double"
+    left = _staged_drops(spark, tmp_path, "al", sl, [
+        [],
+        [(1, ts(5), 2, 7.5)],                 # left-only batch
+        [],
+    ])
+    right = _staged_drops(spark, tmp_path, "ar", sr, [
+        [(1, ts(4), 1, 0.5)],                 # right before any left
+        [],
+        [(1, ts(5), 3, 1.0)],                 # same t as e2, later batch
+    ])
+    out = run_available_now(
+        asof_latest(left, right, ["user_id"], ["lv"], ["rv"]), "append")
+    got = {r.event_id: (r.lv, r.rv) for r in out.collect()}
+    assert got == {1: (None, 0.5), 3: (7.5, 1.0)}
+
+
+def test_live_sliced_scan_duplicate_t_across_batch_boundary(spark,
+                                                            tmp_path):
+    """Count(2) slicing with a timestamp duplicated across the batch
+    boundary: bucket ids come from the COUNT carry, never from t, so
+    the split must not merge or double-count."""
+    from datetime import datetime
+    from scespet_spark import Count
+    from scespet_spark.streaming.live import run_available_now, sliced_scan
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    s = "user_id long, ts timestamp, event_id long, value double"
+    src = _staged_drops(spark, tmp_path, "cs", s, [
+        [(1, ts(1), 1, 1.0), (1, ts(2), 2, 2.0)],
+        [(1, ts(2), 3, 4.0),                  # duplicate t=2 across
+         (1, ts(2), 4, 8.0)],                 # the boundary
+    ])
+    out = run_available_now(
+        sliced_scan(src, ["user_id"], Count(2), "value"), "append")
+    got = {r.event_id: (r.total, r.n) for r in out.collect()}
+    assert got == {1: (1.0, 1), 2: (3.0, 2), 3: (4.0, 1), 4: (12.0, 2)}
+
+
+def test_live_keymap_equal_t_across_batch_boundary(spark, tmp_path):
+    """keymap zip: a right fire at the SAME ts as the cell-creating
+    left event but in a LATER batch must see the cell (and emit with
+    the left's latest value); a later right-only batch re-fires it."""
+    from datetime import datetime
+    from scespet_spark.streaming.live import keymap_latest, run_available_now
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    sl = "user_id long, ts timestamp, event_id long, xv double"
+    sr = "bucket long, ts timestamp, event_id long, yv double"
+    left = _staged_drops(spark, tmp_path, "kl", sl, [
+        [(10, ts(2), 1, 1.0)],
+        [],
+        [],
+    ])
+    right = _staged_drops(spark, tmp_path, "kr", sr, [
+        [],
+        [(0, ts(2), 2, 50.0)],                # same ts, later batch
+        [(0, ts(3), 3, 60.0)],                # right-only batch
+    ])
+    out = keymap_latest(left, right, "user_id", "bucket",
+                        F.col("user_id") % 10, ["xv"], ["yv"],
+                        emit="both")
+    got = sorted(tuple(r) for r in run_available_now(out, "append")
+                 .select("user_id", "event_id", "xv", "yv").collect())
+    assert got == [(10, 1, 1.0, None), (10, 2, 1.0, 50.0),
+                   (10, 3, 1.0, 60.0)]
