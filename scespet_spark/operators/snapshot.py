@@ -205,6 +205,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    ngram_order: int | None = None,
                    bloom_fpp: float | None = None,
                    bloom_shards: int = 1,
+                   cluster_labels: bool = False,
                    mode: str = "overwrite") -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
@@ -269,7 +270,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "unigram_vocab": (unigram_vocab, None),
                     "unigram_em_iters": (unigram_em_iters, 4),
                     "ngram_order": (ngram_order, None),
-                    "bloom_fpp": (bloom_fpp, None)}
+                    "bloom_fpp": (bloom_fpp, None),
+                    "cluster_labels": (cluster_labels, False)}
         extra = sorted(k2 for k2, (v, d) in defaults.items() if v != d)
         if extra:
             raise ValueError(
@@ -395,6 +397,20 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         _w("lm_bigrams", bgc)
         _w("lm_prefixes", prec)
         _w("lm_vocab", vocab)
+    if cluster_labels:
+        # the near-dup cluster label MAPPING (id -> min reachable id
+        # over the LSH candidate graph) as a snapshot artifact: built
+        # from scratch ONCE here; generation appends then relabel only
+        # affected components via `incremental_components` (delta rows
+        # carry a later ``gen``; `read_clusters` resolves latest-gen).
+        if docs is None:
+            raise ValueError("cluster_labels needs docs")
+        from pyspark.sql import functions as F
+        from .dedup import connected_components, lsh_candidate_pairs
+        _w("clusters",
+           connected_components(lsh_candidate_pairs(
+               docs, num_hashes=num_hashes, bands=bands,
+               shingle_n=shingle_n)).withColumn("gen", F.lit(0)))
     if labeled is not None:
         # the model-based quality rung: a <= qc_buckets-row weight
         # table (bias/unseen rows included) applied map-side to every
@@ -568,6 +584,37 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
         _a("grams", gram_digests(
             docs, min_len=manifest["sub_min_len"], wide=wide)
             .select(*gram_cols).distinct())
+    if docs is not None and "clusters" in tables:
+        # generational cluster maintenance (incremental_components):
+        # the drop's bands join the STANDING band table (which already
+        # includes the drop's own just-appended rows, so drop-prior AND
+        # drop-drop candidate pairs come from one equi-join); only the
+        # affected components relabel, and the delta rows append under
+        # a new generation — `read_clusters` resolves latest-gen per id
+        from pyspark.sql import functions as F
+        from .dedup import banded_signatures, incremental_components
+        drop_bands = banded_signatures(
+            docs, num_hashes=manifest["num_hashes"],
+            bands=manifest["bands"], shingle_n=manifest["shingle_n"])
+        meta = bucket_tables.get("bands")
+        standing = (spark.table(meta["table"]) if meta
+                    else spark.read.parquet(os.path.join(out_dir,
+                                                         "bands")))
+        pairs = (drop_bands
+                 .select("band", "band_hash", F.col("doc_id").alias("__a"))
+                 .join(standing.select("band", "band_hash",
+                                       F.col("doc_id").alias("__b")),
+                       ["band", "band_hash"])
+                 .filter(F.col("__a") != F.col("__b"))
+                 .select(F.least("__a", "__b").alias("id_a"),
+                         F.greatest("__a", "__b").alias("id_b"))
+                 .distinct())
+        delta = incremental_components(read_clusters(spark, out_dir),
+                                       pairs, full=False)
+        g = len(manifest.get("generations") or []) + 1
+        (delta.withColumn("gen", F.lit(g)).write.mode("append")
+         .parquet(os.path.join(out_dir, "clusters")))
+        appended.append("clusters")
     if emb is not None:
         from .dedup import embedding_block_table
         from .similarity import ivf_assign
@@ -611,7 +658,8 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
     bucket_tables = manifest.get("bucket_tables") or {}
     tables = manifest.get("tables") or []
     fams = families or [f for f in ("digests", "bands", "segments",
-                                    "grams", "blocks", "codes")
+                                    "grams", "blocks", "codes",
+                                    "clusters")
                         if f in tables]
     read_snapshot(spark, out_dir)  # (re-)register bucketed tables
     out: dict[str, int] = {}
@@ -630,6 +678,13 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
              .option("path", tmp).saveAsTable(t2))
             spark.sql(f"DROP TABLE IF EXISTS {t2}")
             spark.sql(f"DROP TABLE IF EXISTS {meta['table']}")
+        elif name == "clusters":
+            # labels are a MAPPING: generation rows override, so
+            # compaction resolves latest-gen per id (distinct would
+            # keep both the stale and the overriding row)
+            from pyspark.sql import functions as F
+            (read_clusters(spark, out_dir).withColumn("gen", F.lit(0))
+             .write.mode("overwrite").parquet(tmp))
         else:
             (spark.read.parquet(path).distinct()
              .write.mode("overwrite").parquet(tmp))
@@ -742,6 +797,21 @@ def read_bloom(spark: SparkSession, out_dir: str, name: str,
     if dense:
         out["words"] = bloom_dense(words, meta["m"])
     return out
+
+
+def read_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The resolved near-dup cluster MAPPING from a snapshot written
+    with ``cluster_labels=True``: latest-generation ``(id, cluster)``
+    per id.  Labels are a mapping, not a set, so generation rows
+    OVERRIDE (max_by gen) rather than union — the one artifact family
+    where append rows shadow prior rows.  The resolve is one int-pair
+    groupBy (shuffle ∝ label table, never the corpus); run
+    ``compact_snapshot(..., families=["clusters"])`` when generation
+    count makes that table's scan dominate."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(os.path.join(out_dir, "clusters"))
+    return (df.groupBy("id")
+            .agg(F.max_by("cluster", "gen").alias("cluster")))
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

@@ -3286,3 +3286,49 @@ def test_zorder_layout_prunes_in_spark_scan(spark, tmp_path):
     # the single-key layout reads for the same box (measured 0.40x;
     # 0.6 leaves margin for row-group boundary jitter)
     assert rows_z < rows_sorted * 0.6, (rows_z, rows_sorted)
+
+
+def test_snapshot_cluster_labels_generational(spark, tmp_path):
+    """clusters artifact family: overwrite writes from-scratch labels;
+    a generation append relabels ONLY affected components via
+    incremental_components; read_clusters (latest-gen resolve) equals
+    from-scratch clustering over the full corpus; compaction folds the
+    generations without changing the mapping."""
+    from scespet_spark.operators.dedup import (connected_components,
+                                               lsh_candidate_pairs)
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_clusters,
+                                                  write_snapshot)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    body = "one two three four five six seven eight nine ten eleven twelve"
+    base = [  # prior clusters {1,2} and {5,6,9}
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),
+        (5, body),
+        (6, body + " thirteen"),
+        (9, "totally unrelated content nine ten eleven"),
+    ]
+    drop = [  # near-dup of prior cluster {5,6,9} with a SMALLER id
+        # (forces that cluster to relabel to 3 — the override path) +
+        # a brand-new duplicate pair
+        (3, body + " fourteen"),
+        (200, "brand new duplicate pair text here now"),
+        (201, "brand new duplicate pair text here now indeed"),
+    ]
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=base and docs(base), cluster_labels=True)
+    write_snapshot(out, docs=docs(drop), mode="append")
+    got = {r.id: r.cluster for r in read_clusters(spark, out).collect()}
+    scratch = {r.id: r.cluster for r in connected_components(
+        lsh_candidate_pairs(docs(base + drop))).collect()}
+    assert got == scratch and len(got) > 0
+    # sanity: the drop relabeled the prior {5,6} cluster to the new
+    # smaller id and created the new pair's cluster
+    assert got.get(5) == 3 and got.get(6) == 3 and got.get(201) == 200
+    assert got.get(1) == 1 and got.get(2) == 1  # untouched cluster
+    compact_snapshot(out, spark, families=["clusters"])
+    after = {r.id: r.cluster for r in read_clusters(spark, out).collect()}
+    assert after == got
