@@ -140,6 +140,15 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                              x["prior_digests"],
                              prior_digest_col="content_hash",
                              prior_bloom=x["prior_bloom"])),
+        # r11: the same adversarial probe through the RANGE-SHARDED
+        # filter (shuffle-hash shard join — the 10^11-key form where
+        # each task holds m_total/shards bits); parity with the single
+        # filter is property-tested, this measures the routing cost
+        "incremental_keep_bloom_sharded": lambda d, e, x=None: noop(
+            incremental_keep(d.filter(F.col("doc_id") % 3 != 0),
+                             x["prior_digests"],
+                             prior_digest_col="content_hash",
+                             prior_bloom=x["prior_bloom_sharded"])),
         "incremental_near_probe": lambda d, e, x=None: noop(
             incremental_near_dup(d.filter(F.col("doc_id") % 3 != 0),
                                  prior_bands=x["prior_bands"])),
@@ -311,9 +320,17 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         pd_tbl = exact_groups(prior).persist()
         pd_n = max(1, pd_tbl.count())
         bw, bm, bk = bloom_build(pd_tbl, "content_hash", n_items=pd_n)
+        from scespet_spark.operators.bloom import (bloom_build_sharded,
+                                                   bloom_rows_sharded)
+        sw, sm, sk = bloom_build_sharded(pd_tbl, "content_hash",
+                                         n_items=pd_n, shards=8)
         extras = {"prior_digests": pd_tbl,
                   "prior_bloom": {"m": bm, "k": bk,
                                   "row": bloom_row(bw, bm)},
+                  "prior_bloom_sharded": {
+                      "m": sm, "k": sk, "shards": 8,
+                      "rows": bloom_rows_sharded(sw, sm, 8),
+                      "broadcast": False},
                   "prior_bands": banded_signatures(prior).persist(),
                   # fitted tokenizer model: a snapshot artifact (model-
                   # sized), built from the base corpus outside the
