@@ -3145,7 +3145,7 @@ def dedup_incremental_clusters(spark, sf_dir):
                                                lsh_candidate_pairs)
     from scespet_spark.operators._cache import persist as _persist
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _persist(lsh_candidate_pairs(docs), "incremental_components")
+    pairs = _persist(lsh_candidate_pairs(docs), "dedup")
     prior_pairs = pairs.filter((F.col("id_a") % 3 == 0)
                                & (F.col("id_b") % 3 == 0))
     new_pairs = pairs.filter((F.col("id_a") % 3 != 0)

@@ -972,9 +972,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
 
 def release_cached() -> int:
-    """Unpersist LSH signature tables cached by ``lsh_candidate_pairs``.
-    Call after the candidate pairs (or anything derived from them) have
-    been materialized; returns how many tables were released."""
+    """Unpersist tables cached by the dedup family
+    (``lsh_candidate_pairs`` signatures, ``winnow_overlap_pairs``
+    shingle sets, ``incremental_components`` touched-prior rows).
+    Call after downstream results have been materialized; returns how
+    many tables were released."""
     from ._cache import release
     return release("dedup")
 
@@ -1484,7 +1486,7 @@ def incremental_components(prior_labels: DataFrame, new_pairs: DataFrame,
     # one would re-run the corpus scan.
     from ._cache import persist as _persist
     touched = _persist(pl.join(F.broadcast(ends), "id", "left_semi"),
-                       "incremental_components")
+                       "dedup")  # released by dedup.release_cached()
     # 2. lift endpoints to super-nodes (prior cluster label | new id)
     lift_a = touched.select(F.col("id").alias(a),
                             F.col("cluster").alias("__ca"))
