@@ -1437,7 +1437,8 @@ def _cc_star(pairs: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
 def incremental_components(prior_labels: DataFrame, new_pairs: DataFrame,
                            a: str = "id_a", b: str = "id_b",
                            max_iters: int = 20, algorithm: str = "label",
-                           full: bool = True) -> DataFrame:
+                           full: bool = True,
+                           driver_threshold: int = 200_000) -> DataFrame:
     """Generational connected components: fold a drop's NEW candidate
     pairs into a PRIOR ``(id, cluster)`` label table (the snapshot
     artifact from a previous `connected_components` run) WITHOUT
@@ -1467,6 +1468,11 @@ def incremental_components(prior_labels: DataFrame, new_pairs: DataFrame,
        if prior, else itself — and `connected_components` runs on the
        SUPER-graph only (nodes = touched prior clusters + new ids;
        size ∝ the drop, never the corpus).
+    2b. At drop scale the super-graph resolves with a DRIVER
+       union-find (≤ ``driver_threshold`` edges collect — a delta, not
+       a corpus; the distributed iterative CC's per-round job overhead
+       dwarfs the work at this size); a colossal drop falls back to
+       the distributed `connected_components`.
     3. The (old-label → new-root) mapping (∝ affected components)
        broadcasts back into ONE map-only pass over ``prior_labels``:
        touched clusters relabel, the untouched remainder streams
@@ -1499,10 +1505,45 @@ def incremental_components(prior_labels: DataFrame, new_pairs: DataFrame,
                    F.coalesce("__cb", F.col(b)).alias("sb"))
            .filter(F.col("sa") != F.col("sb"))
            .distinct())
-    comp = connected_components(sup, "sa", "sb", max_iters=max_iters,
-                                algorithm=algorithm)
-    mapping = comp.select(F.col("id").alias("__node"),
-                          F.col("cluster").alias("__root"))
+    # the super-graph is DELTA-sized by construction (drop pairs + the
+    # prior clusters they touch), so the common case resolves with a
+    # driver union-find in one collect — the distributed iterative CC
+    # pays several eager-checkpoint jobs PER ROUND, which dwarfs the
+    # actual work at drop scale (measured: 5.6s -> sub-second at
+    # sf0.1).  Past the threshold (a colossal drop), fall back to the
+    # distributed form; either path yields min-label components.
+    sup_edges = sup.limit(driver_threshold + 1).collect()
+    if len(sup_edges) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in sup_edges:
+            ra, rb = find(e["sa"]), find(e["sb"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for e in sup_edges for v in (e["sa"], e["sb"])}
+        roots = {n: find(n) for n in nodes}
+        lab: dict = {}
+        for n, r in roots.items():  # component label = min member
+            lab[r] = min(lab.get(r, n), n)
+        from pyspark.sql.types import StructField, StructType
+        ntype = sup.schema["sa"].dataType
+        mapping = new_pairs.sparkSession.createDataFrame(
+            [(n, lab[r]) for n, r in roots.items()],
+            StructType([StructField("__node", ntype),
+                        StructField("__root", ntype)]))
+    else:
+        comp = connected_components(sup, "sa", "sb", max_iters=max_iters,
+                                    algorithm=algorithm)
+        mapping = comp.select(F.col("id").alias("__node"),
+                              F.col("cluster").alias("__root"))
     # 3. one map-only broadcast pass over the prior label table.
     # A new id can never collide with a prior CLUSTER value (cluster
     # values are prior ids; id domains are disjoint by contract), so

@@ -3212,9 +3212,14 @@ def test_incremental_components_matches_from_scratch_random(spark):
             if e[0] != e[1]:
                 new_edges.append(e)
         prior = connected_components(_pairs(spark, prior_edges))
+        # alternate trials between the driver union-find fast path and
+        # the distributed fallback (driver_threshold=0) so both stay
+        # covered by the same equivalence property
         inc = {r.id: r.cluster
                for r in incremental_components(
-                   prior, _pairs(spark, new_edges)).collect()}
+                   prior, _pairs(spark, new_edges),
+                   driver_threshold=0 if trial == 1 else 200_000
+               ).collect()}
         scratch = {r.id: r.cluster
                    for r in connected_components(
                        _pairs(spark, prior_edges + new_edges)).collect()}
