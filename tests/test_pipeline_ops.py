@@ -3293,12 +3293,19 @@ def test_zorder_layout_prunes_in_spark_scan(spark, tmp_path):
     assert rows_z < rows_sorted * 0.6, (rows_z, rows_sorted)
 
 
-def test_snapshot_cluster_labels_generational(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("bucket_probes", [None, 4])
+def test_snapshot_cluster_labels_generational(spark, tmp_path,
+                                              bucket_probes):
     """clusters artifact family: overwrite writes from-scratch labels;
     a generation append relabels ONLY affected components via
-    incremental_components; read_clusters (latest-gen resolve) equals
-    from-scratch clustering over the full corpus; compaction folds the
-    generations without changing the mapping."""
+    incremental_components (reading the standing bands through the
+    plain parquet OR the bucketed-table registration); read_clusters
+    (latest-gen resolve) equals from-scratch clustering over the full
+    corpus; compaction folds the generations without changing the
+    mapping."""
     from scespet_spark.operators.dedup import (connected_components,
                                                lsh_candidate_pairs)
     from scespet_spark.operators.snapshot import (compact_snapshot,
@@ -3324,7 +3331,8 @@ def test_snapshot_cluster_labels_generational(spark, tmp_path):
         (201, "brand new duplicate pair text here now indeed"),
     ]
     out = str(tmp_path / "snap")
-    write_snapshot(out, docs=base and docs(base), cluster_labels=True)
+    write_snapshot(out, docs=base and docs(base), cluster_labels=True,
+                   bucket_probes=bucket_probes)
     write_snapshot(out, docs=docs(drop), mode="append")
     got = {r.id: r.cluster for r in read_clusters(spark, out).collect()}
     scratch = {r.id: r.cluster for r in connected_components(
