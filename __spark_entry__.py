@@ -3154,6 +3154,77 @@ def dedup_incremental_clusters(spark, sf_dir):
     return incremental_components(prior_labels, new_pairs)
 
 
+@query("live_cluster_route", f"""
+WITH RECURSIVE {_minhash_ctes()},
+pb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+nb AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM pb a JOIN pb b USING (band, band_hash)
+          WHERE a.doc_id <> b.doc_id),
+cc(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, c.label
+  FROM edges e JOIN cc c ON e.dst = c.id
+  WHERE c.label < e.src),
+labels AS (SELECT id, MIN(label) AS cluster FROM cc GROUP BY id),
+plabels AS (SELECT d.doc_id AS pid, coalesce(l.cluster, d.doc_id) AS cl
+            FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+            WHERE d.doc_id % 3 = 0),
+cand AS (SELECT nb.doc_id, p.cl
+         FROM nb LEFT JOIN pb USING (band, band_hash)
+                 LEFT JOIN plabels p ON p.pid = pb.doc_id)
+SELECT doc_id, MIN(coalesce(cl, doc_id)) AS cluster
+FROM cand GROUP BY doc_id
+""")
+def live_cluster_route(spark, sf_dir):
+    """Cluster ROUTING on a live crawl (r11): each arriving doc is
+    assigned to its existing near-dup cluster — min prior-cluster
+    label among its LSH band neighbors, or itself when novel.  The
+    serving half of the generational cluster family: batch
+    `incremental_components` merges the drop into the label artifact
+    offline; this query answers "which cluster does this doc join"
+    at ingest.  Plan: map-only shingle/minhash banding on the stream,
+    TWO stream-static equi-joins (standing band table, resolved label
+    table — both snapshot artifacts), then a per-doc min via the
+    `first_wins` election (all of a doc's band rows derive from its
+    own micro-batch row, so the first batch holds everything; state =
+    one flag per doc).  Append-mode; the corpus never shuffles."""
+    from scespet_spark.operators.dedup import (banded_signatures,
+                                               banded_signatures_rowwise,
+                                               connected_components,
+                                               lsh_candidate_pairs)
+    from scespet_spark.operators._cache import persist as _persist
+    from scespet_spark.streaming.live import (first_wins,
+                                              read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    prior_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    # snapshot artifacts (persisted = the parquet tables a snapshot
+    # job writes): standing band table + resolved label mapping
+    pb = _persist(banded_signatures(prior_docs)
+                  .select(F.col("doc_id").alias("__pid"),
+                          "band", "band_hash"), "dedup")
+    labels = connected_components(lsh_candidate_pairs(prior_docs))
+    plabels = _persist(
+        prior_docs.select(F.col("doc_id").alias("__pid"))
+        .join(labels.withColumnRenamed("id", "__pid"), "__pid", "left")
+        .select("__pid", F.coalesce("cluster", F.col("__pid"))
+                .alias("__cl")), "dedup")
+    stream = read_table_stream(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 3 != 0)
+    sb = banded_signatures_rowwise(stream).select("doc_id", "band",
+                                                  "band_hash")
+    cand = (sb.join(pb, ["band", "band_hash"], "left")
+            .join(plabels, "__pid", "left")
+            .select("doc_id",
+                    F.coalesce("__cl", F.col("doc_id")).alias("cluster")))
+    out = first_wins(cand, keys=["doc_id"], order_cols=["cluster"],
+                     payload_cols=["cluster"], t="cluster")
+    return (run_available_now(out, "append")
+            .select("doc_id", "cluster").orderBy("doc_id"))
+
+
 @query("dedup_kept_corpus", f"""
 WITH RECURSIVE {{ctes}},
 exact_reps AS (SELECT MIN(doc_id) AS doc_id
@@ -7351,7 +7422,7 @@ _ROUND_CHANGED = [
     # (incremental_components), the PCA -> IVF-PQ composed serving
     # chain, and the live hybrid RRF retrieval form
     "dedup_incremental_clusters", "ann_pca_ivfpq_topk",
-    "live_hybrid_search_rrf",
+    "live_hybrid_search_rrf", "live_cluster_route",
     # semantically changed this round: live_collapse now buffers the
     # OPEN cycle in state and fires add_cycle exactly once per
     # (key, cycle) — a cycle split across micro-batches previously
@@ -7388,7 +7459,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_excess_suppliers", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q8_market_share", "q9_product_profit",
+    "q8_market_share",
     # (window stays exactly 50 = the driver's sample; everything
     # rotated out — the r10 cohort re-greened last round — stays
     # covered by the full local oracle gate, tools/check_oracle.py)

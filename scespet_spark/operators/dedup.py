@@ -1008,6 +1008,46 @@ def banded_signatures(df: DataFrame, id_col: str = "doc_id",
     ).select(id_col, "bb.band", "bb.band_hash")
 
 
+def banded_signatures_rowwise(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_hashes: int = 16, bands: int = 4,
+                              shingle_n: int = 3) -> DataFrame:
+    """MAP-ONLY form of `banded_signatures` — identical (id, band,
+    band_hash) rows, zero Exchange: each minhash is ``array_min`` over
+    the per-row shingle-digest array instead of explode + groupBy-min
+    (same `shingle_hashes` / `mh_coeffs` / `h64` arithmetic, so values
+    are bit-identical — parity-tested).  This is the form a STREAMING
+    plan needs (a groupBy on a stream is an aggregation, illegal in
+    append mode): live probes band arriving docs with this and
+    stream-static-join the snapshot's band table."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must evenly divide "
+                         f"num_hashes ({num_hashes})")
+    rows = num_hashes // bands
+    sh = shingle_hashes(token_hash_array(F.col(text_col)), shingle_n)
+
+    def _hash_fn(a, b):
+        # closure factory, NOT default-arg capture: F.transform infers
+        # the callback's arity from its signature, and extra defaulted
+        # params read as the 3-arg form (INVALID_LAMBDA_FUNCTION_CALL)
+        return lambda x: (x * a + b) % MH_PRIME
+
+    mhs = []
+    for i in range(num_hashes):
+        a, b = mh_coeffs(i)
+        mhs.append(F.array_min(F.transform(sh, _hash_fn(a, b))))
+    return (df.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                h64(F.concat_ws("_", *[mhs[b * rows + r].cast("string")
+                                       for r in range(rows)]))
+                .alias("band_hash"))
+            for b in range(bands)])).alias("bb"))
+        .select(id_col, "bb.band", "bb.band_hash"))
+
+
 def band_bloom_key() -> Column:
     """The single-column Bloom key for the (band, band_hash) composite
     probe — the identical expression must derive it on the snapshot

@@ -3345,3 +3345,17 @@ def test_snapshot_cluster_labels_generational(spark, tmp_path,
     compact_snapshot(out, spark, families=["clusters"])
     after = {r.id: r.cluster for r in read_clusters(spark, out).collect()}
     assert after == got
+
+
+def test_banded_signatures_rowwise_parity(spark):
+    # the map-only (streaming-legal) banding must produce bit-identical
+    # (id, band, band_hash) rows to the explode+groupBy batch form
+    from scespet_spark.operators.dedup import (banded_signatures,
+                                               banded_signatures_rowwise)
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 5} alpha beta gamma delta w{i} x{i * 7} end")
+         for i in range(40)] + [(99, "")],
+        "doc_id long, text string")
+    a = sorted(tuple(r) for r in banded_signatures(docs).collect())
+    b = sorted(tuple(r) for r in banded_signatures_rowwise(docs).collect())
+    assert a == b and len(a) > 0
