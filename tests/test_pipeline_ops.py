@@ -3359,3 +3359,19 @@ def test_banded_signatures_rowwise_parity(spark):
     a = sorted(tuple(r) for r in banded_signatures(docs).collect())
     b = sorted(tuple(r) for r in banded_signatures_rowwise(docs).collect())
     assert a == b and len(a) > 0
+
+
+def test_incremental_components_empty_prior_first_generation(spark):
+    # generation 0: no prior labels at all — the whole drop clusters
+    # like from-scratch
+    from scespet_spark.operators.dedup import (connected_components,
+                                               incremental_components)
+    prior = _labels(spark, [])
+    new = _pairs(spark, [(1, 2), (2, 3), (7, 8)])
+    got = {r.id: r.cluster
+           for r in incremental_components(prior, new).collect()}
+    want = {r.id: r.cluster
+            for r in connected_components(_pairs(spark,
+                                                 [(1, 2), (2, 3),
+                                                  (7, 8)])).collect()}
+    assert got == want == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
