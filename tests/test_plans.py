@@ -402,3 +402,21 @@ def test_zorder_key_is_map_side_codegen(spark, entry):
     # itself is a plain Project over the scan
     assert "BroadcastNestedLoopJoin" in plan
     assert "shiftleft" in plan
+
+
+def test_incremental_components_prior_never_sortmerges(spark):
+    """The generational relabel's prior-table passes must all be
+    broadcast-driven (drop-sized sides broadcast into map-only scans
+    of the prior) — a SortMergeJoin or CartesianProduct here means the
+    corpus shuffles per drop, the exact cost the operator exists to
+    avoid."""
+    from pyspark.sql import functions as F
+    from scespet_spark.operators.dedup import incremental_components
+    prior = spark.range(100_000).select(
+        F.col("id"), (F.col("id") - F.col("id") % 4).alias("cluster"))
+    new = spark.range(500).select((-F.col("id") - 1).alias("id_a"),
+                                  (F.col("id") * 8).alias("id_b"))
+    plan = _plan(incremental_components(prior, new))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan

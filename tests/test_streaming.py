@@ -2001,3 +2001,30 @@ def test_live_keymap_equal_t_across_batch_boundary(spark, tmp_path):
                  .select("user_id", "event_id", "xv", "yv").collect())
     assert got == [(10, 1, 1.0, None), (10, 2, 1.0, 50.0),
                    (10, 3, 1.0, 60.0)]
+
+
+def test_live_collapse_rejects_non_timestamp_cycle_col(spark, tmp_path):
+    # the every-slice id derives from the cycle value (one cycle can
+    # never straddle a slice boundary), so a non-timestamp cycle_col
+    # must raise — same contract as live_bind
+    import pytest
+    from datetime import datetime
+    from scespet_spark.operators.buckets import CycleBucket
+    from scespet_spark.streaming.live import live_collapse
+
+    class B(CycleBucket):
+        def open(self): self.n = 0
+        def add_cycle(self, c): self.n += len(c)
+        def value(self): return {"n": self.n}
+
+    d = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 5)],
+        "user_id long, ts timestamp, event_id long, cyc long"
+    ).write.parquet(str(d))
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_id long, "
+                      "cyc long").parquet(str(d)))
+    with pytest.raises(ValueError, match="timestamp"):
+        live_collapse(stream, ["user_id"], B, "1 day", "n long",
+                      cycle_col="cyc")
