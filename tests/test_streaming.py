@@ -2028,3 +2028,45 @@ def test_live_collapse_rejects_non_timestamp_cycle_col(spark, tmp_path):
     with pytest.raises(ValueError, match="timestamp"):
         live_collapse(stream, ["user_id"], B, "1 day", "n long",
                       cycle_col="cyc")
+
+
+def test_live_collapse_cycle_spanning_three_batches(spark, tmp_path):
+    """A cycle whose rows arrive across THREE micro-batches still fires
+    add_cycle once with all rows (the pending buffer re-pends)."""
+    import pandas as pd
+    from scespet_spark.operators.buckets import CycleBucket
+    from scespet_spark.streaming.live import (live_collapse,
+                                              run_available_now)
+
+    class Probe(CycleBucket):
+        def open(self):
+            self.n_cycles = 0
+            self.n_events = 0
+
+        def add_cycle(self, cycle):
+            self.n_cycles += 1
+            self.n_events += len(cycle)
+
+        def value(self):
+            return {"n_cycles": self.n_cycles, "n_events": self.n_events}
+
+    t0 = pd.Timestamp(2024, 1, 1, 10, 0, 5)
+    drops = [
+        [(t0, 1, 1.0)],
+        [(t0, 2, 2.0)],
+        [(t0, 3, 3.0),
+         (pd.Timestamp(2024, 1, 2, 9, 0, 0), 4, 4.0),
+         (pd.Timestamp(2024, 1, 3, 9, 0, 0), 5, 5.0)],
+    ]
+    schema = "ts timestamp, event_id long, value double, user_id long"
+    batches = [[(r[0].to_pydatetime(), r[1], r[2], 7) for r in d]
+               for d in drops]
+    src = _staged_drops(spark, tmp_path, "c3", schema, batches)
+    out = run_available_now(
+        live_collapse(src, ["user_id"], Probe, "1 day",
+                      "n_cycles long, n_events long"), "append")
+    got = sorted(tuple(r) for r in
+                 out.select("user_id", "event_id", "n_cycles",
+                            "n_events").collect())
+    # day 1 = ONE cycle of 3 rows (split across all three drops)
+    assert got == [(7, 3, 1, 3), (7, 4, 1, 1)]
