@@ -171,7 +171,7 @@ def main():
     # concurrent load (measured: identical queries vary 4x between
     # samples); the min reflects the plan's steady-state cost (the
     # quantity that actually scales with data volume)
-    from scespet_spark.operators import dedup, similarity
+    from scespet_spark.operators import dedup, similarity, text
     timings: dict[str, float] = {}
     spreads: list[float] = []
     # sibling artifact (r10 verdict item #8): BENCH_r*.json tails have
@@ -201,6 +201,7 @@ def main():
         # timing should include its own persists and nothing else's
         dedup.release_cached()
         similarity.release_cached()
+        text.release_cached()
         timings[name] = round(min(samples), 3)
         if min(samples) > 0:
             spreads.append(max(samples) / min(samples))

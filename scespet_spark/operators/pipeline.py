@@ -570,6 +570,61 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
     return df.withColumn("split", expr)
 
 
+def split_assign_by_cluster(df: DataFrame, fractions: dict[str, float],
+                            labels: DataFrame, id_col: str = "doc_id",
+                            labels_id_col: str = "id",
+                            label_col: str = "cluster", seed: int = 23,
+                            clustered_col: str | None = None,
+                            broadcast_labels: bool = False) -> DataFrame:
+    """Cluster-aware split assignment: every member of a near-duplicate
+    cluster receives the SAME train/val/test split, because the split
+    hash is taken over the cluster REPRESENTATIVE (the component label
+    from ``connected_components``) rather than the document id —
+    near-duplicates can never straddle an eval/train boundary, closing
+    the leakage channel ``split_leakage`` merely *detects* (a test doc
+    whose near-twin sits in train inflates eval).  Docs absent from
+    ``labels`` are singletons and hash on their own id, so for them
+    the assignment is IDENTICAL to plain ``split_assign``.
+
+    Stability caveat (documented, inherent): a later corpus drop can
+    MERGE two prior clusters, changing the min-label representative —
+    the merged cluster then re-hashes as a unit (members still agree,
+    the no-straddle guarantee holds across every generation), but its
+    split can differ from the previous generation's.  Pipelines that
+    freeze eval sets should pin the generation whose labels defined
+    them (the ``clusters`` snapshot artifact keeps each generation).
+
+    Scale: ONE equi-join against the label table, which holds only
+    docs that appear in some LSH candidate pair — the duplicate
+    fraction of the corpus, typically a small minority — then the same
+    map-only bucket expression as ``split_assign``; document text
+    never shuffles on the build side when the label table broadcasts,
+    and degrades to one hash Exchange otherwise.  ``clustered_col``
+    optionally emits a 0/1 flag for rows that matched a cluster.
+
+    ``broadcast_labels=True`` forces a broadcast-hash join — the label
+    table comes out of iterative connected components, so Catalyst
+    cannot estimate its size and defaults to a sort-merge join that
+    shuffles BOTH sides.  Flip it when the duplicate minority fits an
+    executor (the common case below ~10^9 clustered docs); leave the
+    default for whale label tables, where the narrow (id, label)
+    shuffle is the safe plan."""
+    clash = [c for c in ("__lid", "__rep0", "__rep") if c in df.columns]
+    if clash:
+        raise ValueError(f"input already has internal column(s) {clash}")
+    lab = labels.select(F.col(labels_id_col).alias("__lid"),
+                        F.col(label_col).alias("__rep0"))
+    if broadcast_labels:
+        lab = F.broadcast(lab)
+    out = (df.join(lab, df[id_col] == F.col("__lid"), "left")
+           .withColumn("__rep", F.coalesce(F.col("__rep0"), F.col(id_col))))
+    if clustered_col is not None:
+        out = out.withColumn(clustered_col,
+                             F.col("__lid").isNotNull().cast("int"))
+    out = split_assign(out, fractions, id_col="__rep", seed=seed)
+    return out.drop("__lid", "__rep0", "__rep")
+
+
 def cap_per_key(df: DataFrame, k: int, key_col: str,
                 order_cols: list, salt: int | None = None,
                 salt_col: str = "doc_id") -> DataFrame:

@@ -480,6 +480,63 @@ def token_doc_freq(df: DataFrame, text_col: str = "text",
             .groupBy("token").agg(F.count("*").alias("doc_freq")))
 
 
+def release_cached() -> int:
+    """Unpersist tables cached by the text family (the generational
+    ``token_doc_freq`` prior table the `text_idf_incremental` demo
+    persists in place of a snapshot read).  Call after downstream
+    results have been materialized; returns how many were released."""
+    from ._cache import release
+    return release("text_idf")
+
+
+def token_doc_freq_merge(prior_freq: DataFrame, delta: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Generational document-frequency maintenance: fold a new corpus
+    drop into the prior generation's ``token_doc_freq`` table.  Because
+    generations are disjoint document sets, per-token doc counts ADD
+    exactly — the merged table is row-identical to a from-scratch
+    ``token_doc_freq`` over prior ∪ delta, but the PRIOR CORPUS IS
+    NEVER RE-READ: the only inputs are the drop's text and the
+    vocabulary-sized prior count table (a snapshot artifact in the
+    continuous-build story, like the digest tables of the incremental
+    dedup family).
+
+    Scale: one pass over the drop, then a union + combinable groupBy
+    whose shuffle is bounded by the two VOCABULARIES (Zipf-bounded),
+    not either corpus."""
+    dfreq = token_doc_freq(delta, text_col)
+    return (prior_freq.unionByName(dfreq)
+            .groupBy("token").agg(F.sum("doc_freq").alias("doc_freq")))
+
+
+def idf_score(df: DataFrame, freq: DataFrame, n_docs: int,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Score documents against a PRECOMPUTED document-frequency table:
+    the apply half of ``corpus_idf_quality`` split out for generational
+    use — ``freq`` comes from ``token_doc_freq_merge`` (or a snapshot
+    artifact) and ``n_docs`` from generation manifests, so a new drop
+    is scored with full-corpus-consistent IDF values without touching
+    the prior corpus.  Returns (id, n_distinct_tokens, mean_idf) with
+    semantics identical to ``corpus_idf_quality`` whenever ``freq``
+    covers the target's vocabulary (a merged table always does).
+
+    Scale: explode distinct tokens of the TARGET only, one equi-join
+    against the vocabulary-sized table — (token, id) pairs shuffle,
+    text never does; ``n_docs`` is a driver-known literal (manifest
+    metadata), not an aggregate over the corpus."""
+    if n_docs < 1:
+        raise ValueError(f"need n_docs >= 1, got {n_docs}")
+    ex = df.select(F.col(id_col),
+                   F.explode(F.array_distinct(tokens(F.col(text_col))))
+                   .alias("token"))
+    return (ex.join(freq, "token")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_distinct_tokens"),
+                 F.round(F.avg(F.log(F.lit(float(n_docs))
+                                     / F.col("doc_freq"))), 6)
+                  .alias("mean_idf")))
+
+
 def corpus_idf_quality(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """CCNet-style corpus-frequency quality score: mean inverse document

@@ -1821,6 +1821,63 @@ def test_split_assign_stable_and_partition_invariant(spark):
     assert partial.filter(F.col("split").isNull()).count() > 0
 
 
+def test_split_assign_by_cluster_no_straddle(spark):
+    """Cluster members must share a split (the no-leakage guarantee);
+    singletons must receive EXACTLY the plain split_assign assignment;
+    the clustered flag marks label-table hits; internal-column clashes
+    raise instead of silently clobbering."""
+    import pytest as _pytest
+    from scespet_spark.operators.pipeline import (split_assign,
+                                                  split_assign_by_cluster)
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(40)], "doc_id long, source string")
+    labels = spark.createDataFrame(
+        [(0, 0), (7, 0), (23, 0), (5, 5), (6, 5)], "id long, cluster long")
+    fr = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = {r.doc_id: r for r in
+           split_assign_by_cluster(docs, fr, labels,
+                                   clustered_col="hit").collect()}
+    assert out[0].split == out[7].split == out[23].split
+    assert out[5].split == out[6].split
+    assert {i: out[i].hit for i in (0, 7, 5, 1, 2)} == \
+        {0: 1, 7: 1, 5: 1, 1: 0, 2: 0}
+    plain = {r.doc_id: r.split for r in split_assign(docs, fr).collect()}
+    singles = set(range(40)) - {0, 7, 23, 5, 6}
+    assert all(out[i].split == plain[i] for i in singles)
+    with _pytest.raises(ValueError, match="internal column"):
+        split_assign_by_cluster(docs.withColumn("__rep", F.lit(1)),
+                                fr, labels)
+
+
+def test_token_doc_freq_merge_and_idf_score(spark):
+    """Generational doc-frequency maintenance must be exact: merged
+    counts row-identical to a from-scratch pass over prior ∪ delta,
+    and idf_score over the merged table must reproduce
+    corpus_idf_quality's values for the delta docs."""
+    import pytest as _pytest
+    from scespet_spark.operators.text import (corpus_idf_quality,
+                                              idf_score, token_doc_freq,
+                                              token_doc_freq_merge)
+    rows = [(i, t) for i, t in enumerate([
+        "alpha beta gamma", "alpha beta", "delta epsilon alpha",
+        "zeta eta theta", "beta gamma delta", "alpha zeta"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prior = docs.filter(F.col("doc_id") < 3)
+    delta = docs.filter(F.col("doc_id") >= 3)
+    merged = token_doc_freq_merge(token_doc_freq(prior), delta)
+    scratch = token_doc_freq(docs)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, scratch.collect()))
+    inc = {r.doc_id: (r.n_distinct_tokens, r.mean_idf)
+           for r in idf_score(delta, merged, docs.count()).collect()}
+    full = {r.doc_id: (r.n_distinct_tokens, r.mean_idf)
+            for r in corpus_idf_quality(docs).collect()
+            if r.doc_id >= 3}
+    assert inc == full
+    with _pytest.raises(ValueError, match="n_docs"):
+        idf_score(delta, merged, 0)
+
+
 def test_pack_bestfit_negative_ids_group_floor(spark):
     """Negative ids floor-divide into their own group (r9 fix):
     truncating ``div`` folded ids -(g-1)..g-1 into one double-size

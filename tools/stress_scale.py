@@ -273,6 +273,23 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         "incremental_clusters": lambda d, e: noop(_inc_clusters(d)),
     })
 
+    # r11: generational IDF.  The prior generation contributes only its
+    # vocabulary-sized token_doc_freq artifact (built outside the
+    # timing, like the digest/band tables); the DROP is FIXED (the base
+    # corpus).  Replication keeps the prior VOCABULARY constant while
+    # its doc counts multiply, so the design claim is a flat slope:
+    # merge + scoring touch the drop and two vocab-sized tables, never
+    # the prior corpus.
+    from scespet_spark.operators.text import (idf_score, token_doc_freq,
+                                              token_doc_freq_merge)
+    ops.update({
+        "idf_incremental": lambda d, e, x=None: noop(
+            idf_score(x["drop_docs"],
+                      token_doc_freq_merge(x["prior_freq"],
+                                           x["drop_docs"]),
+                      x["n_total"])),
+    })
+
     # late-r9 batch 2.  host_cap: replication grows the WHALE host
     # linearly (a third of every replica shares one key) — the salted
     # two-phase form must stay ~linear where the plain window would
@@ -338,7 +355,14 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                   "unigram_model": unigram_fit(
                       spark.read.parquet(f"{sf_dir}/documents.parquet")
                       .limit(2000), vocab_size=64,
-                      em_iters=2).persist()}
+                      em_iters=2).persist(),
+                  # generational-IDF artifacts: prior count table over
+                  # the REPLICATED corpus, fixed base-corpus drop
+                  "prior_freq": token_doc_freq(docs).persist(),
+                  "drop_docs": spark.read.parquet(
+                      f"{sf_dir}/documents.parquet").persist(),
+                  "n_total": None}
+        extras["n_total"] = n + extras["drop_docs"].count()
         for x in extras.values():
             if hasattr(x, "count"):  # the bloom entry is a plain dict
                 x.count()
