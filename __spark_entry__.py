@@ -4802,6 +4802,32 @@ def text_idf_incremental(spark, sf_dir):
     return idf_score(delta, merged, n_total)
 
 
+@query("live_idf_incremental", _ORACLES["text_idf_incremental"])
+def live_idf_incremental(spark, sf_dir):
+    """Generational IDF on a LIVE crawl: each arriving drop document
+    scores via a stream-static join against the MERGED doc-frequency
+    artifact (the table the batch `token_doc_freq_merge` job wrote),
+    with the manifest doc count as the literal N — the serving half of
+    the generational-IDF family, mirroring live_text_bigram_lm's
+    snapshot-model shape.  Same oracle as text_idf_incremental: the
+    stream replays the drop the merge already folded in."""
+    from scespet_spark.operators._cache import persist as _persist
+    from scespet_spark.operators.text import (idf_score, token_doc_freq,
+                                              token_doc_freq_merge)
+    from scespet_spark.streaming.live import (read_table_stream,
+                                              run_available_now)
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 != 0)
+    merged = _persist(
+        token_doc_freq_merge(token_doc_freq(prior), delta), "text_idf")
+    n_total = docs.count()
+    stream = (read_table_stream(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") % 3 != 0))
+    return run_available_now(idf_score(stream, merged, n_total),
+                             "complete")
+
+
 _LI_NUM = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
            "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _LI_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
@@ -7510,6 +7536,7 @@ _ROUND_CHANGED = [
     "dedup_incremental_clusters", "ann_pca_ivfpq_topk",
     "live_hybrid_search_rrf", "live_cluster_route",
     "split_cluster_aware", "text_idf_incremental",
+    "live_idf_incremental",
     # semantically changed this round: live_collapse now buffers the
     # OPEN cycle in state and fires add_cycle exactly once per
     # (key, cycle) — a cycle split across micro-batches previously
@@ -7545,11 +7572,11 @@ _PRIORITY = _ROUND_CHANGED + [
     "q11_important_stock", "q12_late_shipments", "q16_supplier_count",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_excess_suppliers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # (window stays exactly 50 = the driver's sample; the two r11
-    # additions displaced q2_min_cost_supplier / q8_market_share to
-    # the r12 rotation; everything rotated out stays covered by the
-    # full local oracle gate, tools/check_oracle.py)
+    # (window stays exactly 50 = the driver's sample; the three r11
+    # additions displaced q2_min_cost_supplier / q8_market_share /
+    # q22_global_sales_opportunity to the r12 rotation; everything
+    # rotated out stays covered by the full local oracle gate,
+    # tools/check_oracle.py)
 ]
 
 

@@ -586,6 +586,11 @@ def split_assign_by_cluster(df: DataFrame, fractions: dict[str, float],
     ``labels`` are singletons and hash on their own id, so for them
     the assignment is IDENTICAL to plain ``split_assign``.
 
+    ``labels`` must hold at most ONE row per id (what
+    ``connected_components`` / ``incremental_components`` emit) — a
+    duplicated id would fan out its doc row through the left join and
+    double-count it downstream.
+
     Stability caveat (documented, inherent): a later corpus drop can
     MERGE two prior clusters, changing the min-label representative —
     the merged cluster then re-hashes as a unit (members still agree,
