@@ -272,7 +272,8 @@ def bloom_shard_col(col: Column | str, shards: int) -> Column:
 
 def bloom_build_sharded(df: DataFrame, col: Column | str,
                         n_items: int | None = None, fpp: float = 0.01,
-                        shards: int = 16) -> tuple[DataFrame, int, int]:
+                        shards: int = 16, m_bits: int | None = None,
+                        k: int | None = None) -> tuple[DataFrame, int, int]:
     """Range-sharded Bloom build: ``shards`` INDEPENDENT filters, each
     sized for ``n_items/shards`` keys at ``fpp``, keys routed by
     `bloom_shard_col`.  Returns ``(words_df, m_bits, k)`` where
@@ -290,9 +291,19 @@ def bloom_build_sharded(df: DataFrame, col: Column | str,
     under-filled sizing only raises realized fpp, never correctness."""
     if shards < 1:
         raise ValueError(f"need shards >= 1, got {shards}")
-    if n_items is None:
-        raise ValueError("pass n_items to size the per-shard filters")
-    m_bits, k = bloom_params(max(1, -(-n_items // shards)), fpp)
+    if (m_bits is None) != (k is None):
+        raise ValueError("pass m_bits and k together (or neither)")
+    if m_bits is None:
+        # explicit PER-SHARD m_bits/k is the rebuild-in-place path
+        # (snapshot retraction compaction): the new filter must land in
+        # the manifest's pinned geometry, same contract as bloom_build
+        if n_items is None:
+            raise ValueError("pass n_items to size the per-shard "
+                             "filters, or explicit m_bits/k")
+        m_bits, k = bloom_params(max(1, -(-n_items // shards)), fpp)
+    elif m_bits < 64 or m_bits % 64 or k < 1:
+        raise ValueError(f"need m_bits a positive multiple of 64 and "
+                         f"k >= 1, got m_bits={m_bits}, k={k}")
     c = F.col(col) if isinstance(col, str) else col
     pos = F.explode(F.array(*bloom_positions(c, m_bits, k))).alias("__p")
     words = (df.select(bloom_shard_col(c, shards).alias("shard"), pos)

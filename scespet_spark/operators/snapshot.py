@@ -635,6 +635,107 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
     return appended
 
 
+def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
+                     emb: DataFrame | None = None) -> list[str]:
+    """Takedown path for the continuous-build snapshot: remove the
+    given documents' / embeddings' contribution to the PROBE artifacts
+    so future identical or near-identical content is RE-ADMITTED
+    rather than suppressed by a document that no longer exists (legal
+    takedowns, licence expiry, user deletion — the retraction half the
+    append/compact lifecycle was missing).
+
+    Mechanics: each affected family gains a ``tomb_<family>`` parquet
+    of retraction KEYS (appended, so takedown requests accumulate);
+    `read_snapshot` / `read_clusters` anti-join them out map-side
+    (takedown sets are legal-request-sized — they broadcast), and
+    `compact_snapshot` folds them permanently (rewrites the family
+    minus tombstones, deletes the tombstone table, and REBUILDS the
+    family's Bloom under its pinned geometry).  Nothing here touches
+    the corpus: cost ∝ the retracted docs (their digests re-derive
+    under the manifest's parameters) plus, at compaction, the digest
+    tables — never the 100 TB of text.
+
+    Retraction keys per family — content-keyed where the artifact
+    stores no ids, id-keyed where it does:
+
+    * ``digests`` — the retracted docs' content hashes: takedown is a
+      CONTENT property (every copy of the content goes), so digest-
+      level removal is exactly right.
+    * ``segments`` / ``grams`` — the retracted docs' fragment digests.
+      CAVEAT (inherent, documented): a fragment SHARED with retained
+      docs is over-removed — future near-copies of that boilerplate
+      are re-admitted (a dedup-recall loss, never wrongly-dropped new
+      content) until the next full `write_snapshot` rebuild restores
+      the retained docs' fragments.  Exact fragment retraction needs
+      per-digest refcounts, a corpus-sized bookkeeping cost this
+      deliberately avoids.
+    * ``bands`` / ``blocks`` / ``codes`` — by the retracted doc/vector
+      ids (those tables carry ids), which is id-precise: retained
+      docs' rows are untouched.
+    * ``clusters`` — the retracted ids' label rows drop; REMAINING
+      members keep their label value even when the retracted doc WAS
+      the min-id label (labels are opaque cluster keys, and
+      `incremental_components`' min-label algebra stays consistent —
+      a vanished min only means the key no longer names a live doc).
+
+    Blooms are NOT touched here: a Bloom cannot unset bits, so
+    retracted keys stay sketch-positive until compaction rebuilds the
+    filter — harmless, because every bloom-positive resolves through
+    the exact (now tombstone-filtered) join; the sketch contract
+    (no false negatives) is preserved throughout.
+
+    Scope note: retraction removes the snapshot's dedup MEMORY of the
+    content (future copies probe as novel).  If re-crawled copies of
+    taken-down content must also be REJECTED, that is a policy gate,
+    not a dedup artifact — keep the takedown digests in a blocklist
+    and filter with an anti-join in the gate stack."""
+    import json
+    if docs is None and emb is None:
+        raise ValueError("retract needs docs and/or emb")
+    spark = (docs if docs is not None else emb).sparkSession
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    tables = set(manifest.get("tables") or ())
+    wide = bool(manifest.get("digest_wide"))
+    tombs = manifest.get("tombstones") or {}
+    retracted: list[str] = []
+
+    def _t(name: str, keys: DataFrame) -> None:
+        if name not in tables:
+            return
+        keys.distinct().write.mode("append").parquet(
+            os.path.join(out_dir, f"tomb_{name}"))
+        tombs[name] = list(keys.columns)
+        retracted.append(name)
+
+    if docs is not None:
+        from pyspark.sql import functions as F
+        from .dedup import exact_groups, gram_digests, segment_digests
+        dcols = (["content_hash", "content_hash2"] if wide
+                 else ["content_hash"])
+        _t("digests", exact_groups(docs, wide=wide).select(*dcols))
+        _t("bands", docs.select("doc_id"))
+        seg_cols = ["__d", "__d2"] if wide else ["__d"]
+        _t("segments", segment_digests(
+            docs, size=manifest["segment_size"], wide=wide)
+            .select(*seg_cols))
+        gram_cols = ["__g", "__g2"] if wide else ["__g"]
+        _t("grams", gram_digests(
+            docs, min_len=manifest["sub_min_len"], wide=wide)
+            .select(*gram_cols))
+        _t("clusters", docs.select(F.col("doc_id").alias("id")))
+    if emb is not None:
+        _t("blocks", emb.select("vec_id"))
+        _t("codes", emb.select("vec_id"))
+    gens = manifest.get("generations") or []
+    gens.append({"gen": len(gens) + 1, "retracted": retracted})
+    manifest["generations"] = gens
+    manifest["tombstones"] = tombs
+    _fs_write_text(spark, os.path.join(out_dir, "manifest.json"),
+                   json.dumps(manifest, indent=1))
+    return retracted
+
+
 def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
                      families: list[str] | None = None) -> dict[str, int]:
     """Collapse a generation-appended snapshot's file sets: each append
@@ -662,6 +763,20 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
                                     "clusters")
                         if f in tables]
     read_snapshot(spark, out_dir)  # (re-)register bucketed tables
+    tombstones = manifest.get("tombstones") or {}
+
+    def _minus_tombs(name: str, df):
+        """Fold retraction tombstones (retract_snapshot) into the
+        rewrite: the compacted table is the anti-joined one, after
+        which the tombstone table is obsolete."""
+        tcols = tombstones.get(name)
+        if not tcols:
+            return df
+        from pyspark.sql import functions as F
+        tomb = spark.read.parquet(
+            os.path.join(out_dir, f"tomb_{name}")).distinct()
+        return df.join(F.broadcast(tomb), tcols, "left_anti")
+
     out: dict[str, int] = {}
     for name in fams:
         if name not in tables:
@@ -670,7 +785,7 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
         tmp = os.path.join(out_dir, f"__compact_{name}")
         meta = bucket_tables.get(name)
         if meta:
-            df = spark.table(meta["table"]).distinct()
+            df = _minus_tombs(name, spark.table(meta["table"]).distinct())
             t2 = meta["table"] + "_c"
             spark.sql(f"DROP TABLE IF EXISTS {t2}")
             (df.write.mode("overwrite")
@@ -681,12 +796,13 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
         elif name == "clusters":
             # labels are a MAPPING: generation rows override, so
             # compaction resolves latest-gen per id (distinct would
-            # keep both the stale and the overriding row)
+            # keep both the stale and the overriding row).
+            # read_clusters already anti-joins cluster tombstones
             from pyspark.sql import functions as F
             (read_clusters(spark, out_dir).withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(tmp))
         else:
-            (spark.read.parquet(path).distinct()
+            (_minus_tombs(name, spark.read.parquet(path).distinct())
              .write.mode("overwrite").parquet(tmp))
         # checked-rename swap: old moved aside, new moved in, backup
         # deleted last — a crash leaves old or new, never neither
@@ -695,6 +811,40 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
         # re-register the bucketed table at the original path
         if meta:
             _register_bucketed(spark, meta, path)
+        if tombstones.get(name):
+            # tombstones are folded into the rewrite above — drop the
+            # tombstone table and, for families with a Bloom, REBUILD
+            # the filter under its pinned geometry: a Bloom cannot
+            # unset bits, so this is the point retracted keys stop
+            # being sketch-positive (they were harmless until now —
+            # every bloom-positive resolves through the exact
+            # tombstone-filtered join)
+            bmeta = (manifest.get("blooms") or {}).get(name)
+            if bmeta:
+                from .bloom import bloom_build, bloom_build_sharded
+                key, _desc = _bloom_probe_key(name)
+                keys = (spark.read.parquet(path).select(key).distinct()
+                        if not meta else
+                        spark.table(meta["table"]).select(key).distinct())
+                shards = int(bmeta.get("shards", 1))
+                if shards > 1:
+                    words, _, _ = bloom_build_sharded(
+                        keys, "__bk", shards=shards,
+                        m_bits=bmeta["m"], k=bmeta["k"])
+                else:
+                    words, _, _ = bloom_build(keys, "__bk",
+                                              m_bits=bmeta["m"],
+                                              k=bmeta["k"])
+                bpath = os.path.join(out_dir, f"bloom_{name}")
+                btmp = bpath + ".__new"
+                words.write.mode("overwrite").parquet(btmp)
+                _swap_path(spark, btmp, bpath)
+                bmeta["n"] = max(1, keys.count())
+            tfs, tj = _hadoop_fs(spark,
+                                 os.path.join(out_dir, f"tomb_{name}"))
+            tfs.delete(tj, True)
+            del tombstones[name]
+            manifest["tombstones"] = tombstones
         fs, jold = _hadoop_fs(spark, path)
         out[name] = sum(1 for st in fs.listStatus(jold)
                         if st.getPath().getName().endswith(".parquet"))
@@ -808,8 +958,17 @@ def read_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
     groupBy (shuffle ∝ label table, never the corpus); run
     ``compact_snapshot(..., families=["clusters"])`` when generation
     count makes that table's scan dominate."""
+    import json
     from pyspark.sql import functions as F
     df = spark.read.parquet(os.path.join(out_dir, "clusters"))
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    if (manifest.get("tombstones") or {}).get("clusters"):
+        # retracted ids' label rows drop (retract_snapshot); remaining
+        # members keep their opaque label value
+        tomb = spark.read.parquet(
+            os.path.join(out_dir, "tomb_clusters")).distinct()
+        df = df.join(F.broadcast(tomb), "id", "left_anti")
     return (df.groupBy("id")
             .agg(F.max_by("cluster", "gen").alias("cluster")))
 
@@ -868,4 +1027,15 @@ def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
             out[name] = spark.table(t)
         else:
             out[name] = spark.read.parquet(path)
+        tcols = (manifest.get("tombstones") or {}).get(name)
+        if tcols:
+            # retraction tombstones (retract_snapshot): anti-join the
+            # takedown keys out map-side.  Broadcast keeps a bucketed
+            # probe table's zero-Exchange property — the tombstone set
+            # is legal-request-sized, never corpus-sized
+            from pyspark.sql import functions as F
+            tomb = spark.read.parquet(
+                os.path.join(out_dir, f"tomb_{name}")).distinct()
+            out[name] = out[name].join(F.broadcast(tomb), tcols,
+                                       "left_anti")
     return out

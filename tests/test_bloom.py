@@ -474,3 +474,110 @@ def test_snapshot_sharded_bloom_roundtrip(spark, tmp_path):
     assert plain == fast and len(plain) > 0
     with pytest.raises(ValueError, match="dense"):
         read_bloom(spark, out, "digests", dense=True)
+
+
+def test_snapshot_retraction_lifecycle(spark, tmp_path):
+    """retract_snapshot: a taken-down doc's digests tombstone out of
+    every probe (its content re-admits as novel) while retained docs
+    stay suppressed; the stale Bloom stays harmless through the exact
+    tombstone-filtered join; compaction folds the tombstones, deletes
+    the tombstone tables, rebuilds the filter under pinned geometry,
+    and probes stay row-identical across the fold."""
+    import glob
+    import json
+    from scespet_spark.operators.dedup import incremental_keep
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_bloom,
+                                                  read_snapshot,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    prior = _docs(spark, [(100 + i, f"prior doc {i} body text content")
+                          for i in range(6)])
+    takedown = prior.filter(F.col("doc_id") == 103)
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, bloom_fpp=0.01, bucket_probes=4)
+    probe = _docs(spark, [(300, "prior doc 3 body text content"),  # retracted
+                          (301, "prior doc 2 body text content"),  # retained
+                          (302, "genuinely novel text never seen")])
+    t0 = read_snapshot(spark, snap)
+    before = sorted(r.doc_id for r in incremental_keep(
+        probe, t0["digests"], prior_digest_col="content_hash").collect())
+    assert before == [302]
+
+    retracted = retract_snapshot(snap, docs=takedown)
+    assert {"digests", "bands", "segments", "grams"} <= set(retracted)
+    t1 = read_snapshot(spark, snap)
+    after = sorted(r.doc_id for r in incremental_keep(
+        probe, t1["digests"], prior_digest_col="content_hash").collect())
+    # the retracted content re-admits; the retained dup stays suppressed
+    assert after == [300, 302]
+    # bands retraction is id-precise: only doc 103's rows dropped
+    assert t1["bands"].filter(F.col("doc_id") == 103).count() == 0
+    assert t1["bands"].filter(F.col("doc_id") == 102).count() > 0
+    # the stale (pre-compaction) Bloom is harmless: probe parity holds
+    bloom = read_bloom(spark, snap, "digests")
+    fast = sorted(r.doc_id for r in incremental_keep(
+        probe, t1["digests"], prior_digest_col="content_hash",
+        prior_bloom=bloom).collect())
+    assert fast == after
+    manifest = json.loads((tmp_path / "snap" / "manifest.json").read_text())
+    assert manifest["tombstones"]["digests"] == ["content_hash"]
+    assert manifest["generations"][-1]["retracted"] == retracted
+    n_before = manifest["blooms"]["digests"]["n"]
+
+    files = compact_snapshot(snap, spark)
+    assert files["digests"] >= 1
+    assert not glob.glob(f"{snap}/tomb_*")
+    manifest2 = json.loads((tmp_path / "snap" / "manifest.json").read_text())
+    assert not manifest2.get("tombstones")
+    # bloom rebuilt from the compacted table: pinned geometry, fewer keys
+    assert manifest2["blooms"]["digests"]["m"] == \
+        manifest["blooms"]["digests"]["m"]
+    assert manifest2["blooms"]["digests"]["n"] < n_before
+    t2 = read_snapshot(spark, snap)
+    folded = sorted(r.doc_id for r in incremental_keep(
+        probe, t2["digests"], prior_digest_col="content_hash").collect())
+    assert folded == after
+    bloom2 = read_bloom(spark, snap, "digests")
+    fast2 = sorted(r.doc_id for r in incremental_keep(
+        probe, t2["digests"], prior_digest_col="content_hash",
+        prior_bloom=bloom2).collect())
+    assert fast2 == after
+
+
+def test_snapshot_retraction_clusters_and_emb(spark, tmp_path):
+    """Cluster tombstones drop the retracted id's label row (remaining
+    members keep their opaque label, even when the retracted doc WAS
+    the min-id label); embedding retraction drops the vec's block and
+    codes rows id-precisely."""
+    from scespet_spark.operators.snapshot import (read_clusters,
+                                                  read_snapshot,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    # docs 10 and 11 are near-identical -> one cluster labeled 10
+    prior = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog tonight"),
+        (11, "the quick brown fox jumps over the lazy dog tonight"),
+        (12, "completely different words entirely in this one here")])
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5], i % 2) for i in range(6)],
+        "vec_id long, embedding array<float>, label int")
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, emb=emb, cluster_labels=True)
+    labels0 = {r.id: r.cluster
+               for r in read_clusters(spark, snap).collect()}
+    assert labels0.get(10) == 10 and labels0.get(11) == 10
+
+    retract_snapshot(snap, docs=prior.filter(F.col("doc_id") == 10),
+                     emb=emb.filter(F.col("vec_id") == 2))
+    labels1 = {r.id: r.cluster
+               for r in read_clusters(spark, snap).collect()}
+    assert 10 not in labels1
+    assert labels1.get(11) == 10  # opaque label survives its min doc
+    t = read_snapshot(spark, snap)
+    assert t["blocks"].filter(F.col("vec_id") == 2).count() == 0
+    assert t["codes"].filter(F.col("vec_id") == 2).count() == 0
+    assert t["blocks"].filter(F.col("vec_id") == 3).count() == 1
+    # retracting with neither side raises
+    with pytest.raises(ValueError, match="docs and/or emb"):
+        retract_snapshot(snap)
