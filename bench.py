@@ -142,6 +142,9 @@ HEADLINE = [
     # PCA -> IVF-PQ composed serving chain
     "dedup_incremental_clusters",
     "ann_pca_ivfpq_topk",
+    # late-r11: cluster-aware splits + generational IDF
+    "split_cluster_aware",
+    "text_idf_incremental",
 ]
 
 

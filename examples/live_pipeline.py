@@ -525,6 +525,36 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
            "whale_capped": n_whale_kept,
            "whale_drop2_suppressed": not any(
                i >= _CAP_WHALE_BASE + 100000 for i in s1b_ids)}
+
+    # ---- takedown epilogue (r11): retract the drop-1 survivor whose
+    # text seeded the engineered duplicate.  Its digests tombstone out
+    # of snap0, so a RE-CRAWL of the same content now probes as novel
+    # (the dedup memory is gone), while other kept docs' content stays
+    # suppressed; compaction folds the tombstones and the behavior is
+    # unchanged.  Cost ∝ the one retracted doc + one digest-table
+    # rewrite at compaction — the corpus is never re-read.
+    from scespet_spark.operators.dedup import incremental_keep
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_snapshot,
+                                                  retract_snapshot)
+    other_src = kept1.orderBy(F.col("doc_id").desc()).limit(1).collect()[0]
+    retract_snapshot(f"{work}/snap0",
+                     docs=spark.createDataFrame(
+                         [(dup_src["doc_id"], dup_src["text"])],
+                         "doc_id long, text string"))
+    recrawl = spark.createDataFrame(
+        [(200001, dup_src["text"]), (200002, other_src["text"])],
+        "doc_id long, text string")
+
+    def _fresh_ids():
+        dig = read_snapshot(spark, f"{work}/snap0")["digests"]
+        return {r.doc_id for r in incremental_keep(
+            recrawl, dig, prior_digest_col="content_hash").collect()}
+    fresh = _fresh_ids()
+    compact_snapshot(f"{work}/snap0", spark)
+    res["takedown_readmitted"] = 200001 in fresh
+    res["takedown_retained_suppressed"] = 200002 not in fresh
+    res["takedown_stable_after_compaction"] = _fresh_ids() == fresh
     print(f"capstone: {n1} docs after drop 1, {n2} total after drop 2; "
           f"engineered duplicate suppressed by the refreshed snapshot: "
           f"{res['dup_suppressed']}; splits {res['splits']}; "

@@ -82,6 +82,12 @@ def test_crawl_capstone_example(spark, tmp_path):
     assert res["whale_elected"] == (live_pipeline._CAP_WHALE_N + 3)
     assert res["whale_capped"] == live_pipeline._CAP_HOST_K
     assert res["whale_drop2_suppressed"]
+    # r11 takedown epilogue: retracting the dup source re-admits a
+    # re-crawl of ITS content while other kept content stays
+    # suppressed, stable across the tombstone-folding compaction
+    assert res["takedown_readmitted"]
+    assert res["takedown_retained_suppressed"]
+    assert res["takedown_stable_after_compaction"]
     # bucketed snapshot probes: the refreshed snapshot's digest/gram
     # tables join the gate's OWN key sets with zero snapshot-side
     # Exchange (the per-micro-batch stage-2 plan, read batch-side)
@@ -90,12 +96,18 @@ def test_crawl_capstone_example(spark, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # snap0 now carries the appended drop-1 generation
+        # snap0's lineage: drop-1 generation APPEND, then the takedown
+        # RETRACTION, then the tombstone-folding COMPACTION (r11
+        # epilogue) — with no tombstones left standing afterwards
         import json
         manifest = json.loads(
             open(f"{work}/snap0/manifest.json").read())
-        assert [g["gen"] for g in manifest["generations"]] == [1]
-        assert "digests" in manifest["generations"][0]["appended"]
+        gens = manifest["generations"]
+        assert [g["gen"] for g in gens] == [1, 2, 3]
+        assert "digests" in gens[0]["appended"]
+        assert "digests" in gens[1]["retracted"]
+        assert "digests" in gens[2]["compacted"]
+        assert not manifest.get("tombstones")
         snap = read_snapshot(spark, f"{work}/snap0")
         batch = spark.read.parquet(f"{work}/stage1")
         d1, d2 = digest_cols(F.col("text"), wide=True)
