@@ -573,17 +573,24 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
         from .dedup import (banded_signatures, exact_groups,
                             gram_digests, segment_digests)
         _a("digests", exact_groups(docs, wide=wide))
-        _a("bands", banded_signatures(
-            docs, num_hashes=manifest["num_hashes"],
-            bands=manifest["bands"], shingle_n=manifest["shingle_n"]))
-        seg_cols = ["__d", "__d2"] if wide else ["__d"]
-        _a("segments", segment_digests(
-            docs, size=manifest["segment_size"], wide=wide)
-            .select(*seg_cols).distinct())
-        gram_cols = ["__g", "__g2"] if wide else ["__g"]
-        _a("grams", gram_digests(
-            docs, min_len=manifest["sub_min_len"], wide=wide)
-            .select(*gram_cols).distinct())
+        # membership-guarded BEFORE the derivations: an emb-only
+        # snapshot's manifest has no hashing params for the doc
+        # families, and the parameter lookup must not raise for
+        # families the snapshot doesn't carry
+        if "bands" in tables:
+            _a("bands", banded_signatures(
+                docs, num_hashes=manifest["num_hashes"],
+                bands=manifest["bands"], shingle_n=manifest["shingle_n"]))
+        if "segments" in tables:
+            seg_cols = ["__d", "__d2"] if wide else ["__d"]
+            _a("segments", segment_digests(
+                docs, size=manifest["segment_size"], wide=wide)
+                .select(*seg_cols).distinct())
+        if "grams" in tables:
+            gram_cols = ["__g", "__g2"] if wide else ["__g"]
+            _a("grams", gram_digests(
+                docs, min_len=manifest["sub_min_len"], wide=wide)
+                .select(*gram_cols).distinct())
     if docs is not None and "clusters" in tables:
         # generational cluster maintenance (incremental_components):
         # the drop's bands join the STANDING band table (which already
@@ -715,14 +722,19 @@ def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
                  else ["content_hash"])
         _t("digests", exact_groups(docs, wide=wide).select(*dcols))
         _t("bands", docs.select("doc_id"))
-        seg_cols = ["__d", "__d2"] if wide else ["__d"]
-        _t("segments", segment_digests(
-            docs, size=manifest["segment_size"], wide=wide)
-            .select(*seg_cols))
-        gram_cols = ["__g", "__g2"] if wide else ["__g"]
-        _t("grams", gram_digests(
-            docs, min_len=manifest["sub_min_len"], wide=wide)
-            .select(*gram_cols))
+        # membership-guarded BEFORE the derivations: an emb-only
+        # snapshot's manifest has no segment_size/sub_min_len, and the
+        # parameter lookup must not raise for families it doesn't have
+        if "segments" in tables:
+            seg_cols = ["__d", "__d2"] if wide else ["__d"]
+            _t("segments", segment_digests(
+                docs, size=manifest["segment_size"], wide=wide)
+                .select(*seg_cols))
+        if "grams" in tables:
+            gram_cols = ["__g", "__g2"] if wide else ["__g"]
+            _t("grams", gram_digests(
+                docs, min_len=manifest["sub_min_len"], wide=wide)
+                .select(*gram_cols))
         _t("clusters", docs.select(F.col("doc_id").alias("id")))
     if emb is not None:
         _t("blocks", emb.select("vec_id"))

@@ -581,3 +581,23 @@ def test_snapshot_retraction_clusters_and_emb(spark, tmp_path):
     # retracting with neither side raises
     with pytest.raises(ValueError, match="docs and/or emb"):
         retract_snapshot(snap)
+
+
+def test_snapshot_docs_ops_on_emb_only_snapshot(spark, tmp_path):
+    """Retracting or appending DOCS against an emb-only snapshot must
+    skip the absent doc families cleanly — the manifest has no doc
+    hashing params, and the parameter lookup must not raise."""
+    from scespet_spark.operators.snapshot import (read_snapshot,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5], i % 2) for i in range(6)],
+        "vec_id long, embedding array<float>, label int")
+    docs = _docs(spark, [(1, "some text")])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, emb=emb)
+    out = retract_snapshot(snap, docs=docs, emb=emb.filter("vec_id = 2"))
+    assert "blocks" in out and "segments" not in out
+    assert read_snapshot(spark, snap)["blocks"] \
+        .filter(F.col("vec_id") == 2).count() == 0
+    assert write_snapshot(snap, docs=docs, mode="append") == []
