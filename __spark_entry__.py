@@ -4470,6 +4470,66 @@ def text_quality(spark, sf_dir):
                                       "stopword_ratio", "quality")
 
 
+@query("dedup_keep_best", f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+cc(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.src AS id, c.label
+  FROM edges e JOIN cc c ON e.dst = c.id
+  WHERE c.label < e.src),
+labels AS (SELECT id, MIN(label) AS cluster FROM cc GROUP BY id),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, strlen(text) AS nc,
+        len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS np,
+        len(toks) AS nt,
+        len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x)))
+          AS ns
+      FROM t),
+q AS (SELECT doc_id,
+        round(least(1.0, nt::DOUBLE / 100.0) * 0.5
+              + (1.0 - least(1.0, np::DOUBLE / nc)) * 0.3
+              + least(1.0, ns::DOUBLE / nt * 5.0) * 0.2, 6) AS quality
+      FROM c),
+b AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+             q.quality
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+                       JOIN q ON q.doc_id = d.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                ORDER BY quality DESC, doc_id ASC) AS rk FROM b)
+SELECT doc_id, cluster, quality FROM r WHERE rk = 1
+""")
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster canonicalization (late r11): instead of
+    keeping each near-dup cluster's MIN-id member (dedup_kept_corpus's
+    convention), keep its HIGHEST-QUALITY member — the policy real
+    pipelines ship, where the canonical copy should be the cleanest
+    one, not the first-crawled one.  Composes the LSH cluster labels
+    with the heuristic quality score and `cap_per_key(k=1)` on the
+    cluster key (whale-safe: WindowGroupLimit pre-prunes map-side;
+    ties break by doc_id for a total order).  Singletons keep
+    themselves.  Oracle: recursive-CTE closure + the same windowed
+    rank in SQL."""
+    from scespet_spark.operators.dedup import (connected_components,
+                                               lsh_candidate_pairs)
+    from scespet_spark.operators.pipeline import cap_per_key
+    from scespet_spark.operators.text import quality_score
+    docs = load_table(spark, sf_dir, "documents")
+    labels = connected_components(lsh_candidate_pairs(docs))
+    q = quality_score(docs).select("doc_id", "quality")
+    scored = (docs.select("doc_id").join(q, "doc_id")
+              .join(F.broadcast(labels.select(F.col("id").alias("doc_id"),
+                                              "cluster")),
+                    "doc_id", "left")
+              .withColumn("cluster", F.coalesce("cluster",
+                                                F.col("doc_id"))))
+    return cap_per_key(scored, 1, "cluster",
+                       [F.col("quality").desc(), F.col("doc_id").asc()]
+                       ).select("doc_id", "cluster", "quality")
+
+
 @query("text_repetition", f"""
 WITH t AS (SELECT doc_id,
                   list_transform({_TOKS},
@@ -7536,7 +7596,7 @@ _ROUND_CHANGED = [
     "dedup_incremental_clusters", "ann_pca_ivfpq_topk",
     "live_hybrid_search_rrf", "live_cluster_route",
     "split_cluster_aware", "text_idf_incremental",
-    "live_idf_incremental",
+    "live_idf_incremental", "dedup_keep_best",
     # semantically changed this round: live_collapse now buffers the
     # OPEN cycle in state and fires add_cycle exactly once per
     # (key, cycle) — a cycle split across micro-batches previously
@@ -7571,12 +7631,12 @@ _PRIORITY = _ROUND_CHANGED + [
     "multimodal_resize", "pivot_user_event_values", "profile_lineitem",
     "q11_important_stock", "q12_late_shipments", "q16_supplier_count",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_excess_suppliers", "q21_waiting_suppliers",
-    # (window stays exactly 50 = the driver's sample; the three r11
+    "q20_excess_suppliers",
+    # (window stays exactly 50 = the driver's sample; the four r11
     # additions displaced q2_min_cost_supplier / q8_market_share /
-    # q22_global_sales_opportunity to the r12 rotation; everything
-    # rotated out stays covered by the full local oracle gate,
-    # tools/check_oracle.py)
+    # q21_waiting_suppliers / q22_global_sales_opportunity to the r12
+    # rotation; everything rotated out stays covered by the full local
+    # oracle gate, tools/check_oracle.py)
 ]
 
 
