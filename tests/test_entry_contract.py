@@ -47,12 +47,20 @@ def test_no_complex_typed_output_columns(spark):
     # batch counterparts, so the schema pin covers the batch surface
     from pyspark.sql.types import ArrayType, MapType
     bad = {}
-    for name, fn in entry.queries().items():
-        if name.startswith("live_"):
-            continue
-        schema = fn(spark, SF_DIR).schema
-        complex_cols = [f.name for f in schema.fields
-                        if isinstance(f.dataType, (ArrayType, MapType))]
-        if complex_cols:
-            bad[name] = complex_cols
+    try:
+        for name, fn in entry.queries().items():
+            if name.startswith("live_"):
+                continue
+            schema = fn(spark, SF_DIR).schema
+            complex_cols = [f.name for f in schema.fields
+                            if isinstance(f.dataType, (ArrayType, MapType))]
+            if complex_cols:
+                bad[name] = complex_cols
+    finally:
+        # building the plans registers operator-family persists
+        # (lazy — nothing materialized); release them so this test
+        # leaves no registry residue for later suite members
+        from scespet_spark.operators._cache import _REGISTRY, release
+        for fam in list(_REGISTRY):
+            release(fam)
     assert not bad, f"driver-unhashable (list/map) output columns: {bad}"

@@ -12,6 +12,11 @@ SF = "/root/testdata/sf0.001"
 
 def test_corpus_pipeline_example(spark, tmp_path, capsys):
     import corpus_pipeline
+    # delta-based leak check: assert the EXAMPLE releases every family
+    # it touches, without failing on registry residue an earlier suite
+    # member left behind (those have their own release discipline)
+    from scespet_spark.operators._cache import _REGISTRY
+    pre = {fam: len(dfs) for fam, dfs in _REGISTRY.items()}
     n_in, n_out = corpus_pipeline.main(SF, out_dir=str(tmp_path / "out"))
     assert n_in > 0 and 0 < n_out <= n_in
     # cache-release discipline: every explicitly persisted snapshot
@@ -19,8 +24,9 @@ def test_corpus_pipeline_example(spark, tmp_path, capsys):
     # phase boundaries (localCheckpoint lineage-truncation tables are
     # source data, not cache, and are exempt)
     assert "cache: 0 persisted tables left" in capsys.readouterr().out
-    from scespet_spark.operators._cache import _REGISTRY
-    assert not _REGISTRY, f"unreleased cache families: {list(_REGISTRY)}"
+    leaked = {fam: len(dfs) for fam, dfs in _REGISTRY.items()
+              if len(dfs) > pre.get(fam, 0)}
+    assert not leaked, f"example leaked cache families: {leaked}"
 
 
 def test_ann_search_example(spark, capsys):
