@@ -695,7 +695,16 @@ def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
     content (future copies probe as novel).  If re-crawled copies of
     taken-down content must also be REJECTED, that is a policy gate,
     not a dedup artifact — keep the takedown digests in a blocklist
-    and filter with an anti-join in the gate stack."""
+    and filter with an anti-join in the gate stack.
+
+    Re-append timing (pinned by test): tombstones filter by KEY, so a
+    generation append that re-adds retracted content BEFORE the next
+    compaction stays invisible to probes (its digest matches the
+    standing tombstone — retraction wins within its epoch), while a
+    re-append AFTER compaction enters normally (the tombstone was
+    folded away).  Re-admitting content inside the epoch therefore
+    means compacting first; this keeps tombstone semantics a simple
+    set-minus rather than per-row generation arithmetic."""
     import json
     if docs is None and emb is None:
         raise ValueError("retract needs docs and/or emb")

@@ -601,3 +601,41 @@ def test_snapshot_docs_ops_on_emb_only_snapshot(spark, tmp_path):
     assert read_snapshot(spark, snap)["blocks"] \
         .filter(F.col("vec_id") == 2).count() == 0
     assert write_snapshot(snap, docs=docs, mode="append") == []
+
+
+def test_snapshot_retraction_reappend_epoch(spark, tmp_path):
+    """Tombstones are key-filters, so re-appending retracted content
+    BEFORE compaction stays suppressed (retraction wins within its
+    epoch); after compaction folds the tombstones, a re-append enters
+    normally and suppresses duplicates again."""
+    from scespet_spark.operators.dedup import incremental_keep
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_snapshot,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    prior = _docs(spark, [(100 + i, f"prior doc {i} body text content")
+                          for i in range(4)])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior)
+    gone = prior.filter(F.col("doc_id") == 101)
+    retract_snapshot(snap, docs=gone)
+    probe = _docs(spark, [(900, "prior doc 1 body text content")])
+
+    def fresh():
+        dig = read_snapshot(spark, snap)["digests"]
+        return incremental_keep(probe, dig,
+                                prior_digest_col="content_hash").count()
+    assert fresh() == 1  # retracted -> novel
+    # re-append the same content WITHIN the epoch: still suppressed-
+    # as-retracted (the appended digest matches the standing tombstone)
+    write_snapshot(snap, docs=_docs(
+        spark, [(500, "prior doc 1 body text content")]), mode="append")
+    assert fresh() == 1
+    # compaction folds the tombstone AND the epoch's appends with it —
+    # the re-appended row was tombstone-filtered in the rewrite, so the
+    # content stays novel until a POST-compaction append re-admits it
+    compact_snapshot(snap, spark)
+    assert fresh() == 1
+    write_snapshot(snap, docs=_docs(
+        spark, [(501, "prior doc 1 body text content")]), mode="append")
+    assert fresh() == 0  # dedup memory restored
