@@ -409,6 +409,12 @@ def ann_topk_stream(queries: DataFrame, df: DataFrame,
         if st["seen"]:  # duplicate/retried query event: already answered
             return []
         st["seen"] = 1.0
+        # a query event duplicated WITHIN one micro-batch (at-least-
+        # once sources) doubles every candidate row; without this
+        # dedup the same doc would occupy two ranks and crowd real
+        # neighbors out of the top-k (the cross-batch duplicate is
+        # handled by the seen flag above) — red-tested
+        pdf = pdf.drop_duplicates(subset=[id_col])
         top = pdf.sort_values(["score", id_col],
                               ascending=[False, True]).head(k)
         top = top.assign(rnk=range(1, len(top) + 1))
@@ -467,6 +473,10 @@ def rrf_fuse_stream(queries: DataFrame, lexical: DataFrame,
         if st["seen"]:  # duplicate/retried query event: already fused
             return []
         st["seen"] = 1.0
+        # in-batch duplicate query event: doubled candidate rows would
+        # shift every rank below the first duplicate (same failure
+        # family as ann_topk_stream's, red-tested there)
+        pdf = pdf.drop_duplicates(subset=["__src", id_col])
         ranks: dict = {}
         for i, s in enumerate(("lex", "sem")):
             sub = (pdf[pdf["__src"] == s]

@@ -2070,3 +2070,68 @@ def test_live_collapse_cycle_spanning_three_batches(spark, tmp_path):
                             "n_events").collect())
     # day 1 = ONE cycle of 3 rows (split across all three drops)
     assert got == [(7, 3, 1, 3), (7, 4, 1, 1)]
+
+
+def test_live_serving_dedups_in_batch_duplicate_query(spark, tmp_path):
+    """A query event duplicated WITHIN one micro-batch (at-least-once
+    sources) doubles every candidate row; without in-step dedup the
+    same doc occupies two ranks in ann_topk_stream's top-k (crowding
+    real neighbors out) and shifts every RRF rank below the first
+    duplicate.  Red-tested against the pre-fix step: top-5 came back
+    [(d,1),(d,2),...].  Both serving steps must emit results identical
+    to the single-event batch forms."""
+    from scespet_spark.operators.similarity import (ann_topk_stream,
+                                                    ivf_assign,
+                                                    ivf_topk_from_index,
+                                                    label_centroids,
+                                                    rrf_fuse,
+                                                    rrf_fuse_stream)
+    emb = load_table(spark, SF, "embeddings")
+    cents = label_centroids(emb).persist()
+    codes = ivf_assign(emb, cents).persist()
+    qb = (emb.filter(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    # q_id 0 appears TWICE in the same staged file -> same micro-batch
+    dup = qb.unionByName(qb.filter(F.col("q_id") == 0))
+    d = tmp_path / "qfiles"
+    dup.coalesce(1).write.parquet(str(d))
+
+    def qstream():
+        return spark.readStream.schema(qb.schema).parquet(str(d))
+
+    got = run_available_now(
+        ann_topk_stream(qstream(), emb, cents, codes, k=5, nprobe=2),
+        "append")
+    for r in qb.collect():
+        want = [(x.vec_id, i + 1, x.score) for i, x in enumerate(
+            ivf_topk_from_index(emb, codes, cents, r.q_vec,
+                                k=5, nprobe=2).collect())]
+        got_q = sorted(((x.vec_id, x.rnk, x.score)
+                        for x in got.collect() if x.q_id == r.q_id),
+                       key=lambda t: t[1])
+        assert got_q == want, f"q {r.q_id}: {got_q} != {want}"
+
+    lexical = (emb.select("vec_id").crossJoin(
+        spark.range(2).select(F.col("id").alias("q_id")))
+        .filter((F.col("vec_id") + F.col("q_id")) % 7 < 3)
+        .select("q_id", "vec_id",
+                F.round((F.col("vec_id") * 37 % 101) / 101.0, 6)
+                .alias("score"))).persist()
+    fused = run_available_now(
+        rrf_fuse_stream(qstream(), lexical, emb, cents, codes,
+                        topk_each=20, nprobe=2), "append")
+    for r in qb.collect():
+        lex_q = (lexical.filter(F.col("q_id") == r.q_id)
+                 .select("vec_id", "score")
+                 .orderBy(F.desc("score"), "vec_id").limit(20))
+        sem_q = ivf_topk_from_index(emb, codes, cents, r.q_vec,
+                                    k=20, nprobe=2).select("vec_id",
+                                                           "score")
+        want = sorted((x.vec_id, x.rrf_score, x.rank_0, x.rank_1)
+                      for x in rrf_fuse([lex_q, sem_q], ["vec_id"],
+                                        k=60).collect())
+        got_q = sorted((x.vec_id, x.rrf_score, x.rank_0, x.rank_1)
+                       for x in fused.collect() if x.q_id == r.q_id)
+        assert got_q == want, f"rrf q {r.q_id} diverged"
+    cents.unpersist(); codes.unpersist(); lexical.unpersist()
