@@ -145,6 +145,16 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
             .agg(F.bit_or("bits").alias("bits")))
 
 
+def bloom_merge_sharded(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two SHARDED word tables (``(shard, word, bits)``) built with
+    the same per-shard (m_bits, k) AND the same shard count — the
+    incremental refresh for range-sharded filters (`bloom_build_sharded`).
+    Shard routing is pinned by `bloom_shard_col`, so equal shard counts
+    guarantee a key's new bits land in the shard its probe will read."""
+    return (a.unionByName(b).groupBy("shard", "word")
+            .agg(F.bit_or("bits").alias("bits")))
+
+
 def bloom_dense(words: DataFrame | list, m_bits: int) -> list[int]:
     """Collect a sparse word table into the dense driver-side word list
     (length m_bits/64).  Driver-bound convenience for SMALL filters and
@@ -364,12 +374,15 @@ def bloom_attach_sharded(df: DataFrame, bloom: dict, col: Column | str,
             f"them or pass a different test_name=")
     m_bits, k = int(bloom["m"]), int(bloom["k"])
     shards = int(bloom["shards"])
-    rows = bloom["rows"]
+    # alias the filter side's shard column to an internal name BEFORE
+    # joining: a bare .drop("shard") after the join would also remove a
+    # caller column named 'shard' from the probe DataFrame
+    rows = bloom["rows"].withColumnRenamed("shard", "__bshard")
     routed = df.withColumn("__shard", bloom_shard_col(col, shards))
     side = (F.broadcast(rows) if bloom.get("broadcast", True)
             else rows.hint("shuffle_hash"))
-    out = (routed.join(side, routed["__shard"] == rows["shard"], "left")
-           .drop("shard")
+    out = (routed.join(side, routed["__shard"] == rows["__bshard"], "left")
+           .drop("__bshard")
            .withColumn(test_name,
                        # a shard with zero non-zero words still joins
                        # (grid densify emits every shard); a missing

@@ -1036,7 +1036,12 @@ def banded_signatures_rowwise(df: DataFrame, id_col: str = "doc_id",
     for i in range(num_hashes):
         a, b = mh_coeffs(i)
         mhs.append(F.array_min(F.transform(sh, _hash_fn(a, b))))
-    return (df.select(
+    # docs with < shingle_n tokens have an EMPTY shingle set: the batch
+    # explode+groupBy form emits no rows for them, while array_min over
+    # the empty array is NULL (and concat_ws skips NULLs, which would
+    # collapse every short doc into one identical h64('') bucket) —
+    # filter them so the two forms are row-identical on this edge too
+    return (df.filter(F.size(sh) > 0).select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(

@@ -550,13 +550,26 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
         meta = blooms.get(name)
         if not meta:
             return
-        from .bloom import bloom_build, bloom_merge
+        from .bloom import (bloom_build, bloom_build_sharded, bloom_merge,
+                            bloom_merge_sharded)
         key, _desc = _bloom_probe_key(name)
         keys = df.select(key).distinct()
-        new_words, _, _ = bloom_build(keys, "__bk", m_bits=meta["m"],
-                                      k=meta["k"])
         path = os.path.join(out_dir, f"bloom_{name}")
-        merged = bloom_merge(spark.read.parquet(path), new_words)
+        # dispatch on the manifest's PINNED geometry: a snapshot written
+        # with bloom_shards>1 carries (shard, word, bits) tables and
+        # shard-routed keys — folding a drop through the single-filter
+        # build would both fail the union (schema mismatch) and strand
+        # the new keys without shard routing
+        if int(meta.get("shards", 1)) > 1:
+            new_words, _, _ = bloom_build_sharded(
+                keys, "__bk", shards=int(meta["shards"]),
+                m_bits=meta["m"], k=meta["k"])
+            merged = bloom_merge_sharded(spark.read.parquet(path),
+                                         new_words)
+        else:
+            new_words, _, _ = bloom_build(keys, "__bk", m_bits=meta["m"],
+                                          k=meta["k"])
+            merged = bloom_merge(spark.read.parquet(path), new_words)
         # write the merged filter BESIDE the standing one and swap with
         # checked renames: an in-place overwrite both fails on the
         # self-referential read->write lineage and, worse, loses set

@@ -7,7 +7,8 @@ under a deliberately tiny filter where false positives are common."""
 import pytest
 from pyspark.sql import functions as F
 
-from scespet_spark.operators.bloom import (bloom_build, bloom_dense,
+from scespet_spark.operators.bloom import (bloom_attach_sharded,
+                                           bloom_build, bloom_dense,
                                            bloom_filter_col, bloom_merge,
                                            bloom_params)
 
@@ -474,6 +475,59 @@ def test_snapshot_sharded_bloom_roundtrip(spark, tmp_path):
     assert plain == fast and len(plain) > 0
     with pytest.raises(ValueError, match="dense"):
         read_bloom(spark, out, "digests", dense=True)
+
+
+def test_snapshot_sharded_bloom_append(spark, tmp_path):
+    """write(bloom_shards>1) then mode='append': the drop's keys must
+    fold into the SHARDED word tables under the manifest's pinned
+    per-shard geometry (the single-filter fold would fail the
+    unionByName on the (shard, word, bits) schema and, worse, leave
+    the new keys without shard routing).  Checked end-to-end: every
+    appended key probes positive through the sharded filter, and the
+    Bloom-accelerated dedup stays row-identical to the exact one."""
+    from scespet_spark.operators.dedup import exact_groups, incremental_keep
+    from scespet_spark.operators.snapshot import (read_bloom,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    prior = _docs(spark, [(100 + i, f"prior doc {i} body text content")
+                          for i in range(8)])
+    drop = _docs(spark, [(200 + i, f"gen one doc {i} fresh text body")
+                         for i in range(5)])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, bloom_fpp=0.05, bloom_shards=4)
+    appended = write_snapshot(snap, docs=drop, mode="append")
+    assert "bloom_digests" in appended
+    bloom = read_bloom(spark, snap, "digests")
+    assert bloom["shards"] == 4
+    # every key of BOTH generations tests positive (no false negatives
+    # through the sharded fold)
+    all_keys = exact_groups(prior.unionByName(drop)).select("content_hash")
+    assert (bloom_attach_sharded(all_keys, bloom, "content_hash")
+            .filter(~F.col("__bloom_maybe")).count() == 0)
+    # probe parity: Bloom-accelerated == exact against the appended snap
+    probe = _docs(spark, [(300, "prior doc 2 body text content"),
+                          (301, "gen one doc 3 fresh text body"),
+                          (302, "genuinely novel text never seen")])
+    pri = read_snapshot(spark, snap)["digests"].select("content_hash")
+    plain = sorted(r.doc_id for r in incremental_keep(
+        probe, pri, prior_digest_col="content_hash").collect())
+    fast = sorted(r.doc_id for r in incremental_keep(
+        probe, pri, prior_digest_col="content_hash",
+        prior_bloom=bloom).collect())
+    assert plain == fast == [302]
+
+
+def test_bloom_attach_sharded_keeps_caller_shard_column(spark):
+    # a probe DataFrame with its OWN column named 'shard' must pass
+    # through untouched (the filter side's shard id is internal)
+    keys = spark.range(50).select((F.col("id") * 17).alias("d"))
+    bloom = _sharded(spark, keys, 50, shards=4)
+    probe = keys.withColumn("shard", F.col("d") % 7)
+    out = bloom_attach_sharded(probe, bloom, "d")
+    assert set(out.columns) == {"d", "shard", "__bloom_maybe"}
+    rows = out.collect()
+    assert all(r.shard == r.d % 7 for r in rows)
+    assert all(r["__bloom_maybe"] for r in rows)  # inserted keys positive
 
 
 def test_snapshot_retraction_lifecycle(spark, tmp_path):
