@@ -3154,6 +3154,31 @@ def dedup_incremental_clusters(spark, sf_dir):
     return incremental_components(prior_labels, new_pairs)
 
 
+_SNAP_CACHE: dict[str, str] = {}
+
+
+def _artifact_snapshot(spark, sf_dir):
+    """The production snapshot job's output for ``sf_dir``'s prior
+    generation (doc_id % 3 == 0): band table, resolved cluster labels,
+    and the generational-IDF doc-frequency pair — built ONCE per
+    process into a temp dir (mkdtemp, so a fresh process never reads a
+    stale corpus) and reused by every artifact-serving live query.
+    This makes the registered plans the PRODUCTION plans: the serving
+    queries scan snapshot parquet, they never rebuild CC or banding
+    in-query."""
+    snap = _SNAP_CACHE.get(sf_dir)
+    if snap is not None:
+        return snap
+    import tempfile
+    from scespet_spark.operators.snapshot import write_snapshot
+    snap = tempfile.mkdtemp(prefix="scespet_entry_snap_") + "/snap"
+    prior = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 3 == 0))
+    write_snapshot(snap, docs=prior, cluster_labels=True, doc_freq=True)
+    _SNAP_CACHE[sf_dir] = snap
+    return snap
+
+
 @query("live_cluster_route", f"""
 WITH RECURSIVE {_minhash_ctes()},
 pb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
@@ -3171,56 +3196,49 @@ labels AS (SELECT id, MIN(label) AS cluster FROM cc GROUP BY id),
 plabels AS (SELECT d.doc_id AS pid, coalesce(l.cluster, d.doc_id) AS cl
             FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
             WHERE d.doc_id % 3 = 0),
-cand AS (SELECT nb.doc_id, p.cl
-         FROM nb LEFT JOIN pb USING (band, band_hash)
-                 LEFT JOIN plabels p ON p.pid = pb.doc_id)
-SELECT doc_id, MIN(coalesce(cl, doc_id)) AS cluster
+cand AS (SELECT nb.doc_id, p.cl AS cluster
+         FROM nb JOIN pb USING (band, band_hash)
+                 JOIN plabels p ON p.pid = pb.doc_id
+         UNION ALL
+         SELECT a.doc_id, b.doc_id AS cluster
+         FROM nb a JOIN nb b USING (band, band_hash))
+SELECT doc_id, MIN(cluster) AS cluster
 FROM cand GROUP BY doc_id
 """)
 def live_cluster_route(spark, sf_dir):
-    """Cluster ROUTING on a live crawl (r11): each arriving doc is
-    assigned to its existing near-dup cluster — min prior-cluster
-    label among its LSH band neighbors, or itself when novel.  The
-    serving half of the generational cluster family: batch
-    `incremental_components` merges the drop into the label artifact
-    offline; this query answers "which cluster does this doc join"
-    at ingest.  Plan: map-only shingle/minhash banding on the stream,
-    TWO stream-static equi-joins (standing band table, resolved label
-    table — both snapshot artifacts), then a per-doc min via the
-    `first_wins` election (all of a doc's band rows derive from its
-    own micro-batch row, so the first batch holds everything; state =
-    one flag per doc).  Append-mode; the corpus never shuffles."""
-    from scespet_spark.operators.dedup import (banded_signatures,
-                                               banded_signatures_rowwise,
-                                               connected_components,
-                                               lsh_candidate_pairs)
-    from scespet_spark.operators._cache import persist as _persist
-    from scespet_spark.streaming.live import (first_wins,
+    """Cluster ROUTING on a live crawl (r11; r12: artifact-served +
+    in-drop novel-pair election): each arriving doc is assigned to its
+    near-dup cluster — the min over (a) prior-cluster labels of its
+    LSH band neighbors in the snapshot and (b) doc_ids of drop-mates
+    sharing a band (self included), so two novel near-dups arriving in
+    one drop elect a COMMON label that agrees with the next offline
+    `incremental_components` merge (min-id algebra, same within-cycle
+    atomicity the keyed rendezvous family takes from
+    SlicedBucket.scala:33-83).
+
+    Plan: map-only staged banding on the stream; ONE stream-static
+    equi-join against the snapshot's band+label artifacts
+    (`write_snapshot(cluster_labels=True)` / `read_clusters` — the
+    registered plan scans the production parquet, nothing rebuilds
+    in-query); ONE stream-stream self-join on the band bucket for the
+    in-drop mates (state ∝ band rows seen, the standing-index cost any
+    online LSH server carries — refolding the snapshot and restarting
+    the route bounds it operationally); then the per-doc min via the
+    `first_wins` election.  Cross-drop semantics: a later drop's doc
+    also sees EARLIER drops' band rows in the join state — consistent
+    with the eventual offline merge whenever smaller doc_ids arrive no
+    later (crawl ids are monotone), and single-drop corpora are exact
+    regardless."""
+    from scespet_spark.operators.snapshot import (read_clusters,
+                                                  read_snapshot)
+    from scespet_spark.streaming.live import (cluster_route,
                                               read_table_stream,
                                               run_available_now)
-    docs = load_table(spark, sf_dir, "documents")
-    prior_docs = docs.filter(F.col("doc_id") % 3 == 0)
-    # snapshot artifacts (persisted = the parquet tables a snapshot
-    # job writes): standing band table + resolved label mapping
-    pb = _persist(banded_signatures(prior_docs)
-                  .select(F.col("doc_id").alias("__pid"),
-                          "band", "band_hash"), "dedup")
-    labels = connected_components(lsh_candidate_pairs(prior_docs))
-    plabels = _persist(
-        prior_docs.select(F.col("doc_id").alias("__pid"))
-        .join(labels.withColumnRenamed("id", "__pid"), "__pid", "left")
-        .select("__pid", F.coalesce("cluster", F.col("__pid"))
-                .alias("__cl")), "dedup")
+    snap = _artifact_snapshot(spark, sf_dir)
     stream = read_table_stream(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") % 3 != 0)
-    sb = banded_signatures_rowwise(stream).select("doc_id", "band",
-                                                  "band_hash")
-    cand = (sb.join(pb, ["band", "band_hash"], "left")
-            .join(plabels, "__pid", "left")
-            .select("doc_id",
-                    F.coalesce("__cl", F.col("doc_id")).alias("cluster")))
-    out = first_wins(cand, keys=["doc_id"], order_cols=["cluster"],
-                     payload_cols=["cluster"], t="cluster")
+    out = cluster_route(stream, read_snapshot(spark, snap)["bands"],
+                        read_clusters(spark, snap))
     return (run_available_now(out, "append")
             .select("doc_id", "cluster").orderBy("doc_id"))
 
@@ -4870,18 +4888,27 @@ def live_idf_incremental(spark, sf_dir):
     with the manifest doc count as the literal N — the serving half of
     the generational-IDF family, mirroring live_text_bigram_lm's
     snapshot-model shape.  Same oracle as text_idf_incremental: the
-    stream replays the drop the merge already folded in."""
+    stream replays the drop the merge already folded in.
+
+    r12: the prior generation's counts come from the snapshot's
+    ``doc_freq`` artifact (`read_doc_freq` — the table
+    `write_snapshot(doc_freq=True)` maintains across appends and
+    retractions) instead of an in-query recount, so the registered
+    plan scans the production parquet; only the DROP's vocabulary-
+    sized fold stays in-query (that fold IS the ingest job)."""
     from scespet_spark.operators._cache import persist as _persist
-    from scespet_spark.operators.text import (idf_score, token_doc_freq,
+    from scespet_spark.operators.snapshot import read_doc_freq
+    from scespet_spark.operators.text import (idf_score,
                                               token_doc_freq_merge)
     from scespet_spark.streaming.live import (read_table_stream,
                                               run_available_now)
-    docs = load_table(spark, sf_dir, "documents")
-    prior = docs.filter(F.col("doc_id") % 3 == 0)
-    delta = docs.filter(F.col("doc_id") % 3 != 0)
-    merged = _persist(
-        token_doc_freq_merge(token_doc_freq(prior), delta), "text_idf")
-    n_total = docs.count()
+    snap = _artifact_snapshot(spark, sf_dir)
+    prior_freq, n_prior = read_doc_freq(spark, snap)
+    delta = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 3 != 0))
+    merged = _persist(token_doc_freq_merge(prior_freq, delta),
+                      "text_idf")
+    n_total = n_prior + delta.count()
     stream = (read_table_stream(spark, sf_dir, "documents")
               .filter(F.col("doc_id") % 3 != 0))
     return run_available_now(idf_score(stream, merged, n_total),

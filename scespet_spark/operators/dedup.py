@@ -1024,7 +1024,17 @@ def banded_signatures_rowwise(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"bands ({bands}) must evenly divide "
                          f"num_hashes ({num_hashes})")
     rows = num_hashes // bands
-    sh = shingle_hashes(token_hash_array(F.col(text_col)), shingle_n)
+    # STAGE the shingle array and each minhash into real projections:
+    # inlining `sh` into all num_hashes transforms (and each transform
+    # into its band's concat) builds an expression tree ~num_hashes x
+    # |sh| that Catalyst re-analyzes per plan — measured 10x slower in
+    # batch and ~60x in a micro-batch plan at sf0.01.  Projections are
+    # map-only, so the form stays streaming-legal, and CollapseProject
+    # declines to re-inline non-cheap multiply-referenced aliases.
+    staged = df.select(
+        F.col(id_col),
+        shingle_hashes(token_hash_array(F.col(text_col)), shingle_n)
+        .alias("__sh"))
 
     def _hash_fn(a, b):
         # closure factory, NOT default-arg capture: F.transform infers
@@ -1032,23 +1042,29 @@ def banded_signatures_rowwise(df: DataFrame, id_col: str = "doc_id",
         # params read as the 3-arg form (INVALID_LAMBDA_FUNCTION_CALL)
         return lambda x: (x * a + b) % MH_PRIME
 
-    mhs = []
+    mh_cols = []
     for i in range(num_hashes):
         a, b = mh_coeffs(i)
-        mhs.append(F.array_min(F.transform(sh, _hash_fn(a, b))))
-    # docs with < shingle_n tokens have an EMPTY shingle set: the batch
-    # explode+groupBy form emits no rows for them, while array_min over
-    # the empty array is NULL (and concat_ws skips NULLs, which would
-    # collapse every short doc into one identical h64('') bucket) —
-    # filter them so the two forms are row-identical on this edge too
-    return (df.filter(F.size(sh) > 0).select(
+        mh_cols.append(
+            F.array_min(F.transform(F.col("__sh"), _hash_fn(a, b)))
+            .alias(f"__mh{i}"))
+    sig = staged.select(id_col, *mh_cols)
+    # Short-doc edge (parity-tested): `shingle_hashes` pads every doc —
+    # even empty or NULL text — to at least one degenerate shingle, so
+    # the minhashes are NEVER NULL and both forms band every doc
+    # identically (empty and NULL text share the degenerate [0] shingle
+    # set and therefore one bucket, in BOTH forms).  No filter is
+    # needed here, and none should be added casually: a Filter over
+    # these wide projections costs ~5x in optimizer/plan overhead
+    # (measured at sf0.01), dwarfing the work it saves.
+    return (sig.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                h64(F.concat_ws("_", *[mhs[b * rows + r].cast("string")
-                                       for r in range(rows)]))
-                .alias("band_hash"))
+                h64(F.concat_ws("_", *[
+                    F.col(f"__mh{b * rows + r}").cast("string")
+                    for r in range(rows)])).alias("band_hash"))
             for b in range(bands)])).alias("bb"))
         .select(id_col, "bb.band", "bb.band_hash"))
 

@@ -206,6 +206,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    bloom_fpp: float | None = None,
                    bloom_shards: int = 1,
                    cluster_labels: bool = False,
+                   doc_freq: bool = False,
                    mode: str = "overwrite") -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
@@ -271,7 +272,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "unigram_em_iters": (unigram_em_iters, 4),
                     "ngram_order": (ngram_order, None),
                     "bloom_fpp": (bloom_fpp, None),
-                    "cluster_labels": (cluster_labels, False)}
+                    "cluster_labels": (cluster_labels, False),
+                    "doc_freq": (doc_freq, False)}
         extra = sorted(k2 for k2, (v, d) in defaults.items() if v != d)
         if extra:
             raise ValueError(
@@ -411,6 +413,20 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
            connected_components(lsh_candidate_pairs(
                docs, num_hashes=num_hashes, bands=bands,
                shingle_n=shingle_n)).withColumn("gen", F.lit(0)))
+    n_docs = None
+    if doc_freq:
+        # the generational-IDF artifact family: the vocabulary-sized
+        # token document-frequency table plus the manifest's running
+        # ``n_docs`` — together they let a later drop be scored with
+        # full-corpus-consistent IDF (text.idf_score) without re-reading
+        # the prior corpus.  Generation appends FOLD counts in place
+        # (token_doc_freq_merge: disjoint generations' per-token doc
+        # counts add exactly), so the artifact stays one table.
+        if docs is None:
+            raise ValueError("doc_freq needs docs")
+        from .text import token_doc_freq
+        _w("doc_freq", token_doc_freq(docs))
+        n_docs = docs.count()
     if labeled is not None:
         # the model-based quality rung: a <= qc_buckets-row weight
         # table (bias/unseen rows included) applied map-side to every
@@ -489,6 +505,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "bucket_tables": bucket_tables,
                     "bloom_fpp": bloom_fpp,
                     "blooms": bloom_meta,
+                    "n_docs": n_docs,
                     "tables": written}, indent=1))
     return written
 
@@ -635,6 +652,22 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
         (delta.withColumn("gen", F.lit(g)).write.mode("append")
          .parquet(os.path.join(out_dir, "clusters")))
         appended.append("clusters")
+    if docs is not None and "doc_freq" in tables:
+        # MERGE family, not an append family: per-token doc counts of
+        # disjoint generations ADD (token_doc_freq_merge), so the
+        # artifact stays one vocabulary-sized table.  Written beside
+        # and swapped like the Blooms: an in-place overwrite both
+        # fails the self-referential lineage and could leave a
+        # half-merged table on a mid-write crash.
+        from .text import token_doc_freq_merge
+        fpath = os.path.join(out_dir, "doc_freq")
+        merged = token_doc_freq_merge(spark.read.parquet(fpath), docs)
+        tmp = fpath + ".__new"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_path(spark, tmp, fpath)
+        manifest["n_docs"] = (int(manifest.get("n_docs") or 0)
+                              + docs.count())
+        appended.append("doc_freq")
     if emb is not None:
         from .dedup import embedding_block_table
         from .similarity import ivf_assign
@@ -697,6 +730,9 @@ def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
       the min-id label (labels are opaque cluster keys, and
       `incremental_components`' min-label algebra stays consistent —
       a vanished min only means the key no longer names a live doc).
+    * ``doc_freq`` — no tombstone: per-token counts subtract exactly
+      (merge family), so the table folds in place and ``n_docs``
+      decrements in the manifest.
 
     Blooms are NOT touched here: a Bloom cannot unset bits, so
     retracted keys stay sketch-positive until compaction rebuilds the
@@ -758,6 +794,27 @@ def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
                 docs, min_len=manifest["sub_min_len"], wide=wide)
                 .select(*gram_cols))
         _t("clusters", docs.select(F.col("doc_id").alias("id")))
+        if "doc_freq" in tables:
+            # counts SUBTRACT exactly (the family is a merge family and
+            # the retracted docs were corpus members — retracting docs
+            # never ingested would corrupt counts, same contract as the
+            # digest families): fold negative per-token counts in and
+            # drop zeros; no tombstone, the table IS the folded state
+            from .text import token_doc_freq
+            fpath = os.path.join(out_dir, "doc_freq")
+            neg = (token_doc_freq(docs)
+                   .select("token",
+                           (-F.col("doc_freq")).alias("doc_freq")))
+            merged = (spark.read.parquet(fpath).unionByName(neg)
+                      .groupBy("token")
+                      .agg(F.sum("doc_freq").alias("doc_freq"))
+                      .filter(F.col("doc_freq") > 0))
+            tmp = fpath + ".__new"
+            merged.write.mode("overwrite").parquet(tmp)
+            _swap_path(spark, tmp, fpath)
+            manifest["n_docs"] = max(
+                0, int(manifest.get("n_docs") or 0) - docs.count())
+            retracted.append("doc_freq")
     if emb is not None:
         _t("blocks", emb.select("vec_id"))
         _t("codes", emb.select("vec_id"))
@@ -1005,6 +1062,25 @@ def read_clusters(spark: SparkSession, out_dir: str) -> DataFrame:
         df = df.join(F.broadcast(tomb), "id", "left_anti")
     return (df.groupBy("id")
             .agg(F.max_by("cluster", "gen").alias("cluster")))
+
+
+def read_doc_freq(spark: SparkSession, out_dir: str) \
+        -> tuple[DataFrame, int]:
+    """The generational-IDF serving pair from a snapshot written with
+    ``doc_freq=True``: the folded ``(token, doc_freq)`` table plus the
+    manifest's running ``n_docs`` — exactly the two inputs
+    ``text.idf_score`` needs, so a drop scores with full-corpus-
+    consistent IDF from artifacts alone (the prior corpus is never
+    re-read).  Appends and retractions keep both in sync
+    (token_doc_freq_merge fold / exact count subtraction)."""
+    import json
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    if "doc_freq" not in (manifest.get("tables") or ()):
+        raise ValueError(
+            f"snapshot at {out_dir} was not written with doc_freq=True")
+    return (spark.read.parquet(os.path.join(out_dir, "doc_freq")),
+            int(manifest["n_docs"]))
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

@@ -1498,6 +1498,65 @@ def live_bind(inputs: dict[str, tuple[DataFrame, Iterable[str]]],
                      "blob binary, pend binary")
 
 
+def cluster_route(stream_docs: DataFrame, bands_table: DataFrame,
+                  labels_table: DataFrame, num_hashes: int = 16,
+                  bands: int = 4, shingle_n: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Near-dup cluster ROUTING at ingest: assign each arriving doc the
+    label of the cluster it joins — the min over (a) resolved prior
+    labels of its LSH band neighbors in the snapshot band table and
+    (b) doc ids of drop-mates sharing a band (self included), so two
+    novel near-dups arriving together elect a COMMON label that agrees
+    with the next offline `incremental_components` merge (same min-id
+    algebra; same within-cycle atomicity discipline as the keyed
+    rendezvous family, reference SlicedBucket.scala:33-83).
+
+    ``bands_table`` is the snapshot's ``bands`` artifact
+    (``(doc_id, band, band_hash)``; `snapshot.read_snapshot`), and
+    ``labels_table`` the resolved ``(id, cluster)`` mapping
+    (`snapshot.read_clusters`) — prior ids absent from it (singletons)
+    fall back to their own id, matching the offline convention.
+
+    Plan: map-only staged banding on the stream; one stream-static
+    equi-join against the band+label artifacts; one stream-stream
+    SELF-join on the band bucket for the in-drop mates (join state ∝
+    band rows seen — the standing-index cost any online LSH server
+    carries; refolding the snapshot and restarting the route bounds it
+    operationally); then a per-doc `first_wins` min election.
+    Cross-drop: a later doc also sees earlier drops' band rows in the
+    join state — consistent with the eventual offline merge whenever
+    smaller doc ids arrive no later (crawl ids are monotone); a
+    single-drop corpus is exact regardless (pinned against
+    `incremental_components` in tests).  Returns the un-started
+    streaming DataFrame of ``(id_col, cluster)``."""
+    from ..operators.dedup import banded_signatures_rowwise
+    sb = banded_signatures_rowwise(
+        stream_docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n).select(id_col, "band", "band_hash")
+    pb = bands_table.select(F.col(id_col).alias("__pid"), "band",
+                            "band_hash")
+    plabels = labels_table.select(F.col("id").alias("__pid"),
+                                  F.col("cluster").alias("__cl"))
+    # prior-label candidates (inner band match: the self mate-pair
+    # below already supplies the own-id fallback for novel docs)
+    prior_cand = (sb.join(pb, ["band", "band_hash"])
+                  .join(plabels, "__pid", "left")
+                  .select(id_col,
+                          F.coalesce("__cl", F.col("__pid"))
+                          .alias("cluster")))
+    mates = (sb.alias("L").join(
+                 sb.alias("R"),
+                 (F.col("L.band") == F.col("R.band"))
+                 & (F.col("L.band_hash") == F.col("R.band_hash")))
+             .select(F.col(f"L.{id_col}").alias(id_col),
+                     F.col(f"R.{id_col}").alias("cluster")))
+    cand = prior_cand.unionByName(mates)
+    return first_wins(cand, keys=[id_col], order_cols=["cluster"],
+                      payload_cols=["cluster"], t="cluster")
+
+
 def run_available_now(df: DataFrame, output_mode: str = "complete",
                       name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input

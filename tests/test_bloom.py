@@ -693,3 +693,41 @@ def test_snapshot_retraction_reappend_epoch(spark, tmp_path):
     write_snapshot(snap, docs=_docs(
         spark, [(501, "prior doc 1 body text content")]), mode="append")
     assert fresh() == 0  # dedup memory restored
+
+
+def test_snapshot_doc_freq_family_lifecycle(spark, tmp_path):
+    """doc_freq artifact family: write -> read_doc_freq pair; append
+    FOLDS counts (row-identical to a from-scratch token_doc_freq over
+    prior ∪ drop — the merge-family contract); retraction SUBTRACTS
+    exactly; n_docs tracks in the manifest throughout."""
+    from scespet_spark.operators.snapshot import (read_doc_freq,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.operators.text import token_doc_freq
+    prior = _docs(spark, [(i, f"alpha beta w{i % 4} gamma")
+                          for i in range(10)])
+    drop = _docs(spark, [(100 + i, f"beta delta w{i % 3}")
+                         for i in range(6)])
+    out = str(tmp_path / "snap")
+    write_snapshot(out, docs=prior, doc_freq=True)
+    freq, n = read_doc_freq(spark, out)
+    assert n == 10 and freq.count() > 0
+
+    write_snapshot(out, docs=drop, mode="append")
+    freq2, n2 = read_doc_freq(spark, out)
+    scratch = token_doc_freq(prior.unionByName(drop))
+    assert (sorted(map(tuple, freq2.collect()))
+            == sorted(map(tuple, scratch.collect())))
+    assert n2 == 16
+
+    retract_snapshot(out, docs=drop)
+    freq3, n3 = read_doc_freq(spark, out)
+    assert (sorted(map(tuple, freq3.collect()))
+            == sorted(map(tuple, token_doc_freq(prior).collect())))
+    assert n3 == 10
+
+    # a snapshot written WITHOUT the family refuses the read loudly
+    other = str(tmp_path / "plain")
+    write_snapshot(other, docs=prior)
+    with pytest.raises(ValueError, match="doc_freq"):
+        read_doc_freq(spark, other)

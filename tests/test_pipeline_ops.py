@@ -3412,21 +3412,23 @@ def test_banded_signatures_rowwise_parity(spark):
     docs = spark.createDataFrame(
         [(i, f"token{i % 5} alpha beta gamma delta w{i} x{i * 7} end")
          for i in range(40)]
-        # edge docs: empty, shorter-than-shingle_n, and NULL text — the
-        # rowwise form must match the batch form row-for-row here too
-        # (array_min over a NULL shingle set is NULL; concat_ws skips
-        # NULLs, so unfiltered short/NULL docs would all collide on the
-        # identical h64('') band_hash)
+        # edge docs: empty, shorter-than-shingle_n, and NULL text —
+        # `shingle_hashes` pads every doc to >= 1 degenerate shingle,
+        # so both forms band ALL of these, identically (pinned here:
+        # a regression that made short-doc minhashes NULL would break
+        # row parity or collapse distinct short docs into one bucket)
         + [(99, ""), (98, "solo"), (97, "two words"), (96, None)],
         "doc_id long, text string")
     a = sorted(tuple(r) for r in banded_signatures(docs).collect())
     b = sorted(tuple(r) for r in banded_signatures_rowwise(docs).collect())
     assert a == b and len(a) > 0
-    # no cross-doc band_hash collision among the edge docs
     bb = {r.doc_id: r.band_hash for r in banded_signatures_rowwise(docs)
-          .filter(F.col("doc_id").isin(99, 98, 97) & (F.col("band") == 0))
+          .filter(F.col("doc_id").isin(99, 98, 97, 96) & (F.col("band") == 0))
           .collect()}
-    assert len(set(bb.values())) == len(bb)
+    # every edge doc banded; distinct token sets -> distinct buckets,
+    # and the two token-less docs (empty + NULL text) share ONE bucket
+    assert len(bb) == 4
+    assert bb[99] == bb[96] and len({bb[99], bb[98], bb[97]}) == 3
 
 
 def test_incremental_components_empty_prior_first_generation(spark):

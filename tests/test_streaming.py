@@ -2135,3 +2135,93 @@ def test_live_serving_dedups_in_batch_duplicate_query(spark, tmp_path):
                        for x in fused.collect() if x.q_id == r.q_id)
         assert got_q == want, f"rrf q {r.q_id} diverged"
     cents.unpersist(); codes.unpersist(); lexical.unpersist()
+
+
+def _route_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_RA = "alpha beta gamma delta epsilon zeta eta theta"
+_RB = "one two three four five six seven eight nine"
+_RC = "red orange yellow green blue indigo violet colors"
+_RD = "totally unrelated singleton content never repeated anywhere"
+
+
+def test_cluster_route_agrees_with_incremental_components(spark, tmp_path):
+    """Single-drop routing == the next offline generational merge: every
+    drop doc's served label equals what `incremental_components` will
+    write to the clusters artifact — including TWO NOVEL NEAR-DUPS
+    ARRIVING IN ONE DROP, which must elect a COMMON label (min doc_id
+    among in-drop band mates) rather than each claiming itself."""
+    from scespet_spark.operators.dedup import (connected_components,
+                                               incremental_components,
+                                               lsh_candidate_pairs)
+    from scespet_spark.operators.snapshot import (read_clusters,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.streaming.live import cluster_route
+
+    prior = _route_docs(spark, [(100, _RA), (101, _RA), (102, _RB)])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, cluster_labels=True)
+
+    drop = _route_docs(spark, [
+        (200, _RA),            # joins the prior {100,101} cluster
+        (201, _RC), (202, _RC),  # novel in-drop near-dups
+        (203, _RD),            # novel singleton
+        (204, _RB),            # near-dup of the prior SINGLETON 102
+    ])
+    d = tmp_path / "drop"
+    drop.coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(drop.schema).parquet(str(d))
+    got = {r.doc_id: r.cluster for r in run_available_now(
+        cluster_route(stream, read_snapshot(spark, snap)["bands"],
+                      read_clusters(spark, snap)), "append").collect()}
+    assert got == {200: 100, 201: 201, 202: 201, 203: 203, 204: 102}
+
+    # ground truth: the offline generational merge over the same drop
+    prior_labels = (
+        prior.select(F.col("doc_id").alias("id"))
+        .join(connected_components(lsh_candidate_pairs(prior)),
+              "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster")))
+    new_pairs = (lsh_candidate_pairs(prior.unionByName(drop))
+                 .filter((F.col("id_a") >= 200) | (F.col("id_b") >= 200)))
+    want = {r.id: r.cluster
+            for r in incremental_components(prior_labels,
+                                            new_pairs).collect()}
+    for did in got:
+        assert got[did] == want.get(did, did), (did, got[did], want)
+
+
+def test_cluster_route_cross_drop_mates_remembered(spark, tmp_path):
+    """A novel doc arriving in a LATER drop still routes to its earlier
+    novel near-dup: the band-bucket self-join retains earlier drops'
+    band rows in join state, so doc_id-ordered arrival serves labels
+    consistent with the eventual offline merge even before the
+    snapshot refolds."""
+    import os
+    from scespet_spark.operators.snapshot import (read_clusters,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.streaming.live import cluster_route
+
+    prior = _route_docs(spark, [(100, _RA)])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, cluster_labels=True)
+
+    drops = [_route_docs(spark, [(201, _RC)]),
+             _route_docs(spark, [(202, _RC), (203, _RD)])]
+    stage = tmp_path / "stage"
+    os.makedirs(stage)
+    for i, dr in enumerate(drops):
+        d = tmp_path / f"d{i}"
+        dr.coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        os.symlink(str(d / part), str(stage / f"batch-{i}.parquet"))
+    stream = (spark.readStream.schema(drops[0].schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+    got = {r.doc_id: r.cluster for r in run_available_now(
+        cluster_route(stream, read_snapshot(spark, snap)["bands"],
+                      read_clusters(spark, snap)), "append").collect()}
+    assert got == {201: 201, 202: 201, 203: 203}
