@@ -715,13 +715,15 @@ def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
       CONTENT property (every copy of the content goes), so digest-
       level removal is exactly right.
     * ``segments`` / ``grams`` — the retracted docs' fragment digests.
-      CAVEAT (inherent, documented): a fragment SHARED with retained
-      docs is over-removed — future near-copies of that boilerplate
-      are re-admitted (a dedup-recall loss, never wrongly-dropped new
-      content) until the next full `write_snapshot` rebuild restores
-      the retained docs' fragments.  Exact fragment retraction needs
-      per-digest refcounts, a corpus-sized bookkeeping cost this
-      deliberately avoids.
+      CAVEAT: a fragment SHARED with retained docs is over-removed —
+      future near-copies of that boilerplate are re-admitted (a
+      dedup-recall loss, never wrongly-dropped new content) while the
+      tombstone epoch lasts.  `compact_snapshot(docs=retained)`
+      RESTORES those shared digests at fold time (re-derived from
+      band-mate candidate docs at cost ∝ the takedown, or from the
+      whole retained corpus with ``restore_scope='full'``); exact
+      LIVE-epoch fragment retraction would need per-digest refcounts,
+      a corpus-sized bookkeeping cost this deliberately avoids.
     * ``bands`` / ``blocks`` / ``codes`` — by the retracted doc/vector
       ids (those tables carry ids), which is id-precise: retained
       docs' rows are untouched.
@@ -827,8 +829,74 @@ def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
     return retracted
 
 
+def _restore_survivors(spark, out_dir: str, manifest: dict,
+                       docs: DataFrame, scope: str,
+                       fams: list[str]) -> dict[str, DataFrame]:
+    """Fragment-recall survivors for `compact_snapshot(docs=...)`: for
+    each tombstoned fragment family being compacted, the tombstoned
+    digests that RETAINED docs still carry (re-derived under the
+    manifest's parameters, restricted to the scope's candidate docs).
+    Returns {family: digest-frame} — delta-sized: every output row is
+    a tombstone member by construction (broadcast semi-join)."""
+    from pyspark.sql import functions as F
+    from .dedup import gram_digests, segment_digests
+    tombstones = manifest.get("tombstones") or {}
+    wide = bool(manifest.get("digest_wide"))
+    targets = [f for f in ("segments", "grams")
+               if f in fams and tombstones.get(f)]
+    if not targets:
+        return {}
+    if scope not in ("band_mates", "full"):
+        raise ValueError(f"restore_scope must be band_mates|full, "
+                         f"got {scope!r}")
+    cand = docs
+    if scope == "band_mates":
+        if not tombstones.get("bands"):
+            raise ValueError(
+                "restore_scope='band_mates' needs the bands id "
+                "tombstones (retract_snapshot writes them alongside "
+                "the fragment tombstones); pass restore_scope='full' "
+                "for a corpus-pass restoration instead")
+        retr = spark.read.parquet(
+            os.path.join(out_dir, "tomb_bands")).distinct()
+        meta = (manifest.get("bucket_tables") or {}).get("bands")
+        standing = (spark.table(meta["table"]) if meta
+                    else spark.read.parquet(os.path.join(out_dir,
+                                                         "bands")))
+        # retracted docs' band rows -> retained docs sharing a bucket;
+        # both joins broadcast takedown-sized sides, the mate id set
+        # collects (takedown-sized) and pushes into the corpus scan as
+        # a literal filter so parquet row groups prune on doc_id
+        rbands = (standing.join(F.broadcast(retr), "doc_id")
+                  .select("band", "band_hash").distinct())
+        mate_ids = (standing.join(F.broadcast(rbands),
+                                  ["band", "band_hash"])
+                    .select("doc_id").distinct()
+                    .join(F.broadcast(retr), "doc_id", "left_anti"))
+        ids = [r.doc_id for r in mate_ids.collect()]
+        if not ids:
+            return {}
+        cand = docs.filter(F.col("doc_id").isin(ids))
+    out: dict[str, DataFrame] = {}
+    for name in targets:
+        tomb = spark.read.parquet(
+            os.path.join(out_dir, f"tomb_{name}")).distinct()
+        if name == "segments":
+            cols = ["__d", "__d2"] if wide else ["__d"]
+            der = (segment_digests(cand, size=manifest["segment_size"],
+                                   wide=wide).select(*cols).distinct())
+        else:
+            cols = ["__g", "__g2"] if wide else ["__g"]
+            der = (gram_digests(cand, min_len=manifest["sub_min_len"],
+                                wide=wide).select(*cols).distinct())
+        out[name] = der.join(F.broadcast(tomb), cols, "left_semi")
+    return out
+
+
 def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
-                     families: list[str] | None = None) -> dict[str, int]:
+                     families: list[str] | None = None,
+                     docs: DataFrame | None = None,
+                     restore_scope: str = "band_mates") -> dict[str, int]:
     """Collapse a generation-appended snapshot's file sets: each append
     writes its own file-per-bucket set, so N generations = N x files
     per bucket — correct (bucketed reads merge file sets) but
@@ -842,7 +910,34 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
     Cost is one read+write of each PROBE table (digest-sized ints —
     NOT the corpus); run it when generation count, not data size,
     dominates open/planning cost.  Blooms need no compaction (a word
-    table is one fixed-size bitmap regardless of generations)."""
+    table is one fixed-size bitmap regardless of generations).
+
+    ``docs`` (the RETAINED corpus) turns on fragment-recall
+    restoration for the takedown tombstones being folded:
+    `retract_snapshot` tombstones the retracted docs' segment/gram
+    digests by VALUE, which over-removes digests shared with retained
+    docs (their near-copies would re-admit after compaction — a
+    documented dedup-recall loss).  With ``docs``, the tombstoned
+    digests that retained docs still carry are re-derived and
+    RE-EMITTED into the compacted table, so the probes keep dedup'ing
+    the retained docs' fragments.  ``restore_scope``:
+
+    * ``"band_mates"`` (default) — candidates are retained docs that
+      share an LSH band with a retracted doc (found via the standing
+      ``bands`` artifact + its id tombstones, BEFORE either is
+      folded).  The mate id set is takedown-sized, collected, and
+      pushed into the corpus scan as an id filter (parquet row-group
+      pruning), so cost ∝ the takedown — this covers the dominant
+      sharing mode (near-copies of the taken-down content).
+    * ``"full"`` — derive from every retained doc: one map-only text
+      pass + a broadcast semi-join (no corpus shuffle; output is
+      tombstone-sized).  Exact even for cross-document boilerplate
+      shared with UNRELATED retained docs, at corpus-scan cost —
+      couple it to a compaction that was already scheduled.
+
+    The exact-content ``digests`` family is deliberately NOT restored:
+    takedown is a content property, so every copy of retracted content
+    (including a retained doc's identical text) must re-admit."""
     import json
     spark = spark or SparkSession.getActiveSession()
     manifest = json.loads(
@@ -855,18 +950,29 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
                         if f in tables]
     read_snapshot(spark, out_dir)  # (re-)register bucketed tables
     tombstones = manifest.get("tombstones") or {}
+    # fragment-recall survivors are computed UP FRONT: they need the
+    # standing bands table and the id tombstones, and the family loop
+    # below folds/deletes those as it goes
+    survivors = (_restore_survivors(spark, out_dir, manifest, docs,
+                                    restore_scope, fams)
+                 if docs is not None else {})
 
     def _minus_tombs(name: str, df):
         """Fold retraction tombstones (retract_snapshot) into the
         rewrite: the compacted table is the anti-joined one, after
-        which the tombstone table is obsolete."""
+        which the tombstone table is obsolete.  Fragment families
+        union their recall survivors back in after the fold."""
         tcols = tombstones.get(name)
         if not tcols:
             return df
         from pyspark.sql import functions as F
         tomb = spark.read.parquet(
             os.path.join(out_dir, f"tomb_{name}")).distinct()
-        return df.join(F.broadcast(tomb), tcols, "left_anti")
+        kept = df.join(F.broadcast(tomb), tcols, "left_anti")
+        surv = survivors.get(name)
+        if surv is not None:
+            kept = kept.unionByName(surv).distinct()
+        return kept
 
     out: dict[str, int] = {}
     for name in fams:

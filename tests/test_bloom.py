@@ -731,3 +731,89 @@ def test_snapshot_doc_freq_family_lifecycle(spark, tmp_path):
     write_snapshot(other, docs=prior)
     with pytest.raises(ValueError, match="doc_freq"):
         read_doc_freq(spark, other)
+
+
+@pytest.mark.parametrize("scope", ["band_mates", "full"])
+def test_compaction_restores_shared_fragment_recall(spark, tmp_path, scope):
+    """Fragment-recall restoration at compaction: a takedown whose
+    segments are SHARED with a retained doc over-removes them from the
+    tombstone epoch, but compact_snapshot(docs=retained) re-derives
+    the shared digests from the retained sharers and re-emits them —
+    the post-compaction probe still dedups the retained doc's
+    segments, while the retracted doc's UNIQUE segments (and its exact
+    content digest) stay re-admitted."""
+    from scespet_spark.operators.dedup import incremental_segment_dedup
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_bloom,
+                                                  read_snapshot,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    A = " ".join(f"shared{i}" for i in range(10))    # 1 segment, shared
+    B = " ".join(f"uniq{i}" for i in range(10))      # unique to takedown
+    B2 = " ".join(("CHANGED" if i == 3 else f"uniq{i}")
+                  for i in range(10))                # retained near-copy
+    prior = _docs(spark, [(100, f"{A} {B}"),     # the takedown
+                          (101, f"{A} {B2}"),    # retained sharer
+                          (102, "completely different retained content "
+                                "x1 x2 x3 x4 x5 x6")])
+    snap = str(tmp_path / "snap")
+    write_snapshot(snap, docs=prior, bloom_fpp=0.01)
+    # precondition for the band_mates scope: 100 and 101 share a band
+    from scespet_spark.operators.dedup import banded_signatures
+    bm = (banded_signatures(prior).groupBy("band", "band_hash")
+          .agg(F.collect_set("doc_id").alias("ids"))
+          .filter(F.array_contains("ids", 100)
+                  & F.array_contains("ids", 101)).count())
+    assert bm > 0
+
+    retract_snapshot(snap, docs=prior.filter(F.col("doc_id") == 100))
+    compact_snapshot(snap, spark,
+                     docs=prior.filter(F.col("doc_id") != 100),
+                     restore_scope=scope)
+
+    tabs = read_snapshot(spark, snap)
+    probe = _docs(spark, [
+        (300, f"{A} novel tail n1 n2 n3 n4 n5 n6 n7 n8 n9"),  # shared seg
+        (301, f"{B} novel tail m1 m2 m3 m4 m5 m6 m7 m8 m9")])  # uniq seg
+    got = {r.doc_id: (r.n_kept, r.n_segments)
+           for r in incremental_segment_dedup(
+               probe, prior_segments=tabs["segments"]).collect()}
+    # each probe doc = 21 tokens -> 3 segments; 300's first segment (A)
+    # is STILL KNOWN -> dropped (2 of 3 kept); 301's first segment (B,
+    # unique to the takedown) re-admitted -> all 3 kept
+    assert got[300] == (2, 3), got
+    assert got[301] == (3, 3), got
+    # bloom rebuilt over the restored table: accelerated probe agrees
+    bloom = read_bloom(spark, snap, "segments")
+    fast = {r.doc_id: (r.n_kept, r.n_segments)
+            for r in incremental_segment_dedup(
+                probe, prior_segments=tabs["segments"],
+                prior_bloom=bloom).collect()}
+    assert fast == got
+    # the takedown's exact content digest stays retracted (no restore)
+    from scespet_spark.operators.dedup import incremental_keep
+    re_crawl = _docs(spark, [(400, f"{A} {B}")])
+    kept = incremental_keep(re_crawl, tabs["digests"],
+                            prior_digest_col="content_hash").count()
+    assert kept == 1
+
+
+def test_compaction_restore_without_sharers_is_noop(spark, tmp_path):
+    """No retained doc shares the takedown's fragments: restoration
+    re-emits nothing and the compacted tables equal the plain fold."""
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_snapshot,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    prior = _docs(spark, [(100 + i, f"prior doc {i} body text content")
+                          for i in range(5)])
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        write_snapshot(p, docs=prior)
+        retract_snapshot(p, docs=prior.filter(F.col("doc_id") == 103))
+    compact_snapshot(a, spark)
+    compact_snapshot(b, spark, docs=prior.filter(F.col("doc_id") != 103))
+    ta, tb = read_snapshot(spark, a), read_snapshot(spark, b)
+    for fam in ("segments", "grams"):
+        assert (sorted(map(tuple, ta[fam].collect()))
+                == sorted(map(tuple, tb[fam].collect())))
