@@ -2225,3 +2225,55 @@ def test_cluster_route_cross_drop_mates_remembered(spark, tmp_path):
         cluster_route(stream, read_snapshot(spark, snap)["bands"],
                       read_clusters(spark, snap)), "append").collect()}
     assert got == {201: 201, 202: 201, 203: 203}
+
+
+def test_live_bind_equals_batch_minus_final_bucket(spark, batch_events):
+    """Emission-contract matrix row (COVERAGE.md): live_bind emits
+    exactly the batch bind+collapse rows MINUS each key's final daily
+    bucket (the bucket holding the final pending cycle — no
+    termination event live, batch owns the flush,
+    SimpleEnv.scala:93)."""
+    import tempfile
+    from scespet_spark import Every, Stream
+    from scespet_spark.operators.buckets import CycleBucket, bind, collapse
+
+    d = tempfile.mkdtemp()
+    batch_events.coalesce(1).write.mode("overwrite").parquet(d + "/one")
+    src = (spark.readStream.schema(batch_events.schema)
+           .parquet(d + "/one"))
+    got = run_available_now(_bind_hourly(src), "append")
+
+    class XY(CycleBucket):
+        def open(self):
+            self.c = self.p = self.b = 0
+
+        def add_cycle(self, cycle):
+            hc = bool((cycle["side"] == "click").any())
+            hp = bool((cycle["side"] == "purchase").any())
+            self.c += int(hc)
+            self.p += int(hp)
+            self.b += int(hc and hp)
+
+        def value(self):
+            return {"nc": self.c, "np": self.p, "nb": self.b}
+
+    def side(tp):
+        df = (batch_events.filter(F.col("event_type") == tp)
+              .withColumn("cyc", F.date_trunc("hour", "ts")))
+        return Stream(df, t="ts", seq="event_id", keys=("user_id",))
+
+    u = bind({"click": (side("click"), ["cyc", "value"]),
+              "purchase": (side("purchase"), ["cyc", "value"])})
+    s = Stream(u.df, t="ts", seq="event_id").by("user_id",
+                                                name="user_id")
+    want_all = collapse(s.group(Every("1 day")), XY,
+                        "user_id long, ts timestamp, event_id long, "
+                        "nc long, np long, nb long", cycle_col="cyc")
+    last_day = (want_all.withColumn("day", F.date_trunc("day", "ts"))
+                .groupBy("user_id").agg(F.max("day").alias("ld")))
+    want = (want_all.withColumn("day", F.date_trunc("day", "ts"))
+            .join(last_day, "user_id")
+            .filter(F.col("day") < F.col("ld")).drop("day", "ld"))
+    cols = ["user_id", "event_id", "nc", "np", "nb"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0
