@@ -2277,3 +2277,71 @@ def test_live_bind_equals_batch_minus_final_bucket(spark, batch_events):
     cols = ["user_id", "event_id", "nc", "np", "nb"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert got.count() > 0
+
+
+@pytest.mark.parametrize("op", ["first_wins", "cap_first_k"])
+def test_election_idle_ttl_purge_and_reemergence(spark, tmp_path, op):
+    """idle_ttl on the election cores (first_wins / cap_first_k): a key
+    idle past the TTL is PURGED from the state store, so a later
+    re-appearance elects AGAIN (the documented bounded-state trade);
+    without idle_ttl the key is suppressed forever.  An active key
+    re-arms its expiry every batch and is never purged."""
+    import os
+    from scespet_spark.streaming.live import cap_first_k, first_wins
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts timestamp, k string, doc_id long")
+
+    import datetime as dt
+
+    def day(d):
+        return dt.datetime(2024, 1, d)
+
+    drops = [mk([(day(1), "a", 1), (day(1), "a", 8), (day(1), "b", 2)]),
+             mk([(day(3), "b", 3)]),
+             mk([(day(5), "b", 4)]),   # watermark passes a's expiry
+             mk([(day(7), "b", 5)]),   # a times out here (no a rows)
+             mk([(day(9), "a", 6), (day(9), "b", 7)])]  # a re-emerges
+    stage = tmp_path / "stage"
+    os.makedirs(stage)
+    import time as _time
+    now = _time.time()
+    for i, dr in enumerate(drops):
+        d = tmp_path / f"d{i}"
+        dr.coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = stage / f"drop-{i}.parquet"
+        os.symlink(str(d / part), str(dst))
+        os.utime(str(d / part), (now - 100 + i, now - 100 + i))
+
+    def run(ttl):
+        stream = (spark.readStream.schema(drops[0].schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(stage)))
+        if op == "first_wins":
+            out = first_wins(stream, keys=["k"], order_cols=["doc_id"],
+                             payload_cols=["doc_id"], t="ts",
+                             idle_ttl=ttl)
+        else:
+            out = cap_first_k(stream, 2, keys=["k"],
+                              order_cols=["doc_id"],
+                              payload_cols=["doc_id"], t="ts",
+                              idle_ttl=ttl)
+        res = run_available_now(out, "append")
+        got = {}
+        for r in res.collect():
+            got.setdefault(r.k, set()).add(r.doc_id)
+        return got
+
+    exact = run(None)
+    ttl = run("1 day")
+    if op == "first_wins":
+        assert exact == {"a": {1}, "b": {2}}
+        # a purged after idling past the ttl -> re-elects doc 6;
+        # b active every drop -> expiry re-arms, never purged
+        assert ttl == {"a": {1, 6}, "b": {2}}
+    else:
+        # a fills its k=2 cap in drop 0; the purge RESETS the counter,
+        # so the re-emerged key elects doc 6 beyond its lifetime cap
+        assert exact == {"a": {1, 8}, "b": {2, 3}}
+        assert ttl == {"a": {1, 8, 6}, "b": {2, 3}}

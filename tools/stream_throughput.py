@@ -42,7 +42,12 @@ def stage_drops(spark, sf_dir, mult, n_drops):
     now = time.time()
     n_rows = 0
     for i in range(n_drops):
-        part = big.filter(F.pmod(F.col("doc_id"), F.lit(n_drops)) == i)
+        # each drop carries its own event-time day: the idle-TTL
+        # variants watermark on this column, so drop cadence IS the
+        # clock that ages state
+        part = (big.filter(F.pmod(F.col("doc_id"), F.lit(n_drops)) == i)
+                .withColumn("ts", F.to_timestamp(
+                    F.lit(f"2024-01-{i + 1:02d} 00:00:00"))))
         d = os.path.join(stage, f"b{i}")
         part.coalesce(1).write.mode("overwrite").parquet(d)
         f = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
@@ -59,7 +64,7 @@ def run_stream(spark, build, src, n_rows, label, mode="append"):
     report wall, rows/sec, and first/last micro-batch durations."""
     stream = (spark.readStream
               .schema("doc_id long, text string, lang string, "
-                      "source string, n_chars long")
+                      "source string, n_chars long, ts timestamp")
               .option("maxFilesPerTrigger", 1).parquet(src))
     out = build(stream)
     ckpt = tempfile.mkdtemp(prefix=f"stream_tp_{label}_")
@@ -71,14 +76,21 @@ def run_stream(spark, build, src, n_rows, label, mode="append"):
     wall = time.time() - t0
     per_batch = [p["durationMs"]["triggerExecution"] / 1000
                  for p in q.recentProgress if p["numInputRows"] > 0]
+    # state-store growth per batch: the bound that decides whether an
+    # unbounded-key election needs idle_ttl at crawl scale
+    state_rows = [sum(s["numRowsTotal"] for s in p["stateOperators"])
+                  for p in q.recentProgress
+                  if p["numInputRows"] > 0 and p["stateOperators"]]
     shutil.rmtree(ckpt, ignore_errors=True)
     if per_batch:
         print(f"  {label}: {wall:.1f}s total, {n_rows / wall:,.0f} rows/s, "
               f"{len(per_batch)} batches, first {per_batch[0]:.2f}s "
               f"last {per_batch[-1]:.2f}s")
+        if state_rows:
+            print(f"    state rows/batch: {state_rows}")
     else:
         print(f"  {label}: {wall:.1f}s (no batch progress)")
-    return wall, per_batch
+    return wall, per_batch, state_rows
 
 
 def main(sf_dir="/root/testdata/sf0.1", *rest):
@@ -190,6 +202,26 @@ def main(sf_dir="/root/testdata/sf0.1", *rest):
                            order_cols=["doc_id"],
                            payload_cols=["doc_id"], t="doc_id")
 
+    # r12 (verdict #8): the unbounded-KEY-space election — one unique
+    # URL per doc, so exact state grows linearly with the crawl.  The
+    # idle_ttl variant watermarks on the drop's event-time day and
+    # purges keys idle past the horizon: state plateaus at ~horizon
+    # drops' worth (the documented re-emergence trade,
+    # test_election_idle_ttl_purge_and_reemergence).
+    def uniq_url_election(stream):
+        keyed = stream.withColumn(
+            "url", F.concat(F.lit("https://example.com/doc/"),
+                            F.col("doc_id").cast("string")))
+        return first_wins(keyed, ["url"], ["doc_id"], ["doc_id"],
+                          t="ts")
+
+    def uniq_url_election_ttl(stream):
+        keyed = stream.withColumn(
+            "url", F.concat(F.lit("https://example.com/doc/"),
+                            F.col("doc_id").cast("string")))
+        return first_wins(keyed, ["url"], ["doc_id"], ["doc_id"],
+                          t="ts", idle_ttl="2 days")
+
     # r8 capstone gate: the examples/live_pipeline.py stage-2 chain as
     # ONE streaming plan — exact-content anti-join vs the snapshot
     # digest table, stateless row-wise classifier gate, deterministic
@@ -232,7 +264,11 @@ def main(sf_dir="/root/testdata/sf0.1", *rest):
                                 "append"),
                                ("trigram_scoring", trigram_scoring,
                                 "complete"),
-                               ("host_cap", host_cap, "append")]:
+                               ("host_cap", host_cap, "append"),
+                               ("uniq_url_election", uniq_url_election,
+                                "append"),
+                               ("uniq_url_election_ttl",
+                                uniq_url_election_ttl, "append")]:
         if only is not None and label not in only:
             continue
         results[label] = run_stream(spark, build, src, n_rows, label, mode)
