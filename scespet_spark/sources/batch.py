@@ -220,6 +220,35 @@ def random_events(spark: SparkSession, n: int, seed: int = 42,
     return Stream(df, t=t, seq="seq")
 
 
+def planted_embeddings(spark: SparkSession, n: int = 2000, dim: int = 64,
+                       centers: int = 20, noise: float = 0.35,
+                       seed: int = 7) -> DataFrame:
+    """Planted-cluster embedding fixture: ``n`` unit vectors drawn
+    around ``centers`` random unit centroids with isotropic Gaussian
+    ``noise`` — the STRUCTURED counterpart of the driver's
+    near-isotropic synthetic embeddings, for measuring what the ANN
+    operators actually deliver (an isotropic corpus makes top-k recall
+    through any index honestly noisy because all pairwise cosines
+    crowd together; a real embedding corpus is cluster-structured, and
+    this fixture models that).  Returns ``(vec_id long, embedding
+    array<double>, label int)`` with ``label`` = the planted center id
+    (usable directly as the IVF coarse cell, or rebuilt with
+    ``kmeans_codes`` to exercise the trained path).  Deterministic in
+    ``seed``; generated with numpy on the driver — a FIXTURE generator
+    for tests/benchmarks (n ~ thousands), not a data source."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(centers, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    lab = rng.integers(0, centers, size=n)
+    X = C[lab] + rng.normal(0, noise / np.sqrt(dim), size=(n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in X[i]], int(lab[i]))
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
 def show(stream: Stream, n: int = 20, prefix: str = "") -> None:
     """Console sink (reference: out(prefix) / util.TermPrint,
     src/scespet/util/package.scala:44-56): print events in replay order."""

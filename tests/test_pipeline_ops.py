@@ -3445,3 +3445,79 @@ def test_incremental_components_empty_prior_first_generation(spark):
                                                  [(1, 2), (2, 3),
                                                   (7, 8)])).collect()}
     assert got == want == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_planted_ann_recall_above_point_nine(spark):
+    """ANN recall on the planted-cluster fixture (r12): on
+    cluster-STRUCTURED data (what real embedding corpora look like)
+    the serving operators must deliver recall@10 > 0.9 at reasonable
+    probe settings — the isotropic driver synthetic hid this behind
+    crowded cosines.  Curves in SCALE.md (tools/embedding_recall.py);
+    this pins the headline points: IVF exact-in-cell, IVF-PQ with
+    re-rank headroom, and the PCA-32 chain."""
+    import numpy as np
+    from scespet_spark.operators.similarity import (cosine, ivf_topk,
+                                                    ivfpq_topk, pca_fit,
+                                                    pca_project)
+    from scespet_spark.sources.batch import planted_embeddings
+
+    emb = planted_embeddings(spark, n=1000, centers=10).persist()
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qids = [3, 250, 700]
+    truth = {q: {int(i) for i in
+                 [i for _, i in sorted(zip(-np.round(Xn @ Xn[q], 6),
+                                           range(len(rows))))[:10]]}
+             for q in qids}
+
+    def recall(got_fn):
+        return sum(len(got_fn(q) & truth[q]) / 10 for q in qids) / len(qids)
+
+    qv = {q: [float(x) for x in X[q]] for q in qids}
+    r_ivf = recall(lambda q: {r.vec_id for r in
+                              ivf_topk(emb, qv[q], k=10, nprobe=2)
+                              .collect()})
+    assert r_ivf > 0.9, r_ivf
+    r_pq = recall(lambda q: {r.vec_id for r in
+                             ivfpq_topk(emb, qv[q], k=10, nprobe=4,
+                                        shortlist=200).collect()})
+    assert r_pq > 0.9, r_pq
+    model = pca_fit(emb)
+    red = (pca_project(emb, model, k=32, out="p32")
+           .select("vec_id", "label",
+                   F.col("p32").alias("embedding"))).persist()
+    qred = {q: red.filter(F.col("vec_id") == q).collect()[0].embedding
+            for q in qids}
+    orig = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("v"))
+
+    def chain(q):
+        cand = ivfpq_topk(red, qred[q], k=50, nprobe=4, shortlist=100,
+                          m=8, dsub=4)
+        qc = F.array(*[F.lit(float(x)) for x in qv[q]])
+        rr = (cand.select("vec_id").join(orig, "vec_id")
+              .select("vec_id",
+                      F.round(cosine(F.col("v"), qc), 6).alias("score"))
+              .orderBy(F.desc("score"), "vec_id").limit(10))
+        return {r.vec_id for r in rr.collect()}
+
+    r_chain = recall(chain)
+    assert r_chain > 0.9, r_chain
+    emb.unpersist(); red.unpersist()
+
+
+def test_planted_embeddings_deterministic_and_clustered(spark):
+    """Fixture contract: same seed -> identical rows; the planted
+    structure is real (intra-center cosine far above inter-center)."""
+    import numpy as np
+    from scespet_spark.sources.batch import planted_embeddings
+    a = planted_embeddings(spark, n=200, centers=5, seed=3).collect()
+    b = planted_embeddings(spark, n=200, centers=5, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    X = np.array([r.embedding for r in sorted(a, key=lambda r: r.vec_id)])
+    lab = np.array([r.label for r in sorted(a, key=lambda r: r.vec_id)])
+    S = X @ X.T
+    same = S[lab[:, None] == lab[None, :]].mean()
+    diff = S[lab[:, None] != lab[None, :]].mean()
+    assert same > 0.8 and abs(diff) < 0.3 and same - diff > 0.5

@@ -35,6 +35,70 @@ from scespet_spark import get_spark  # noqa: E402
 from scespet_spark.operators.dedup import embedding_block_table  # noqa: E402
 
 
+def planted_recall(spark, n=2000, k=10, qids=(3, 77, 500, 901, 1500)):
+    """ANN recall@k curves on the PLANTED-CLUSTER fixture
+    (`sources.batch.planted_embeddings`) — what the operators deliver
+    on cluster-structured data (a real embedding corpus), vs the
+    near-isotropic driver synthetic where all pairwise cosines crowd
+    together and exact-top-k recall through any index is honestly
+    noisy.  Ground truth = exact full-dim cosine top-k (numpy)."""
+    from scespet_spark.operators.similarity import (cosine, ivf_topk,
+                                                    ivfpq_topk, pca_fit,
+                                                    pca_project)
+    from scespet_spark.sources.batch import planted_embeddings
+
+    emb = planted_embeddings(spark, n=n).persist()
+    rows = emb.collect()
+    X = np.array([r.embedding for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {}
+    for q in qids:
+        s = np.round(Xn @ Xn[list(ids).index(q)], 6)
+        truth[q] = {int(i) for _, i in sorted(zip(-s, ids))[:k]}
+    qvec = {q: [float(x) for x in X[list(ids).index(q)]] for q in qids}
+
+    def rec(got_sets):
+        return sum(len(g & truth[q]) / k for q, g in got_sets) / len(qids)
+
+    print(f"planted-cluster fixture (n={n}, 20 centers): recall@{k}")
+    for nprobe in (1, 2, 4):
+        r = rec([(q, {x.vec_id for x in
+                      ivf_topk(emb, qvec[q], k=k, nprobe=nprobe)
+                      .collect()}) for q in qids])
+        print(f"  ivf_topk       nprobe={nprobe}:            {r:.2f}")
+    for nprobe, sl in ((1, 50), (2, 100), (4, 100), (4, 200)):
+        r = rec([(q, {x.vec_id for x in
+                      ivfpq_topk(emb, qvec[q], k=k, nprobe=nprobe,
+                                 shortlist=sl).collect()})
+                 for q in qids])
+        print(f"  ivfpq_topk     nprobe={nprobe} shortlist={sl:<3}: {r:.2f}")
+    model = pca_fit(emb)
+    red = (pca_project(emb, model, k=32, out="p32")
+           .select("vec_id", "label",
+                   F.col("p32").alias("embedding"))).persist()
+    qred = {q: red.filter(F.col("vec_id") == q).collect()[0].embedding
+            for q in qids}
+    orig = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("v"))
+    for nprobe, sl in ((2, 100), (4, 100)):
+        got_sets = []
+        for q in qids:
+            cand = ivfpq_topk(red, qred[q], k=50, nprobe=nprobe,
+                              shortlist=sl, m=8, dsub=4)
+            qv = F.array(*[F.lit(float(x)) for x in qvec[q]])
+            rr = (cand.select("vec_id").join(orig, "vec_id")
+                  .select("vec_id",
+                          F.round(cosine(F.col("v"), qv), 6)
+                          .alias("score"))
+                  .orderBy(F.desc("score"), "vec_id").limit(k))
+            got_sets.append((q, {x.vec_id for x in rr.collect()}))
+        print(f"  pca32->ivfpq   nprobe={nprobe} shortlist={sl:<3}: "
+              f"{rec(got_sets):.2f}")
+    emb.unpersist()
+    red.unpersist()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01"):
     spark = get_spark(app_name="embedding-recall", cpus=8,
                       shuffle_partitions=8)
@@ -70,6 +134,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         hit = sum(blocks[a] == blocks[b] for a, b in pairs)
         print(f"  cosine [{lo:.2f}, {hi:.2f}): recall "
               f"{hit / len(pairs):.2f}  (n={len(pairs)})")
+    planted_recall(spark)
 
 
 if __name__ == "__main__":
