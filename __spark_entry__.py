@@ -7616,54 +7616,47 @@ def live_dedup_bloom(spark, sf_dir):
 #: first 50 of queries() so the driver gate re-checks them (asserted by
 #: tests/test_entry_contract.py).  Rewrite each round.
 _ROUND_CHANGED = [
-    # brand-new this round (r11): generational cluster maintenance
-    # (incremental_components), the PCA -> IVF-PQ composed serving
-    # chain, the live hybrid RRF retrieval form, cluster-aware split
-    # assignment, and generational IDF maintenance
-    "dedup_incremental_clusters", "ann_pca_ivfpq_topk",
-    "live_hybrid_search_rrf", "live_cluster_route",
-    "split_cluster_aware", "text_idf_incremental",
-    "live_idf_incremental", "dedup_keep_best",
-    # semantically changed this round: live_collapse now buffers the
-    # OPEN cycle in state and fires add_cycle exactly once per
-    # (key, cycle) — a cycle split across micro-batches previously
-    # double-counted (red-tested, fixed via the shared
-    # _lifecycle_step); emit='all' emits only CLOSED cycles now
-    "live_bucket_collapse_stats", "bucket_collapse_stats",
-    # implementation changed this round: bloom_attach dispatches on
-    # the sharded-dict form (every probe site accepts range-sharded
-    # filters), key_skew tie-breaks NULLS LAST on both sides,
-    # pca_fit probes the first NON-NULL vector, and the live ANN
-    # serving path moved onto the shared candidate builder
-    "dedup_incremental_bloom", "live_dedup_bloom",
-    "dedup_incremental_near_bloom", "key_skew_sources",
-    "embedding_pca_project", "live_pca_project", "live_ann_serving",
+    # semantically changed this round (r12): live_cluster_route is now
+    # artifact-served (write_snapshot(cluster_labels=True) +
+    # read_clusters) AND elects in-drop novel near-dup pairs to a
+    # common label via a band-bucket stream-stream self-join — its
+    # oracle gained the in-drop edge leg; live_idf_incremental now
+    # reads the prior generation's counts from the snapshot's new
+    # doc_freq artifact (read_doc_freq) instead of recounting in-query
+    "live_cluster_route", "live_idf_incremental",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
-    # (r10 verdict item #3) evidence rotation: the r4-last-green
-    # cohort (oldest driver evidence, recomputed from
-    # CORRECTNESS_r1..r10) ...
-    "ann_pq_adc_topk", "ann_pq_codes", "decontaminate_eval_overlap",
-    "doc_chunking", "multimodal_frame_sample", "redact_pii",
-    "stratified_sample_docs", "text_corpus_idf", "text_fingerprint",
-    "text_lang_id", "text_quality", "text_repetition",
-    "text_token_doc_freq", "text_token_stats",
-    # ... then the r5-last-green cohort (24 of its 25 fit the window;
-    # sample_source_quota rotates next round)
-    "ann_brute_force_topk", "ann_hard_negatives",
-    "asof_purchase_last_click", "daily_revenue_delta",
-    "dedup_clusters", "filter_stream", "funnel_view_to_purchase",
-    "live_count_buckets", "map_stream", "multimodal_audio_features",
-    "multimodal_resize", "pivot_user_event_values", "profile_lineitem",
-    "q11_important_stock", "q12_late_shipments", "q16_supplier_count",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    # (window stays exactly 50 = the driver's sample; the four r11
-    # additions displaced q2_min_cost_supplier / q8_market_share /
-    # q21_waiting_suppliers / q22_global_sales_opportunity to the r12
-    # rotation; everything rotated out stays covered by the full local
-    # oracle gate, tools/check_oracle.py)
+    # (verdict #3) evidence rotation, oldest driver evidence first
+    # (recomputed from CORRECTNESS_r1..r11): the six r5-last-green
+    # leftovers ...
+    "sample_source_quota", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # ... the full 27-query r6-last-green cohort ...
+    "ann_ivf_incremental_topk", "ann_ivfpq_topk",
+    "contamination_fraction_docs", "count_buckets_scan",
+    "cube_returnflag_status", "dedup_embedding_incremental",
+    "dedup_incremental_near", "dedup_semantic", "dedup_winnow_pairs",
+    "live_contamination_fraction", "live_count_scan",
+    "live_decontaminate", "live_dedup_exact", "live_mixture_sample",
+    "live_multimodal_decode", "live_perplexity_filter",
+    "live_text_bigram_lm", "live_trigger_scan",
+    "live_trigger_stream_scan", "mixture_sample_sources",
+    "perplexity_filter_docs", "slice_scan_signup", "slice_stream_scan",
+    "text_collapse_repeats", "text_winnow_fingerprints",
+    "top_ngrams_source", "trailing_week_revenue",
+    # ... then the first 15 (alphabetical) of the 42-query r7 cohort;
+    # the rest rotate next round.  Window stays exactly 50 = the
+    # driver's sample; everything rotated out remains covered by the
+    # full local oracle gate (tools/check_oracle.py, all 243 queries)
+    "ann_batch_topk", "ann_ivf_kmeans_codes", "ann_ivf_topk",
+    "asof_broadcast_purchase_last_click", "at_single_key",
+    "bind_hourly_rendezvous", "cluster_balance_sample",
+    "collect_types_sorted", "corpus_source_profile",
+    "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_substring",
+    "dedup_url_canonical", "distinct_users_running",
+    "filter_type_purchase",
 ]
 
 
