@@ -3132,25 +3132,40 @@ cc(id, label) AS (
 SELECT id, MIN(label) AS cluster FROM cc GROUP BY id
 """)
 def dedup_incremental_clusters(spark, sf_dir):
-    """Generational cluster maintenance (r11): the prior generation
-    (doc_id % 3 == 0) is clustered from scratch ONCE (the snapshot
-    artifact); the drop's pairs (any pair touching a new doc — incl.
-    prior-prior bridges surfaced by the drop's bands) then fold in via
-    `incremental_components`, which relabels only affected components
-    with the prior label table never shuffling.  The oracle is the
-    FROM-SCRATCH recursive-CTE closure over ALL pairs — row-identical
-    output is the whole correctness claim of the generational path."""
-    from scespet_spark.operators.dedup import (connected_components,
-                                               incremental_components,
-                                               lsh_candidate_pairs)
+    """Generational cluster maintenance (r11; r12: artifact-served):
+    the prior generation (doc_id % 3 == 0) is clustered from scratch
+    ONCE by the snapshot job — this query now READS that artifact
+    (`read_clusters` + the standing band table, `_artifact_snapshot`)
+    instead of rebuilding it, so the registered plan is the production
+    plan: only the DROP is banded in-query, the prior corpus is never
+    re-read or re-banded.  The drop's pairs (drop-drop via the drop's
+    own bands, drop-prior via one equi-join against the standing band
+    artifact) fold in via `incremental_components`, which relabels
+    only affected components with the prior label table never
+    shuffling.  The oracle is the FROM-SCRATCH recursive-CTE closure
+    over ALL pairs — row-identical output is the whole correctness
+    claim of the generational path."""
+    from scespet_spark.operators.dedup import (banded_signatures,
+                                               incremental_components)
+    from scespet_spark.operators.snapshot import (read_clusters,
+                                                  read_snapshot)
     from scespet_spark.operators._cache import persist as _persist
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _persist(lsh_candidate_pairs(docs), "dedup")
-    prior_pairs = pairs.filter((F.col("id_a") % 3 == 0)
-                               & (F.col("id_b") % 3 == 0))
-    new_pairs = pairs.filter((F.col("id_a") % 3 != 0)
-                             | (F.col("id_b") % 3 != 0))
-    prior_labels = connected_components(prior_pairs)
+    snap = _artifact_snapshot(spark, sf_dir)
+    prior_labels = read_clusters(spark, snap)
+    standing = read_snapshot(spark, snap)["bands"]
+    drop = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 != 0))
+    drop_bands = _persist(banded_signatures(drop), "dedup")
+    new_pairs = (drop_bands
+                 .select("band", "band_hash", F.col("doc_id").alias("__a"))
+                 .join(standing.unionByName(drop_bands)
+                       .select("band", "band_hash",
+                               F.col("doc_id").alias("__b")),
+                       ["band", "band_hash"])
+                 .filter(F.col("__a") != F.col("__b"))
+                 .select(F.least("__a", "__b").alias("id_a"),
+                         F.greatest("__a", "__b").alias("id_b"))
+                 .distinct())
     return incremental_components(prior_labels, new_pairs)
 
 
@@ -7622,8 +7637,12 @@ _ROUND_CHANGED = [
     # common label via a band-bucket stream-stream self-join — its
     # oracle gained the in-drop edge leg; live_idf_incremental now
     # reads the prior generation's counts from the snapshot's new
-    # doc_freq artifact (read_doc_freq) instead of recounting in-query
+    # doc_freq artifact (read_doc_freq) instead of recounting in-query;
+    # dedup_incremental_clusters likewise now reads the clusters + band
+    # artifacts and bands only the drop (same oracle — the from-scratch
+    # closure over all pairs)
     "live_cluster_route", "live_idf_incremental",
+    "dedup_incremental_clusters",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -7646,7 +7665,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "perplexity_filter_docs", "slice_scan_signup", "slice_stream_scan",
     "text_collapse_repeats", "text_winnow_fingerprints",
     "top_ngrams_source", "trailing_week_revenue",
-    # ... then the first 15 (alphabetical) of the 42-query r7 cohort;
+    # ... then the first 14 (alphabetical) of the 42-query r7 cohort;
     # the rest rotate next round.  Window stays exactly 50 = the
     # driver's sample; everything rotated out remains covered by the
     # full local oracle gate (tools/check_oracle.py, all 243 queries)
@@ -7656,7 +7675,6 @@ _PRIORITY = _ROUND_CHANGED + [
     "collect_types_sorted", "corpus_source_profile",
     "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_substring",
     "dedup_url_canonical", "distinct_users_running",
-    "filter_type_purchase",
 ]
 
 
