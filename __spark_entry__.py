@@ -4881,17 +4881,19 @@ def text_idf_incremental(spark, sf_dir):
     oracle is the FROM-SCRATCH corpus IDF restricted to the drop —
     row-identical output is the generational path's correctness
     claim."""
-    from scespet_spark.operators._cache import persist as _persist
-    from scespet_spark.operators.text import (idf_score, token_doc_freq,
+    from scespet_spark.operators.snapshot import read_doc_freq
+    from scespet_spark.operators.text import (idf_score,
                                               token_doc_freq_merge)
-    docs = load_table(spark, sf_dir, "documents")
-    prior = docs.filter(F.col("doc_id") % 3 == 0)
-    delta = docs.filter(F.col("doc_id") % 3 != 0)
-    # snapshot artifacts in production: the prior generation's count
-    # table + manifest doc counts (driver metadata, not corpus aggs)
-    prior_freq = _persist(token_doc_freq(prior), "text_idf")
+    # r12: the prior generation's counts come from the snapshot's
+    # doc_freq artifact (write_snapshot(doc_freq=True) / read_doc_freq)
+    # — the registered plan scans the production parquet; only the
+    # drop's vocabulary-sized fold stays in-query
+    snap = _artifact_snapshot(spark, sf_dir)
+    prior_freq, n_prior = read_doc_freq(spark, snap)
+    delta = (load_table(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 3 != 0))
     merged = token_doc_freq_merge(prior_freq, delta)
-    n_total = prior.count() + delta.count()
+    n_total = n_prior + delta.count()
     return idf_score(delta, merged, n_total)
 
 
@@ -7642,7 +7644,7 @@ _ROUND_CHANGED = [
     # artifacts and bands only the drop (same oracle — the from-scratch
     # closure over all pairs)
     "live_cluster_route", "live_idf_incremental",
-    "dedup_incremental_clusters",
+    "dedup_incremental_clusters", "text_idf_incremental",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -7665,7 +7667,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "perplexity_filter_docs", "slice_scan_signup", "slice_stream_scan",
     "text_collapse_repeats", "text_winnow_fingerprints",
     "top_ngrams_source", "trailing_week_revenue",
-    # ... then the first 14 (alphabetical) of the 42-query r7 cohort;
+    # ... then the first 13 (alphabetical) of the 42-query r7 cohort;
     # the rest rotate next round.  Window stays exactly 50 = the
     # driver's sample; everything rotated out remains covered by the
     # full local oracle gate (tools/check_oracle.py, all 243 queries)
@@ -7674,7 +7676,7 @@ _PRIORITY = _ROUND_CHANGED + [
     "bind_hourly_rendezvous", "cluster_balance_sample",
     "collect_types_sorted", "corpus_source_profile",
     "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_substring",
-    "dedup_url_canonical", "distinct_users_running",
+    "dedup_url_canonical",
 ]
 
 
