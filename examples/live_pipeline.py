@@ -551,7 +551,13 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
         return {r.doc_id for r in incremental_keep(
             recrawl, dig, prior_digest_col="content_hash").collect()}
     fresh = _fresh_ids()
-    compact_snapshot(f"{work}/snap0", spark)
+    # compaction with the RETAINED corpus: folds the tombstones AND
+    # restores fragment digests the takedown shared with retained docs
+    # (r12 recall restoration — band-mate scoped, cost ∝ the takedown)
+    compact_snapshot(f"{work}/snap0", spark,
+                     docs=corpus1.filter(
+                         F.col("doc_id") != dup_src["doc_id"])
+                     .select("doc_id", "text"))
     res["takedown_readmitted"] = 200001 in fresh
     res["takedown_retained_suppressed"] = 200002 not in fresh
     res["takedown_stable_after_compaction"] = _fresh_ids() == fresh
