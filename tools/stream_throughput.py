@@ -222,6 +222,25 @@ def main(sf_dir="/root/testdata/sf0.1", *rest):
         return first_wins(keyed, ["url"], ["doc_id"], ["doc_id"],
                           t="ts", idle_ttl="2 days")
 
+    # r12: cluster routing at ingest — per-batch cost as the band
+    # self-join's state grows across drops (the docstring's "state ∝
+    # band rows seen" claim, measured).  Snapshot artifacts built once
+    # from the base corpus (the production shape).
+    from scespet_spark.operators.snapshot import (read_clusters,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.streaming.live import cluster_route
+    route_snap = os.path.join(tempfile.gettempdir(), "stream_tp_snap")
+
+    def cluster_route_op(stream):
+        if not os.path.exists(os.path.join(route_snap, "manifest.json")):
+            shutil.rmtree(route_snap, ignore_errors=True)
+            write_snapshot(route_snap, docs=base.select("doc_id", "text"),
+                           cluster_labels=True)
+        return cluster_route(stream.select("doc_id", "text"),
+                             read_snapshot(spark, route_snap)["bands"],
+                             read_clusters(spark, route_snap))
+
     # r8 capstone gate: the examples/live_pipeline.py stage-2 chain as
     # ONE streaming plan — exact-content anti-join vs the snapshot
     # digest table, stateless row-wise classifier gate, deterministic
@@ -268,7 +287,9 @@ def main(sf_dir="/root/testdata/sf0.1", *rest):
                                ("uniq_url_election", uniq_url_election,
                                 "append"),
                                ("uniq_url_election_ttl",
-                                uniq_url_election_ttl, "append")]:
+                                uniq_url_election_ttl, "append"),
+                               ("cluster_route", cluster_route_op,
+                                "append")]:
         if only is not None and label not in only:
             continue
         results[label] = run_stream(spark, build, src, n_rows, label, mode)
