@@ -4827,6 +4827,42 @@ def live_hybrid_search_rrf(spark, sf_dir):
             .orderBy(F.desc("rrf_score"), "doc_id"))
 
 
+@query("snapshot_doc_freq_lifecycle", f"""
+SELECT token, COUNT(*) AS doc_freq
+FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token
+      FROM documents
+      WHERE doc_id % 3 = 0
+         OR (doc_id % 3 = 1 AND doc_id % 2 <> 0))
+GROUP BY token
+""")
+def snapshot_doc_freq_lifecycle(spark, sf_dir):
+    """The doc_freq snapshot artifact's FULL lifecycle under one
+    oracle (r12): write the prior generation (doc_id % 3 == 0) with
+    ``write_snapshot(doc_freq=True)``, APPEND a drop (% 3 == 1 — the
+    fold: disjoint generations' per-token doc counts add), then
+    RETRACT the drop's even-id half (exact count subtraction), and
+    return the artifact table as `read_doc_freq` serves it.  The
+    oracle is the from-scratch doc-frequency over exactly the
+    surviving corpus — row-identity is the merge-family claim that
+    makes generational IDF exact.  The snapshot is built fresh in a
+    temp dir each call (the lifecycle IS the query; the shared
+    `_artifact_snapshot` stays immutable for the serving queries)."""
+    import tempfile
+    from scespet_spark.operators.snapshot import (read_doc_freq,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 1)
+    snap = tempfile.mkdtemp(prefix="scespet_dful_") + "/snap"
+    write_snapshot(snap, docs=prior, doc_freq=True)
+    write_snapshot(snap, docs=delta, mode="append")
+    retract_snapshot(snap, docs=delta.filter(F.col("doc_id") % 2 == 0))
+    freq, _n = read_doc_freq(spark, snap)
+    return freq.select("token", F.col("doc_freq").cast("long")
+                       .alias("doc_freq"))
+
+
 @query("text_token_doc_freq", f"""
 SELECT token, COUNT(*) AS doc_freq
 FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents)
@@ -7645,6 +7681,9 @@ _ROUND_CHANGED = [
     # closure over all pairs)
     "live_cluster_route", "live_idf_incremental",
     "dedup_incremental_clusters", "text_idf_incremental",
+    # new this round (r12): the doc_freq artifact's full
+    # write/append/retract lifecycle under one from-scratch oracle
+    "snapshot_doc_freq_lifecycle",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -7667,16 +7706,15 @@ _PRIORITY = _ROUND_CHANGED + [
     "perplexity_filter_docs", "slice_scan_signup", "slice_stream_scan",
     "text_collapse_repeats", "text_winnow_fingerprints",
     "top_ngrams_source", "trailing_week_revenue",
-    # ... then the first 13 (alphabetical) of the 42-query r7 cohort;
+    # ... then the first 12 (alphabetical) of the 42-query r7 cohort;
     # the rest rotate next round.  Window stays exactly 50 = the
     # driver's sample; everything rotated out remains covered by the
-    # full local oracle gate (tools/check_oracle.py, all 243 queries)
+    # full local oracle gate (tools/check_oracle.py, all 244 queries)
     "ann_batch_topk", "ann_ivf_kmeans_codes", "ann_ivf_topk",
     "asof_broadcast_purchase_last_click", "at_single_key",
     "bind_hourly_rendezvous", "cluster_balance_sample",
     "collect_types_sorted", "corpus_source_profile",
     "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_substring",
-    "dedup_url_canonical",
 ]
 
 
