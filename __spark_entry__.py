@@ -4024,6 +4024,59 @@ def ann_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(emb, qvec, k=10, shortlist=50)
 
 
+@query("ann_opq_adc_topk", """
+SELECT CAST(r AS INTEGER) AS rank, TRUE AS in_corpus,
+       TRUE AS score_monotone, TRUE AS neighbor_ok
+FROM (SELECT unnest(generate_series(1, 10)) AS r) ORDER BY rank
+""")
+def ann_opq_adc_topk(spark, sf_dir):
+    """OPQ serving (r12): ``opq_adc_topk`` — PQ with a learned
+    orthonormal rotation (OPQ-NP, Ge et al. CVPR 2013: PCA +
+    eigenvalue-allocation init, k-means/Procrustes alternation) so the
+    axis-aligned subspace split loses less cross-correlated variance.
+    The rotation folds into the query LUT driver-side; the ADC scan
+    and exact full-dim re-rank are plan-identical to
+    ``ann_pq_adc_topk`` (orthonormal rotations preserve cosine).
+
+    INVARIANT oracle (the SVD/eigh alternation isn't SQL-expressible;
+    the unrotated PQ serving path is cell-exact oracle-green as
+    ``ann_pq_adc_topk``): per final rank, the returned id exists in
+    the corpus, scores are non-increasing in rank, and EVERY returned
+    id lies in the full-dim exact top-50 (same razor as
+    ``ann_pca_ivfpq_topk`` — a broken rotation/codebook returns
+    near-random vectors with ~(50/n)^10 odds of passing).  Exact
+    behavior is pytest-pinned: rotation orthonormality + determinism,
+    and reconstruction error strictly below axis-aligned PQ on an
+    anisotropic cross-correlated fixture
+    (tests/test_pipeline_ops.py::test_opq_*)."""
+    from pyspark.sql import Window
+
+    from scespet_spark.operators.similarity import (brute_force_topk,
+                                                    opq_adc_topk)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    got = opq_adc_topk(emb, qvec, k=10, shortlist=50).collect()
+    top50 = {r.vec_id
+             for r in brute_force_topk(emb, qvec, k=50).collect()}
+    corpus_ids = emb.select("vec_id")
+    res = spark.createDataFrame(
+        [(i + 1, int(r.vec_id), float(r.score),
+          bool(r.vec_id in top50))
+         for i, r in enumerate(got)],
+        "rank int, vec_id long, score double, neighbor_ok boolean")
+    return (res.join(corpus_ids.withColumn("__in", F.lit(True)),
+                     "vec_id", "left")
+            .select("rank",
+                    F.coalesce("__in", F.lit(False)).alias("in_corpus"),
+                    (F.coalesce(
+                        F.lag("score").over(Window.orderBy("rank")),
+                        F.lit(1e9)) >= F.col("score") - F.lit(1e-9))
+                    .alias("score_monotone"),
+                    "neighbor_ok")
+            .orderBy("rank"))
+
+
 def _ivfpq_oracle(k: int = 10, nprobe: int = 2, shortlist: int = 50,
                   m: int = 8, dsub: int = 8) -> str:
     sq = ("list_sum(list_transform(list_zip(q.qp, c.c), "
@@ -7682,8 +7735,9 @@ _ROUND_CHANGED = [
     "live_cluster_route", "live_idf_incremental",
     "dedup_incremental_clusters", "text_idf_incremental",
     # new this round (r12): the doc_freq artifact's full
-    # write/append/retract lifecycle under one from-scratch oracle
-    "snapshot_doc_freq_lifecycle",
+    # write/append/retract lifecycle under one from-scratch oracle;
+    # OPQ serving (learned-rotation PQ)
+    "snapshot_doc_freq_lifecycle", "ann_opq_adc_topk",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -7706,15 +7760,15 @@ _PRIORITY = _ROUND_CHANGED + [
     "perplexity_filter_docs", "slice_scan_signup", "slice_stream_scan",
     "text_collapse_repeats", "text_winnow_fingerprints",
     "top_ngrams_source", "trailing_week_revenue",
-    # ... then the first 12 (alphabetical) of the 42-query r7 cohort;
+    # ... then the first 11 (alphabetical) of the 42-query r7 cohort;
     # the rest rotate next round.  Window stays exactly 50 = the
     # driver's sample; everything rotated out remains covered by the
-    # full local oracle gate (tools/check_oracle.py, all 244 queries)
+    # full local oracle gate (tools/check_oracle.py, all 245 queries)
     "ann_batch_topk", "ann_ivf_kmeans_codes", "ann_ivf_topk",
     "asof_broadcast_purchase_last_click", "at_single_key",
     "bind_hourly_rendezvous", "cluster_balance_sample",
     "collect_types_sorted", "corpus_source_profile",
-    "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_substring",
+    "dedup_embedding_cosine", "dedup_minhash_lsh",
 ]
 
 

@@ -760,6 +760,257 @@ def ivfpq_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                        vec_col=vec_col, members=members)
 
 
+def _opq_pass(pts: DataFrame, R: "np.ndarray",
+              cent_list: list[dict[int, list[float]]], m: int, dsub: int):
+    """One vectorized Arrow pass of the OPQ alternation: rotate, assign
+    per-subspace codes, and fold BOTH update statistics — per-(sub,
+    code, dim) sums/counts (the k-means step in rotated space) and the
+    d x d correlation ``X^T Y_hat`` (the Procrustes step's input).  One
+    (d^2 + m*ksub*dsub + m*ksub)-double row per partition; partials
+    combine on the driver in partition order (deterministic float
+    summation, the ``pca_fit`` convention).  The corpus never collects.
+
+    Assignment matches ``_pq_assign_udf``: dim-sequential left-fold
+    distances, first-minimum (= lowest code) tie-break."""
+    d = m * dsub
+    cents = [(np.array(sorted(cmap)),
+              np.stack([np.asarray(cmap[c], dtype=np.float64)
+                        for c in sorted(cmap)]))
+             for cmap in cent_list]
+    Rb = R.copy()
+
+    def fold(batches):
+        from pyspark import TaskContext
+        corr = np.zeros((d, d), dtype=np.float64)
+        sums = [np.zeros((len(cents[j][0]), dsub)) for j in range(m)]
+        cnts = [np.zeros(len(cents[j][0]), dtype=np.int64)
+                for j in range(m)]
+        seen = False
+        for pdf in batches:
+            vals = pdf["p"].to_numpy()
+            if not len(vals):
+                continue
+            seen = True
+            X = np.stack(vals).astype(np.float64, copy=False)   # (n, d)
+            Y = X @ Rb.T                                        # rotated
+            Yh = np.empty_like(Y)
+            for j in range(m):
+                _, cj = cents[j]                                # (kj, dsub)
+                sub = Y[:, j * dsub:(j + 1) * dsub]
+                acc = np.zeros((len(sub), len(cj)))
+                for dd in range(dsub):                          # left fold
+                    dlt = sub[:, dd:dd + 1] - cj[:, dd]
+                    acc = acc + dlt * dlt
+                idx = np.argmin(acc, axis=1)                    # first min
+                Yh[:, j * dsub:(j + 1) * dsub] = cj[idx]
+                np.add.at(sums[j], idx, sub)
+                np.add.at(cnts[j], idx, 1)
+            corr += X.T @ Yh
+        if seen:
+            yield pd.DataFrame([{
+                "pid": TaskContext.get().partitionId(),
+                "corr": corr.reshape(-1).tolist(),
+                "sums": np.concatenate(
+                    [s.reshape(-1) for s in sums]).tolist(),
+                "cnts": np.concatenate(cnts).tolist()}])
+
+    rows = sorted(
+        pts.select("p").mapInPandas(
+            fold, "pid int, corr array<double>, sums array<double>, "
+                  "cnts array<long>").collect(),
+        key=lambda r: r["pid"])
+    if not rows:
+        raise ValueError("opq_train: no usable vectors")
+    corr = np.zeros((d, d))
+    sums = None
+    cnts = None
+    for r in rows:  # partition order: deterministic summation
+        corr += np.asarray(r["corr"]).reshape(d, d)
+        s = np.asarray(r["sums"])
+        c = np.asarray(r["cnts"])
+        sums = s if sums is None else sums + s
+        cnts = c if cnts is None else cnts + c
+    new_list: list[dict[int, list[float]]] = []
+    off_s = 0
+    off_c = 0
+    for j in range(m):
+        codes, _ = cents[j]
+        sj = sums[off_s:off_s + len(codes) * dsub].reshape(-1, dsub)
+        cj = cnts[off_c:off_c + len(codes)]
+        off_s += len(codes) * dsub
+        off_c += len(codes)
+        cmap = {}
+        for i, code in enumerate(codes):
+            if cj[i] > 0:
+                cmap[int(code)] = (sj[i] / cj[i]).tolist()
+            else:
+                # unlike _pq_train_model (which drops emptied clusters),
+                # keep the stale centroid: the Procrustes target must
+                # stay full-rank across iterations, and the FINAL
+                # codebooks come from _pq_train_model anyway
+                cmap[int(code)] = cent_list[j][int(code)]
+        new_list.append(cmap)
+    return new_list, corr
+
+
+def _opq_train_model(df: DataFrame, m: int, dsub: int, ksub: int,
+                     iters: int, pq_iters: int, id_col: str,
+                     vec_col: str):
+    """(codes DataFrame, cent_list, R numpy, rotation DataFrame) — the
+    OPQ-NP alternation (Ge et al., CVPR 2013, public method): learn an
+    orthonormal d x d rotation R that minimizes PQ reconstruction error,
+    then train the final codebooks with the pinned ``_pq_train_model``
+    contract in the rotated space.
+
+    Init: PCA eigenvectors with EIGENVALUE ALLOCATION — components are
+    dealt greedily (descending eigenvalue) to the subspace with the
+    smallest running log-variance product that still has a free slot,
+    balancing per-subspace information (the parametric-OPQ heuristic
+    that captures most of the win).  Each of ``iters`` alternations is
+    two Arrow passes over the (persisted) training projection: one
+    k-means step in rotated space, then one Procrustes step — R :=
+    V U^T from the SVD of X^T Y_hat (the orthonormal maximizer of
+    tr(R X^T Y_hat)).  All driver state is model-sized (d^2 floats);
+    numpy SVD/eigh on d x d only.  Rotation is PURE (no centering): it
+    preserves dot products and norms exactly, so full-dim cosine
+    re-ranks of rotated-space candidates stay exact."""
+    d = m * dsub
+    v = F.col(vec_col).cast("array<double>")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.slice(v, 1, d).alias("p"))
+            .filter(v.isNotNull() & (F.size(v) >= d)))
+    from ._cache import persist as _persist
+    base = _persist(base, "similarity")
+
+    # --- init: PCA + eigenvalue allocation ---
+    model_rows = pca_fit(base, "p").collect()          # model-sized
+    comps = sorted([r for r in model_rows if r["idx"] >= 0],
+                   key=lambda r: r["idx"])              # desc eigval
+    if len(comps) != d:
+        raise ValueError(f"opq_train: expected {d} components, "
+                         f"got {len(comps)}")
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logsum = [0.0] * m
+    for ci, r in enumerate(comps):                      # desc eigval
+        free = [j for j in range(m) if len(buckets[j]) < dsub]
+        j = min(free, key=lambda b: (logsum[b], b))
+        buckets[j].append(ci)
+        logsum[j] += math.log(max(float(r["eigval"]), 1e-12))
+    order = [ci for b in buckets for ci in b]
+    R = np.stack([np.asarray(comps[ci]["w"], dtype=np.float64)
+                  for ci in order])                     # (d, d)
+
+    # --- seed codebooks: the PQ seed rule in rotated space ---
+    seed_rows = base.orderBy("id").limit(ksub).collect()  # model-sized
+    if not seed_rows:
+        raise ValueError(
+            f"opq_train: no usable embeddings (need non-null vectors "
+            f"of at least {d} dims)")
+    S = np.stack([np.asarray(r.p, dtype=np.float64)
+                  for r in seed_rows]) @ R.T
+    cent_list: list[dict[int, list[float]]] = [
+        {c: S[c, j * dsub:(j + 1) * dsub].tolist()
+         for c in range(len(seed_rows))}
+        for j in range(m)
+    ]
+
+    # --- alternate: k-means step, then Procrustes step ---
+    for _ in range(iters):
+        cent_list, _ = _opq_pass(base, R, cent_list, m, dsub)
+        _, corr = _opq_pass(base, R, cent_list, m, dsub)
+        U, _s, Vt = np.linalg.svd(corr)
+        R = Vt.T @ U.T                                  # maximizes tr(R corr)
+
+    # --- final: pinned PQ training in the rotated space ---
+    spark = df.sparkSession
+    rot_model = spark.createDataFrame(
+        [(-1, [0.0] * d, 0.0)]
+        + [(i, R[i].tolist(), 1.0) for i in range(d)],
+        "idx int, w array<double>, eigval double")
+    rotated = pca_project(base, rot_model, k=d, vec_col="p", out="y")
+    codes, final_list = _pq_train_model(
+        rotated, m, dsub, ksub, pq_iters, "id", "y")
+    codes = codes.withColumnRenamed("id", id_col)
+    return codes, final_list, R, rot_model
+
+
+def opq_train(df: DataFrame, m: int = 8, dsub: int = 8, ksub: int = 16,
+              iters: int = 3, pq_iters: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding") \
+        -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Optimized Product Quantization: ``pq_train`` plus a learned
+    orthonormal rotation that re-mixes dimensions so the axis-aligned
+    subspace split loses less information (axis-aligned PQ is blind to
+    cross-dimension correlation; OPQ's rotation is the public fix —
+    Ge et al., CVPR 2013).  Returns ``(codes, codebooks, rotation)``:
+    codes/codebooks exactly as ``pq_train`` (codebooks live in ROTATED
+    space); rotation is a ``pca_project``-shaped model table (zero
+    mean, one row per output dim) so queries/corpora rotate with the
+    existing map-only projection — no new serving machinery.
+
+    Scale shape: training touches the corpus 2*``iters`` + (pq_iters+2)
+    Arrow passes (at 100 TB: a sample — the MLlib convention); every
+    driver structure is model-sized (d x d).  Serving cost is identical
+    to PQ: the rotation folds into the query LUT, so the ADC scan
+    still streams m-byte codes.  Same determinism contract as
+    ``pq_train`` (seeds, left-fold distances, first-min tie-break;
+    R from partition-ordered partials + numpy SVD)."""
+    codes, cent_list, _R, rot_model = _opq_train_model(
+        df, m, dsub, ksub, iters, pq_iters, id_col, vec_col)
+    cents = df.sparkSession.createDataFrame(
+        [(j, int(c), cent_list[j][c]) for j in range(m)
+         for c in sorted(cent_list[j])],
+        "sub long, code long, c array<double>")
+    return codes, cents, rot_model
+
+
+def opq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                 shortlist: int = 50, m: int = 8, dsub: int = 8,
+                 ksub: int = 16, iters: int = 3, pq_iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 members: DataFrame | None = None) -> DataFrame:
+    """OPQ asymmetric-distance ANN: rotate the QUERY driver-side (d x d
+    matvec — the corpus codes were built in rotated space offline),
+    build the model-sized integer-microunit LUT against the rotated
+    codebooks, ADC-shortlist with one combinable groupBy-sum, then
+    exact cosine re-rank of the shortlist against the ORIGINAL vectors
+    (the rotation is orthonormal, so full-dim cosine is unchanged —
+    the re-rank needs no un-rotation).  Output schema and every
+    serving-path plan shape are identical to ``pq_adc_topk``; only the
+    codebook geometry differs."""
+    codes, cent_list, R, _rot = _opq_train_model(
+        df, m, dsub, ksub, iters, pq_iters, id_col, vec_col)
+    d = m * dsub
+    qrot = R @ np.asarray([float(x) for x in query[:d]], dtype=np.float64)
+    lut_rows = []
+    for j in range(m):
+        qp = qrot[j * dsub:(j + 1) * dsub]
+        for c in sorted(cent_list[j]):
+            cv = cent_list[j][c]
+            acc = 0.0
+            for dd in range(dsub):                        # left fold
+                dlt = float(qp[dd]) - cv[dd]
+                acc = acc + dlt * dlt
+            lut_rows.append((j, int(c), int(math.floor(acc * 1e6 + 0.5))))
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "sub long, code long, md long")
+    if members is not None:
+        codes = codes.join(members.select(F.col(members.columns[0])
+                                          .alias(id_col)),
+                           id_col, "left_semi")
+    adc = (codes.join(F.broadcast(lut), ["sub", "code"])
+           .groupBy(id_col).agg(F.sum("md").alias("adc_microdist")))
+    short = (adc.orderBy(F.col("adc_microdist").asc(), F.col(id_col))
+             .limit(shortlist))
+    v = F.col(vec_col).cast("array<double>")
+    q = _as_double_array(query)
+    return (df.join(F.broadcast(short), id_col)
+            .select(F.col(id_col), "adc_microdist",
+                    F.round(cosine(v, q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
 def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse-code build: Lloyd's k-means with deterministic seeding

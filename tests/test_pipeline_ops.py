@@ -3521,3 +3521,104 @@ def test_planted_embeddings_deterministic_and_clustered(spark):
     same = S[lab[:, None] == lab[None, :]].mean()
     diff = S[lab[:, None] != lab[None, :]].mean()
     assert same > 0.8 and abs(diff) < 0.3 and same - diff > 0.5
+
+def _aniso_embeddings(spark, n=600, seed=11):
+    """Anisotropic cross-correlated fixture: planted clusters with a
+    per-dim exponential variance decay, then a FIXED random rotation so
+    the true correlation axes are misaligned with PQ's axis-aligned
+    subspace split — the regime OPQ's learned rotation exists for."""
+    import numpy as np
+    from scespet_spark.sources.batch import planted_embeddings
+    emb = planted_embeddings(spark, n=n, centers=10, seed=5)
+    rng = np.random.default_rng(seed)
+    scale = np.exp(-np.arange(64) / 16.0)
+    Q, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.stack([r.embedding for r in rows]) * scale @ Q.T
+    df = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in X[i]])
+         for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>")
+    return df, X
+
+
+def test_opq_rotation_orthonormal_and_deterministic(spark):
+    """OPQ contract (r12): the learned rotation is orthonormal to
+    1e-9 (pure rotation — preserves cosine, so the exact re-rank
+    against original vectors stays exact) and two runs over the same
+    input produce identical codes, codebooks, and rotation rows."""
+    import numpy as np
+    from scespet_spark.operators.similarity import opq_train
+    df, _ = _aniso_embeddings(spark, n=300)
+    codes, cents, rot = opq_train(df, m=8, dsub=8, ksub=16,
+                                  iters=2, pq_iters=2)
+    R = np.stack([np.array(r.w) for r in
+                  sorted([r for r in rot.collect() if r.idx >= 0],
+                         key=lambda r: r.idx)])
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+    c2, k2, r2 = opq_train(df, m=8, dsub=8, ksub=16,
+                           iters=2, pq_iters=2)
+    assert sorted(map(tuple, codes.collect())) \
+        == sorted(map(tuple, c2.collect()))
+    assert sorted(map(tuple, cents.collect())) \
+        == sorted(map(tuple, k2.collect()))
+    assert sorted(map(tuple, rot.collect())) \
+        == sorted(map(tuple, r2.collect()))
+
+
+def test_opq_beats_pq_reconstruction_on_anisotropic(spark):
+    """The point of OPQ: on cross-correlated anisotropic data the
+    learned rotation must strictly reduce PQ reconstruction error
+    (measured ~0.72x on this fixture; asserted < 0.9x with slack).
+    Error is computed in each method's own code space — valid to
+    compare because the rotation is orthonormal (isometry)."""
+    import numpy as np
+    from scespet_spark.operators.similarity import opq_train, pq_train
+    df, X = _aniso_embeddings(spark, n=600)
+
+    def recon_mse(codes_df, cents_df, R=None):
+        codes = {(r.vec_id, r.sub): r.code for r in codes_df.collect()}
+        cents = {(r.sub, r.code): np.array(r.c)
+                 for r in cents_df.collect()}
+        Xr = X @ R.T if R is not None else X
+        err = 0.0
+        for (vid, sub), code in codes.items():
+            y = Xr[vid, sub * 8:(sub + 1) * 8]
+            err += float(((y - cents[(sub, code)]) ** 2).sum())
+        return err / len(X)
+
+    pq_codes, pq_cents = pq_train(df, m=8, dsub=8, ksub=16, iters=2)
+    e_pq = recon_mse(pq_codes, pq_cents)
+    codes, cents, rot = opq_train(df, m=8, dsub=8, ksub=16,
+                                  iters=3, pq_iters=2)
+    R = np.stack([np.array(r.w) for r in
+                  sorted([r for r in rot.collect() if r.idx >= 0],
+                         key=lambda r: r.idx)])
+    e_opq = recon_mse(codes, cents, R=R)
+    assert e_opq < 0.9 * e_pq, (e_opq, e_pq)
+
+
+def test_opq_adc_topk_membership_and_isotropic_safety(spark):
+    """opq_adc_topk serving: on the anisotropic fixture every returned
+    id must lie in the exact full-dim cosine top-50 (the invariant the
+    registered oracle hashes), scores non-increasing, and k rows out.
+    Also guards the seam the eigenvalue-allocation init could regress:
+    on a NEAR-UNIFORM fixture (no anisotropy to exploit) OPQ must not
+    do worse than the same membership bar."""
+    import numpy as np
+    from scespet_spark.operators.similarity import (brute_force_topk,
+                                                    opq_adc_topk)
+    from scespet_spark.sources.batch import planted_embeddings
+    for df in (_aniso_embeddings(spark, n=400)[0],
+               planted_embeddings(spark, n=400, centers=8, seed=9)
+               .select("vec_id", "embedding")):
+        qvec = (df.filter(F.col("vec_id") == 0)
+                .select("embedding").collect()[0][0])
+        got = opq_adc_topk(df, qvec, k=10, shortlist=50,
+                           iters=2, pq_iters=2).collect()
+        assert len(got) == 10
+        scores = [r.score for r in got]
+        assert scores == sorted(scores, reverse=True)
+        top50 = {r.vec_id for r in
+                 brute_force_topk(df, qvec, k=50).collect()}
+        assert all(r.vec_id in top50 for r in got)

@@ -73,6 +73,14 @@ def planted_recall(spark, n=2000, k=10, qids=(3, 77, 500, 901, 1500)):
                                  shortlist=sl).collect()})
                  for q in qids])
         print(f"  ivfpq_topk     nprobe={nprobe} shortlist={sl:<3}: {r:.2f}")
+    from scespet_spark.operators.similarity import opq_adc_topk, pq_adc_topk
+    for fn, name in ((pq_adc_topk, "pq_adc_topk"),
+                     (opq_adc_topk, "opq_adc_topk")):
+        for sl in (50, 100):
+            r = rec([(q, {x.vec_id for x in
+                          fn(emb, qvec[q], k=k, shortlist=sl).collect()})
+                     for q in qids])
+            print(f"  {name:<14} shortlist={sl:<3}:          {r:.2f}")
     model = pca_fit(emb)
     red = (pca_project(emb, model, k=32, out="p32")
            .select("vec_id", "label",
@@ -97,6 +105,65 @@ def planted_recall(spark, n=2000, k=10, qids=(3, 77, 500, 901, 1500)):
               f"{rec(got_sets):.2f}")
     emb.unpersist()
     red.unpersist()
+
+
+def aniso_opq_recall(spark, n=2000, k=10, qids=(3, 77, 500, 901, 1500)):
+    """PQ vs OPQ recall@k on the ANISOTROPIC fixture (planted clusters
+    x per-dim exponential variance decay x a fixed random rotation —
+    the tests' `_aniso_embeddings` recipe): the regime where the
+    axis-aligned subspace split leaks cross-dimension correlation and
+    OPQ's learned rotation exists.  Also prints reconstruction MSE —
+    the quantity OPQ optimizes directly."""
+    from scespet_spark.operators.similarity import (opq_adc_topk,
+                                                    opq_train,
+                                                    pq_adc_topk, pq_train)
+    from scespet_spark.sources.batch import planted_embeddings
+
+    emb = planted_embeddings(spark, n=n, centers=10, seed=5)
+    rng = np.random.default_rng(11)
+    scale = np.exp(-np.arange(64) / 16.0)
+    Q, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.stack([r.embedding for r in rows]) * scale @ Q.T
+    df = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in X[i]])
+         for i, r in enumerate(rows)],
+        "vec_id long, embedding array<double>").persist()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    truth = {q: {int(i) for _, i in
+                 sorted(zip(-np.round(Xn @ Xn[q], 6), range(n)))[:k]}
+             for q in qids}
+    qvec = {q: [float(x) for x in X[q]] for q in qids}
+
+    def rec(fn, sl):
+        return sum(len({x.vec_id for x in
+                        fn(df, qvec[q], k=k, shortlist=sl).collect()}
+                       & truth[q]) / k for q in qids) / len(qids)
+
+    def mse(codes_df, cents_df, R=None):
+        codes = {(r.vec_id, r.sub): r.code for r in codes_df.collect()}
+        cents = {(r.sub, r.code): np.array(r.c)
+                 for r in cents_df.collect()}
+        Xr = X @ R.T if R is not None else X
+        return sum(float(((Xr[v, s * 8:(s + 1) * 8]
+                           - cents[(s, c)]) ** 2).sum())
+                   for (v, s), c in codes.items()) / n
+
+    pq_codes, pq_cents = pq_train(df)
+    oc, ok_, orot = opq_train(df)
+    R = np.stack([np.array(r.w) for r in
+                  sorted([r for r in orot.collect() if r.idx >= 0],
+                         key=lambda r: r.idx)])
+    print(f"anisotropic fixture (n={n}, exp-decay x random rotation): "
+          f"recall@{k} + recon MSE")
+    print(f"  recon MSE       pq={mse(pq_codes, pq_cents):.6f}  "
+          f"opq={mse(oc, ok_, R=R):.6f}")
+    for sl in (50, 100, 200):
+        print(f"  pq_adc_topk    shortlist={sl:<3}: "
+              f"{rec(pq_adc_topk, sl):.2f}")
+        print(f"  opq_adc_topk   shortlist={sl:<3}: "
+              f"{rec(opq_adc_topk, sl):.2f}")
+    df.unpersist()
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01"):
@@ -135,6 +202,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         print(f"  cosine [{lo:.2f}, {hi:.2f}): recall "
               f"{hit / len(pairs):.2f}  (n={len(pairs)})")
     planted_recall(spark)
+    aniso_opq_recall(spark)
 
 
 if __name__ == "__main__":
