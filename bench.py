@@ -145,6 +145,13 @@ HEADLINE = [
     # late-r11: cluster-aware splits + generational IDF
     "split_cluster_aware",
     "text_idf_incremental",
+    # round 12 additions: learned-rotation PQ serving, the doc_freq
+    # artifact lifecycle (write -> append -> retract -> serve), and the
+    # artifact-served PQ index (offline build + generation append)
+    "ann_opq_adc_topk",
+    "snapshot_doc_freq_lifecycle",
+    "ann_pq_index_topk",
+    "ann_pq_index_incremental_topk",
 ]
 
 

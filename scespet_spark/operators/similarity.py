@@ -675,33 +675,32 @@ def _pq_train_model(df: DataFrame, m: int, dsub: int, ksub: int,
     return codes, cent_list
 
 
-def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
-                shortlist: int = 50, m: int = 8, dsub: int = 8,
-                ksub: int = 16, iters: int = 2, id_col: str = "vec_id",
-                vec_col: str = "embedding",
-                members: DataFrame | None = None) -> DataFrame:
-    """PQ asymmetric-distance ANN with exact re-rank: (1) LUT = squared
-    distance from each query subvector to each codebook centroid,
-    quantized to integer microunits (``round(d * 1e6)`` as long — long
-    sums are order-independent, so the across-subspace total is exact
-    and engine-reproducible, unlike a float sum whose shuffle order
-    varies); (2) shortlist = lowest-``shortlist`` ADC totals via one
-    combinable groupBy-sum over the (id, sub, code) rows joined to the
-    broadcast LUT; (3) exact cosine re-rank of the shortlist only.
+def _adc_serve(df: DataFrame, codes: DataFrame,
+               cent_list: list[dict[int, list[float]]],
+               q_code_space: Sequence[float], query: Sequence[float],
+               k: int, shortlist: int, m: int, dsub: int, id_col: str,
+               vec_col: str, members: DataFrame | None) -> DataFrame:
+    """The shared ADC serving half of the PQ family: (1) LUT = squared
+    distance from each CODE-SPACE query subvector to each codebook
+    centroid, quantized to integer microunits (``round(d * 1e6)`` as
+    long — long sums are order-independent, so the across-subspace
+    total is exact and engine-reproducible, unlike a float sum whose
+    shuffle order varies); (2) shortlist = lowest-``shortlist`` ADC
+    totals via one combinable groupBy-sum over the (id, sub, code)
+    rows joined to the broadcast LUT; (3) exact cosine re-rank of the
+    shortlist only, against the ORIGINAL vectors and query.
 
-    Scale: the corpus is touched once to build codes (offline in
-    production); the ADC pass streams m-byte codes, never vectors; the
-    exact pass reads ``shortlist`` vectors.  Returns (id, adc_microdist,
-    score) — the standard IVF-PQ + re-rank serving shape."""
+    ``q_code_space`` is the query expressed in the codebooks' space
+    (identical to ``query`` for plain PQ; the rotated query for OPQ) —
+    the LUT is where a learned rotation folds in, which is why every
+    PQ variant serves at the same plan cost."""
     import math
-    codes, cent_list = _pq_train_model(df, m, dsub, ksub, iters,
-                                       id_col, vec_col)
     # the LUT is model-sized (m * ksub longs): derive it driver-side
     # with the same dim-sequential fold and HALF_UP microunit rounding
     # the engines pin — no extra Spark job
     lut_rows = []
     for j in range(m):
-        qp = [float(x) for x in query[j * dsub:(j + 1) * dsub]]
+        qp = [float(x) for x in q_code_space[j * dsub:(j + 1) * dsub]]
         for c in sorted(cent_list[j]):
             cv = cent_list[j][c]
             acc = 0.0
@@ -721,7 +720,8 @@ def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                            id_col, "left_semi")
     adc = (codes.join(F.broadcast(lut), ["sub", "code"])
            .groupBy(id_col).agg(F.sum("md").alias("adc_microdist")))
-    short = adc.orderBy(F.col("adc_microdist").asc(), F.col(id_col)).limit(shortlist)
+    short = (adc.orderBy(F.col("adc_microdist").asc(), F.col(id_col))
+             .limit(shortlist))
     v = F.col(vec_col).cast("array<double>")
     q = _as_double_array(query)
     return (df.join(F.broadcast(short), id_col)
@@ -729,6 +729,25 @@ def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
                     F.round(cosine(v, q), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+def pq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                shortlist: int = 50, m: int = 8, dsub: int = 8,
+                ksub: int = 16, iters: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                members: DataFrame | None = None) -> DataFrame:
+    """PQ asymmetric-distance ANN with exact re-rank (LUT + combinable
+    ADC sum + shortlist re-rank — `_adc_serve`).
+
+    Scale: the corpus is touched once to build codes (offline in
+    production — see the ``pq_index`` snapshot artifact family for the
+    served form); the ADC pass streams m-byte codes, never vectors;
+    the exact pass reads ``shortlist`` vectors.  Returns (id,
+    adc_microdist, score) — the standard IVF-PQ + re-rank shape."""
+    codes, cent_list = _pq_train_model(df, m, dsub, ksub, iters,
+                                       id_col, vec_col)
+    return _adc_serve(df, codes, cent_list, query, query, k, shortlist,
+                      m, dsub, id_col, vec_col, members)
 
 
 def ivfpq_topk(df: DataFrame, query: Sequence[float], k: int = 10,
@@ -981,34 +1000,80 @@ def opq_adc_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     codes, cent_list, R, _rot = _opq_train_model(
         df, m, dsub, ksub, iters, pq_iters, id_col, vec_col)
     d = m * dsub
-    qrot = R @ np.asarray([float(x) for x in query[:d]], dtype=np.float64)
-    lut_rows = []
-    for j in range(m):
-        qp = qrot[j * dsub:(j + 1) * dsub]
-        for c in sorted(cent_list[j]):
-            cv = cent_list[j][c]
-            acc = 0.0
-            for dd in range(dsub):                        # left fold
-                dlt = float(qp[dd]) - cv[dd]
-                acc = acc + dlt * dlt
-            lut_rows.append((j, int(c), int(math.floor(acc * 1e6 + 0.5))))
-    lut = df.sparkSession.createDataFrame(
-        lut_rows, "sub long, code long, md long")
-    if members is not None:
-        codes = codes.join(members.select(F.col(members.columns[0])
-                                          .alias(id_col)),
-                           id_col, "left_semi")
-    adc = (codes.join(F.broadcast(lut), ["sub", "code"])
-           .groupBy(id_col).agg(F.sum("md").alias("adc_microdist")))
-    short = (adc.orderBy(F.col("adc_microdist").asc(), F.col(id_col))
-             .limit(shortlist))
+    qrot = (R @ np.asarray([float(x) for x in query[:d]],
+                           dtype=np.float64)).tolist()
+    return _adc_serve(df, codes, cent_list, qrot, query, k, shortlist,
+                      m, dsub, id_col, vec_col, members)
+
+
+def pq_index_topk(df: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                  rotation: DataFrame, query: Sequence[float],
+                  k: int = 10, shortlist: int = 50,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  members: DataFrame | None = None) -> DataFrame:
+    """Serve ANN from a PRE-BUILT PQ/OPQ index — the production shape
+    the ``pq_index`` snapshot artifact family
+    (``write_snapshot(pq_m=...)`` / ``read_pq_index``) exists for:
+    codes/codebooks/rotation are offline artifacts, so a query costs
+    one d x d matvec + model-sized LUT driver-side, one combinable ADC
+    sum over the codes table, and a shortlist-sized exact re-rank —
+    the corpus is NEVER re-encoded in-query (contrast
+    ``pq_adc_topk``/``opq_adc_topk``, which train in-query for
+    self-contained use).  Geometry (m, dsub) derives from the
+    codebooks; plain-PQ indexes carry the identity rotation so every
+    index serves through this one path."""
+    cent_rows = codebooks.collect()                       # model-sized
+    if not cent_rows:
+        raise ValueError("pq_index_topk: empty codebooks")
+    m = max(r["sub"] for r in cent_rows) + 1
+    dsub = len(cent_rows[0]["c"])
+    cent_list: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in cent_rows:
+        cent_list[r["sub"]][int(r["code"])] = list(map(float, r["c"]))
+    d = m * dsub
+    rrows = sorted([r for r in rotation.collect() if r["idx"] >= 0],
+                   key=lambda r: r["idx"])                # model-sized
+    if len(rrows) != d:
+        raise ValueError(
+            f"pq_index_topk: rotation has {len(rrows)} rows, "
+            f"codebooks imply d={d} — mismatched index artifacts")
+    R = np.stack([np.asarray(r["w"], dtype=np.float64) for r in rrows])
+    qrot = (R @ np.asarray([float(x) for x in query[:d]],
+                           dtype=np.float64)).tolist()
+    return _adc_serve(df, codes, cent_list, qrot, query, k, shortlist,
+                      m, dsub, id_col, vec_col, members)
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, rotation: DataFrame,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against an EXISTING PQ/OPQ index model (the
+    generation-append half of the ``pq_index`` artifact family):
+    rotate with the standing rotation (map-only Arrow matmul via
+    ``pca_project``) and assign codes with the standing codebooks
+    (``_pq_assign_udf`` — same left-fold distances and first-min
+    tie-break as training).  No refit: codebooks are refit artifacts
+    (the ``mode='append'`` contract), so appended generations' codes
+    stay comparable with the standing ones.  Cost ∝ the drop."""
+    cent_rows = codebooks.collect()                       # model-sized
+    if not cent_rows:
+        raise ValueError("pq_encode: empty codebooks")
+    m = max(r["sub"] for r in cent_rows) + 1
+    dsub = len(cent_rows[0]["c"])
+    cent_list: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in cent_rows:
+        cent_list[r["sub"]][int(r["code"])] = list(map(float, r["c"]))
+    d = m * dsub
     v = F.col(vec_col).cast("array<double>")
-    q = _as_double_array(query)
-    return (df.join(F.broadcast(short), id_col)
-            .select(F.col(id_col), "adc_microdist",
-                    F.round(cosine(v, q), 6).alias("score"))
-            .orderBy(F.col("score").desc(), F.col(id_col))
-            .limit(k))
+    base = (emb.select(F.col(id_col).alias("id"),
+                       F.slice(v, 1, d).alias("p"))
+            .filter(v.isNotNull() & (F.size(v) >= d)))
+    rotated = pca_project(base, rotation, k=d, vec_col="p", out="y")
+    assign = _pq_assign_udf(cent_list, m, dsub)
+    return (rotated.select("id", assign(F.col("y")).alias("cs"))
+            .select(F.col("id").alias(id_col),
+                    F.posexplode("cs").alias("sub", "code"))
+            .withColumn("sub", F.col("sub").cast("long")))
 
 
 def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,

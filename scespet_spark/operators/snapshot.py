@@ -207,6 +207,11 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    bloom_shards: int = 1,
                    cluster_labels: bool = False,
                    doc_freq: bool = False,
+                   pq_m: int | None = None,
+                   pq_dsub: int = 8,
+                   pq_ksub: int = 16,
+                   pq_opq_iters: int = 0,
+                   pq_train_iters: int = 2,
                    mode: str = "overwrite") -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
@@ -273,7 +278,11 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "ngram_order": (ngram_order, None),
                     "bloom_fpp": (bloom_fpp, None),
                     "cluster_labels": (cluster_labels, False),
-                    "doc_freq": (doc_freq, False)}
+                    "doc_freq": (doc_freq, False),
+                    "pq_m": (pq_m, None), "pq_dsub": (pq_dsub, 8),
+                    "pq_ksub": (pq_ksub, 16),
+                    "pq_opq_iters": (pq_opq_iters, 0),
+                    "pq_train_iters": (pq_train_iters, 2)}
         extra = sorted(k2 for k2, (v, d) in defaults.items() if v != d)
         if extra:
             raise ValueError(
@@ -481,6 +490,35 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         cents = label_centroids(emb)
         _w("centroids", cents)
         _w("codes", ivf_assign(emb, cents))
+    if pq_m is not None:
+        # the PQ/OPQ ANN index artifact family: (vec_id, sub, code)
+        # codes + codebooks + rotation — trained ONCE here (models are
+        # refit artifacts); generation appends then ENCODE the drop
+        # against these standing artifacts (`pq_encode` — the
+        # incremental-IVF contract, so served distances stay
+        # comparable across generations), and `pq_index_topk` serves
+        # queries from the tables alone.  ``pq_opq_iters=0`` trains
+        # plain PQ and pins the IDENTITY rotation so every index
+        # serves through the one rotated path; > 0 trains OPQ-NP.
+        if emb is None:
+            raise ValueError("pq_m needs emb")
+        from .similarity import opq_train, pq_train
+        if pq_opq_iters > 0:
+            pcodes, pcents, prot = opq_train(
+                emb, m=pq_m, dsub=pq_dsub, ksub=pq_ksub,
+                iters=pq_opq_iters, pq_iters=pq_train_iters)
+        else:
+            pcodes, pcents = pq_train(emb, m=pq_m, dsub=pq_dsub,
+                                      ksub=pq_ksub, iters=pq_train_iters)
+            d = pq_m * pq_dsub
+            prot = spark_of.createDataFrame(
+                [(-1, [0.0] * d, 0.0)]
+                + [(i, [1.0 if j == i else 0.0 for j in range(d)], 1.0)
+                   for i in range(d)],
+                "idx int, w array<double>, eigval double")
+        _w("pq_codes", pcodes)
+        _w("pq_codebooks", pcents)
+        _w("pq_rotation", prot)
     import json
     if spark_of is None:
         raise ValueError(
@@ -506,6 +544,10 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "bloom_fpp": bloom_fpp,
                     "blooms": bloom_meta,
                     "n_docs": n_docs,
+                    "pq": ({"m": pq_m, "dsub": pq_dsub, "ksub": pq_ksub,
+                            "opq_iters": pq_opq_iters,
+                            "train_iters": pq_train_iters}
+                           if pq_m is not None else None),
                     "tables": written}, indent=1))
     return written
 
@@ -679,6 +721,18 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
             # generations so served neighbors remain comparable
             cents = spark.read.parquet(os.path.join(out_dir, "centroids"))
             _a("codes", ivf_assign(emb, cents))
+        if "pq_codes" in tables:
+            # encode the drop against the STANDING rotation + codebooks
+            # (pq_encode — same no-refit contract as the IVF centroids
+            # above): appended generations' ADC distances stay
+            # comparable with the standing index's.  Cost ∝ the drop.
+            from .similarity import pq_encode
+            _a("pq_codes", pq_encode(
+                emb,
+                spark.read.parquet(os.path.join(out_dir,
+                                                "pq_codebooks")),
+                spark.read.parquet(os.path.join(out_dir,
+                                                "pq_rotation"))))
     gens = manifest.get("generations") or []
     gens.append({"gen": len(gens) + 1, "appended": appended})
     manifest["generations"] = gens
@@ -820,6 +874,7 @@ def retract_snapshot(out_dir: str, docs: DataFrame | None = None,
     if emb is not None:
         _t("blocks", emb.select("vec_id"))
         _t("codes", emb.select("vec_id"))
+        _t("pq_codes", emb.select("vec_id"))
     gens = manifest.get("generations") or []
     gens.append({"gen": len(gens) + 1, "retracted": retracted})
     manifest["generations"] = gens
@@ -946,7 +1001,7 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
     tables = manifest.get("tables") or []
     fams = families or [f for f in ("digests", "bands", "segments",
                                     "grams", "blocks", "codes",
-                                    "clusters")
+                                    "pq_codes", "clusters")
                         if f in tables]
     read_snapshot(spark, out_dir)  # (re-)register bucketed tables
     tombstones = manifest.get("tombstones") or {}
@@ -1187,6 +1242,34 @@ def read_doc_freq(spark: SparkSession, out_dir: str) \
             f"snapshot at {out_dir} was not written with doc_freq=True")
     return (spark.read.parquet(os.path.join(out_dir, "doc_freq")),
             int(manifest["n_docs"]))
+
+
+def read_pq_index(spark: SparkSession, out_dir: str) \
+        -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """The PQ/OPQ ANN index serving artifacts from a snapshot written
+    with ``pq_m=...``: ``(codes, codebooks, rotation, geometry)`` —
+    exactly what ``pq_index_topk`` takes, so a query is served from
+    parquet alone (no in-query training; the prior corpus is never
+    re-encoded).  Retraction tombstones on the id-keyed codes table
+    are anti-joined out map-side (broadcast — takedown-sized);
+    geometry is the manifest's pinned ``pq`` dict, for
+    ``check_compat``-style loud mismatches."""
+    import json
+    from pyspark.sql import functions as F
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
+    if "pq_codes" not in (manifest.get("tables") or ()):
+        raise ValueError(
+            f"snapshot at {out_dir} was not written with pq_m=...")
+    codes = spark.read.parquet(os.path.join(out_dir, "pq_codes"))
+    if (manifest.get("tombstones") or {}).get("pq_codes"):
+        tomb = spark.read.parquet(
+            os.path.join(out_dir, "tomb_pq_codes")).distinct()
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return (codes,
+            spark.read.parquet(os.path.join(out_dir, "pq_codebooks")),
+            spark.read.parquet(os.path.join(out_dir, "pq_rotation")),
+            dict(manifest.get("pq") or {}))
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

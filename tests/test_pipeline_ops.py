@@ -3622,3 +3622,80 @@ def test_opq_adc_topk_membership_and_isotropic_safety(spark):
         top50 = {r.vec_id for r in
                  brute_force_topk(df, qvec, k=50).collect()}
         assert all(r.vec_id in top50 for r in got)
+
+def test_pq_index_artifact_lifecycle(spark, tmp_path):
+    """The pq_index snapshot family (r12): (1) serving from the
+    written artifacts is ROW-IDENTICAL to in-query pq_adc_topk (same
+    pinned training contract); (2) a generation append encodes the
+    drop against the STANDING rotation+codebooks (pq_encode parity —
+    the no-refit contract); (3) retraction tombstones the drop's
+    codes out of serving and compaction folds them permanently."""
+    from scespet_spark.operators.similarity import (pq_adc_topk,
+                                                    pq_encode,
+                                                    pq_index_topk)
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_pq_index,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import planted_embeddings
+    # keep the fixture's label column: the emb branch of write_snapshot
+    # also builds the IVF families (centroids need a coarse label)
+    emb = planted_embeddings(spark, n=300, centers=6, seed=4)
+    qvec = (emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    out = str(tmp_path / "snap")
+    written = write_snapshot(out, emb=emb, pq_m=8)
+    assert {"pq_codes", "pq_codebooks", "pq_rotation"} <= set(written)
+    codes, cbs, rot, geo = read_pq_index(spark, out)
+    assert geo == {"m": 8, "dsub": 8, "ksub": 16, "opq_iters": 0,
+                   "train_iters": 2}
+    served = pq_index_topk(emb, codes, cbs, rot, qvec, k=10,
+                           shortlist=50).collect()
+    inq = pq_adc_topk(emb, qvec, k=10, shortlist=50).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inq]
+
+    out2 = str(tmp_path / "snap2")
+    prior = emb.filter(F.col("vec_id") % 4 != 3)
+    drop = emb.filter(F.col("vec_id") % 4 == 3)
+    write_snapshot(out2, emb=prior, pq_m=8)
+    write_snapshot(out2, emb=drop, mode="append")
+    codes2, cbs2, rot2, _ = read_pq_index(spark, out2)
+    assert codes2.select("vec_id").distinct().count() == 300
+    drop_rows = codes2.join(drop.select("vec_id"), "vec_id",
+                            "left_semi")
+    assert sorted(map(tuple, drop_rows.collect())) \
+        == sorted(map(tuple, pq_encode(drop, cbs2, rot2).collect()))
+
+    victims = emb.filter(F.col("vec_id").isin([3, 7]))
+    retract_snapshot(out2, emb=victims)
+    codes3, _, _, _ = read_pq_index(spark, out2)
+    assert not ({3, 7} & {r.vec_id for r in
+                          codes3.select("vec_id").distinct().collect()})
+    compact_snapshot(out2, spark, families=["pq_codes"])
+    codes4, _, _, _ = read_pq_index(spark, out2)
+    assert not ({3, 7} & {r.vec_id for r in
+                          codes4.select("vec_id").distinct().collect()})
+    assert codes4.count() == 298 * 8
+
+
+def test_pq_index_opq_mode_matches_in_query(spark, tmp_path):
+    """write_snapshot(pq_opq_iters>0) stores the OPQ rotation; serving
+    from the artifacts must be row-identical to in-query opq_adc_topk
+    under the same geometry (one training contract, two paths)."""
+    from scespet_spark.operators.similarity import (opq_adc_topk,
+                                                    pq_index_topk)
+    from scespet_spark.operators.snapshot import (read_pq_index,
+                                                  write_snapshot)
+    df, _ = _aniso_embeddings(spark, n=250)
+    df = df.withColumn("label", F.lit(0))  # coarse cell for the IVF families
+    qvec = (df.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    out = str(tmp_path / "snap")
+    write_snapshot(out, emb=df, pq_m=8, pq_opq_iters=2)
+    codes, cbs, rot, geo = read_pq_index(spark, out)
+    assert geo["opq_iters"] == 2
+    served = pq_index_topk(df, codes, cbs, rot, qvec, k=10,
+                           shortlist=50).collect()
+    inq = opq_adc_topk(df, qvec, k=10, shortlist=50, iters=2,
+                       pq_iters=2).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inq]
