@@ -92,6 +92,30 @@ def main(sf_dir="/root/testdata/sf0.01"):
           [(r.doc_id, r.rrf_score) for r in fused])
     red.unpersist()
 
+    # the production form (r12): the index as a snapshot ARTIFACT —
+    # train once offline, generation-append a drop (encoded against
+    # the standing model, no refit), take down two vectors, and serve
+    # every query from parquet alone (no in-query training)
+    import tempfile
+    from scespet_spark.operators.similarity import pq_index_topk
+    from scespet_spark.operators.snapshot import (read_pq_index,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    snap = tempfile.mkdtemp(prefix="ann_example_") + "/snap"
+    prior = emb.filter("vec_id % 4 != 3")
+    drop = emb.filter("vec_id % 4 = 3")
+    write_snapshot(snap, emb=prior, pq_m=8)
+    write_snapshot(snap, emb=drop, mode="append")       # cost ∝ drop
+    retract_snapshot(snap, emb=emb.filter("vec_id IN (7, 42)"))
+    codes, cbs, rot, geo = read_pq_index(spark, snap)
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    served = pq_index_topk(emb, codes, cbs, rot, qvec, k=5,
+                           shortlist=50).collect()
+    print(f"artifact-served top-5 (geometry {geo}):",
+          [(r.vec_id, r.score) for r in served])
+    assert not {7, 42} & {r.vec_id for r in served}, \
+        "retracted vectors must not serve"
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
