@@ -420,3 +420,35 @@ def test_incremental_components_prior_never_sortmerges(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_index_serving_plan_never_encodes(spark, tmp_path):
+    """Artifact-served ANN (`pq_index_topk`) must never re-encode the
+    corpus in-query: the rotation/LUT fold driver-side and the ADC
+    half is a codes-parquet scan + broadcast LUT join + combinable
+    sum — so the plan may contain NO MapInPandas / grouped-pandas
+    stage (those are the encode/training shapes).  The ONE permitted
+    Python node is the shortlist-sized Arrow cosine re-rank (`cosine`
+    is deliberately an Arrow UDF repo-wide — bit-identical to the
+    oracle fold, measured faster), sitting above the broadcast
+    shortlist join, never on the corpus side."""
+    from pyspark.sql import functions as F
+    from scespet_spark.operators.similarity import pq_index_topk
+    from scespet_spark.operators.snapshot import (read_pq_index,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import planted_embeddings
+    emb = planted_embeddings(spark, n=200, centers=4, seed=2)
+    out = str(tmp_path / "snap")
+    write_snapshot(out, emb=emb, pq_m=8)
+    codes, cbs, rot, _ = read_pq_index(spark, out)
+    qvec = (emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    plan = _plan(pq_index_topk(emb, codes, cbs, rot, qvec, k=5,
+                               shortlist=20))
+    for udf in ("MapInPandas", "BatchEvalPython",
+                "FlatMapGroupsInPandas"):
+        assert udf not in plan, udf
+    import re
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "Scan parquet" in plan or "FileScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
