@@ -317,6 +317,20 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
             key_skew_report(d, ["source"], top_n=20)),
     })
 
+    # r12: artifact-served PQ ANN.  The index artifacts (codebooks +
+    # rotation, model-sized; codes over the REPLICATED corpus) are
+    # built outside the timing like every other snapshot serving
+    # shape — the timed op is one query: driver-side LUT, ADC
+    # groupBy-sum over the codes table, shortlist re-rank.  Design
+    # claim: LINEAR in corpus (the ADC scan), never super-linear —
+    # per-query work beyond the scan is model/shortlist-sized.
+    from scespet_spark.operators.similarity import pq_index_topk
+    ops.update({
+        "pq_index_serve": lambda d, e, x=None: noop(
+            pq_index_topk(e, x["pq_codes"], x["pq_cents"], x["pq_rot"],
+                          x["pq_query"]["vec"], k=10, shortlist=50)),
+    })
+
     if only:
         unknown = only - set(ops)
         if unknown:
@@ -363,6 +377,24 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
                       f"{sf_dir}/documents.parquet").persist(),
                   "n_total": None}
         extras["n_total"] = n + extras["drop_docs"].count()
+        # r12 pq_index artifacts: standing model from the BASE corpus
+        # (the no-refit contract), replicated corpus encoded against it
+        from scespet_spark.operators.similarity import pq_encode, pq_train
+        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _bc, pq_cents = pq_train(base_emb)
+        pq_rot = spark.createDataFrame(
+            [(-1, [0.0] * 64, 0.0)]
+            + [(i, [1.0 if j == i else 0.0 for j in range(64)], 1.0)
+               for i in range(64)],
+            "idx int, w array<double>, eigval double")
+        extras["pq_cents"] = pq_cents.persist()
+        extras["pq_rot"] = pq_rot.persist()
+        extras["pq_codes"] = pq_encode(emb, extras["pq_cents"],
+                                       pq_rot).persist()
+        # wrapped in a dict: the extras warm-up loop calls .count() on
+        # anything that has it, and list.count needs an argument
+        extras["pq_query"] = {"vec": [float(v) for v in base_emb.filter(
+            "vec_id = 0").select("embedding").collect()[0][0]]}
         for x in extras.values():
             if hasattr(x, "count"):  # the bloom entry is a plain dict
                 x.count()
