@@ -4060,7 +4060,9 @@ def _pq_artifact_snapshot(spark, sf_dir, incremental=False):
         write_snapshot(snap, emb=emb.filter(F.col("vec_id") % 4 == 3),
                        mode="append")
     else:
-        write_snapshot(snap, emb=emb, pq_m=8)
+        # pq_by_cell: hive-partition the codes by the IVF label so the
+        # ivfpq serving query's probe filter is file pruning
+        write_snapshot(snap, emb=emb, pq_m=8, pq_by_cell=True)
     _PQ_SNAP_CACHE[key] = snap
     return snap
 
@@ -4207,6 +4209,31 @@ def ann_ivfpq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ivfpq_topk(emb, qvec, k=10, nprobe=2, shortlist=50)
+
+
+@query("ann_ivfpq_index_topk", _ivfpq_oracle())
+def ann_ivfpq_index_topk(spark, sf_dir):
+    """IVF-PQ served from the CELL-PARTITIONED artifact index (r12):
+    the snapshot writes ``pq_codes`` hive-partitioned by the IVF
+    coarse cell (``pq_by_cell=True``), the query ranks cells
+    driver-side against the model-sized centroid artifact and filters
+    the codes scan to the 2 best — a PartitionFilter, so the query
+    READS nprobe/K of the index files (plan-pinned in
+    tests/test_plans.py) instead of semi-joining a membership list.
+    ADC + exact re-rank as ``ann_pq_index_topk``.  Oracle: cell-exact
+    — same rows as ``ann_ivfpq_topk``'s unrolled CTEs (coarse probe by
+    rounded centroid cosine, corpus-wide codebooks, ADC within probed
+    cells only)."""
+    from scespet_spark.operators.similarity import ivfpq_index_topk
+    from scespet_spark.operators.snapshot import read_pq_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    snap = _pq_artifact_snapshot(spark, sf_dir)
+    codes, cbs, rot, _geo = read_pq_index(spark, snap)
+    cents = spark.read.parquet(f"{snap}/centroids")
+    return ivfpq_index_topk(emb, codes, cbs, rot, cents, qvec,
+                            k=10, nprobe=2, shortlist=50)
 
 
 @query("ann_pca_ivfpq_topk", """
@@ -7828,6 +7855,7 @@ _ROUND_CHANGED = [
     # cell-exact vs the unrolled PQ CTEs)
     "snapshot_doc_freq_lifecycle", "ann_opq_adc_topk",
     "ann_pq_index_topk", "ann_pq_index_incremental_topk",
+    "ann_ivfpq_index_topk",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -7850,14 +7878,14 @@ _PRIORITY = _ROUND_CHANGED + [
     "perplexity_filter_docs", "slice_scan_signup", "slice_stream_scan",
     "text_collapse_repeats", "text_winnow_fingerprints",
     "top_ngrams_source", "trailing_week_revenue",
-    # ... then the first 9 (alphabetical) of the 42-query r7 cohort;
+    # ... then the first 8 (alphabetical) of the 42-query r7 cohort;
     # the rest rotate next round.  Window stays exactly 50 = the
     # driver's sample; everything rotated out remains covered by the
-    # full local oracle gate (tools/check_oracle.py, all 247 queries)
+    # full local oracle gate (tools/check_oracle.py, all 248 queries)
     "ann_batch_topk", "ann_ivf_kmeans_codes", "ann_ivf_topk",
     "asof_broadcast_purchase_last_click", "at_single_key",
     "bind_hourly_rendezvous", "cluster_balance_sample",
-    "collect_types_sorted", "corpus_source_profile",
+    "collect_types_sorted",
 ]
 
 

@@ -152,6 +152,7 @@ HEADLINE = [
     "snapshot_doc_freq_lifecycle",
     "ann_pq_index_topk",
     "ann_pq_index_incremental_topk",
+    "ann_ivfpq_index_topk",
 ]
 
 

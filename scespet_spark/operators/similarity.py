@@ -1044,6 +1044,47 @@ def pq_index_topk(df: DataFrame, codes: DataFrame, codebooks: DataFrame,
                       m, dsub, id_col, vec_col, members)
 
 
+def ivfpq_index_topk(df: DataFrame, codes: DataFrame,
+                     codebooks: DataFrame, rotation: DataFrame,
+                     centroids: DataFrame, query: Sequence[float],
+                     k: int = 10, nprobe: int = 2, shortlist: int = 50,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """IVF-PQ serving from a CELL-PARTITIONED artifact index
+    (``write_snapshot(pq_m=..., pq_by_cell=True)``): rank the coarse
+    cells driver-side against the model-sized centroid table (same
+    rounded-cosine / lowest-label contract as ``ivf_topk``), then
+    filter the codes scan to the ``nprobe`` best cells — the codes
+    table is hive-partitioned by cell, so the filter reaches the scan
+    as a PartitionFilter and each query READS nprobe/K of the index
+    files (plan-pinned), never the whole codes table.  ADC + exact
+    re-rank then proceed as ``pq_index_topk``.  This is the physical
+    form of the claim every ADC docstring makes about 100 TB: coarse
+    pruning is file pruning, not a join."""
+    crows = centroids.select(F.col(label_col).alias("c"),
+                             "centroid").collect()        # model-sized
+    if not crows:
+        raise ValueError("ivfpq_index_topk: centroids table is empty")
+    qf = [float(x) for x in query]
+    scored = []
+    for r in crows:
+        # dim-sequential left fold — bit-identical to the `cosine`
+        # column fold and the DuckDB oracle, so the 6dp-rounded cell
+        # ranking can never diverge on a rounding razor edge
+        acc = na = nb = 0.0
+        for x, y in zip(r.centroid, qf):
+            acc = acc + x * y
+            na = na + x * x
+            nb = nb + y * y
+        cs = acc / (math.sqrt(na) * math.sqrt(nb)) if na and nb else 0.0
+        scored.append((-round(cs, 6), r.c))
+    probed = [c for _, c in sorted(scored)[:nprobe]]
+    pruned = codes.filter(F.col(label_col).isin(probed))
+    return pq_index_topk(df, pruned, codebooks, rotation, query, k=k,
+                         shortlist=shortlist, id_col=id_col,
+                         vec_col=vec_col)
+
+
 def pq_encode(emb: DataFrame, codebooks: DataFrame, rotation: DataFrame,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:

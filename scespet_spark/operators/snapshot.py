@@ -212,6 +212,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    pq_ksub: int = 16,
                    pq_opq_iters: int = 0,
                    pq_train_iters: int = 2,
+                   pq_by_cell: bool = False,
                    mode: str = "overwrite") -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
@@ -282,7 +283,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "pq_m": (pq_m, None), "pq_dsub": (pq_dsub, 8),
                     "pq_ksub": (pq_ksub, 16),
                     "pq_opq_iters": (pq_opq_iters, 0),
-                    "pq_train_iters": (pq_train_iters, 2)}
+                    "pq_train_iters": (pq_train_iters, 2),
+                    "pq_by_cell": (pq_by_cell, False)}
         extra = sorted(k2 for k2, (v, d) in defaults.items() if v != d)
         if extra:
             raise ValueError(
@@ -516,7 +518,22 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                 + [(i, [1.0 if j == i else 0.0 for j in range(d)], 1.0)
                    for i in range(d)],
                 "idx int, w array<double>, eigval double")
-        _w("pq_codes", pcodes)
+        if pq_by_cell:
+            # HIVE-partition the codes by the IVF coarse cell (the emb
+            # table's ``label``): `ivfpq_index_topk`'s probe filter
+            # then reaches the scan as a PartitionFilter — each query
+            # READS nprobe/K of the codes files, the claim every ADC
+            # docstring makes, made physical.  Correctness is
+            # unchanged (the label column rides along; ADC ignores it).
+            if "label" not in emb.columns:
+                raise ValueError("pq_by_cell needs a 'label' column on "
+                                 "emb (the IVF coarse cell)")
+            pcodes = pcodes.join(emb.select("vec_id", "label"), "vec_id")
+            (pcodes.write.mode("overwrite").partitionBy("label")
+             .parquet(os.path.join(out_dir, "pq_codes")))
+            written.append("pq_codes")
+        else:
+            _w("pq_codes", pcodes)
         _w("pq_codebooks", pcents)
         _w("pq_rotation", prot)
     import json
@@ -546,7 +563,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "n_docs": n_docs,
                     "pq": ({"m": pq_m, "dsub": pq_dsub, "ksub": pq_ksub,
                             "opq_iters": pq_opq_iters,
-                            "train_iters": pq_train_iters}
+                            "train_iters": pq_train_iters,
+                            "by_cell": pq_by_cell}
                            if pq_m is not None else None),
                     "tables": written}, indent=1))
     return written
@@ -727,12 +745,22 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
             # above): appended generations' ADC distances stay
             # comparable with the standing index's.  Cost ∝ the drop.
             from .similarity import pq_encode
-            _a("pq_codes", pq_encode(
+            enc = pq_encode(
                 emb,
                 spark.read.parquet(os.path.join(out_dir,
                                                 "pq_codebooks")),
                 spark.read.parquet(os.path.join(out_dir,
-                                                "pq_rotation"))))
+                                                "pq_rotation")))
+            if (manifest.get("pq") or {}).get("by_cell"):
+                # cell-partitioned index: the drop's rows land in their
+                # cells' partitions (a drop touches few cells — a
+                # partition-local append, not a table rewrite)
+                (enc.join(emb.select("vec_id", "label"), "vec_id")
+                 .write.mode("append").partitionBy("label")
+                 .parquet(os.path.join(out_dir, "pq_codes")))
+                appended.append("pq_codes")
+            else:
+                _a("pq_codes", enc)
     gens = manifest.get("generations") or []
     gens.append({"gen": len(gens) + 1, "appended": appended})
     manifest["generations"] = gens
@@ -1053,6 +1081,13 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
             from pyspark.sql import functions as F
             (read_clusters(spark, out_dir).withColumn("gen", F.lit(0))
              .write.mode("overwrite").parquet(tmp))
+        elif (name == "pq_codes"
+              and (manifest.get("pq") or {}).get("by_cell")):
+            # cell-partitioned index: the rewrite must KEEP the hive
+            # partitioning — the generic branch would flatten it and
+            # silently cost every future query its partition pruning
+            (_minus_tombs(name, spark.read.parquet(path).distinct())
+             .write.mode("overwrite").partitionBy("label").parquet(tmp))
         else:
             (_minus_tombs(name, spark.read.parquet(path).distinct())
              .write.mode("overwrite").parquet(tmp))

@@ -3699,3 +3699,49 @@ def test_pq_index_opq_mode_matches_in_query(spark, tmp_path):
     inq = opq_adc_topk(df, qvec, k=10, shortlist=50, iters=2,
                        pq_iters=2).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in inq]
+
+
+def test_pq_index_by_cell_lifecycle_keeps_partitioning(spark, tmp_path):
+    """pq_by_cell=True: (1) serving through the cell-partitioned index
+    at nprobe=ALL cells equals the unpartitioned pq_index_topk result
+    (partition layout must not change answers); (2) a generation
+    append lands the drop's rows in their cells' hive partitions; (3)
+    compaction folds retraction tombstones WITHOUT flattening the
+    partition layout (the pruning survives)."""
+    import os
+    from scespet_spark.operators.similarity import (ivfpq_index_topk,
+                                                    pq_index_topk)
+    from scespet_spark.operators.snapshot import (compact_snapshot,
+                                                  read_pq_index,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import planted_embeddings
+    emb = planted_embeddings(spark, n=240, centers=4, seed=6)
+    qvec = (emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    out = str(tmp_path / "snap")
+    prior = emb.filter(F.col("vec_id") % 4 != 3)
+    drop = emb.filter(F.col("vec_id") % 4 == 3)
+    write_snapshot(out, emb=prior, pq_m=8, pq_by_cell=True)
+    write_snapshot(out, emb=drop, mode="append")
+    codes, cbs, rot, geo = read_pq_index(spark, out)
+    assert geo["by_cell"] is True
+    assert codes.select("vec_id").distinct().count() == 240
+    # hive layout present and the drop landed inside it
+    parts = [p for p in os.listdir(f"{out}/pq_codes")
+             if p.startswith("label=")]
+    assert len(parts) == 4, parts
+    cents = spark.read.parquet(f"{out}/centroids")
+    served = ivfpq_index_topk(emb, codes, cbs, rot, cents, qvec, k=10,
+                              nprobe=4, shortlist=50).collect()
+    flat = pq_index_topk(emb, codes.drop("label"), cbs, rot, qvec,
+                         k=10, shortlist=50).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in flat]
+    retract_snapshot(out, emb=emb.filter(F.col("vec_id").isin([2, 11])))
+    compact_snapshot(out, spark, families=["pq_codes"])
+    codes2, _, _, _ = read_pq_index(spark, out)
+    assert not ({2, 11} & {r.vec_id for r in
+                           codes2.select("vec_id").distinct().collect()})
+    parts2 = [p for p in os.listdir(f"{out}/pq_codes")
+              if p.startswith("label=")]
+    assert len(parts2) == 4, parts2  # layout survived compaction

@@ -452,3 +452,30 @@ def test_pq_index_serving_plan_never_encodes(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
     assert "Scan parquet" in plan or "FileScan" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_index_probe_is_partition_pruning(spark, tmp_path):
+    """The cell-partitioned index (`pq_by_cell=True`): the probe
+    filter must reach the codes scan as a PartitionFilter (file
+    pruning — each query reads nprobe/K of the index), NOT as a
+    post-scan Filter or a membership join.  This is the physical form
+    of the 100 TB coarse-pruning claim."""
+    from pyspark.sql import functions as F
+    from scespet_spark.operators.similarity import ivfpq_index_topk
+    from scespet_spark.operators.snapshot import (read_pq_index,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import planted_embeddings
+    emb = planted_embeddings(spark, n=200, centers=4, seed=2)
+    out = str(tmp_path / "snap")
+    write_snapshot(out, emb=emb, pq_m=8, pq_by_cell=True)
+    codes, cbs, rot, geo = read_pq_index(spark, out)
+    assert geo["by_cell"] is True
+    cents = spark.read.parquet(f"{out}/centroids")
+    qvec = (emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    plan = _plan(ivfpq_index_topk(emb, codes, cbs, rot, cents, qvec,
+                                  k=5, nprobe=2, shortlist=20))
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*label[^\]]*\]", plan)
+    assert m, plan
+    assert "label IN" in m.group(0) or "label#" in m.group(0), m.group(0)
