@@ -243,6 +243,16 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
     count at the given fpp; geometry (m, k, n) is pinned in the
     manifest and rehydrated by ``read_bloom``.
 
+    ``pq_m`` (+ ``pq_dsub``/``pq_ksub``/``pq_opq_iters``/
+    ``pq_train_iters``/``pq_by_cell``) writes the PQ/OPQ ANN index
+    artifact family from ``emb``: ``pq_codes`` / ``pq_codebooks`` /
+    ``pq_rotation`` (identity for plain PQ, the learned OPQ rotation
+    when ``pq_opq_iters > 0``), geometry pinned in the manifest.
+    ``pq_by_cell=True`` hive-partitions the codes by the IVF ``label``
+    so ``ivfpq_index_topk``'s probe is file pruning.  Serve with
+    ``read_pq_index`` + ``pq_index_topk``; appends ENCODE drops
+    against the standing model (``pq_encode`` — no refit).
+
     ``mode="append"`` is the incremental refresh (generation append):
     instead of rewriting the whole snapshot per crawl drop — 100 TB x
     N generations of churn at daily cadence — the DROP's probe rows
