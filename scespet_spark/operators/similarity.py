@@ -1022,14 +1022,7 @@ def pq_index_topk(df: DataFrame, codes: DataFrame, codebooks: DataFrame,
     self-contained use).  Geometry (m, dsub) derives from the
     codebooks; plain-PQ indexes carry the identity rotation so every
     index serves through this one path."""
-    cent_rows = codebooks.collect()                       # model-sized
-    if not cent_rows:
-        raise ValueError("pq_index_topk: empty codebooks")
-    m = max(r["sub"] for r in cent_rows) + 1
-    dsub = len(cent_rows[0]["c"])
-    cent_list: list[dict[int, list[float]]] = [dict() for _ in range(m)]
-    for r in cent_rows:
-        cent_list[r["sub"]][int(r["code"])] = list(map(float, r["c"]))
+    cent_list, m, dsub = _cent_list_from_codebooks(codebooks)
     d = m * dsub
     rrows = sorted([r for r in rotation.collect() if r["idx"] >= 0],
                    key=lambda r: r["idx"])                # model-sized
@@ -1042,6 +1035,33 @@ def pq_index_topk(df: DataFrame, codes: DataFrame, codebooks: DataFrame,
                            dtype=np.float64)).tolist()
     return _adc_serve(df, codes, cent_list, qrot, query, k, shortlist,
                       m, dsub, id_col, vec_col, members)
+
+
+def _cent_list_from_codebooks(codebooks: DataFrame) \
+        -> tuple[list[dict[int, list[float]]], int, int]:
+    """Collect a (sub, code, c) codebooks table into the driver-side
+    ``cent_list`` structure the assign/LUT paths consume; returns
+    ``(cent_list, m, dsub)``.  Model-sized."""
+    cent_rows = codebooks.collect()
+    if not cent_rows:
+        raise ValueError("empty codebooks table")
+    m = max(r["sub"] for r in cent_rows) + 1
+    dsub = len(cent_rows[0]["c"])
+    cent_list: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in cent_rows:
+        cent_list[r["sub"]][int(r["code"])] = list(map(float, r["c"]))
+    return cent_list, m, dsub
+
+
+def identity_rotation(spark, d: int) -> DataFrame:
+    """The identity rotation as a ``pca_project``-shaped model table
+    (zero mean row + one unit row per dim) — what a plain-PQ index
+    pins so PQ and OPQ share one rotated serving/encode path."""
+    return spark.createDataFrame(
+        [(-1, [0.0] * d, 0.0)]
+        + [(i, [1.0 if j == i else 0.0 for j in range(d)], 1.0)
+           for i in range(d)],
+        "idx int, w array<double>, eigval double")
 
 
 def ivfpq_index_topk(df: DataFrame, codes: DataFrame,
@@ -1069,15 +1089,17 @@ def ivfpq_index_topk(df: DataFrame, codes: DataFrame,
     scored = []
     for r in crows:
         # dim-sequential left fold — bit-identical to the `cosine`
-        # column fold and the DuckDB oracle, so the 6dp-rounded cell
-        # ranking can never diverge on a rounding razor edge
+        # column fold and the DuckDB oracle — then HALF-AWAY-FROM-ZERO
+        # 6dp rounding (the F.round/DuckDB rule; Python's round() is
+        # banker's and would flip a razor-edge cell ranking)
         acc = na = nb = 0.0
         for x, y in zip(r.centroid, qf):
             acc = acc + x * y
             na = na + x * x
             nb = nb + y * y
         cs = acc / (math.sqrt(na) * math.sqrt(nb)) if na and nb else 0.0
-        scored.append((-round(cs, 6), r.c))
+        cs6 = math.copysign(math.floor(abs(cs) * 1e6 + 0.5), cs) / 1e6
+        scored.append((-cs6, r.c))
     probed = [c for _, c in sorted(scored)[:nprobe]]
     pruned = codes.filter(F.col(label_col).isin(probed))
     return pq_index_topk(df, pruned, codebooks, rotation, query, k=k,
@@ -1096,14 +1118,7 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, rotation: DataFrame,
     tie-break as training).  No refit: codebooks are refit artifacts
     (the ``mode='append'`` contract), so appended generations' codes
     stay comparable with the standing ones.  Cost ∝ the drop."""
-    cent_rows = codebooks.collect()                       # model-sized
-    if not cent_rows:
-        raise ValueError("pq_encode: empty codebooks")
-    m = max(r["sub"] for r in cent_rows) + 1
-    dsub = len(cent_rows[0]["c"])
-    cent_list: list[dict[int, list[float]]] = [dict() for _ in range(m)]
-    for r in cent_rows:
-        cent_list[r["sub"]][int(r["code"])] = list(map(float, r["c"]))
+    cent_list, m, dsub = _cent_list_from_codebooks(codebooks)
     d = m * dsub
     v = F.col(vec_col).cast("array<double>")
     base = (emb.select(F.col(id_col).alias("id"),

@@ -514,7 +514,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         # serves through the one rotated path; > 0 trains OPQ-NP.
         if emb is None:
             raise ValueError("pq_m needs emb")
-        from .similarity import opq_train, pq_train
+        from .similarity import identity_rotation, opq_train, pq_train
         if pq_opq_iters > 0:
             pcodes, pcents, prot = opq_train(
                 emb, m=pq_m, dsub=pq_dsub, ksub=pq_ksub,
@@ -522,12 +522,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
         else:
             pcodes, pcents = pq_train(emb, m=pq_m, dsub=pq_dsub,
                                       ksub=pq_ksub, iters=pq_train_iters)
-            d = pq_m * pq_dsub
-            prot = spark_of.createDataFrame(
-                [(-1, [0.0] * d, 0.0)]
-                + [(i, [1.0 if j == i else 0.0 for j in range(d)], 1.0)
-                   for i in range(d)],
-                "idx int, w array<double>, eigval double")
+            prot = identity_rotation(spark_of, pq_m * pq_dsub)
         if pq_by_cell:
             # HIVE-partition the codes by the IVF coarse cell (the emb
             # table's ``label``): `ivfpq_index_topk`'s probe filter
@@ -596,6 +591,15 @@ def _append_snapshot(out_dir: str, docs: DataFrame | None = None,
     manifest = json.loads(
         _fs_read_text(spark, os.path.join(out_dir, "manifest.json")))
     tables = set(manifest.get("tables") or ())
+    if (emb is not None and "pq_codes" in tables
+            and (manifest.get("pq") or {}).get("by_cell")
+            and "label" not in emb.columns):
+        # validate BEFORE any family append: failing at the pq encode
+        # join after blocks/codes already appended would leave the
+        # snapshot's families inconsistent (the write path's guard,
+        # applied up front)
+        raise ValueError("mode='append' into a pq_by_cell snapshot "
+                         "needs a 'label' column on emb")
     bucket_tables = manifest.get("bucket_tables") or {}
     blooms = manifest.get("blooms") or {}
     wide = bool(manifest.get("digest_wide"))
@@ -1143,8 +1147,20 @@ def compact_snapshot(out_dir: str, spark: SparkSession | None = None,
             del tombstones[name]
             manifest["tombstones"] = tombstones
         fs, jold = _hadoop_fs(spark, path)
-        out[name] = sum(1 for st in fs.listStatus(jold)
-                        if st.getPath().getName().endswith(".parquet"))
+
+        def _n_parquet(jdir, depth=0):
+            # hive-partitioned families (pq_by_cell) keep their files
+            # one level down in label=*/ dirs — count those too, or
+            # the documented {family: n_files_after} reads 0
+            n = 0
+            for st in fs.listStatus(jdir):
+                if st.getPath().getName().endswith(".parquet"):
+                    n += 1
+                elif st.isDirectory() and depth < 1:
+                    n += _n_parquet(st.getPath(), depth + 1)
+            return n
+
+        out[name] = _n_parquet(jold)
     gens = manifest.get("generations") or []
     gens.append({"gen": len(gens) + 1, "compacted": sorted(out)})
     manifest["generations"] = gens

@@ -3648,7 +3648,7 @@ def test_pq_index_artifact_lifecycle(spark, tmp_path):
     assert {"pq_codes", "pq_codebooks", "pq_rotation"} <= set(written)
     codes, cbs, rot, geo = read_pq_index(spark, out)
     assert geo == {"m": 8, "dsub": 8, "ksub": 16, "opq_iters": 0,
-                   "train_iters": 2}
+                   "train_iters": 2, "by_cell": False}
     served = pq_index_topk(emb, codes, cbs, rot, qvec, k=10,
                            shortlist=50).collect()
     inq = pq_adc_topk(emb, qvec, k=10, shortlist=50).collect()
@@ -3745,3 +3745,29 @@ def test_pq_index_by_cell_lifecycle_keeps_partitioning(spark, tmp_path):
     parts2 = [p for p in os.listdir(f"{out}/pq_codes")
               if p.startswith("label=")]
     assert len(parts2) == 4, parts2  # layout survived compaction
+
+
+def test_pq_by_cell_append_without_label_fails_before_any_write(
+        spark, tmp_path):
+    """Appending a label-less emb drop into a pq_by_cell snapshot must
+    raise the loud guard BEFORE any family is appended — failing at
+    the pq encode join after blocks/codes already landed would leave
+    the artifact families inconsistent (reviewer finding, r12)."""
+    import pytest as _pytest
+    from scespet_spark.operators.snapshot import (read_pq_index,
+                                                  read_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import planted_embeddings
+    emb = planted_embeddings(spark, n=120, centers=3, seed=8)
+    out = str(tmp_path / "snap")
+    write_snapshot(out, emb=emb, pq_m=8, pq_by_cell=True)
+    n_blocks = read_snapshot(spark, out)["blocks"].count()
+    bad_drop = (planted_embeddings(spark, n=40, centers=3, seed=9)
+                .select((F.col("vec_id") + 1000).alias("vec_id"),
+                        "embedding"))
+    with _pytest.raises(ValueError, match="label"):
+        write_snapshot(out, emb=bad_drop, mode="append")
+    # nothing appended: blocks unchanged, codes still 120 ids
+    assert read_snapshot(spark, out)["blocks"].count() == n_blocks
+    codes, _, _, _ = read_pq_index(spark, out)
+    assert codes.select("vec_id").distinct().count() == 120

@@ -379,14 +379,11 @@ def main(sf_dir="/root/testdata/sf0.1", *mults):
         extras["n_total"] = n + extras["drop_docs"].count()
         # r12 pq_index artifacts: standing model from the BASE corpus
         # (the no-refit contract), replicated corpus encoded against it
-        from scespet_spark.operators.similarity import pq_encode, pq_train
+        from scespet_spark.operators.similarity import (identity_rotation,
+                                                        pq_encode, pq_train)
         base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         _bc, pq_cents = pq_train(base_emb)
-        pq_rot = spark.createDataFrame(
-            [(-1, [0.0] * 64, 0.0)]
-            + [(i, [1.0 if j == i else 0.0 for j in range(64)], 1.0)
-               for i in range(64)],
-            "idx int, w array<double>, eigval double")
+        pq_rot = identity_rotation(spark, 64)
         extras["pq_cents"] = pq_cents.persist()
         extras["pq_rot"] = pq_rot.persist()
         extras["pq_codes"] = pq_encode(emb, extras["pq_cents"],
