@@ -4090,6 +4090,61 @@ def ann_pq_index_topk(spark, sf_dir):
     return pq_index_topk(emb, codes, cbs, rot, qvec, k=10, shortlist=50)
 
 
+def _pq_index_batch_oracle(k: int = 10, shortlist: int = 50,
+                           m: int = 8, dsub: int = 8) -> str:
+    sq = ("list_sum(list_transform(list_zip(q.qp, c.c), "
+          "z -> (z[1] - z[2]) * (z[1] - z[2])))")
+    return f"""
+WITH {_pq_ctes(m=m, dsub=dsub)},
+qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id < 3),
+qsub AS (SELECT qid, j AS sub, v[j * {dsub} + 1 : (j + 1) * {dsub}] AS qp
+         FROM qv CROSS JOIN (SELECT CAST(unnest(generate_series(0, {m - 1}))
+                                    AS BIGINT) AS j)),
+lut AS (SELECT q.qid, c.sub, c.code,
+               CAST(round({sq} * 1000000) AS BIGINT) AS md
+        FROM c2 c JOIN qsub q USING (sub)),
+adc AS (SELECT l.qid, a.id, CAST(SUM(l.md) AS BIGINT) AS adc_microdist
+        FROM af a JOIN lut l USING (sub, code) GROUP BY l.qid, a.id),
+short AS (SELECT qid, id, adc_microdist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adc_microdist, id) AS rn
+    FROM adc) WHERE rn <= {shortlist}),
+scored AS (SELECT s.qid, s.id, s.adc_microdist,
+                  round({_cosine_sql('p.v', 'q.v')}, 6) AS score
+           FROM short s JOIN pts p ON p.id = s.id
+                        JOIN qv q ON q.qid = s.qid)
+SELECT qid AS q_id, id AS vec_id, adc_microdist, score, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, id) AS rnk
+    FROM scored) WHERE rnk <= {k}
+"""
+
+
+@query("ann_pq_index_batch_topk", _pq_index_batch_oracle())
+def ann_pq_index_batch_topk(spark, sf_dir):
+    """BATCH serving from the pq_index artifacts (r12): 3 queries in
+    ONE job — per-query LUTs computed distributed (one Arrow pass over
+    the queries, exploded into Q x m*ksub skinny rows broadcast into
+    the ADC join), one combinable (query, id) ADC sum over a SINGLE
+    codes scan, per-query windowed shortlist + exact re-rank.  Q
+    sequential `ann_pq_index_topk` calls would scan the codes Q
+    times.  Oracle: cell-exact multi-query extension of the unrolled
+    PQ CTEs."""
+    from scespet_spark.operators.similarity import pq_index_batch_topk
+    from scespet_spark.operators.snapshot import read_pq_index
+    emb = load_table(spark, sf_dir, "embeddings")
+    snap = _pq_artifact_snapshot(spark, sf_dir)
+    codes, cbs, rot, _geo = read_pq_index(spark, snap)
+    qs = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    out = pq_index_batch_topk(emb, codes, cbs, rot, qs, k=10,
+                              shortlist=50)
+    return out.select("q_id", "vec_id", "adc_microdist", "score",
+                      F.col("rnk").cast("long").alias("rnk"))
+
+
 @query("ann_pq_index_incremental_topk",
        _pq_adc_oracle(train_where="id % 4 <> 3"))
 def ann_pq_index_incremental_topk(spark, sf_dir):
@@ -7855,7 +7910,7 @@ _ROUND_CHANGED = [
     # cell-exact vs the unrolled PQ CTEs)
     "snapshot_doc_freq_lifecycle", "ann_opq_adc_topk",
     "ann_pq_index_topk", "ann_pq_index_incremental_topk",
-    "ann_ivfpq_index_topk",
+    "ann_ivfpq_index_topk", "ann_pq_index_batch_topk",
 ]
 
 _PRIORITY = _ROUND_CHANGED + [
@@ -7878,14 +7933,13 @@ _PRIORITY = _ROUND_CHANGED + [
     "perplexity_filter_docs", "slice_scan_signup", "slice_stream_scan",
     "text_collapse_repeats", "text_winnow_fingerprints",
     "top_ngrams_source", "trailing_week_revenue",
-    # ... then the first 8 (alphabetical) of the 42-query r7 cohort;
+    # ... then the first 7 (alphabetical) of the 42-query r7 cohort;
     # the rest rotate next round.  Window stays exactly 50 = the
     # driver's sample; everything rotated out remains covered by the
-    # full local oracle gate (tools/check_oracle.py, all 248 queries)
+    # full local oracle gate (tools/check_oracle.py, all 249 queries)
     "ann_batch_topk", "ann_ivf_kmeans_codes", "ann_ivf_topk",
     "asof_broadcast_purchase_last_click", "at_single_key",
     "bind_hourly_rendezvous", "cluster_balance_sample",
-    "collect_types_sorted",
 ]
 
 

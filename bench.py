@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_pq_index_topk",
     "ann_pq_index_incremental_topk",
     "ann_ivfpq_index_topk",
+    "ann_pq_index_batch_topk",
 ]
 
 

@@ -1107,6 +1107,95 @@ def ivfpq_index_topk(df: DataFrame, codes: DataFrame,
                          vec_col=vec_col)
 
 
+def pq_index_batch_topk(df: DataFrame, codes: DataFrame,
+                        codebooks: DataFrame, rotation: DataFrame,
+                        queries: DataFrame, k: int = 10,
+                        shortlist: int = 50, id_col: str = "vec_id",
+                        vec_col: str = "embedding", q_id: str = "q_id",
+                        q_vec: str = "q_vec") -> DataFrame:
+    """Serve a BATCH of queries from a pre-built PQ/OPQ index in ONE
+    job — the request-batch form of ``pq_index_topk`` (production ANN
+    serves batches; Q sequential queries would scan the codes table Q
+    times, this scans it once):
+
+    1. per-query LUTs are computed DISTRIBUTED: one Arrow pass over
+       the queries rotates them (the model rides in the closure) and
+       emits each query's m*ksub integer-microunit distances, exploded
+       against a position→(sub, code) map — Q × m*ksub skinny rows,
+       broadcast into the ADC join (request batches are small; the
+       corpus side stays un-shuffled);
+    2. one combinable groupBy-(query, id) ADC sum over the codes scan;
+    3. per-query shortlist (window by ADC, ties to lower id), exact
+       cosine re-rank against original vectors, per-query top-k.
+
+    Emits ``(q_id, vec_id, adc_microdist, score, rnk)``.  Same
+    determinism contract as `_adc_serve` (left-fold distances, HALF-UP
+    microunits — distances are non-negative so floor(x+0.5) equals the
+    oracle's half-away rounding).  Null / short query vectors are
+    dropped (the `_pq_train_model` input contract)."""
+    cent_list, m, dsub = _cent_list_from_codebooks(codebooks)
+    d = m * dsub
+    rrows = sorted([r for r in rotation.collect() if r["idx"] >= 0],
+                   key=lambda r: r["idx"])                # model-sized
+    if len(rrows) != d:
+        raise ValueError(
+            f"pq_index_batch_topk: rotation has {len(rrows)} rows, "
+            f"codebooks imply d={d} — mismatched index artifacts")
+    R = np.stack([np.asarray(r["w"], dtype=np.float64) for r in rrows])
+    positions = [(j, c) for j in range(m) for c in sorted(cent_list[j])]
+    Cmat = np.stack([np.asarray(cent_list[j][c], dtype=np.float64)
+                     for j, c in positions])              # (P, dsub)
+
+    @pandas_udf("array<bigint>")
+    def _lut(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        Q = np.stack(v.to_numpy()).astype(np.float64)     # (n, d)
+        Y = Q @ R.T
+        out = np.empty((len(Q), len(positions)), dtype=np.int64)
+        for p, (j, _c) in enumerate(positions):
+            qp = Y[:, j * dsub:(j + 1) * dsub]
+            cv = Cmat[p]
+            acc = np.zeros(len(Q))
+            for dd in range(dsub):                        # left fold
+                dlt = qp[:, dd] - cv[dd]
+                acc = acc + dlt * dlt
+            out[:, p] = np.floor(acc * 1e6 + 0.5).astype(np.int64)
+        return pd.Series(list(out))
+
+    spark = df.sparkSession
+    pos_df = spark.createDataFrame(
+        [(p, j, int(c)) for p, (j, c) in enumerate(positions)],
+        "pos int, sub long, code long")
+    qv = F.col(q_vec).cast("array<double>")
+    qs = (queries.select(F.col(q_id), qv.alias("__qv"))
+          .filter(qv.isNotNull() & (F.size(qv) >= d)))
+    lut = (qs.select(q_id,
+                     F.posexplode(_lut(F.slice(F.col("__qv"), 1, d)))
+                     .alias("pos", "md"))
+           .join(F.broadcast(pos_df), "pos")
+           .select(q_id, "sub", "code", "md"))
+    adc = (codes.join(F.broadcast(lut), ["sub", "code"])
+           .groupBy(q_id, id_col)
+           .agg(F.sum("md").alias("adc_microdist")))
+    w_short = Window.partitionBy(q_id).orderBy(
+        F.col("adc_microdist").asc(), F.col(id_col))
+    short = (adc.withColumn("__rn", F.row_number().over(w_short))
+             .filter(F.col("__rn") <= shortlist).drop("__rn"))
+    v = F.col(vec_col).cast("array<double>")
+    scored = (short.join(df.select(F.col(id_col), v.alias("__v")),
+                         id_col)
+              .join(qs, q_id)
+              .select(q_id, id_col, "adc_microdist",
+                      F.round(cosine(F.col("__v"), F.col("__qv")), 6)
+                      .alias("score")))
+    w_rank = Window.partitionBy(q_id).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w_rank))
+            .filter(F.col("rnk") <= k)
+            .select(q_id, id_col, "adc_microdist", "score", "rnk"))
+
+
 def pq_encode(emb: DataFrame, codebooks: DataFrame, rotation: DataFrame,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:

@@ -3771,3 +3771,34 @@ def test_pq_by_cell_append_without_label_fails_before_any_write(
     assert read_snapshot(spark, out)["blocks"].count() == n_blocks
     codes, _, _, _ = read_pq_index(spark, out)
     assert codes.select("vec_id").distinct().count() == 120
+
+
+def test_pq_index_batch_matches_sequential(spark, tmp_path):
+    """Batch serving must be ROW-IDENTICAL per query to sequential
+    pq_index_topk against the same artifacts — one job vs Q jobs is a
+    cost difference, never an answer difference.  Also covers the OPQ
+    rotation path (by_cell=False, opq_iters=2)."""
+    from scespet_spark.operators.similarity import (pq_index_batch_topk,
+                                                    pq_index_topk)
+    from scespet_spark.operators.snapshot import (read_pq_index,
+                                                  write_snapshot)
+    from scespet_spark.sources.batch import planted_embeddings
+    emb = planted_embeddings(spark, n=220, centers=5, seed=12)
+    out = str(tmp_path / "snap")
+    write_snapshot(out, emb=emb, pq_m=8, pq_opq_iters=2)
+    codes, cbs, rot, _ = read_pq_index(spark, out)
+    qs = (emb.filter(F.col("vec_id").isin([0, 17, 44]))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    batch = pq_index_batch_topk(emb, codes, cbs, rot, qs, k=7,
+                                shortlist=30).collect()
+    for qid in (0, 17, 44):
+        qvec = (emb.filter(F.col("vec_id") == qid)
+                .select("embedding").collect()[0][0])
+        seq = pq_index_topk(emb, codes, cbs, rot, qvec, k=7,
+                            shortlist=30).collect()
+        got = sorted([(r.vec_id, r.adc_microdist, r.score)
+                      for r in batch if r.q_id == qid])
+        want = sorted([(r.vec_id, r.adc_microdist, r.score)
+                       for r in seq])
+        assert got == want, qid
