@@ -1024,17 +1024,26 @@ def pq_index_topk(df: DataFrame, codes: DataFrame, codebooks: DataFrame,
     index serves through this one path."""
     cent_list, m, dsub = _cent_list_from_codebooks(codebooks)
     d = m * dsub
-    rrows = sorted([r for r in rotation.collect() if r["idx"] >= 0],
-                   key=lambda r: r["idx"])                # model-sized
-    if len(rrows) != d:
-        raise ValueError(
-            f"pq_index_topk: rotation has {len(rrows)} rows, "
-            f"codebooks imply d={d} — mismatched index artifacts")
-    R = np.stack([np.asarray(r["w"], dtype=np.float64) for r in rrows])
+    R = _rotation_matrix(rotation, d, "pq_index_topk")
     qrot = (R @ np.asarray([float(x) for x in query[:d]],
                            dtype=np.float64)).tolist()
     return _adc_serve(df, codes, cent_list, qrot, query, k, shortlist,
                       m, dsub, id_col, vec_col, members)
+
+
+def _rotation_matrix(rotation: DataFrame, d: int,
+                     caller: str) -> "np.ndarray":
+    """Collect a ``pca_project``-shaped rotation model into the d x d
+    numpy matrix the serving paths fold driver-side; raises loudly on
+    a dimension mismatch (mismatched index artifacts).  Model-sized."""
+    rrows = sorted([r for r in rotation.collect() if r["idx"] >= 0],
+                   key=lambda r: r["idx"])
+    if len(rrows) != d:
+        raise ValueError(
+            f"{caller}: rotation has {len(rrows)} rows, codebooks "
+            f"imply d={d} — mismatched index artifacts")
+    return np.stack([np.asarray(r["w"], dtype=np.float64)
+                     for r in rrows])
 
 
 def _cent_list_from_codebooks(codebooks: DataFrame) \
@@ -1135,13 +1144,7 @@ def pq_index_batch_topk(df: DataFrame, codes: DataFrame,
     dropped (the `_pq_train_model` input contract)."""
     cent_list, m, dsub = _cent_list_from_codebooks(codebooks)
     d = m * dsub
-    rrows = sorted([r for r in rotation.collect() if r["idx"] >= 0],
-                   key=lambda r: r["idx"])                # model-sized
-    if len(rrows) != d:
-        raise ValueError(
-            f"pq_index_batch_topk: rotation has {len(rrows)} rows, "
-            f"codebooks imply d={d} — mismatched index artifacts")
-    R = np.stack([np.asarray(r["w"], dtype=np.float64) for r in rrows])
+    R = _rotation_matrix(rotation, d, "pq_index_batch_topk")
     positions = [(j, c) for j in range(m) for c in sorted(cent_list[j])]
     Cmat = np.stack([np.asarray(cent_list[j][c], dtype=np.float64)
                      for j, c in positions])              # (P, dsub)
@@ -1151,7 +1154,12 @@ def pq_index_batch_topk(df: DataFrame, codes: DataFrame,
         if not len(v):
             return pd.Series([], dtype="object")
         Q = np.stack(v.to_numpy()).astype(np.float64)     # (n, d)
-        Y = Q @ R.T
+        # rotate each query with the SAME GEMV the sequential path
+        # uses (R @ q): a batched GEMM can differ in the last ulp
+        # (blocked/FMA kernels vary with batch shape), and an
+        # ulp-shifted coordinate landing on a .5 microunit boundary
+        # would flip adc_microdist batch-vs-sequential
+        Y = np.stack([R @ row for row in Q])
         out = np.empty((len(Q), len(positions)), dtype=np.int64)
         for p, (j, _c) in enumerate(positions):
             qp = Y[:, j * dsub:(j + 1) * dsub]
@@ -1170,6 +1178,16 @@ def pq_index_batch_topk(df: DataFrame, codes: DataFrame,
     qv = F.col(q_vec).cast("array<double>")
     qs = (queries.select(F.col(q_id), qv.alias("__qv"))
           .filter(qv.isNotNull() & (F.size(qv) >= d)))
+    # duplicate q_ids would SILENTLY corrupt results (two queries' LUT
+    # rows sum into one adc_microdist) — request batches are small, so
+    # one cheap validation job buys a loud error instead
+    dup = (qs.groupBy(q_id).count().filter(F.col("count") > 1)
+           .limit(5).collect())
+    if dup:
+        raise ValueError(
+            f"pq_index_batch_topk: duplicate {q_id} values in the "
+            f"query batch (e.g. {[r[0] for r in dup]}) — their ADC "
+            f"sums would merge; dedupe the batch first")
     lut = (qs.select(q_id,
                      F.posexplode(_lut(F.slice(F.col("__qv"), 1, d)))
                      .alias("pos", "md"))
