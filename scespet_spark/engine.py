@@ -42,8 +42,26 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions by BYTES, not by core count
+        # (optimization guide §2.2 "fewer, larger reduce partitions"):
+        # with parallelismFirst=true (the default) AQE keeps ~defaultParallelism
+        # near-empty reduce tasks per Exchange, pure scheduling overhead
+        # that grows with the M x R shuffle-block count at scale.  The
+        # advisory size is the production knob (guide §9 uses 256m);
+        # parameterised so the cluster profile can raise it.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST",
+                               "false"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # prefer shuffled-hash over sort-merge when a side's per-partition
+        # build fits (guide §3.1): skips both sorts; AQE still falls back
+        # to SMJ when sizes say otherwise, and the skew-join handling
+        # above covers both strategies
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

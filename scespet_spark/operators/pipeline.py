@@ -721,9 +721,11 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
       the value, so one ``groupBy`` per level covers every quantile's
       current search path); the driver walks O(len(qs) * buckets)
       counts, never data;
-    * a quantile whose bin holds <= ``threshold`` rows finishes with
-      ``TakeOrdered(r)`` + max — never more than ``threshold`` rows
-      leave the executors.
+    * a quantile whose bin holds <= ``threshold`` rows finishes via ONE
+      ranked-window job per distinct search depth (every pending
+      quantile's candidate bin ranks in the same pass — each window
+      partition holds <= ``threshold`` rows by construction), and only
+      the matched rank rows leave the executors.
 
     Total cost is (levels + 2) full scans REGARDLESS of how many
     quantiles are requested — 1 level covers n <= 2.7e8 at the
@@ -784,11 +786,6 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
         for c, p in zip(cols, path):
             pred = pred & (c == p)
         return pred
-
-    def kth_smallest(sub, r: int) -> float:
-        got = (sub.orderBy(F.col("__v").asc()).limit(r)
-               .agg(F.max("__v").alias("v")).collect()[0]["v"])
-        return float(got)
 
     def distinct_walk(sub, r: int) -> float:
         """Rank selection when refinement width underflowed to 0.0 with
@@ -859,17 +856,51 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float],
                                                threshold)
         level += 1
     for q in qs:
-        if q in resolved:
+        if q in resolved or counts[q] <= threshold:
             continue
+        # only reachable via the width-underflow exit above
         sub = base
         if paths[q]:
             k = len(paths[q]) - 1
             sub = base.filter(path_filter(bin_cols(k), paths[q]))
-        if counts[q] > threshold:
-            # only reachable via the width-underflow exit above
-            resolved[q] = distinct_walk(sub, ranks[q])
+        resolved[q] = distinct_walk(sub, ranks[q])
+    # finals: ONE window job per distinct search depth — every pending
+    # quantile's candidate bin (<= threshold rows each by construction)
+    # ranks in the same pass, instead of one TakeOrdered job per
+    # quantile (the batching exact_quantiles_by already does; guide
+    # §1.2 — fewer passes)
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    by_depth = defaultdict(list)
+    for q in qs:
+        if q not in resolved:
+            by_depth[len(paths[q])].append(q)
+    for depth, pend in by_depth.items():
+        if depth == 0:
+            pred = F.lit(True)
+            parts: list = []
         else:
-            resolved[q] = kth_smallest(sub, ranks[q])
+            cols = bin_cols(depth - 1)
+            pred = F.lit(False)
+            for p in {paths[q] for q in pend}:
+                pred = pred | path_filter(cols, p)
+            parts = [c.alias(f"__b{j}") for j, c in enumerate(cols)]
+        w = (Window.partitionBy(*[F.col(f"__b{j}")
+                                  for j in range(depth)])
+             .orderBy(F.col("__v").asc()))
+        want = defaultdict(list)   # two qs can share (path, rank)
+        for q in pend:
+            want[(paths[q], ranks[q])].append(q)
+        rows = (base.filter(pred).select("__v", *parts)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn").isin(list({r for _, r in want})))
+                .collect())
+        for row in rows:
+            key = (tuple(row[f"__b{j}"] for j in range(depth)),
+                   int(row["__rn"]))
+            for q in want.get(key, ()):
+                resolved[q] = float(row["__v"])
     out = [(float(q), float(resolved[q])) for q in sorted(qs)]
     return df.sparkSession.createDataFrame(out, "q double, value double")
 

@@ -213,6 +213,7 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                    pq_opq_iters: int = 0,
                    pq_train_iters: int = 2,
                    pq_by_cell: bool = False,
+                   doc_families: "tuple[str, ...] | list[str] | None" = None,
                    mode: str = "overwrite") -> list[str]:
     """Materialize the snapshot artifact tables for a corpus (either
     side optional: text-only corpora skip the embedding artifacts and
@@ -252,6 +253,17 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
     so ``ivfpq_index_topk``'s probe is file pruning.  Serve with
     ``read_pq_index`` + ``pq_index_topk``; appends ENCODE drops
     against the standing model (``pq_encode`` — no refit).
+
+    ``doc_families`` restricts which docs-derived PROBE families are
+    written (subset of ``("digests", "bands", "segments", "grams",
+    "bigram_lm")``; default ``None`` writes all of them, the historical
+    behavior).  A snapshot that exists to serve ONE artifact family —
+    e.g. the generational-IDF ``doc_freq`` table — should not pay the
+    corpus passes and shuffles of four dedup probe tables plus a bigram
+    LM it will never read.  Appends/retractions/compactions are driven
+    by the manifest's ``tables`` list, so families never written are
+    never maintained either: refresh cost tracks what the snapshot
+    actually serves.
 
     ``mode="append"`` is the incremental refresh (generation append):
     instead of rewriting the whole snapshot per crawl drop — 100 TB x
@@ -294,7 +306,8 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                     "pq_ksub": (pq_ksub, 16),
                     "pq_opq_iters": (pq_opq_iters, 0),
                     "pq_train_iters": (pq_train_iters, 2),
-                    "pq_by_cell": (pq_by_cell, False)}
+                    "pq_by_cell": (pq_by_cell, False),
+                    "doc_families": (doc_families, None)}
         extra = sorted(k2 for k2, (v, d) in defaults.items() if v != d)
         if extra:
             raise ValueError(
@@ -397,29 +410,44 @@ def write_snapshot(out_dir: str, docs: DataFrame | None = None,
                  if d is not None), None)
     spark_of = _src.sparkSession if _src is not None else None
 
+    _ALL_DOC_FAMILIES = ("digests", "bands", "segments", "grams",
+                         "bigram_lm")
+    doc_fams = set(_ALL_DOC_FAMILIES if doc_families is None
+                   else doc_families)
+    unknown = doc_fams - set(_ALL_DOC_FAMILIES)
+    if unknown:
+        raise ValueError(
+            f"unknown doc_families {sorted(unknown)}; valid: "
+            f"{list(_ALL_DOC_FAMILIES)}")
     if docs is not None:
-        _w("digests", exact_groups(docs, wide=digest_wide))
-        _bloom_w("digests")
-        _w("bands", banded_signatures(docs, num_hashes=num_hashes,
-                                      bands=bands, shingle_n=shingle_n))
-        _bloom_w("bands")
-        from .dedup import segment_digests
-        seg_cols = ["__d", "__d2"] if digest_wide else ["__d"]
-        _w("segments", segment_digests(docs, size=segment_size,
-                                       wide=digest_wide)
-           .select(*seg_cols).distinct())
-        _bloom_w("segments")
-        from .dedup import gram_digests
-        gram_cols = ["__g", "__g2"] if digest_wide else ["__g"]
-        _w("grams", gram_digests(docs, min_len=sub_min_len,
-                                 wide=digest_wide)
-           .select(*gram_cols).distinct())
-        _bloom_w("grams")
-        from .text import bigram_lm_model
-        bgc, prec, vocab = bigram_lm_model(docs)
-        _w("lm_bigrams", bgc)
-        _w("lm_prefixes", prec)
-        _w("lm_vocab", vocab)
+        if "digests" in doc_fams:
+            _w("digests", exact_groups(docs, wide=digest_wide))
+            _bloom_w("digests")
+        if "bands" in doc_fams:
+            _w("bands", banded_signatures(docs, num_hashes=num_hashes,
+                                          bands=bands,
+                                          shingle_n=shingle_n))
+            _bloom_w("bands")
+        if "segments" in doc_fams:
+            from .dedup import segment_digests
+            seg_cols = ["__d", "__d2"] if digest_wide else ["__d"]
+            _w("segments", segment_digests(docs, size=segment_size,
+                                           wide=digest_wide)
+               .select(*seg_cols).distinct())
+            _bloom_w("segments")
+        if "grams" in doc_fams:
+            from .dedup import gram_digests
+            gram_cols = ["__g", "__g2"] if digest_wide else ["__g"]
+            _w("grams", gram_digests(docs, min_len=sub_min_len,
+                                     wide=digest_wide)
+               .select(*gram_cols).distinct())
+            _bloom_w("grams")
+        if "bigram_lm" in doc_fams:
+            from .text import bigram_lm_model
+            bgc, prec, vocab = bigram_lm_model(docs)
+            _w("lm_bigrams", bgc)
+            _w("lm_prefixes", prec)
+            _w("lm_vocab", vocab)
     if cluster_labels:
         # the near-dup cluster label MAPPING (id -> min reachable id
         # over the LSH candidate graph) as a snapshot artifact: built

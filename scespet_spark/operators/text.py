@@ -812,13 +812,19 @@ def ngram_lm_model(df: DataFrame, text_col: str = "text",
                      .agg(F.count("*").alias(f"__c{k}")))
     totals = counts[1].agg(F.sum("__c1").alias("__n"),
                            F.count("*").alias("__v"))
-    return {"order": order, "counts": counts, "totals": totals}
+    # the materialized tokenize+hash stage rides along so a same-corpus
+    # apply (ngram_lm_score) can reuse it instead of re-deriving the
+    # whole pass (guide §1.2 — fewer passes); artifact-served models
+    # (read_ngram_lm) simply lack the key and apply re-derives
+    return {"order": order, "counts": counts, "totals": totals,
+            "staged": None if staged.isStreaming else staged}
 
 
 def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
                    id_col: str = "doc_id",
                    backoff: float = 0.4,
-                   head_k: int | None = None) -> DataFrame:
+                   head_k: int | None = None,
+                   _staged: DataFrame | None = None) -> DataFrame:
     """Score documents under a FITTED stupid-backoff model (see
     ``ngram_lm_model``): per-doc mean ``ln S(w | context)`` where, for
     the k-gram ending at the scored token,
@@ -858,7 +864,12 @@ def ngram_lm_apply(df: DataFrame, model, text_col: str = "text",
     micro-batches are small enough that skew is not the binding
     constraint)."""
     N, counts, totals = model["order"], model["counts"], model["totals"]
-    staged = _hash_staged(df, text_col, id_col)
+    # _staged: the fit's already-materialized tokenize+hash stage, when
+    # the caller KNOWS df is the fit corpus (ngram_lm_score) — skips a
+    # full second corpus pass; derivation is deterministic, so rows are
+    # identical either way
+    staged = _staged if _staged is not None \
+        else _hash_staged(df, text_col, id_col)
     ex = _pos_explode(staged, id_col, N)
 
     def el(off):
@@ -948,10 +959,10 @@ def ngram_lm_score(df: DataFrame, text_col: str = "text",
     on the corpus itself and apply it — the higher-order siblings of
     ``bigram_lm_score`` (``order=5`` is the CCNet filter shape).
     ``head_k`` forwards to ``ngram_lm_apply``'s Zipf-head split."""
-    return ngram_lm_apply(df, ngram_lm_model(df, text_col, id_col,
-                                             order=order),
-                          text_col=text_col, id_col=id_col,
-                          backoff=backoff, head_k=head_k)
+    model = ngram_lm_model(df, text_col, id_col, order=order)
+    return ngram_lm_apply(df, model, text_col=text_col, id_col=id_col,
+                          backoff=backoff, head_k=head_k,
+                          _staged=model.get("staged"))
 
 
 def collapse_repeats(df: DataFrame, text_col: str = "text",

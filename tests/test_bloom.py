@@ -733,6 +733,54 @@ def test_snapshot_doc_freq_family_lifecycle(spark, tmp_path):
         read_doc_freq(spark, other)
 
 
+def test_snapshot_doc_families_restriction(spark, tmp_path):
+    """``doc_families=()`` writes a doc_freq-only snapshot: no probe
+    tables, no bigram LM — and the lifecycle (append fold, exact
+    retraction subtract) is value-identical to the full-family
+    snapshot's, because append/retract are manifest-driven.  A partial
+    selection writes exactly the named families; unknown names raise."""
+    import json
+
+    from scespet_spark.operators.snapshot import (read_doc_freq,
+                                                  retract_snapshot,
+                                                  write_snapshot)
+    from scespet_spark.operators.text import token_doc_freq
+    prior = _docs(spark, [(i, f"alpha beta w{i % 4} gamma")
+                          for i in range(10)])
+    drop = _docs(spark, [(100 + i, f"beta delta w{i % 3}")
+                         for i in range(6)])
+    out = str(tmp_path / "dfonly")
+    written = write_snapshot(out, docs=prior, doc_freq=True,
+                             doc_families=())
+    assert written == ["doc_freq"]
+    manifest = json.loads((tmp_path / "dfonly" / "manifest.json")
+                          .read_text())
+    assert manifest["tables"] == ["doc_freq"]
+
+    # lifecycle parity: append folds, retract subtracts — same rows as
+    # a from-scratch count over the surviving corpus
+    write_snapshot(out, docs=drop, mode="append")
+    retract_snapshot(out, docs=drop.filter("doc_id % 2 = 0"))
+    freq, n = read_doc_freq(spark, out)
+    survivors = prior.unionByName(drop.filter("doc_id % 2 <> 0"))
+    assert (sorted(map(tuple, freq.collect()))
+            == sorted(map(tuple, token_doc_freq(survivors).collect())))
+    assert n == 10 + drop.filter("doc_id % 2 <> 0").count()
+
+    # partial selection writes exactly the named families
+    part = str(tmp_path / "part")
+    written2 = write_snapshot(part, docs=prior,
+                              doc_families=("digests", "bands"))
+    assert written2 == ["digests", "bands"]
+
+    with pytest.raises(ValueError, match="doc_families"):
+        write_snapshot(str(tmp_path / "bad"), docs=prior,
+                       doc_families=("nope",))
+    with pytest.raises(ValueError, match="append"):
+        write_snapshot(out, docs=drop, doc_families=(),
+                       mode="append")
+
+
 @pytest.mark.parametrize("scope", ["band_mates", "full"])
 def test_compaction_restores_shared_fragment_recall(spark, tmp_path, scope):
     """Fragment-recall restoration at compaction: a takedown whose
