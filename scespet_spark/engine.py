@@ -42,26 +42,31 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size post-shuffle partitions by BYTES, not by core count
-        # (optimization guide §2.2 "fewer, larger reduce partitions"):
-        # with parallelismFirst=true (the default) AQE keeps ~defaultParallelism
-        # near-empty reduce tasks per Exchange, pure scheduling overhead
-        # that grows with the M x R shuffle-block count at scale.  The
-        # advisory size is the production knob (guide §9 uses 256m);
-        # parameterised so the cluster profile can raise it.
+        # AQE post-shuffle coalescing keeps its parallelism-first
+        # default: a bytes-first profile (parallelismFirst=false +
+        # advisory sizing — guide §2.2's "fewer, larger reduce
+        # partitions") was MEASURED this round and regressed the bench
+        # 1.2-4x across the board — at these per-partition byte counts
+        # the stages are CPU-bound (windows over fan-outs, codegen
+        # aggregates), so coalescing every Exchange to ~1 task
+        # serializes the actual work.  The env knobs remain so a
+        # cluster profile (where partitions should be 100MB-1GB and
+        # scheduling overhead dominates) can flip them without a code
+        # change; defaults reproduce stock Spark behavior.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST",
-                               "false"))
+                               "true"))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # prefer shuffled-hash over sort-merge when a side's per-partition
-        # build fits (guide §3.1): skips both sorts; AQE still falls back
-        # to SMJ when sizes say otherwise, and the skew-join handling
-        # above covers both strategies
+        # join-strategy preference stays sort-merge (stock default):
+        # preferSortMergeJoin=false (guide §3.1's shuffled-hash
+        # preference) rode along in the regressed config above; it is
+        # kept as an env knob for cluster profiles rather than a local
+        # default until measured alone.
         .config("spark.sql.join.preferSortMergeJoin",
-                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
