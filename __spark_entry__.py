@@ -4558,7 +4558,16 @@ def lang_id_classifier(spark, sf_dir):
     Fit is one map-side-combinable gram-count pass to a <= B*L-row
     weight table (the snapshot artifact); apply is a broadcast join +
     per-doc per-language mean.  No UDF anywhere; the closed-form fit
-    keeps both halves SQL-exact."""
+    keeps both halves SQL-exact.
+
+    r12 note (measured negative result): swapping apply for the
+    map-only ``lang_id_apply_rowwise`` serving form — removing the
+    gram explode + broadcast join + per-doc aggregation — was SLOWER
+    (min 5.2s vs 3.8s A/B'd back-to-back at sf0.1): the L
+    constant-folded 4096-entry weight arrays cost more in plan build
+    and per-gram ``element_at`` folds than the combinable aggregation
+    costs in shuffle.  The join form stays; the rowwise form remains
+    the streaming-append serving shape (`live_lang_id_rowwise`)."""
     from scespet_spark.operators.text import lang_id_apply, lang_id_fit
     docs = load_table(spark, sf_dir, "documents")
     model = lang_id_fit(docs.filter(F.col("doc_id") % 3 == 0),

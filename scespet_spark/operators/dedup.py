@@ -1286,19 +1286,65 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     vectors (cosine ~1) agree on almost every random hyperplane sign, so
     they land in the same code with high probability.  ``block_col``
     blocks by an existing column — only safe when that column's
-    cardinality scales with the data."""
-    from .similarity import cosine
+    cardinality scales with the data.
+
+    r12 optimization (guide §4.2 + §2.3): the pair check is one
+    grouped GEMM per block (`applyInPandas`) instead of a block
+    self-join materializing every candidate pair — two full vectors
+    per row — through a per-pair Arrow cosine.  Each vector crosses
+    the one block Exchange once; scores use the same dim-sequential
+    IEEE fold as `similarity.cosine` (bit-identical), and emitted
+    cosines round via `_round6` (exact HALF_UP-at-6dp, replicating
+    Spark's round()).  Null blocks pair with nothing (the join-form
+    null-key semantics); null / length-mismatched vectors pair to NaN
+    there and are excluded here — same rows either way."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _round6
     blk = block_code if block_code is not None else F.col(block_col)
-    n = df.select(id_col, blk.alias("__blk"),
-                  F.col(vec_col).cast("array<double>").alias("__v"))
-    a, b = n.alias("a"), n.alias("b")
-    cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
-    return (a.join(b, [F.col("a.__blk") == F.col("b.__blk"),
-                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+    n = (df.select(id_col, blk.alias("__blk"),
+                   F.col(vec_col).cast("array<double>").alias("__v"))
+         .filter(F.col("__blk").isNotNull()))
+    id_t = df.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _blk_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols: dict = {"id_a": [], "id_b": [], "cosine": []}
+        lens = pdf["__v"].str.len().fillna(-1).to_numpy()
+        ids_all = pdf[id_col].to_numpy()
+        vs_all = pdf["__v"].to_numpy()
+        for dlen in np.unique(lens[lens > 0]):
+            sel = lens == dlen
+            ids = ids_all[sel]
+            M = np.stack(vs_all[sel]).astype(np.float64)
+            nrows, d = M.shape
+            nrm = np.zeros(nrows)
+            for j in range(d):          # dim-sequential left fold
+                x = M[:, j]
+                nrm = nrm + x * x
+            nrm = np.sqrt(nrm)
+            step = 4096
+            for s in range(0, nrows, step):
+                A = M[s:s + step]
+                D = np.zeros((len(A), nrows))
+                for j in range(d):
+                    D = D + np.outer(A[:, j], M[:, j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = D / (nrm[s:s + step, None] * nrm[None, :])
+                cand = (S >= thr - 1e-6) & (ids[s:s + step, None]
+                                            < ids[None, :])
+                for p, q in zip(*np.nonzero(cand)):
+                    r = _round6(S[p, q])
+                    if r >= thr:
+                        cols["id_a"].append(ids[s + p])
+                        cols["id_b"].append(ids[q])
+                        cols["cosine"].append(r)
+        return pd.DataFrame(cols)
+
+    return (n.groupBy("__blk")
+            .applyInPandas(_blk_pairs,
+                           f"id_a {id_t}, id_b {id_t}, cosine double"))
 
 
 def embedding_block_table(df: DataFrame, id_col: str = "vec_id",
@@ -1341,26 +1387,90 @@ def incremental_embedding_near_dup(new: DataFrame,
     vectors whose block the sketch rules out of the prior drop
     MAP-SIDE before the block Exchange — the vector payload (the heavy
     column here) never shuffles for them.  A false positive joins an
-    absent block and finds nothing: output row-identical at any fpp."""
-    from .similarity import cosine, sign_lsh_code
+    absent block and finds nothing: output row-identical at any fpp.
+
+    r12 optimization (guide §4.2 + §2.3): the probe is one COGROUPED
+    GEMM per block (`cogroup(...).applyInPandas`) instead of a block
+    equi-join materializing every new x prior candidate — two full
+    vectors per row — through a per-pair Arrow cosine, then a window
+    over the hit rows.  Each vector crosses its block Exchange once;
+    scores are the same dim-sequential IEEE fold as
+    `similarity.cosine` (bit-identical); emitted cosines round via
+    `_round6` (exact HALF_UP-at-6dp); the best-hit rule (highest
+    rounded cosine, then lowest prior id) resolves inside the group —
+    the window Exchange disappears."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _round6, sign_lsh_code
     blk = (block_code if block_code is not None
            else sign_lsh_code(F.col(vec_col), dim=dim, bits=bits))
-    n = new.select(F.col(id_col), blk.alias("block"),
-                   F.col(vec_col).cast("array<double>").alias("__nv"))
+    n = (new.select(F.col(id_col), blk.alias("block"),
+                    F.col(vec_col).cast("array<double>").alias("__nv"))
+         .filter(F.col("block").isNotNull()))
     if prior_bloom is not None:
         from .bloom import bloom_attach
         n = (bloom_attach(n, prior_bloom, "block")
              .filter(F.col("__bloom_maybe")).drop("__bloom_maybe"))
-    p = prior_blocks.select(F.col(id_col).alias("prior_id"), "block",
-                            F.col("vec").alias("__pv"))
-    cos = F.round(cosine(F.col("__nv"), F.col("__pv")), 6)
-    hits = (n.join(p, "block")
-            .select(id_col, "prior_id", cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
-    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
-                                           F.col("prior_id"))
-    return (hits.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    p = (prior_blocks.select(F.col(id_col).alias("prior_id"), "block",
+                             F.col("vec").alias("__pv"))
+         .filter(F.col("block").isNotNull()))
+    id_t = new.schema[id_col].dataType.simpleString()
+    pid_t = prior_blocks.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _probe(npdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        cols: dict = {id_col: [], "prior_id": [], "cosine": []}
+        if not len(npdf) or not len(ppdf):
+            return pd.DataFrame(cols)
+        nlens = npdf["__nv"].str.len().fillna(-1).to_numpy()
+        plens = ppdf["__pv"].str.len().fillna(-1).to_numpy()
+        nids_all = npdf[id_col].to_numpy()
+        pids_all = ppdf["prior_id"].to_numpy()
+        nvs, pvs = npdf["__nv"].to_numpy(), ppdf["__pv"].to_numpy()
+        # best per new id across dlen groups: (rounded desc, prior asc)
+        best: dict = {}
+        for dlen in np.unique(nlens[nlens > 0]):
+            psel = plens == dlen
+            if not psel.any():
+                continue
+            nsel = nlens == dlen
+            nids, pids = nids_all[nsel], pids_all[psel]
+            A = np.stack(nvs[nsel]).astype(np.float64)
+            B = np.stack(pvs[psel]).astype(np.float64)
+            d = A.shape[1]
+            na, nb = np.zeros(len(A)), np.zeros(len(B))
+            for j in range(d):          # dim-sequential left fold
+                na = na + A[:, j] * A[:, j]
+                nb = nb + B[:, j] * B[:, j]
+            na, nb = np.sqrt(na), np.sqrt(nb)
+            step = 4096
+            for s in range(0, len(A), step):
+                Ab = A[s:s + step]
+                D = np.zeros((len(Ab), len(B)))
+                for j in range(d):
+                    D = D + np.outer(Ab[:, j], B[:, j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = D / (na[s:s + step, None] * nb[None, :])
+                for q, r_ in zip(*np.nonzero(S >= thr - 1e-6)):
+                    rv = _round6(S[q, r_])
+                    if rv < thr:
+                        continue
+                    key = nids[s + q]
+                    cur = best.get(key)
+                    cand = (-rv, pids[r_])
+                    if cur is None or cand < cur:
+                        best[key] = cand
+        for k in sorted(best):
+            cols[id_col].append(k)
+            cols["prior_id"].append(best[k][1])
+            cols["cosine"].append(-best[k][0])
+        return pd.DataFrame(cols)
+
+    return (n.groupBy("block")
+            .cogroup(p.groupBy("block"))
+            .applyInPandas(_probe, f"{id_col} {id_t}, prior_id {pid_t}, "
+                                   f"cosine double"))
 
 
 def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",

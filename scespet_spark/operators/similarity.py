@@ -89,6 +89,21 @@ def _as_double_array(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+_SIX = None  # Decimal('0.000001'), built lazily
+
+
+def _round6(x: float) -> float:
+    """Replicate Spark's ``round(double, 6)`` exactly: HALF_UP on the
+    SHORTEST decimal representation of the double (Catalyst rounds
+    ``BigDecimal.valueOf(d)``, which goes through ``Double.toString`` —
+    the same shortest-round-trip decimal ``repr(float)`` produces)."""
+    global _SIX
+    from decimal import ROUND_HALF_UP, Decimal
+    if _SIX is None:
+        _SIX = Decimal("0.000001")
+    return float(Decimal(repr(float(x))).quantize(_SIX, ROUND_HALF_UP))
+
+
 def sign_lsh_code(vec: Column, dim: int, bits: int = 6) -> Column:
     """Sign-random-projection LSH coarse code: bit *i* is the sign of the
     dot product with a deterministic ±1 hyperplane
@@ -256,16 +271,77 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
     v = (df.select(F.col(id_col),
                    F.col(vec_col).cast("array<double>").alias("__v"))
          .join(codes, id_col))
-    a = v.select("cell", F.col(id_col).alias("__ida"),
-                 F.col("__v").alias("__va"))
-    b = v.select("cell", F.col(id_col).alias("__idb"),
-                 F.col("__v").alias("__vb"))
-    return (a.join(b, "cell")
-            .filter(F.col("__ida") > F.col("__idb"))
-            .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-                    >= threshold)
-            .groupBy(F.col("__ida").alias(id_col), "cell")
-            .agg(F.count("*").alias("n_close")))
+    # r12 optimization (guide §4.2 + §2.3): the pair check is ONE
+    # grouped GEMM per cell instead of a cell self-join that
+    # materializes (cell_size)^2 pair rows — each carrying two full
+    # vectors — through a per-pair Arrow cosine.  Each vector now
+    # crosses the one cell Exchange exactly once and the within-cell
+    # all-pairs cosine matrix is a vectorized dim-sequential outer
+    # accumulation: elementwise the SAME IEEE left fold as `cosine`
+    # (and the DuckDB oracle), so every pair score is bit-identical.
+    # Rounding: candidates pass a loose float band, then the exact
+    # HALF_UP-at-6dp decision (`_round6`, replicating Spark's
+    # round()) runs on the boundary-adjacent few.  Rows whose vectors
+    # are null / length-mismatched pair to NaN in the UDF form and
+    # fail its filter; here they are excluded up front — same rows.
+    id_t = df.schema[id_col].dataType.simpleString()
+    cell_t = codes.schema["cell"].dataType.simpleString()
+    thr = float(threshold)
+
+    def _cell_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "cell": pd.Series([], dtype="object"),
+                              "n_close": pd.Series([], dtype="int64")})
+        if not len(pdf):
+            return empty
+        cell = pdf["cell"].iloc[0]
+        lens = pdf["__v"].str.len().fillna(-1).to_numpy()
+        ids_all = pdf[id_col].to_numpy()
+        vs_all = pdf["__v"].to_numpy()
+        out: dict = {}
+        for dlen in np.unique(lens[lens > 0]):
+            sel = lens == dlen
+            ids = ids_all[sel]
+            M = np.stack(vs_all[sel]).astype(np.float64)
+            n, d = M.shape
+            nrm = np.zeros(n)
+            for j in range(d):          # dim-sequential: the left fold
+                x = M[:, j]
+                nrm = nrm + x * x
+            nrm = np.sqrt(nrm)
+            blk = 4096                  # bound the (blk, n) work matrix
+            for s in range(0, n, blk):
+                A = M[s:s + blk]
+                D = np.zeros((len(A), n))
+                for j in range(d):      # same fold, vectorized over pairs
+                    D = D + np.outer(A[:, j], M[:, j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = D / (nrm[s:s + blk, None] * nrm[None, :])
+                lower = ids[s:s + blk, None] > ids[None, :]
+                # |round6(x) - x| <= 5.001e-7, so outside a +-1e-6 band
+                # the float compare IS the rounded compare; only the
+                # band needs the exact decimal decision.
+                sure = (S >= thr + 1e-6) & lower
+                for p, c in zip(*np.unique(np.nonzero(sure)[0],
+                                           return_counts=True)):
+                    k = ids[s + p]
+                    out[k] = out.get(k, 0) + int(c)
+                band = (S >= thr - 1e-6) & (S < thr + 1e-6) & lower
+                for p, q in zip(*np.nonzero(band)):
+                    if _round6(S[p, q]) >= thr:
+                        k = ids[s + p]
+                        out[k] = out.get(k, 0) + 1
+        if not out:
+            return empty
+        items = sorted(out.items())
+        return pd.DataFrame({id_col: [k for k, _ in items],
+                             "cell": [cell] * len(items),
+                             "n_close": [c for _, c in items]})
+
+    return (v.groupBy("cell")
+            .applyInPandas(_cell_counts,
+                           f"{id_col} {id_t}, cell {cell_t}, "
+                           f"n_close long"))
 
 
 def cluster_mixture_sample(df: DataFrame, weights: dict, total: int,

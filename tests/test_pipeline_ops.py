@@ -99,6 +99,50 @@ def test_ivf_probes_best_partition(vecs):
     assert [r.vec_id for r in out] == [0, 1]
 
 
+def test_pairwise_gemm_matches_arrow_cosine_fold(spark):
+    """The r12 grouped-GEMM pair check must reproduce the per-pair
+    Arrow cosine fold bit-for-bit: same pairs, same rounded scores, on
+    a deterministic pseudo-random fixture with a LOW threshold so many
+    scores land far from and near the rounding boundary."""
+    import random
+
+    from scespet_spark.operators.similarity import cosine
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(16)], i % 3)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {(r.id_a, r.id_b): r.cosine for r in
+           embedding_near_dup_pairs(df, block_col="label",
+                                    threshold=0.2).collect()}
+    n = df.select("vec_id", F.col("label").alias("__blk"),
+                  F.col("embedding").alias("__v"))
+    a, b = n.alias("a"), n.alias("b")
+    ref = {(r.id_a, r.id_b): r.cosine for r in
+           (a.join(b, [F.col("a.__blk") == F.col("b.__blk"),
+                       F.col("a.vec_id") < F.col("b.vec_id")])
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= 0.2)).collect()}
+    assert got == ref
+    assert len(got) > 10        # the fixture actually exercises pairs
+
+
+def test_round6_matches_spark_round(spark):
+    """`similarity._round6` must equal Spark's round(double, 6) —
+    HALF_UP over the shortest decimal representation — including the
+    boundary shapes the GEMM band logic hands it."""
+    from scespet_spark.operators.similarity import _round6
+    vals = [0.3499995, 0.35000049999, 0.3500005, -0.0000005, 0.0000005,
+            1.0000005, 0.1234565, 0.9999994999999, -0.9999995,
+            0.349999499999, 2.5e-7, -2.5e-7, 0.125, 1.0 / 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    assert got == [_round6(v) for v in vals]
+
+
 def test_token_stats(spark):
     df = spark.createDataFrame([(0, "ab cd, ef!")], "doc_id long, text string")
     [r] = token_stats(df).collect()
