@@ -162,7 +162,7 @@ def _feat_buckets(df: DataFrame, text_col: str, n_buckets: int,
 def dsir_model(raw: DataFrame, target: DataFrame,
                text_col: str = "text",
                n_buckets: int = 8192, alpha: float = 1.0,
-               hash_fn=None) -> DataFrame:
+               hash_fn=None, _raw_feats: DataFrame = None) -> DataFrame:
     """Fit the DSIR log-ratio table (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): per hashed
     unigram+bigram bucket, ``ln(p_target(b) / p_raw(b))`` with
@@ -174,11 +174,13 @@ def dsir_model(raw: DataFrame, target: DataFrame,
     Both fits are map-side-combinable bucket-count passes (the target
     side is domain-sample-sized — tiny; the raw side is one pass over
     the corpus snapshot); the table is at most ``n_buckets`` + 1
-    rows."""
-    def counts(df):
+    rows.  ``_raw_feats``: a caller-staged exploded feature table for
+    the raw side (``dsir_weights`` — the raw corpus is featurized once
+    for both the fit and the apply pass); rows are identical to the
+    in-house derivation."""
+    def counts(feats):
         return {r["bucket"]: int(r["c"]) for r in
-                (_feat_buckets(df, text_col, n_buckets, hash_fn=hash_fn)
-                 .groupBy("bucket").agg(F.count("*").alias("c"))
+                (feats.groupBy("bucket").agg(F.count("*").alias("c"))
                  .collect())}
     import math
     aB = alpha * n_buckets
@@ -186,8 +188,10 @@ def dsir_model(raw: DataFrame, target: DataFrame,
     # ratio table is assembled driver-side from ONE pass per corpus
     # (keeping them distributed would recompute each count pass once
     # for the totals and once for the join)
-    ct = counts(target)
-    cr = counts(raw)
+    ct = counts(_feat_buckets(target, text_col, n_buckets,
+                              hash_fn=hash_fn))
+    cr = counts(_raw_feats if _raw_feats is not None else
+                _feat_buckets(raw, text_col, n_buckets, hash_fn=hash_fn))
     tt, tr = sum(ct.values()), sum(cr.values())
     rows = [(b, math.log((ct.get(b, 0) + alpha) / (tt + aB))
              - math.log((cr.get(b, 0) + alpha) / (tr + aB)))
@@ -199,7 +203,7 @@ def dsir_model(raw: DataFrame, target: DataFrame,
 
 def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", n_buckets: int = 8192,
-               hash_fn=None) -> DataFrame:
+               hash_fn=None, _feats: DataFrame = None) -> DataFrame:
     """Score documents under a FITTED DSIR model (see ``dsir_model``):
     ``lw(doc) = sum over features w(bucket)`` — how much more likely
     the doc's features are under the target domain than the raw corpus
@@ -217,8 +221,9 @@ def dsir_apply(df: DataFrame, model: DataFrame, text_col: str = "text",
         raise ValueError("model table lacks the reserved unseen (-2) "
                          "row — was it written by dsir_model?")
     w = model.filter(F.col("bucket") >= 0)
-    feats = _feat_buckets(df, text_col, n_buckets, keep=(id_col,),
-                          hash_fn=hash_fn)
+    feats = _feats if _feats is not None else \
+        _feat_buckets(df, text_col, n_buckets, keep=(id_col,),
+                      hash_fn=hash_fn)
     return (feats.join(F.broadcast(w), "bucket", "left")
             .groupBy(id_col)
             .agg(F.round(F.sum(F.coalesce(F.col("w"), F.lit(un[-2]))), 6)
@@ -233,9 +238,22 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     """One-shot DSIR importance weights for a batch raw corpus:
     ``dsir_model`` + ``dsir_apply`` (see both).  ``hash_fn`` swaps the
     feature digest (production: ``F.xxhash64``; md5 default is the
-    oracle-parity choice — model and apply MUST share it)."""
-    model = dsir_model(raw, target, text_col, n_buckets, alpha, hash_fn)
-    return dsir_apply(raw, model, text_col, id_col, n_buckets, hash_fn)
+    oracle-parity choice — model and apply MUST share it).
+
+    r12 optimization (guide §1.2 — fewer passes): the raw corpus is
+    featurized ONCE (`localCheckpoint`, the repo-wide corpus-
+    materialization-point pattern) and both the fit's raw bucket-count
+    pass and the apply's per-doc sum read the staged table, instead of
+    two full tokenize+bigram+hash explode passes.  Rows are identical
+    (deterministic derivation)."""
+    feats = _feat_buckets(raw, text_col, n_buckets, keep=(id_col,),
+                          hash_fn=hash_fn)
+    if not feats.isStreaming:
+        feats = feats.localCheckpoint()
+    model = dsir_model(raw, target, text_col, n_buckets, alpha, hash_fn,
+                       _raw_feats=feats.select("bucket"))
+    return dsir_apply(raw, model, text_col, id_col, n_buckets, hash_fn,
+                      _feats=feats)
 
 
 def dsir_sample(raw: DataFrame, target: DataFrame, k: int,

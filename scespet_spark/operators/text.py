@@ -641,35 +641,61 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     the count tables and every shuffled row are ints, never text.  The
     model tables are vocabulary-/bigram-vocabulary-sized (Zipf-bounded);
     the per-doc join shuffles (digest, id) pairs, with AQE skew-join
-    covering the Zipf head."""
-    return bigram_lm_apply(df, bigram_lm_model(df, text_col, id_col),
-                           text_col=text_col, id_col=id_col, k=k)
+    covering the Zifp head.
+
+    r12 optimization (guide §1.2 — fewer passes): the tokenize+hash
+    stage materializes ONCE (`localCheckpoint`, the repo-wide
+    corpus-materialization-point pattern ngram_lm_model already uses)
+    and both the fit's two count branches and the apply's per-doc
+    bigram explode read it — one tokenize pass over the corpus
+    instead of three.  Derivation is deterministic, so rows are
+    identical either way."""
+    staged = _bigram_staged(df, text_col, id_col)
+    if not staged.isStreaming:
+        staged = staged.localCheckpoint()
+    bg = _bigrams_from_staged(staged, id_col)
+    model = bigram_lm_model(df, text_col, id_col, _staged=staged)
+    return bigram_lm_apply(df, model, text_col=text_col, id_col=id_col,
+                           k=k, _bg=bg)
+
+
+def _bigram_staged(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, __hs)`` token-hash frame (one md5 per token) — the
+    map-side front of the bigram-LM family."""
+    from .dedup import token_hash_array
+    return df.select(F.col(id_col),
+                     token_hash_array(F.col(text_col)).alias("__hs"))
+
+
+def _bigrams_from_staged(staged: DataFrame, id_col: str) -> DataFrame:
+    """Rolled per-doc bigram digests ``(id, __pre, __bg)`` from the
+    staged token-hash frame (keys rolled arithmetically like
+    ``dedup.shingle_hashes``)."""
+    from .dedup import MH_PRIME, sh_coeff
+    c0, c1 = sh_coeff(0), sh_coeff(1)
+    n = F.size(F.col("__hs"))
+    pos = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    return (staged.select(id_col, F.col("__hs"),
+                          F.explode(pos).alias("__i"))
+            .select(id_col,
+                    F.element_at("__hs", F.col("__i")).alias("__pre"),
+                    (((F.element_at("__hs", F.col("__i")) * c0) % MH_PRIME
+                      + (F.element_at("__hs", F.col("__i") + 1) * c1)
+                      % MH_PRIME)
+                     % MH_PRIME).alias("__bg")))
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str):
     """Per-doc rolled bigram digests ``(id, __pre, __bg)`` plus the
     staged token-hash frame — the map-side front half shared by model
-    fitting and application (one md5 per token; bigram keys rolled
-    arithmetically like ``dedup.shingle_hashes``)."""
-    from .dedup import MH_PRIME, sh_coeff, token_hash_array
-    c0, c1 = sh_coeff(0), sh_coeff(1)
-    staged = df.select(F.col(id_col),
-                       token_hash_array(F.col(text_col)).alias("__hs"))
-    n = F.size(F.col("__hs"))
-    pos = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
-           .otherwise(F.array().cast("array<int>"))
-    bg = (staged.select(id_col, F.col("__hs"),
-                        F.explode(pos).alias("__i"))
-          .select(id_col,
-                  F.element_at("__hs", F.col("__i")).alias("__pre"),
-                  (((F.element_at("__hs", F.col("__i")) * c0) % MH_PRIME
-                    + (F.element_at("__hs", F.col("__i") + 1) * c1) % MH_PRIME)
-                   % MH_PRIME).alias("__bg")))
-    return bg, staged
+    fitting and application."""
+    staged = _bigram_staged(df, text_col, id_col)
+    return _bigrams_from_staged(staged, id_col), staged
 
 
 def bigram_lm_model(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", _staged: DataFrame = None):
     """Fit the bigram-LM tables ONCE — the snapshot model artifact a
     continuous pipeline persists and re-applies to later crawls.
     Returns ``(bg_counts, pre_counts, vocab)`` DataFrames (bigram
@@ -677,8 +703,17 @@ def bigram_lm_model(df: DataFrame, text_col: str = "text",
 
     ONE corpus-wide count pass: group by (pre, bg); both model tables
     then roll up from that bigram-vocabulary-sized table (Zipf-bounded)
-    instead of each taking its own pass over the corpus."""
-    bg, staged = _doc_bigrams(df, text_col, id_col)
+    instead of each taking its own pass over the corpus.  The
+    tokenize+hash stage materializes once (`localCheckpoint`) so the
+    bigram-count branch and the vocabulary branch share it — callers
+    that already staged it (``bigram_lm_score``) pass ``_staged``."""
+    if _staged is not None:
+        staged = _staged
+    else:
+        staged = _bigram_staged(df, text_col, id_col)
+        if not staged.isStreaming:
+            staged = staged.localCheckpoint()
+    bg = _bigrams_from_staged(staged, id_col)
     pair_counts = (bg.groupBy("__pre", "__bg").agg(F.count("*").alias("__c")))
     bg_counts = pair_counts.groupBy("__bg").agg(F.sum("__c").alias("__cbg"))
     pre_counts = pair_counts.groupBy("__pre").agg(F.sum("__c").alias("__cpre"))
@@ -688,7 +723,8 @@ def bigram_lm_model(df: DataFrame, text_col: str = "text",
 
 
 def bigram_lm_apply(df: DataFrame, model, text_col: str = "text",
-                    id_col: str = "doc_id", k: float = 1.0) -> DataFrame:
+                    id_col: str = "doc_id", k: float = 1.0,
+                    _bg: DataFrame = None) -> DataFrame:
     """Score documents under a FITTED bigram model (see
     ``bigram_lm_model``): per-doc mean ``ln P(w_i | w_{i-1})`` with
     add-``k`` smoothing; bigrams the model never saw coalesce to count
@@ -703,9 +739,12 @@ def bigram_lm_apply(df: DataFrame, model, text_col: str = "text",
     join on __bg alone would duplicate rows for colliding bigram
     types.  Counts for colliding keys merge, which is exactly what the
     oracle's plain GROUP BY computes — engine-identical at any
-    collision density."""
+    collision density.  ``_bg``: the caller's already-staged bigram
+    frame when df IS the fit corpus (``bigram_lm_score``) — skips a
+    second tokenize pass; derivation is deterministic, so rows are
+    identical either way."""
     bg_counts, pre_counts, vocab = model
-    bg, _ = _doc_bigrams(df, text_col, id_col)
+    bg = _bg if _bg is not None else _doc_bigrams(df, text_col, id_col)[0]
     if df.isStreaming:
         v_col = F.lit(vocab.collect()[0][0])
         attached = bg
