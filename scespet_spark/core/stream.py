@@ -1021,7 +1021,47 @@ def _keymap_zip_join(left: Stream, right: Stream, left_cols: Sequence[str],
     Errors: a left cell binding multiple right cells raises ValueError
     (the multi-map guard, VectorJoin.scala:38-40).  Unmapped left keys
     (null / absent mapping) keep a forever-null right side — the
-    unbound-cell state."""
+    unbound-cell state.
+
+    r12 optimization (guide §2.4 — remove the shuffle outright): the
+    ``emit="both"`` plan is now the UNION of two compact interval
+    joins — right-side emissions from `_keymap_take_join` (identical
+    by the pinned take==zip(emit='right') parity) plus left-side
+    emissions from a REVERSED as-of: right events become per-bucket
+    validity intervals (one window over the RIGHT stream only) and
+    each left event resolves its latest bucket value with a left
+    equi-join.  The old replicate-right-into-every-cell union +
+    per-cell window (which sorted the full fan-out) survives only as
+    the ``emit="right"`` reference form the parity test checks the
+    compact plans against.  Boundary convention mirrors the union
+    form's (ts, seq, side) order with left side 0: a left event at the
+    same (t, seq) as a right event does NOT see it (strict
+    ``pos > __start``) but DOES still see the previous interval
+    (``pos <= __end``)."""
+    if emit == "both":
+        # the multi-map guard rides the take half's keyset plan
+        lk, rk, lmapped, _ks = _keymap_bind(left, right, key_map)
+        lc = [c for c in left_cols if c != lk]
+        rc = [c for c in right_cols if c != rk]
+        rrows = _keymap_take_join(left, right, left_cols, right_cols,
+                                  key_map).df
+        riv, _ = _interval_table(right, [rk], rc)
+        l = lmapped.alias("zl")
+        rv = riv.alias("zr")
+        lpos = F.struct(F.col(f"zl.{left.t}").alias("t"),
+                        F.col(f"zl.{left.seq}").alias("s"))
+        cond = [F.col("zl.__jk") == F.col(f"zr.{rk}"),
+                lpos > F.col("zr.__start"),
+                F.col("zr.__end").isNull() | (lpos <= F.col("zr.__end"))]
+        lsel = [F.col(f"zl.{left.t}").alias(left.t),
+                F.col(f"zl.{left.seq}").alias(left.seq),
+                F.col(f"zl.{lk}").alias(lk)]
+        lsel += [F.col(f"zl.{c}").alias(c) for c in lc]
+        lsel += [F.col(f"zr.__l_{c}").alias(c) for c in rc]
+        lrows = l.join(rv, cond, "left").select(*lsel)
+        return Stream(lrows.unionByName(
+            rrows.select(*[c for c in lrows.columns])),
+            left.t, left.seq, (lk,))
     lk, rk, lmapped, keyset = _keymap_bind(left, right, key_map)
     rx = (right.df.join(keyset, right.df[rk] == keyset["__jk"])
           .drop("__jk").drop(right.df[rk])
