@@ -1475,10 +1475,23 @@ def incremental_embedding_near_dup(new: DataFrame,
 
 def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                          max_iters: int = 20,
-                         algorithm: str = "label") -> DataFrame:
+                         algorithm: str = "label",
+                         driver_threshold: int = 200_000) -> DataFrame:
     """Duplicate clusters from candidate pairs: connected components.
     Returns (id, cluster) where cluster is the smallest id reachable
     from id.
+
+    r12 fast path (guide §1.2 — the per-round job overhead of the
+    iterative forms dwarfs the work at drop scale): when the pair set
+    fits ``driver_threshold`` rows it collects once and resolves with
+    a driver union-find — the same bounded-collect election
+    `incremental_components` already makes for its super-graph, and
+    the same min-label output (a component's label is its smallest
+    member).  Candidate-pair sets are duplicate-density-sized, not
+    corpus-sized, so this is the common case; a colossal graph falls
+    through to the distributed iterations.  ``driver_threshold=0``
+    forces the distributed form (the non-convergence contract below
+    stays testable).
 
     ``algorithm="label"`` (default): min-label propagation — one join +
     one groupBy-min per iteration (all combinable); iterations = graph
@@ -1493,6 +1506,35 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
 
     Both use ``localCheckpoint`` to truncate lineage per iteration.
     """
+    if driver_threshold > 0:
+        head = (pairs.select(F.col(a).alias("sa"), F.col(b).alias("sb"))
+                .limit(driver_threshold + 1).collect())
+        if len(head) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != r:      # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for e in head:
+                ra, rb = find(e["sa"]), find(e["sb"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {v for e in head for v in (e["sa"], e["sb"])}
+            roots = {n: find(n) for n in nodes}
+            lab: dict = {}
+            for n, r in roots.items():            # label = min member
+                lab[r] = min(lab.get(r, n), n)
+            from pyspark.sql.types import StructField, StructType
+            ntype = pairs.schema[a].dataType
+            return pairs.sparkSession.createDataFrame(
+                [(n, lab[r]) for n, r in sorted(roots.items())],
+                StructType([StructField("id", ntype),
+                            StructField("cluster", ntype)]))
     if algorithm == "star":
         return _cc_star(pairs, a, b, max_iters)
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -1711,8 +1753,11 @@ def incremental_components(prior_labels: DataFrame, new_pairs: DataFrame,
             StructType([StructField("__node", ntype),
                         StructField("__root", ntype)]))
     else:
+        # already past the bounded-collect election: force the
+        # distributed form (no second threshold collect)
         comp = connected_components(sup, "sa", "sb", max_iters=max_iters,
-                                    algorithm=algorithm)
+                                    algorithm=algorithm,
+                                    driver_threshold=0)
         mapping = comp.select(F.col("id").alias("__node"),
                               F.col("cluster").alias("__root"))
     # 3. one map-only broadcast pass over the prior label table.

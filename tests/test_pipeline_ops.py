@@ -607,9 +607,15 @@ def test_cc_star_matches_label_propagation(spark):
         edges = [(x, y) for x, y in edges if x != y]
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         lab = {r.id: r.cluster
-               for r in connected_components(df).collect()}
+               for r in connected_components(
+                   df, driver_threshold=0).collect()}
         star = {r.id: r.cluster
-                for r in connected_components(df, algorithm="star").collect()}
+                for r in connected_components(
+                    df, algorithm="star", driver_threshold=0).collect()}
+        # the r12 driver union-find fast path must agree with both
+        fast = {r.id: r.cluster
+                for r in connected_components(df).collect()}
+        assert lab == fast, f"trial {trial}"
         assert lab == star, f"trial {trial}"
 
 
@@ -619,7 +625,8 @@ def test_cc_star_long_chain(spark):
     # budgets, but the star method flattens it in O(log n) rounds
     chain = [(i, i + 1) for i in range(60)]
     df = spark.createDataFrame(chain, "id_a long, id_b long")
-    out = connected_components(df, algorithm="star", max_iters=10).collect()
+    out = connected_components(df, algorithm="star", max_iters=10,
+                               driver_threshold=0).collect()
     assert all(r.cluster == 0 for r in out)
     assert len(out) == 61
 
@@ -748,8 +755,8 @@ def test_connected_components_raises_when_unconverged(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(12)],
                                   "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=3)
-    ok = connected_components(chain, max_iters=20)
+        connected_components(chain, max_iters=3, driver_threshold=0)
+    ok = connected_components(chain, max_iters=20, driver_threshold=0)
     assert ok.filter("cluster <> 0").count() == 0  # one chain, root 0
 
 
