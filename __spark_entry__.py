@@ -7645,7 +7645,8 @@ def exact_quantiles_price(spark, sf_dir):
     statistics, not a sketch) by iterative histogram selection:
     per level ONE combinable histogram aggregate, the driver walks
     <=256 bucket counts to the bin holding the residual rank, recurses
-    into that bin, and finishes with a TakeOrdered over <= 2048 rows.
+    into that bin, and batches every pending quantile's final pick
+    into ONE ranked-window job over <= threshold rows.
     Neither F.percentile's buffer-everything aggregate nor a global
     sort ever runs — memory is O(buckets) everywhere at any corpus
     size.  The oracle is the plain rank definition.

@@ -1275,7 +1275,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              block_col: str = "label",
                              block_code: Column | None = None,
-                             threshold: float = 0.99) -> DataFrame:
+                             threshold: float = 0.99,
+                             whale_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key:
     cosine >= threshold.
 
@@ -1297,17 +1298,27 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     cosines round via `_round6` (exact HALF_UP-at-6dp, replicating
     Spark's round()).  Null blocks pair with nothing (the join-form
     null-key semantics); null / length-mismatched vectors pair to NaN
-    there and are excluded here — same rows either way."""
+    there and are excluded here — same rows either way.
+
+    r13 whale-block bound (guide §2.5/§5): the kernel tiles BOTH axes
+    of the work matrix (`similarity._GEMM_BLK`) and blocks larger than
+    ``whale_rows`` (default `similarity._WHALE_ROWS`; 0 disables) are
+    carved out and pair-checked by the distributed join form — a hot
+    LSH code can no longer OOM one task.  Rows identical either way."""
     import numpy as np
     import pandas as pd
 
-    from .similarity import _round6
+    from .similarity import (_GEMM_BLK, _WHALE_ROWS, _round6,
+                             _whale_keys, cosine)
     blk = block_code if block_code is not None else F.col(block_col)
     n = (df.select(id_col, blk.alias("__blk"),
                    F.col(vec_col).cast("array<double>").alias("__v"))
          .filter(F.col("__blk").isNotNull()))
     id_t = df.schema[id_col].dataType.simpleString()
     thr = float(threshold)
+    step = _GEMM_BLK                    # captured: tests can monkeypatch
+    if whale_rows is None:
+        whale_rows = _WHALE_ROWS
 
     def _blk_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         cols: dict = {"id_a": [], "id_b": [], "cosine": []}
@@ -1324,27 +1335,54 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                 x = M[:, j]
                 nrm = nrm + x * x
             nrm = np.sqrt(nrm)
-            step = 4096
+            # r13: tile both axes — work matrix at most (step, step)
             for s in range(0, nrows, step):
                 A = M[s:s + step]
-                D = np.zeros((len(A), nrows))
-                for j in range(d):
-                    D = D + np.outer(A[:, j], M[:, j])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = D / (nrm[s:s + step, None] * nrm[None, :])
-                cand = (S >= thr - 1e-6) & (ids[s:s + step, None]
-                                            < ids[None, :])
-                for p, q in zip(*np.nonzero(cand)):
-                    r = _round6(S[p, q])
-                    if r >= thr:
-                        cols["id_a"].append(ids[s + p])
-                        cols["id_b"].append(ids[q])
-                        cols["cosine"].append(r)
+                for t in range(0, nrows, step):
+                    B = M[t:t + step]
+                    D = np.zeros((len(A), len(B)))
+                    for j in range(d):
+                        D = D + np.outer(A[:, j], B[:, j])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = D / (nrm[s:s + step, None]
+                                 * nrm[t:t + step][None, :])
+                    cand = (S >= thr - 1e-6) & (ids[s:s + step, None]
+                                                < ids[t:t + step][None, :])
+                    for p, q in zip(*np.nonzero(cand)):
+                        r = _round6(S[p, q])
+                        if r >= thr:
+                            cols["id_a"].append(ids[s + p])
+                            cols["id_b"].append(ids[t + q])
+                            cols["cosine"].append(r)
         return pd.DataFrame(cols)
 
-    return (n.groupBy("__blk")
-            .applyInPandas(_blk_pairs,
-                           f"id_a {id_t}, id_b {id_t}, cosine double"))
+    # whale election: bounded collect of hot blocks (similarity.
+    # _whale_keys) — with none, the served plan is the untouched
+    # single-Exchange grouped GEMM and the census is one narrow count
+    # job over the block column (no vector bytes)
+    whales = _whale_keys(n.groupBy("__blk")
+                         .agg(F.count("*").alias("__n")), "__blk",
+                         whale_rows, streaming=df.isStreaming)
+    if not whales:
+        return (n.groupBy("__blk")
+                .applyInPandas(_blk_pairs,
+                               f"id_a {id_t}, id_b {id_t}, "
+                               f"cosine double"))
+    is_whale = F.col("__blk").isin(whales)
+    big = n.filter(is_whale)
+    a, b = big.alias("a"), big.alias("b")
+    cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    whale_part = (a.join(b, [F.col("a.__blk") == F.col("b.__blk"),
+                             F.col(f"a.{id_col}")
+                             < F.col(f"b.{id_col}")])
+                  .select(F.col(f"a.{id_col}").alias("id_a"),
+                          F.col(f"b.{id_col}").alias("id_b"),
+                          cos.alias("cosine"))
+                  .filter(F.col("cosine") >= threshold))
+    out = (n.filter(~is_whale).groupBy("__blk")
+           .applyInPandas(_blk_pairs,
+                          f"id_a {id_t}, id_b {id_t}, cosine double"))
+    return out.unionByName(whale_part)
 
 
 def embedding_block_table(df: DataFrame, id_col: str = "vec_id",
@@ -1369,7 +1407,8 @@ def incremental_embedding_near_dup(new: DataFrame,
                                    block_code: Column | None = None,
                                    dim: int = 64, bits: int = 6,
                                    threshold: float = 0.99,
-                                   prior_bloom: dict | None = None) -> DataFrame:
+                                   prior_bloom: dict | None = None,
+                                   whale_rows: int | None = None) -> DataFrame:
     """Embedding-cosine counterpart of ``incremental_near_dup``: flag
     NEW vectors whose cosine against ANY prior-snapshot vector in their
     sign-LSH block reaches ``threshold`` — returning ``(id, prior_id,
@@ -1398,11 +1437,26 @@ def incremental_embedding_near_dup(new: DataFrame,
     `similarity.cosine` (bit-identical); emitted cosines round via
     `_round6` (exact HALF_UP-at-6dp); the best-hit rule (highest
     rounded cosine, then lowest prior id) resolves inside the group —
-    the window Exchange disappears."""
+    the window Exchange disappears.
+
+    Precondition (r12 probe semantics): ``new`` ids are expected
+    unique — the best hit resolves per (id, block), so a duplicate id
+    whose rows hash to DIFFERENT blocks yields one row per block (the
+    pre-r12 global window would have kept exactly one).  Every caller
+    in this engine probes with snapshot-keyed unique ids.
+
+    r13 whale-block bound (guide §2.5/§5): the kernel tiles both work-
+    matrix axes (`similarity._GEMM_BLK`), and blocks whose combined
+    new+prior rows exceed ``whale_rows`` (default
+    `similarity._WHALE_ROWS`; 0 disables) fall back to the distributed
+    join + per-block best-hit window — one hot block cannot OOM a
+    task.  Rows identical either way (same fold, same rounding, same
+    per-(id, block) best-hit rule)."""
     import numpy as np
     import pandas as pd
 
-    from .similarity import _round6, sign_lsh_code
+    from .similarity import (_GEMM_BLK, _WHALE_ROWS, _round6,
+                             _whale_keys, cosine, sign_lsh_code)
     blk = (block_code if block_code is not None
            else sign_lsh_code(F.col(vec_col), dim=dim, bits=bits))
     n = (new.select(F.col(id_col), blk.alias("block"),
@@ -1418,6 +1472,9 @@ def incremental_embedding_near_dup(new: DataFrame,
     id_t = new.schema[id_col].dataType.simpleString()
     pid_t = prior_blocks.schema[id_col].dataType.simpleString()
     thr = float(threshold)
+    step = _GEMM_BLK                    # captured: tests can monkeypatch
+    if whale_rows is None:
+        whale_rows = _WHALE_ROWS
 
     def _probe(npdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
         cols: dict = {id_col: [], "prior_id": [], "cosine": []}
@@ -1444,33 +1501,69 @@ def incremental_embedding_near_dup(new: DataFrame,
                 na = na + A[:, j] * A[:, j]
                 nb = nb + B[:, j] * B[:, j]
             na, nb = np.sqrt(na), np.sqrt(nb)
-            step = 4096
+            # r13: tile both axes — work matrix at most (step, step)
             for s in range(0, len(A), step):
                 Ab = A[s:s + step]
-                D = np.zeros((len(Ab), len(B)))
-                for j in range(d):
-                    D = D + np.outer(Ab[:, j], B[:, j])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = D / (na[s:s + step, None] * nb[None, :])
-                for q, r_ in zip(*np.nonzero(S >= thr - 1e-6)):
-                    rv = _round6(S[q, r_])
-                    if rv < thr:
-                        continue
-                    key = nids[s + q]
-                    cur = best.get(key)
-                    cand = (-rv, pids[r_])
-                    if cur is None or cand < cur:
-                        best[key] = cand
+                for t in range(0, len(B), step):
+                    Bb = B[t:t + step]
+                    D = np.zeros((len(Ab), len(Bb)))
+                    for j in range(d):
+                        D = D + np.outer(Ab[:, j], Bb[:, j])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = D / (na[s:s + step, None]
+                                 * nb[t:t + step][None, :])
+                    for q, r_ in zip(*np.nonzero(S >= thr - 1e-6)):
+                        rv = _round6(S[q, r_])
+                        if rv < thr:
+                            continue
+                        key = nids[s + q]
+                        cur = best.get(key)
+                        cand = (-rv, pids[t + r_])
+                        if cur is None or cand < cur:
+                            best[key] = cand
         for k in sorted(best):
             cols[id_col].append(k)
             cols["prior_id"].append(best[k][1])
             cols["cosine"].append(-best[k][0])
         return pd.DataFrame(cols)
 
-    return (n.groupBy("block")
-            .cogroup(p.groupBy("block"))
-            .applyInPandas(_probe, f"{id_col} {id_t}, prior_id {pid_t}, "
-                                   f"cosine double"))
+    # whale election: a block is a whale when its COMBINED new+prior
+    # rows exceed the cap (the cogrouped task materializes both sides)
+    counted = (n.groupBy("block").agg(F.count("*").alias("__cn"))
+               .join(p.groupBy("block").agg(F.count("*").alias("__cp")),
+                     "block", "full_outer")
+               .select("block",
+                       (F.coalesce("__cn", F.lit(0))
+                        + F.coalesce("__cp", F.lit(0))).alias("__n")))
+    whales = _whale_keys(counted, "block", whale_rows,
+                         streaming=new.isStreaming
+                         or prior_blocks.isStreaming)
+    if not whales:
+        return (n.groupBy("block")
+                .cogroup(p.groupBy("block"))
+                .applyInPandas(_probe,
+                               f"{id_col} {id_t}, prior_id {pid_t}, "
+                               f"cosine double"))
+    wn = n.filter(F.col("block").isin(whales))
+    wp = p.filter(F.col("block").isin(whales))
+    cos = F.round(cosine(F.col("__nv"), F.col("__pv")), 6)
+    hits = (wn.join(wp, "block")
+            .select("block", id_col, "prior_id", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+    # best hit per (id, block) — the same scope the grouped kernel
+    # resolves in (ids are unique per the precondition above, so this
+    # equals best-per-id for every real caller)
+    w = Window.partitionBy("block", id_col).orderBy(
+        F.col("cosine").desc(), F.col("prior_id"))
+    whale_part = (hits.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .drop("__rn", "block"))
+    out = (n.filter(~F.col("block").isin(whales)).groupBy("block")
+           .cogroup(p.filter(~F.col("block").isin(whales))
+                    .groupBy("block"))
+           .applyInPandas(_probe, f"{id_col} {id_t}, prior_id {pid_t}, "
+                                  f"cosine double"))
+    return out.unionByName(whale_part)
 
 
 def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
@@ -1520,19 +1613,31 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                     parent[x], x = r, parent[x]
                 return r
 
+            has_null = False
             for e in head:
-                ra, rb = find(e["sa"]), find(e["sb"])
+                sa, sb = e["sa"], e["sb"]
+                if sa is None or sb is None:
+                    # equi-join null semantics (matching the distributed
+                    # paths): a null endpoint connects nothing, but the
+                    # null node itself still appears, labeled null
+                    has_null = True
+                    continue
+                ra, rb = find(sa), find(sb)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
-            nodes = {v for e in head for v in (e["sa"], e["sb"])}
+            nodes = {v for e in head for v in (e["sa"], e["sb"])
+                     if v is not None}
             roots = {n: find(n) for n in nodes}
             lab: dict = {}
             for n, r in roots.items():            # label = min member
                 lab[r] = min(lab.get(r, n), n)
             from pyspark.sql.types import StructField, StructType
             ntype = pairs.schema[a].dataType
+            rows = [(n, lab[r]) for n, r in sorted(roots.items())]
+            if has_null:
+                rows.append((None, None))
             return pairs.sparkSession.createDataFrame(
-                [(n, lab[r]) for n, r in sorted(roots.items())],
+                rows,
                 StructType([StructField("id", ntype),
                             StructField("cluster", ntype)]))
     if algorithm == "star":

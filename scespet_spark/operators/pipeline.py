@@ -1003,8 +1003,9 @@ def exact_quantiles_by(df: DataFrame, value_col: str, qs: list[float],
     path).  Per level: one combinable ``groupBy(group, d_k)``
     aggregate filtered to the active search paths; the driver walks
     O(pairs x buckets) counts.  Groups at or below ``threshold`` rows
-    (and every quantile's final candidate bin) finish with
-    ``TakeOrdered`` over <= threshold rows.
+    (and every quantile's final candidate bin) finish together in one
+    batched ranked-window job over <= threshold rows per partition
+    (r12: replaced the one-TakeOrdered-job-per-final form).
 
     Driver holds O(|groups| x |qs| x buckets) ints per level and the
     group-stats table — GROUP CARDINALITY MUST BE BOUNDED (sources,

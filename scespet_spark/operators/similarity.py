@@ -104,6 +104,49 @@ def _round6(x: float) -> float:
     return float(Decimal(repr(float(x))).quantize(_SIX, ROUND_HALF_UP))
 
 
+#: r13 (guide §2.5/§5): bounds for the grouped-GEMM pair kernels.
+#: ``_GEMM_BLK`` tiles BOTH axes of the in-kernel work matrix, so one
+#: tile is at most (4096 x 4096) float64 = 128 MB regardless of cell
+#: size (r12 blocked rows only — a 1M-row cell meant a (4096, 1M)
+#: matrix, ~32 GB in one non-spillable task).  Tiling never changes a
+#: score: each matrix entry is the same dim-sequential fold whatever
+#: tile it lands in.  ``_WHALE_ROWS`` caps how many rows one grouped
+#: task may materialize at all: cells/blocks past it are carved out and
+#: routed through the pre-r12 distributed join form (bit-identical
+#: scores by the same fold + `_round6` argument), which shuffles pair
+#: rows but spreads a hot key across the cluster and stays
+#: AQE-skew-splittable.  Kernels capture both at definition time so
+#: tests can monkeypatch them before building a plan.
+_GEMM_BLK = 4096
+_WHALE_ROWS = 100_000
+
+
+def _whale_keys(counted, key: str, cap: int | None,
+                streaming: bool = False) -> list:
+    """Bounded-collect whale election for the grouped-GEMM kernels:
+    return the blocking keys whose group exceeds ``cap`` rows (the
+    ``counted`` frame carries the per-key count as ``__n``).  At most
+    n/cap keys exist, so the collect is bounded; with none (every sane
+    corpus) the caller serves the UNTOUCHED grouped-GEMM plan and the
+    census is one narrow count job.  Streaming inputs skip the census
+    (no eager job on an unbounded stream) — the two-axis tile bound
+    still holds there.  A corpus where >10k keys exceed the cap has a
+    catastrophically mis-sized blocking scheme (the operators' SCALE
+    WARNING: cells must grow with the corpus); fail loudly instead of
+    building a 10k-literal plan or silently un-bounding the tail."""
+    if not cap or cap <= 0 or streaming:
+        return []
+    head = (counted.filter(F.col("__n") > cap).select(key)
+            .limit(10_001).collect())
+    if len(head) > 10_000:
+        raise ValueError(
+            f"more than 10000 blocking groups exceed whale_rows={cap}: "
+            f"the blocking key is mis-sized for this corpus (grow K / "
+            f"bits so cell sizes stay bounded), or pass whale_rows=0 "
+            f"to force the grouped kernel")
+    return [r[key] for r in head]
+
+
 def sign_lsh_code(vec: Column, dim: int, bits: int = 6) -> Column:
     """Sign-random-projection LSH coarse code: bit *i* is the sign of the
     dot product with a deterministic ±1 hyperplane
@@ -242,7 +285,8 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
 def semantic_dedup(df: DataFrame, threshold: float = 0.5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label",
-                   centroids: DataFrame | None = None) -> DataFrame:
+                   centroids: DataFrame | None = None,
+                   whale_rows: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     duplicates — coarse k-means cells block the pairwise check, then
     within each cell an item is a duplicate if some LOWER-id cell-mate
@@ -264,7 +308,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
     slope is quadratic in the corpus multiple (38.8x wall at 30x data,
     SCALE.md).  Production passes ``centroids=`` sized to a constant
     target cell size (K ~ N/500: measured 4.9x at the same 30x) — the
-    SemDeDup paper's own constant-cell-size regime."""
+    SemDeDup paper's own constant-cell-size regime.
+
+    r13 whale-cell bound (guide §2.5/§5): the grouped GEMM tiles both
+    work-matrix axes (`_GEMM_BLK`) and any cell larger than
+    ``whale_rows`` (default `_WHALE_ROWS`; 0 disables) is carved out
+    and pair-checked by the distributed join form instead — one
+    degenerate cell can no longer OOM a single task.  Rows identical
+    on either path (same fold, same rounding)."""
     cents = centroids if centroids is not None else \
         label_centroids(df, label_col, vec_col)
     codes = ivf_assign(df, cents, id_col, vec_col, label_col)
@@ -287,6 +338,9 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
     id_t = df.schema[id_col].dataType.simpleString()
     cell_t = codes.schema["cell"].dataType.simpleString()
     thr = float(threshold)
+    blk = _GEMM_BLK                     # captured: tests can monkeypatch
+    if whale_rows is None:
+        whale_rows = _WHALE_ROWS        # 0 disables the carve-out
 
     def _cell_counts(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
@@ -309,28 +363,33 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
                 x = M[:, j]
                 nrm = nrm + x * x
             nrm = np.sqrt(nrm)
-            blk = 4096                  # bound the (blk, n) work matrix
+            # r13: tile BOTH axes — the work matrix is at most
+            # (blk, blk), never (blk, n).  Entry values are identical
+            # under any tiling (the fold over dims is per-entry).
             for s in range(0, n, blk):
                 A = M[s:s + blk]
-                D = np.zeros((len(A), n))
-                for j in range(d):      # same fold, vectorized over pairs
-                    D = D + np.outer(A[:, j], M[:, j])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    S = D / (nrm[s:s + blk, None] * nrm[None, :])
-                lower = ids[s:s + blk, None] > ids[None, :]
-                # |round6(x) - x| <= 5.001e-7, so outside a +-1e-6 band
-                # the float compare IS the rounded compare; only the
-                # band needs the exact decimal decision.
-                sure = (S >= thr + 1e-6) & lower
-                for p, c in zip(*np.unique(np.nonzero(sure)[0],
-                                           return_counts=True)):
-                    k = ids[s + p]
-                    out[k] = out.get(k, 0) + int(c)
-                band = (S >= thr - 1e-6) & (S < thr + 1e-6) & lower
-                for p, q in zip(*np.nonzero(band)):
-                    if _round6(S[p, q]) >= thr:
+                for t in range(0, n, blk):
+                    B = M[t:t + blk]
+                    D = np.zeros((len(A), len(B)))
+                    for j in range(d):  # same fold, vectorized over pairs
+                        D = D + np.outer(A[:, j], B[:, j])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = D / (nrm[s:s + blk, None]
+                                 * nrm[t:t + blk][None, :])
+                    lower = ids[s:s + blk, None] > ids[t:t + blk][None, :]
+                    # |round6(x) - x| <= 5.001e-7, so outside a +-1e-6
+                    # band the float compare IS the rounded compare;
+                    # only the band needs the exact decimal decision.
+                    sure = (S >= thr + 1e-6) & lower
+                    for p, c in zip(*np.unique(np.nonzero(sure)[0],
+                                               return_counts=True)):
                         k = ids[s + p]
-                        out[k] = out.get(k, 0) + 1
+                        out[k] = out.get(k, 0) + int(c)
+                    band = (S >= thr - 1e-6) & (S < thr + 1e-6) & lower
+                    for p, q in zip(*np.nonzero(band)):
+                        if _round6(S[p, q]) >= thr:
+                            k = ids[s + p]
+                            out[k] = out.get(k, 0) + 1
         if not out:
             return empty
         items = sorted(out.items())
@@ -338,10 +397,46 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
                              "cell": [cell] * len(items),
                              "n_close": [c for _, c in items]})
 
-    return (v.groupBy("cell")
-            .applyInPandas(_cell_counts,
-                           f"{id_col} {id_t}, cell {cell_t}, "
-                           f"n_close long"))
+    # whale-cell election (bounded collect, the connected_components /
+    # broadcast-threshold pattern): enumerate cells past the cap — at
+    # most n/whale_rows of them, realistically a handful of hot keys.
+    # With no whales (every bench/test corpus) the served plan is the
+    # UNTOUCHED single-Exchange grouped GEMM; the census costs one
+    # narrow count job over (id, cell) — no vector bytes.  The
+    # carve-out branch only enters the plan when a whale exists, so
+    # the common case never pays its extra corpus passes (measured:
+    # the always-on DataFrame split cost +0.3-0.8 s per query here).
+    whales = _whale_keys(codes.groupBy("cell")
+                         .agg(F.count("*").alias("__n")), "cell",
+                         whale_rows, streaming=df.isStreaming)
+    if not whales:
+        return (v.groupBy("cell")
+                .applyInPandas(_cell_counts,
+                               f"{id_col} {id_t}, cell {cell_t}, "
+                               f"n_close long"))
+    # cells past the cap are pair-checked with the distributed join
+    # form (pre-r12 shape): quadratic either way, but spread over
+    # shuffle partitions and AQE-skew-splittable instead of one task.
+    # Scores identical: `cosine` is the same dim-sequential fold and
+    # Spark's round() is what `_round6` replicates.
+    is_whale = F.col("cell").isin(whales)
+    big = v.filter(is_whale)
+    a = big.select("cell", F.col(id_col).alias("__ida"),
+                   F.col("__v").alias("__va"))
+    b = big.select("cell", F.col(id_col).alias("__idb"),
+                   F.col("__v").alias("__vb"))
+    whale_part = (a.join(b, "cell")
+                  .filter(F.col("__ida") > F.col("__idb"))
+                  .filter(F.round(cosine(F.col("__va"),
+                                         F.col("__vb")), 6)
+                          >= threshold)
+                  .groupBy(F.col("__ida").alias(id_col), "cell")
+                  .agg(F.count("*").alias("n_close")))
+    out = (v.filter(~is_whale).groupBy("cell")
+           .applyInPandas(_cell_counts,
+                          f"{id_col} {id_t}, cell {cell_t}, "
+                          f"n_close long"))
+    return out.unionByName(whale_part)
 
 
 def cluster_mixture_sample(df: DataFrame, weights: dict, total: int,

@@ -641,7 +641,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     the count tables and every shuffled row are ints, never text.  The
     model tables are vocabulary-/bigram-vocabulary-sized (Zipf-bounded);
     the per-doc join shuffles (digest, id) pairs, with AQE skew-join
-    covering the Zifp head.
+    covering the Zipf head.
 
     r12 optimization (guide §1.2 — fewer passes): the tokenize+hash
     stage materializes ONCE (`localCheckpoint`, the repo-wide

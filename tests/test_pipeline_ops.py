@@ -3853,3 +3853,92 @@ def test_pq_index_batch_matches_sequential(spark, tmp_path):
         want = sorted([(r.vec_id, r.adc_microdist, r.score)
                        for r in seq])
         assert got == want, qid
+
+
+def test_gemm_tiling_and_whale_fallback_parity(spark, monkeypatch):
+    """r13 whale bound: (a) two-axis tiling with a tiny tile must not
+    change any emitted pair/count (each work-matrix entry is the same
+    dim-sequential fold whatever tile it lands in); (b) cells/blocks
+    past ``whale_rows`` route through the distributed join form and the
+    union must be row-identical to the pure-GEMM result."""
+    import random
+
+    from scespet_spark.operators import similarity as sim
+    from scespet_spark.operators.dedup import embedding_near_dup_pairs
+    rnd = random.Random(11)
+    # label 0 is the whale (40 rows); labels 1/2 stay small
+    rows = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(8)],
+             0 if i < 40 else (i % 2) + 1) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+    def rows_of(d):
+        return sorted(map(tuple, d.collect()))
+
+    ref_pairs = rows_of(embedding_near_dup_pairs(
+        df, block_col="label", threshold=0.2, whale_rows=0))
+    ref_sem = rows_of(sim.semantic_dedup(df, threshold=0.2,
+                                         whale_rows=0))
+    assert len(ref_pairs) > 20          # the whale cell really has pairs
+    monkeypatch.setattr(sim, "_GEMM_BLK", 7)    # force many tiles
+    assert rows_of(embedding_near_dup_pairs(
+        df, block_col="label", threshold=0.2, whale_rows=0)) == ref_pairs
+    # carve-out fires for label 0 only (40 > 20), join form takes it
+    assert rows_of(embedding_near_dup_pairs(
+        df, block_col="label", threshold=0.2, whale_rows=20)) == ref_pairs
+    assert rows_of(sim.semantic_dedup(
+        df, threshold=0.2, whale_rows=20)) == ref_sem
+
+
+def test_incremental_probe_whale_fallback_parity(spark, monkeypatch):
+    """Cogrouped-probe counterpart: whale blocks (combined new+prior
+    rows past the cap) fall back to the join + per-(id, block) best-hit
+    window; output row-identical to the pure cogrouped GEMM, including
+    under a tiny tile size."""
+    import random
+
+    from scespet_spark.operators import similarity as sim
+    from scespet_spark.operators.dedup import (
+        embedding_block_table, incremental_embedding_near_dup)
+    rnd = random.Random(13)
+    prior_rows = [(100 + i, [rnd.uniform(-1.0, 1.0) for _ in range(8)])
+                  for i in range(50)]
+    new_rows = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(8)])
+                for i in range(30)]
+    prior = spark.createDataFrame(prior_rows,
+                                  "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows,
+                                "vec_id long, embedding array<double>")
+    pb = embedding_block_table(prior, dim=8, bits=2)
+
+    def rows_of(d):
+        return sorted(map(tuple, d.collect()))
+
+    ref = rows_of(incremental_embedding_near_dup(
+        new, pb, dim=8, bits=2, threshold=0.2, whale_rows=0))
+    assert len(ref) > 5
+    monkeypatch.setattr(sim, "_GEMM_BLK", 5)
+    assert rows_of(incremental_embedding_near_dup(
+        new, pb, dim=8, bits=2, threshold=0.2, whale_rows=0)) == ref
+    # bits=2 -> 4 blocks of ~20 combined rows: cap 10 makes most whales
+    assert rows_of(incremental_embedding_near_dup(
+        new, pb, dim=8, bits=2, threshold=0.2, whale_rows=10)) == ref
+
+
+def test_connected_components_null_endpoints(spark):
+    """ADVICE r12: the driver union-find fast path must tolerate null
+    ids the way the distributed paths do — a null endpoint connects
+    nothing, the null node labels null, non-null partners stay isolated
+    unless connected elsewhere."""
+    from scespet_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (2, 5)],
+        "id_a int, id_b int")
+    fast = {r.id: r.cluster for r in connected_components(pairs).collect()}
+    slow = {r.id: r.cluster
+            for r in connected_components(pairs,
+                                           driver_threshold=0).collect()}
+    assert fast == slow
+    assert fast[3] == 3 and fast[4] == 4       # null edges connect nothing
+    assert fast[1] == fast[2] == fast[5] == 1
+    assert fast[None] is None
