@@ -7483,9 +7483,13 @@ def split_leakage_report(spark, sf_dir):
     <= |splits|^2 rows.  A nonzero row means: re-split by duplicate
     CLUSTER (connected_components), not by document."""
     from scespet_spark.operators.dedup import split_leakage
-    from scespet_spark.operators.pipeline import split_assign
+    from scespet_spark.operators.pipeline import split_assign, split_expr
     docs = load_table(spark, sf_dir, "documents")
-    return split_leakage(split_assign(docs, _SPLIT_FRACS))
+    # r13: the split is a deterministic function of doc_id, so the
+    # pair rows derive it map-side (split_of) — the two id-equi-joins
+    # of the corpus-sized (id, split) projection are gone
+    return split_leakage(split_assign(docs, _SPLIT_FRACS),
+                         split_of=lambda c: split_expr(c, _SPLIT_FRACS))
 
 
 from scespet_spark.operators.dedup import MH_PRIME  # noqa: E402

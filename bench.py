@@ -198,7 +198,9 @@ def main():
         with open(full_path, "w") as f:
             json.dump({"sf": sf, "queries": timings,
                        "n_queries": len(timings),
-                       "complete": len(timings) == len(HEADLINE)}, f,
+                       # +1: the snapshot_build entry appended after
+                       # the query loop (r13)
+                       "complete": len(timings) >= len(HEADLINE)}, f,
                       indent=0, sort_keys=True)
 
     for name in HEADLINE:
@@ -218,6 +220,39 @@ def main():
         if min(samples) > 0:
             spreads.append(max(samples) / min(samples))
         flush()
+
+    # r13 (verdict item 4): the artifact-serving queries read standing
+    # snapshot artifacts built once per process, and min-of-3 erased
+    # that build cost from every recorded number.  Time the build
+    # itself — write_snapshot of the prior-generation artifact set
+    # (band table + cluster labels + doc_freq + band Bloom: exactly
+    # the families `_artifact_snapshot` builds for the serving
+    # queries) into a FRESH temp dir per sample, deleted afterwards —
+    # nothing persists across samples or runs.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from scespet_spark.operators.snapshot import write_snapshot
+    from scespet_spark.sources.batch import load_table as _lt
+    samples = []
+    for _ in range(3):
+        base = tempfile.mkdtemp(prefix="scespet_bench_snap_")
+        t0 = time.time()
+        prior = _lt(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 0)
+        write_snapshot(base + "/snap", docs=prior, cluster_labels=True,
+                       doc_freq=True, doc_families=("bands",),
+                       bloom_fpp=0.01)
+        samples.append(time.time() - t0)
+        dedup.release_cached()
+        similarity.release_cached()
+        text.release_cached()
+        shutil.rmtree(base, ignore_errors=True)
+    timings["snapshot_build"] = round(min(samples), 3)
+    if min(samples) > 0:
+        spreads.append(max(samples) / min(samples))
+    flush()
 
     # same-build repeat spread: max/min ratio of the 3 identical samples
     # per query.  This quantifies this box's co-tenant noise so round-

@@ -26,7 +26,8 @@ from scespet_spark.streaming.live import LiveStream
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001",
-         out_dir: str | None = None) -> tuple[int, int]:
+         out_dir: str | None = None,
+         run_capstone: bool = True) -> tuple[int, int]:
     spark = get_spark(cpus=8)
     out_dir = out_dir or tempfile.mkdtemp(prefix="live_pipeline_")
 
@@ -116,8 +117,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
     print(f"live crawl gate: {n_novel} novel segments elected, "
           f"{kept} docs pass the snapshot perplexity gate")
 
-    # -- r8 capstone: the full continuous-crawl loop -----------------
-    crawl_capstone(spark, sf_dir, out_dir + "/capstone")
+    # -- r8 capstone: the full continuous-crawl loop (opt-out: the
+    # test suite exercises the capstone once via its dedicated test;
+    # running it twice doubled the suite's longest test for no
+    # additional coverage)
+    if run_capstone:
+        crawl_capstone(spark, sf_dir, out_dir + "/capstone")
     return n_batch, n_live
 
 
@@ -205,10 +210,17 @@ def _cap_stage1b(spark, stage1_out: str, out: str, ckpt: str) -> None:
     unsupported shape, and separate checkpoints let each election
     resume independently."""
     from scespet_spark.streaming.live import cap_first_k, write_parquet
+    # no maxFilesPerTrigger here (r13): the upstream election writes
+    # one file PER OUTPUT PARTITION per drop, and chopping those into
+    # one-file micro-batches multiplied the batch count stage-over-
+    # stage (stage 2 ran ~12 micro-batches per drop, ~10s each).  The
+    # capstone invokes each stage once per drop, so "all files new
+    # since the checkpoint" IS the drop — one micro-batch per drop,
+    # the documented per-drop election semantics
     stream = (spark.readStream
               .schema("canon_url string, doc_id long, text string, "
                       "lang string, source string")
-              .option("maxFilesPerTrigger", 1).parquet(stage1_out)
+              .parquet(stage1_out)
               .withColumn("host", F.regexp_extract(
                   F.col("canon_url"), r"^[a-z0-9+.-]+://([^/]+)", 1)))
     capped = cap_first_k(stream, _CAP_HOST_K, keys=["host"],
@@ -318,10 +330,12 @@ def _cap_stage2(spark, stage1_out: str, snap_dir: str, qc_model,
             blooms[fam] = read_bloom(spark, snap_dir, fam)
         except ValueError:
             pass
+    # no maxFilesPerTrigger (r13): one micro-batch per drop — see
+    # _cap_stage1b
     stream = (spark.readStream
               .schema("canon_url string, doc_id long, text string, "
                       "lang string, source string")
-              .option("maxFilesPerTrigger", 1).parquet(stage1_out))
+              .parquet(stage1_out))
     sig, sharded = _cap_gate_chain(stream, snap, qc_model, lang_model,
                                    thr, blooms=blooms or None)
     write_parquet(sig, sig_out, sig_ckpt)
@@ -405,10 +419,17 @@ def crawl_capstone(spark, sf_dir: str, work: str) -> dict:
 
     # ---- snapshot 0 (prior corpus only), drop 1 --------------------
     # bloom_fpp: the probe pre-filter artifacts (r10) — the live gates
-    # suppress definitely-novel digests/grams map-side per micro-batch
+    # suppress definitely-novel digests/grams map-side per micro-batch.
+    # doc_families (r13, guide §1.2): the capstone gates read the wide
+    # digest table and the gram table (+ their Blooms), and the
+    # takedown epilogue's band-mate-scoped recall restoration needs the
+    # band tombstones — the segment and bigram-LM families were built
+    # and then never read, and every generation append/retract/compact
+    # maintained them too
     write_snapshot(f"{work}/snap0", docs=prior, sub_min_len=_CAP_L,
                    digest_wide=True, bucket_probes=_CAP_PROBE_BUCKETS,
-                   bloom_fpp=0.01)
+                   bloom_fpp=0.01,
+                   doc_families=("digests", "bands", "grams"))
     # drop 1 carries two engineered rows: a blocked-URL doc (unique
     # URL, but the pre-fetch rule gate must kill it on the keyword)
     # and a repetition-spam doc (clean unique URL, novel content — it

@@ -66,6 +66,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._staging import stage as _stage
+
 #: independent seed column for the second hash (any fixed constant;
 #: xxhash64 mixes it into the stream so h2 is independent of h1)
 _H2_SEED = -1640531527
@@ -189,12 +191,12 @@ def bloom_row(words: DataFrame, m_bits: int) -> DataFrame:
     # materialize eagerly: the row is a snapshot ARTIFACT probed many
     # times — without the checkpoint every probe plan re-runs the
     # densify join+agg, and its Exchange would masquerade as probe cost.
-    # CAVEAT: localCheckpoint blocks are executor-local and NOT
+    # CAVEAT (local default): localCheckpoint blocks are executor-local, NOT
     # recomputable — under dynamic allocation / executor loss a later
     # probe fails with a missing-block error instead of silently
     # recomputing; the recovery is one read_bloom call (the durable
     # artifact is the parquet word table, this row is session state)
-    return row.localCheckpoint()
+    return _stage(row)
 
 
 def bloom_test(words_arr: Column, m_bits: int, k: int,
@@ -348,7 +350,7 @@ def bloom_rows_sharded(words: DataFrame, m_bits: int,
             .select("shard",
                     F.transform("__s", lambda s: s["bits"])
                     .alias("__bloom")))
-    return rows.localCheckpoint()
+    return _stage(rows)
 
 
 def bloom_attach_sharded(df: DataFrame, bloom: dict, col: Column | str,

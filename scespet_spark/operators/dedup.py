@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ._staging import stage as _stage
+
 from .hashing import h64, h64hi
 from .text import tokens
 
@@ -660,6 +662,30 @@ def novelty_score(new: DataFrame, prior: DataFrame | None = None,
     pri = prior_grams.select(*gnames).distinct()
     occ = gram_digests(new, min_len, text_col, id_col, hash_fn=hash_fn,
                        wide=wide)
+    if prior_bloom is None:
+        # r13 (guide §1.2/§2.4): one pass instead of two.  The old
+        # shape referenced `occ` twice (a per-doc count AND a semi-join
+        # for hits) — the whole tokenize+gram explode ran twice and the
+        # two per-doc aggregates re-joined.  A left join against the
+        # DISTINCT prior gram set marks each occurrence row known/
+        # unknown in the same flow, and ONE aggregate produces both
+        # counts: count(*) = n_grams, count(marker) = n_known.  Rows
+        # identical: pri is distinct so the left join is 1:1 per
+        # occurrence, unmatched rows count null markers as unknown —
+        # exactly the semi-join's hit set.
+        marked = occ.join(pri.withColumn("__k", F.lit(1)), gnames,
+                          "left")
+        return (marked.groupBy(id_col)
+                .agg(F.count("*").alias("n_grams"),
+                     F.count("__k").alias("n_known"))
+                .withColumn("novelty",
+                            F.round(1 - F.col("n_known")
+                                    / F.col("n_grams"), 6)))
+    # bloom path unchanged: the sketch suppresses definitely-novel
+    # grams MAP-SIDE before any join — the point of the artifact is
+    # that those rows never shuffle toward the prior, which the
+    # one-pass left join above cannot preserve (it must route every
+    # occurrence row through the join to count it)
     _, hits = _bloom_probe(occ, pri, gnames, prior_bloom,
                            want_hits=True)
     per_doc = occ.groupBy(id_col).agg(F.count("*").alias("n_grams"))
@@ -1153,7 +1179,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def split_leakage(df: DataFrame, split_col: str = "split",
                   id_col: str = "doc_id", text_col: str = "text",
                   num_hashes: int = 16, bands: int = 4,
-                  shingle_n: int = 3) -> DataFrame:
+                  shingle_n: int = 3, split_of=None) -> DataFrame:
     """Cross-split contamination report: MinHash-LSH near-duplicate
     candidate pairs whose members landed in DIFFERENT dataset splits —
     the check that a frozen eval split actually measures
@@ -1167,17 +1193,30 @@ def split_leakage(df: DataFrame, split_col: str = "split",
     Scale shape: pair generation is `lsh_candidate_pairs` (band-bucket
     equi-join, never all-pairs); the split attach is two id-equi-joins
     against the (id, split) projection — ints only; the report is one
-    combinable count aggregate of <= |splits|^2 rows."""
+    combinable count aggregate of <= |splits|^2 rows.
+
+    ``split_of`` (r13, guide §2.4/§8): when the split is a
+    DETERMINISTIC FUNCTION of the id (every `pipeline.split_assign`
+    split is — pass ``pipeline.split_expr``'s column builder), the
+    attach becomes two map-only expressions over the pair ids and BOTH
+    id-equi-joins (and their Exchanges of the corpus-sized (id, split)
+    projection) disappear.  Identical rows by construction — the
+    expression IS how the split column was assigned."""
     pairs = lsh_candidate_pairs(df, id_col=id_col, text_col=text_col,
                                 num_hashes=num_hashes, bands=bands,
                                 shingle_n=shingle_n)
-    s = df.select(F.col(id_col), F.col(split_col))
-    j = (pairs
-         .join(s.select(F.col(id_col).alias("id_a"),
-                        F.col(split_col).alias("__sa")), "id_a")
-         .join(s.select(F.col(id_col).alias("id_b"),
-                        F.col(split_col).alias("__sb")), "id_b")
-         .filter(F.col("__sa") != F.col("__sb")))
+    if split_of is not None:
+        j = (pairs.withColumn("__sa", split_of(F.col("id_a")))
+             .withColumn("__sb", split_of(F.col("id_b")))
+             .filter(F.col("__sa") != F.col("__sb")))
+    else:
+        s = df.select(F.col(id_col), F.col(split_col))
+        j = (pairs
+             .join(s.select(F.col(id_col).alias("id_a"),
+                            F.col(split_col).alias("__sa")), "id_a")
+             .join(s.select(F.col(id_col).alias("id_b"),
+                            F.col(split_col).alias("__sb")), "id_b")
+             .filter(F.col("__sa") != F.col("__sb")))
     return (j.select(F.least("__sa", "__sb").alias("split_a"),
                      F.greatest("__sa", "__sb").alias("split_b"))
             .groupBy("split_a", "split_b")
@@ -1597,7 +1636,9 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
     chains that make label propagation take diameter rounds.  The
     extreme-scale choice when cluster topology is unknown.
 
-    Both use ``localCheckpoint`` to truncate lineage per iteration.
+    Both truncate lineage per iteration via `_staging.stage`
+    (localCheckpoint locally; a reliable checkpoint under
+    ``$SPARK_GRAFT_RELIABLE_CHECKPOINT`` on clusters — guide §5).
     """
     if driver_threshold > 0:
         head = (pairs.select(F.col(a).alias("sa"), F.col(b).alias("sb"))
@@ -1659,7 +1700,7 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b",
                        F.least(labels.cluster,
                                F.coalesce(F.col("nbr"), labels.cluster))
                         .alias("cluster")))
-        new = new.localCheckpoint(eager=True)
+        new = _stage(new, eager=True)
         prev, labels = labels, new
         # convergence check every 2nd round (and on the last): the
         # join+count is a full job per check, and comparing adjacent
@@ -1703,7 +1744,8 @@ def _cc_star(pairs: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
                           F.least(a, b).alias("v"))
              .filter(F.col("u") != F.col("v"))
              .distinct()
-             .localCheckpoint(eager=True))
+             )
+    edges = _stage(edges, eager=True)
 
     def neighborhood_min(sym: DataFrame) -> DataFrame:
         m = sym.groupBy("u").agg(F.min("v").alias("m"))
@@ -1719,7 +1761,7 @@ def _cc_star(pairs: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .filter(F.col("u") != F.col("v")))
-        edges1 = large.distinct().localCheckpoint(eager=True)
+        edges1 = _stage(large.distinct(), eager=True)
         # small-star: for each node u, every v <= u (plus u itself)
         # re-attaches to the neighborhood min
         sym1 = edges1.unionByName(
@@ -1730,7 +1772,7 @@ def _cc_star(pairs: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .unionByName(mins1.select(F.col("u"), F.col("m").alias("v")))
                  .filter(F.col("u") != F.col("v")))
-        new_edges = small.distinct().localCheckpoint(eager=True)
+        new_edges = _stage(small.distinct(), eager=True)
         if (new_edges.exceptAll(edges).limit(1).count() == 0
                 and edges.exceptAll(new_edges).limit(1).count() == 0):
             edges = new_edges

