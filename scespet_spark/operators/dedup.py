@@ -1254,7 +1254,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", block_cols: list[str] | None = None,
                         candidates: DataFrame | None = None,
-                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        whale_rows: int | None = None) -> DataFrame:
     """n-gram Jaccard verification over bounded pair sets (never
     all-pairs).  Output: (id_a, id_b, jaccard) with jaccard >= threshold.
 
@@ -1265,7 +1266,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     never self-joins).  ``block_cols`` remains for small corpora where a
     low-cardinality blocking key bounds the quadratic term acceptably,
     but a 100TB corpus must use candidates= (a lang-blocked all-pairs
-    join is O(n^2 / |langs|))."""
+    join is O(n^2 / |langs|)).
+
+    r13 (guide §4.2, the cosine-GEMM pattern): the block form's pair
+    check is ONE grouped set-overlap kernel per block instead of a
+    block self-join materializing every candidate pair with TWO full
+    shingle arrays — each shingle set crosses the blocking Exchange
+    once, and within-block intersection counts come from one sorted
+    sweep over the block's (digest, doc) rows.  Jaccard values
+    identical: integer intersection/union counts, the same IEEE float
+    division, and `_round6` = Spark's round().  Blocks past
+    ``whale_rows`` (default `similarity._WHALE_ROWS`; 0 disables) fall
+    back to the self-join via the same bounded whale election as the
+    embedding kernels."""
     inter_of = lambda x, y: F.size(F.array_intersect(x, y))  # noqa: E731
     shingle_sets = lambda d: (  # noqa: E731
         # distinct shingle *digests*, not strings: set sizes (and hence
@@ -1292,22 +1305,108 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         return (out.select("id_a", "id_b", jac.alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
     block_cols = block_cols or ["lang"]
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _WHALE_ROWS, _round6, _whale_keys
+    if whale_rows is None:
+        whale_rows = _WHALE_ROWS
     sh = (_spread(df)
           .select(id_col, *block_cols,
                   token_hash_array(F.col(text_col)).alias("__hs"))
           .select(id_col, *block_cols,
                   shingle_hashes(F.col("__hs"), shingle_n).alias("__sh")))
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    inter = inter_of(F.col("a.__sh"), F.col("b.__sh"))
-    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
-    jac = F.round(inter.cast("double") / union, 6)
-    return (a.join(b, cond)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+
+    def _join_form(frame):
+        a, b = frame.alias("a"), frame.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+        cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        inter = inter_of(F.col("a.__sh"), F.col("b.__sh"))
+        union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+        jac = F.round(inter.cast("double") / union, 6)
+        return (a.join(b, cond)
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"),
+                        jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+    # rows a self-join could never pair (null block key / null id /
+    # null shingle set) are excluded up front — same output rows
+    grouped = sh
+    for c in block_cols:
+        grouped = grouped.filter(F.col(c).isNotNull())
+    grouped = grouped.filter(F.col(id_col).isNotNull()
+                             & F.col("__sh").isNotNull())
+    id_t = df.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _blk_jaccard(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols: dict = {"id_a": [], "id_b": [], "jaccard": []}
+        n = len(pdf)
+        if n >= 2:
+            ids = pdf[id_col].to_numpy()
+            sets = pdf["__sh"].to_numpy()
+            sizes = np.array([len(s) for s in sets], dtype=np.int64)
+            # one sorted sweep over (digest, doc): a digest shared by k
+            # docs contributes +1 to each of its C(k,2) doc pairs
+            all_d = np.concatenate([np.asarray(s, dtype=np.int64)
+                                    for s in sets])
+            all_o = np.repeat(np.arange(n), sizes)
+            order = np.argsort(all_d, kind="stable")
+            all_d, all_o = all_d[order], all_o[order]
+            cuts = np.nonzero(np.diff(all_d))[0] + 1
+            inter: dict = {}
+            for run in np.split(all_o, cuts):
+                if len(run) < 2:
+                    continue
+                run = np.sort(run)
+                for i in range(len(run) - 1):
+                    a_ = run[i]
+                    for b_ in run[i + 1:]:
+                        k = (a_, b_)
+                        inter[k] = inter.get(k, 0) + 1
+            for (a_, b_), cnt in inter.items():
+                ia, ib = ids[a_], ids[b_]
+                if ia == ib:
+                    continue
+                if ia > ib:
+                    ia, ib = ib, ia
+                jac = _round6(cnt / (int(sizes[a_]) + int(sizes[b_])
+                                     - cnt))
+                if jac >= thr:
+                    cols["id_a"].append(ia)
+                    cols["id_b"].append(ib)
+                    cols["jaccard"].append(jac)
+            if thr <= 0:
+                # the self-join emits EVERY same-block pair at
+                # threshold <= 0, zero-intersection ones included
+                for i in range(n):
+                    for j in range(n):
+                        if ids[i] < ids[j] \
+                                and (min(i, j), max(i, j)) not in inter:
+                            u = int(sizes[i]) + int(sizes[j])
+                            cols["id_a"].append(ids[i])
+                            cols["id_b"].append(ids[j])
+                            cols["jaccard"].append(_round6(0.0 / u))
+        return pd.DataFrame(cols)
+
+    # whale election on single-column blocks (the only form with a key
+    # the bounded collect can enumerate; multi-column blocks keep the
+    # grouped kernel unconditionally)
+    whales = _whale_keys(
+        grouped.groupBy(block_cols[0]).agg(F.count("*").alias("__n")),
+        block_cols[0], whale_rows,
+        streaming=df.isStreaming) if len(block_cols) == 1 else []
+    if not whales:
+        return (grouped.groupBy(*block_cols)
+                .applyInPandas(_blk_jaccard,
+                               f"id_a {id_t}, id_b {id_t}, "
+                               f"jaccard double"))
+    is_whale = F.col(block_cols[0]).isin(whales)
+    out = (grouped.filter(~is_whale).groupBy(*block_cols)
+           .applyInPandas(_blk_jaccard,
+                          f"id_a {id_t}, id_b {id_t}, jaccard double"))
+    return out.unionByName(_join_form(grouped.filter(is_whale)))
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",

@@ -3963,3 +3963,55 @@ def test_reliable_checkpoint_knob(spark, tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")
     without = sorted(map(tuple, bigram_lm_score(docs).collect()))
     assert with_knob == without
+
+
+def test_ngram_jaccard_block_kernel_matches_join_form(spark):
+    """r13: the block form's grouped set-overlap kernel must emit
+    exactly the self-join's rows — same pairs, same rounded jaccard —
+    including at threshold 0 (where zero-intersection same-block pairs
+    qualify) and through the whale fallback route."""
+    import random
+
+    from scespet_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               shingle_hashes,
+                                               token_hash_array, _spread)
+    rnd = random.Random(5)
+    words = [f"w{i}" for i in range(30)]
+    base = [" ".join(rnd.choices(words, k=12)) for _ in range(5)]
+    # near-dup families: each doc is a template with a small mutation,
+    # so shingle overlap genuinely crosses the 0.2 threshold
+    rows = [(i, base[i % 5] + " " + rnd.choice(words),
+             f"l{i % 3}") for i in range(40)]
+    rows.append((100, None, "l0"))          # null text
+    rows.append((101, "a b c d e", None))   # null block
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def join_form(thr):
+        # the pre-r13 self-join, reproduced inline as the reference
+        sh = (_spread(df)
+              .select("doc_id", "lang",
+                      token_hash_array(F.col("text")).alias("__hs"))
+              .select("doc_id", "lang",
+                      shingle_hashes(F.col("__hs"), 3).alias("__sh")))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = F.size(F.array_intersect("a.__sh", "b.__sh"))
+        union = F.size("a.__sh") + F.size("b.__sh") - inter
+        jac = F.round(inter.cast("double") / union, 6)
+        return (a.join(b, [F.col("a.lang") == F.col("b.lang"),
+                           F.col("a.doc_id") < F.col("b.doc_id")])
+                .select(F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b"),
+                        jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= thr))
+
+    for thr in (0.2, 0.0):
+        ref = sorted(map(tuple, join_form(thr).collect()))
+        got = sorted(map(tuple, ngram_jaccard_pairs(
+            df, block_cols=["lang"], threshold=thr).collect()))
+        assert got == ref, f"thr={thr}"
+        assert len(ref) > 10
+        # whale route: every block exceeds a cap of 5
+        whale = sorted(map(tuple, ngram_jaccard_pairs(
+            df, block_cols=["lang"], threshold=thr,
+            whale_rows=5).collect()))
+        assert whale == ref, f"whale thr={thr}"
