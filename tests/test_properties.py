@@ -26,7 +26,13 @@ def _mk_stream(spark, pairs, col="v"):
     return Stream(df, t="ts", seq="seq")
 
 
-SETTINGS = settings(max_examples=12, deadline=None,
+#: examples per property — default sized so the 20 property tests fit
+#: the driver's serial verify window (each example is several Spark
+#: jobs); deeper local sweeps: SPARK_GRAFT_HYPOTHESIS_EXAMPLES=50
+import os as _os
+
+_N_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "6"))
+SETTINGS = settings(max_examples=_N_EXAMPLES, deadline=None,
                     suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 
